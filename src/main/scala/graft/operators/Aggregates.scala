@@ -1,0 +1,278 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Common._
+
+/** jx groupby / edges aggregation (SURVEY.md §2.4).
+  *
+  * The reference's signature aggregation is the *dense datacube*: `edges`
+  * produce one cell per domain part — empty cells materialized — unlike SQL
+  * GROUP BY which only returns observed groups (upstream: jx_base/domains.py
+  * builds the domain; mo_collections/matrix.py holds the dense result;
+  * jx_elasticsearch/es52/aggs.py translates to ES aggregations).
+  *
+  * Spark-first re-expression: aggregate sparsely with a hash agg (partial →
+  * final, map-side combine native), then right-join the dense domain frame,
+  * generated IN-PLAN (distinct scan or `sequence()`+`explode`) — never
+  * collected to the driver, so domain generation scales with executors.
+  */
+object Aggregates {
+
+  /** A1: sparse hash group-by — TPC-H Q1 shape. Partial aggregation halves
+    * shuffle volume at scale; AQE coalesces post-shuffle partitions. */
+  val aggGroupby: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        r2(sum("l_quantity")).as("sum_qty"),
+        r2(sum("l_extendedprice")).as("sum_base"),
+        r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc"),
+        r2(avg("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** A2: dense edges over a set domain. The filtered subset misses some
+    * (flag × status) combos; the dense cube still emits every cell with
+    * count 0 / sum null — jx cube semantics. */
+  val edgesDense: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val subset = li.filter(col("l_quantity") > 45.0)
+    val sparse = subset.groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), sum("l_quantity").as("sq"))
+    val domain = li.select("l_returnflag").distinct()
+      .crossJoin(li.select("l_linestatus").distinct())
+    domain.join(sparse, Seq("l_returnflag", "l_linestatus"), "left")
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        coalesce(col("cnt"), lit(0L)).as("n"),
+        r2(col("sq")).as("sum_qty"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** A3: dense histogram domain [min,max) / width, generated with
+    * `sequence()` from in-plan min/max — no driver round-trip. */
+  val edgesHistogram: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val bounds = ev.agg(
+      (floor(min("value") / 50.0) * 50).cast("long").as("lo"),
+      (floor(max("value") / 50.0) * 50).cast("long").as("hi"))
+    val domain = bounds
+      .select(explode(sequence(col("lo"), col("hi"), lit(50L))).as("bucket"))
+      .select(col("bucket").cast("double").as("bucket"))
+    val sparse = ev.groupBy((floor(col("value") / 50.0) * 50.0).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    domain.join(sparse, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("n"), r2(col("sv")).as("sum_value"))
+      .orderBy("bucket")
+  }
+
+  /** A4: dense time domain — tumbling calendar days between min and max
+    * (upstream: jx time domains over mo_times). `sequence(day, day, 1 day)`
+    * generates the axis in-plan. */
+  val edgesTime: Q = (s, d) => {
+    val ev = t(s, d, "events").filter(col("event_type") === "purchase")
+    val bounds = t(s, d, "events").agg(
+      date_trunc("day", min("ts")).as("lo"),
+      date_trunc("day", max("ts")).as("hi"))
+    val domain = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val sparse = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    domain.join(sparse, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n"), r2(col("sv")).as("sum_value"))
+      .orderBy("day")
+  }
+
+  /** A6: default domain — top-N parts + "other" bucket (upstream: jx default
+    * domain caps cardinality). Two passes: rank terms, then re-aggregate with
+    * the tail collapsed; both stay distributed (the top-N set is a broadcast
+    * join, not a collect). */
+  val edgesTopnOther: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val counts = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("rk",
+      row_number().over(Window.orderBy(desc("cnt"), asc("event_type"))))
+    val top = ranked.filter(col("rk") <= 3).select(col("event_type").as("top_type"))
+    ev.join(broadcast(top), ev("event_type") === top("top_type"), "left")
+      .withColumn("part", coalesce(col("top_type"), lit("other")))
+      .groupBy("part")
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
+      .orderBy("part")
+  }
+
+  /** A8: exact distinct cardinality (ES uses approx HLL; exact here for the
+    * oracle — `cardinality_approx` is the scale path, scalatest-gated). */
+  val aggDistinct: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** A9: exact percentiles (ES t-digest approx upstream; percentile_approx
+    * is the 100 TB path, scalatest-gated). */
+  val aggPercentile: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        r2(expr("percentile(value, 0.5)")).as("p50"),
+        r2(expr("percentile(value, 0.9)")).as("p90"))
+      .orderBy("event_type")
+
+  /** A10: z-moment statistics (upstream: mo_math/stats.py ZeroMoment keeps
+    * count/Σx/Σx² and derives mean/var). Derived from exact sums so the
+    * oracle compare is stable, matching the reference's formulation. */
+  val aggStats: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        count(col("value")).as("n"),
+        r2(sum("value")).as("s1"),
+        r2(avg("value")).as("mean"),
+        r4(var_pop(col("value"))).as("var_p"),
+        r4(stddev_pop(col("value"))).as("std_p"))
+      .orderBy("event_type")
+
+  /** A11: set-union of values per group — sorted for determinism (§7.4). */
+  val aggCollectSet: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_linestatus")
+      .agg(array_sort(collect_set(col("l_returnflag"))).as("flags"),
+        count(lit(1)).as("n"))
+      .orderBy("l_linestatus")
+
+  /** A12: first/last per group under an explicit total order (jx first/last
+    * are positional; SQL needs the order spelled out). min_by/max_by over a
+    * unique composite orderer keeps it deterministic and single-pass. */
+  val aggFirstLast: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    ev.groupBy("event_type")
+      .agg(
+        min_by(col("event_id"), struct(col("ts"), col("event_id"))).as("first_id"),
+        max_by(col("event_id"), struct(col("ts"), col("event_id"))).as("last_id"),
+        min("ts").as("first_ts"),
+        max("ts").as("last_ts"))
+      .orderBy("event_type")
+  }
+
+  /** A14: rollup with grouping sets (not in the reference — jx "cube" is the
+    * dense single grouping of A2 — but free in Spark; included for surface
+    * completeness). */
+  val aggRollup: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), r2(sum("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  val queries: Map[String, Q] = Map(
+    "agg_groupby" -> aggGroupby,
+    "edges_dense" -> edgesDense,
+    "edges_histogram" -> edgesHistogram,
+    "edges_time" -> edgesTime,
+    "edges_topn_other" -> edgesTopnOther,
+    "agg_distinct" -> aggDistinct,
+    "agg_percentile" -> aggPercentile,
+    "agg_stats" -> aggStats,
+    "agg_collect_set" -> aggCollectSet,
+    "agg_first_last" -> aggFirstLast,
+    "agg_rollup" -> aggRollup)
+
+  val oracle: Map[String, String] = Map(
+    "agg_groupby" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(sum(l_quantity), 2) AS sum_qty,
+                round(sum(l_extendedprice), 2) AS sum_base,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+                round(avg(l_quantity), 2) AS avg_qty,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "edges_dense" ->
+      """SELECT d.l_returnflag, d.l_linestatus,
+                coalesce(a.cnt, 0) AS n, round(a.sq, 2) AS sum_qty
+         FROM (SELECT f.l_returnflag, st.l_linestatus
+               FROM (SELECT DISTINCT l_returnflag FROM lineitem) f
+               CROSS JOIN (SELECT DISTINCT l_linestatus FROM lineitem) st) d
+         LEFT JOIN (SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                           sum(l_quantity) AS sq
+                    FROM lineitem WHERE l_quantity > 45.0
+                    GROUP BY l_returnflag, l_linestatus) a
+           USING (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag, l_linestatus""",
+    "edges_histogram" ->
+      """WITH bounds AS (SELECT CAST(floor(min(value)/50.0)*50 AS BIGINT) AS lo,
+                                CAST(floor(max(value)/50.0)*50 AS BIGINT) AS hi
+                         FROM events),
+              domain AS (SELECT CAST(unnest(generate_series(lo, hi, 50)) AS DOUBLE) AS bucket
+                         FROM bounds),
+              sparse AS (SELECT floor(value/50.0)*50.0 AS bucket, count(*) AS cnt,
+                                sum(value) AS sv
+                         FROM events GROUP BY 1)
+         SELECT d.bucket, coalesce(s.cnt, 0) AS n, round(s.sv, 2) AS sum_value
+         FROM domain d LEFT JOIN sparse s USING (bucket) ORDER BY bucket""",
+    "edges_time" ->
+      """WITH bounds AS (SELECT date_trunc('day', min(ts)) AS lo,
+                                date_trunc('day', max(ts)) AS hi FROM events),
+              domain AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                         FROM bounds),
+              sparse AS (SELECT date_trunc('day', ts) AS day, count(*) AS cnt,
+                                sum(value) AS sv
+                         FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT CAST(d.day AS TIMESTAMP) AS day, coalesce(s.cnt, 0) AS n,
+                round(s.sv, 2) AS sum_value
+         FROM domain d LEFT JOIN sparse s ON CAST(d.day AS TIMESTAMP) = s.day
+         ORDER BY day""",
+    "edges_topn_other" ->
+      """WITH counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
+              ranked AS (SELECT event_type,
+                                row_number() OVER (ORDER BY cnt DESC, event_type ASC) AS rk
+                         FROM counts),
+              top AS (SELECT event_type FROM ranked WHERE rk <= 3)
+         SELECT CASE WHEN e.event_type IN (SELECT event_type FROM top)
+                     THEN e.event_type ELSE 'other' END AS part,
+                count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events e GROUP BY 1 ORDER BY 1""",
+    "agg_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_percentile" ->
+      """SELECT event_type,
+                round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 2) AS p50,
+                round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 2) AS p90
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_stats" ->
+      """SELECT event_type, count(value) AS n, round(sum(value), 2) AS s1,
+                round(avg(value), 2) AS mean,
+                round(var_pop(value), 4) AS var_p,
+                round(stddev_pop(value), 4) AS std_p
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_collect_set" ->
+      """SELECT l_linestatus, list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags,
+                count(*) AS n
+         FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
+    "agg_first_last" ->
+      """WITH ranked AS (
+           SELECT event_type, event_id, ts,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts ASC, event_id ASC) AS rn_a,
+                  row_number() OVER (PARTITION BY event_type
+                                     ORDER BY ts DESC, event_id DESC) AS rn_d
+           FROM events)
+         SELECT event_type,
+                max(CASE WHEN rn_a = 1 THEN event_id END) AS first_id,
+                max(CASE WHEN rn_d = 1 THEN event_id END) AS last_id,
+                min(ts) AS first_ts, max(ts) AS last_ts
+         FROM ranked GROUP BY event_type ORDER BY event_type""",
+    "agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY flag, status""")
+}

@@ -1,0 +1,301 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Common._
+
+/** Scans, sorts, set ops, dedup, and the full join surface (SURVEY.md §2.1,
+  * §2.3, §2.6).
+  *
+  * The reference (klahnakoski/TestLog-ETL) has no general join operator — it
+  * denormalizes at ETL time (upstream: activedata_etl/transforms/
+  * pulse_block_to_es.py copies build metadata into every test doc) and
+  * enriches via in-memory lookup maps (upstream: activedata_etl/imports/
+  * buildbot.py). Those two patterns ARE joins executed eagerly; here they are
+  * declared lazily so Catalyst plans them (broadcast for small dims, SMJ/SHJ
+  * for fact-fact, AQE skew handling at scale — SURVEY.md §2.3, §4).
+  *
+  * Scale notes (100 TB): dimension tables are broadcast explicitly; fact-fact
+  * joins shuffle on their equi-keys only; every query aggregates or limits
+  * before returning, so nothing materializes a full scan on the driver.
+  */
+object Relational {
+
+  /** S2: plain columnar scan; Catalyst pushes the aggregate into a partial
+    * hash agg over the vectorized parquet reader. */
+  val scanParquet: Q = (s, d) =>
+    t(s, d, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      sum("l_orderkey").as("sum_okey"),
+      r2(sum("l_quantity")).as("sum_qty"))
+
+  /** O1: multi-key sort, mixed direction. TakeOrdered at the physical layer
+    * (sort+limit never shuffles a full sort at scale). */
+  val sortMulti: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+      .orderBy(asc("l_returnflag"), desc("l_quantity"), asc("l_orderkey"), asc("l_linenumber"))
+      .limit(100)
+
+  /** O2: global top-k — TakeOrderedAndProject, no global sort. */
+  val sortLimit: Q = (s, d) =>
+    t(s, d, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(10)
+
+  /** O3: multi-bucket union (reference: multi-day ES index alias reads,
+    * upstream sinks/split.py). unionByName is resilient to column order. */
+  val setUnion: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    val a = li.filter(col("l_returnflag") === "A").select("l_returnflag", "l_quantity")
+    val b = li.filter(col("l_returnflag") === "R").select("l_returnflag", "l_quantity")
+    a.unionByName(b)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), r2(sum("l_quantity")).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** O4: set intersection (distinct semantics, like SQL INTERSECT). */
+  val setIntersect: Q = (s, d) => {
+    val li = t(s, d, "lineitem").select("l_orderkey")
+    val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("l_orderkey"))
+    li.intersect(o).orderBy("l_orderkey").limit(100)
+  }
+
+  /** O4: set difference — orders that never shipped a line item. */
+  val setExcept: Q = (s, d) => {
+    val o = t(s, d, "orders").select("o_orderkey")
+    val li = t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"))
+    o.except(li).orderBy("o_orderkey").limit(100)
+  }
+
+  /** O5: exact dedup with a deterministic winner (reference: idempotent
+    * re-ETL overwrites by etl key — upstream etl.py). row_number over a
+    * total per-key order, not dropDuplicates, so the survivor is stable
+    * across partitionings and matches the oracle. */
+  val dedupExact: Q = (s, d) => {
+    // (l_orderkey, l_linenumber) is NOT unique in this data — the order
+    // must be total for a deterministic winner (verified: adding quantity
+    // and price makes it unique at every SF).
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_quantity", "l_extendedprice")
+    t(s, d, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+      .orderBy("l_orderkey")
+      .limit(200)
+  }
+
+  /** J1: broadcast equi-join — the reference's denormalize/enrich pattern
+    * (small dim copied to every fact row). TPC-H Q3 shape. At 100 TB the
+    * dims here are KB-MB; broadcast avoids shuffling the fact table. */
+  val joinBroadcast: Q = (s, d) => {
+    val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, d, "orders")
+    val li = t(s, d, "lineitem")
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderkey", "o_orderdate")
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("revenue"))
+      .orderBy(desc("revenue"), asc("o_orderkey"))
+      .limit(10)
+  }
+
+  /** J2: fact-fact equi-join, explicitly sort-merge (hint) — the shape AQE
+    * would pick anyway once both sides outgrow the broadcast threshold. */
+  val joinSortmerge: Q = (s, d) => {
+    val ord = t(s, d, "orders").hint("merge")
+    val li = t(s, d, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), r2(sum("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** J3: outer join with a join-side predicate (non-matching rows null). */
+  val joinOuter: Q = (s, d) => {
+    val ord = t(s, d, "orders")
+    val cust = t(s, d, "customer")
+    ord.join(cust,
+        ord("o_custkey") === cust("c_custkey") && cust("c_acctbal") > 5000.0,
+        "left")
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(col("c_custkey")).as("n_matched"),
+        r2(sum("c_acctbal")).as("sum_bal"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** J4: left semi — EXISTS without duplicating the right side. */
+  val joinSemi: Q = (s, d) => {
+    val cust = t(s, d, "customer")
+    val big = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+      .limit(100)
+  }
+
+  /** J5: left anti — NOT EXISTS (reference shape: dead-letter routing of
+    * keys that produced no output, upstream etl.py). */
+  val joinAnti: Q = (s, d) => {
+    val cust = t(s, d, "customer")
+    val big = t(s, d, "orders").filter(col("o_totalprice") > 300000.0)
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+      .limit(100)
+  }
+
+  /** J6: range (band) join against a literal bucket domain — the interval
+    * overlap shape. The bucket side is tiny → broadcast nested loop, which
+    * is the right physical plan; at scale add a band equi-key (floor(value/
+    * width)) to convert to an equi-join if the ranges align. */
+  val joinRange: Q = (s, d) => {
+    import s.implicits._
+    val buckets = Seq(
+      (0L, 0.0, 50.0), (1L, 50.0, 100.0), (2L, 100.0, 150.0),
+      (3L, 150.0, 200.0), (4L, 200.0, 1e9))
+      .toDF("bucket_id", "lo", "hi")
+    val ev = t(s, d, "events")
+    ev.join(broadcast(buckets), ev("value") >= buckets("lo") && ev("value") < buckets("hi"))
+      .groupBy("bucket_id")
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
+      .orderBy("bucket_id")
+  }
+
+  /** J7: as-of join — for each purchase, the latest signup at-or-before it
+    * for the same user (reference shape: revision enrichment = latest build
+    * ≤ test timestamp, upstream activedata_etl/imports/repos/). Expressed
+    * as range join + row_number top-1: shuffles both sides once on user_id;
+    * at scale the window dedup happens within the join's partitioning. */
+  val joinAsof: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
+    val sg = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    val w = Window.partitionBy("p_id").orderBy(desc_nulls_last("s_ts"))
+    p.join(sg, p("user_id") === sg("s_user") && sg("s_ts") <= p("p_ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("p_id", "user_id", "p_ts", "s_ts")
+      .orderBy("p_id")
+      .limit(300)
+  }
+
+  /** J8: cross join (the dense-domain primitive under jx edges, §2.4). */
+  val joinCross: Q = (s, d) => {
+    val r = t(s, d, "region").select("r_name")
+    val flags = t(s, d, "lineitem").select(col("l_returnflag").as("flag")).distinct()
+    r.crossJoin(flags).orderBy("r_name", "flag")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> scanParquet,
+    "sort_multi" -> sortMulti,
+    "sort_limit" -> sortLimit,
+    "set_union" -> setUnion,
+    "set_intersect" -> setIntersect,
+    "set_except" -> setExcept,
+    "dedup_exact" -> dedupExact,
+    "join_broadcast" -> joinBroadcast,
+    "join_sortmerge" -> joinSortmerge,
+    "join_outer" -> joinOuter,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_range" -> joinRange,
+    "join_asof" -> joinAsof,
+    "join_cross" -> joinCross)
+
+  val oracle: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
+         round(sum(l_quantity), 2) AS sum_qty FROM lineitem""",
+    "sort_multi" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity FROM lineitem
+         ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey ASC, l_linenumber ASC
+         LIMIT 100""",
+    "sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""",
+    "set_union" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM (SELECT l_returnflag, l_quantity FROM lineitem WHERE l_returnflag = 'A'
+               UNION ALL
+               SELECT l_returnflag, l_quantity FROM lineitem WHERE l_returnflag = 'R')
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "set_intersect" ->
+      """SELECT l_orderkey FROM lineitem
+         INTERSECT
+         SELECT o_orderkey AS l_orderkey FROM orders WHERE o_orderstatus = 'F'
+         ORDER BY l_orderkey LIMIT 100""",
+    "set_except" ->
+      """SELECT o_orderkey FROM orders
+         EXCEPT
+         SELECT l_orderkey AS o_orderkey FROM lineitem
+         ORDER BY o_orderkey LIMIT 100""",
+    "dedup_exact" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                      row_number() OVER (PARTITION BY l_orderkey
+                        ORDER BY l_linenumber, l_quantity, l_extendedprice) AS rn
+               FROM lineitem)
+         WHERE rn = 1 ORDER BY l_orderkey LIMIT 200""",
+    "join_broadcast" ->
+      """SELECT o_orderkey, o_orderdate,
+                round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+         GROUP BY o_orderkey, o_orderdate
+         ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+    "join_sortmerge" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_outer" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, count(c_custkey) AS n_matched,
+                round(sum(c_acctbal), 2) AS sum_bal
+         FROM orders LEFT JOIN customer
+           ON o_custkey = c_custkey AND c_acctbal > 5000.0
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders
+                       WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey LIMIT 100""",
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+         ORDER BY c_custkey LIMIT 100""",
+    "join_range" ->
+      """SELECT CAST(bucket_id AS BIGINT) AS bucket_id, count(*) AS n,
+                round(sum(value), 2) AS sum_value
+         FROM events
+         JOIN (VALUES (0, 0.0, 50.0), (1, 50.0, 100.0), (2, 100.0, 150.0),
+                      (3, 150.0, 200.0), (4, 200.0, 1e9)) AS b(bucket_id, lo, hi)
+           ON value >= lo AND value < hi
+         GROUP BY bucket_id ORDER BY bucket_id""",
+    "join_asof" ->
+      """SELECT p_id, user_id, p_ts, s_ts
+         FROM (SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts, s.ts AS s_ts,
+                      row_number() OVER (PARTITION BY p.event_id
+                                         ORDER BY s.ts DESC NULLS LAST) AS rn
+               FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+               LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+                 ON p.user_id = s.user_id AND s.ts <= p.ts)
+         WHERE rn = 1 ORDER BY p_id LIMIT 300""",
+    "join_cross" ->
+      """SELECT r_name, flag
+         FROM region CROSS JOIN (SELECT DISTINCT l_returnflag AS flag FROM lineitem)
+         ORDER BY r_name, flag""")
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Common._
+
+/** jx window clause (SURVEY.md §2.5). Upstream: jx_python/windows.py — a
+  * window spec {name, value, aggregate, edges (partition), sort (order),
+  * range {min,max}} evaluated with O(1)-slide aggregate objects. Spark's
+  * `WindowExec` already implements sliding-frame aggregation with a single
+  * sort per (partition, order) — all seven shapes below share the events
+  * table's (user_id, ts) clustering, so at scale they cost one shuffle. */
+object Windows {
+
+  private val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+  /** W1: partitioned running aggregate (unbounded preceding → current). */
+  val winRunningSum: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("running",
+        r2(sum("value").over(byUser.rowsBetween(Window.unboundedPreceding, 0))))
+      .select("event_id", "user_id", "running")
+      .orderBy("event_id")
+      .limit(500)
+
+  /** W2: sliding rows frame {min:-10, max:0} — trailing 11 rows. */
+  val winSliding: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("sliding", r2(sum("value").over(byUser.rowsBetween(-10, 0))))
+      .select("event_id", "user_id", "sliding")
+      .orderBy("event_id")
+      .limit(500)
+
+  /** W3: rank family per partition. */
+  val winRank: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+    t(s, d, "events")
+      .select(
+        col("event_id"), col("event_type"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"))
+      .filter(col("rn") <= 20)
+      .orderBy("event_type", "rn")
+  }
+
+  /** W4: first/last value in partition (full frame for last). */
+  val winFirstLast: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("first_v",
+        r2(first("value").over(byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+      .withColumn("last_v",
+        r2(last("value").over(byUser.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))))
+      .select("event_id", "user_id", "first_v", "last_v")
+      .orderBy("event_id")
+      .limit(500)
+
+  /** W5: lag/lead — previous-doc deltas (the log-sessionizer inter-event
+    * gap, upstream shape in unittest_logs_to_sorted_table.py). */
+  val winLag: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("prev_v", lag("value", 1).over(byUser))
+      .withColumn("next_v", lead("value", 1).over(byUser))
+      .withColumn("gap_s",
+        (unix_timestamp(col("ts")) - unix_timestamp(lag("ts", 1).over(byUser))).cast("long"))
+      .select(col("event_id"), col("user_id"), r2(col("prev_v")).as("prev_v"),
+        r2(col("next_v")).as("next_v"), col("gap_s"))
+      .orderBy("event_id")
+      .limit(500)
+
+  /** W7: top-k per group (slowest tests per suite, upstream shape). */
+  val winTopk: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+    t(s, d, "events")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("event_type", "rn", "event_id", "value")
+      .orderBy("event_type", "rn")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "win_running_sum" -> winRunningSum,
+    "win_sliding" -> winSliding,
+    "win_rank" -> winRank,
+    "win_first_last" -> winFirstLast,
+    "win_lag" -> winLag,
+    "win_topk" -> winTopk)
+
+  private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
+
+  val oracle: Map[String, String] = Map(
+    "win_running_sum" ->
+      s"""SELECT event_id, user_id,
+                 round(sum(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+          FROM events ORDER BY event_id LIMIT 500""",
+    "win_sliding" ->
+      s"""SELECT event_id, user_id,
+                 round(sum(value) $over ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 2) AS sliding
+          FROM events ORDER BY event_id LIMIT 500""",
+    "win_rank" ->
+      """SELECT event_id, event_type, rn, rk, drk
+         FROM (SELECT event_id, event_type,
+                      CAST(row_number() OVER w AS INT) AS rn,
+                      CAST(rank() OVER w AS INT) AS rk,
+                      CAST(dense_rank() OVER w AS INT) AS drk
+               FROM events
+               WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC))
+         WHERE rn <= 20 ORDER BY event_type, rn""",
+    "win_first_last" ->
+      s"""SELECT event_id, user_id,
+                 round(first_value(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS first_v,
+                 round(last_value(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 2) AS last_v
+          FROM events ORDER BY event_id LIMIT 500""",
+    "win_lag" ->
+      s"""SELECT event_id, user_id,
+                 round(lag(value, 1) $over), 2) AS prev_v,
+                 round(lead(value, 1) $over), 2) AS next_v,
+                 CAST(floor(epoch(ts)) - floor(epoch(lag(ts, 1) $over))) AS BIGINT) AS gap_s
+          FROM events ORDER BY event_id LIMIT 500""",
+    "win_topk" ->
+      """SELECT event_type, rn, event_id, value
+         FROM (SELECT event_type, event_id, value,
+                      CAST(row_number() OVER (PARTITION BY event_type
+                                              ORDER BY value DESC, event_id ASC) AS INT) AS rn
+               FROM events)
+         WHERE rn <= 3 ORDER BY event_type, rn""")
+}
