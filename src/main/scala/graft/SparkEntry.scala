@@ -42,7 +42,11 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Expressions.queries ++
       operators.Aggregates.queries ++
-      operators.Windows.queries
+      operators.Windows.queries ++
+      etl.Transforms.queries ++
+      llm.TextOps.queries ++
+      llm.Dedup.queries ++
+      llm.Similarity.queries
 
   /** DuckDB-equivalent ANSI SQL per SQL-expressible key (same column names
     * and ordering as the Spark result — driver hash-compares, SURVEY §7.4). */
@@ -50,5 +54,9 @@ object SparkEntry {
     operators.Relational.oracle ++
       operators.Expressions.oracle ++
       operators.Aggregates.oracle ++
-      operators.Windows.oracle
+      operators.Windows.oracle ++
+      etl.Transforms.oracle ++
+      llm.TextOps.oracle ++
+      llm.Dedup.oracle ++
+      llm.Similarity.oracle
 }

@@ -1,0 +1,196 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Common._
+
+/** The reference's ETL transforms (SURVEY.md §2.7) re-expressed as lazy
+  * DataFrame chains. Upstream these are row-at-a-time Python workers pulling
+  * S3 keys off SQS (activedata_etl/etl.py main loop; transforms registry in
+  * activedata_etl/transforms/__init__.py). Here each transform is a
+  * declarative plan: parse → explode → normalize (broadcast join) →
+  * sessionize (group-agg) → stamp lineage, so Catalyst fuses the scalar
+  * stages into one codegen'd pass and the only shuffles are the group-bys.
+  *
+  * The raw-log parsers (mozlog JSON lines, PERFHERDER_DATA lines, lcov
+  * text) live in [[LogParsers]] and are exercised by ScalaTest golden tests
+  * over reference-shaped fixtures (FIXTURES.md §B); the queries here run the
+  * same shapes over the driver's `events`/`documents`/`lineitem` tables so
+  * the DuckDB oracle can gate them.
+  */
+object Transforms {
+
+  /** T1: sessionize — the unittest-log transform's core shape (upstream:
+    * transforms/unittest_logs_to_sorted_table.py): per (run, test) group,
+    * derive start/end/duration/failure counts. Strictly a group-agg: no
+    * order-dependent state, so it scales as one shuffle on the session key. */
+  val etlSessionize: Q = (s, d) =>
+    t(s, d, "events")
+      .groupBy("user_id")
+      .agg(
+        min("ts").as("start_ts"),
+        max("ts").as("end_ts"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"),
+        max(when(col("event_type") === "purchase", true).otherwise(false)).as("has_purchase"),
+        r2(sum("value")).as("total_value"))
+      .withColumn("duration_s",
+        (unix_timestamp(col("end_ts")) - unix_timestamp(col("start_ts"))).cast("long"))
+      .withColumn("ok", col("n_errors") === 0L)
+      .orderBy("user_id")
+      .limit(300)
+
+  /** T2: PERFHERDER_DATA extraction (upstream: transforms/
+    * perfherder_logs_to_perf_logs.py): scan raw lines for the marker,
+    * regex out the JSON payload, parse, stats over replicate values.
+    * The z-moment stats (n, Σx, Σx²→var) mirror mo_math/stats.py
+    * ZeroMoment — derived from exact integer sums for oracle stability. */
+  val etlPerfherder: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("line", concat(lit("12:34:56 INFO - PERFHERDER_DATA: "), col("props")))
+      .filter(col("line").contains("PERFHERDER_DATA: "))
+      .withColumn("payload", regexp_extract(col("line"), "PERFHERDER_DATA: (.*)", 1))
+      .withColumn("k", get_json_object(col("payload"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(col("k")).as("n"),
+        sum("k").as("sum_k"),
+        sum(col("k") * col("k")).as("sum_k2"),
+        r4(avg("k")).as("mean_k"),
+        r4(avg(col("k") * col("k")) - avg("k") * avg("k")).as("var_k"))
+      .orderBy("event_type")
+
+  /** T3: property normalization (upstream: imports/buildbot.py — a ~2000-line
+    * builder-name → {platform, type, branch} mapping): a broadcast lookup
+    * join plus when-chains for the patterned tail. The mapping table is tiny
+    * and read-only → broadcast; the fact side never shuffles. */
+  val etlNormalize: Q = (s, d) => {
+    import s.implicits._
+    val mapping = Seq(
+      ("error", "incident", "sev1"), ("purchase", "conversion", "sev3"),
+      ("signup", "conversion", "sev3"), ("click", "engagement", "sev4"))
+      .toDF("event_type", "category", "severity")
+    val ev = t(s, d, "events")
+    ev.join(broadcast(mapping), Seq("event_type"), "left")
+      .withColumn("category", coalesce(col("category"), lit("unknown")))
+      .withColumn("severity",
+        when(col("severity").isNull && col("value") > 200.0, "sev2")
+          .otherwise(coalesce(col("severity"), lit("sev5"))))
+      .groupBy("category", "severity")
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
+      .orderBy("category", "severity")
+  }
+
+  /** T4: fan-out — one message → N work items (upstream: transforms/
+    * pulse_block_to_unittest_logs.py explodes a task's artifact list).
+    * `explode` is Spark's native Generator: no custom UDTF needed, and it
+    * pipelines inside codegen — no shuffle until the downstream group-by. */
+  val etlFanout: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), countDistinct(col("word")).as("n_distinct"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** T5: coverage ingestion (upstream: transforms/gcov_to_es.py — lcov
+    * DA:line,hits records → per-file covered/uncovered line arrays).
+    * Same shape over lineitem: per file (returnflag), the sorted distinct
+    * covered / uncovered "lines" and the coverage percent. */
+  val etlCoverage: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .select(
+        col("l_returnflag").as("source_file"),
+        col("l_linenumber").as("line"),
+        (col("l_quantity") > 25.0).as("hit"))
+      .groupBy("source_file")
+      .agg(
+        array_sort(collect_set(when(col("hit"), col("line")))).as("covered"),
+        array_sort(collect_set(when(!col("hit"), col("line")))).as("uncovered"),
+        r4(sum(when(col("hit"), 1.0).otherwise(0.0)) / count(lit(1))).as("hit_ratio"))
+      .orderBy("source_file")
+
+  /** T6: etl lineage stamping (upstream: transforms/__init__.py wraps every
+    * output doc with etl{id, source, timestamp} and S3 keys like
+    * "142:1736.0"). Deterministic variant: id = dense row_number over the
+    * natural key, key = source-chain encoding. At scale the row_number
+    * would be per-partition monotonic ids; here it is total-ordered for the
+    * oracle. */
+  val etlLineage: Q = (s, d) =>
+    t(s, d, "orders")
+      .filter(col("o_orderstatus") === "P")
+      .withColumn("etl_id", row_number().over(Window.orderBy("o_orderkey")).cast("long"))
+      .withColumn("etl_source", lit("orders"))
+      .withColumn("etl_key", concat_ws(":", lit("graft"), col("etl_id"), col("o_orderkey")))
+      .select("o_orderkey", "etl_id", "etl_source", "etl_key")
+      .orderBy("o_orderkey")
+      .limit(300)
+
+  val queries: Map[String, Q] = Map(
+    "etl_unittest_sessionize" -> etlSessionize,
+    "etl_perfherder" -> etlPerfherder,
+    "etl_normalize" -> etlNormalize,
+    "etl_fanout" -> etlFanout,
+    "etl_coverage" -> etlCoverage,
+    "etl_lineage" -> etlLineage)
+
+  val oracle: Map[String, String] = Map(
+    "etl_unittest_sessionize" ->
+      """SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
+                count(*) AS n_events,
+                CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_errors,
+                bool_or(event_type = 'purchase') AS has_purchase,
+                round(sum(value), 2) AS total_value,
+                CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_s,
+                count(*) FILTER (WHERE event_type = 'error') = 0 AS ok
+         FROM events GROUP BY user_id ORDER BY user_id LIMIT 300""",
+    "etl_perfherder" ->
+      """WITH lines AS (
+           SELECT event_type,
+                  '12:34:56 INFO - PERFHERDER_DATA: ' || props AS line
+           FROM events),
+           parsed AS (
+           SELECT event_type,
+                  CAST(json_extract_string(
+                    regexp_extract(line, 'PERFHERDER_DATA: (.*)', 1), '$.k') AS BIGINT) AS k
+           FROM lines WHERE contains(line, 'PERFHERDER_DATA: '))
+         SELECT event_type, count(k) AS n,
+                CAST(sum(k) AS BIGINT) AS sum_k,
+                CAST(sum(k * k) AS BIGINT) AS sum_k2,
+                round(avg(k), 4) AS mean_k,
+                round(avg(k * k) - avg(k) * avg(k), 4) AS var_k
+         FROM parsed GROUP BY event_type ORDER BY event_type""",
+    "etl_normalize" ->
+      """WITH mapping(event_type, category, severity) AS (
+           VALUES ('error', 'incident', 'sev1'), ('purchase', 'conversion', 'sev3'),
+                  ('signup', 'conversion', 'sev3'), ('click', 'engagement', 'sev4'))
+         SELECT coalesce(m.category, 'unknown') AS category,
+                CASE WHEN m.severity IS NULL AND e.value > 200.0 THEN 'sev2'
+                     ELSE coalesce(m.severity, 'sev5') END AS severity,
+                count(*) AS n, round(sum(e.value), 2) AS sum_value
+         FROM events e LEFT JOIN mapping m USING (event_type)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "etl_fanout" ->
+      """SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE length(word) > 0
+         GROUP BY doc_id ORDER BY doc_id LIMIT 300""",
+    "etl_coverage" ->
+      """SELECT l_returnflag AS source_file,
+                list(DISTINCT l_linenumber ORDER BY l_linenumber)
+                  FILTER (WHERE l_quantity > 25.0) AS covered,
+                list(DISTINCT l_linenumber ORDER BY l_linenumber)
+                  FILTER (WHERE NOT l_quantity > 25.0) AS uncovered,
+                round(count(*) FILTER (WHERE l_quantity > 25.0) * 1.0 / count(*), 4) AS hit_ratio
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "etl_lineage" ->
+      """SELECT o_orderkey,
+                row_number() OVER (ORDER BY o_orderkey) AS etl_id,
+                'orders' AS etl_source,
+                concat_ws(':', 'graft',
+                          row_number() OVER (ORDER BY o_orderkey), o_orderkey) AS etl_key
+         FROM orders WHERE o_orderstatus = 'P'
+         ORDER BY o_orderkey LIMIT 300""")
+}

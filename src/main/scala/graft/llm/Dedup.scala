@@ -1,0 +1,103 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.operators.Common._
+
+/** Deduplication operators (SURVEY.md §2.9 X1/X2) for training-data
+  * pipelines. Exact dedup is `dedup_exact` (Relational O5). Here: the
+  * near-dup family over `documents`.
+  *
+  * Scale design: the n-gram Jaccard pair-join is the exact algorithm —
+  * it joins on shared shingles, so cost is Σ(per-shingle doc count²), not
+  * n². At 100 TB the hot shingles are the skew risk: cap them (drop
+  * shingles appearing in > K docs — they carry no dedup signal) and/or
+  * switch to MinHash-banded candidates (`ml.feature.MinHashLSH`, covered in
+  * ScalaTest) so candidates are bucket-joins over small signatures.
+  */
+object Dedup {
+
+  /** X1a: n-gram (3-word shingle) Jaccard near-dup pairs.
+    * jaccard = |A∩B| / |A∪B| over distinct shingle sets; pairs above 0.3
+    * (this corpus has true near-dups up to 0.99). */
+  val dedupNgram: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val shingles = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 3),
+             i -> concat(element_at(toks, i + 1), ' ',
+                         element_at(toks, i + 2), ' ',
+                         element_at(toks, i + 3)))""")).as("sh"))
+      .distinct()
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = shingles.as("a")
+    val b = shingles.as("b")
+    val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") > 0.3)
+      .select(col("da"), col("db"), col("c"), r4(col("jaccard")).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("da"), asc("db"))
+  }
+
+  /** X1e: embedding-cosine near-dup candidates — top-50 most similar pairs.
+    * Brute-force O(n²) self-join is the verification baseline; the scale
+    * path is LSH/IVF bucketing (Similarity.simLsh, ScalaTest-gated).
+    * Cosine is composed from higher-order functions (zip_with → aggregate
+    * left-fold) in pure double arithmetic — no UDF, bit-stable. */
+  val dedupEmbed: Q = (s, d) => {
+    val vecs = t(s, d, "embeddings")
+      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm2", expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
+    val a = vecs.select(col("vec_id").as("da"), col("v").as("va"), col("norm2").as("na"))
+    val b = vecs.select(col("vec_id").as("db"), col("v").as("vb"), col("norm2").as("nb"))
+    a.join(b, col("da") < col("db"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
+      .withColumn("cosine", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .select(col("da"), col("db"), r4(col("cosine")).as("cosine"))
+      .orderBy(desc("cosine"), asc("da"), asc("db"))
+      .limit(50)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_ngram" -> dedupNgram,
+    "dedup_embed" -> dedupEmbed)
+
+  val oracle: Map[String, String] = Map(
+    "dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                 for i in generate_series(1, len(t) - 2)]) AS s
+                  FROM toks WHERE len(t) >= 3),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+         SELECT da, db, c, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+         FROM pairs p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+         WHERE c * 1.0 / (x.n + y.n - c) > 0.3
+         ORDER BY jaccard DESC, da ASC, db ASC""",
+    "dedup_embed" ->
+      """WITH vecs AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           n AS (SELECT vec_id,
+                        list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
+                                    (x, y) -> x + y) AS norm2
+                 FROM vecs)
+         SELECT a.vec_id AS da, b.vec_id AS db,
+                round(list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))],
+                                  (x, y) -> x + y)
+                      / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) AS cosine
+         FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+         JOIN n na ON na.vec_id = a.vec_id
+         JOIN n nb ON nb.vec_id = b.vec_id
+         ORDER BY cosine DESC, da ASC, db ASC LIMIT 50""")
+}

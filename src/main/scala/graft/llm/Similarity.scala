@@ -1,0 +1,101 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Common._
+
+/** Similarity search over embedding columns (SURVEY.md §2.9 X3).
+  *
+  * Brute-force cosine top-k (the correctness baseline, oracle-gated) and a
+  * random-hyperplane LSH bucketed variant (the 100 TB path: candidates
+  * only join within matching signature buckets, turning O(n·m) into
+  * O(Σ bucket²); recall is tested against brute force in ScalaTest).
+  * All arithmetic is SQL higher-order functions in double — no UDFs.
+  */
+object Similarity {
+
+  private def withDoubleVec(df: DataFrame): DataFrame =
+    df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("norm2", expr(
+        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
+
+  /** X3: exact top-5 cosine neighbors for each query vector (vec_id < 20).
+    * The query side is tiny → broadcast; one pass over the corpus, top-k
+    * via per-query window. */
+  val simTopk: Q = (s, d) => {
+    val vecs = withDoubleVec(t(s, d, "embeddings"))
+    val q = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm2").as("qn"))
+    val c = vecs.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm2").as("nn"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+    broadcast(q).join(c, col("qid") =!= col("nid"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(qv, nv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
+      .withColumn("cosine", r4(col("dot") / (sqrt(col("qn")) * sqrt(col("nn")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "nid", "cosine")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Random-hyperplane LSH signatures: sign bits of dot products against
+    * deterministic pseudo-random planes (plane p component i =
+    * ±1 by a hash of (p, i)). Vectors sharing a signature band land in the
+    * same bucket → candidate pairs without the full self-join. Exposed for
+    * reuse by ScalaTest recall checks and future ANN queries. */
+  def lshSignature(df: DataFrame, planes: Int = 16): DataFrame = {
+    val dfv = if (df.columns.contains("v")) df else withDoubleVec(df)
+    dfv.withColumn("sig", expr(
+      s"""transform(sequence(0, ${planes - 1}), p ->
+            CASE WHEN aggregate(
+                   zip_with(v, sequence(0, size(v) - 1),
+                            (x, i) -> x * CASE WHEN pmod(hash(p, i), 2) = 0
+                                            THEN 1.0D ELSE -1.0D END),
+                   CAST(0 AS DOUBLE), (acc, t) -> acc + t) >= 0
+                 THEN 1 ELSE 0 END)"""))
+      .withColumn("bucket", expr(
+        "aggregate(sig, 0L, (acc, bit) -> acc * 2 + bit)"))
+  }
+
+  /** LSH-bucketed near-neighbor candidates: pairs sharing a bucket. The
+    * scale path for dedup_embed/sim_topk; correctness (recall vs brute
+    * force) is ScalaTest-gated since bucket membership isn't
+    * SQL-oracle-able across engines (Spark's murmur hash). */
+  val simLshCandidates: Q = (s, d) => {
+    val sig = lshSignature(t(s, d, "embeddings"))
+    val a = sig.select(col("vec_id").as("da"), col("bucket"))
+    val b = sig.select(col("vec_id").as("db"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("da") < col("db"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy(desc("n_pairs"), asc("bucket"))
+      .limit(50)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_topk" -> simTopk,
+    "sim_lsh_candidates" -> simLshCandidates)
+
+  val oracle: Map[String, String] = Map(
+    "sim_topk" ->
+      """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           n AS (SELECT vec_id,
+                        list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
+                                    (x, y) -> x + y) AS norm2
+                 FROM vecs),
+           scored AS (
+             SELECT q.vec_id AS qid, c.vec_id AS nid,
+                    round(list_reduce([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))],
+                                      (x, y) -> x + y)
+                          / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cosine
+             FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
+             JOIN n nq ON nq.vec_id = q.vec_id
+             JOIN n nc ON nc.vec_id = c.vec_id
+             WHERE q.vec_id < 20)
+         SELECT qid, rnk, nid, cosine
+         FROM (SELECT qid, nid, cosine,
+                      CAST(row_number() OVER (PARTITION BY qid
+                                              ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
+               FROM scored)
+         WHERE rnk <= 5 ORDER BY qid, rnk""")
+}

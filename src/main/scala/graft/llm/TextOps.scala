@@ -1,0 +1,175 @@
+package graft.llm
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.Common._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (SURVEY.md §2.9 / BASELINE.json north star): token counting, quality
+  * scoring, language-ID, fingerprinting, TF-IDF.
+  *
+  * All pure Catalyst: string/array built-ins + SQL higher-order functions —
+  * no UDFs, so the scalar stages fuse into whole-stage codegen and scale
+  * linearly with executors (each document is independent; no shuffle until
+  * an aggregate needs one).
+  */
+object TextOps {
+
+  /** Token counting: whitespace tokens + a BPE-ish regex tokenizer
+    * (letters / digits / single non-space symbol) + distinct count. */
+  val textTokens: Q = (s, d) =>
+    t(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).as("n_ws"),
+        size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\\\\S', 0)")).as("n_re"),
+        size(array_distinct(split(col("text"), " "))).as("n_distinct"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** Quality scoring: length / token stats / stopword ratio — the standard
+    * cheap pre-filters before expensive dedup in a data pipeline. */
+  val textQuality: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks", size(col("toks")))
+      .withColumn("n_stop",
+        size(expr("filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))")))
+      .select(
+        col("doc_id"),
+        col("n_chars"),
+        col("n_toks"),
+        r4(col("n_chars").cast("double") / col("n_toks")).as("avg_tok_len"),
+        r4(col("n_stop").cast("double") / col("n_toks")).as("stop_ratio"),
+        r4(
+          when(col("n_chars") < 100, 0.2).otherwise(1.0) *
+            when(col("n_stop") === 0, 0.5).otherwise(1.0)).as("quality"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** Language-ID by stopword-hit heuristic (n-gram-free variant: count
+    * hits against tiny per-language marker sets; argmax wins, 'und' when
+    * nothing hits). Mechanism is what matters — real marker tables would
+    * be a broadcast resource exactly like the T3 normalization table. */
+  val textLangid: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hits_en", size(expr("filter(toks, w -> w IN ('the', 'a', 'of'))")))
+      .withColumn("hits_es", size(expr("filter(toks, w -> w IN ('el', 'la', 'de'))")))
+      .withColumn("hits_de", size(expr("filter(toks, w -> w IN ('der', 'die', 'das'))")))
+      .withColumn("predicted",
+        when(col("hits_en") >= col("hits_es") && col("hits_en") >= col("hits_de") &&
+          col("hits_en") > 0, "en")
+          .when(col("hits_es") >= col("hits_de") && col("hits_es") > 0, "es")
+          .when(col("hits_de") > 0, "de")
+          .otherwise("und"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
+    * md5). Identical fingerprints ⇒ same bag of words — the cheap exact
+    * near-dup key; groupBy(fingerprint) at scale shuffles only the 16-byte
+    * digest, not the text. */
+  val textFingerprint: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("fp",
+        md5(array_join(array_sort(array_distinct(split(col("text"), " "))), " ")))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_doc"))
+      .filter(col("n_docs") >= 1)
+      .orderBy(desc("n_docs"), asc("fp"))
+      .limit(100)
+
+  /** TF-IDF: explode terms → tf per (doc, term); df per term; idf =
+    * ln(N/df); top-3 terms per doc for a slice of docs. The df side is a
+    * small aggregate → broadcast back; corpus size N computed in-plan (no
+    * collect). */
+  val textTfidf: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf") * log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
+    scored
+      .filter(col("doc_id") < 50)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
+        r4(col("tfidf")).as("tfidf"))
+      .orderBy("doc_id", "rnk")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+    "text_tfidf" -> textTfidf)
+
+  val oracle: Map[String, String] = Map(
+    "text_tokens" ->
+      """SELECT doc_id,
+                CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|\S')) AS INT) AS n_re,
+                CAST(len(list_distinct(string_split(text, ' '))) AS INT) AS n_distinct
+         FROM documents ORDER BY doc_id LIMIT 300""",
+    "text_quality" ->
+      """SELECT doc_id, n_chars,
+                CAST(len(toks) AS INT) AS n_toks,
+                round(n_chars * 1.0 / len(toks), 4) AS avg_tok_len,
+                round(n_stop * 1.0 / len(toks), 4) AS stop_ratio,
+                round((CASE WHEN n_chars < 100 THEN 0.2 ELSE 1.0 END) *
+                      (CASE WHEN n_stop = 0 THEN 0.5 ELSE 1.0 END), 4) AS quality
+         FROM (SELECT doc_id, n_chars, toks,
+                      len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+               FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents))
+         ORDER BY doc_id LIMIT 300""",
+    "text_langid" ->
+      """SELECT lang, predicted, count(*) AS n
+         FROM (SELECT lang,
+                      CASE WHEN hits_en >= hits_es AND hits_en >= hits_de AND hits_en > 0 THEN 'en'
+                           WHEN hits_es >= hits_de AND hits_es > 0 THEN 'es'
+                           WHEN hits_de > 0 THEN 'de'
+                           ELSE 'und' END AS predicted
+               FROM (SELECT lang,
+                            len(list_filter(toks, w -> w IN ('the', 'a', 'of'))) AS hits_en,
+                            len(list_filter(toks, w -> w IN ('el', 'la', 'de'))) AS hits_es,
+                            len(list_filter(toks, w -> w IN ('der', 'die', 'das'))) AS hits_de
+                     FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents)))
+         GROUP BY lang, predicted ORDER BY lang, predicted""",
+    "text_fingerprint" ->
+      """SELECT fp, count(*) AS n_docs, min(doc_id) AS min_doc
+         FROM (SELECT doc_id,
+                      md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+               FROM documents)
+         GROUP BY fp HAVING count(*) >= 1
+         ORDER BY n_docs DESC, fp ASC LIMIT 100""",
+    "text_tfidf" ->
+      """WITH terms AS (
+           SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+           terms_f AS (SELECT * FROM terms WHERE length(term) > 0),
+           tf AS (SELECT doc_id, term, count(*) AS tf FROM terms_f GROUP BY 1, 2),
+           df AS (SELECT term, count(*) AS df
+                  FROM (SELECT DISTINCT doc_id, term FROM terms_f) GROUP BY 1),
+           n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+           scored AS (
+             SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                    tf.tf * ln(n.n_docs * 1.0 / df.df) AS tfidf
+             FROM tf JOIN df USING (term) CROSS JOIN n)
+         SELECT doc_id, rnk, term, tf, df, round(tfidf, 4) AS tfidf
+         FROM (SELECT doc_id, term, tf, df, tfidf,
+                      CAST(row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
+               FROM scored WHERE doc_id < 50)
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""")
+}

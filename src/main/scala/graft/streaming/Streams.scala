@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.operators.Common._
+
+/** Structured Streaming twins of the batch pipeline (SURVEY.md §2.8).
+  *
+  * The reference's "streaming" is SQS work queues with at-least-once key
+  * delivery and idempotent re-ETL (upstream: pyLibrary/aws/__init__.py,
+  * activedata_etl/etl.py). The Spark-native upgrade: event-time windows +
+  * watermarks for lateness (the reference re-processes whole keys instead),
+  * checkpointed sources for at-least-once, and idempotent foreachBatch
+  * sinks keyed on the etl lineage key for effectively-exactly-once.
+  *
+  * These builders take a streaming (or batch) DataFrame so ScalaTest can
+  * drive them with MemoryStream; `stream_tumbling` in the query map runs
+  * the identical plan in batch mode (same `window()` expression) for the
+  * DuckDB oracle — one definition, two execution modes, which is exactly
+  * Structured Streaming's contract.
+  */
+object Streams {
+
+  /** ST2: tumbling event-time window aggregation. */
+  def tumblingCounts(events: DataFrame, width: String = "6 hours"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
+      .select(
+        col("window.start").as("w_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** ST2+ST4: the streaming form — watermarked so state is bounded. */
+  def tumblingCountsStream(events: DataFrame, width: String = "6 hours",
+      lateness: String = "1 hour"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", lateness), width)
+
+  /** ST3: session windows by inactivity gap (the T1 sessionizer's streaming
+    * twin for per-user activity). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("total_value"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  /** Typed event for the stateful sessionizer. */
+  case class Ev(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+
+  /** Emitted session. */
+  case class Session(user_id: Long, start_ts: java.sql.Timestamp,
+      end_ts: java.sql.Timestamp, n_events: Long, n_errors: Long, ok: Boolean)
+
+  private case class SessState(start: Long, end: Long, n: Long, errs: Long)
+
+  /** ST3 (custom state): flatMapGroupsWithState sessionizer — the general
+    * form when session semantics exceed session_window (e.g. the mozlog
+    * suite_start/test_end state machine, upstream
+    * transforms/unittest_logs_to_sorted_table.py). Emits a session when the
+    * group times out (processing-time timeout keeps the demo deterministic
+    * under MemoryStream; production would use EventTimeTimeout +
+    * watermark). */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          // Batch/test driver: fold the group's events in ts order and emit
+          // closed sessions (gap > gapMs splits); carry tail in state.
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var cur = state.getOption.getOrElse {
+              val h = sorted.head
+              SessState(h.ts.getTime, h.ts.getTime, 0L, 0L)
+            }
+            val out = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              if (t - cur.end > gapMs && cur.n > 0) {
+                out += Session(uid, new java.sql.Timestamp(cur.start),
+                  new java.sql.Timestamp(cur.end), cur.n, cur.errs, cur.errs == 0)
+                cur = SessState(t, t, 0L, 0L)
+              }
+              cur = SessState(math.min(cur.start, t), math.max(cur.end, t),
+                cur.n + 1, cur.errs + (if (e.event_type == "error") 1L else 0L))
+            }
+            state.update(cur)
+            out.result().iterator
+          }
+      }
+  }
+
+  /** ST5: idempotent sink — per micro-batch, dedup on the lineage key then
+    * append; re-delivered batches insert no duplicate keys (the reference's
+    * etl-key overwrite semantics, upstream sinks/s3_bucket.py). */
+  def idempotentAppend(batch: DataFrame, batchId: Long, dir: String, keyCols: Seq[String]): Unit =
+    batch
+      .dropDuplicates(keyCols)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("append").partitionBy("batch_id").parquet(dir)
+
+  /** Batch-twin query for the oracle: identical plan to
+    * tumblingCountsStream minus the watermark (a no-op in batch). */
+  val streamTumbling: Q = (s, d) =>
+    tumblingCounts(t(s, d, "events"))
+      .orderBy("w_start", "event_type")
+
+  val queries: Map[String, Q] = Map("stream_tumbling" -> streamTumbling)
+
+  val oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
+                count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+}
