@@ -46,7 +46,9 @@ object SparkEntry {
       etl.Transforms.queries ++
       llm.TextOps.queries ++
       llm.Dedup.queries ++
-      llm.Similarity.queries
+      llm.Similarity.queries ++
+      llm.Multimodal.queries ++
+      streaming.Streams.queries
 
   /** DuckDB-equivalent ANSI SQL per SQL-expressible key (same column names
     * and ordering as the Spark result — driver hash-compares, SURVEY §7.4). */
@@ -58,5 +60,7 @@ object SparkEntry {
       etl.Transforms.oracle ++
       llm.TextOps.oracle ++
       llm.Dedup.oracle ++
-      llm.Similarity.oracle
+      llm.Similarity.oracle ++
+      llm.Multimodal.oracle ++
+      streaming.Streams.oracle
 }

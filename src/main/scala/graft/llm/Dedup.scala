@@ -1,6 +1,8 @@
 package graft.llm
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.SimHash64
 import graft.operators.Common._
 
 /** Deduplication operators (SURVEY.md §2.9 X1/X2) for training-data
@@ -16,12 +18,10 @@ import graft.operators.Common._
   */
 object Dedup {
 
-  /** X1a: n-gram (3-word shingle) Jaccard near-dup pairs.
-    * jaccard = |A∩B| / |A∪B| over distinct shingle sets; pairs above 0.3
-    * (this corpus has true near-dups up to 0.99). */
-  val dedupNgram: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    val shingles = docs
+  /** Distinct 3-word shingles per document — the shared front end of the
+    * n-gram-Jaccard and MinHash paths. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -30,9 +30,15 @@ object Dedup {
                          element_at(toks, i + 2), ' ',
                          element_at(toks, i + 3)))""")).as("sh"))
       .distinct()
-    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = shingles.as("a")
-    val b = shingles.as("b")
+
+  /** X1a: n-gram (3-word shingle) Jaccard near-dup pairs.
+    * jaccard = |A∩B| / |A∪B| over distinct shingle sets; pairs above 0.3
+    * (this corpus has true near-dups up to 0.99). */
+  val dedupNgram: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.as("a")
+    val b = sh.as("b")
     val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("c"))
@@ -66,8 +72,76 @@ object Dedup {
       .limit(50)
   }
 
+  /** X1b: MinHash + LSH banding (shingle → K minhashes → B bands → bucket
+    * join → verify candidates with true Jaccard). The 100 TB design: the
+    * only shuffles are the signature groupBy (K longs per doc, not the
+    * text) and the band-bucket self-join, whose cost is Σ bucket² — no n²
+    * pair enumeration ever happens. K=8 hashes in 4 bands of 2 catches
+    * jaccard ≥ ~0.5 pairs with high probability on this corpus.
+    *
+    * The hash family is md5-derived (`conv(substr(md5(k:shingle)),16,10)`)
+    * rather than Spark's murmur `hash()` precisely so the DuckDB oracle can
+    * reproduce it bit-for-bit — both engines agree on md5. */
+  val dedupMinhash: Q = (s, d) => {
+    val K = 8
+    val bandsOf = 4 // 4 bands × 2 rows
+    val sh = shingles(s, d)
+    val hashAggs = (0 until K).map(k =>
+      min(expr(s"CAST(conv(substr(md5(concat('$k:', sh)), 1, 15), 16, 10) AS BIGINT)"))
+        .as(s"h$k"))
+    val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+    val bands = (0 until bandsOf).map { bnd =>
+      sig.select(col("doc_id"), lit(bnd).as("band"),
+        md5(concat_ws("_", col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}"))).as("bh"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val common = cand
+      .join(sh.select(col("doc_id").as("da"), col("sh")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), r4(col("jaccard")).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("da"), asc("db"))
+  }
+
+  /** X1c: SimHash near-dup pairs (Charikar 2002). One 64-bit signature per
+    * doc via the codegen'd [[graft.functions.SimHash64]] expression; the
+    * banding trick (4 × 16-bit bands — pairs within hamming ≤ 3 must share
+    * at least one band) replaces the n² self-join, exactly like MinHash
+    * LSH. Not DuckDB-expressible (64-bit wraparound FNV); correctness is
+    * ScalaTest-gated (golden signatures + hamming-locality properties),
+    * the driver records a rows-only check. */
+  val dedupSimhash: Q = (s, d) => {
+    val sigs = t(s, d, "documents")
+      .select(col("doc_id"), SimHash64(split(col("text"), " ")).as("sig"))
+    val bands = (0 until 4).map { bnd =>
+      sigs.select(col("doc_id"), col("sig"), lit(bnd).as("band"),
+        shiftrightunsigned(col("sig"), 16 * bnd).bitwiseAND(lit(0xffffL)).as("bh"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        SimHash64.hamming(col("x.sig"), col("y.sig")).as("hamming"))
+      .distinct()
+    cand.filter(col("hamming") <= 3)
+      .orderBy(asc("hamming"), asc("da"), asc("db"))
+      .limit(200)
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_ngram" -> dedupNgram,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed)
 
   val oracle: Map[String, String] = Map(

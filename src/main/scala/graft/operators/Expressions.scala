@@ -14,6 +14,22 @@ import graft.functions.JxFunctions._
   */
 object Expressions {
 
+  /** E1: projection / rename / nested-leaves flatten (jx select with `a.*`).
+    * A struct is built then re-expanded with `meta.*` — the Catalyst
+    * optimizer collapses CreateStruct+GetStructField back to the raw
+    * columns, so the parquet ReadSchema stays pruned to 4 columns. */
+  val project: Q = (s, d) =>
+    t(s, d, "orders")
+      .select(
+        col("o_orderkey").as("id"),
+        struct(
+          col("o_orderstatus").as("status"),
+          col("o_totalprice").as("price"),
+          col("o_orderpriority").as("priority")).as("meta"))
+      .select(col("id"), col("meta.*"))
+      .orderBy("id")
+      .limit(100)
+
   /** E2/E4: and/or/not + comparisons, pushed to the scan. */
   val filterPred: Q = (s, d) =>
     t(s, d, "lineitem")
@@ -179,6 +195,7 @@ object Expressions {
   private def nullif(c: Column, v: Column): Column = when(c === v, lit(null)).otherwise(c)
 
   val queries: Map[String, Q] = Map(
+    "project" -> project,
     "filter_pred" -> filterPred,
     "filter_nullsafe_eq" -> filterNullsafeEq,
     "filter_in" -> filterIn,
@@ -197,6 +214,10 @@ object Expressions {
     "date_trunc_q" -> dateTruncQ)
 
   val oracle: Map[String, String] = Map(
+    "project" ->
+      """SELECT o_orderkey AS id, o_orderstatus AS status, o_totalprice AS price,
+                o_orderpriority AS priority
+         FROM orders ORDER BY id LIMIT 100""",
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber FROM lineitem
          WHERE (l_quantity > 30.0 AND l_discount <= 0.05) OR NOT (l_returnflag = 'N')
