@@ -74,10 +74,13 @@ object JxFunctions {
     * marker is absent. Upstream: jx_base/expressions (BetweenOp).
     */
   def strBetween(s: Column, left: String, right: String): Column = {
+    // slice from the FIRST `left` marker (locate), then up to the next
+    // `right`; substring_index(-1) would anchor on the LAST occurrence.
     val afterLeft = when(locate(left, s) > 0,
-      substring_index(s, left, -1)).otherwise(lit(null))
+      substring(s, locate(left, s) + lit(left.length), length(s)))
+      .otherwise(lit(null))
     when(afterLeft.isNull || locate(right, afterLeft) === 0, lit(null))
-      .otherwise(substring_index(afterLeft, right, 1))
+      .otherwise(substring(afterLeft, 1, locate(right, afterLeft) - 1))
   }
 
   /** jx `find`: 0-based index of substring, missing when absent.

@@ -1,0 +1,129 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.operators.Common._
+
+/** Multimodal-column support (SURVEY.md §2.9 X5).
+  *
+  * Design: media payloads are opaque `BinaryType` columns ridden alongside a
+  * typed metadata struct (`mime`, `n_bytes`, decode hints). All relational
+  * operators pass them through untouched (Parquet stores binary natively;
+  * column pruning means queries that don't touch the payload never read it —
+  * essential at 100 TB where payload bytes dominate the table).
+  *
+  * The decode / feature-extract step is the one place that genuinely needs
+  * per-row imperative code (image/audio codecs). The real pipeline shape is
+  * `mapPartitions` over an iterator of rows — batched, no driver collect,
+  * arbitrary native libs loadable per-partition. The codec libraries are not
+  * in this container, so [[decodeFeatures]] plugs a DETERMINISTIC FAKE
+  * decoder into that real plumbing: schema, partitioning, and batch shape
+  * are production-true; only the innermost bytes→pixels call is faked.
+  *
+  * No upstream analog: the reference (klahnakoski/TestLog-ETL) carries test
+  * *logs*, not media; this is mandated by BASELINE.json's north-star scope.
+  */
+object Multimodal {
+
+  /** Wrap the documents table as a multimodal table: payload = UTF-8 bytes
+    * of `text` (a deterministic stand-in for image/audio bytes), plus the
+    * typed metadata struct every multimodal row carries. Pure Column ops —
+    * codegen'd, no UDF. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media", struct(
+        lit("text/plain").as("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        col("lang").as("hint")))
+
+  /** X5a: metadata-only query — the common case at scale: aggregate over the
+    * typed metadata WITHOUT touching payload bytes. Column pruning must drop
+    * `payload` from the scan (verified via explain in MultimodalSpec). */
+  val mmMeta: Q = (s, d) => {
+    withPayload(t(s, d, "documents"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("media.n_bytes")).as("total_bytes"),
+        max(col("media.n_bytes")).as("max_bytes"))
+      .orderBy("source")
+  }
+
+  /** X5b: frame sampling — the video-shaped access pattern: each doc has
+    * n "frames" (deterministic: one per 100 payload bytes, min 1); sample
+    * every 3rd frame. sequence+explode is the Spark-native generator — the
+    * same plan shape as sampling real video frame indexes before a decode
+    * pass. */
+  val mmFrames: Q = (s, d) => {
+    withPayload(t(s, d, "documents"))
+      .withColumn("n_frames", greatest(lit(1L), (col("media.n_bytes") / 100).cast("long")))
+      .withColumn("frame_id", explode(expr("sequence(0, n_frames - 1)")))
+      .filter(col("frame_id") % 3 === 0)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sampled"), max("frame_id").as("last_frame"))
+      .orderBy("doc_id")
+  }
+
+  /** Output schema of the feature-extract stage. */
+  private val featSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("feat", ArrayType(DoubleType))))
+
+  /** The decode / feature-extract stage: mapPartitions over (doc_id,
+    * payload) rows — the production shape for codec work (per-partition
+    * batching, codec state initialized once per partition, never on the
+    * driver).
+    *
+    * STUB: `fakeDecode` stands in for the real bytes→features codec call
+    * (image decode + embed, audio fingerprint, …) since no codec libs ship
+    * in this container. It is deterministic (byte histogram moments) so
+    * tests are stable; swap ONLY this function for a real codec. */
+  def decodeFeatures(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select("doc_id", "payload").rdd.mapPartitions { it =>
+      // Real pipeline: initialize codec/native lib here, once per partition.
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        Row(id, bytes.length.toLong, fakeDecode(bytes))
+      }
+    }
+    spark.createDataFrame(rdd, featSchema)
+  }
+
+  /** Deterministic stand-in for a media codec: mean/variance/entropy-ish
+    * moments of the byte histogram. Replace with the real decoder. */
+  private def fakeDecode(bytes: Array[Byte]): Array[Double] = {
+    if (bytes.isEmpty) return Array(0.0, 0.0, 0.0)
+    var sum = 0.0; var sq = 0.0
+    bytes.foreach { b => val v = (b & 0xff).toDouble; sum += v; sq += v * v }
+    val n = bytes.length.toDouble
+    val mean = sum / n
+    Array(mean, sq / n - mean * mean, n)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_meta" -> mmMeta,
+    "mm_frames" -> mmFrames)
+
+  val oracle: Map[String, String] = Map(
+    "mm_meta" ->
+      """SELECT source, count(*) AS n_docs,
+                sum(octet_length(encode(text))) AS total_bytes,
+                max(octet_length(encode(text))) AS max_bytes
+         FROM documents GROUP BY source ORDER BY source""",
+    "mm_frames" ->
+      """WITH f AS (
+           SELECT doc_id,
+                  greatest(1, octet_length(encode(text)) // 100) AS n_frames
+           FROM documents),
+         fr AS (
+           SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_id
+           FROM f)
+         SELECT doc_id, count(*) AS n_sampled, max(frame_id) AS last_frame
+         FROM fr WHERE frame_id % 3 = 0
+         GROUP BY doc_id ORDER BY doc_id""")
+}
