@@ -80,7 +80,7 @@ object JxFunctions {
       substring(s, locate(left, s) + lit(left.length), length(s)))
       .otherwise(lit(null))
     when(afterLeft.isNull || locate(right, afterLeft) === 0, lit(null))
-      .otherwise(substring(afterLeft, 1, locate(right, afterLeft) - 1))
+      .otherwise(substring(afterLeft, lit(1), locate(right, afterLeft) - 1))
   }
 
   /** jx `find`: 0-based index of substring, missing when absent.
@@ -93,8 +93,11 @@ object JxFunctions {
     * Upstream: jx_base/expressions (string slice family).
     */
   def jxLeft(s: Column, n: Int): Column  = substring(s, 1, n)
-  def jxRight(s: Column, n: Int): Column = expr(s"right(${s.toString}, $n)")
+  // negative-start substring IS the right-slice; no SQL re-parsing of Column
+  def jxRight(s: Column, n: Int): Column = substring(s, -n, n)
 
-  /** jx coercions `number`/`string` that never throw: Spark try_cast. */
-  def jxNumber(c: Column): Column = c.cast("double")
+  /** jx coercions `number`/`string` that never throw: null on malformed
+    * input even under ANSI mode (Spark 4 default).
+    */
+  def jxNumber(c: Column): Column = c.try_cast(org.apache.spark.sql.types.DoubleType)
 }

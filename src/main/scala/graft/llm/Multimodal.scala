@@ -112,8 +112,8 @@ object Multimodal {
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
       """SELECT source, count(*) AS n_docs,
-                sum(octet_length(encode(text))) AS total_bytes,
-                max(octet_length(encode(text))) AS max_bytes
+                CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+                CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
          FROM documents GROUP BY source ORDER BY source""",
     "mm_frames" ->
       """WITH f AS (
