@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.SimHash64
+import graft.functions.{DotProduct, SimHash64}
 import graft.operators.Common._
 
 /** Deduplication operators (SURVEY.md §2.9 X1/X2) for training-data
@@ -53,20 +53,18 @@ object Dedup {
 
   /** X1e: embedding-cosine near-dup candidates — top-50 most similar pairs.
     * Brute-force O(n²) self-join is the verification baseline; the scale
-    * path is LSH/IVF bucketing (Similarity.simLsh, ScalaTest-gated).
-    * Cosine is composed from higher-order functions (zip_with → aggregate
-    * left-fold) in pure double arithmetic — no UDF, bit-stable. */
+    * path is `dedup_embed_lsh` (banded LSH buckets → cosine verify → top-k,
+    * recall-tested against this query in ScalaTest). Cosine runs through
+    * the codegen'd [[graft.functions.DotProduct]] — no UDF, bit-stable vs
+    * the oracle's double left-fold. */
   val dedupEmbed: Q = (s, d) => {
     val vecs = t(s, d, "embeddings")
-      .withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm2", expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
-    val a = vecs.select(col("vec_id").as("da"), col("v").as("va"), col("norm2").as("na"))
-    val b = vecs.select(col("vec_id").as("db"), col("v").as("vb"), col("norm2").as("nb"))
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
+    val a = vecs.select(col("vec_id").as("da"), col("embedding").as("va"), col("norm2").as("na"))
+    val b = vecs.select(col("vec_id").as("db"), col("embedding").as("vb"), col("norm2").as("nb"))
     a.join(b, col("da") < col("db"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
-      .withColumn("cosine", col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))
+      .withColumn("cosine",
+        DotProduct(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
       .select(col("da"), col("db"), r4(col("cosine")).as("cosine"))
       .orderBy(desc("cosine"), asc("da"), asc("db"))
       .limit(50)

@@ -3,6 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.DotProduct
 import graft.operators.Common._
 
 /** Similarity search over embedding columns (SURVEY.md §2.9 X3).
@@ -11,28 +12,30 @@ import graft.operators.Common._
   * random-hyperplane LSH bucketed variant (the 100 TB path: candidates
   * only join within matching signature buckets, turning O(n·m) into
   * O(Σ bucket²); recall is tested against brute force in ScalaTest).
-  * All arithmetic is SQL higher-order functions in double — no UDFs.
+  * Dot products run through the codegen'd [[graft.functions.DotProduct]]
+  * expression — a tight primitive loop over the columnar float arrays, no
+  * UDFs, no intermediate zipped arrays. Results are bit-identical to the
+  * oracle's double-fold because floats widen to double before multiplying.
   */
 object Similarity {
 
   private def withDoubleVec(df: DataFrame): DataFrame =
     df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm2", expr(
-        "aggregate(zip_with(v, v, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
 
   /** X3: exact top-5 cosine neighbors for each query vector (vec_id < 20).
     * The query side is tiny → broadcast; one pass over the corpus, top-k
     * via per-query window. */
   val simTopk: Q = (s, d) => {
-    val vecs = withDoubleVec(t(s, d, "embeddings"))
+    val vecs = t(s, d, "embeddings")
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
     val q = vecs.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm2").as("qn"))
-    val c = vecs.select(col("vec_id").as("nid"), col("v").as("nv"), col("norm2").as("nn"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("norm2").as("qn"))
+    val c = vecs.select(col("vec_id").as("nid"), col("embedding").as("nv"), col("norm2").as("nn"))
     val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
     broadcast(q).join(c, col("qid") =!= col("nid"))
-      .withColumn("dot", expr(
-        "aggregate(zip_with(qv, nv, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, p) -> acc + p)"))
-      .withColumn("cosine", r4(col("dot") / (sqrt(col("qn")) * sqrt(col("nn")))))
+      .withColumn("cosine",
+        r4(DotProduct(col("qv"), col("nv")) / (sqrt(col("qn")) * sqrt(col("nn")))))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select("qid", "rnk", "nid", "cosine")
