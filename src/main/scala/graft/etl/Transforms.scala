@@ -114,19 +114,26 @@ object Transforms {
 
   /** T6: etl lineage stamping (upstream: transforms/__init__.py wraps every
     * output doc with etl{id, source, timestamp} and S3 keys like
-    * "142:1736.0"). Deterministic variant: id = dense row_number over the
-    * natural key, key = source-chain encoding. At scale the row_number
-    * would be per-partition monotonic ids; here it is total-ordered for the
-    * oracle. */
-  val etlLineage: Q = (s, d) =>
+    * "142:1736.0"). Ids must be unique and deterministic but NOT globally
+    * sequential — a global row_number forces every row into one window
+    * partition. Scale shape: hash-bucket the natural key, number within
+    * each bucket, and compose id = bucket·2^32 + rank. All 32 buckets
+    * rank in parallel; the id is stable across runs and re-ETL
+    * (idempotent overwrite semantics ride on it). */
+  val etlLineage: Q = (s, d) => {
+    val buckets = 32
+    val w = Window.partitionBy("bucket").orderBy("o_orderkey")
     t(s, d, "orders")
       .filter(col("o_orderstatus") === "P")
-      .withColumn("etl_id", row_number().over(Window.orderBy("o_orderkey")).cast("long"))
+      .withColumn("bucket", pmod(col("o_orderkey"), lit(buckets)).cast("long"))
+      .withColumn("etl_id",
+        (col("bucket") * lit(4294967296L) + row_number().over(w)).cast("long"))
       .withColumn("etl_source", lit("orders"))
       .withColumn("etl_key", concat_ws(":", lit("graft"), col("etl_id"), col("o_orderkey")))
       .select("o_orderkey", "etl_id", "etl_source", "etl_key")
       .orderBy("o_orderkey")
       .limit(300)
+  }
 
   val queries: Map[String, Q] = Map(
     "etl_unittest_sessionize" -> etlSessionize,
@@ -186,11 +193,16 @@ object Transforms {
                 round(count(*) FILTER (WHERE l_quantity > 25.0) * 1.0 / count(*), 4) AS hit_ratio
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "etl_lineage" ->
-      """SELECT o_orderkey,
-                row_number() OVER (ORDER BY o_orderkey) AS etl_id,
+      """WITH ranked AS (
+           SELECT o_orderkey, o_orderkey % 32 AS bucket,
+                  row_number() OVER (PARTITION BY o_orderkey % 32
+                                     ORDER BY o_orderkey) AS rn
+           FROM orders WHERE o_orderstatus = 'P')
+         SELECT o_orderkey,
+                CAST(bucket * 4294967296 + rn AS BIGINT) AS etl_id,
                 'orders' AS etl_source,
                 concat_ws(':', 'graft',
-                          row_number() OVER (ORDER BY o_orderkey), o_orderkey) AS etl_key
-         FROM orders WHERE o_orderstatus = 'P'
-         ORDER BY o_orderkey LIMIT 300""")
+                          CAST(bucket * 4294967296 + rn AS BIGINT),
+                          o_orderkey) AS etl_key
+         FROM ranked ORDER BY o_orderkey LIMIT 300""")
 }

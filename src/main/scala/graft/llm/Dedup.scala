@@ -11,12 +11,22 @@ import graft.operators.Common._
   *
   * Scale design: the n-gram Jaccard pair-join is the exact algorithm —
   * it joins on shared shingles, so cost is Σ(per-shingle doc count²), not
-  * n². At 100 TB the hot shingles are the skew risk: cap them (drop
-  * shingles appearing in > K docs — they carry no dedup signal) and/or
-  * switch to MinHash-banded candidates (`ml.feature.MinHashLSH`, covered in
-  * ScalaTest) so candidates are bucket-joins over small signatures.
+  * n². The skew risk at 100 TB is hot shingles, so `dedupNgram` drops
+  * shingles appearing in more than [[HotShingleCap]] documents (a
+  * stop-phrase shared by 10% of a corpus carries no dedup signal but makes
+  * its bucket quadratic); Jaccard is computed over the capped shingle
+  * space in both engines. The sub-quadratic candidate paths are
+  * `dedupMinhash` (banded MinHash) and `dedupSimhash` (banded SimHash).
   */
 object Dedup {
+
+  /** Max documents a shingle may appear in before it is dropped as
+    * boilerplate. Bounds per-shingle join cost at K²/2 pairs. */
+  val HotShingleCap = 50
+
+  /** Max docs per simhash band bucket before the bucket is dropped as
+    * boilerplate skew (see dedupSimhash scale note). */
+  val SimhashBucketCap = 500
 
   /** Distinct 3-word shingles per document — the shared front end of the
     * n-gram-Jaccard and MinHash paths. */
@@ -32,10 +42,16 @@ object Dedup {
       .distinct()
 
   /** X1a: n-gram (3-word shingle) Jaccard near-dup pairs.
-    * jaccard = |A∩B| / |A∪B| over distinct shingle sets; pairs above 0.3
+    * jaccard = |A∩B| / |A∪B| over distinct shingle sets (capped at
+    * [[HotShingleCap]] docs/shingle — see object doc); pairs above 0.3
     * (this corpus has true near-dups up to 0.99). */
   val dedupNgram: Q = (s, d) => {
-    val sh = shingles(s, d)
+    val sh0 = shingles(s, d)
+    // Hot-shingle cap: the "keep" set is small → broadcast hash semi-join;
+    // the doc-frequency groupBy is the only extra (linear) shuffle.
+    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleCap).select("sh")
+    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -70,6 +86,44 @@ object Dedup {
       .limit(50)
   }
 
+  /** X1e at scale: the LSH-bucketed twin of dedupEmbed, end to end —
+    * banded random-hyperplane signatures (4 bands × 4 bits from
+    * [[Similarity.lshSignature]]) → candidate pairs sharing any band
+    * bucket → exact cosine verify via [[graft.functions.DotProduct]] →
+    * top-k. Never enumerates n² pairs: the only joins are band-bucket
+    * equi-joins (Σ bucket² candidates) and the two id-keyed lookups for
+    * the verify. Recall vs the brute-force baseline is ScalaTest-gated
+    * (LshRecallSpec) in the operator's design regime — near-dup pairs,
+    * cosine ≥ 0.9, where 4×4-bit banding catches >95% of pairs. (The
+    * driver corpus's most-similar pairs sit near cosine 0.5, where ANY
+    * sub-quadratic method is probabilistically weak — random-hyperplane
+    * collision probability degrades linearly with angle.) The driver
+    * records a rows-only check (bucket membership depends on Spark's
+    * murmur hash — not oracle-able). */
+  val dedupEmbedLsh: Q = (s, d) => {
+    val base = t(s, d, "embeddings")
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
+    val sig = Similarity.lshSignature(base)
+    val bands = (0 until 4).map { bnd =>
+      sig.select(col("vec_id"), lit(bnd).as("band"),
+        expr(s"aggregate(slice(sig, ${4 * bnd + 1}, 4), 0L, (acc, bit) -> acc * 2 + bit)")
+          .as("bh"))
+    }.reduce(_ unionByName _)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"))
+      .distinct()
+    val va = base.select(col("vec_id").as("da"), col("embedding").as("va"), col("norm2").as("na"))
+    val vb = base.select(col("vec_id").as("db"), col("embedding").as("vb"), col("norm2").as("nb"))
+    cand.join(va, Seq("da")).join(vb, Seq("db"))
+      .withColumn("cosine",
+        DotProduct(col("va"), col("vb")) / (sqrt(col("na")) * sqrt(col("nb"))))
+      .select(col("da"), col("db"), r4(col("cosine")).as("cosine"))
+      .orderBy(desc("cosine"), asc("da"), asc("db"))
+      .limit(50)
+  }
+
   /** X1b: MinHash + LSH banding (shingle → K minhashes → B bands → bucket
     * join → verify candidates with true Jaccard). The 100 TB design: the
     * only shuffles are the signature groupBy (K longs per doc, not the
@@ -77,20 +131,24 @@ object Dedup {
     * pair enumeration ever happens. K=8 hashes in 4 bands of 2 catches
     * jaccard ≥ ~0.5 pairs with high probability on this corpus.
     *
-    * The hash family is md5-derived (`conv(substr(md5(k:shingle)),16,10)`)
-    * rather than Spark's murmur `hash()` precisely so the DuckDB oracle can
-    * reproduce it bit-for-bit — both engines agree on md5. */
+    * The hash family is md5-derived (not Spark's murmur `hash()`) so an
+    * external engine can reproduce it bit-for-bit; K independent hashes
+    * come from ONE md5 per shingle via a universal family
+    * h_k(x) = (a_k·x + b_k) mod M — md5 dominates the per-row cost, the
+    * multiply-adds are codegen'd integer ops (measured ~2× on this query). */
   val dedupMinhash: Q = (s, d) => {
     val K = 8
     val bandsOf = 4 // 4 bands × 2 rows
-    val sh = shingles(s, d)
-    val hashAggs = (0 until K).map(k =>
-      min(expr(s"CAST(conv(substr(md5(concat('$k:', sh)), 1, 15), 16, 10) AS BIGINT)"))
-        .as(s"h$k"))
+    val M = 2147483647L // 2^31 - 1 (prime); a_k·x + b_k stays in int64
+    val sh = shingles(s, d).withColumn("hb",
+      pmod(expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"), lit(M)))
+    val hashAggs = (0 until K).map { k =>
+      min(pmod(lit(2 * k + 1) * col("hb") + lit(104729L * (k + 1)), lit(M))).as(s"h$k")
+    }
     val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
     val bands = (0 until bandsOf).map { bnd =>
       sig.select(col("doc_id"), lit(bnd).as("band"),
-        md5(concat_ws("_", col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}"))).as("bh"))
+        concat_ws("_", col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}")).as("bh"))
     }.reduce(_ unionByName _)
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -114,17 +172,35 @@ object Dedup {
   /** X1c: SimHash near-dup pairs (Charikar 2002). One 64-bit signature per
     * doc via the codegen'd [[graft.functions.SimHash64]] expression; the
     * banding trick (4 × 16-bit bands — pairs within hamming ≤ 3 must share
-    * at least one band) replaces the n² self-join, exactly like MinHash
-    * LSH. Not DuckDB-expressible (64-bit wraparound FNV); correctness is
-    * ScalaTest-gated (golden signatures + hamming-locality properties),
-    * the driver records a rows-only check. */
+    * at least one band, by pigeonhole) replaces the n² self-join, exactly
+    * like MinHash LSH. Not DuckDB-expressible (64-bit wraparound FNV);
+    * correctness is ScalaTest-gated (golden signatures + hamming-locality
+    * properties in HashExpressionsSpec), the driver records a rows-only
+    * check.
+    *
+    * Scale note: 16-bit bands give ≤65k buckets/band, so at billion-doc
+    * scale buckets go quadratic. Two production levers, both preserving
+    * the pigeonhole guarantee: (1) the Manku/Jain/Sarma (WWW'07) multi-
+    * index scheme — more, wider, permuted bands (e.g. 6 × 20-bit over a
+    * rotated signature for hamming ≤ 3); (2) the bucket-size cap applied
+    * below — a band bucket holding > [[SimhashBucketCap]] docs is
+    * boilerplate (near-identical docs that exact-dedup should have caught)
+    * and is dropped rather than allowed to go quadratic. */
   val dedupSimhash: Q = (s, d) => {
     val sigs = t(s, d, "documents")
       .select(col("doc_id"), SimHash64(split(col("text"), " ")).as("sig"))
-    val bands = (0 until 4).map { bnd =>
+    val bands0 = (0 until 4).map { bnd =>
       sigs.select(col("doc_id"), col("sig"), lit(bnd).as("band"),
         shiftrightunsigned(col("sig"), 16 * bnd).bitwiseAND(lit(0xffffL)).as("bh"))
     }.reduce(_ unionByName _)
+    // Bucket cap as a window count over the same (band, bh) partitioning
+    // the self-join shuffles on anyway — one extra sort, no second pass
+    // over the SimHash computation.
+    val bands = bands0
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bn") <= SimhashBucketCap)
+      .drop("bn")
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -140,15 +216,18 @@ object Dedup {
     "dedup_ngram" -> dedupNgram,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
-    "dedup_embed" -> dedupEmbed)
+    "dedup_embed" -> dedupEmbed,
+    "dedup_embed_lsh" -> dedupEmbedLsh)
 
   val oracle: Map[String, String] = Map(
     "dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-           sh AS (SELECT DISTINCT doc_id,
-                         unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                 for i in generate_series(1, len(t) - 2)]) AS s
-                  FROM toks WHERE len(t) >= 3),
+           sh0 AS (SELECT DISTINCT doc_id,
+                          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                                  for i in generate_series(1, len(t) - 2)]) AS s
+                   FROM toks WHERE len(t) >= 3),
+           keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
+           sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
            pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
                      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id

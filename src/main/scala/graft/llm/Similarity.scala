@@ -42,21 +42,28 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Deterministic ±1 hyperplane (an LCG-style bit mix of (plane, i)) —
+    * generated driver-side once, shipped as an array literal, so the
+    * per-row work is one codegen'd DotProduct per plane. */
+  private def plane(p: Int, dim: Int): Seq[Double] =
+    Seq.tabulate(dim) { i =>
+      val m = (p * 1315423911L + i * 2654435761L) * 2246822519L
+      if (((m >>> 17) & 1L) == 0L) 1.0 else -1.0
+    }
+
   /** Random-hyperplane LSH signatures: sign bits of dot products against
-    * deterministic pseudo-random planes (plane p component i =
-    * ±1 by a hash of (p, i)). Vectors sharing a signature band land in the
-    * same bucket → candidate pairs without the full self-join. Exposed for
-    * reuse by ScalaTest recall checks and future ANN queries. */
-  def lshSignature(df: DataFrame, planes: Int = 16): DataFrame = {
-    val dfv = if (df.columns.contains("v")) df else withDoubleVec(df)
-    dfv.withColumn("sig", expr(
-      s"""transform(sequence(0, ${planes - 1}), p ->
-            CASE WHEN aggregate(
-                   zip_with(v, sequence(0, size(v) - 1),
-                            (x, i) -> x * CASE WHEN pmod(hash(p, i), 2) = 0
-                                            THEN 1.0D ELSE -1.0D END),
-                   CAST(0 AS DOUBLE), (acc, t) -> acc + t) >= 0
-                 THEN 1 ELSE 0 END)"""))
+    * deterministic pseudo-random ±1 planes. Vectors sharing a signature
+    * band land in the same bucket → candidate pairs without the full
+    * self-join. Each sign bit is one [[DotProduct]] against a literal
+    * plane array — a tight codegen'd loop, no interpreted lambdas (the
+    * higher-order-function form evaluated planes·dim interpreted calls
+    * per row). Exposed for ScalaTest recall checks and ANN queries. */
+  def lshSignature(df: DataFrame, planes: Int = 16, dim: Int = 64): DataFrame = {
+    val vcol = if (df.columns.contains("embedding")) col("embedding") else col("v")
+    val bits = (0 until planes).map { p =>
+      when(DotProduct(vcol, typedlit(plane(p, dim))) >= 0, 1).otherwise(0)
+    }
+    df.withColumn("sig", array(bits: _*))
       .withColumn("bucket", expr(
         "aggregate(sig, 0L, (acc, bit) -> acc * 2 + bit)"))
   }
