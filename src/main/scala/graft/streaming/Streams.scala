@@ -55,56 +55,81 @@ object Streams {
   case class Session(user_id: Long, start_ts: java.sql.Timestamp,
       end_ts: java.sql.Timestamp, n_events: Long, n_errors: Long, ok: Boolean)
 
-  private case class SessState(start: Long, end: Long, n: Long, errs: Long)
+  /** Sessionizer state (public: the state Encoder's generated code must be
+    * able to reach the accessors). */
+  case class SessState(start: Long, end: Long, n: Long, errs: Long)
+
+  private def sessOf(uid: Long, st: SessState): Session =
+    Session(uid, new java.sql.Timestamp(st.start), new java.sql.Timestamp(st.end),
+      st.n, st.errs, st.errs == 0)
 
   /** ST3 (custom state): flatMapGroupsWithState sessionizer — the general
     * form when session semantics exceed session_window (e.g. the mozlog
     * suite_start/test_end state machine, upstream
-    * transforms/unittest_logs_to_sorted_table.py). Emits a session when the
-    * group times out (processing-time timeout keeps the demo deterministic
-    * under MemoryStream; production would use EventTimeTimeout +
-    * watermark). */
-  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L): Dataset[Session] = {
+    * transforms/unittest_logs_to_sorted_table.py).
+    *
+    * Closed sessions (event gap > gapMs) emit immediately; the OPEN tail
+    * session is held in state and flushed when the key sees no data for
+    * `idleTimeout` of processing time (`setTimeoutDuration` +
+    * `hasTimedOut`) — without the timeout path a key's final session
+    * would never be emitted. Production over event-time-ordered replay
+    * would use EventTimeTimeout against the watermark instead. */
+  def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L,
+      idleTimeout: String = "2 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessState, Session](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
-          // Batch/test driver: fold the group's events in ts order and emit
-          // closed sessions (gap > gapMs splits); carry tail in state.
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
-          if (sorted.isEmpty) Iterator.empty
-          else {
-            var cur = state.getOption.getOrElse {
-              val h = sorted.head
-              SessState(h.ts.getTime, h.ts.getTime, 0L, 0L)
-            }
-            val out = Seq.newBuilder[Session]
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              if (t - cur.end > gapMs && cur.n > 0) {
-                out += Session(uid, new java.sql.Timestamp(cur.start),
-                  new java.sql.Timestamp(cur.end), cur.n, cur.errs, cur.errs == 0)
-                cur = SessState(t, t, 0L, 0L)
+          if (state.hasTimedOut) {
+            // Idle key: flush the open tail session and clear state.
+            val tail = state.getOption.map(st => sessOf(uid, st))
+            state.remove()
+            tail.iterator
+          } else {
+            // Per-key per-micro-batch group: bounded by the batch size.
+            // Sorting buffers it — fine for log-shaped groups; a 100 TB
+            // pipeline would pre-bucket keys by (key, hour) to bound this.
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var cur = state.getOption.getOrElse {
+                val h = sorted.head
+                SessState(h.ts.getTime, h.ts.getTime, 0L, 0L)
               }
-              cur = SessState(math.min(cur.start, t), math.max(cur.end, t),
-                cur.n + 1, cur.errs + (if (e.event_type == "error") 1L else 0L))
+              val out = Seq.newBuilder[Session]
+              sorted.foreach { e =>
+                val t = e.ts.getTime
+                if (t - cur.end > gapMs && cur.n > 0) {
+                  out += sessOf(uid, cur)
+                  cur = SessState(t, t, 0L, 0L)
+                }
+                cur = SessState(math.min(cur.start, t), math.max(cur.end, t),
+                  cur.n + 1, cur.errs + (if (e.event_type == "error") 1L else 0L))
+              }
+              state.update(cur)
+              state.setTimeoutDuration(idleTimeout)
+              out.result().iterator
             }
-            state.update(cur)
-            out.result().iterator
           }
       }
   }
 
-  /** ST5: idempotent sink — per micro-batch, dedup on the lineage key then
-    * append; re-delivered batches insert no duplicate keys (the reference's
-    * etl-key overwrite semantics, upstream sinks/s3_bucket.py). */
-  def idempotentAppend(batch: DataFrame, batchId: Long, dir: String, keyCols: Seq[String]): Unit =
+  /** ST5: idempotent sink — per micro-batch, dedup on the lineage key,
+    * then OVERWRITE the batch's own partition (dynamic partition
+    * overwrite): a re-delivered batch id rewrites exactly its partition
+    * instead of appending duplicates — the reference's etl-key overwrite
+    * semantics (upstream sinks/s3_bucket.py: one S3 object per etl key,
+    * re-ETL replaces it). Effectively-exactly-once on top of the
+    * checkpoint's at-least-once redelivery. */
+  def idempotentAppend(batch: DataFrame, batchId: Long, dir: String, keyCols: Seq[String]): Unit = {
+    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     batch
       .dropDuplicates(keyCols)
       .withColumn("batch_id", lit(batchId))
-      .write.mode("append").partitionBy("batch_id").parquet(dir)
+      .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+  }
 
   /** Batch-twin query for the oracle: identical plan to
     * tumblingCountsStream minus the watermark (a no-op in batch). */

@@ -1,0 +1,61 @@
+package graft.sources
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+/** S6/S7 sink layouts, including the partition-pruning proof for the
+  * daily router (SURVEY.md §4 — partition pruning is only real if the
+  * write is partitioned). */
+class SinksSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("S7: daily router writes day partitions and reads prune to one") {
+    val dir = Files.createTempDirectory("graft-s7").toString
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (2L, ts("2024-01-01 11:00:00"), "error"),
+      (3L, ts("2024-01-02 09:00:00"), "click"),
+      (4L, ts("2024-01-03 09:00:00"), "view"))
+      .toDF("event_id", "ts", "event_type")
+    Sinks.dailyRouter(df, dir)
+
+    // layout: one directory per day
+    val days = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(days.toSeq === Seq("day=20240101", "day=20240102", "day=20240103"))
+
+    // a day-filtered read prunes to that partition: the physical plan
+    // carries the predicate as a PartitionFilter, and only one day's
+    // files are scanned
+    val pruned = spark.read.parquet(dir).filter(col("day") === "20240101")
+    assert(pruned.count() === 2)
+    // the day predicate plans as a PartitionFilter on the file scan
+    // (inputFiles is pre-pruning, so inspect the physical plan)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    assert(plan.contains("20240101"), plan)
+
+    // dynamic overwrite: re-routing one day's data touches only that day
+    Sinks.dailyRouter(Seq((9L, ts("2024-01-02 10:00:00"), "click"))
+      .toDF("event_id", "ts", "event_type"), dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 4) // 2 (day1) + 1 (rewritten day2) + 1 (day3)
+    assert(after.filter(col("day") === "20240102").select("event_id")
+      .collect().map(_.getLong(0)).toSeq === Seq(9L))
+  }
+
+  test("S6: staged JSON-lines layout, one gzip directory per etl key") {
+    val dir = Files.createTempDirectory("graft-s6").toString
+    val df = Seq((1L, "142:0", "a"), (2L, "142:0", "b"), (3L, "142:1", "c"))
+      .toDF("id", "etl_key", "payload")
+    Sinks.jsonLinesStaged(df, dir, "etl_key")
+    val keys = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(keys.toSeq === Seq("etl_key=142%3A0", "etl_key=142%3A1"))
+    val back = spark.read.json(dir)
+    assert(back.count() === 3)
+    assert(back.filter(col("etl_key") === "142:0").count() === 2)
+  }
+}

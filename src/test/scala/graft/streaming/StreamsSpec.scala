@@ -1,0 +1,178 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.Streams.Ev
+
+/** MemoryStream / file-source executions of every streaming capability
+  * (SURVEY.md §2.8 ST1–ST5) — the streaming code actually runs here, not
+  * just its batch twin. */
+class StreamsSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("ST2: tumbling windows finalize under watermark in append mode") {
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.tumblingCountsStream(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("st2").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:01:00"), "click", 1.0),
+        Ev(1, ts("2024-01-01 00:04:00"), "click", 2.0))
+      q.processAllAvailable()
+      // watermark still below window end: nothing finalized yet
+      assert(spark.table("st2").count() === 0)
+      // an event an hour later pushes the watermark past the first window
+      in.addData(Ev(2, ts("2024-01-01 01:00:00"), "click", 3.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts("2024-01-01 01:30:00"), "click", 4.0))
+      q.processAllAvailable()
+      // two windows are now final: [00:00,00:10) and [01:00,01:10)
+      val first = spark.table("st2")
+        .filter(col("w_start") === ts("2024-01-01 00:00:00")).collect()
+      assert(first.length === 1)
+      assert(first.head.getAs[Long]("n") === 2L)
+      assert(first.head.getAs[Double]("sum_value") === 3.0)
+      assert(spark.table("st2").count() === 2)
+    } finally q.stop()
+  }
+
+  test("ST4: late data behind the watermark is dropped") {
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.tumblingCountsStream(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.format("memory").queryName("st4").outputMode("append").start()
+    try {
+      in.addData(Ev(1, ts("2024-01-01 00:01:00"), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts("2024-01-01 02:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      // first window finalized with n=1; now a very late event for it
+      in.addData(Ev(1, ts("2024-01-01 00:02:00"), "click", 99.0))
+      q.processAllAvailable()
+      in.addData(Ev(1, ts("2024-01-01 03:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val first = spark.table("st4")
+        .filter(col("w_start") === ts("2024-01-01 00:00:00")).collect()
+      assert(first.length === 1)
+      assert(first.head.getAs[Long]("n") === 1L) // the late 99.0 never lands
+    } finally q.stop()
+  }
+
+  test("ST3: session_window closes a session after the inactivity gap") {
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.sessionCounts(in.toDF(), "30 minutes")
+      .writeStream.format("memory").queryName("st3").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(7, ts("2024-01-01 00:00:00"), "click", 1.0),
+        Ev(7, ts("2024-01-01 00:10:00"), "error", 2.0))
+      q.processAllAvailable()
+      // advance watermark (lateness 1h) past session end (00:40)
+      in.addData(Ev(8, ts("2024-01-01 02:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(8, ts("2024-01-01 03:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      val s = spark.table("st3").filter(col("user_id") === 7).collect()
+      assert(s.length === 1)
+      assert(s.head.getAs[Long]("n_events") === 2L)
+      assert(s.head.getAs[Timestamp]("s_start") === ts("2024-01-01 00:00:00"))
+      assert(s.head.getAs[Timestamp]("s_end") === ts("2024-01-01 00:40:00"))
+    } finally q.stop()
+  }
+
+  test("ST3: stateful sessionize emits closed sessions AND flushes the idle tail") {
+    // NOTE: with ProcessingTimeTimeout the engine keeps scheduling
+    // micro-batches to fire pending timers, so processAllAvailable()
+    // never settles — assert by polling the sink instead.
+    def awaitRows(filter: org.apache.spark.sql.Column, n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      def cnt() = spark.table("st3b").filter(filter).count()
+      while (cnt() < n && System.currentTimeMillis < deadline) Thread.sleep(250)
+      assert(cnt() === n)
+    }
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.sessionize(in.toDS(), gapMs = 60 * 1000L, idleTimeout = "1 second")
+      .writeStream.format("memory").queryName("st3b").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), "click", 1.0),
+        Ev(1, ts("2024-01-01 00:00:30"), "error", 2.0))
+      // a later event far past the gap: closes session 1 by the gap rule
+      // (or, if the idle timer fired first, by the timeout flush — both
+      // emit the same 2-event session)
+      in.addData(Ev(1, ts("2024-01-01 00:10:00"), "click", 3.0))
+      awaitRows(col("user_id") === 1 && col("n_events") === 2L, 1)
+      val closed = spark.table("st3b")
+        .filter(col("user_id") === 1 && col("n_events") === 2L).collect()
+      assert(closed.head.getAs[Long]("n_errors") === 1L)
+      assert(!closed.head.getAs[Boolean]("ok"))
+      // the tail session (the single 00:10 event) has no later event to
+      // close it — it can ONLY appear via the processing-time timeout
+      // flush, the path the old NoTimeout code never took
+      awaitRows(col("user_id") === 1 && col("n_events") === 1L, 1)
+      val tail = spark.table("st3b")
+        .filter(col("user_id") === 1 && col("n_events") === 1L).collect()
+      assert(tail.head.getAs[Boolean]("ok"))
+    } finally q.stop()
+  }
+
+  test("ST1+ST5: incremental file ingest through the idempotent sink") {
+    val srcDir = tmp("graft-st1-src")
+    val outDir = tmp("graft-st1-out")
+    val ckDir  = tmp("graft-st1-ck")
+    val schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).json(srcDir)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Streams.idempotentAppend(b, id, outDir, Seq("event_id"))
+        }
+        .option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    def writeFile(name: String, lines: Seq[String]): Unit = {
+      val w = new java.io.PrintWriter(new java.io.File(srcDir, name))
+      lines.foreach(w.println); w.close()
+    }
+
+    writeFile("a.json", Seq(
+      """{"event_id":1,"ts":"2024-01-01T00:00:00Z","user_id":1,"event_type":"click","value":1.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"click","value":2.0}""",
+      """{"event_id":2,"ts":"2024-01-01T00:01:00Z","user_id":1,"event_type":"click","value":2.0}"""))
+    runOnce()
+    // in-batch duplicate (event_id 2) deduped by the sink
+    assert(spark.read.parquet(outDir).count() === 2)
+
+    // the checkpoint makes the second run incremental: only the new file
+    writeFile("b.json", Seq(
+      """{"event_id":3,"ts":"2024-01-01T00:02:00Z","user_id":2,"event_type":"error","value":3.0}"""))
+    runOnce()
+    val all = spark.read.parquet(outDir)
+    assert(all.count() === 3)
+    assert(all.select("event_id").distinct().count() === 3)
+  }
+
+  test("ST5: a re-delivered batch id overwrites its own partition, not appends") {
+    val outDir = tmp("graft-st5-out")
+    val batch = Seq((1L, "a"), (2L, "b"), (2L, "b")).toDF("k", "v")
+    Streams.idempotentAppend(batch, 7L, outDir, Seq("k"))
+    Streams.idempotentAppend(batch, 7L, outDir, Seq("k")) // redelivery
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 2) // deduped once, written once
+    // partition values come back as the narrowest inferred type
+    assert(out.select("batch_id").distinct().collect().map(_.get(0).toString).toSeq === Seq("7"))
+  }
+}
