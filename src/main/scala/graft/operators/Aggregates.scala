@@ -51,6 +51,24 @@ object Aggregates {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** A2b: the jx null part — dense-edge domains carry one extra part for
+    * rows whose edge value is MISSING (upstream: jx_base/domains.py — every
+    * domain has a null part; docs without the edge land there, they are not
+    * dropped). Domain = distinct observed values ∪ {null}; the dense join
+    * must be null-safe (`<=>`) so the null part matches the null group. */
+  val edgesDenseNull: Q = (s, d) => {
+    val base = t(s, d, "events")
+      .select(when(col("value") > 100.0, col("event_type")).as("k"), col("value"))
+    val domain = base.filter(col("k").isNotNull).select("k").distinct()
+      .unionByName(s.range(1).select(lit(null).cast("string").as("k")))
+    val sparse = base.groupBy("k")
+      .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+    domain.join(sparse, domain("k") <=> sparse("k"), "left")
+      .select(domain("k"), coalesce(col("cnt"), lit(0L)).as("n"),
+        r2(col("sv")).as("sum_value"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
   /** A3: dense histogram domain [min,max) / width, generated with
     * `sequence()` from in-plan min/max — no driver round-trip. */
   val edgesHistogram: Q = (s, d) => {
@@ -122,17 +140,34 @@ object Aggregates {
       .orderBy("event_type")
 
   /** A10: z-moment statistics (upstream: mo_math/stats.py ZeroMoment keeps
-    * count/Σx/Σx² and derives mean/var). Derived from exact sums so the
-    * oracle compare is stable, matching the reference's formulation. */
+    * count/Σx…Σx⁴ and derives mean/var/skew/kurt). All four moments derive
+    * from raw power averages with the SAME formula in both engines —
+    * built-in skewness/kurtosis use different update orders per engine and
+    * won't hash-match, raw moments do. Population convention (skew =
+    * m3/m2^1.5, kurt = m4/m2² − 3), matching ZeroMoment. */
   val aggStats: Q = (s, d) =>
     t(s, d, "events")
       .groupBy("event_type")
       .agg(
         count(col("value")).as("n"),
         r2(sum("value")).as("s1"),
-        r2(avg("value")).as("mean"),
+        avg("value").as("m1"),
+        avg(pow(col("value"), 2)).as("a2"),
+        avg(pow(col("value"), 3)).as("a3"),
+        avg(pow(col("value"), 4)).as("a4"),
         r4(var_pop(col("value"))).as("var_p"),
         r4(stddev_pop(col("value"))).as("std_p"))
+      .withColumn("m2", col("a2") - col("m1") * col("m1"))
+      .withColumn("m3",
+        col("a3") - lit(3) * col("m1") * col("a2") + lit(2) * pow(col("m1"), 3))
+      .withColumn("m4",
+        col("a4") - lit(4) * col("m1") * col("a3")
+          + lit(6) * col("m1") * col("m1") * col("a2") - lit(3) * pow(col("m1"), 4))
+      .select(
+        col("event_type"), col("n"), col("s1"), r2(col("m1")).as("mean"),
+        col("var_p"), col("std_p"),
+        r4(col("m3") / pow(col("m2"), 1.5)).as("skew_p"),
+        r4(col("m4") / (col("m2") * col("m2")) - 3).as("kurt_p"))
       .orderBy("event_type")
 
   /** A11: set-union of values per group — sorted for determinism (§7.4). */
@@ -173,6 +208,7 @@ object Aggregates {
   val queries: Map[String, Q] = Map(
     "agg_groupby" -> aggGroupby,
     "edges_dense" -> edgesDense,
+    "edges_dense_null" -> edgesDenseNull,
     "edges_histogram" -> edgesHistogram,
     "edges_time" -> edgesTime,
     "edges_topn_other" -> edgesTopnOther,
@@ -205,6 +241,16 @@ object Aggregates {
                     GROUP BY l_returnflag, l_linestatus) a
            USING (l_returnflag, l_linestatus)
          ORDER BY l_returnflag, l_linestatus""",
+    "edges_dense_null" ->
+      """WITH base AS (SELECT CASE WHEN value > 100.0 THEN event_type END AS k, value
+                       FROM events),
+              dom AS (SELECT DISTINCT k FROM base WHERE k IS NOT NULL
+                      UNION ALL SELECT NULL),
+              sparse AS (SELECT k, count(*) AS cnt, sum(value) AS sv
+                         FROM base GROUP BY k)
+         SELECT d.k, coalesce(s.cnt, 0) AS n, round(s.sv, 2) AS sum_value
+         FROM dom d LEFT JOIN sparse s ON d.k IS NOT DISTINCT FROM s.k
+         ORDER BY d.k NULLS FIRST""",
     "edges_histogram" ->
       """WITH bounds AS (SELECT CAST(floor(min(value)/50.0)*50 AS BIGINT) AS lo,
                                 CAST(floor(max(value)/50.0)*50 AS BIGINT) AS hi
@@ -247,11 +293,24 @@ object Aggregates {
                 round(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 2) AS p90
          FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_stats" ->
-      """SELECT event_type, count(value) AS n, round(sum(value), 2) AS s1,
-                round(avg(value), 2) AS mean,
-                round(var_pop(value), 4) AS var_p,
-                round(stddev_pop(value), 4) AS std_p
-         FROM events GROUP BY event_type ORDER BY event_type""",
+      """WITH m AS (
+           SELECT event_type, count(value) AS n, round(sum(value), 2) AS s1,
+                  avg(value) AS m1,
+                  avg(value * value) AS a2,
+                  avg(value * value * value) AS a3,
+                  avg(value * value * value * value) AS a4,
+                  round(var_pop(value), 4) AS var_p,
+                  round(stddev_pop(value), 4) AS std_p
+           FROM events GROUP BY event_type),
+           c AS (
+           SELECT *, a2 - m1 * m1 AS m2,
+                  a3 - 3 * m1 * a2 + 2 * power(m1, 3) AS m3,
+                  a4 - 4 * m1 * a3 + 6 * m1 * m1 * a2 - 3 * power(m1, 4) AS m4
+           FROM m)
+         SELECT event_type, n, s1, round(m1, 2) AS mean, var_p, std_p,
+                round(m3 / power(m2, 1.5), 4) AS skew_p,
+                round(m4 / (m2 * m2) - 3, 4) AS kurt_p
+         FROM c ORDER BY event_type""",
     "agg_collect_set" ->
       """SELECT l_linestatus, list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags,
                 count(*) AS n

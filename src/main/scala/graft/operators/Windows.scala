@@ -68,6 +68,21 @@ object Windows {
       .orderBy("event_id")
       .limit(500)
 
+  /** W6: percentile over partition — an aggregate as a window function
+    * (jx window {aggregate: percentile, edges: [...]}) — every row carries
+    * its partition's interpolated p50/p90. One shuffle on event_type;
+    * Spark ≥3.1 evaluates aggregate-as-window natively in WindowExec. */
+  val winPercentile: Q = (s, d) => {
+    val w = Window.partitionBy("event_type")
+    t(s, d, "events")
+      .select(
+        col("event_id"), col("event_type"),
+        r2(expr("percentile(value, 0.5)").over(w)).as("p50_type"),
+        r2(expr("percentile(value, 0.9)").over(w)).as("p90_type"))
+      .orderBy("event_id")
+      .limit(500)
+  }
+
   /** W7: top-k per group (slowest tests per suite, upstream shape). */
   val winTopk: Q = (s, d) => {
     val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
@@ -84,6 +99,7 @@ object Windows {
     "win_rank" -> winRank,
     "win_first_last" -> winFirstLast,
     "win_lag" -> winLag,
+    "win_percentile" -> winPercentile,
     "win_topk" -> winTopk)
 
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
@@ -117,6 +133,11 @@ object Windows {
                  round(lead(value, 1) $over), 2) AS next_v,
                  CAST(floor(epoch(ts)) - floor(epoch(lag(ts, 1) $over))) AS BIGINT) AS gap_s
           FROM events ORDER BY event_id LIMIT 500""",
+    "win_percentile" ->
+      """SELECT event_id, event_type,
+                round(quantile_cont(value, 0.5) OVER (PARTITION BY event_type), 2) AS p50_type,
+                round(quantile_cont(value, 0.9) OVER (PARTITION BY event_type), 2) AS p90_type
+         FROM events ORDER BY event_id LIMIT 500""",
     "win_topk" ->
       """SELECT event_type, rn, event_id, value
          FROM (SELECT event_type, event_id, value,
