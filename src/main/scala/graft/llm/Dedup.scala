@@ -87,10 +87,10 @@ object Dedup {
   }
 
   /** X1e at scale: the LSH-bucketed twin of dedupEmbed, end to end —
-    * banded random-hyperplane signatures (4 bands × 4 bits from
-    * [[Similarity.lshSignature]]) → candidate pairs sharing any band
-    * bucket → exact cosine verify via [[graft.functions.DotProduct]] →
-    * top-k. Never enumerates n² pairs: the only joins are band-bucket
+    * banded random-hyperplane signatures (6 bands × 8 bits over 48 planes,
+    * from [[Similarity.lshSignature]]/[[Similarity.lshBands]]) → candidate
+    * pairs sharing any band bucket → exact cosine verify via
+    * [[graft.functions.DotProduct]] → top-k. Never enumerates n² pairs: the only joins are band-bucket
     * equi-joins (Σ bucket² candidates) and the two id-keyed lookups for
     * the verify. Recall vs the brute-force baseline is ScalaTest-gated
     * (LshRecallSpec) in the operator's design regime — near-dup pairs,
@@ -104,16 +104,7 @@ object Dedup {
     val base = t(s, d, "embeddings")
       .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
     val sig = Similarity.lshSignature(base)
-    val bands = (0 until 4).map { bnd =>
-      sig.select(col("vec_id"), lit(bnd).as("band"),
-        expr(s"aggregate(slice(sig, ${4 * bnd + 1}, 4), 0L, (acc, bit) -> acc * 2 + bit)")
-          .as("bh"))
-    }.reduce(_ unionByName _)
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("da"), col("y.vec_id").as("db"))
-      .distinct()
+    val cand = Similarity.lshCandidatePairs(sig, "vec_id")
     val va = base.select(col("vec_id").as("da"), col("embedding").as("va"), col("norm2").as("na"))
     val vb = base.select(col("vec_id").as("db"), col("embedding").as("vb"), col("norm2").as("nb"))
     cand.join(va, Seq("da")).join(vb, Seq("db"))

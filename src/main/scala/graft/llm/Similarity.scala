@@ -42,13 +42,19 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Deterministic ±1 hyperplane (an LCG-style bit mix of (plane, i)) —
-    * generated driver-side once, shipped as an array literal, so the
-    * per-row work is one codegen'd DotProduct per plane. */
+  /** Deterministic ±1 hyperplane — generated driver-side once, shipped as
+    * an array literal, so the per-row work is one codegen'd DotProduct per
+    * plane. The (plane, i) mix is a splitmix64-style finalizer: full
+    * avalanche, so planes are statistically independent (a weaker linear
+    * mix leaves consecutive planes correlated and inflates LSH bucket
+    * collisions — caught by LshRecallSpec's sub-quadratic assertion). */
   private def plane(p: Int, dim: Int): Seq[Double] =
     Seq.tabulate(dim) { i =>
-      val m = (p * 1315423911L + i * 2654435761L) * 2246822519L
-      if (((m >>> 17) & 1L) == 0L) 1.0 else -1.0
+      var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= z >>> 31
+      if ((z & 1L) == 0L) 1.0 else -1.0
     }
 
   /** Random-hyperplane LSH signatures: sign bits of dot products against
@@ -58,7 +64,7 @@ object Similarity {
     * plane array — a tight codegen'd loop, no interpreted lambdas (the
     * higher-order-function form evaluated planes·dim interpreted calls
     * per row). Exposed for ScalaTest recall checks and ANN queries. */
-  def lshSignature(df: DataFrame, planes: Int = 16, dim: Int = 64): DataFrame = {
+  def lshSignature(df: DataFrame, planes: Int = 48, dim: Int = 64): DataFrame = {
     val vcol = if (df.columns.contains("embedding")) col("embedding") else col("v")
     val bits = (0 until planes).map { p =>
       when(DotProduct(vcol, typedlit(plane(p, dim))) >= 0, 1).otherwise(0)
@@ -66,6 +72,29 @@ object Similarity {
     df.withColumn("sig", array(bits: _*))
       .withColumn("bucket", expr(
         "aggregate(sig, 0L, (acc, bit) -> acc * 2 + bit)"))
+  }
+
+  /** Band the signature bit-array into (band, bucket-hash) rows — pairs
+    * sharing any band bucket become candidates (same trick as
+    * MinHash/SimHash banding). Defaults (6 bands × 8 bits over 48 planes)
+    * put a random pair's collision odds near 2% while catching ~99% of
+    * cosine ≥ 0.95 pairs — measured in LshRecallSpec, which drives this
+    * exact code path. Shared by dedup_embed_lsh. */
+  def lshBands(sig: DataFrame, idCol: String, bands: Int = 6, bits: Int = 8): DataFrame =
+    (0 until bands).map { b =>
+      sig.select(col(idCol), lit(b).as("band"),
+        expr(s"aggregate(slice(sig, ${b * bits + 1}, $bits), 0L, (acc, bit) -> acc * 2 + bit)")
+          .as("bh"))
+    }.reduce(_ unionByName _)
+
+  /** Candidate pairs sharing any LSH band bucket. */
+  def lshCandidatePairs(sig: DataFrame, idCol: String): DataFrame = {
+    val bands = lshBands(sig, idCol)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("da"), col(s"y.$idCol").as("db"))
+      .distinct()
   }
 
   /** LSH-bucketed near-neighbor candidates: pairs sharing a bucket. The

@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.DotProduct
+
+/** Recall gate for the LSH candidate generation behind dedup_embed_lsh —
+  * tested in the operator's design regime: genuinely near-duplicate
+  * vectors (cosine ≥ 0.95), where banded random-hyperplane hashing must
+  * recover nearly every true pair WITHOUT the O(n²) self-join. (The
+  * driver's synthetic corpus tops out near cosine 0.5, where no
+  * sub-quadratic method is probabilistically strong — hence this synthetic
+  * fixture.) */
+class LshRecallSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val dim = 64
+  private val nBase = 60
+
+  test("LSH candidates recover >= 0.9 of true near-dup pairs (cosine >= 0.95)") {
+    val rnd = new scala.util.Random(23)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // base vectors, each with a small-perturbation near-dup (ids i and i+nBase)
+    val bases = Seq.fill(nBase)(unit())
+    val dups = bases.map { b =>
+      // per-dim sigma 0.03 -> perturbation norm ~0.24 -> cosine ~0.97
+      val v = b.map(x => x + 0.03 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    // plus unrelated noise vectors
+    val noise = Seq.fill(nBase)(unit())
+    val corpus = (bases ++ dups ++ noise).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+
+    // fixture sanity: the intended pairs really are near-dups
+    val truePairs = corpus.as("a").join(corpus.as("b"),
+        col("a.vec_id") + nBase === col("b.vec_id") && col("a.vec_id") < nBase)
+      .select(col("a.vec_id").as("da"), col("b.vec_id").as("db"),
+        DotProduct.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
+      .filter(col("cosine") >= 0.95)
+    val nTrue = truePairs.count()
+    assert(nTrue >= nBase * 0.8, s"fixture produced only $nTrue high-cosine pairs")
+
+    // production path: signature -> bands -> candidate pairs
+    val cand = Similarity.lshCandidatePairs(
+      Similarity.lshSignature(corpus), "vec_id")
+    val recovered = truePairs.join(cand, Seq("da", "db"), "left_semi").count()
+    val recall = recovered.toDouble / nTrue
+    assert(recall >= 0.9, s"recall=$recall ($recovered of $nTrue)")
+
+    // and the candidate set must be sub-quadratic: a small fraction of n²/2
+    val n = corpus.count()
+    assert(cand.count() < n * n / 10, s"candidate set is near-quadratic")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: the decode stage's mapPartitions shape and the
+  * payload-pruning property that makes binary columns viable at 100 TB
+  * (metadata queries must never read payload bytes). */
+class MultimodalSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "hello world", "en", "src0", 11L),
+    (2L, "lorem ipsum dolor", "la", "src1", 17L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("decodeFeatures runs the mapPartitions stage with deterministic features") {
+    val out = Multimodal.decodeFeatures(Multimodal.withPayload(docs))
+      .orderBy("doc_id").collect()
+    assert(out.length === 2)
+    val r = out.head
+    assert(r.getLong(0) === 1L)
+    assert(r.getLong(1) === "hello world".getBytes("UTF-8").length.toLong)
+    val feat = r.getSeq[Double](2)
+    assert(feat.length === 3)
+    // model: mean / variance / n of the payload bytes
+    val bytes = "hello world".getBytes("UTF-8").map(_ & 0xff)
+    val mean = bytes.sum.toDouble / bytes.length
+    assert(math.abs(feat.head - mean) < 1e-9)
+    assert(feat(2) === bytes.length.toDouble)
+    // re-running yields identical features (deterministic stand-in codec)
+    val again = Multimodal.decodeFeatures(Multimodal.withPayload(docs))
+      .orderBy("doc_id").collect()
+    assert(again.map(_.toString).toSeq === out.map(_.toString).toSeq)
+  }
+
+  test("metadata-only queries prune the payload column from the parquet scan") {
+    val dir = Files.createTempDirectory("graft-mm").toString
+    Multimodal.withPayload(docs).write.mode("overwrite").parquet(dir)
+
+    val meta = spark.read.parquet(dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("media.n_bytes")).as("total_bytes"))
+    val scanLine = meta.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // the scan reads source + media, NOT the payload bytes (nor text)
+    assert(scanLine.contains("media"), scanLine)
+    assert(!scanLine.contains("payload"), scanLine)
+    assert(!scanLine.contains("text"), scanLine)
+
+    // and the payload round-trips intact when asked for
+    val full = spark.read.parquet(dir).filter(col("doc_id") === 1)
+      .select(decode(col("payload"), "UTF-8").as("t")).head()
+    assert(full.getString(0) === "hello world")
+  }
+}
