@@ -103,6 +103,26 @@ object Aggregates {
       .orderBy("day")
   }
 
+  /** A5: dense duration domain — durations (seconds between first and last
+    * event per user) bucketed into 30-minute bins, every bin between 0 and
+    * the observed max materialized (upstream: jx duration domains over
+    * mo_times.Duration; numerically a histogram over seconds). */
+  val edgesDuration: Q = (s, d) => {
+    val w = 1800L // 30-minute bins
+    val durs = t(s, d, "events")
+      .groupBy("user_id")
+      .agg((unix_timestamp(max("ts")) - unix_timestamp(min("ts"))).as("dur_s"))
+    val bounds = durs.agg(((max("dur_s") / w).cast("long") * w).as("hi"))
+    val domain = bounds
+      .select(explode(sequence(lit(0L), col("hi"), lit(w))).as("bucket"))
+    val sparse = durs.groupBy(((col("dur_s") / w).cast("long") * w).as("bucket"))
+      .agg(count(lit(1)).as("cnt"), avg("dur_s").as("ad"))
+    domain.join(sparse, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("cnt"), lit(0L)).as("n"),
+        r2(col("ad")).as("avg_dur"))
+      .orderBy("bucket")
+  }
+
   /** A6: default domain — top-N parts + "other" bucket (upstream: jx default
     * domain caps cardinality). Two passes: rank terms, then re-aggregate with
     * the tail collapsed; both stay distributed (the top-N set is a broadcast
@@ -211,6 +231,7 @@ object Aggregates {
     "edges_dense_null" -> edgesDenseNull,
     "edges_histogram" -> edgesHistogram,
     "edges_time" -> edgesTime,
+    "edges_duration" -> edgesDuration,
     "edges_topn_other" -> edgesTopnOther,
     "agg_distinct" -> aggDistinct,
     "agg_percentile" -> aggPercentile,
@@ -274,6 +295,18 @@ object Aggregates {
                 round(s.sv, 2) AS sum_value
          FROM domain d LEFT JOIN sparse s ON CAST(d.day AS TIMESTAMP) = s.day
          ORDER BY day""",
+    "edges_duration" ->
+      """WITH durs AS (
+           SELECT user_id,
+                  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS dur_s
+           FROM events GROUP BY user_id),
+           bounds AS (SELECT CAST(max(dur_s) // 1800 * 1800 AS BIGINT) AS hi FROM durs),
+           domain AS (SELECT unnest(generate_series(0, hi, 1800)) AS bucket FROM bounds),
+           sparse AS (SELECT CAST(dur_s // 1800 * 1800 AS BIGINT) AS bucket,
+                             count(*) AS cnt, avg(dur_s) AS ad
+                      FROM durs GROUP BY 1)
+         SELECT d.bucket, coalesce(s.cnt, 0) AS n, round(s.ad, 2) AS avg_dur
+         FROM domain d LEFT JOIN sparse s USING (bucket) ORDER BY bucket""",
     "edges_topn_other" ->
       """WITH counts AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1),
               ranked AS (SELECT event_type,
