@@ -1,0 +1,57 @@
+package graft.operators
+
+/** Physical-plan audits: the scale claims each operator's doc makes must
+  * be visible in the plan (SURVEY.md §4 — pushdown, pruning, broadcast,
+  * top-k, no accidental cartesian products). A regression here is a silent
+  * 100×-at-100-TB bug even when results stay correct. */
+class PlanAuditSpec extends graft.SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(key: String): String =
+    graft.SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  test("join_broadcast plans a BroadcastHashJoin, not a shuffle join") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("filter predicates push down to the parquet scan") {
+    val p = plan("filter_pred")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(!p.replaceAll("PushedFilters: \\[\\]", "").contains("PushedFilters: []"), p)
+  }
+
+  test("projection prunes the scan to selected columns only") {
+    val p = plan("project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    // project reads a narrow column set from the wide lineitem table
+    assert(!read.contains("l_comment") && !read.contains("l_tax"), read)
+  }
+
+  test("sort+limit plans the top-k operator (TakeOrderedAndProject)") {
+    val p = plan("sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("group-by aggregates partially before the exchange (map-side combine)") {
+    val p = plan("agg_groupby")
+    val firstExchange = p.indexOf("Exchange")
+    val firstAgg = p.indexOf("HashAggregate")
+    assert(firstAgg >= 0 && firstExchange >= 0, p)
+    // plan prints top-down: final agg, exchange, partial agg — a partial
+    // HashAggregate must appear BELOW (after) the exchange in the text
+    assert(p.indexOf("HashAggregate", firstExchange) > firstExchange, p)
+  }
+
+  test("dedup_embed_lsh never plans a cartesian/nested-loop join") {
+    val p = plan("dedup_embed_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("the brute-force dedup_embed IS the nested-loop baseline (by design)") {
+    val p = plan("dedup_embed")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"), p)
+  }
+}
