@@ -12,6 +12,11 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM/codegen/scheduler paths once so the first timed query
+    // doesn't absorb session startup (it was inflating whichever query
+    // happened to iterate first by multiple seconds).
+    spark.range(1 << 20).selectExpr("sum(id)").collect()
+    Tables.t(spark, sfDir, "region").count()
     // A failing query must fail the bench VISIBLY: record its error, keep
     // timing the rest, and exit non-zero at the end (no -1L masking).
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()

@@ -183,6 +183,18 @@ object Expressions {
       .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"))
       .orderBy("k_bucket")
 
+  /** E21b: parse-once JSON access — `from_json` into a typed struct, then
+    * plain struct-field access. The 100 TB preference over
+    * `get_json_object`: one parse per row feeding any number of field
+    * reads, instead of one full re-parse per extracted field. */
+  val jsonStruct: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("j", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy((col("j.k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("j.k").cast("long").as("sum_k"))
+      .orderBy("k_bucket")
+
   /** E22: calendar bucketing (jx time domains floor timestamps to calendar
     * units — upstream mo_times/dates.py Date.floor). */
   val dateTruncQ: Q = (s, d) =>
@@ -211,6 +223,7 @@ object Expressions {
     "cond_case" -> condCase,
     "conv_cast" -> convCast,
     "json_extract" -> jsonExtract,
+    "json_struct" -> jsonStruct,
     "date_trunc_q" -> dateTruncQ)
 
   val oracle: Map[String, String] = Map(
@@ -297,6 +310,10 @@ object Expressions {
                 value > 100.0 AS big
          FROM events ORDER BY event_id LIMIT 200""",
     "json_extract" ->
+      """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+         FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+         GROUP BY 1 ORDER BY 1""",
+    "json_struct" ->
       """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
          FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
          GROUP BY 1 ORDER BY 1""",
