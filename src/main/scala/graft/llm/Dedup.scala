@@ -16,7 +16,10 @@ import graft.operators.Common._
   * stop-phrase shared by 10% of a corpus carries no dedup signal but makes
   * its bucket quadratic); Jaccard is computed over the capped shingle
   * space in both engines. The sub-quadratic candidate paths are
-  * `dedupMinhash` (banded MinHash) and `dedupSimhash` (banded SimHash).
+  * `dedupMinhash` (banded MinHash) and `dedupSimhash` (banded SimHash) —
+  * both recall-gated end-to-end in DedupSpec over synthetic corpora with
+  * known near-dup pairs (their hash families aren't DuckDB-expressible,
+  * so the driver records rows-only checks).
   */
 object Dedup {
 

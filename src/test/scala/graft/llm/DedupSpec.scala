@@ -1,0 +1,74 @@
+package graft.llm
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** End-to-end recall gates for the text near-dup family, driving the REAL
+  * production queries (they read `documents.parquet` from a directory — the
+  * fixture writes a synthetic corpus with known near-dup pairs there).
+  * dedup_minhash and dedup_simhash are rows-only at the driver (their hash
+  * families aren't DuckDB-expressible), so this spec is their correctness
+  * gate. */
+class DedupSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val nBase = 30
+
+  /** Corpus: nBase bases, nBase near-dups (`nReplace` words swapped),
+    * nBase unrelated. True pairs are (i, i+nBase). */
+  private def makeCorpus(wordsPerDoc: Int, nReplace: Int, seed: Int): String = {
+    val rnd = new scala.util.Random(seed)
+    def doc(): Seq[String] = Seq.fill(wordsPerDoc)("w" + rnd.nextInt(500000))
+    val bases = Seq.fill(nBase)(doc())
+    val dups = bases.map { d =>
+      (0 until nReplace).foldLeft(d) { (acc, k) =>
+        acc.updated(5 + k * (wordsPerDoc / (nReplace + 1)), "x" + rnd.nextInt(500000))
+      }
+    }
+    val noise = Seq.fill(nBase)(doc())
+    val rows = (bases ++ dups ++ noise).zipWithIndex.map { case (ws, i) =>
+      val text = ws.mkString(" ")
+      (i.toLong, text, "en", "src" + (i % 3), text.length.toLong)
+    }
+    val dir = Files.createTempDirectory("graft-dedup").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** 2 of 40 words replaced → shingle jaccard ≈ 0.8 (ngram/minhash regime). */
+  private lazy val corpusDir: String = makeCorpus(40, 2, 31)
+
+  /** 1 of 200 words replaced (0.5%) — simhash's design regime is
+    * near-IDENTICAL docs: each edit shifts every bit's majority vote by up
+    * to 4 against a margin of ~√200, so hamming ≤ 3 of 64 only tolerates
+    * sub-percent edits. (Coarser near-dups are minhash/ngram territory —
+    * the families are complementary, which is why all three ship.) */
+  private lazy val longCorpusDir: String = makeCorpus(200, 1, 37)
+
+  private def truePairHits(result: org.apache.spark.sql.DataFrame): Long =
+    result.filter(col("db") === col("da") + nBase && col("da") < nBase).count()
+
+  test("dedup_ngram (exact jaccard with hot-shingle cap) finds every true pair") {
+    val out = Dedup.dedupNgram(spark, corpusDir)
+    assert(truePairHits(out) === nBase.toLong)
+    // and flags no unrelated pair above the 0.3 threshold
+    assert(out.filter(!(col("db") === col("da") + nBase && col("da") < nBase)).count() === 0)
+  }
+
+  test("dedup_minhash banding recovers >= 80% of jaccard~0.8 pairs, verified exactly") {
+    val out = Dedup.dedupMinhash(spark, corpusDir)
+    val hits = truePairHits(out)
+    assert(hits >= (nBase * 0.8).toLong, s"minhash recovered $hits of $nBase")
+    // every reported pair carries its EXACT jaccard (candidates are
+    // verified, not trusted), so no pair below the 0.5 floor appears
+    assert(out.agg(min("jaccard")).head().getDouble(0) >= 0.5)
+  }
+
+  test("dedup_simhash recovers near-identical long docs within hamming <= 3") {
+    val out = Dedup.dedupSimhash(spark, longCorpusDir)
+    val hits = truePairHits(out)
+    assert(hits >= (nBase * 0.7).toLong, s"simhash recovered $hits of $nBase")
+  }
+}
