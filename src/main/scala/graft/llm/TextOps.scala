@@ -82,26 +82,29 @@ object TextOps {
       .limit(100)
 
   /** TF-IDF: explode terms → tf per (doc, term); df per term; idf =
-    * ln(N/df); top-3 terms per doc for a slice of docs. The df side is a
-    * small aggregate → broadcast back; corpus size N computed in-plan (no
+    * ln(N/df); top-3 terms per doc for a slice of docs. Scale shape: the
+    * QUERIED doc slice's tf is tiny → compute it pre-filtered and
+    * broadcast it; the corpus-wide df aggregate (the vocabulary — can be
+    * billions of terms at 100 TB) STREAMS past the broadcast, it is never
+    * itself broadcast or re-shuffled. Corpus size N computed in-plan (no
     * collect). */
   val textTfidf: Q = (s, d) => {
     val docs = t(s, d, "documents")
     val terms = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(length(col("term")) > 0)
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val tf = terms.filter(col("doc_id") < 50)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
     val n = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
-    val scored = tf
-      .join(broadcast(df), Seq("term"))
+    val scored = df
+      .join(broadcast(tf), Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         col("tf") * log(col("n_docs").cast("double") / col("df")))
     val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("term"))
     scored
-      .filter(col("doc_id") < 50)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"),
