@@ -48,7 +48,8 @@ object SparkEntry {
       llm.Dedup.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
-      streaming.Streams.queries
+      streaming.Streams.queries ++
+      jx.JxQueries.queries
 
   /** DuckDB-equivalent ANSI SQL per SQL-expressible key (same column names
     * and ordering as the Spark result — driver hash-compares, SURVEY §7.4). */
@@ -62,5 +63,6 @@ object SparkEntry {
       llm.Dedup.oracle ++
       llm.Similarity.oracle ++
       llm.Multimodal.oracle ++
-      streaming.Streams.oracle
+      streaming.Streams.oracle ++
+      jx.JxQueries.oracle
 }

@@ -1,0 +1,271 @@
+package graft.jx
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.JxFunctions
+
+/** jx JSON query compiler — the reference's user-facing query language
+  * (upstream: jx_base/query.py normalizes the JSON into a QueryOp of
+  * Expressions; jx_python/jx.py interprets it row-at-a-time; and
+  * jx_elasticsearch translates it to ES aggregations). Here the SAME
+  * normalized pipeline compiles to ONE declarative DataFrame plan —
+  * filter → edges/groupby aggregate → window → sort → limit — so Catalyst
+  * optimizes the whole query and nothing is interpreted per row.
+  *
+  * Supported surface (SURVEY.md §2.2/§2.4/§2.5 — the subset the upstream
+  * docs exercise; each op maps onto the operator inventory this repo
+  * already oracle-verifies one by one):
+  *
+  *  - `from`: table name, resolved by the caller-supplied resolver
+  *  - `where`: op-tree — and/or/not, eq/ne (null-safe), gt/gte/lt/lte,
+  *    in, missing/exists, prefix/suffix/find/between, arithmetic
+  *    add/sub/mult/div (null-skipping), floor/abs, coalesce, case,
+  *    length/lower/upper/trim, concat, literal
+  *  - `select`: "." (all), a field, or a list of {name, value, aggregate};
+  *    aggregates: count sum min max average cardinality median union
+  *  - `groupby`: sparse grouping; `edges`: DENSE grouping — every domain
+  *    part appears (distinct values ∪ the jx null part), empty cells
+  *    materialized with count 0
+  *  - `window`: [{name, value, aggregate, edges, sort, range{min,max}}] —
+  *    rows-frame running/sliding aggregates per partition
+  *  - `sort`: field | {value, sort: "desc"} | list; `limit`: int
+  *
+  * jx convention: bare strings in expression positions are VARIABLES
+  * (column paths); literals are written {"literal": v} (numbers/booleans
+  * in operator arguments are taken literally). The object shorthand
+  * {"eq": {"f": 1}} is accepted alongside the array form
+  * {"eq": ["f", {"literal": 1}]}.
+  */
+object Jx {
+
+  private val mapper = new ObjectMapper()
+
+  /** Compile and run a jx JSON query. `tables` resolves the `from` name. */
+  def run(spark: SparkSession, json: String, tables: String => DataFrame): DataFrame = {
+    val q = mapper.readTree(json)
+    val base = tables(req(q, "from").asText())
+    val filtered = opt(q, "where").map(w => base.filter(expr(w))).getOrElse(base)
+
+    val selects = selectList(q)
+    val aggs = selects.filter(_.aggregate.isDefined)
+    val edges = opt(q, "edges").map(arr).getOrElse(Nil).map(e =>
+      if (e.isTextual) e.asText() else req(e, "value").asText())
+    val groupby = opt(q, "groupby").map(n =>
+      if (n.isTextual) Seq(n.asText()) else arr(n).map(_.asText())).getOrElse(Nil)
+
+    val projected =
+      if (edges.nonEmpty) denseEdges(filtered, edges, aggs)
+      else if (groupby.nonEmpty || aggs.nonEmpty) sparseGroup(filtered, groupby, aggs)
+      else selects match {
+        case Nil => filtered
+        case ss  => filtered.select(ss.map(s => col(s.value).as(s.name)): _*)
+      }
+
+    val windowed = opt(q, "window").map(ws => applyWindows(projected, arr(ws)))
+      .getOrElse(projected)
+
+    val sorted = opt(q, "sort").map { sn =>
+      val keys = (if (sn.isArray) arr(sn) else Seq(sn)).map {
+        case t if t.isTextual => asc_nulls_first(t.asText())
+        case o =>
+          val c = col(req(o, "value").asText())
+          if (opt(o, "sort").exists(_.asText() == "desc")) c.desc_nulls_last
+          else c.asc_nulls_first
+      }
+      windowed.orderBy(keys: _*)
+    }.getOrElse(windowed)
+
+    opt(q, "limit").map(n => sorted.limit(n.asInt())).getOrElse(sorted)
+  }
+
+  // ------------------------------------------------------------ select/agg
+
+  private case class Sel(name: String, value: String, aggregate: Option[String])
+
+  private def selectList(q: JsonNode): Seq[Sel] =
+    opt(q, "select") match {
+      case None => Nil
+      case Some(s) if s.isTextual =>
+        if (s.asText() == ".") Nil else Seq(Sel(s.asText(), s.asText(), None))
+      case Some(s) =>
+        (if (s.isArray) arr(s) else Seq(s)).map {
+          case t if t.isTextual => Sel(t.asText(), t.asText(), None)
+          case o =>
+            val value = opt(o, "value").map(_.asText()).getOrElse(".")
+            val name = opt(o, "name").map(_.asText()).getOrElse(value)
+            Sel(name, value, opt(o, "aggregate").map(_.asText()))
+        }
+    }
+
+  private def aggCol(s: Sel): Column = aggColRaw(s).as(s.name)
+
+  private def aggColRaw(s: Sel): Column = {
+    val v = if (s.value == ".") lit(1) else col(s.value)
+    (s.aggregate.get match {
+      case "count"       => count(v)
+      case "sum"         => sum(v)
+      case "min"         => min(v)
+      case "max"         => max(v)
+      case "average"     => avg(v)
+      case "cardinality" => countDistinct(v)
+      case "median" =>
+        org.apache.spark.sql.functions.expr(s"percentile(${s.value}, 0.5)")
+      case "union"       => array_sort(collect_set(v))
+      case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
+    })
+  }
+
+  private def sparseGroup(df: DataFrame, groupby: Seq[String], aggs: Seq[Sel]): DataFrame = {
+    val aggCols = if (aggs.nonEmpty) aggs.map(aggCol)
+      else Seq(count(lit(1)).as("count"))
+    df.groupBy(groupby.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** jx dense edges: the cube has one cell per domain part — domain =
+    * distinct observed values ∪ the null part — with empty cells
+    * materialized (count → 0, other aggregates null). The domain frame is
+    * generated in-plan and the join is null-safe so the null part matches
+    * rows whose edge value is missing. */
+  private def denseEdges(df: DataFrame, edges: Seq[String], aggs: Seq[Sel]): DataFrame = {
+    val sparse = sparseGroup(df, edges, aggs)
+    val domain = edges.map { e =>
+      df.select(col(e)).distinct()
+        .unionByName(df.sparkSession.range(1).select(lit(null).cast(
+          df.schema(e).dataType).as(e)))
+        .distinct()
+    }.reduce(_ crossJoin _)
+    val cond = edges.map(e => domain(e) <=> sparse(e)).reduce(_ && _)
+    val aggNames = if (aggs.nonEmpty) aggs else Seq(Sel("count", ".", Some("count")))
+    val outCols = edges.map(domain(_)) ++ aggNames.map { s =>
+      if (s.aggregate.contains("count")) coalesce(sparse(s.name), lit(0L)).as(s.name)
+      else sparse(s.name).as(s.name)
+    }
+    domain.join(sparse, cond, "left").select(outCols: _*)
+  }
+
+  // --------------------------------------------------------------- windows
+
+  private def applyWindows(df: DataFrame, ws: Seq[JsonNode]): DataFrame =
+    ws.foldLeft(df) { (acc, w) =>
+      val partition = opt(w, "edges").map(arr).getOrElse(Nil).map(e => col(e.asText()))
+      val sortKeys = opt(w, "sort").map(sn =>
+        (if (sn.isArray) arr(sn) else Seq(sn)).map(k => col(k.asText()))).getOrElse(Nil)
+      var spec = Window.partitionBy(partition: _*)
+      if (sortKeys.nonEmpty) spec = spec.orderBy(sortKeys: _*)
+      val frame = opt(w, "range").map { r =>
+        spec.rowsBetween(
+          opt(r, "min").map(_.asLong()).getOrElse(Window.unboundedPreceding),
+          opt(r, "max").map(_.asLong()).getOrElse(0L))
+      }.getOrElse(if (sortKeys.nonEmpty) spec.rowsBetween(Window.unboundedPreceding, 0) else spec)
+      val sel = Sel(req(w, "name").asText(), req(w, "value").asText(),
+        Some(req(w, "aggregate").asText()))
+      acc.withColumn(sel.name, aggColRaw(sel).over(frame))
+    }
+
+  // ----------------------------------------------------------- expressions
+
+  /** Compile a jx expression op-tree to a Column. Bare strings are column
+    * paths; {"literal": v} is a constant; numbers/booleans in operator
+    * argument positions are literals. */
+  def expr(n: JsonNode): Column = n match {
+    case t if t.isTextual => col(t.asText())
+    case v if v.isNumber  => lit(v.asDouble())
+    case b if b.isBoolean => lit(b.asBoolean())
+    case o if o.isObject =>
+      val op = o.fieldNames().asScala.next()
+      val a = o.get(op)
+      op match {
+        case "literal" => litOf(a)
+        case "and" => arr(a).map(expr).reduce(_ && _)
+        case "or"  => arr(a).map(expr).reduce(_ || _)
+        case "not" => !expr(a)
+        case "eq"  => pair(a, (l, r) => JxFunctions.jxEq(l, r))
+        case "ne"  => pair(a, (l, r) => JxFunctions.jxNe(l, r))
+        case "gt"  => pair(a, _ > _)
+        case "gte" => pair(a, _ >= _)
+        case "lt"  => pair(a, _ < _)
+        case "lte" => pair(a, _ <= _)
+        case "in" =>
+          val xs = arr(a)
+          expr(xs.head).isin(arr(xs(1)).map(jvalue): _*)
+        case "missing" => JxFunctions.missing(expr(a))
+        case "exists"  => JxFunctions.exists(expr(a))
+        case "prefix"  => pair(a, (l, r) => l.startsWith(r))
+        case "suffix"  => pair(a, (l, r) => l.endsWith(r))
+        case "find" =>
+          val xs = arr(a)
+          JxFunctions.jxFind(expr(xs.head), text(xs(1)))
+        case "between" =>
+          val xs = arr(a)
+          JxFunctions.strBetween(expr(xs.head), text(xs(1)), text(xs(2)))
+        case "add"  => JxFunctions.jxAdd(arr(a).map(expr): _*)
+        case "mult" => JxFunctions.jxMult(arr(a).map(expr): _*)
+        case "sub"  => pair(a, _ - _)
+        case "div"  => pair(a, (l, r) => JxFunctions.jxDiv(l, r))
+        case "floor" =>
+          val xs = arr(a)
+          JxFunctions.jxFloor(expr(xs.head), xs(1).asDouble())
+        case "abs"      => abs(expr(a))
+        case "coalesce" => coalesce(arr(a).map(expr): _*)
+        case "length"   => length(expr(a))
+        case "lower"    => lower(expr(a))
+        case "upper"    => upper(expr(a))
+        case "trim"     => trim(expr(a))
+        case "concat" =>
+          val sep = opt(o, "separator").map(_.asText()).getOrElse("")
+          concat_ws(sep, arr(a).map(expr): _*)
+        case "case" =>
+          val clauses = arr(a)
+          val whens = clauses.filter(c => c.has("when"))
+          val els = clauses.find(c => !c.has("when")).map(expr)
+          val chain = whens.tail.foldLeft(
+            when(expr(whens.head.get("when")), expr(whens.head.get("then")))) {
+            (acc, c) => acc.when(expr(c.get("when")), expr(c.get("then")))
+          }
+          els.map(chain.otherwise).getOrElse(chain)
+        case other => throw new IllegalArgumentException(s"unsupported jx op: $other")
+      }
+    case other => throw new IllegalArgumentException(s"bad jx expression: $other")
+  }
+
+  /** Binary ops accept the array form ["f", x] or the shorthand {"f": x}. */
+  private def pair(a: JsonNode, f: (Column, Column) => Column): Column =
+    if (a.isArray) { val xs = arr(a); f(expr(xs.head), expr(xs(1))) }
+    else {
+      val field = a.fieldNames().asScala.next()
+      f(col(field), litOf(a.get(field)))
+    }
+
+  private def litOf(v: JsonNode): Column =
+    if (v.isTextual) lit(v.asText())
+    else if (v.isIntegralNumber) lit(v.asLong())
+    else if (v.isNumber) lit(v.asDouble())
+    else if (v.isBoolean) lit(v.asBoolean())
+    else if (v.isNull) lit(null)
+    else throw new IllegalArgumentException(s"bad literal: $v")
+
+  private def jvalue(v: JsonNode): Any =
+    if (v.isTextual) v.asText()
+    else if (v.isIntegralNumber) v.asLong()
+    else if (v.isNumber) v.asDouble()
+    else if (v.isBoolean) v.asBoolean()
+    else null
+
+  private def text(n: JsonNode): String =
+    if (n.isTextual) n.asText()
+    else if (n.isObject && n.has("literal")) n.get("literal").asText()
+    else throw new IllegalArgumentException(s"expected string: $n")
+
+  private def req(n: JsonNode, f: String): JsonNode = {
+    val v = n.get(f)
+    require(v != null, s"jx query missing required field '$f'")
+    v
+  }
+  private def opt(n: JsonNode, f: String): Option[JsonNode] = Option(n.get(f))
+  private def arr(n: JsonNode): Seq[JsonNode] = n.elements().asScala.toSeq
+}

@@ -1,0 +1,48 @@
+package graft.jx
+
+import graft.operators.Common._
+
+/** Driver-gated jx queries: the JSON below goes through the full
+  * [[Jx]] compile path (parse → where tree → groupby/edges → sort), and
+  * the driver hash-compares the result against the DuckDB oracle — so the
+  * query-language front end is verified end-to-end, not just unit-tested.
+  * Aggregates chosen integer-exact (count / long sum / max) so the compare
+  * is bit-stable without a rounding wrapper (jx has no round op). */
+object JxQueries {
+
+  private val groupbyJson = """{
+    "from": "lineitem",
+    "where": {"gte": ["l_quantity", 30]},
+    "groupby": ["l_returnflag", "l_linestatus"],
+    "select": [
+      {"name": "n", "value": ".", "aggregate": "count"},
+      {"name": "sum_line", "value": "l_linenumber", "aggregate": "sum"},
+      {"name": "max_qty", "value": "l_quantity", "aggregate": "max"}],
+    "sort": ["l_returnflag", "l_linestatus"]}"""
+
+  private val edgesJson = """{
+    "from": "events",
+    "edges": ["event_type"],
+    "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    "sort": ["event_type"]}"""
+
+  val queries: Map[String, Q] = Map(
+    "jx_groupby" -> ((s, d) => Jx.run(s, groupbyJson, name => t(s, d, name))),
+    "jx_edges" -> ((s, d) => Jx.run(s, edgesJson, name => t(s, d, name))))
+
+  val oracle: Map[String, String] = Map(
+    "jx_groupby" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+                max(l_quantity) AS max_qty
+         FROM lineitem WHERE l_quantity >= 30
+         GROUP BY 1, 2 ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""",
+    "jx_edges" ->
+      """WITH dom AS (SELECT DISTINCT event_type FROM events
+                      UNION SELECT NULL),
+              sparse AS (SELECT event_type, count(*) AS cnt
+                         FROM events GROUP BY 1)
+         SELECT d.event_type, coalesce(s.cnt, 0) AS n
+         FROM dom d LEFT JOIN sparse s ON d.event_type IS NOT DISTINCT FROM s.event_type
+         ORDER BY d.event_type NULLS FIRST""")
+}

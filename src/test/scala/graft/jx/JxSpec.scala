@@ -1,0 +1,133 @@
+package graft.jx
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** jx JSON queries compiled to DataFrame plans — golden results over
+  * literal tables, pinning the reference's query-language semantics
+  * (null-safe eq, missing('') routing, dense edges with the null part,
+  * null-skipping arithmetic, rows-frame windows). */
+class JxSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private lazy val logs: DataFrame = Seq(
+    (1L, "mochitest", "win", 10.0, "PASS"),
+    (2L, "mochitest", "linux", 20.0, "FAIL"),
+    (3L, "xpcshell", "win", 30.0, "PASS"),
+    (4L, "xpcshell", null, 40.0, "PASS"),
+    (5L, "mochitest", "win", 50.0, null),
+    (6L, "reftest", "", 7.0, "PASS"))
+    .toDF("id", "suite", "platform", "duration", "status")
+
+  private def run(q: String): DataFrame =
+    Jx.run(spark, q, _ => logs)
+
+  test("filter + select + sort + limit") {
+    val out = run("""{
+      "from": "logs",
+      "select": ["id", "suite"],
+      "where": {"and": [
+        {"gte": ["duration", 20]},
+        {"eq": {"status": "PASS"}}]},
+      "sort": [{"value": "id", "sort": "desc"}],
+      "limit": 2}""").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(4L, 3L))
+  }
+
+  test("null-safe eq: missing == missing is TRUE; in / prefix ops") {
+    val eqNull = run("""{
+      "from": "logs", "select": ["id"],
+      "where": {"eq": ["platform", {"literal": null}]},
+      "sort": "id"}""").collect().map(_.getLong(0)).toSeq
+    // platform null (id 4) — the empty string (id 6) is a DIFFERENT value
+    // for eq; missing() is the op that unifies them
+    assert(eqNull === Seq(4L))
+
+    val missing = run("""{
+      "from": "logs", "select": ["id"],
+      "where": {"missing": "platform"}, "sort": "id"}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(missing === Seq(4L, 6L))
+
+    val inOp = run("""{
+      "from": "logs", "select": ["id"],
+      "where": {"in": ["suite", ["xpcshell", "reftest"]]}, "sort": "id"}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(inOp === Seq(3L, 4L, 6L))
+
+    val prefix = run("""{
+      "from": "logs", "select": ["id"],
+      "where": {"prefix": ["suite", {"literal": "moch"}]}, "sort": "id"}""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(prefix === Seq(1L, 2L, 5L))
+  }
+
+  test("groupby with aggregates") {
+    val out = run("""{
+      "from": "logs",
+      "groupby": "suite",
+      "select": [
+        {"name": "n", "value": ".", "aggregate": "count"},
+        {"name": "total", "value": "duration", "aggregate": "sum"},
+        {"name": "platforms", "value": "platform", "aggregate": "cardinality"}],
+      "sort": "suite"}""").collect()
+    val bySuite = out.map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(bySuite("mochitest") === ((3L, 80.0, 2L)))
+    assert(bySuite("xpcshell") === ((2L, 70.0, 1L)))
+    assert(bySuite("reftest") === ((1L, 7.0, 1L)))
+  }
+
+  test("dense edges materialize every (part × part) cell incl. the null part") {
+    val out = run("""{
+      "from": "logs",
+      "edges": ["suite", "platform"],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "sort": ["suite", "platform"]}""")
+    // domain: 3 suites (no null suite observed, +null part = 4) ×
+    // platforms win/linux/""/null = 4 parts... every combo present
+    val rows = out.collect()
+    assert(rows.length === (3 + 1) * (3 + 1))
+    val cells = rows.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(cells(("mochitest", "win")) === 2L)
+    assert(cells(("xpcshell", null)) === 1L)   // the jx null part, populated
+    assert(cells(("reftest", "linux")) === 0L) // empty cell materialized
+    assert(cells((null, "win")) === 0L)        // null suite part exists, empty
+  }
+
+  test("null-skipping arithmetic and case compile to jx semantics") {
+    val out = run("""{
+      "from": "logs",
+      "select": ["id"],
+      "where": {"gt": [{"add": ["duration", {"literal": null}]}, 25]},
+      "sort": "id"}""").collect().map(_.getLong(0)).toSeq
+    // add(duration, null) = duration (null skipped), so > 25 keeps 3,4,5
+    assert(out === Seq(3L, 4L, 5L))
+  }
+
+  test("window clause: partitioned running sum with rows frame") {
+    val out = run("""{
+      "from": "logs",
+      "window": [{"name": "running", "value": "duration", "aggregate": "sum",
+                  "edges": ["suite"], "sort": ["id"],
+                  "range": {"min": -1, "max": 0}}],
+      "sort": "id"}""").collect()
+    val byId = out.map(r => r.getAs[Long]("id") -> r.getAs[Double]("running")).toMap
+    assert(byId(1L) === 10.0)           // first mochitest row
+    assert(byId(2L) === 30.0)           // 10 + 20 (trailing-2 frame)
+    assert(byId(5L) === 70.0)           // 20 + 50
+    assert(byId(3L) === 30.0)           // first xpcshell row
+  }
+
+  test("string ops: between, find, concat, case") {
+    val df = Seq((1L, "log [error] tail")).toDF("id", "line")
+    val out = Jx.run(spark, """{
+      "from": "t",
+      "select": ["id"],
+      "where": {"and": [
+        {"eq": [{"between": ["line", {"literal": "["}, {"literal": "]"}]},
+                {"literal": "error"}]},
+        {"eq": [{"find": ["line", {"literal": "tail"}]}, {"literal": 12}]}]}}""",
+      _ => df).collect()
+    assert(out.length === 1)
+  }
+}
