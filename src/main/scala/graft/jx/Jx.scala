@@ -53,8 +53,7 @@ object Jx {
 
     val selects = selectList(q)
     val aggs = selects.filter(_.aggregate.isDefined)
-    val edges = opt(q, "edges").map(arr).getOrElse(Nil).map(e =>
-      if (e.isTextual) e.asText() else req(e, "value").asText())
+    val edges = opt(q, "edges").map(arr).getOrElse(Nil).map(parseEdge)
     val groupby = opt(q, "groupby").map(n =>
       if (n.isTextual) Seq(n.asText()) else arr(n).map(_.asText())).getOrElse(Nil)
 
@@ -126,22 +125,69 @@ object Jx {
     df.groupBy(groupby.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
-  /** jx dense edges: the cube has one cell per domain part — domain =
-    * distinct observed values ∪ the null part — with empty cells
-    * materialized (count → 0, other aggregates null). The domain frame is
-    * generated in-plan and the join is null-safe so the null part matches
-    * rows whose edge value is missing. */
-  private def denseEdges(df: DataFrame, edges: Seq[String], aggs: Seq[Sel]): DataFrame = {
-    val sparse = sparseGroup(df, edges, aggs)
-    val domain = edges.map { e =>
-      df.select(col(e)).distinct()
-        .unionByName(df.sparkSession.range(1).select(lit(null).cast(
-          df.schema(e).dataType).as(e)))
-        .distinct()
-    }.reduce(_ crossJoin _)
-    val cond = edges.map(e => domain(e) <=> sparse(e)).reduce(_ && _)
+  /** One edge = the output column name, the bucketing expression applied
+    * to each row, and the in-plan dense domain frame (one column, named
+    * `name`). Domain types (upstream: jx_base/domains.py):
+    *  - set (default): distinct observed values ∪ the jx null part
+    *  - range / duration: numeric bins [min, max] / interval, from the
+    *    domain spec — `sequence()` generates the axis in-plan
+    *  - time: calendar buckets via date_trunc(interval unit), bounds taken
+    *    from the data in-plan (no driver round-trip) */
+  private case class Edge(name: String, bucket: DataFrame => Column,
+      domain: DataFrame => DataFrame)
+
+  private def parseEdge(e: JsonNode): Edge = {
+    val value = if (e.isTextual) e.asText() else req(e, "value").asText()
+    val name = if (e.isTextual) value else opt(e, "name").map(_.asText()).getOrElse(value)
+    val domainSpec = if (e.isTextual) None else opt(e, "domain")
+    domainSpec.map(d => opt(d, "type").map(_.asText()).getOrElse("set")) match {
+      case None | Some("set") | Some("default") =>
+        Edge(name, df => col(value).as(name),
+          df => df.select(col(value).as(name)).distinct()
+            .unionByName(df.sparkSession.range(1).select(
+              lit(null).cast(df.schema(value).dataType).as(name)))
+            .distinct())
+      case Some("range") | Some("duration") =>
+        val d = domainSpec.get
+        val (lo, hi, iv) = (req(d, "min").asDouble(), req(d, "max").asDouble(),
+          req(d, "interval").asDouble())
+        Edge(name, df => (floor(col(value) / iv) * iv).as(name),
+          df => df.sparkSession.range(1)
+            .select(explode(sequence(
+              lit(math.floor(lo / iv).toLong),
+              lit(math.floor(hi / iv).toLong), lit(1L))).as("__i"))
+            .select((col("__i") * iv).cast("double").as(name)))
+      case Some("time") =>
+        val unit = opt(domainSpec.get, "interval").map(_.asText()).getOrElse("day")
+        Edge(name, df => date_trunc(unit, col(value)).as(name),
+          df => df.agg(
+              date_trunc(unit, min(col(value))).as("lo"),
+              date_trunc(unit, max(col(value))).as("hi"))
+            .select(explode(sequence(col("lo"), col("hi"),
+              org.apache.spark.sql.functions.expr(s"interval 1 $unit"))).as(name)))
+      case Some(other) =>
+        throw new IllegalArgumentException(s"unsupported domain type: $other")
+    }
+  }
+
+  /** jx dense edges: the cube has one cell per domain part with empty
+    * cells materialized (count → 0, other aggregates null). The domain
+    * frame is generated in-plan and the join is null-safe so the set
+    * domain's null part matches rows whose edge value is missing. */
+  private def denseEdges(df: DataFrame, edges: Seq[Edge], aggs: Seq[Sel]): DataFrame = {
+    // bucket under internal tags so a bucket expression can share its name
+    // with the source column without ambiguity
+    val tagged = edges.zipWithIndex.map { case (e, i) => (e, s"__edge_$i") }
+    val bucketed = tagged.foldLeft(df) { case (acc, (e, tag)) =>
+      acc.withColumn(tag, e.bucket(df))
+    }
+    val aggCols = if (aggs.nonEmpty) aggs.map(aggCol) else Seq(count(lit(1)).as("count"))
+    val sparse = bucketed.groupBy(tagged.map(t => col(t._2)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val domain = edges.map(_.domain(df)).reduce(_ crossJoin _)
+    val cond = tagged.map { case (e, tag) => domain(e.name) <=> sparse(tag) }.reduce(_ && _)
     val aggNames = if (aggs.nonEmpty) aggs else Seq(Sel("count", ".", Some("count")))
-    val outCols = edges.map(domain(_)) ++ aggNames.map { s =>
+    val outCols = edges.map(e => domain(e.name)) ++ aggNames.map { s =>
       if (s.aggregate.contains("count")) coalesce(sparse(s.name), lit(0L)).as(s.name)
       else sparse(s.name).as(s.name)
     }

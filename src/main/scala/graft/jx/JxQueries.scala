@@ -26,9 +26,17 @@ object JxQueries {
     "select": [{"name": "n", "value": ".", "aggregate": "count"}],
     "sort": ["event_type"]}"""
 
+  private val rangeJson = """{
+    "from": "events",
+    "edges": [{"name": "bucket", "value": "value",
+               "domain": {"type": "range", "min": 0, "max": 500, "interval": 50}}],
+    "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    "sort": ["bucket"]}"""
+
   val queries: Map[String, Q] = Map(
     "jx_groupby" -> ((s, d) => Jx.run(s, groupbyJson, name => t(s, d, name))),
-    "jx_edges" -> ((s, d) => Jx.run(s, edgesJson, name => t(s, d, name))))
+    "jx_edges" -> ((s, d) => Jx.run(s, edgesJson, name => t(s, d, name))),
+    "jx_range" -> ((s, d) => Jx.run(s, rangeJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     "jx_groupby" ->
@@ -44,5 +52,12 @@ object JxQueries {
                          FROM events GROUP BY 1)
          SELECT d.event_type, coalesce(s.cnt, 0) AS n
          FROM dom d LEFT JOIN sparse s ON d.event_type IS NOT DISTINCT FROM s.event_type
-         ORDER BY d.event_type NULLS FIRST""")
+         ORDER BY d.event_type NULLS FIRST""",
+    "jx_range" ->
+      """WITH domain AS (SELECT CAST(unnest(generate_series(0, 10, 1)) * 50.0 AS DOUBLE) AS bucket),
+              sparse AS (SELECT floor(value / 50.0) * 50.0 AS bucket, count(*) AS cnt
+                         FROM events GROUP BY 1)
+         SELECT d.bucket, coalesce(s.cnt, 0) AS n
+         FROM domain d LEFT JOIN sparse s USING (bucket)
+         ORDER BY bucket NULLS FIRST""")
 }

@@ -118,6 +118,40 @@ class JxSpec extends graft.SparkSpec {
     assert(byId(3L) === 30.0)           // first xpcshell row
   }
 
+  test("range domain: dense numeric bins from the domain spec") {
+    val out = run("""{
+      "from": "logs",
+      "edges": [{"name": "bin", "value": "duration",
+                 "domain": {"type": "range", "min": 0, "max": 50, "interval": 10}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "sort": ["bin"]}""").collect()
+    // bins 0..50 step 10 → 6 parts, all materialized
+    assert(out.length === 6)
+    val cells = out.map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(cells(0.0) === 1L)  // 7.0
+    assert(cells(10.0) === 1L) // 10.0
+    assert(cells(20.0) === 1L) // 20.0
+    assert(cells(30.0) === 1L)
+    assert(cells(40.0) === 1L)
+    assert(cells(50.0) === 1L)
+  }
+
+  test("time domain: dense calendar-day buckets with in-plan bounds") {
+    val ts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 23:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-04 05:00:00")))
+      .toDF("id", "ts")
+    val out = Jx.run(spark, """{
+      "from": "t",
+      "edges": [{"name": "day", "value": "ts", "domain": {"type": "time", "interval": "day"}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "sort": ["day"]}""", _ => ts).collect()
+    // Jan 1..4 inclusive: 4 dense days, the empty middle days materialized
+    assert(out.length === 4)
+    assert(out.map(_.getLong(1)).toSeq === Seq(2L, 0L, 0L, 1L))
+  }
+
   test("string ops: between, find, concat, case") {
     val df = Seq((1L, "log [error] tail")).toDF("id", "line")
     val out = Jx.run(spark, """{
