@@ -45,10 +45,15 @@ object Jx {
 
   private val mapper = new ObjectMapper()
 
-  /** Compile and run a jx JSON query. `tables` resolves the `from` name. */
+  /** Compile and run a jx JSON query. `tables` resolves the `from` name.
+    * A dotted `from` ("perf.suites.subtests") unnests each array segment —
+    * the jx data model makes the unnest part of the FROM clause (upstream:
+    * jx_base/query.py deep-from normalization): each element of the
+    * terminal array becomes a row, addressable under the segment name
+    * (select "subtests.value"), with parent columns still in scope. */
   def run(spark: SparkSession, json: String, tables: String => DataFrame): DataFrame = {
     val q = mapper.readTree(json)
-    val base = tables(req(q, "from").asText())
+    val base = resolveFrom(req(q, "from").asText(), tables)
     val filtered = opt(q, "where").map(w => base.filter(expr(w))).getOrElse(base)
 
     val selects = selectList(q)
@@ -80,6 +85,14 @@ object Jx {
     }.getOrElse(windowed)
 
     opt(q, "limit").map(n => sorted.limit(n.asInt())).getOrElse(sorted)
+  }
+
+  private def resolveFrom(name: String, tables: String => DataFrame): DataFrame = {
+    val segs = name.split("\\.")
+    segs.tail.foldLeft((tables(segs.head), "")) { case ((df, prefix), seg) =>
+      val path = if (prefix.isEmpty) seg else s"$prefix.$seg"
+      (df.withColumn(seg, explode_outer(col(path))), seg)
+    }._1
   }
 
   // ------------------------------------------------------------ select/agg

@@ -152,6 +152,39 @@ class JxSpec extends graft.SparkSpec {
     assert(out.map(_.getLong(1)).toSeq === Seq(2L, 0L, 0L, 1L))
   }
 
+  test("deep from: dotted path unnests nested arrays into rows") {
+    // the perfherder document shape: suites[] -> subtests[]
+    val perf = Seq(
+      ("talos", Seq(
+        ("tp5", Seq(("page1", 212.5), ("page2", 300.0))),
+        ("tp6", Seq(("page3", 50.0))))).asInstanceOf[(String, Seq[(String, Seq[(String, Double)])])])
+      .toDF("framework", "suites_raw")
+      .selectExpr("framework",
+        """transform(suites_raw, s -> named_struct('name', s._1,
+             'subtests', transform(s._2, t -> named_struct('name', t._1, 'value', t._2))))
+           AS suites""")
+    val out = Jx.run(spark, """{
+      "from": "perf.suites.subtests",
+      "select": [
+        {"name": "suite", "value": "suites.name"},
+        {"name": "subtest", "value": "subtests.name"},
+        {"name": "value", "value": "subtests.value"}],
+      "sort": [{"value": "subtests.value", "sort": "desc"}]}""",
+      _ => perf).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq(("tp5", "page2", 300.0), ("tp5", "page1", 212.5), ("tp6", "page3", 50.0)))
+  }
+
+  test("global aggregate: select with aggregate and no groupby") {
+    val out = run("""{
+      "from": "logs",
+      "select": [
+        {"name": "n", "value": ".", "aggregate": "count"},
+        {"name": "max_d", "value": "duration", "aggregate": "max"}]}""").head()
+    assert(out.getLong(0) === 6L)
+    assert(out.getDouble(1) === 50.0)
+  }
+
   test("string ops: between, find, concat, case") {
     val df = Seq((1L, "log [error] tail")).toDF("id", "line")
     val out = Jx.run(spark, """{
