@@ -151,6 +151,56 @@ object LogParsers {
         round(size(col("covered")) /
           (size(col("covered")) + size(col("uncovered"))).cast("double"), 4))
 
+  // ------------------------------------------------------ T3/T4 task blocks
+
+  /** Task/pulse block schema (FIXTURES.md §B3 — the public Taskcluster
+    * message shape the reference's pulse transforms consume). */
+  val taskBlockSchema: StructType = StructType(Seq(
+    StructField("status", StructType(Seq(
+      StructField("taskId", StringType),
+      StructField("state", StringType),
+      StructField("runs", ArrayType(StructType(Seq(
+        StructField("runId", LongType),
+        StructField("started", StringType),
+        StructField("resolved", StringType),
+        StructField("workerType", StringType)))))))),
+    StructField("task", StructType(Seq(
+      StructField("provisionerId", StringType),
+      StructField("metadata", StructType(Seq(StructField("name", StringType)))),
+      StructField("tags", MapType(StringType, StringType)),
+      StructField("artifacts", ArrayType(StructType(Seq(
+        StructField("name", StringType)))))))),
+    StructField("runId", LongType)))
+
+  /** T4: pulse/task fan-out — one message row → one work item per artifact
+    * (upstream: transforms/pulse_block_to_unittest_logs.py). `explode` is
+    * the whole generator; everything else rides along columnar. */
+  def fanOutArtifacts(blocks: DataFrame): DataFrame =
+    blocks
+      .withColumn("j", from_json(col("value"), taskBlockSchema))
+      .select(
+        col("j.status.taskId").as("task_id"),
+        col("j.runId").as("run_id"),
+        col("j.task.metadata.name").as("task_name"),
+        explode(col("j.task.artifacts.name")).as("artifact"))
+
+  /** T3: builder/task-name normalization (upstream: imports/buildbot.py —
+    * a ~2000-line name → {platform, type, suite, chunk} mapping). The
+    * patterned parse comes from the name itself; the residual lookup rides
+    * a broadcast map exactly like Transforms.etlNormalize. Name shape:
+    * "test-<platform>/<type>-<suite>-<chunk>". */
+  def normalizeTaskNames(tasks: DataFrame): DataFrame =
+    tasks
+      .withColumn("platform",
+        regexp_extract(col("task_name"), "^[a-z]+-([a-z0-9]+)/", 1))
+      .withColumn("build_type",
+        regexp_extract(col("task_name"), "/([a-z]+)-", 1))
+      .withColumn("suite",
+        regexp_extract(col("task_name"), "/[a-z]+-([a-z]+)", 1))
+      .withColumn("chunk",
+        when(regexp_extract(col("task_name"), "-([0-9]+)$", 1) === "", lit(null))
+          .otherwise(regexp_extract(col("task_name"), "-([0-9]+)$", 1).cast("int")))
+
   // ---------------------------------------------------------- T7 dead-letter
 
   /** T7: dead-letter routing (upstream: etl.py catches per-key transform

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for aggregations (SURVEY.md §4 — the reference splits
+  * oversized keys manually in sinks/split.py; Spark's AQE handles skewed
+  * JOINS at runtime but a skewed groupBy still funnels one hot key's rows
+  * into one reducer).
+  *
+  * `saltedAggregate` is the standard two-phase rewrite: aggregate on
+  * (key, salt) first — the hot key's rows spread over `salts` reducers —
+  * then combine the partials per key. Only works for aggregates with a
+  * partial/merge decomposition; the common ones are provided. At 100 TB
+  * this is the difference between a stage pegged on one executor and an
+  * even spread.
+  */
+object Skew {
+
+  /** Aggregate spec: the partial pass runs `partial(value)` per
+    * (key, salt); the merge pass combines partials per key. */
+  case class SaltedAgg(name: String, partial: Column, merge: String => Column)
+
+  def sum2(name: String, c: Column): SaltedAgg =
+    SaltedAgg(name, sum(c).as(name), n => sum(col(n)).as(n))
+  def count2(name: String): SaltedAgg =
+    SaltedAgg(name, count(lit(1)).as(name), n => sum(col(n)).as(n))
+  def min2(name: String, c: Column): SaltedAgg =
+    SaltedAgg(name, min(c).as(name), n => min(col(n)).as(n))
+  def max2(name: String, c: Column): SaltedAgg =
+    SaltedAgg(name, max(c).as(name), n => max(col(n)).as(n))
+
+  /** Two-phase salted groupBy: spreads each key over `salts` partial
+    * groups, then merges. Equivalent to `df.groupBy(keys).agg(...)` for
+    * decomposable aggregates (proven in SkewSpec). */
+  def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
+      salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("__salt", pmod(spark_partition_id()
+      + monotonically_increasing_id(), lit(salts)))
+    val partial = salted
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(aggs.head.partial, aggs.tail.map(_.partial): _*)
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head.merge(aggs.head.name),
+        aggs.tail.map(a => a.merge(a.name)): _*)
+  }
+}

@@ -91,6 +91,23 @@ class LogParsersSpec extends graft.SparkSpec {
     assert(rng.getAs[Double]("percent") === 0.0)
   }
 
+  test("T3/T4: task block fans out artifacts and normalizes the task name") {
+    // FIXTURES.md §B3
+    val block = """{"status":{"taskId":"Abc123","state":"completed","runs":[{"runId":0,"started":"2024-01-01T00:00:00Z","resolved":"2024-01-01T00:10:00Z","workerType":"t-linux"}]},"task":{"provisionerId":"aws","metadata":{"name":"test-linux64/opt-mochitest-1"},"tags":{"os":"linux","test-type":"mochitest"},"artifacts":[{"name":"public/logs/live_backing.log"},{"name":"public/test_info/errorsummary.log"}]},"runId":0}"""
+    val items = LogParsers.fanOutArtifacts(Seq(block).toDF("value"))
+    val rows = items.orderBy("artifact").collect()
+    assert(rows.length === 2) // one work item per artifact
+    assert(rows.map(_.getAs[String]("artifact")).toSeq ===
+      Seq("public/logs/live_backing.log", "public/test_info/errorsummary.log"))
+    assert(rows.head.getAs[String]("task_id") === "Abc123")
+
+    val norm = LogParsers.normalizeTaskNames(items).head()
+    assert(norm.getAs[String]("platform") === "linux64")
+    assert(norm.getAs[String]("build_type") === "opt")
+    assert(norm.getAs[String]("suite") === "mochitest")
+    assert(norm.getAs[Int]("chunk") === 1)
+  }
+
   test("T7: dead-letter split routes malformed lines with the raw payload") {
     val lines = (mozlogLines :+ "this is not json").toDF("value")
     val parsed = LogParsers.parseMozlog(lines)
