@@ -213,7 +213,13 @@ object Jx {
     ws.foldLeft(df) { (acc, w) =>
       val partition = opt(w, "edges").map(arr).getOrElse(Nil).map(e => col(e.asText()))
       val sortKeys = opt(w, "sort").map(sn =>
-        (if (sn.isArray) arr(sn) else Seq(sn)).map(k => col(k.asText()))).getOrElse(Nil)
+        (if (sn.isArray) arr(sn) else Seq(sn)).map {
+          case t if t.isTextual => col(t.asText()).asc_nulls_first
+          case o =>
+            val c = col(req(o, "value").asText())
+            if (opt(o, "sort").exists(_.asText() == "desc")) c.desc_nulls_last
+            else c.asc_nulls_first
+        }).getOrElse(Nil)
       var spec = Window.partitionBy(partition: _*)
       if (sortKeys.nonEmpty) spec = spec.orderBy(sortKeys: _*)
       val frame = opt(w, "range").map { r =>
@@ -221,9 +227,17 @@ object Jx {
           opt(r, "min").map(_.asLong()).getOrElse(Window.unboundedPreceding),
           opt(r, "max").map(_.asLong()).getOrElse(0L))
       }.getOrElse(if (sortKeys.nonEmpty) spec.rowsBetween(Window.unboundedPreceding, 0) else spec)
-      val sel = Sel(req(w, "name").asText(), req(w, "value").asText(),
-        Some(req(w, "aggregate").asText()))
-      acc.withColumn(sel.name, aggColRaw(sel).over(frame))
+      val name = req(w, "name").asText()
+      // no aggregate → jx rownum (1-based position within the partition)
+      opt(w, "aggregate") match {
+        case None =>
+          acc.withColumn(name, row_number().over(
+            if (sortKeys.nonEmpty) Window.partitionBy(partition: _*).orderBy(sortKeys: _*)
+            else Window.partitionBy(partition: _*)))
+        case Some(agg) =>
+          val sel = Sel(name, req(w, "value").asText(), Some(agg.asText()))
+          acc.withColumn(sel.name, aggColRaw(sel).over(frame))
+      }
     }
 
   // ----------------------------------------------------------- expressions
