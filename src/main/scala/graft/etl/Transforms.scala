@@ -98,8 +98,13 @@ object Transforms {
   /** T5: coverage ingestion (upstream: transforms/gcov_to_es.py — lcov
     * DA:line,hits records → per-file covered/uncovered line arrays).
     * Same shape over lineitem: per file (returnflag), the sorted distinct
-    * covered / uncovered "lines" and the coverage percent. */
-  val etlCoverage: Q = (s, d) =>
+    * covered / uncovered "lines" and the coverage percent. The line sets
+    * are built as arrays (`collect_set` + numeric `array_sort`) but
+    * serialized to comma-joined strings for the compare — the driver's
+    * pandas hash can't sort raw array cells (round-3 compare crashed). */
+  val etlCoverage: Q = (s, d) => {
+    def lineSet(c: org.apache.spark.sql.Column) =
+      concat_ws(",", transform(array_sort(collect_set(c)), _.cast("string")))
     t(s, d, "lineitem")
       .select(
         col("l_returnflag").as("source_file"),
@@ -107,10 +112,11 @@ object Transforms {
         (col("l_quantity") > 25.0).as("hit"))
       .groupBy("source_file")
       .agg(
-        array_sort(collect_set(when(col("hit"), col("line")))).as("covered"),
-        array_sort(collect_set(when(!col("hit"), col("line")))).as("uncovered"),
+        lineSet(when(col("hit"), col("line"))).as("covered"),
+        lineSet(when(!col("hit"), col("line"))).as("uncovered"),
         r4(sum(when(col("hit"), 1.0).otherwise(0.0)) / count(lit(1))).as("hit_ratio"))
       .orderBy("source_file")
+  }
 
   /** T6: etl lineage stamping (upstream: transforms/__init__.py wraps every
     * output doc with etl{id, source, timestamp} and S3 keys like
@@ -186,10 +192,10 @@ object Transforms {
          GROUP BY doc_id ORDER BY doc_id LIMIT 300""",
     "etl_coverage" ->
       """SELECT l_returnflag AS source_file,
-                list(DISTINCT l_linenumber ORDER BY l_linenumber)
-                  FILTER (WHERE l_quantity > 25.0) AS covered,
-                list(DISTINCT l_linenumber ORDER BY l_linenumber)
-                  FILTER (WHERE NOT l_quantity > 25.0) AS uncovered,
+                coalesce(array_to_string(list(DISTINCT l_linenumber ORDER BY l_linenumber)
+                  FILTER (WHERE l_quantity > 25.0), ','), '') AS covered,
+                coalesce(array_to_string(list(DISTINCT l_linenumber ORDER BY l_linenumber)
+                  FILTER (WHERE NOT l_quantity > 25.0), ','), '') AS uncovered,
                 round(count(*) FILTER (WHERE l_quantity > 25.0) * 1.0 / count(*), 4) AS hit_ratio
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "etl_lineage" ->

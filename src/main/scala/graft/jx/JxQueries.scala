@@ -33,10 +33,25 @@ object JxQueries {
     "select": [{"name": "n", "value": ".", "aggregate": "count"}],
     "sort": ["bucket"]}"""
 
+  private val windowJson = """{
+    "from": "events",
+    "select": [
+      {"name": "event_id", "value": "event_id"},
+      {"name": "event_type", "value": "event_type"},
+      {"name": "ts", "value": "ts"}],
+    "window": [
+      {"name": "rn", "edges": ["event_type"], "sort": ["ts", "event_id"]},
+      {"name": "min3", "value": "event_id", "aggregate": "min",
+       "edges": ["event_type"], "sort": ["ts", "event_id"],
+       "range": {"min": -2, "max": 0}}],
+    "sort": ["event_type", "rn"],
+    "limit": 500}"""
+
   val queries: Map[String, Q] = Map(
     "jx_groupby" -> ((s, d) => Jx.run(s, groupbyJson, name => t(s, d, name))),
     "jx_edges" -> ((s, d) => Jx.run(s, edgesJson, name => t(s, d, name))),
-    "jx_range" -> ((s, d) => Jx.run(s, rangeJson, name => t(s, d, name))))
+    "jx_range" -> ((s, d) => Jx.run(s, rangeJson, name => t(s, d, name))),
+    "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     "jx_groupby" ->
@@ -59,5 +74,14 @@ object JxQueries {
                          FROM events GROUP BY 1)
          SELECT d.bucket, coalesce(s.cnt, 0) AS n
          FROM domain d LEFT JOIN sparse s USING (bucket)
-         ORDER BY bucket NULLS FIRST""")
+         ORDER BY bucket NULLS FIRST""",
+    "jx_window" ->
+      """SELECT event_id, event_type, ts, rn, min3 FROM (
+           SELECT event_id, event_type, ts,
+                  CAST(row_number() OVER w AS INT) AS rn,
+                  min(event_id) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS min3
+           FROM events
+           WINDOW w AS (PARTITION BY event_type
+                        ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST))
+         ORDER BY event_type NULLS FIRST, rn NULLS FIRST LIMIT 500""")
 }

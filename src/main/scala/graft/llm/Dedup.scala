@@ -18,8 +18,10 @@ import graft.operators.Common._
   * space in both engines. The sub-quadratic candidate paths are
   * `dedupMinhash` (banded MinHash) and `dedupSimhash` (banded SimHash) —
   * both recall-gated end-to-end in DedupSpec over synthetic corpora with
-  * known near-dup pairs (their hash families aren't DuckDB-expressible,
-  * so the driver records rows-only checks).
+  * known near-dup pairs. MinHash is additionally DuckDB-oracle'd (its
+  * md5-derived hash family replays in SQL); SimHash's 64-bit wraparound
+  * FNV can't be expressed in DuckDB (BIGINT multiply overflows rather
+  * than wrapping), so it stays a rows-only check + ScalaTest goldens.
   */
 object Dedup {
 
@@ -31,8 +33,14 @@ object Dedup {
     * boilerplate skew (see dedupSimhash scale note). */
   val SimhashBucketCap = 500
 
-  /** Distinct 3-word shingles per document — the shared front end of the
-    * n-gram-Jaccard and MinHash paths. */
+  /** Distinct hashed 3-word shingles per document — the shared front end
+    * of the n-gram-Jaccard and MinHash paths. Each shingle is reduced to
+    * a 60-bit md5-derived int BEFORE the distinct: every downstream
+    * shuffle (dedup, doc-frequency, pair join) then moves 8-byte ints
+    * instead of ~25-byte strings — the standard shingle-hashing
+    * approximation (collision odds ~n²/2⁶¹: negligible at any corpus
+    * size where per-doc shingle sets fit memory), md5-derived so the
+    * DuckDB oracle reproduces identical hashes bit-for-bit. */
   private def shingles(s: SparkSession, d: String): DataFrame =
     t(s, d, "documents")
       .withColumn("toks", split(col("text"), " "))
@@ -42,6 +50,8 @@ object Dedup {
              i -> concat(element_at(toks, i + 1), ' ',
                          element_at(toks, i + 2), ' ',
                          element_at(toks, i + 3)))""")).as("sh"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("h"))
       .distinct()
 
   /** X1a: n-gram (3-word shingle) Jaccard near-dup pairs.
@@ -52,13 +62,13 @@ object Dedup {
     val sh0 = shingles(s, d)
     // Hot-shingle cap: the "keep" set is small → broadcast hash semi-join;
     // the doc-frequency groupBy is the only extra (linear) shuffle.
-    val hot = sh0.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > HotShingleCap).select("sh")
-    val sh = sh0.join(broadcast(hot), Seq("sh"), "left_anti")
+    val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleCap).select("h")
+    val sh = sh0.join(broadcast(hot), Seq("h"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
-    val common = a.join(b, col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+    val common = a.join(b, col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
       .agg(count(lit(1)).as("c"))
     common
@@ -100,9 +110,10 @@ object Dedup {
     * cosine ≥ 0.9, where 4×4-bit banding catches >95% of pairs. (The
     * driver corpus's most-similar pairs sit near cosine 0.5, where ANY
     * sub-quadratic method is probabilistically weak — random-hyperplane
-    * collision probability degrades linearly with angle.) The driver
-    * records a rows-only check (bucket membership depends on Spark's
-    * murmur hash — not oracle-able). */
+    * collision probability degrades linearly with angle.) DuckDB-oracle'd
+    * end to end: the planes are md5-derived ([[Similarity.lshSignature]])
+    * so the oracle regenerates identical signatures, buckets, candidate
+    * pairs, and cosines in pure SQL. */
   val dedupEmbedLsh: Q = (s, d) => {
     val base = t(s, d, "embeddings")
       .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
@@ -129,13 +140,15 @@ object Dedup {
     * external engine can reproduce it bit-for-bit; K independent hashes
     * come from ONE md5 per shingle via a universal family
     * h_k(x) = (a_k·x + b_k) mod M — md5 dominates the per-row cost, the
-    * multiply-adds are codegen'd integer ops (measured ~2× on this query). */
+    * multiply-adds are codegen'd integer ops (measured ~2× on this query).
+    * That reproducibility is cashed in below: the DuckDB oracle replays
+    * the identical pipeline (md5 → universal hashes → min per doc → bands
+    * → bucket join → Jaccard verify) in pure SQL. */
   val dedupMinhash: Q = (s, d) => {
     val K = 8
     val bandsOf = 4 // 4 bands × 2 rows
     val M = 2147483647L // 2^31 - 1 (prime); a_k·x + b_k stays in int64
-    val sh = shingles(s, d).withColumn("hb",
-      pmod(expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)"), lit(M)))
+    val sh = shingles(s, d).withColumn("hb", pmod(col("h"), lit(M)))
     val hashAggs = (0 until K).map { k =>
       min(pmod(lit(2 * k + 1) * col("hb") + lit(104729L * (k + 1)), lit(M))).as(s"h$k")
     }
@@ -151,8 +164,8 @@ object Dedup {
       .distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val common = cand
-      .join(sh.select(col("doc_id").as("da"), col("sh")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("sh")), Seq("db", "sh"))
+      .join(sh.select(col("doc_id").as("da"), col("h")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
       .groupBy("da", "db").agg(count(lit(1)).as("c"))
     common
       .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
@@ -183,10 +196,12 @@ object Dedup {
   val dedupSimhash: Q = (s, d) => {
     val sigs = t(s, d, "documents")
       .select(col("doc_id"), SimHash64(split(col("text"), " ")).as("sig"))
-    val bands0 = (0 until 4).map { bnd =>
-      sigs.select(col("doc_id"), col("sig"), lit(bnd).as("band"),
-        shiftrightunsigned(col("sig"), 16 * bnd).bitwiseAND(lit(0xffffL)).as("bh"))
-    }.reduce(_ unionByName _)
+    // posexplode of an in-row band array, not a 4-way union: a union
+    // re-evaluates SimHash64 (interpreted, per-token) once per branch.
+    val bands0 = sigs
+      .select(col("doc_id"), col("sig"), posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftrightunsigned(sig, 16 * b) & 65535)")))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bh"))
     // Bucket cap as a window count over the same (band, bh) partitioning
     // the self-join shuffles on anyway — one extra sort, no second pass
     // over the SimHash computation.
@@ -214,17 +229,73 @@ object Dedup {
     "dedup_embed_lsh" -> dedupEmbedLsh)
 
   val oracle: Map[String, String] = Map(
+    "dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                         CAST('0x' || substr(md5(unnest(
+                           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
+                  FROM toks WHERE len(t) >= 3),
+           hb AS (SELECT doc_id, h, h % 2147483647 AS hb FROM sh),
+           sig AS (SELECT doc_id,
+                          min(( 1*hb + 104729) % 2147483647) AS h0,
+                          min(( 3*hb + 209458) % 2147483647) AS h1,
+                          min(( 5*hb + 314187) % 2147483647) AS h2,
+                          min(( 7*hb + 418916) % 2147483647) AS h3,
+                          min(( 9*hb + 523645) % 2147483647) AS h4,
+                          min((11*hb + 628374) % 2147483647) AS h5,
+                          min((13*hb + 733103) % 2147483647) AS h6,
+                          min((15*hb + 837832) % 2147483647) AS h7
+                   FROM hb GROUP BY doc_id),
+           bands AS (
+             SELECT doc_id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS bh FROM sig
+             UNION ALL SELECT doc_id, 1, h2::VARCHAR || '_' || h3::VARCHAR FROM sig
+             UNION ALL SELECT doc_id, 2, h4::VARCHAR || '_' || h5::VARCHAR FROM sig
+             UNION ALL SELECT doc_id, 3, h6::VARCHAR || '_' || h7::VARCHAR FROM sig),
+           cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                    FROM bands x JOIN bands y
+                      ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           common AS (SELECT cd.da, cd.db, count(*) AS cc
+                      FROM cand cd
+                      JOIN sh a ON a.doc_id = cd.da
+                      JOIN sh b ON b.doc_id = cd.db AND b.h = a.h
+                      GROUP BY 1, 2)
+         SELECT da, db, round(cc * 1.0 / (x.n + y.n - cc), 4) AS jaccard
+         FROM common m JOIN sz x ON m.da = x.doc_id JOIN sz y ON m.db = y.doc_id
+         WHERE cc * 1.0 / (x.n + y.n - cc) >= 0.5
+         ORDER BY jaccard DESC, da ASC, db ASC""",
+    "dedup_embed_lsh" ->
+      s"""WITH ${Similarity.lshOracleCte},
+           cand AS (SELECT DISTINCT x.vec_id AS da, y.vec_id AS db
+                    FROM bands x JOIN bands y
+                      ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id),
+           dvecs AS (SELECT vec_id,
+                            [CAST(x AS DOUBLE) for x in v] AS dv FROM vecs),
+           n AS (SELECT vec_id,
+                        list_reduce([dv[i] * dv[i] for i in generate_series(1, len(dv))],
+                                    (x, y) -> x + y) AS norm2
+                 FROM dvecs)
+         SELECT c.da, c.db,
+                round(list_reduce([a.dv[i] * b.dv[i] for i in generate_series(1, 64)],
+                                  (x, y) -> x + y)
+                      / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) AS cosine
+         FROM cand c
+         JOIN dvecs a ON a.vec_id = c.da JOIN dvecs b ON b.vec_id = c.db
+         JOIN n na ON na.vec_id = c.da JOIN n nb ON nb.vec_id = c.db
+         ORDER BY cosine DESC, da ASC, db ASC LIMIT 50""",
     "dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            sh0 AS (SELECT DISTINCT doc_id,
-                          unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                                  for i in generate_series(1, len(t) - 2)]) AS s
+                          CAST('0x' || substr(md5(unnest(
+                            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
                    FROM toks WHERE len(t) >= 3),
-           keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
-           sh AS (SELECT sh0.doc_id, sh0.s FROM sh0 JOIN keep USING (s)),
+           keep AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 50),
+           sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep USING (h)),
            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
            pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-                     FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                     FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
                      GROUP BY 1, 2)
          SELECT da, db, c, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
          FROM pairs p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id

@@ -44,18 +44,19 @@ object Similarity {
 
   /** Deterministic ±1 hyperplane — generated driver-side once, shipped as
     * an array literal, so the per-row work is one codegen'd DotProduct per
-    * plane. The (plane, i) mix is a splitmix64-style finalizer: full
-    * avalanche, so planes are statistically independent (a weaker linear
-    * mix leaves consecutive planes correlated and inflates LSH bucket
-    * collisions — caught by LshRecallSpec's sub-quadratic assertion). */
-  private def plane(p: Int, dim: Int): Seq[Double] =
+    * plane. The sign for (plane p, dim i) is the parity of the first hex
+    * digit of md5("p:i"): md5 bits are independent (planes uncorrelated —
+    * LshRecallSpec's sub-quadratic assertion catches a weak mix) AND the
+    * generator is reproducible in any engine with an md5 function, which
+    * is what makes the LSH queries DuckDB-oracle-able (the oracle SQL
+    * regenerates identical planes with its own md5). */
+  private def plane(p: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
     Seq.tabulate(dim) { i =>
-      var z = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^= z >>> 31
-      if ((z & 1L) == 0L) 1.0 else -1.0
+      val digit = (md.digest(s"$p:$i".getBytes("UTF-8"))(0) >> 4) & 0xf
+      if (digit % 2 == 0) 1.0 else -1.0
     }
+  }
 
   /** Random-hyperplane LSH signatures: sign bits of dot products against
     * deterministic pseudo-random ±1 planes. Vectors sharing a signature
@@ -70,8 +71,6 @@ object Similarity {
       when(DotProduct(vcol, typedlit(plane(p, dim))) >= 0, 1).otherwise(0)
     }
     df.withColumn("sig", array(bits: _*))
-      .withColumn("bucket", expr(
-        "aggregate(sig, 0L, (acc, bit) -> acc * 2 + bit)"))
   }
 
   /** Band the signature bit-array into (band, bucket-hash) rows — pairs
@@ -79,13 +78,19 @@ object Similarity {
     * MinHash/SimHash banding). Defaults (6 bands × 8 bits over 48 planes)
     * put a random pair's collision odds near 2% while catching ~99% of
     * cosine ≥ 0.95 pairs — measured in LshRecallSpec, which drives this
-    * exact code path. Shared by dedup_embed_lsh. */
+    * exact code path. Shared by dedup_embed_lsh.
+    *
+    * One `posexplode` over an in-row band array, NOT a bands-way union of
+    * selects: a union re-evaluates the signature (48 codegen'd dot
+    * products per row) once per branch — 12× per LSH self-join — while
+    * the explode computes it once per side (measured ~2.5× on
+    * dedup_embed_lsh). */
   def lshBands(sig: DataFrame, idCol: String, bands: Int = 6, bits: Int = 8): DataFrame =
-    (0 until bands).map { b =>
-      sig.select(col(idCol), lit(b).as("band"),
-        expr(s"aggregate(slice(sig, ${b * bits + 1}, $bits), 0L, (acc, bit) -> acc * 2 + bit)")
-          .as("bh"))
-    }.reduce(_ unionByName _)
+    sig.select(col(idCol), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+              b -> aggregate(slice(sig, b * $bits + 1, $bits),
+                             0L, (acc, bit) -> acc * 2 + bit))""")))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bh"))
 
   /** Candidate pairs sharing any LSH band bucket. */
   def lshCandidatePairs(sig: DataFrame, idCol: String): DataFrame = {
@@ -97,25 +102,149 @@ object Similarity {
       .distinct()
   }
 
-  /** LSH-bucketed near-neighbor candidates: pairs sharing a bucket. The
-    * scale path for dedup_embed/sim_topk; correctness (recall vs brute
-    * force) is ScalaTest-gated since bucket membership isn't
-    * SQL-oracle-able across engines (Spark's murmur hash). */
+  /** LSH bucket census: per (band, bucket-hash), how many vectors landed
+    * there and how many candidate pairs that bucket contributes — the
+    * quantity that decides whether the LSH join stays sub-quadratic
+    * (Σ n·(n−1)/2 over buckets is exactly the candidate-join cost).
+    * Band-level buckets (8 bits), not the full 48-bit signature: full
+    * signatures collide only for near-identical vectors, so at small SF
+    * the census would be empty (round-3 run returned 0 rows).
+    * Oracle-able because the planes are md5-derived (see [[plane]]) and
+    * every arithmetic step (float→double widening, ordered left-fold sum,
+    * sign test) is reproduced bit-for-bit by the DuckDB SQL. */
   val simLshCandidates: Q = (s, d) => {
     val sig = lshSignature(t(s, d, "embeddings"))
-    val a = sig.select(col("vec_id").as("da"), col("bucket"))
-    val b = sig.select(col("vec_id").as("db"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("da") < col("db"))
-      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
-      .orderBy(desc("n_pairs"), asc("bucket"))
+    lshBands(sig, "vec_id")
+      .groupBy("band", "bh")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .withColumn("n_pairs", (col("n_docs") * (col("n_docs") - 1) / 2).cast("long"))
+      .orderBy(desc("n_pairs"), asc("band"), asc("bh"))
       .limit(50)
+  }
+
+  /** X3b: IVF (inverted-file) ANN — the second scale path next to LSH.
+    * Index mechanics exactly as production IVF: assign every vector to
+    * its nearest coarse centroid (inverted lists), queries probe only
+    * the `nprobe` nearest lists, exact cosine + top-k within the probed
+    * candidates. The coarse quantizer here is deterministic — centroids
+    * are the first `nlist` vectors by id — instead of k-means: the index
+    * structure, probe math, and all joins are identical, and a fixed
+    * quantizer makes the whole operator DuckDB-oracle-able (k-means
+    * initialization isn't reproducible across engines). At 100 TB:
+    * centroids are a broadcast table (nlist ≪ n), assignment is one
+    * map-side pass, the probe join touches nprobe/nlist of the corpus —
+    * no shuffle grows with n² anywhere. */
+  val simIvf: Q = (s, d) => {
+    val nlist = 16
+    val nprobe = 4
+    val vecs = t(s, d, "embeddings")
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
+    val cents = vecs.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("norm2").as("cn"))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        DotProduct(col("embedding"), col("cv")) / (sqrt(col("norm2")) * sqrt(col("cn"))))
+    // nearest centroid per vector: single-pass argmin (max_by over
+    // (cos, -cid) — smallest cid wins exact ties), no window shuffle
+    val assign = scored.groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+    val inv = assign.join(vecs, Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("norm2").as("nn"))
+    val probes = scored.filter(col("vec_id") < 20)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val q = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("norm2").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+    probes.join(inv, Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        r4(DotProduct(col("qv"), col("nv")) / (sqrt(col("qn")) * sqrt(col("nn")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "nid", "cosine")
+      .orderBy("qid", "rnk")
   }
 
   val queries: Map[String, Q] = Map(
     "sim_topk" -> simTopk,
+    "sim_ivf" -> simIvf,
     "sim_lsh_candidates" -> simLshCandidates)
 
+  /** Shared oracle CTE prefix: regenerate the md5-derived ±1 planes, the
+    * 48 signature bits (ordered left-fold dot product — same summation
+    * order as [[graft.functions.DotProduct]]'s loop, hence bit-identical
+    * doubles), and the 6×8-bit band hashes (MSB = first plane of the
+    * band, matching `aggregate(slice(sig,…), acc*2+bit)`). Used by
+    * sim_lsh_candidates here and dedup_embed_lsh in [[Dedup]]. */
+  val lshOracleCte: String =
+    """vecs AS (SELECT vec_id, embedding AS v FROM embeddings),
+       planes AS (
+         SELECT p,
+                [CASE WHEN (strpos('0123456789abcdef',
+                                   substr(md5(p || ':' || (i - 1)), 1, 1)) - 1) % 2 = 0
+                      THEN 1.0 ELSE -1.0 END
+                 for i in generate_series(1, 64)] AS w
+         FROM generate_series(0, 47) t(p)),
+       bits AS (
+         SELECT vec_id, p,
+                CASE WHEN list_reduce(
+                       [CAST(v[i] AS DOUBLE) * w[i] for i in generate_series(1, 64)],
+                       (a, b) -> a + b) >= 0 THEN 1 ELSE 0 END AS bit
+         FROM vecs CROSS JOIN planes),
+       bands AS (
+         SELECT vec_id, CAST(p // 8 AS INT) AS band,
+                CAST(sum(bit * (1 << (7 - (p % 8)))) AS BIGINT) AS bh
+         FROM bits GROUP BY 1, 2)"""
+
   val oracle: Map[String, String] = Map(
+    "sim_ivf" ->
+      """WITH raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+                      FROM embeddings),
+           vn AS (SELECT vec_id, v,
+                         list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
+                                     (x, y) -> x + y) AS norm2
+                  FROM raw),
+           cents AS (SELECT vec_id AS cid, v AS cv, norm2 AS cn FROM vn WHERE vec_id < 16),
+           scored AS (
+             SELECT a.vec_id, c.cid,
+                    list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, 64)],
+                                (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
+             FROM vn a CROSS JOIN cents c),
+           assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+             FROM scored) WHERE rn = 1),
+           inv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
+                   FROM assign a JOIN vn v USING (vec_id)),
+           probes AS (SELECT vec_id AS qid, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+             FROM scored WHERE vec_id < 20) WHERE rk <= 4),
+           q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn FROM vn WHERE vec_id < 20),
+           cand AS (
+             SELECT p.qid, i.nid,
+                    round(list_reduce([q.qv[k] * i.nv[k] for k in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(q.qn) * sqrt(i.nn)), 4) AS cosine
+             FROM probes p JOIN inv i USING (cid) JOIN q ON q.qid = p.qid
+             WHERE p.qid <> i.nid)
+         SELECT qid, rnk, nid, cosine FROM (
+           SELECT qid, nid, cosine,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
+           FROM cand) WHERE rnk <= 5
+         ORDER BY qid, rnk""",
+    "sim_lsh_candidates" ->
+      s"""WITH $lshOracleCte
+         SELECT band, bh, count(*) AS n_docs,
+                CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS n_pairs
+         FROM bands GROUP BY band, bh HAVING count(*) >= 2
+         ORDER BY n_pairs DESC, band ASC, bh ASC LIMIT 50""",
     "sim_topk" ->
       """WITH vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
            n AS (SELECT vec_id,

@@ -190,11 +190,15 @@ object Aggregates {
         r4(col("m4") / (col("m2") * col("m2")) - 3).as("kurt_p"))
       .orderBy("event_type")
 
-  /** A11: set-union of values per group — sorted for determinism (§7.4). */
+  /** A11: set-union of values per group — sorted for determinism (§7.4).
+    * The set is built with `collect_set` (the jx union aggregate) but
+    * serialized to a comma-joined string for the compare: the driver's
+    * pandas hash can't sort raw array cells (round-3 compare crashed on
+    * the ndarray), and a joined string is order-exact anyway. */
   val aggCollectSet: Q = (s, d) =>
     t(s, d, "lineitem")
       .groupBy("l_linestatus")
-      .agg(array_sort(collect_set(col("l_returnflag"))).as("flags"),
+      .agg(concat_ws(",", array_sort(collect_set(col("l_returnflag")))).as("flags"),
         count(lit(1)).as("n"))
       .orderBy("l_linestatus")
 
@@ -345,7 +349,8 @@ object Aggregates {
                 round(m4 / (m2 * m2) - 3, 4) AS kurt_p
          FROM c ORDER BY event_type""",
     "agg_collect_set" ->
-      """SELECT l_linestatus, list(DISTINCT l_returnflag ORDER BY l_returnflag) AS flags,
+      """SELECT l_linestatus,
+                array_to_string(list(DISTINCT l_returnflag ORDER BY l_returnflag), ',') AS flags,
                 count(*) AS n
          FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""",
     "agg_first_last" ->

@@ -31,4 +31,28 @@ object Sinks {
   def jsonLinesStaged(df: DataFrame, dir: String, keyCol: String): Unit =
     df.write.mode("overwrite").partitionBy(keyCol)
       .option("compression", "gzip").json(dir)
+
+  /** S5: Elasticsearch bulk sink — each row becomes the bulk API's
+    * action/source line pair (`{"index":{"_index":…,"_id":…}}` then the
+    * document JSON), routed to a daily index `<name>_YYYYMMDD` by the
+    * row's own timestamp. With a real ES connector this would be
+    * `df.write.format("es")`; the sandbox has no connector, so the sink
+    * materializes exactly what `push_to_es` POSTs: one gzip NDJSON bulk
+    * body per daily index (a consumer replays each file against
+    * `/_bulk`). Explicit `_id` keeps re-delivery idempotent on the ES
+    * side (same id → overwrite, the reference's dedup story). Entirely
+    * in-plan: `to_json` + `concat` under codegen, one pass, writers
+    * partitioned by target index. */
+  def esBulk(df: DataFrame, dir: String, index: String, idCol: String,
+             tsCol: String = "ts"): Unit = {
+    val doc = to_json(struct(df.columns.map(col): _*))
+    val action = to_json(struct(struct(
+      concat(lit(index + "_"), date_format(col(tsCol), "yyyyMMdd")).as("_index"),
+      col(idCol).cast("string").as("_id")).as("index")))
+    df.select(
+        concat(lit(index + "_"), date_format(col(tsCol), "yyyyMMdd")).as("_index"),
+        concat_ws("\n", action, doc).as("value"))
+      .write.mode("overwrite").partitionBy("_index")
+      .option("compression", "gzip").text(dir)
+  }
 }

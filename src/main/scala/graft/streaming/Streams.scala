@@ -137,11 +137,49 @@ object Streams {
     tumblingCounts(t(s, d, "events"))
       .orderBy("w_start", "event_type")
 
-  val queries: Map[String, Q] = Map("stream_tumbling" -> streamTumbling)
+  /** ST3 batch twin: `session_window` runs the same gap-merge in batch
+    * mode, which lets the DuckDB oracle verify the session semantics via
+    * the classic gaps-and-islands rewrite (lag → boundary flag →
+    * running-sum session id). Boundary convention checked exactly: a gap
+    * of ≥ the 30-minute window starts a NEW session (Spark session
+    * intervals are half-open, end = last event + gap). */
+  val streamSessions: Q = (s, d) =>
+    sessionCountsBatch(t(s, d, "events"))
+      .orderBy("user_id", "s_start")
+
+  /** sessionCounts minus the watermark (watermarks require streaming). */
+  def sessionCountsBatch(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("total_value"))
+      .select(
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  val queries: Map[String, Q] = Map(
+    "stream_tumbling" -> streamTumbling,
+    "stream_sessions" -> streamSessions)
 
   val oracle: Map[String, String] = Map(
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
                 count(*) AS n, round(sum(value), 2) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_sessions" ->
+      """WITH o AS (
+           SELECT user_id, ts, value,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                            ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM o)
+         SELECT min(ts) AS s_start,
+                max(ts) + INTERVAL 30 MINUTE AS s_end,
+                user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+         FROM g GROUP BY user_id, sid
+         ORDER BY user_id, s_start""")
 }

@@ -7,9 +7,11 @@ import org.apache.spark.sql.functions._
 /** End-to-end recall gates for the text near-dup family, driving the REAL
   * production queries (they read `documents.parquet` from a directory — the
   * fixture writes a synthetic corpus with known near-dup pairs there).
-  * dedup_minhash and dedup_simhash are rows-only at the driver (their hash
-  * families aren't DuckDB-expressible), so this spec is their correctness
-  * gate. */
+  * The driver's DuckDB oracle checks equality-to-SQL-replay for
+  * dedup_minhash; RECALL (does banding actually find the near-dups?) is
+  * only checkable against a corpus with known true pairs — that's this
+  * spec. dedup_simhash has no oracle at all (64-bit wraparound FNV isn't
+  * DuckDB-expressible), so this spec is its sole correctness gate. */
 class DedupSpec extends graft.SparkSpec {
   import spark.implicits._
 

@@ -54,4 +54,14 @@ class PlanAuditSpec extends graft.SparkSpec {
     val p = plan("dedup_embed")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"), p)
   }
+
+  test("sim_ivf: no cartesian product; candidate search is equi-joined") {
+    val p = plan("sim_ivf")
+    // the only nested-loop allowed is the deliberate nlist-row centroid
+    // broadcast (assignment pass); the probe→inverted-list→query joins
+    // must all be equi-joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
 }

@@ -47,6 +47,34 @@ class SinksSpec extends graft.SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(9L))
   }
 
+  test("S5: ES bulk sink emits action/source NDJSON pairs per daily index") {
+    val dir = Files.createTempDirectory("graft-s5").toString
+    val df = Seq(
+      (11L, ts("2024-01-01 10:00:00"), "click"),
+      (12L, ts("2024-01-01 11:00:00"), "error"),
+      (13L, ts("2024-01-02 09:00:00"), "view"))
+      .toDF("event_id", "ts", "event_type")
+    Sinks.esBulk(df, dir, "events", "event_id")
+
+    // one bulk body per daily index
+    val idx = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(idx.toSeq === Seq("_index=events_20240101", "_index=events_20240102"))
+
+    // each row contributed an action line + a source line, in order
+    val lines = spark.read.text(s"$dir/_index=events_20240101")
+      .collect().map(_.getString(0))
+    assert(lines.length === 4)
+    val actions = lines.grouped(2).map(_.head).toSeq
+    assert(actions.forall(_.startsWith("""{"index":{"_index":"events_20240101","_id":""")))
+    assert(actions.exists(_.contains(""""_id":"11"""")))
+    val docs = lines.grouped(2).map(_.last).toSeq
+    assert(docs.forall(l => l.contains(""""event_id":""") && l.contains(""""event_type":""")))
+
+    // bulk bodies are gzip NDJSON, as push_to_es would POST them
+    val files = new java.io.File(s"$dir/_index=events_20240101").listFiles()
+    assert(files.exists(_.getName.endsWith(".gz")))
+  }
+
   test("S6: staged JSON-lines layout, one gzip directory per etl key") {
     val dir = Files.createTempDirectory("graft-s6").toString
     val df = Seq((1L, "142:0", "a"), (2L, "142:0", "b"), (3L, "142:1", "c"))
