@@ -141,13 +141,32 @@ object Transforms {
       .limit(300)
   }
 
+  /** T7: dead-letter routing as a driver-gated query (upstream: etl.py
+    * catches per-key transform failures and re-queues to an error
+    * bucket). [[LogParsers.deadLetter]] splits on a validation predicate
+    * (payload parses AND passes the range rule); both routes aggregate
+    * in one plan — Catalyst shares the scan between the branches, and a
+    * null predicate (unparseable payload) routes dead, not ok. */
+  val etlDeadLetter: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    val (ok, dead) = LogParsers.deadLetter(
+      ev, col("k").isNotNull && col("value") <= 300.0, "validation_failed")
+    ok.select(lit("ok").as("route"), col("event_id"), col("k"))
+      .unionByName(dead.select(lit("dead").as("route"), col("event_id"), col("k")))
+      .groupBy("route")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), min("event_id").as("min_id"))
+      .orderBy("route")
+  }
+
   val queries: Map[String, Q] = Map(
     "etl_unittest_sessionize" -> etlSessionize,
     "etl_perfherder" -> etlPerfherder,
     "etl_normalize" -> etlNormalize,
     "etl_fanout" -> etlFanout,
     "etl_coverage" -> etlCoverage,
-    "etl_lineage" -> etlLineage)
+    "etl_lineage" -> etlLineage,
+    "etl_dead_letter" -> etlDeadLetter)
 
   val oracle: Map[String, String] = Map(
     "etl_unittest_sessionize" ->
@@ -198,6 +217,17 @@ object Transforms {
                   FILTER (WHERE NOT l_quantity > 25.0), ','), '') AS uncovered,
                 round(count(*) FILTER (WHERE l_quantity > 25.0) * 1.0 / count(*), 4) AS hit_ratio
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "etl_dead_letter" ->
+      """WITH ev AS (SELECT event_id, value,
+                            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                     FROM events),
+           routed AS (SELECT CASE WHEN k IS NOT NULL AND value <= 300.0
+                                  THEN 'ok' ELSE 'dead' END AS route,
+                             event_id, k
+                      FROM ev)
+         SELECT route, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+                min(event_id) AS min_id
+         FROM routed GROUP BY route ORDER BY route""",
     "etl_lineage" ->
       """WITH ranked AS (
            SELECT o_orderkey, o_orderkey % 32 AS bucket,

@@ -195,6 +195,20 @@ object Expressions {
       .agg(count(lit(1)).as("n"), sum("j.k").cast("long").as("sum_k"))
       .orderBy("k_bucket")
 
+  /** E21c: VariantType access — Spark 4's native answer to schemaless
+    * documents (SURVEY §1.2 maps unknown shapes to variant). `parse_json`
+    * once into the binary variant encoding, then typed `variant_get`
+    * path reads: no up-front schema (unlike from_json) and no string
+    * re-parse per field (unlike get_json_object) — the right default for
+    * the reference's open-shape documents at 100 TB. */
+  val jsonVariant: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("v", parse_json(col("props")))
+      .withColumn("k", expr("variant_get(v, '$.k', 'int')"))
+      .groupBy((col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), sum("k").cast("long").as("sum_k"))
+      .orderBy("k_bucket")
+
   /** E22: calendar bucketing (jx time domains floor timestamps to calendar
     * units — upstream mo_times/dates.py Date.floor). */
   val dateTruncQ: Q = (s, d) =>
@@ -224,6 +238,7 @@ object Expressions {
     "conv_cast" -> convCast,
     "json_extract" -> jsonExtract,
     "json_struct" -> jsonStruct,
+    "json_variant" -> jsonVariant,
     "date_trunc_q" -> dateTruncQ)
 
   val oracle: Map[String, String] = Map(
@@ -314,6 +329,10 @@ object Expressions {
          FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
          GROUP BY 1 ORDER BY 1""",
     "json_struct" ->
+      """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+         FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
+         GROUP BY 1 ORDER BY 1""",
+    "json_variant" ->
       """SELECT k % 10 AS k_bucket, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
          FROM (SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events)
          GROUP BY 1 ORDER BY 1""",
