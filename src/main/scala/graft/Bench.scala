@@ -33,7 +33,7 @@ object Bench {
     // full-precision doubles pushed the line past that window and the
     // driver recorded parsed:null despite rc=0. Millisecond resolution is
     // plenty for the 2× gate.
-    def sec(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    def sec(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")

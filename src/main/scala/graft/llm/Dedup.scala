@@ -221,50 +221,114 @@ object Dedup {
       .limit(200)
   }
 
+  /** X1f: near-dup clustering — the step a real dedup pipeline needs
+    * AFTER candidate pairs: connected components over the pair graph,
+    * one canonical doc per cluster (the min id; everything else is the
+    * drop set). Components via iterative min-label propagation: each
+    * round is one distributed join + min-groupBy (the GraphX-free CC
+    * pattern); the driver `while` only counts rounds — all data work is
+    * distributed — and `localCheckpoint` caps plan-lineage growth.
+    * Near-dup components have tiny diameters (docs similar to a common
+    * doc are similar-ish to each other), so rounds ≈ 3–4; a 100 TB run
+    * facing adversarial chain components would swap in large-star/
+    * small-star (Kiveris et al., same join primitives). Oracle: DuckDB
+    * replays the same MinHash pairs, then a recursive-CTE reachability
+    * closure — min reachable label ≡ the propagation fixpoint. */
+  val dedupClusters: Q = (s, d) => {
+    val pairs = dedupMinhash(s, d).select("da", "db")
+    val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
+      .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      // labels only ever decrease; any strict decrease = not converged
+      converged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
+        .filter(col("lbl") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",",
+          transform(array_sort(collect_list(col("id"))), _.cast("string"))).as("members"))
+      .orderBy("cluster_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_ngram" -> dedupNgram,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,
-    "dedup_embed_lsh" -> dedupEmbedLsh)
+    "dedup_embed_lsh" -> dedupEmbedLsh,
+    "dedup_clusters" -> dedupClusters)
+
+  /** Shared oracle CTE: the full MinHash pipeline (md5 shingle hashes →
+    * universal-family minhashes → 4×2 bands → bucket join → Jaccard
+    * verify) up to the scored pair set `mh`. Used by dedup_minhash and
+    * replayed as the pair source for dedup_clusters. */
+  private val minhashCte: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     CAST('0x' || substr(md5(unnest(
+                       [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
+              FROM toks WHERE len(t) >= 3),
+       hb AS (SELECT doc_id, h, h % 2147483647 AS hb FROM sh),
+       sig AS (SELECT doc_id,
+                      min(( 1*hb + 104729) % 2147483647) AS h0,
+                      min(( 3*hb + 209458) % 2147483647) AS h1,
+                      min(( 5*hb + 314187) % 2147483647) AS h2,
+                      min(( 7*hb + 418916) % 2147483647) AS h3,
+                      min(( 9*hb + 523645) % 2147483647) AS h4,
+                      min((11*hb + 628374) % 2147483647) AS h5,
+                      min((13*hb + 733103) % 2147483647) AS h6,
+                      min((15*hb + 837832) % 2147483647) AS h7
+               FROM hb GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS bh FROM sig
+         UNION ALL SELECT doc_id, 1, h2::VARCHAR || '_' || h3::VARCHAR FROM sig
+         UNION ALL SELECT doc_id, 2, h4::VARCHAR || '_' || h5::VARCHAR FROM sig
+         UNION ALL SELECT doc_id, 3, h6::VARCHAR || '_' || h7::VARCHAR FROM sig),
+       cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
+       sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+       common AS (SELECT cd.da, cd.db, count(*) AS cc
+                  FROM cand cd
+                  JOIN sh a ON a.doc_id = cd.da
+                  JOIN sh b ON b.doc_id = cd.db AND b.h = a.h
+                  GROUP BY 1, 2),
+       mh AS (SELECT m.da, m.db, cc, x.n AS na, y.n AS nb
+              FROM common m JOIN sz x ON m.da = x.doc_id
+              JOIN sz y ON m.db = y.doc_id)"""
 
   val oracle: Map[String, String] = Map(
     "dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-           sh AS (SELECT DISTINCT doc_id,
-                         CAST('0x' || substr(md5(unnest(
-                           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                            for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
-                  FROM toks WHERE len(t) >= 3),
-           hb AS (SELECT doc_id, h, h % 2147483647 AS hb FROM sh),
-           sig AS (SELECT doc_id,
-                          min(( 1*hb + 104729) % 2147483647) AS h0,
-                          min(( 3*hb + 209458) % 2147483647) AS h1,
-                          min(( 5*hb + 314187) % 2147483647) AS h2,
-                          min(( 7*hb + 418916) % 2147483647) AS h3,
-                          min(( 9*hb + 523645) % 2147483647) AS h4,
-                          min((11*hb + 628374) % 2147483647) AS h5,
-                          min((13*hb + 733103) % 2147483647) AS h6,
-                          min((15*hb + 837832) % 2147483647) AS h7
-                   FROM hb GROUP BY doc_id),
-           bands AS (
-             SELECT doc_id, 0 AS band, h0::VARCHAR || '_' || h1::VARCHAR AS bh FROM sig
-             UNION ALL SELECT doc_id, 1, h2::VARCHAR || '_' || h3::VARCHAR FROM sig
-             UNION ALL SELECT doc_id, 2, h4::VARCHAR || '_' || h5::VARCHAR FROM sig
-             UNION ALL SELECT doc_id, 3, h6::VARCHAR || '_' || h7::VARCHAR FROM sig),
-           cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
-                    FROM bands x JOIN bands y
-                      ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id),
-           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-           common AS (SELECT cd.da, cd.db, count(*) AS cc
-                      FROM cand cd
-                      JOIN sh a ON a.doc_id = cd.da
-                      JOIN sh b ON b.doc_id = cd.db AND b.h = a.h
-                      GROUP BY 1, 2)
-         SELECT da, db, round(cc * 1.0 / (x.n + y.n - cc), 4) AS jaccard
-         FROM common m JOIN sz x ON m.da = x.doc_id JOIN sz y ON m.db = y.doc_id
-         WHERE cc * 1.0 / (x.n + y.n - cc) >= 0.5
+      s"""WITH $minhashCte
+         SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
+         FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5
          ORDER BY jaccard DESC, da ASC, db ASC""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCte,
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         SELECT cluster_id, count(*) AS n_docs,
+                array_to_string(list(CAST(id AS VARCHAR) ORDER BY id), ',') AS members
+         FROM labels GROUP BY cluster_id ORDER BY cluster_id""",
     "dedup_embed_lsh" ->
       s"""WITH ${Similarity.lshOracleCte},
            cand AS (SELECT DISTINCT x.vec_id AS da, y.vec_id AS db

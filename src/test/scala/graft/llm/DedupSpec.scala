@@ -52,6 +52,34 @@ class DedupSpec extends graft.SparkSpec {
   private def truePairHits(result: org.apache.spark.sql.DataFrame): Long =
     result.filter(col("db") === col("da") + nBase && col("da") < nBase).count()
 
+  test("dedup_clusters groups transitive near-dup chains into one component") {
+    val rnd = new scala.util.Random(7)
+    def doc(n: Int): Seq[String] = Seq.fill(n)("w" + rnd.nextInt(500000))
+    // trio of exact duplicates (0,1,2); a mutation chain (100→101→102:
+    // each one word off its predecessor — transitivity must merge all
+    // three even if the ends don't pair directly); unrelated noise
+    val same = doc(40)
+    val c0 = doc(60)
+    val c1 = c0.updated(7, "xa")
+    val c2 = c1.updated(49, "xb")
+    val rows =
+      Seq((0L, same), (1L, same), (2L, same),
+        (100L, c0), (101L, c1), (102L, c2)) ++
+        (200L to 219L).map(i => (i, doc(40)))
+    val dir = Files.createTempDirectory("graft-cc").toString
+    rows.map { case (id, ws) => (id, ws.mkString(" "), "en", "src0", 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val out = Dedup.dedupClusters(spark, dir).collect()
+    val byId = out.map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(byId(0L) === ((3L, "0,1,2")))
+    assert(byId(100L)._1 === 3L, byId.toString)
+    assert(byId(100L)._2 === "100,101,102")
+    // noise docs form no clusters
+    assert(out.forall(_.getLong(0) < 200L), out.mkString(";"))
+  }
+
   test("dedup_ngram (exact jaccard with hot-shingle cap) finds every true pair") {
     val out = Dedup.dedupNgram(spark, corpusDir)
     assert(truePairHits(out) === nBase.toLong)
