@@ -47,13 +47,26 @@ object JxQueries {
     "sort": ["event_type", "rn"],
     "limit": 500}"""
 
+  private val globalJson = """{
+    "from": "lineitem",
+    "where": {"eq": {"l_returnflag": "A"}},
+    "select": [
+      {"name": "n", "value": ".", "aggregate": "count"},
+      {"name": "max_qty", "value": "l_quantity", "aggregate": "max"},
+      {"name": "n_parts", "value": "l_partkey", "aggregate": "cardinality"}]}"""
+
   val queries: Map[String, Q] = Map(
+    "jx_global" -> ((s, d) => Jx.run(s, globalJson, name => t(s, d, name))),
     "jx_groupby" -> ((s, d) => Jx.run(s, groupbyJson, name => t(s, d, name))),
     "jx_edges" -> ((s, d) => Jx.run(s, edgesJson, name => t(s, d, name))),
     "jx_range" -> ((s, d) => Jx.run(s, rangeJson, name => t(s, d, name))),
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    "jx_global" ->
+      """SELECT count(*) AS n, max(l_quantity) AS max_qty,
+                count(DISTINCT l_partkey) AS n_parts
+         FROM lineitem WHERE l_returnflag = 'A'""",
     "jx_groupby" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
                 CAST(sum(l_linenumber) AS BIGINT) AS sum_line,

@@ -262,13 +262,37 @@ object Dedup {
       .orderBy("cluster_id")
   }
 
+  /** X4b: benchmark decontamination — the training-data hygiene op that
+    * keeps evaluation content out of the training set (the GPT-3-style
+    * n-gram overlap filter; 3-word shingles here). The benchmark's
+    * shingle set is tiny relative to the corpus → broadcast semi-side;
+    * one pass over training shingles, per-doc overlap counts, no shuffle
+    * that grows with corpus size. Overlap is counted in the same
+    * md5-hashed shingle space as dedup_ngram, so the DuckDB oracle
+    * replays it exactly. Benchmark = docs with id < 10 (a stand-in for
+    * the eval-set scan; production would read a second table). */
+  val textDecontaminate: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val bench = sh.filter(col("doc_id") < 10).select("h").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    sh.filter(col("doc_id") >= 10)
+      .join(broadcast(bench), Seq("h"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+      .join(sizes, Seq("doc_id"))
+      .withColumn("overlap_frac", r4(col("n_overlap").cast("double") / col("n_sh")))
+      .filter(col("n_overlap") >= 3)
+      .select("doc_id", "n_overlap", "n_sh", "overlap_frac")
+      .orderBy(desc("n_overlap"), asc("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_ngram" -> dedupNgram,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
-    "dedup_clusters" -> dedupClusters)
+    "dedup_clusters" -> dedupClusters,
+    "text_decontaminate" -> textDecontaminate)
 
   /** Shared oracle CTE: the full MinHash pipeline (md5 shingle hashes →
     * universal-family minhashes → 4×2 bands → bucket join → Jaccard
@@ -348,6 +372,23 @@ object Dedup {
          JOIN dvecs a ON a.vec_id = c.da JOIN dvecs b ON b.vec_id = c.db
          JOIN n na ON na.vec_id = c.da JOIN n nb ON nb.vec_id = c.db
          ORDER BY cosine DESC, da ASC, db ASC LIMIT 50""",
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                         CAST('0x' || substr(md5(unnest(
+                           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
+                  FROM toks WHERE len(t) >= 3),
+           bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 10),
+           sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+           ov AS (SELECT sh.doc_id, count(*) AS n_overlap
+                  FROM sh JOIN bench USING (h)
+                  WHERE sh.doc_id >= 10 GROUP BY 1)
+         SELECT o.doc_id, n_overlap, n_sh,
+                round(n_overlap * 1.0 / n_sh, 4) AS overlap_frac
+         FROM ov o JOIN sz USING (doc_id)
+         WHERE n_overlap >= 3
+         ORDER BY n_overlap DESC, doc_id ASC""",
     "dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            sh0 AS (SELECT DISTINCT doc_id,
