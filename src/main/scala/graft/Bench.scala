@@ -19,14 +19,24 @@ object Bench {
     Tables.t(spark, sfDir, "region").count()
     // A failing query must fail the bench VISIBLY: record its error, keep
     // timing the rest, and exit non-zero at the end (no -1L masking).
+    // Each query is timed `reps` times and reports the MIN: single-shot
+    // timings on this sandbox swing up to ~2× (first-execution codegen +
+    // neighbor noise); min-of-2 measures the plan, not the weather.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+      var best = Double.MaxValue
+      var rep = 0
+      while (rep < reps && !errors.contains(name)) {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
+        }
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        rep += 1
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> best
     }
     // Compact per-query timings to 3 decimals: the driver parses the JSON
     // line out of a bounded TAIL of stdout (last ~2000 chars) — round 3's

@@ -55,7 +55,28 @@ object JxQueries {
       {"name": "max_qty", "value": "l_quantity", "aggregate": "max"},
       {"name": "n_parts", "value": "l_partkey", "aggregate": "cardinality"}]}"""
 
+  /** Deep dotted `from` — the jx data model's signature move: the unnest
+    * is part of the FROM clause ("sessions.evs" explodes each session's
+    * event array into rows). The resolver materializes a nested table
+    * in-plan (collect_list per user over `events`); aggregates are
+    * order-insensitive (count/max/cardinality) so the nondeterministic
+    * array order inside each session can't affect the compare. */
+  private val deepJson = """{
+    "from": "sessions.evs",
+    "groupby": ["evs.event_type"],
+    "select": [
+      {"name": "n", "value": ".", "aggregate": "count"},
+      {"name": "max_value", "value": "evs.value", "aggregate": "max"},
+      {"name": "n_events", "value": "evs.event_id", "aggregate": "cardinality"}],
+    "sort": ["event_type"]}"""
+
   val queries: Map[String, Q] = Map(
+    "jx_deepfrom" -> ((s, d) => {
+      val nested = t(s, d, "events").groupBy("user_id")
+        .agg(org.apache.spark.sql.functions.collect_list(
+          org.apache.spark.sql.functions.struct("event_id", "event_type", "value")).as("evs"))
+      Jx.run(s, deepJson, { case "sessions" => nested })
+    }),
     "jx_global" -> ((s, d) => Jx.run(s, globalJson, name => t(s, d, name))),
     "jx_groupby" -> ((s, d) => Jx.run(s, groupbyJson, name => t(s, d, name))),
     "jx_edges" -> ((s, d) => Jx.run(s, edgesJson, name => t(s, d, name))),
@@ -63,6 +84,11 @@ object JxQueries {
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    "jx_deepfrom" ->
+      """SELECT event_type, count(*) AS n, max(value) AS max_value,
+                count(DISTINCT event_id) AS n_events
+         FROM events GROUP BY event_type
+         ORDER BY event_type NULLS FIRST""",
     "jx_global" ->
       """SELECT count(*) AS n, max(l_quantity) AS max_qty,
                 count(DISTINCT l_partkey) AS n_parts

@@ -31,6 +31,22 @@ object Windows {
       .orderBy("event_id")
       .limit(500)
 
+  /** W2b: RANGE frame over event time — the trailing-hour aggregate.
+    * rows-frames count a fixed number of rows; a RANGE frame bounds the
+    * frame by the ORDER value itself (here epoch seconds, −3600..0), the
+    * right semantics when events are irregularly spaced (time-decayed
+    * metrics, rate limiting, rolling SLO windows). */
+  val winRangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy(col("ts").cast("long"))
+      .rangeBetween(-3600, 0)
+    t(s, d, "events")
+      .withColumn("hr_sum", r2(sum("value").over(w)))
+      .withColumn("hr_n", count(lit(1)).over(w))
+      .select("event_id", "event_type", "hr_sum", "hr_n")
+      .orderBy("event_id")
+      .limit(500)
+  }
+
   /** W3: rank family per partition. */
   val winRank: Q = (s, d) => {
     val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
@@ -96,6 +112,7 @@ object Windows {
   val queries: Map[String, Q] = Map(
     "win_running_sum" -> winRunningSum,
     "win_sliding" -> winSliding,
+    "win_range_frame" -> winRangeFrame,
     "win_rank" -> winRank,
     "win_first_last" -> winFirstLast,
     "win_lag" -> winLag,
@@ -113,6 +130,16 @@ object Windows {
       s"""SELECT event_id, user_id,
                  round(sum(value) $over ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 2) AS sliding
           FROM events ORDER BY event_id LIMIT 500""",
+    "win_range_frame" ->
+      """SELECT event_id, event_type, round(hr_sum, 2) AS hr_sum, hr_n FROM (
+           SELECT event_id, event_type,
+                  sum(value) OVER w AS hr_sum,
+                  count(*) OVER w AS hr_n
+           FROM events
+           WINDOW w AS (PARTITION BY event_type
+                        ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW))
+         ORDER BY event_id LIMIT 500""",
     "win_rank" ->
       """SELECT event_id, event_type, rn, rk, drk
          FROM (SELECT event_id, event_type,
