@@ -46,6 +46,38 @@ class StreamsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("ST2->S5: the full reference pipeline shape — stream, window, ES daily index") {
+    // stream -> tumbling agg -> foreachBatch -> ES bulk bodies routed by
+    // the window's own day: the end-to-end the reference runs as
+    // SQS -> transform -> push_to_es (upstream: activedata_etl/etl.py +
+    // push_to_es.py), here as one declarative streaming query.
+    val dir = tmp("graft-st2-s5")
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.tumblingCountsStream(in.toDF(), "10 minutes", "5 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.sources.Sinks.esBulk(batch, dir, "agg", "event_type", "w_start")
+      }
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:01:00"), "click", 1.0),
+        Ev(1, ts("2024-01-01 00:04:00"), "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(2, ts("2024-01-01 01:00:00"), "click", 3.0)) // advances watermark
+      q.processAllAvailable()
+      val idx = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+      assert(idx.toSeq === Seq("_index=agg_20240101"), idx.mkString(","))
+      val lines = spark.read.text(s"$dir/_index=agg_20240101")
+        .collect().map(_.getString(0))
+      assert(lines.length === 2) // one finalized window: action + source line
+      assert(lines.head.startsWith("""{"index":{"_index":"agg_20240101""""), lines.head)
+      assert(lines.last.contains(""""n":2"""), lines.last)
+    } finally q.stop()
+  }
+
   test("ST4: late data behind the watermark is dropped") {
     val in = MemoryStream[Ev](spark)
     val q = Streams.tumblingCountsStream(in.toDF(), "10 minutes", "5 minutes")
