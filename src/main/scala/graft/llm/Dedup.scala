@@ -153,10 +153,14 @@ object Dedup {
       min(pmod(lit(2 * k + 1) * col("hb") + lit(104729L * (k + 1)), lit(M))).as(s"h$k")
     }
     val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
-    val bands = (0 until bandsOf).map { bnd =>
-      sig.select(col("doc_id"), lit(bnd).as("band"),
-        concat_ws("_", col(s"h${2 * bnd}"), col(s"h${2 * bnd + 1}")).as("bh"))
-    }.reduce(_ unionByName _)
+    // One posexplode over the in-row band array, not a bandsOf-way union:
+    // a union re-evaluates the signature aggregate per branch per join
+    // side (8× in the self-join below).
+    val bandArray = expr((0 until bandsOf)
+      .map(b => s"concat_ws('_', h${2 * b}, h${2 * b + 1})")
+      .mkString("array(", ", ", ")"))
+    val bands = sig.select(col("doc_id"), posexplode(bandArray))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
