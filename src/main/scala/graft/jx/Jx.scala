@@ -67,7 +67,7 @@ object Jx {
       else if (groupby.nonEmpty || aggs.nonEmpty) sparseGroup(filtered, groupby, aggs)
       else selects match {
         case Nil => filtered
-        case ss  => filtered.select(ss.map(s => col(s.value).as(s.name)): _*)
+        case ss  => filtered.select(ss.map(s => selValue(s).as(s.name)): _*)
       }
 
     val windowed = opt(q, "window").map(ws => applyWindows(projected, arr(ws)))
@@ -97,7 +97,11 @@ object Jx {
 
   // ------------------------------------------------------------ select/agg
 
-  private case class Sel(name: String, value: String, aggregate: Option[String])
+  /** `valueNode` carries a non-trivial jx expression in value position
+    * (the reference allows full op-trees anywhere a field name fits);
+    * compiled through [[expr]]. Plain field names stay in `value`. */
+  private case class Sel(name: String, value: String, aggregate: Option[String],
+      valueNode: Option[JsonNode] = None)
 
   private def selectList(q: JsonNode): Seq[Sel] =
     opt(q, "select") match {
@@ -108,16 +112,24 @@ object Jx {
         (if (s.isArray) arr(s) else Seq(s)).map {
           case t if t.isTextual => Sel(t.asText(), t.asText(), None)
           case o =>
-            val value = opt(o, "value").map(_.asText()).getOrElse(".")
+            val vNode = opt(o, "value")
+            val exprNode = vNode.filter(v => !v.isTextual)
+            val value = vNode.filter(_.isTextual).map(_.asText()).getOrElse(".")
             val name = opt(o, "name").map(_.asText()).getOrElse(value)
-            Sel(name, value, opt(o, "aggregate").map(_.asText()))
+            Sel(name, value, opt(o, "aggregate").map(_.asText()), exprNode)
         }
     }
+
+  /** The Column for a select's value position: compiled op-tree if the
+    * value is an expression, else a bare column path. */
+  private def selValue(s: Sel): Column =
+    s.valueNode.map(expr).getOrElse(col(s.value))
 
   private def aggCol(s: Sel): Column = aggColRaw(s).as(s.name)
 
   private def aggColRaw(s: Sel): Column = {
-    val v = if (s.value == ".") lit(1) else col(s.value)
+    val v = s.valueNode.map(expr)
+      .getOrElse(if (s.value == ".") lit(1) else col(s.value))
     (s.aggregate.get match {
       case "count"       => count(v)
       case "sum"         => sum(v)
@@ -126,7 +138,7 @@ object Jx {
       case "average"     => avg(v)
       case "cardinality" => countDistinct(v)
       case "median" =>
-        org.apache.spark.sql.functions.expr(s"percentile(${s.value}, 0.5)")
+        org.apache.spark.sql.functions.percentile(v, lit(0.5))
       case "union"       => array_sort(collect_set(v))
       case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
     })

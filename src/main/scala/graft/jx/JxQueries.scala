@@ -70,7 +70,24 @@ object JxQueries {
       {"name": "n_events", "value": "evs.event_id", "aggregate": "cardinality"}],
     "sort": ["event_type"]}"""
 
+  /** Expression-valued select — jx allows full op-trees anywhere a field
+    * name fits; this runs null-skipping add, a case op-tree, and
+    * separator-concat through the projection path. */
+  private val selectExprJson = """{
+    "from": "events",
+    "select": [
+      {"name": "event_id", "value": "event_id"},
+      {"name": "vplus", "value": {"add": ["value", {"literal": 1}]}},
+      {"name": "cat", "value": {"case": [
+        {"when": {"gt": ["value", 100]}, "then": {"literal": "big"}},
+        {"literal": "small"}]}},
+      {"name": "ukey", "value": {"concat": ["event_type", "user_id"],
+                                 "separator": ":"}}],
+    "sort": ["event_id"],
+    "limit": 300}"""
+
   val queries: Map[String, Q] = Map(
+    "jx_select_expr" -> ((s, d) => Jx.run(s, selectExprJson, name => t(s, d, name))),
     "jx_deepfrom" -> ((s, d) => {
       val nested = t(s, d, "events").groupBy("user_id")
         .agg(org.apache.spark.sql.functions.collect_list(
@@ -84,6 +101,11 @@ object JxQueries {
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    "jx_select_expr" ->
+      """SELECT event_id, coalesce(value, 0) + 1.0 AS vplus,
+                CASE WHEN value > 100 THEN 'big' ELSE 'small' END AS cat,
+                concat_ws(':', event_type, user_id) AS ukey
+         FROM events ORDER BY event_id LIMIT 300""",
     "jx_deepfrom" ->
       """SELECT event_type, count(*) AS n, max(value) AS max_value,
                 count(DISTINCT event_id) AS n_events
