@@ -43,15 +43,21 @@ object Bench {
     // full-precision doubles pushed the line past that window and the
     // driver recorded parsed:null despite rc=0. Millisecond resolution is
     // plenty for the 2× gate.
-    def sec(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
-      .mkString("{", ",", "}")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
       .replaceAll("[\\x00-\\x1f]", " ") + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // The driver parses this line out of a BOUNDED tail of stdout (last
+    // ~2000 chars incl. sbt's [success] trailer) — keep the line under
+    // 1850 chars, degrading per-query precision before ever overflowing.
+    def line(dec: Int): String = {
+      def sec(v: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+      val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    println((2 to 0 by -1).map(line).find(_.length <= 1850).getOrElse(line(0)))
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }

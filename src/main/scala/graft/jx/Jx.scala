@@ -162,21 +162,32 @@ object Jx {
       domain: DataFrame => DataFrame)
 
   private def parseEdge(e: JsonNode): Edge = {
-    val value = if (e.isTextual) e.asText() else req(e, "value").asText()
-    val name = if (e.isTextual) value else opt(e, "name").map(_.asText()).getOrElse(value)
+    // edge values may be expressions (op-trees), like select values —
+    // {"name":"big","value":{"gt":["value",100]}}; a name is then required
+    val valueNode = if (e.isTextual) None else Some(req(e, "value")).filter(v => !v.isTextual)
+    val value = if (e.isTextual) e.asText()
+      else if (valueNode.isEmpty) req(e, "value").asText() else ""
+    val name = if (e.isTextual) value
+      else opt(e, "name").map(_.asText()).getOrElse {
+        require(valueNode.isEmpty, "expression-valued edge needs a name"); value
+      }
+    def vcol: Column = valueNode.map(expr).getOrElse(col(value))
     val domainSpec = if (e.isTextual) None else opt(e, "domain")
     domainSpec.map(d => opt(d, "type").map(_.asText()).getOrElse("set")) match {
       case None | Some("set") | Some("default") =>
-        Edge(name, df => col(value).as(name),
-          df => df.select(col(value).as(name)).distinct()
-            .unionByName(df.sparkSession.range(1).select(
-              lit(null).cast(df.schema(value).dataType).as(name)))
-            .distinct())
+        Edge(name, df => vcol.as(name),
+          df => {
+            val dt = df.select(vcol).schema.head.dataType
+            df.select(vcol.as(name)).distinct()
+              .unionByName(df.sparkSession.range(1).select(
+                lit(null).cast(dt).as(name)))
+              .distinct()
+          })
       case Some("range") | Some("duration") =>
         val d = domainSpec.get
         val (lo, hi, iv) = (req(d, "min").asDouble(), req(d, "max").asDouble(),
           req(d, "interval").asDouble())
-        Edge(name, df => (floor(col(value) / iv) * iv).as(name),
+        Edge(name, df => (floor(vcol / iv) * iv).as(name),
           df => df.sparkSession.range(1)
             .select(explode(sequence(
               lit(math.floor(lo / iv).toLong),
@@ -184,10 +195,10 @@ object Jx {
             .select((col("__i") * iv).cast("double").as(name)))
       case Some("time") =>
         val unit = opt(domainSpec.get, "interval").map(_.asText()).getOrElse("day")
-        Edge(name, df => date_trunc(unit, col(value)).as(name),
+        Edge(name, df => date_trunc(unit, vcol).as(name),
           df => df.agg(
-              date_trunc(unit, min(col(value))).as("lo"),
-              date_trunc(unit, max(col(value))).as("hi"))
+              date_trunc(unit, min(vcol)).as("lo"),
+              date_trunc(unit, max(vcol)).as("hi"))
             .select(explode(sequence(col("lo"), col("hi"),
               org.apache.spark.sql.functions.expr(s"interval 1 $unit"))).as(name)))
       case Some(other) =>

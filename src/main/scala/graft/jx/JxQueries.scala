@@ -86,7 +86,16 @@ object JxQueries {
     "sort": ["event_id"],
     "limit": 300}"""
 
+  /** Expression-valued edge: the dense domain of a computed bucket
+    * ({true, false} ∪ the null part), counts materialized per part. */
+  private val edgesExprJson = """{
+    "from": "events",
+    "edges": [{"name": "big", "value": {"gt": ["value", 100]}}],
+    "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    "sort": ["big"]}"""
+
   val queries: Map[String, Q] = Map(
+    "jx_edges_expr" -> ((s, d) => Jx.run(s, edgesExprJson, name => t(s, d, name))),
     "jx_select_expr" -> ((s, d) => Jx.run(s, selectExprJson, name => t(s, d, name))),
     "jx_deepfrom" -> ((s, d) => {
       val nested = t(s, d, "events").groupBy("user_id")
@@ -101,6 +110,14 @@ object JxQueries {
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    "jx_edges_expr" ->
+      """WITH dom AS (SELECT DISTINCT value > 100.0 AS big FROM events
+                      UNION SELECT NULL),
+              sparse AS (SELECT value > 100.0 AS big, count(*) AS cnt
+                         FROM events GROUP BY 1)
+         SELECT d.big, coalesce(s.cnt, 0) AS n
+         FROM dom d LEFT JOIN sparse s ON d.big IS NOT DISTINCT FROM s.big
+         ORDER BY d.big NULLS FIRST""",
     "jx_select_expr" ->
       """SELECT event_id, coalesce(value, 0) + 1.0 AS vplus,
                 CASE WHEN value > 100 THEN 'big' ELSE 'small' END AS cat,

@@ -58,4 +58,34 @@ class LshRecallSpec extends graft.SparkSpec {
     val n = corpus.count()
     assert(cand.count() < n * n / 10, s"candidate set is near-quadratic")
   }
+
+  test("IVF recovers near-dup neighbors without the O(n*m) scan") {
+    // same corpus layout written as an embeddings table; sim_ivf's
+    // queries are vec_id < 20 (bases 0..19), whose near-dups are
+    // vec_id + nBase. A near-identical pair lands in (or probes into)
+    // the same coarse cell, so the dup must appear in the query's top-5.
+    val rnd = new scala.util.Random(41)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val bases = Seq.fill(nBase)(unit())
+    val dups = bases.map { b =>
+      val v = b.map(x => x + 0.03 * rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val noise = Seq.fill(nBase)(unit())
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    (bases ++ dups ++ noise).zipWithIndex
+      .map { case (v, i) => (i.toLong, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val out = Similarity.simIvf(spark, dir)
+      .filter(col("nid") === col("qid") + nBase)
+      .count()
+    assert(out >= 16, s"IVF recovered only $out of 20 near-dup pairs")
+  }
 }
