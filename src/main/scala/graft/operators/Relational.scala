@@ -91,6 +91,23 @@ object Relational {
       .limit(200)
   }
 
+  /** O6: reproducible hash-mod sampling — the train/eval-split and
+    * down-sampling primitive for data pipelines. `df.sample` is
+    * seed-stable only within one engine and shifts when partitioning
+    * changes; hashing the row's natural key (md5, like the dedup
+    * family) gives a sample that is stable across runs, engines, and
+    * repartitioning — a row's split assignment never changes, which is
+    * what training reproducibility needs. 10% slice = hash mod 100 < 10;
+    * evaluated entirely in the scan's codegen stage, no shuffle added. */
+  val sampleHash: Q = (s, d) =>
+    t(s, d, "events")
+      .withColumn("hs", expr(
+        "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"))
+      .filter(col("hs") < 10)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sample"), r2(avg("value")).as("avg_value"))
+      .orderBy("event_type")
+
   /** J1: broadcast equi-join — the reference's denormalize/enrich pattern
     * (small dim copied to every fact row). TPC-H Q3 shape. At 100 TB the
     * dims here are KB-MB; broadcast avoids shuffling the fact table. */
@@ -205,6 +222,7 @@ object Relational {
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "dedup_exact" -> dedupExact,
+    "sample_hash" -> sampleHash,
     "join_broadcast" -> joinBroadcast,
     "join_sortmerge" -> joinSortmerge,
     "join_outer" -> joinOuter,
@@ -215,6 +233,12 @@ object Relational {
     "join_cross" -> joinCross)
 
   val oracle: Map[String, String] = Map(
+    "sample_hash" ->
+      """SELECT event_type, count(*) AS n_sample, round(avg(value), 2) AS avg_value
+         FROM (SELECT *, CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                              AS BIGINT) % 100 AS hs
+               FROM events)
+         WHERE hs < 10 GROUP BY event_type ORDER BY event_type""",
     "scan_parquet" ->
       """SELECT count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
          round(sum(l_quantity), 2) AS sum_qty FROM lineitem""",
