@@ -57,6 +57,24 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** O3b: schema-accretion union — the reference's document model lets
+    * heterogeneous docs share a table (ES index templates merge new
+    * leaves; missing properties read as Null — upstream mo_dots /
+    * jx schema expansion). Spark-native form:
+    * `unionByName(allowMissingColumns = true)` aligns by name and fills
+    * absent columns with null — no manual schema reconciliation. */
+  val setUnionByName: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val a = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "value")
+    val b = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "props")
+    a.unionByName(b, allowMissingColumns = true)
+      .agg(count(lit(1)).as("n"), count("value").as("n_value"),
+        count("props").as("n_props"),
+        r2(sum("value")).as("sum_value"))
+  }
+
   /** O4: set intersection (distinct semantics, like SQL INTERSECT). */
   val setIntersect: Q = (s, d) => {
     val li = t(s, d, "lineitem").select("l_orderkey")
@@ -219,6 +237,7 @@ object Relational {
     "sort_multi" -> sortMulti,
     "sort_limit" -> sortLimit,
     "set_union" -> setUnion,
+    "set_union_byname" -> setUnionByName,
     "set_intersect" -> setIntersect,
     "set_except" -> setExcept,
     "dedup_exact" -> dedupExact,
@@ -233,6 +252,16 @@ object Relational {
     "join_cross" -> joinCross)
 
   val oracle: Map[String, String] = Map(
+    "set_union_byname" ->
+      """WITH u AS (
+           SELECT event_id, user_id, value, NULL AS props
+           FROM events WHERE event_type = 'error'
+           UNION ALL
+           SELECT event_id, user_id, NULL AS value, props
+           FROM events WHERE event_type = 'purchase')
+         SELECT count(*) AS n, count(value) AS n_value, count(props) AS n_props,
+                round(sum(value), 2) AS sum_value
+         FROM u""",
     "sample_hash" ->
       """SELECT event_type, count(*) AS n_sample, round(avg(value), 2) AS avg_value
          FROM (SELECT *, CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
