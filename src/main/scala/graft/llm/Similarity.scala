@@ -19,10 +19,6 @@ import graft.operators.Common._
   */
 object Similarity {
 
-  private def withDoubleVec(df: DataFrame): DataFrame =
-    df.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
-      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
-
   /** X3: exact top-5 cosine neighbors for each query vector (vec_id < 20).
     * The query side is tiny → broadcast; one pass over the corpus, top-k
     * via per-query window. */

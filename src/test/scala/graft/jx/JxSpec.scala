@@ -197,4 +197,42 @@ class JxSpec extends graft.SparkSpec {
       _ => df).collect()
     assert(out.length === 1)
   }
+
+  test("expression-valued select: op-trees in value position") {
+    val out = run("""{
+      "from": "logs",
+      "select": [
+        {"name": "id", "value": "id"},
+        {"name": "d2", "value": {"mult": ["duration", {"literal": 2}]}},
+        {"name": "tag", "value": {"concat": ["suite", "platform"],
+                                  "separator": "/"}}],
+      "sort": ["id"], "limit": 2}""").collect()
+    assert(out.map(_.getDouble(1)).toSeq === Seq(20.0, 40.0))
+    assert(out.map(_.getString(2)).toSeq === Seq("mochitest/win", "mochitest/linux"))
+  }
+
+  test("expression-valued edge: dense domain over a computed bucket") {
+    val out = run("""{
+      "from": "logs",
+      "edges": [{"name": "slow", "value": {"gte": ["duration", 20]}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "sort": ["slow"]}""").collect()
+    // dense parts: null (the jx null part, count 0 — every row has a
+    // duration), false, true
+    assert(out.length === 3)
+    val byPart = out.map(r => (if (r.isNullAt(0)) "null" else r.getBoolean(0).toString)
+      -> r.getLong(1)).toMap
+    assert(byPart === Map("null" -> 0L, "false" -> 2L, "true" -> 4L))
+  }
+
+  test("expression value feeds aggregates too") {
+    val out = run("""{
+      "from": "logs",
+      "groupby": ["suite"],
+      "select": [{"name": "total2", "value": {"mult": ["duration", {"literal": 2}]},
+                  "aggregate": "sum"}],
+      "sort": ["suite"]}""").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
+      Seq(("mochitest", 160.0), ("reftest", 14.0), ("xpcshell", 140.0)))
+  }
 }
