@@ -80,6 +80,58 @@ object Dedup {
       .orderBy(desc("jaccard"), asc("da"), asc("db"))
   }
 
+  /** X1a at scale: prefix-filtered exact Jaccard (the PPJoin family —
+    * Xiao et al., WWW'08, public algorithm). Order each doc's shingles by
+    * ascending document frequency (rarest first); a pair with
+    * jaccard ≥ t must share a shingle within each side's first
+    * n − ⌈t·n⌉ + 1 shingles (pigeonhole on the overlap bound c ≥ t·n),
+    * so only PREFIX shingles are indexed for the candidate join — and
+    * because prefixes hold each doc's RAREST shingles, the per-shingle
+    * buckets are the small ones: the Σ df² join cost drops on exactly
+    * the terms that dominate it. Candidates are then verified with the
+    * full sets, so the output is IDENTICAL to dedup_ngram (equality is
+    * ScalaTest-gated in DedupSpec, and both share the DuckDB oracle
+    * shape).
+    *
+    * Measured crossover (be honest about constants): at sf0.1 (5k docs,
+    * hot-cap already bounding buckets at ≤50 docs) the extra df-rank
+    * window + verify joins COST more than the pruned pair join saves —
+    * 6.8 s vs the baseline's 2.8 s. The prefix index wins when Σ df²
+    * dominates, i.e. corpora big enough that per-shingle buckets sit at
+    * the cap; below that, run dedup_ngram. Both stay in the inventory
+    * for exactly this reason. */
+  val dedupNgramPrefix: Q = (s, d) => {
+    val jt = 0.3
+    val sh0 = shingles(s, d)
+    val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleCap).select("h")
+    val sh = sh0.join(broadcast(hot), Seq("h"), "left_anti")
+    val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val prefix = sh.join(docFreq, Seq("h"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("df", "h")))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(jt) * col("n_sh")) + 1)
+      .select("doc_id", "h")
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val common = cand
+      .join(sh.select(col("doc_id").as("da"), col("h")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("h")), Seq("db", "h"))
+      .groupBy("da", "db").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("da"), col("n_sh").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n_sh").as("nb")), Seq("db"))
+      .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
+      .filter(col("jaccard") > jt)
+      .select(col("da"), col("db"), col("c"), r4(col("jaccard")).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("da"), asc("db"))
+  }
+
   /** X1e: embedding-cosine near-dup candidates — top-50 most similar pairs.
     * Brute-force O(n²) self-join is the verification baseline; the scale
     * path is `dedup_embed_lsh` (banded LSH buckets → cosine verify → top-k,
@@ -291,6 +343,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dedup_ngram" -> dedupNgram,
+    "dedup_ngram_prefix" -> dedupNgramPrefix,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embed" -> dedupEmbed,
@@ -393,6 +446,36 @@ object Dedup {
          FROM ov o JOIN sz USING (doc_id)
          WHERE n_overlap >= 3
          ORDER BY n_overlap DESC, doc_id ASC""",
+    "dedup_ngram_prefix" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           sh0 AS (SELECT DISTINCT doc_id,
+                          CAST('0x' || substr(md5(unnest(
+                            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
+                   FROM toks WHERE len(t) >= 3),
+           keep AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 50),
+           sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep USING (h)),
+           dfq AS (SELECT h, count(*) AS df FROM sh GROUP BY 1),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           pref AS (SELECT doc_id, h FROM (
+               SELECT s.doc_id, s.h,
+                      row_number() OVER (PARTITION BY s.doc_id
+                                         ORDER BY d.df, s.h) AS rk,
+                      z.n
+               FROM sh s JOIN dfq d USING (h) JOIN sz z USING (doc_id))
+             WHERE rk <= n - ceil(0.3 * n) + 1),
+           cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+                    FROM pref a JOIN pref b
+                      ON a.h = b.h AND a.doc_id < b.doc_id),
+           pairs AS (SELECT cd.da, cd.db, count(*) AS c
+                     FROM cand cd
+                     JOIN sh a ON a.doc_id = cd.da
+                     JOIN sh b ON b.doc_id = cd.db AND b.h = a.h
+                     GROUP BY 1, 2)
+         SELECT da, db, c, round(c * 1.0 / (x.n + y.n - c), 4) AS jaccard
+         FROM pairs p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+         WHERE c * 1.0 / (x.n + y.n - c) > 0.3
+         ORDER BY jaccard DESC, da ASC, db ASC""",
     "dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            sh0 AS (SELECT DISTINCT doc_id,

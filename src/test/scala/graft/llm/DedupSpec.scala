@@ -87,6 +87,13 @@ class DedupSpec extends graft.SparkSpec {
     assert(out.filter(!(col("db") === col("da") + nBase && col("da") < nBase)).count() === 0)
   }
 
+  test("prefix-filtered jaccard is EXACTLY dedup_ngram (the PPJoin guarantee)") {
+    val full = Dedup.dedupNgram(spark, corpusDir).collect().map(_.toString).toSeq
+    val pref = Dedup.dedupNgramPrefix(spark, corpusDir).collect().map(_.toString).toSeq
+    assert(pref === full)
+    assert(full.nonEmpty)
+  }
+
   test("dedup_minhash banding recovers >= 80% of jaccard~0.8 pairs, verified exactly") {
     val out = Dedup.dedupMinhash(spark, corpusDir)
     val hits = truePairHits(out)
