@@ -45,6 +45,81 @@ object Jx {
 
   private val mapper = new ObjectMapper()
 
+  /** The reference's `format: "cube"` RESULT serialization (upstream:
+    * jx_python/cubes / mo_collections/matrix.py — ActiveData's datacube
+    * response: per-edge domain headers plus one dense n-d value matrix
+    * per aggregate, cells aligned to the cross product of the domains).
+    *
+    * Takes the DENSE result frame a jx edges query produces (edge
+    * columns + aggregate columns, every domain combination present) and
+    * nests it. This is a formatting layer over an already-aggregated
+    * cube — the collect is the result set itself (small by construction:
+    * Π |domain| cells), not a data pass; all heavy lifting stayed
+    * distributed in [[run]]. Edge parts sort nulls-first, matching the
+    * dense-join's null part placement. */
+  def cubeJson(df: DataFrame, edgeNames: Seq[String], aggNames: Seq[String]): String = {
+    val rows = df.collect()
+    val schema = df.schema
+    val edgeIdx = edgeNames.map(schema.fieldIndex)
+    val aggIdx = aggNames.map(schema.fieldIndex)
+    // per-edge domains in null-first order (null = the jx null part)
+    val ordering: Ordering[Any] = Ordering.fromLessThan {
+      case (null, _) => true
+      case (_, null) => false
+      case (a: java.lang.Comparable[_], b) =>
+        a.asInstanceOf[java.lang.Comparable[Any]].compareTo(b) < 0
+      case (a, b) => a.toString < b.toString
+    }
+    val domains: Seq[Seq[Any]] = edgeIdx.map(i =>
+      rows.map(_.get(i)).distinct.sorted(ordering).toSeq)
+    val pos: Seq[Map[Any, Int]] = domains.map(_.zipWithIndex.toMap)
+
+    val root = mapper.createObjectNode()
+    root.put("meta_format", "cube")
+    val edgesArr = root.putArray("edges")
+    edgeNames.zip(domains).foreach { case (name, parts) =>
+      val e = edgesArr.addObject()
+      e.put("name", name)
+      val dom = e.putObject("domain")
+      dom.put("type", "set")
+      val ps = dom.putArray("partitions")
+      parts.foreach { v =>
+        val p = ps.addObject()
+        putValue(p, "value", v)
+      }
+    }
+    val data = root.putObject("data")
+    aggNames.zip(aggIdx).foreach { case (aggName, ai) =>
+      // dense n-d matrix as nested arrays, first edge outermost
+      val cellMap: Map[List[Int], Any] = rows.map { r =>
+        edgeIdx.zipWithIndex.map { case (ei, d) => pos(d)(r.get(ei)) }.toList -> r.get(ai)
+      }.toMap
+      def build(dim: Int, coords: List[Int]): com.fasterxml.jackson.databind.JsonNode =
+        if (dim == edgeIdx.length) valueNode(cellMap.getOrElse(coords, null))
+        else {
+          val arr = mapper.createArrayNode()
+          domains(dim).indices.foreach(i => arr.add(build(dim + 1, coords :+ i)))
+          arr
+        }
+      val _ = data.set[com.fasterxml.jackson.databind.JsonNode](aggName, build(0, Nil))
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def valueNode(v: Any): com.fasterxml.jackson.databind.JsonNode = v match {
+    case null => mapper.nullNode()
+    case b: java.lang.Boolean => mapper.getNodeFactory.booleanNode(b)
+    case n: java.lang.Long => mapper.getNodeFactory.numberNode(n.longValue())
+    case n: java.lang.Integer => mapper.getNodeFactory.numberNode(n.intValue())
+    case n: java.lang.Double => mapper.getNodeFactory.numberNode(n.doubleValue())
+    case s => mapper.getNodeFactory.textNode(s.toString)
+  }
+
+  private def putValue(o: com.fasterxml.jackson.databind.node.ObjectNode,
+      field: String, v: Any): Unit = {
+    val _ = o.set[com.fasterxml.jackson.databind.JsonNode](field, valueNode(v))
+  }
+
   /** Compile and run a jx JSON query. `tables` resolves the `from` name.
     * A dotted `from` ("perf.suites.subtests") unnests each array segment —
     * the jx data model makes the unnest part of the FROM clause (upstream:

@@ -198,6 +198,30 @@ class JxSpec extends graft.SparkSpec {
     assert(out.length === 1)
   }
 
+  test("cube serialization: dense 2-edge matrix with domain headers") {
+    val df = run("""{
+      "from": "logs",
+      "edges": ["suite", "platform"],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]}""")
+    val json = Jx.cubeJson(df, Seq("suite", "platform"), Seq("n"))
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(node.get("meta_format").asText() === "cube")
+    val edges = node.get("edges")
+    assert(edges.size() === 2)
+    assert(edges.get(0).get("name").asText() === "suite")
+    // suite domain: null part first, then sorted values
+    val suiteParts = edges.get(0).get("domain").get("partitions")
+    assert(suiteParts.get(0).get("value").isNull)
+    assert((1 until suiteParts.size()).map(i => suiteParts.get(i).get("value").asText())
+      === Seq("mochitest", "reftest", "xpcshell"))
+    // data.n is a dense |suite| x |platform| matrix whose total = row count
+    val m = node.get("data").get("n")
+    assert(m.size() === suiteParts.size())
+    val total = (0 until m.size()).flatMap(i =>
+      (0 until m.get(i).size()).map(j => m.get(i).get(j).asLong())).sum
+    assert(total === 6L)
+  }
+
   test("expression-valued select: op-trees in value position") {
     val out = run("""{
       "from": "logs",
