@@ -67,6 +67,40 @@ object TextOps {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "predicted")
 
+  /** X4a-ngram: language-ID by character-trigram profile matching — the
+    * classic n-gram heuristic (Cavnar–Trenkle shape): slide a 3-char
+    * window over the text, count hits against tiny per-language trigram
+    * profiles, argmax wins. Pure higher-order functions over the char
+    * grams — one codegen'd pass per document, profiles are in-plan
+    * literals (a real system would broadcast learned profiles, exactly
+    * like the T3 mapping table). */
+  val textLangidNgram: Q = (s, d) => {
+    // NB Spark's sequence(1, 0) counts DOWN (DuckDB's generate_series is
+    // empty there) — guard short texts explicitly so both engines agree.
+    def hits(profile: Seq[String]): org.apache.spark.sql.Column = {
+      val set = profile.map(p => s"'${p}'").mkString("(", ", ", ")")
+      size(expr(
+        s"""filter(CASE WHEN length(text) >= 3
+                        THEN transform(sequence(1, length(text) - 2),
+                                       i -> substring(text, i, 3))
+                        ELSE CAST(array() AS ARRAY<STRING>) END,
+                   g -> g IN $set)"""))
+    }
+    t(s, d, "documents")
+      .withColumn("g_en", hits(Seq("the", "ing", "and", " th")))
+      .withColumn("g_es", hits(Seq(" de", "la ", "ión", "os ")))
+      .withColumn("g_de", hits(Seq("der", "sch", "ung", "ein")))
+      .withColumn("predicted",
+        when(col("g_en") >= col("g_es") && col("g_en") >= col("g_de") &&
+          col("g_en") > 0, "en")
+          .when(col("g_es") >= col("g_de") && col("g_es") > 0, "es")
+          .when(col("g_de") > 0, "de")
+          .otherwise("und"))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+  }
+
   /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
     * md5). Identical fingerprints ⇒ same bag of words — the cheap exact
     * near-dup key; groupBy(fingerprint) at scale shuffles only the 16-byte
@@ -116,6 +150,7 @@ object TextOps {
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
+    "text_langid_ngram" -> textLangidNgram,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
 
@@ -137,6 +172,22 @@ object TextOps {
                       len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
                FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents))
          ORDER BY doc_id LIMIT 300""",
+    "text_langid_ngram" ->
+      """SELECT lang, predicted, count(*) AS n
+         FROM (SELECT lang,
+                      CASE WHEN g_en >= g_es AND g_en >= g_de AND g_en > 0 THEN 'en'
+                           WHEN g_es >= g_de AND g_es > 0 THEN 'es'
+                           WHEN g_de > 0 THEN 'de'
+                           ELSE 'und' END AS predicted
+               FROM (SELECT lang,
+                            len(list_filter(grams, g -> g IN ('the', 'ing', 'and', ' th'))) AS g_en,
+                            len(list_filter(grams, g -> g IN (' de', 'la ', 'ión', 'os '))) AS g_es,
+                            len(list_filter(grams, g -> g IN ('der', 'sch', 'ung', 'ein'))) AS g_de
+                     FROM (SELECT lang,
+                                  [substr(text, i, 3)
+                                   for i in generate_series(1, greatest(length(text) - 2, 0))] AS grams
+                           FROM documents)))
+         GROUP BY lang, predicted ORDER BY lang, predicted""",
     "text_langid" ->
       """SELECT lang, predicted, count(*) AS n
          FROM (SELECT lang,
