@@ -49,15 +49,19 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The driver parses this line out of a BOUNDED tail of stdout (last
-    // ~2000 chars incl. sbt's [success] trailer) — keep the line under
-    // 1850 chars, degrading per-query precision before ever overflowing.
+    // 2000 chars incl. sbt's ~75-char [success] trailer) — keep the line
+    // under 1900 chars, degrading per-query precision before ever
+    // overflowing. Trailing zeros are stripped (0.50 → 0.5) so the
+    // 2-decimal form usually fits even at ~100 queries.
+    val sfName = new java.io.File(sfDir).getName
     def line(dec: Int): String = {
       def sec(v: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
+        .replaceAll("(\\.\\d*?)0+$", "$1").replaceAll("\\.$", "")
       val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfName"}"""
     }
-    println((2 to 0 by -1).map(line).find(_.length <= 1850).getOrElse(line(0)))
+    println((2 to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0)))
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }

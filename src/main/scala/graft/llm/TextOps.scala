@@ -77,16 +77,19 @@ object TextOps {
   val textLangidNgram: Q = (s, d) => {
     // NB Spark's sequence(1, 0) counts DOWN (DuckDB's generate_series is
     // empty there) — guard short texts explicitly so both engines agree.
+    // The gram array is computed ONCE and reused by every language's
+    // filter (recomputing it per language tripled the per-row work —
+    // measured 5 s → ~1.7 s at sf0.1).
     def hits(profile: Seq[String]): org.apache.spark.sql.Column = {
       val set = profile.map(p => s"'${p}'").mkString("(", ", ", ")")
-      size(expr(
-        s"""filter(CASE WHEN length(text) >= 3
-                        THEN transform(sequence(1, length(text) - 2),
-                                       i -> substring(text, i, 3))
-                        ELSE CAST(array() AS ARRAY<STRING>) END,
-                   g -> g IN $set)"""))
+      size(expr(s"filter(grams, g -> g IN $set)"))
     }
     t(s, d, "documents")
+      .withColumn("grams", expr(
+        """CASE WHEN length(text) >= 3
+                THEN transform(sequence(1, length(text) - 2),
+                               i -> substring(text, i, 3))
+                ELSE CAST(array() AS ARRAY<STRING>) END"""))
       .withColumn("g_en", hits(Seq("the", "ing", "and", " th")))
       .withColumn("g_es", hits(Seq(" de", "la ", "ión", "os ")))
       .withColumn("g_de", hits(Seq("der", "sch", "ung", "ein")))
