@@ -216,6 +216,22 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** A15: pivot / cross-tab — one row per group, one column per pivoted
+    * value. The value list is EXPLICIT: the implicit form first runs a
+    * distinct job to discover columns and produces unbounded width on a
+    * dirty column at 100 TB; production pivots declare their columns.
+    * Empty cells coalesce to 0 so the contract matches a FILTERed
+    * aggregate (Spark pivot yields null for groups with no rows). */
+  val aggPivot: Q = (s, d) => {
+    val types = Seq("click", "view", "purchase", "signup", "error")
+    val p = t(s, d, "events")
+      .groupBy(pmod(col("user_id"), lit(10)).as("u"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+    p.select(col("u") +: types.map(v => coalesce(col(v), lit(0L)).as(v)): _*)
+      .orderBy("u")
+  }
+
   /** A14: rollup with grouping sets (not in the reference — jx "cube" is the
     * dense single grouping of A2 — but free in Spark; included for surface
     * completeness). */
@@ -242,7 +258,8 @@ object Aggregates {
     "agg_stats" -> aggStats,
     "agg_collect_set" -> aggCollectSet,
     "agg_first_last" -> aggFirstLast,
-    "agg_rollup" -> aggRollup)
+    "agg_rollup" -> aggRollup,
+    "agg_pivot" -> aggPivot)
 
   val oracle: Map[String, String] = Map(
     "agg_groupby" ->
@@ -366,6 +383,14 @@ object Aggregates {
                 max(CASE WHEN rn_d = 1 THEN event_id END) AS last_id,
                 min(ts) AS first_ts, max(ts) AS last_ts
          FROM ranked GROUP BY event_type ORDER BY event_type""",
+    "agg_pivot" ->
+      """SELECT user_id % 10 AS u,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'view') AS view,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'error') AS error
+         FROM events GROUP BY 1 ORDER BY 1""",
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
                 coalesce(l_linestatus, 'ALL') AS status,
