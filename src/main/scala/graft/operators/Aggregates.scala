@@ -103,6 +103,30 @@ object Aggregates {
       .orderBy("day")
   }
 
+  /** A4b: gap-fill over the dense time axis (LOCF — last observation
+    * carried forward): the resample primitive time-series pipelines run
+    * after densification. Empty cells keep n = 0 but inherit the last
+    * observed aggregate via an ignoreNulls window over the day axis. The
+    * window is global-ordered BY CONSTRUCTION over the dense axis — its
+    * row count is the number of buckets (bounded, tiny), never the row
+    * count of the fact table, so the single-partition window is safe at
+    * any data scale. */
+  val edgesTimeLocf: Q = (s, d) => {
+    val ev = t(s, d, "events").filter(col("event_type") === "purchase")
+    val bounds = t(s, d, "events").agg(
+      date_trunc("day", min("ts")).as("lo"),
+      date_trunc("day", max("ts")).as("hi"))
+    val domain = bounds.select(
+      explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val sparse = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("cnt"), r2(sum("value")).as("sv"))
+    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    domain.join(sparse, Seq("day"), "left")
+      .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n"),
+        last("sv", ignoreNulls = true).over(w).as("sum_value_locf"))
+      .orderBy("day")
+  }
+
   /** A5: dense duration domain — durations (seconds between first and last
     * event per user) bucketed into 30-minute bins, every bin between 0 and
     * the observed max materialized (upstream: jx duration domains over
@@ -251,6 +275,7 @@ object Aggregates {
     "edges_dense_null" -> edgesDenseNull,
     "edges_histogram" -> edgesHistogram,
     "edges_time" -> edgesTime,
+    "edges_time_locf" -> edgesTimeLocf,
     "edges_duration" -> edgesDuration,
     "edges_topn_other" -> edgesTopnOther,
     "agg_distinct" -> aggDistinct,
@@ -314,6 +339,19 @@ object Aggregates {
                          FROM events WHERE event_type = 'purchase' GROUP BY 1)
          SELECT CAST(d.day AS TIMESTAMP) AS day, coalesce(s.cnt, 0) AS n,
                 round(s.sv, 2) AS sum_value
+         FROM domain d LEFT JOIN sparse s ON CAST(d.day AS TIMESTAMP) = s.day
+         ORDER BY day""",
+    "edges_time_locf" ->
+      """WITH bounds AS (SELECT date_trunc('day', min(ts)) AS lo,
+                                date_trunc('day', max(ts)) AS hi FROM events),
+              domain AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+                         FROM bounds),
+              sparse AS (SELECT date_trunc('day', ts) AS day, count(*) AS cnt,
+                                round(sum(value), 2) AS sv
+                         FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT CAST(d.day AS TIMESTAMP) AS day, coalesce(s.cnt, 0) AS n,
+                last_value(s.sv IGNORE NULLS)
+                  OVER (ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS sum_value_locf
          FROM domain d LEFT JOIN sparse s ON CAST(d.day AS TIMESTAMP) = s.day
          ORDER BY day""",
     "edges_duration" ->
