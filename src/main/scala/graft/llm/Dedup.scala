@@ -277,6 +277,80 @@ object Dedup {
       .limit(200)
   }
 
+  /** X1c oracle twin: SimHash re-expressed with md5-derived 60-bit token
+    * hashes and a pure-relational bit-vote — every step (vote sums →
+    * signature compose → 4×15-bit banding with the bucket cap → hamming
+    * verify) replays in DuckDB SQL, so the WHOLE simhash pipeline sits
+    * under the exact-compare gate. The codegen'd FNV [[SimHash64]] path
+    * (`dedup_simhash`) remains the performance form — one pass per doc,
+    * no token explode; this twin costs an explode + 60 vote aggregates
+    * and exists for verification, not speed. */
+  val dedupSimhashMd5: Q = (s, d) => {
+    val bits = 60
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+    val votes = (0 until bits).map { b =>
+      sum(when(expr(s"(shiftright(h, $b) & 1)") === 1, 1).otherwise(-1)).as(s"v$b")
+    }
+    val sigs = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .withColumn("sig", (0 until bits)
+        .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+        .reduce(_ + _))
+      .select("doc_id", "sig")
+    val bands0 = sigs
+      .select(col("doc_id"), col("sig"), posexplode(expr(
+        "transform(sequence(0, 3), b -> shiftrightunsigned(sig, 15 * b) & 32767)")))
+      .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bh"))
+    val bands = bands0
+      .withColumn("bn", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
+      .filter(col("bn") <= SimhashBucketCap)
+      .drop("bn")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy(asc("hamming"), asc("da"), asc("db"))
+      .limit(200)
+  }
+
+  /** The generated vote/compose SQL shared by the dedup_simhash_md5
+    * oracle — built programmatically so the 60 bit positions can't
+    * drift between the Spark plan and the SQL replay. */
+  private val simhashMd5Oracle: String = {
+    val voteCols = (0 until 60)
+      .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n                      ")
+    val compose = (0 until 60)
+      .map(b => s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+       tok2 AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+                FROM toks WHERE length(w) > 0),
+       votes AS (SELECT doc_id,
+                      $voteCols
+                 FROM tok2 GROUP BY doc_id),
+       sigs AS (SELECT doc_id, $compose AS sig FROM votes),
+       bands0 AS (SELECT doc_id, sig, b.b AS band,
+                         (sig >> (15 * b.b)) & 32767 AS bh
+                  FROM sigs, generate_series(0, 3) b(b)),
+       bands AS (SELECT doc_id, sig, band, bh FROM (
+                   SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM bands0)
+                 WHERE bn <= ${SimhashBucketCap}),
+       cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                       bit_count(xor(x.sig, y.sig)) AS hamming
+                FROM bands x JOIN bands y
+                  ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+     SELECT da, db, CAST(hamming AS INT) AS hamming
+     FROM cand WHERE hamming <= 3
+     ORDER BY hamming ASC, da ASC, db ASC LIMIT 200"""
+  }
+
   /** X1f: near-dup clustering — the step a real dedup pipeline needs
     * AFTER candidate pairs: connected components over the pair graph,
     * one canonical doc per cluster (the min id; everything else is the
@@ -346,6 +420,7 @@ object Dedup {
     "dedup_ngram_prefix" -> dedupNgramPrefix,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_md5" -> dedupSimhashMd5,
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_clusters" -> dedupClusters,
@@ -392,6 +467,7 @@ object Dedup {
               JOIN sz y ON m.db = y.doc_id)"""
 
   val oracle: Map[String, String] = Map(
+    "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_minhash" ->
       s"""WITH $minhashCte
          SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
