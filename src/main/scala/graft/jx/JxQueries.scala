@@ -94,7 +94,29 @@ object JxQueries {
     "select": [{"name": "n", "value": ".", "aggregate": "count"}],
     "sort": ["big"]}"""
 
+  /** The reference's `meta.columns` endpoint (upstream: ActiveData
+    * exposes cluster schema metadata as a queryable table —
+    * jx_elasticsearch/meta.py): column name/type/nullability of a table,
+    * itself queryable. Schema introspection is driver metadata by
+    * nature (the reference reads it from the ES mapping, we read it from
+    * the DataFrame schema) — no data pass happens. Spark's
+    * timestamp_ntz normalizes to the engine-neutral "timestamp". */
+  val jxMetaColumns: Q = (s, d) => {
+    import s.implicits._
+    t(s, d, "lineitem").schema.fields.toSeq
+      .map { f =>
+        val dt = f.dataType.simpleString match {
+          case "timestamp_ntz" => "timestamp"
+          case other => other
+        }
+        (f.name, dt, f.nullable)
+      }
+      .toDF("name", "dtype", "nullable")
+      .orderBy("name")
+  }
+
   val queries: Map[String, Q] = Map(
+    "jx_meta_columns" -> jxMetaColumns,
     "jx_edges_expr" -> ((s, d) => Jx.run(s, edgesExprJson, name => t(s, d, name))),
     "jx_select_expr" -> ((s, d) => Jx.run(s, selectExprJson, name => t(s, d, name))),
     "jx_deepfrom" -> ((s, d) => {
@@ -110,6 +132,14 @@ object JxQueries {
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    "jx_meta_columns" ->
+      """SELECT lower(column_name) AS name,
+                CASE lower(column_type) WHEN 'varchar' THEN 'string'
+                                        WHEN 'integer' THEN 'int'
+                                        ELSE lower(column_type) END AS dtype,
+                "null" = 'YES' AS nullable
+         FROM (DESCRIBE SELECT * FROM lineitem)
+         ORDER BY name""",
     "jx_edges_expr" ->
       """WITH dom AS (SELECT DISTINCT value > 100.0 AS big FROM events
                       UNION SELECT NULL),
