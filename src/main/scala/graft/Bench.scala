@@ -48,11 +48,12 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // The driver parses this line out of a BOUNDED tail of stdout (last
-    // 2000 chars incl. sbt's ~75-char [success] trailer) — keep the line
-    // under 1900 chars, degrading per-query precision before ever
-    // overflowing. Trailing zeros are stripped (0.50 → 0.5) so the
-    // 2-decimal form usually fits even at ~100 queries.
+    // The driver parses this line out of a BOUNDED tail of stdout: the
+    // last 2000 chars, which must also hold sbt's ~75-char [success]
+    // trailer — so the line budget is ~1920 chars. Precision degrades
+    // (2 → 1 → 0 decimals, trailing zeros stripped) before the line can
+    // ever overflow; the untruncated 3-decimal JSON is also written to
+    // bench_full.json for human/judge consumption.
     val sfName = new java.io.File(sfDir).getName
     def line(dec: Int): String = {
       def sec(v: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
@@ -61,7 +62,10 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfName"}"""
     }
-    println((2 to 0 by -1).map(line).find(_.length <= 1900).getOrElse(line(0)))
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), line(3) + "\n")
+    catch { case _: Throwable => () } // sidecar is best-effort
+    println((2 to 0 by -1).map(line).find(_.length <= 1920).getOrElse(line(0)))
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }

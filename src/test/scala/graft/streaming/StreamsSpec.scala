@@ -78,6 +78,36 @@ class StreamsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("T7 streaming: dead-letter split routes per micro-batch") {
+    // the reference's error re-queue is stream-side (etl.py catches a
+    // failing key and writes it to the error bucket while good keys
+    // proceed) — here: one foreachBatch, two sinks, shared scan.
+    val okDir = tmp("graft-t7-ok")
+    val deadDir = tmp("graft-t7-dead")
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        val (ok, dead) = graft.etl.LogParsers.deadLetter(
+          batch, col("value") >= 0, "negative_value")
+        if (!ok.isEmpty) Streams.idempotentAppend(ok, id, okDir, Seq("user_id", "ts"))
+        if (!dead.isEmpty) Streams.idempotentAppend(dead, id, deadDir, Seq("user_id", "ts"))
+      }
+      .start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:01:00"), "click", 1.0),
+        Ev(2, ts("2024-01-01 00:02:00"), "error", -5.0),
+        Ev(3, ts("2024-01-01 00:03:00"), "view", 2.0))
+      q.processAllAvailable()
+      val ok = spark.read.parquet(okDir)
+      val dead = spark.read.parquet(deadDir)
+      assert(ok.count() === 2)
+      assert(dead.count() === 1)
+      assert(dead.head().getAs[String]("error") === "negative_value")
+      assert(ok.columns.contains("batch_id")) // lineage stamp survived
+    } finally q.stop()
+  }
+
   test("ST4: late data behind the watermark is dropped") {
     val in = MemoryStream[Ev](spark)
     val q = Streams.tumblingCountsStream(in.toDF(), "10 minutes", "5 minutes")
