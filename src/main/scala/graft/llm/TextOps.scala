@@ -104,6 +104,31 @@ object TextOps {
       .orderBy("lang", "predicted")
   }
 
+  /** X4c: sequence packing — concat-and-chunk, the batch-assembly step of
+    * a training pipeline: documents are concatenated in a deterministic
+    * order and cut into fixed-size token windows; each doc needs to know
+    * its (chunk, offset) so the tokenized corpus can be written straight
+    * into packed training rows. Packing is per hash-shard — a global
+    * order would serialize the corpus through one partition at 100 TB;
+    * per-shard packing is what real pipelines do (one packer per worker)
+    * and keeps every window bounded by the shard, not the table. Pure
+    * integer window arithmetic → oracle-exact. */
+  val textPackChunks: Q = (s, d) => {
+    val ctx = 2048L
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(8L)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        (col("cum_before") / ctx).cast("long").as("chunk_id"),
+        (col("cum_before") % ctx).as("chunk_offset"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
     * md5). Identical fingerprints ⇒ same bag of words — the cheap exact
     * near-dup key; groupBy(fingerprint) at scale shuffles only the 16-byte
@@ -154,6 +179,7 @@ object TextOps {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_langid_ngram" -> textLangidNgram,
+    "text_pack_chunks" -> textPackChunks,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
 
@@ -175,6 +201,20 @@ object TextOps {
                       len(list_filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
                FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents))
          ORDER BY doc_id LIMIT 300""",
+    "text_pack_chunks" ->
+      """WITH base AS (SELECT doc_id, doc_id % 8 AS shard,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                       FROM documents),
+           packed AS (SELECT doc_id, shard, n_tok,
+                             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                            AND 1 PRECEDING), 0)
+                                  AS BIGINT) AS cum_before
+                      FROM base)
+         SELECT doc_id, shard, n_tok,
+                CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
+                cum_before % 2048 AS chunk_offset
+         FROM packed ORDER BY doc_id LIMIT 300""",
     "text_langid_ngram" ->
       """SELECT lang, predicted, count(*) AS n
          FROM (SELECT lang,
