@@ -75,7 +75,7 @@ object Jx {
     val pos: Seq[Map[Any, Int]] = domains.map(_.zipWithIndex.toMap)
 
     val root = mapper.createObjectNode()
-    root.put("meta_format", "cube")
+    root.putObject("meta").put("format", "cube")
     val edgesArr = root.putArray("edges")
     edgeNames.zip(domains).foreach { case (name, parts) =>
       val e = edgesArr.addObject()
@@ -102,6 +102,43 @@ object Jx {
           arr
         }
       val _ = data.set[com.fasterxml.jackson.databind.JsonNode](aggName, build(0, Nil))
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** The reference's `format: "list"` response shape (upstream:
+    * jx_python/jx.py format layer): one JSON object per row,
+    * {"meta": {"format": "list"}, "data": [{col: value, …}, …]}.
+    * Like [[cubeJson]], this is a serialization layer over the FINAL
+    * result frame (already aggregated/limited by [[run]]) — the collect
+    * is the response body itself, not a data pass. Row order is the
+    * frame's order (the jx sort). */
+  def listJson(df: DataFrame): String = {
+    val names = df.schema.fieldNames
+    val root = mapper.createObjectNode()
+    root.putObject("meta").put("format", "list")
+    val data = root.putArray("data")
+    df.collect().foreach { r =>
+      val o = data.addObject()
+      names.zipWithIndex.foreach { case (n, i) => putValue(o, n, r.get(i)) }
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  /** The reference's `format: "table"` response shape: column header once,
+    * then positional value rows — {"meta": {"format": "table"},
+    * "header": [col, …], "data": [[v, …], …]}. Same serialization-layer
+    * contract as [[listJson]]. */
+  def tableJson(df: DataFrame): String = {
+    val names = df.schema.fieldNames
+    val root = mapper.createObjectNode()
+    root.putObject("meta").put("format", "table")
+    val header = root.putArray("header")
+    names.foreach(header.add)
+    val data = root.putArray("data")
+    df.collect().foreach { r =>
+      val row = data.addArray()
+      names.indices.foreach(i => row.add(valueNode(r.get(i))))
     }
     mapper.writeValueAsString(root)
   }
@@ -225,16 +262,27 @@ object Jx {
     df.groupBy(groupby.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
   }
 
-  /** One edge = the output column name, the bucketing expression applied
-    * to each row, and the in-plan dense domain frame (one column, named
-    * `name`). Domain types (upstream: jx_base/domains.py):
-    *  - set (default): distinct observed values ∪ the jx null part
+  /** One edge = the output column name, a `prep` stage that adds the
+    * bucket column (named `tag`) to the fact frame, and the in-plan dense
+    * domain frame (one column, named `name`). Most domains bucket with a
+    * plain column expression; the default (top-N) domain needs a join
+    * against the ranked-terms frame, which is why `prep` is
+    * frame-to-frame rather than a Column. Domain types (upstream:
+    * jx_base/domains.py):
+    *  - set: distinct observed values ∪ the jx null part
+    *  - default + limit: top-N values by count, the tail collapsed into an
+    *    "other" part (upstream default domain caps cardinality); without a
+    *    limit it degrades to set
     *  - range / duration: numeric bins [min, max] / interval, from the
     *    domain spec — `sequence()` generates the axis in-plan
     *  - time: calendar buckets via date_trunc(interval unit), bounds taken
     *    from the data in-plan (no driver round-trip) */
-  private case class Edge(name: String, bucket: DataFrame => Column,
+  private case class Edge(name: String, prep: (DataFrame, String) => DataFrame,
       domain: DataFrame => DataFrame)
+
+  private def exprEdge(name: String, vcol: => Column,
+      domain: DataFrame => DataFrame): Edge =
+    Edge(name, (df, tag) => df.withColumn(tag, vcol), domain)
 
   private def parseEdge(e: JsonNode): Edge = {
     // edge values may be expressions (op-trees), like select values —
@@ -248,9 +296,38 @@ object Jx {
       }
     def vcol: Column = valueNode.map(expr).getOrElse(col(value))
     val domainSpec = if (e.isTextual) None else opt(e, "domain")
+    val limit = domainSpec.flatMap(d => opt(d, "limit")).map(_.asInt())
     domainSpec.map(d => opt(d, "type").map(_.asText()).getOrElse("set")) match {
+      case Some("default") if limit.isDefined =>
+        // jx default domain with a cardinality cap: the top `limit` values
+        // by count keep their identity, everything else lands in "other",
+        // rows with a MISSING edge value still go to the null part (they
+        // are not "other"). Rank → broadcast-join remap → dense domain =
+        // top ∪ {"other"} ∪ {null}; both passes stay distributed (same
+        // shape as the A6 edges_topn_other operator, Aggregates.scala).
+        val n = limit.get
+        def top(df: DataFrame): DataFrame = df
+          .select(vcol.cast("string").as("__v"))
+          .filter(col("__v").isNotNull)
+          .groupBy("__v").agg(count(lit(1)).as("__cnt"))
+          .withColumn("__rk", row_number().over(
+            Window.orderBy(desc("__cnt"), asc("__v"))))
+          .filter(col("__rk") <= n)
+          .select("__v")
+        Edge(name,
+          (df, tag) => {
+            val t = top(df).withColumnRenamed("__v", s"${tag}_top")
+            df.join(broadcast(t), vcol.cast("string") === col(s"${tag}_top"), "left")
+              .withColumn(tag, when(vcol.isNull, lit(null))
+                .otherwise(coalesce(col(s"${tag}_top"), lit("other"))))
+              .drop(s"${tag}_top")
+          },
+          df => top(df).select(col("__v").as(name))
+            .unionByName(df.sparkSession.range(1).select(lit("other").as(name)))
+            .unionByName(df.sparkSession.range(1).select(
+              lit(null).cast("string").as(name))))
       case None | Some("set") | Some("default") =>
-        Edge(name, df => vcol.as(name),
+        exprEdge(name, vcol,
           df => {
             val dt = df.select(vcol).schema.head.dataType
             df.select(vcol.as(name)).distinct()
@@ -262,7 +339,7 @@ object Jx {
         val d = domainSpec.get
         val (lo, hi, iv) = (req(d, "min").asDouble(), req(d, "max").asDouble(),
           req(d, "interval").asDouble())
-        Edge(name, df => (floor(vcol / iv) * iv).as(name),
+        exprEdge(name, floor(vcol / iv) * iv,
           df => df.sparkSession.range(1)
             .select(explode(sequence(
               lit(math.floor(lo / iv).toLong),
@@ -270,7 +347,7 @@ object Jx {
             .select((col("__i") * iv).cast("double").as(name)))
       case Some("time") =>
         val unit = opt(domainSpec.get, "interval").map(_.asText()).getOrElse("day")
-        Edge(name, df => date_trunc(unit, vcol).as(name),
+        exprEdge(name, date_trunc(unit, vcol),
           df => df.agg(
               date_trunc(unit, min(vcol)).as("lo"),
               date_trunc(unit, max(vcol)).as("hi"))
@@ -289,18 +366,22 @@ object Jx {
     // bucket under internal tags so a bucket expression can share its name
     // with the source column without ambiguity
     val tagged = edges.zipWithIndex.map { case (e, i) => (e, s"__edge_$i") }
-    val bucketed = tagged.foldLeft(df) { case (acc, (e, tag)) =>
-      acc.withColumn(tag, e.bucket(df))
-    }
+    val bucketed = tagged.foldLeft(df) { case (acc, (e, tag)) => e.prep(acc, tag) }
     val aggCols = if (aggs.nonEmpty) aggs.map(aggCol) else Seq(count(lit(1)).as("count"))
     val sparse = bucketed.groupBy(tagged.map(t => col(t._2)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
-    val domain = edges.map(_.domain(df)).reduce(_ crossJoin _)
-    val cond = tagged.map { case (e, tag) => domain(e.name) <=> sparse(tag) }.reduce(_ && _)
+      .as("sp")
+    // both sides explicitly aliased: same-name cross-frame comparisons
+    // (domain("k") <=> sparse("k")) resolve per-frame today but are the
+    // ambiguity class that silently self-joins under plan rewrites
+    val domain = edges.map(_.domain(df)).reduce(_ crossJoin _).as("dm")
+    val cond = tagged.map { case (e, tag) =>
+      col(s"dm.${e.name}") <=> col(s"sp.$tag")
+    }.reduce(_ && _)
     val aggNames = if (aggs.nonEmpty) aggs else Seq(Sel("count", ".", Some("count")))
-    val outCols = edges.map(e => domain(e.name)) ++ aggNames.map { s =>
-      if (s.aggregate.contains("count")) coalesce(sparse(s.name), lit(0L)).as(s.name)
-      else sparse(s.name).as(s.name)
+    val outCols = edges.map(e => col(s"dm.${e.name}")) ++ aggNames.map { s =>
+      if (s.aggregate.contains("count")) coalesce(col(s"sp.${s.name}"), lit(0L)).as(s.name)
+      else col(s"sp.${s.name}").as(s.name)
     }
     domain.join(sparse, cond, "left").select(outCols: _*)
   }
@@ -378,18 +459,61 @@ object Jx {
         case "mult" => JxFunctions.jxMult(arr(a).map(expr): _*)
         case "sub"  => pair(a, _ - _)
         case "div"  => pair(a, (l, r) => JxFunctions.jxDiv(l, r))
+        // clamped string slices (upstream: jx_base/expressions LeftOp/
+        // RightOp/NotLeftOp/NotRightOp) — [value, n] with n a literal int
+        case "left" =>
+          val xs = arr(a); substring(expr(xs.head), 1, xs(1).asInt())
+        case "right" =>
+          val xs = arr(a)
+          val c = expr(xs.head)
+          // clamp: last n chars even when n > length (substring(-n) alone
+          // would walk off the front)
+          substring(c, greatest(length(c) - lit(xs(1).asInt()) + 1, lit(1)),
+            lit(xs(1).asInt()))
+        case "not_left" => // drop the first n chars
+          val xs = arr(a)
+          val c = expr(xs.head)
+          substring(c, lit(xs(1).asInt() + 1), length(c))
+        case "not_right" => // drop the last n chars
+          val xs = arr(a)
+          val c = expr(xs.head)
+          substring(c, lit(1), greatest(length(c) - lit(xs(1).asInt()), lit(0)))
+        // coercions (upstream: jx_base/expressions NumberOp/StringOp/
+        // BooleanOp/DateOp): never throw — malformed input becomes missing
+        // (try_cast), matching the reference's Null-on-bad-value rule
+        case "number"  => JxFunctions.jxNumber(expr(a))
+        case "string"  => expr(a).cast("string")
+        case "boolean" => expr(a).cast("boolean")
+        case "date" => // parses to the engine's naive timestamp; the
+          // reference stores unix floats (mo_times) — number({date:x})
+          // recovers that representation when needed
+          expr(a).try_cast(org.apache.spark.sql.types.TimestampNTZType)
+        // tuple/get (upstream: TupleOp/GetOp): a tuple is a struct with
+        // positional field names; get accepts an int (tuple position) or a
+        // string (struct field name). Catalyst collapses
+        // CreateStruct+GetStructField, so tuple-then-get costs nothing.
+        case "tuple" =>
+          struct(arr(a).zipWithIndex.map { case (x, i) => expr(x).as(i.toString) }: _*)
+        case "get" =>
+          val xs = arr(a)
+          val key = xs(1)
+          if (key.isNumber) expr(xs.head).getField(key.asInt().toString)
+          else expr(xs.head).getField(text(key))
         case "floor" =>
           val xs = arr(a)
           JxFunctions.jxFloor(expr(xs.head), xs(1).asDouble())
         case "abs"      => abs(expr(a))
-        case "coalesce" => coalesce(arr(a).map(expr): _*)
+        // E6 convention: "" ≡ missing, so coalesce skips empty strings and
+        // concat drops empty operands, not just nulls (upstream: mo_dots
+        // treats "" as Null everywhere a value is tested for existence)
+        case "coalesce" => coalesce(arr(a).map(x => blankToNull(expr(x))): _*)
         case "length"   => length(expr(a))
         case "lower"    => lower(expr(a))
         case "upper"    => upper(expr(a))
         case "trim"     => trim(expr(a))
         case "concat" =>
           val sep = opt(o, "separator").map(_.asText()).getOrElse("")
-          concat_ws(sep, arr(a).map(expr): _*)
+          concat_ws(sep, arr(a).map(x => blankToNull(expr(x))): _*)
         case "case" =>
           val clauses = arr(a)
           val whens = clauses.filter(c => c.has("when"))
@@ -403,6 +527,13 @@ object Jx {
       }
     case other => throw new IllegalArgumentException(s"bad jx expression: $other")
   }
+
+  /** jx "" ≡ missing, applied to a value of unknown type: empty string
+    * becomes null, anything else passes through unchanged (the cast to
+    * string never yields "" for non-string types, so this is the identity
+    * there — and Catalyst folds the branch away for non-string columns). */
+  private def blankToNull(c: Column): Column =
+    when(c.cast("string") === lit(""), lit(null)).otherwise(c)
 
   /** Binary ops accept the array form ["f", x] or the shorthand {"f": x}. */
   private def pair(a: JsonNode, f: (Column, Column) => Column): Column =

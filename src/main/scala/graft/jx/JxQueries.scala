@@ -94,6 +94,44 @@ object JxQueries {
     "select": [{"name": "n", "value": ".", "aggregate": "count"}],
     "sort": ["big"]}"""
 
+  /** The round-5 op-parity sweep: every jx scalar op family the compiler
+    * gained this round in ONE op-tree — clamped slices (left/right/
+    * not_left/not_right), the never-throwing coercions (number/string/
+    * boolean/date), tuple/get, and the E6 ""-≡-missing convention flowing
+    * through exists (the where) and coalesce (the fallback select). */
+  private val opsExprJson = """{
+    "from": "events",
+    "where": {"exists": {"case": [
+      {"when": {"lt": ["value", 5]}, "then": {"literal": ""}},
+      "event_type"]}},
+    "select": [
+      {"name": "event_id", "value": "event_id"},
+      {"name": "l3", "value": {"left": ["event_type", 3]}},
+      {"name": "r3", "value": {"right": ["event_type", 3]}},
+      {"name": "nl2", "value": {"not_left": ["event_type", 2]}},
+      {"name": "nr2", "value": {"not_right": ["event_type", 2]}},
+      {"name": "uid_rt", "value": {"number": {"string": "user_id"}}},
+      {"name": "nonzero", "value": {"boolean": {"floor": ["value", 2]}}},
+      {"name": "ts_rt", "value": {"date": {"string": "ts"}}},
+      {"name": "tv", "value": {"get": [{"tuple": ["event_type", "value"]}, 1]}},
+      {"name": "fallback", "value": {"coalesce": [
+        {"case": [{"when": {"lt": ["value", 20]}, "then": {"literal": ""}},
+                  "event_type"]},
+        {"literal": "none"}]}}],
+    "sort": ["event_id"],
+    "limit": 300}"""
+
+  /** jx default domain with a cardinality cap: top-3 event types keep
+    * their identity, the tail collapses into "other", the null part stays
+    * reserved for rows with a missing edge value (count 0 here — the
+    * events table has no null event_type). */
+  private val edgesTopnJson = """{
+    "from": "events",
+    "edges": [{"name": "part", "value": "event_type",
+               "domain": {"type": "default", "limit": 3}}],
+    "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+    "sort": ["part"]}"""
+
   /** The reference's `meta.columns` endpoint (upstream: ActiveData
     * exposes cluster schema metadata as a queryable table —
     * jx_elasticsearch/meta.py): column name/type/nullability of a table,
@@ -117,6 +155,8 @@ object JxQueries {
 
   val queries: Map[String, Q] = Map(
     "jx_meta_columns" -> jxMetaColumns,
+    "jx_ops_expr" -> ((s, d) => Jx.run(s, opsExprJson, name => t(s, d, name))),
+    "jx_edges_topn" -> ((s, d) => Jx.run(s, edgesTopnJson, name => t(s, d, name))),
     "jx_edges_expr" -> ((s, d) => Jx.run(s, edgesExprJson, name => t(s, d, name))),
     "jx_select_expr" -> ((s, d) => Jx.run(s, selectExprJson, name => t(s, d, name))),
     "jx_deepfrom" -> ((s, d) => {
@@ -132,6 +172,36 @@ object JxQueries {
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    "jx_ops_expr" ->
+      """SELECT event_id,
+                left(event_type, 3) AS l3,
+                right(event_type, 3) AS r3,
+                substr(event_type, 3) AS nl2,
+                left(event_type, greatest(length(event_type) - 2, 0)) AS nr2,
+                CAST(CAST(user_id AS VARCHAR) AS DOUBLE) AS uid_rt,
+                CAST(floor(value / 2.0) * 2.0 AS BOOLEAN) AS nonzero,
+                CAST(CAST(ts AS VARCHAR) AS TIMESTAMP) AS ts_rt,
+                value AS tv,
+                CASE WHEN value < 20 THEN 'none' ELSE event_type END AS fallback
+         FROM events
+         WHERE NOT (value < 5)
+         ORDER BY event_id LIMIT 300""",
+    "jx_edges_topn" ->
+      """WITH counts AS (SELECT event_type AS v, count(*) AS cnt FROM events
+                         WHERE event_type IS NOT NULL GROUP BY 1),
+              top AS (SELECT v FROM (
+                        SELECT v, row_number() OVER (ORDER BY cnt DESC, v ASC) AS rk
+                        FROM counts) WHERE rk <= 3),
+              dom AS (SELECT v AS part FROM top
+                      UNION ALL SELECT 'other' UNION ALL SELECT NULL),
+              remap AS (SELECT CASE WHEN event_type IS NULL THEN NULL
+                                    WHEN event_type IN (SELECT v FROM top) THEN event_type
+                                    ELSE 'other' END AS part
+                        FROM events),
+              sparse AS (SELECT part, count(*) AS cnt FROM remap GROUP BY 1)
+         SELECT d.part, coalesce(s.cnt, 0) AS n
+         FROM dom d LEFT JOIN sparse s ON d.part IS NOT DISTINCT FROM s.part
+         ORDER BY d.part NULLS FIRST""",
     "jx_meta_columns" ->
       """SELECT lower(column_name) AS name,
                 CASE lower(column_type) WHEN 'varchar' THEN 'string'

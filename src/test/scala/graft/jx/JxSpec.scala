@@ -205,7 +205,7 @@ class JxSpec extends graft.SparkSpec {
       "select": [{"name": "n", "value": ".", "aggregate": "count"}]}""")
     val json = Jx.cubeJson(df, Seq("suite", "platform"), Seq("n"))
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
-    assert(node.get("meta_format").asText() === "cube")
+    assert(node.get("meta").get("format").asText() === "cube")
     val edges = node.get("edges")
     assert(edges.size() === 2)
     assert(edges.get(0).get("name").asText() === "suite")
@@ -247,6 +247,85 @@ class JxSpec extends graft.SparkSpec {
     val byPart = out.map(r => (if (r.isNullAt(0)) "null" else r.getBoolean(0).toString)
       -> r.getLong(1)).toMap
     assert(byPart === Map("null" -> 0L, "false" -> 2L, "true" -> 4L))
+  }
+
+  test("slices clamp; coercions never throw; tuple/get; '' skips in coalesce/concat") {
+    val out = run("""{
+      "from": "logs",
+      "select": [
+        {"name": "id", "value": "id"},
+        {"name": "l4", "value": {"left": ["suite", 4]}},
+        {"name": "r4", "value": {"right": ["suite", 4]}},
+        {"name": "nl4", "value": {"not_left": ["suite", 4]}},
+        {"name": "nr20", "value": {"not_right": ["suite", 20]}},
+        {"name": "num_ok", "value": {"number": {"literal": "3.5"}}},
+        {"name": "num_bad", "value": {"number": "suite"}},
+        {"name": "s_dur", "value": {"string": "duration"}},
+        {"name": "b", "value": {"boolean": {"sub": ["duration", 10]}}},
+        {"name": "d", "value": {"date": {"literal": "2024-01-02 03:04:05"}}},
+        {"name": "first_of_tuple", "value": {"get": [{"tuple": ["suite", "duration"]}, 0]}},
+        {"name": "fb", "value": {"coalesce": ["platform", {"literal": "none"}]}},
+        {"name": "tag", "value": {"concat": ["suite", "platform"], "separator": "/"}}],
+      "sort": ["id"]}""").collect()
+    val r3 = out(2) // id 3: xpcshell / win / 30.0
+    assert(r3.getString(1) === "xpcs") // left clamps at word end
+    assert(r3.getString(2) === "hell")
+    assert(r3.getString(3) === "hell") // not_left 4 drops "xpcs"
+    assert(r3.getString(4) === "") // not_right beyond length → empty
+    assert(r3.getDouble(5) === 3.5)
+    assert(r3.isNullAt(6)) // number("xpcshell") → missing, no throw
+    assert(r3.getString(7) === "30.0")
+    assert(r3.getBoolean(8)) // 30 − 10 ≠ 0 → true
+    assert(r3.getAs[java.time.LocalDateTime](9) ===
+      java.time.LocalDateTime.of(2024, 1, 2, 3, 4, 5))
+    assert(r3.getString(10) === "xpcshell")
+    val r1 = out.head
+    assert(!r1.getBoolean(8)) // 10 − 10 = 0 → false
+    // E6: '' ≡ missing — id 6's empty platform falls through coalesce and
+    // is dropped by concat (id 4's null does the same)
+    val r6 = out(5)
+    assert(r6.getString(11) === "none")
+    assert(r6.getString(12) === "reftest")
+    val r4n = out(3)
+    assert(r4n.getString(11) === "none")
+    assert(r4n.getString(12) === "xpcshell")
+  }
+
+  test("default domain with limit: top-N parts + other + the null part") {
+    val out = run("""{
+      "from": "logs",
+      "edges": [{"name": "part", "value": "suite",
+                 "domain": {"type": "default", "limit": 1}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "sort": ["part"]}""").collect()
+    // top-1 = mochitest (3 rows); xpcshell + reftest collapse into other;
+    // null part present with count 0 (every row has a suite)
+    val parts = out.map(r => (if (r.isNullAt(0)) null else r.getString(0)) -> r.getLong(1)).toMap
+    assert(parts === Map((null: String) -> 0L, "mochitest" -> 3L, "other" -> 3L))
+  }
+
+  test("list and table formats serialize the same frame consistently") {
+    val df = run("""{
+      "from": "logs",
+      "groupby": "suite",
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "sort": "suite"}""")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val list = mapper.readTree(Jx.listJson(df))
+    assert(list.get("meta").get("format").asText() === "list")
+    assert(list.get("data").size() === 3)
+    assert(list.get("data").get(0).get("suite").asText() === "mochitest")
+    assert(list.get("data").get(0).get("n").asLong() === 3L)
+    val table = mapper.readTree(Jx.tableJson(df))
+    assert(table.get("meta").get("format").asText() === "table")
+    assert((0 until table.get("header").size()).map(table.get("header").get(_).asText())
+      === Seq("suite", "n"))
+    assert(table.get("data").size() === 3)
+    assert(table.get("data").get(1).get(0).asText() === "reftest")
+    assert(table.get("data").get(1).get(1).asLong() === 1L)
+    // row payloads agree across formats
+    assert(list.get("data").get(2).get("n").asLong()
+      === table.get("data").get(2).get(1).asLong())
   }
 
   test("expression value feeds aggregates too") {
