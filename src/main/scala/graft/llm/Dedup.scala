@@ -42,7 +42,13 @@ object Dedup {
     * size where per-doc shingle sets fit memory), md5-derived so the
     * DuckDB oracle reproduces identical hashes bit-for-bit. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
+    shinglesOf(t(s, d, "documents"))
+
+  /** The same shingle front end over ANY (doc_id, text) frame — public so
+    * pipelines can shingle a second table (e.g. the benchmark set in
+    * [[decontaminate]]). */
+  def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -60,11 +66,15 @@ object Dedup {
     * (this corpus has true near-dups up to 0.99). */
   val dedupNgram: Q = (s, d) => {
     val sh0 = shingles(s, d)
-    // Hot-shingle cap: the "keep" set is small → broadcast hash semi-join;
-    // the doc-frequency groupBy is the only extra (linear) shuffle.
+    // Hot-shingle cap via left-anti join. No broadcast hint: on a
+    // web-scale corpus the boilerplate-shingle set grows with the
+    // vocabulary and can itself exceed broadcast limits — AQE picks
+    // broadcast at runtime when the hot set is actually small (it is at
+    // every test SF), and degrades to a shuffled anti-join instead of an
+    // OOM when it is not.
     val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleCap).select("h")
-    val sh = sh0.join(broadcast(hot), Seq("h"), "left_anti")
+    val sh = sh0.join(hot, Seq("h"), "left_anti")
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val a = sh.as("a")
     val b = sh.as("b")
@@ -105,7 +115,8 @@ object Dedup {
     val sh0 = shingles(s, d)
     val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df") > HotShingleCap).select("h")
-    val sh = sh0.join(broadcast(hot), Seq("h"), "left_anti")
+    // AQE-decided anti-join, same reasoning as dedupNgram's hot-set cap
+    val sh = sh0.join(hot, Seq("h"), "left_anti")
     val docFreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val prefix = sh.join(docFreq, Seq("h"))
@@ -394,25 +405,33 @@ object Dedup {
 
   /** X4b: benchmark decontamination — the training-data hygiene op that
     * keeps evaluation content out of the training set (the GPT-3-style
-    * n-gram overlap filter; 3-word shingles here). The benchmark's
+    * n-gram overlap filter; 3-word shingles here). Two-table API: the
+    * corpus and the benchmark are independent (doc_id, text) frames —
+    * production points `bench` at the eval-set table. The benchmark's
     * shingle set is tiny relative to the corpus → broadcast semi-side;
     * one pass over training shingles, per-doc overlap counts, no shuffle
     * that grows with corpus size. Overlap is counted in the same
     * md5-hashed shingle space as dedup_ngram, so the DuckDB oracle
-    * replays it exactly. Benchmark = docs with id < 10 (a stand-in for
-    * the eval-set scan; production would read a second table). */
-  val textDecontaminate: Q = (s, d) => {
-    val sh = shingles(s, d)
-    val bench = sh.filter(col("doc_id") < 10).select("h").distinct()
+    * replays it exactly. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, minOverlap: Int = 3): DataFrame = {
+    val sh = shinglesOf(corpus)
+    val bsh = shinglesOf(bench).select("h").distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    sh.filter(col("doc_id") >= 10)
-      .join(broadcast(bench), Seq("h"))
+    sh.join(broadcast(bsh), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
       .join(sizes, Seq("doc_id"))
       .withColumn("overlap_frac", r4(col("n_overlap").cast("double") / col("n_sh")))
-      .filter(col("n_overlap") >= 3)
+      .filter(col("n_overlap") >= minOverlap)
       .select("doc_id", "n_overlap", "n_sh", "overlap_frac")
       .orderBy(desc("n_overlap"), asc("doc_id"))
+  }
+
+  /** Driver key for [[decontaminate]]: the benchmark table is a
+    * deterministic slice of `documents` (id < 10) so the DuckDB oracle
+    * can rebuild it, but it flows through the two-table API. */
+  val textDecontaminate: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    decontaminate(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
   }
 
   val queries: Map[String, Q] = Map(

@@ -113,21 +113,30 @@ object TextOps {
     * per-shard packing is what real pipelines do (one packer per worker)
     * and keeps every window bounded by the shard, not the table. Pure
     * integer window arithmetic → oracle-exact. */
-  val textPackChunks: Q = (s, d) => {
-    val ctx = 2048L
+  /** The reusable form: shard count is a parameter — size it to the
+    * input's partition count (one packer per worker) at scale; a fixed
+    * constant would cap packing parallelism at 100 TB no matter how many
+    * executors are available. */
+  def packChunks(docs: org.apache.spark.sql.DataFrame, ctx: Long, nShards: Long):
+      org.apache.spark.sql.DataFrame = {
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    t(s, d, "documents")
+    docs
       .select(col("doc_id"),
-        pmod(col("doc_id"), lit(8L)).as("shard"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
       .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tok"),
         (col("cum_before") / ctx).cast("long").as("chunk_id"),
         (col("cum_before") % ctx).as("chunk_offset"))
+  }
+
+  val textPackChunks: Q = (s, d) =>
+    // 8 shards here only because the oracle SQL echoes the constant;
+    // production call: packChunks(docs, ctx, docs.rdd.getNumPartitions)
+    packChunks(t(s, d, "documents"), ctx = 2048L, nShards = 8L)
       .orderBy("doc_id")
       .limit(300)
-  }
 
   /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
     * md5). Identical fingerprints ⇒ same bag of words — the cheap exact

@@ -59,12 +59,18 @@ object Aggregates {
   val edgesDenseNull: Q = (s, d) => {
     val base = t(s, d, "events")
       .select(when(col("value") > 100.0, col("event_type")).as("k"), col("value"))
+    // both join sides aliased: the same-name cross-frame form
+    // (domain("k") <=> sparse("k")) resolves today but is the ambiguity
+    // class that silently degrades to a trivially-true predicate when a
+    // plan rewrite re-derives one side from the other
     val domain = base.filter(col("k").isNotNull).select("k").distinct()
       .unionByName(s.range(1).select(lit(null).cast("string").as("k")))
+      .as("dm")
     val sparse = base.groupBy("k")
       .agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
-    domain.join(sparse, domain("k") <=> sparse("k"), "left")
-      .select(domain("k"), coalesce(col("cnt"), lit(0L)).as("n"),
+      .as("sp")
+    domain.join(sparse, col("dm.k") <=> col("sp.k"), "left")
+      .select(col("dm.k").as("k"), coalesce(col("cnt"), lit(0L)).as("n"),
         r2(col("sv")).as("sum_value"))
       .orderBy(asc_nulls_first("k"))
   }
