@@ -288,37 +288,71 @@ object Dedup {
       .limit(200)
   }
 
-  /** X1c oracle twin: SimHash re-expressed with md5-derived 60-bit token
-    * hashes and a pure-relational bit-vote — every step (vote sums →
-    * signature compose → 4×15-bit banding with the bucket cap → hamming
-    * verify) replays in DuckDB SQL, so the WHOLE simhash pipeline sits
-    * under the exact-compare gate. The codegen'd FNV [[SimHash64]] path
-    * (`dedup_simhash`) remains the performance form — one pass per doc,
-    * no token explode; this twin costs an explode + 60 vote aggregates
-    * and exists for verification, not speed. */
-  val dedupSimhashMd5: Q = (s, d) => {
+  /** The md5-derived 60-bit SimHash signature of each document — token
+    * hashes from md5 (so ANY engine replays them), composed by the
+    * classic per-bit majority vote, all relational (explode → 60 vote
+    * sums → bit compose). Shared by the two oracle-able simhash paths
+    * below; public so pipelines (and the recall spec) can band a
+    * signature frame any way they need. */
+  def simhashMd5Signatures(docs: DataFrame): DataFrame = {
     val bits = 60
-    val toks = t(s, d, "documents")
+    val toks = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
     val votes = (0 until bits).map { b =>
       sum(when(expr(s"(shiftright(h, $b) & 1)") === 1, 1).otherwise(-1)).as(s"v$b")
     }
-    val sigs = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .withColumn("sig", (0 until bits)
         .map(b => when(col(s"v$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
         .reduce(_ + _))
       .select("doc_id", "sig")
-    val bands0 = sigs
-      .select(col("doc_id"), col("sig"), posexplode(expr(
-        "transform(sequence(0, 3), b -> shiftrightunsigned(sig, 15 * b) & 32767)")))
+  }
+
+  /** (band, bucket-hash) rows for a signature frame from an in-row array
+    * of band-key expressions, with the [[SimhashBucketCap]] skew cap
+    * applied as a window count over the same (band, bh) partitioning the
+    * downstream self-join shuffles on. */
+  private def cappedBands(sigs: DataFrame, bandArrSql: String): DataFrame =
+    sigs
+      .select(col("doc_id"), col("sig"), posexplode(expr(bandArrSql)))
       .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bh"))
-    val bands = bands0
       .withColumn("bn", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band", "bh")))
       .filter(col("bn") <= SimhashBucketCap)
       .drop("bn")
+
+  /** Pigeonhole banding, 4 × 15-bit blocks: pairs within hamming ≤ 3 of
+    * 60 bits must agree on at least one block. */
+  def simhash15Bands(sigs: DataFrame): DataFrame =
+    cappedBands(sigs,
+      "transform(sequence(0, 3), b -> shiftrightunsigned(sig, 15 * b) & 32767)")
+
+  /** The 3-of-6 block combinations of the Manku/Jain/Sarma multi-index,
+    * in `combinations` lexicographic order — the single source of truth
+    * for both the Spark band array and the oracle's VALUES list. */
+  private val MjsCombos: Seq[Seq[Int]] = (0 until 6).combinations(3).toSeq
+
+  /** Manku/Jain/Sarma (WWW'07) multi-index banding: 6 blocks of 10 bits;
+    * ≤ 3 errors corrupt at most 3 blocks, so some 3 of 6 blocks survive
+    * intact — index every C(6,3) = 20 block-triple as a 30-bit key and
+    * pairs within hamming ≤ 3 MUST collide in at least one table. Same
+    * pigeonhole guarantee as [[simhash15Bands]], different constants:
+    * keys are 2¹⁵× wider (30 vs 15 bits), so per-bucket collision mass
+    * collapses — the lever that keeps simhash sub-quadratic at
+    * billion-doc scale, paid for with 5× more index rows (20 vs 4 per
+    * doc). Both stay in the inventory: 4×15 for corpora where 2¹⁵
+    * buckets/band suffice, MJS for when they saturate. */
+  def simhashMjsBands(sigs: DataFrame): DataFrame =
+    cappedBands(sigs, MjsCombos.map { c =>
+      s"(shiftrightunsigned(sig, ${10 * c(0)}) & 1023) * 1048576 + " +
+        s"(shiftrightunsigned(sig, ${10 * c(1)}) & 1023) * 1024 + " +
+        s"(shiftrightunsigned(sig, ${10 * c(2)}) & 1023)"
+    }.mkString("array(", ", ", ")"))
+
+  /** Bucket self-join → exact hamming verify → the ≤ 3 pair set. */
+  private def simhashPairs(bands: DataFrame): DataFrame =
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -328,29 +362,49 @@ object Dedup {
       .filter(col("hamming") <= 3)
       .orderBy(asc("hamming"), asc("da"), asc("db"))
       .limit(200)
-  }
 
-  /** The generated vote/compose SQL shared by the dedup_simhash_md5
-    * oracle — built programmatically so the 60 bit positions can't
-    * drift between the Spark plan and the SQL replay. */
-  private val simhashMd5Oracle: String = {
+  /** X1c oracle twin: SimHash re-expressed with md5-derived 60-bit token
+    * hashes and a pure-relational bit-vote — every step (vote sums →
+    * signature compose → 4×15-bit banding with the bucket cap → hamming
+    * verify) replays in DuckDB SQL, so the WHOLE simhash pipeline sits
+    * under the exact-compare gate. The codegen'd FNV [[SimHash64]] path
+    * (`dedup_simhash`) remains the performance form — one pass per doc,
+    * no token explode; this twin costs an explode + 60 vote aggregates
+    * and exists for verification, not speed. */
+  val dedupSimhashMd5: Q = (s, d) =>
+    simhashPairs(simhash15Bands(simhashMd5Signatures(t(s, d, "documents"))))
+
+  /** X1c at saturation scale: the same signature + verify under
+    * [[simhashMjsBands]]. Output is the SAME hamming ≤ 3 pair set (the
+    * pigeonhole guarantee is exact for both schemes — DedupSpec asserts
+    * equality), reached through 30-bit buckets that stay tiny when
+    * 15-bit ones go quadratic. Oracle-green like its twin. */
+  val dedupSimhashMjs: Q = (s, d) =>
+    simhashPairs(simhashMjsBands(simhashMd5Signatures(t(s, d, "documents"))))
+
+  /** The generated vote/compose SQL shared by both simhash oracles —
+    * built programmatically so the 60 bit positions can't drift between
+    * the Spark plan and the SQL replay. */
+  private val simhashSigsCte: String = {
     val voteCols = (0 until 60)
       .map(b => s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
       .mkString(",\n                      ")
     val compose = (0 until 60)
       .map(b => s"(CASE WHEN v$b > 0 THEN (1::BIGINT << $b) ELSE 0 END)")
       .mkString(" + ")
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
        tok2 AS (SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
                 FROM toks WHERE length(w) > 0),
        votes AS (SELECT doc_id,
                       $voteCols
                  FROM tok2 GROUP BY doc_id),
-       sigs AS (SELECT doc_id, $compose AS sig FROM votes),
-       bands0 AS (SELECT doc_id, sig, b.b AS band,
-                         (sig >> (15 * b.b)) & 32767 AS bh
-                  FROM sigs, generate_series(0, 3) b(b)),
-       bands AS (SELECT doc_id, sig, band, bh FROM (
+       sigs AS (SELECT doc_id, $compose AS sig FROM votes)"""
+  }
+
+  /** Cap → bucket self-join → hamming verify, shared by both simhash
+    * oracles (expects a `bands0(doc_id, sig, band, bh)` CTE upstream). */
+  private val simhashOracleTail: String =
+    s"""bands AS (SELECT doc_id, sig, band, bh FROM (
                    SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn FROM bands0)
                  WHERE bn <= ${SimhashBucketCap}),
        cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
@@ -360,6 +414,29 @@ object Dedup {
      SELECT da, db, CAST(hamming AS INT) AS hamming
      FROM cand WHERE hamming <= 3
      ORDER BY hamming ASC, da ASC, db ASC LIMIT 200"""
+
+  private val simhashMd5Oracle: String =
+    s"""WITH $simhashSigsCte,
+       bands0 AS (SELECT doc_id, sig, b.b AS band,
+                         (sig >> (15 * b.b)) & 32767 AS bh
+                  FROM sigs, generate_series(0, 3) b(b)),
+       $simhashOracleTail"""
+
+  /** MJS oracle: the 20 block-triples come from the same [[MjsCombos]]
+    * list as the Spark band array, emitted as a VALUES table of
+    * (band, shift1, shift2, shift3). */
+  private val simhashMjsOracle: String = {
+    val values = MjsCombos.zipWithIndex
+      .map { case (c, i) => s"(${i}, ${10 * c(0)}, ${10 * c(1)}, ${10 * c(2)})" }
+      .mkString(", ")
+    s"""WITH $simhashSigsCte,
+       combos AS (SELECT * FROM (VALUES $values) c(band, s1, s2, s3)),
+       bands0 AS (SELECT doc_id, sig, band,
+                         ((sig >> s1) & 1023) * 1048576 +
+                         ((sig >> s2) & 1023) * 1024 +
+                         ((sig >> s3) & 1023) AS bh
+                  FROM sigs CROSS JOIN combos),
+       $simhashOracleTail"""
   }
 
   /** X1f: near-dup clustering — the step a real dedup pipeline needs
@@ -440,6 +517,7 @@ object Dedup {
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_md5" -> dedupSimhashMd5,
+    "dedup_simhash_mjs" -> dedupSimhashMjs,
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_clusters" -> dedupClusters,
@@ -487,6 +565,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dedup_simhash_md5" -> simhashMd5Oracle,
+    "dedup_simhash_mjs" -> simhashMjsOracle,
     "dedup_minhash" ->
       s"""WITH $minhashCte
          SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard

@@ -123,26 +123,49 @@ object Similarity {
     * Index mechanics exactly as production IVF: assign every vector to
     * its nearest coarse centroid (inverted lists), queries probe only
     * the `nprobe` nearest lists, exact cosine + top-k within the probed
-    * candidates. The coarse quantizer here is deterministic — centroids
-    * are the first `nlist` vectors by id — instead of k-means: the index
-    * structure, probe math, and all joins are identical, and a fixed
-    * quantizer makes the whole operator DuckDB-oracle-able (k-means
-    * initialization isn't reproducible across engines). At 100 TB:
-    * centroids are a broadcast table (nlist ≪ n), assignment is one
-    * map-side pass, the probe join touches nprobe/nlist of the corpus —
-    * no shuffle grows with n² anywhere. */
+    * candidates. The coarse quantizer is k-means with deterministic
+    * seeding: seeds are the first `nlist` vectors by id, refined by two
+    * fixed Lloyd iterations (assign → per-dimension mean). Every step is
+    * a join + groupBy, so the WHOLE quantizer replays as DuckDB CTEs and
+    * the operator stays hash-exact under the oracle; two iterations give
+    * most of the list-balance win (LshRecallSpec gates recall). The
+    * per-dimension mean sums through DECIMAL, not DOUBLE: decimal
+    * addition is exact, hence shuffle-order-independent — a double sum
+    * would differ in the last ulp between engines (and between Spark
+    * runs), and an epsilon near an assignment boundary would flip a
+    * cluster. At 100 TB: centroids are a broadcast table (nlist ≪ n),
+    * each Lloyd pass is one map-side scored pass + a (cid, dim) groupBy
+    * (nlist·dim cells — tiny), assignment is one map-side pass, the
+    * probe join touches nprobe/nlist of the corpus — no shuffle grows
+    * with n² anywhere. */
   val simIvf: Q = (s, d) => {
     val nlist = 16
     val nprobe = 4
     val vecs = t(s, d, "embeddings")
       .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
-    val cents = vecs.filter(col("vec_id") < nlist)
+    val seed = vecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("norm2").as("cn"))
-    val scored = vecs.crossJoin(broadcast(cents))
+    def score(cents: DataFrame): DataFrame = vecs.crossJoin(broadcast(cents))
       .withColumn("cos",
         DotProduct(col("embedding"), col("cv")) / (sqrt(col("norm2")) * sqrt(col("cn"))))
     // nearest centroid per vector: single-pass argmin (max_by over
     // (cos, -cid) — smallest cid wins exact ties), no window shuffle
+    def assignTo(cents: DataFrame): DataFrame = score(cents).groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+    // one Lloyd iteration: per-dimension mean of each cluster's members
+    // (exact decimal sum → double), recomposed in dimension order
+    def lloyd(cents: DataFrame): DataFrame = assignTo(cents)
+      .join(vecs, Seq("vec_id"))
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("cv"))
+      .withColumn("cn", DotProduct(col("cv"), col("cv")))
+    val cents = lloyd(lloyd(seed))
+    val scored = score(cents)
     val assign = scored.groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
     val inv = assign.join(vecs, Seq("vec_id"))
@@ -202,11 +225,50 @@ object Similarity {
     "sim_ivf" ->
       """WITH raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
                       FROM embeddings),
+           fl AS (SELECT vec_id, embedding AS f FROM embeddings),
            vn AS (SELECT vec_id, v,
                          list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
                                      (x, y) -> x + y) AS norm2
                   FROM raw),
-           cents AS (SELECT vec_id AS cid, v AS cv, norm2 AS cn FROM vn WHERE vec_id < 16),
+           seed AS (SELECT vec_id AS cid, v AS cv, norm2 AS cn FROM vn WHERE vec_id < 16),
+           sc0 AS (SELECT a.vec_id, c.cid,
+                          list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
+                   FROM vn a CROSS JOIN seed c),
+           as0 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+             FROM sc0) WHERE rn = 1),
+           m1 AS (SELECT a.cid, t.i,
+                         CAST(sum(CAST(f.f[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS m
+                  FROM as0 a JOIN fl f USING (vec_id)
+                  CROSS JOIN generate_series(1, 64) t(i)
+                  GROUP BY a.cid, t.i),
+           c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
+           c1n AS (SELECT cid, cv,
+                          list_reduce([cv[i] * cv[i] for i in generate_series(1, 64)],
+                                      (x, y) -> x + y) AS cn
+                   FROM c1),
+           sc1 AS (SELECT a.vec_id, c.cid,
+                          list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
+                   FROM vn a CROSS JOIN c1n c),
+           as1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+             FROM sc1) WHERE rn = 1),
+           m2 AS (SELECT a.cid, t.i,
+                         CAST(sum(CAST(f.f[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS m
+                  FROM as1 a JOIN fl f USING (vec_id)
+                  CROSS JOIN generate_series(1, 64) t(i)
+                  GROUP BY a.cid, t.i),
+           c2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),
+           cents AS (SELECT cid, cv,
+                            list_reduce([cv[i] * cv[i] for i in generate_series(1, 64)],
+                                        (x, y) -> x + y) AS cn
+                     FROM c2),
            scored AS (
              SELECT a.vec_id, c.cid,
                     list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, 64)],

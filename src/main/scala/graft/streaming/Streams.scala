@@ -72,8 +72,8 @@ object Streams {
     * session is held in state and flushed when the key sees no data for
     * `idleTimeout` of processing time (`setTimeoutDuration` +
     * `hasTimedOut`) — without the timeout path a key's final session
-    * would never be emitted. Production over event-time-ordered replay
-    * would use EventTimeTimeout against the watermark instead. */
+    * would never be emitted. [[sessionizeEventTime]] is the event-time
+    * twin: its tail flush rides the watermark instead of wall clock. */
   def sessionize(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L,
       idleTimeout: String = "2 seconds"): Dataset[Session] = {
     import events.sparkSession.implicits._
@@ -110,6 +110,59 @@ object Streams {
               }
               state.update(cur)
               state.setTimeoutDuration(idleTimeout)
+              out.result().iterator
+            }
+          }
+      }
+  }
+
+  /** ST3 (custom state, event-time): the production replay form of
+    * [[sessionize]] — the open tail session is flushed when the WATERMARK
+    * passes its gap end, not after a processing-time idle interval. Over
+    * event-time-ordered replay this gives deterministic output: a
+    * re-run of the same input stream closes the same sessions at the
+    * same event-time points regardless of wall-clock scheduling, which
+    * the processing-time form cannot promise. Same gap-split logic, same
+    * emitted Session rows; only the tail-flush trigger differs
+    * (`setTimeoutTimestamp` against the watermark vs
+    * `setTimeoutDuration`). The timeout is clamped to just above the
+    * current watermark because Spark rejects timer timestamps at or
+    * behind it (a group whose gap end is already past the watermark
+    * flushes at the next watermark advance). */
+  def sessionizeEventTime(events: Dataset[Ev], gapMs: Long = 30 * 60 * 1000L,
+      lateness: String = "1 hour"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val tail = state.getOption.map(st => sessOf(uid, st))
+            state.remove()
+            tail.iterator
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var cur = state.getOption.getOrElse {
+                val h = sorted.head
+                SessState(h.ts.getTime, h.ts.getTime, 0L, 0L)
+              }
+              val out = Seq.newBuilder[Session]
+              sorted.foreach { e =>
+                val t = e.ts.getTime
+                if (t - cur.end > gapMs && cur.n > 0) {
+                  out += sessOf(uid, cur)
+                  cur = SessState(t, t, 0L, 0L)
+                }
+                cur = SessState(math.min(cur.start, t), math.max(cur.end, t),
+                  cur.n + 1, cur.errs + (if (e.event_type == "error") 1L else 0L))
+              }
+              state.update(cur)
+              state.setTimeoutTimestamp(
+                math.max(cur.end + gapMs, state.getCurrentWatermarkMs() + 1))
               out.result().iterator
             }
           }

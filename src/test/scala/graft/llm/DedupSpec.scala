@@ -108,4 +108,40 @@ class DedupSpec extends graft.SparkSpec {
     val hits = truePairHits(out)
     assert(hits >= (nBase * 0.7).toLong, s"simhash recovered $hits of $nBase")
   }
+
+  test("MJS multi-index banding: same hamming<=3 pairs, wider (sparser) buckets") {
+    // the pigeonhole guarantee is exact for BOTH schemes, so the verified
+    // pair sets must be identical — MJS only changes which candidates get
+    // enumerated before the hamming verify
+    val md5 = Dedup.dedupSimhashMd5(spark, longCorpusDir).collect().toSeq
+    val mjs = Dedup.dedupSimhashMjs(spark, longCorpusDir).collect().toSeq
+    assert(md5.nonEmpty, "fixture produced no hamming<=3 pairs at all")
+    assert(mjs === md5)
+    // and it still recovers the planted near-identical pairs
+    assert(truePairHits(Dedup.dedupSimhashMjs(spark, longCorpusDir))
+      >= (nBase * 0.7).toLong)
+
+    // the scale claim, measured on FALSE collisions (the mass that grows
+    // quadratically at corpus scale): over random signatures — no true
+    // near-dups, so every bucket collision is a wasted candidate — the
+    // per-bucket collision mass (Σ n·(n−1)/2 = candidate-join cost) of
+    // 30-bit keys must be far below 15-bit keys. (On the tiny fixture
+    // above the comparison flips, because TRUE pairs collide in ~10 of 20
+    // MJS tables vs 3 of 4 bands — duplication the `distinct` absorbs;
+    // what matters at 10⁹ docs is the false mass, and that scales with
+    // tables · pairs / 2^key_bits.)
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val rnd2 = new scala.util.Random(53)
+    val randSigs = spark.createDataFrame(
+      (0 until 5000).map(i => (i.toLong, rnd2.nextLong() & ((1L << 60) - 1))))
+      .toDF("doc_id", "sig")
+    def pairMass(bands: org.apache.spark.sql.DataFrame): Long =
+      bands.groupBy("band", "bh").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * (col("n") - 1) / 2)).head().getDouble(0).toLong
+    val mass15 = pairMass(Dedup.simhash15Bands(randSigs))
+    val massMjs = pairMass(Dedup.simhashMjsBands(randSigs))
+    // expectation: ~1500 false candidates for 4×15, ~0.2 for 20×30
+    assert(massMjs * 10 < mass15,
+      s"MJS false-candidate mass $massMjs not far below 4x15's $mass15")
+  }
 }

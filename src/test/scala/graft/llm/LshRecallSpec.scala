@@ -86,6 +86,9 @@ class LshRecallSpec extends graft.SparkSpec {
     val out = Similarity.simIvf(spark, dir)
       .filter(col("nid") === col("qid") + nBase)
       .count()
-    assert(out >= 16, s"IVF recovered only $out of 20 near-dup pairs")
+    // measured 20/20 with the 2-iteration Lloyd quantizer (deterministic
+    // fixture); ≥19 leaves one probe-boundary case of slack while still
+    // gating well above the seed-only quantizer's floor of 16
+    assert(out >= 19, s"IVF recovered only $out of 20 near-dup pairs")
   }
 }

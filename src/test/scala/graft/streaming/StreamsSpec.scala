@@ -187,6 +187,42 @@ class StreamsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("ST3: event-time sessionize flushes the tail when the WATERMARK passes it") {
+    def awaitRows(filter: org.apache.spark.sql.Column, n: Long): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      def cnt() = spark.table("st3c").filter(filter).count()
+      while (cnt() < n && System.currentTimeMillis < deadline) Thread.sleep(250)
+      assert(cnt() === n)
+    }
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.sessionizeEventTime(in.toDS(), gapMs = 60 * 1000L,
+        lateness = "1 minute")
+      .writeStream.format("memory").queryName("st3c").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), "click", 1.0),
+        Ev(1, ts("2024-01-01 00:00:30"), "error", 2.0))
+      q.processAllAvailable()
+      // gap rule still closes sessions on the data path
+      in.addData(Ev(1, ts("2024-01-01 00:05:00"), "click", 3.0))
+      awaitRows(col("user_id") === 1 && col("n_events") === 2L, 1)
+      val closed = spark.table("st3c")
+        .filter(col("user_id") === 1 && col("n_events") === 2L).collect()
+      assert(closed.head.getAs[Long]("n_errors") === 1L)
+      assert(closed.head.getAs[Timestamp]("end_ts") === ts("2024-01-01 00:00:30"))
+      // u1's open tail (the 00:05 event, timer at 00:06) flushes because
+      // an unrelated user's event drives the watermark past it — pure
+      // event-time progress, no wall-clock wait
+      in.addData(Ev(9, ts("2024-01-01 00:30:00"), "click", 1.0))
+      q.processAllAvailable()
+      awaitRows(col("user_id") === 1 && col("n_events") === 1L, 1)
+      val tail = spark.table("st3c")
+        .filter(col("user_id") === 1 && col("n_events") === 1L).collect()
+      assert(tail.head.getAs[Timestamp]("start_ts") === ts("2024-01-01 00:05:00"))
+      assert(tail.head.getAs[Boolean]("ok"))
+    } finally q.stop()
+  }
+
   test("ST1+ST5: incremental file ingest through the idempotent sink") {
     val srcDir = tmp("graft-st1-src")
     val outDir = tmp("graft-st1-out")
