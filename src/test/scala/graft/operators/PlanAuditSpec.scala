@@ -58,8 +58,23 @@ class PlanAuditSpec extends graft.SparkSpec {
   test("sim_ivf: no cartesian product; candidate search is equi-joined") {
     val p = plan("sim_ivf")
     // the only nested-loop allowed is the deliberate nlist-row centroid
-    // broadcast (assignment pass); the probe→inverted-list→query joins
-    // must all be equi-joins
+    // broadcast (assignment + Lloyd scoring passes); the
+    // probe→inverted-list→query joins must all be equi-joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("dedup_simhash_mjs: bucket self-join is equi-keyed, never cartesian") {
+    val p = plan("dedup_simhash_mjs")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("jx_edges_topn: the top-N remap joins, not a driver-side collect") {
+    // the compiled default domain must keep both passes in-plan: a rank
+    // over the counts frame and a join-based remap of the fact rows
+    val p = plan("jx_edges_topn")
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), p)
