@@ -157,6 +157,29 @@ object Jx {
     val _ = o.set[com.fasterxml.jackson.databind.JsonNode](field, valueNode(v))
   }
 
+  /** [[run]] + the response serialization the reference's HTTP layer
+    * performs, dispatched on the query's `format` field (upstream:
+    * jx_python/jx.py format switch): "cube" (default when the query has
+    * edges — the datacube identity), "table", or "list" (default
+    * otherwise: a row-shaped query has no domain headers to build).
+    * Returns the JSON response body. */
+  def runFormatted(spark: SparkSession, json: String,
+      tables: String => DataFrame): String = {
+    val q = mapper.readTree(json)
+    val df = run(spark, json, tables)
+    val edgeNames = opt(q, "edges").map(arr).getOrElse(Nil).map(edgeName)
+    val default = if (edgeNames.nonEmpty) "cube" else "list"
+    opt(q, "format").map(_.asText()).getOrElse(default) match {
+      case "list"  => listJson(df)
+      case "table" => tableJson(df)
+      case "cube" =>
+        require(edgeNames.nonEmpty, "format:cube needs edges")
+        val aggs = selectList(q).filter(_.aggregate.isDefined).map(_.name)
+        cubeJson(df, edgeNames, if (aggs.nonEmpty) aggs else Seq("count"))
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+  }
+
   /** Compile and run a jx JSON query. `tables` resolves the `from` name.
     * A dotted `from` ("perf.suites.subtests") unnests each array segment —
     * the jx data model makes the unnest part of the FROM clause (upstream:
@@ -284,6 +307,14 @@ object Jx {
       domain: DataFrame => DataFrame): Edge =
     Edge(name, (df, tag) => df.withColumn(tag, vcol), domain)
 
+  /** The output column name of an edge spec (shared by parseEdge and the
+    * cube serializer's header builder). */
+  private def edgeName(e: JsonNode): String =
+    if (e.isTextual) e.asText()
+    else opt(e, "name").map(_.asText())
+      .orElse(opt(e, "value").filter(_.isTextual).map(_.asText()))
+      .getOrElse(throw new IllegalArgumentException("edge needs a name or a field value"))
+
   private def parseEdge(e: JsonNode): Edge = {
     // edge values may be expressions (op-trees), like select values —
     // {"name":"big","value":{"gt":["value",100]}}; a name is then required
@@ -297,6 +328,11 @@ object Jx {
     def vcol: Column = valueNode.map(expr).getOrElse(col(value))
     val domainSpec = if (e.isTextual) None else opt(e, "domain")
     val limit = domainSpec.flatMap(d => opt(d, "limit")).map(_.asInt())
+    // jx domains carry allowNulls (default true): false drops the null
+    // part — rows with a missing edge value then fall out of the dense
+    // join instead of landing in a reserved part (upstream:
+    // jx_base/domains.py Domain.allowNulls)
+    val allowNulls = domainSpec.flatMap(d => opt(d, "allowNulls")).forall(_.asBoolean())
     domainSpec.map(d => opt(d, "type").map(_.asText()).getOrElse("set")) match {
       case Some("default") if limit.isDefined =>
         // jx default domain with a cardinality cap: the top `limit` values
@@ -322,18 +358,23 @@ object Jx {
                 .otherwise(coalesce(col(s"${tag}_top"), lit("other"))))
               .drop(s"${tag}_top")
           },
-          df => top(df).select(col("__v").as(name))
-            .unionByName(df.sparkSession.range(1).select(lit("other").as(name)))
-            .unionByName(df.sparkSession.range(1).select(
-              lit(null).cast("string").as(name))))
+          df => {
+            val named = top(df).select(col("__v").as(name))
+              .unionByName(df.sparkSession.range(1).select(lit("other").as(name)))
+            if (allowNulls) named.unionByName(df.sparkSession.range(1).select(
+              lit(null).cast("string").as(name)))
+            else named
+          })
       case None | Some("set") | Some("default") =>
         exprEdge(name, vcol,
           df => {
             val dt = df.select(vcol).schema.head.dataType
-            df.select(vcol.as(name)).distinct()
+            val observed = df.select(vcol.as(name)).distinct()
+            if (allowNulls) observed
               .unionByName(df.sparkSession.range(1).select(
                 lit(null).cast(dt).as(name)))
               .distinct()
+            else observed.filter(col(name).isNotNull)
           })
       case Some("range") | Some("duration") =>
         val d = domainSpec.get

@@ -328,6 +328,45 @@ class JxSpec extends graft.SparkSpec {
       === table.get("data").get(2).get(1).asLong())
   }
 
+  test("allowNulls:false drops the null part from set and default domains") {
+    val set = run("""{
+      "from": "logs",
+      "edges": [{"name": "p", "value": "platform",
+                 "domain": {"type": "set", "allowNulls": false}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "sort": ["p"]}""").collect()
+    // observed values only — "", linux, win — no reserved null part, and
+    // the null-platform row (id 4) falls out of the dense join
+    assert(set.forall(!_.isNullAt(0)))
+    assert(set.map(_.getString(0)).toSeq === Seq("", "linux", "win"))
+    val topn = run("""{
+      "from": "logs",
+      "edges": [{"name": "p", "value": "suite",
+                 "domain": {"type": "default", "limit": 1, "allowNulls": false}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "sort": ["p"]}""").collect()
+    assert(topn.map(r => r.getString(0) -> r.getLong(1)).toMap
+      === Map("mochitest" -> 3L, "other" -> 3L))
+  }
+
+  test("runFormatted dispatches on format, defaulting cube-with-edges / list-otherwise") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    def fmt(q: String): String =
+      mapper.readTree(Jx.runFormatted(spark, q, _ => logs))
+        .get("meta").get("format").asText()
+    val edgesQ = """{"from": "logs", "edges": ["suite"],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]}"""
+    assert(fmt(edgesQ) === "cube")
+    assert(fmt("""{"from": "logs", "select": ["id"], "sort": "id"}""") === "list")
+    val tableQ = """{"from": "logs", "format": "table",
+      "groupby": "suite",
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}],
+      "sort": "suite"}"""
+    val t = mapper.readTree(Jx.runFormatted(spark, tableQ, _ => logs))
+    assert(t.get("meta").get("format").asText() === "table")
+    assert(t.get("data").size() === 3)
+  }
+
   test("expression value feeds aggregates too") {
     val out = run("""{
       "from": "logs",
