@@ -234,9 +234,11 @@ object Jx {
 
   /** `valueNode` carries a non-trivial jx expression in value position
     * (the reference allows full op-trees anywhere a field name fits);
-    * compiled through [[expr]]. Plain field names stay in `value`. */
+    * compiled through [[expr]]. Plain field names stay in `value`.
+    * `percentile` parameterizes the percentile aggregate (upstream:
+    * select {"aggregate": "percentile", "percentile": p}). */
   private case class Sel(name: String, value: String, aggregate: Option[String],
-      valueNode: Option[JsonNode] = None)
+      valueNode: Option[JsonNode] = None, percentile: Option[Double] = None)
 
   private def selectList(q: JsonNode): Seq[Sel] =
     opt(q, "select") match {
@@ -251,7 +253,8 @@ object Jx {
             val exprNode = vNode.filter(v => !v.isTextual)
             val value = vNode.filter(_.isTextual).map(_.asText()).getOrElse(".")
             val name = opt(o, "name").map(_.asText()).getOrElse(value)
-            Sel(name, value, opt(o, "aggregate").map(_.asText()), exprNode)
+            Sel(name, value, opt(o, "aggregate").map(_.asText()), exprNode,
+              opt(o, "percentile").map(_.asDouble()))
         }
     }
 
@@ -274,6 +277,8 @@ object Jx {
       case "cardinality" => countDistinct(v)
       case "median" =>
         org.apache.spark.sql.functions.percentile(v, lit(0.5))
+      case "percentile" =>
+        org.apache.spark.sql.functions.percentile(v, lit(s.percentile.getOrElse(0.5)))
       case "union"       => array_sort(collect_set(v))
       case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
     })

@@ -132,6 +132,20 @@ object JxQueries {
     "select": [{"name": "n", "value": ".", "aggregate": "count"}],
     "sort": ["part"]}"""
 
+  /** Parameterized percentile aggregate through the compiler. Percentile
+    * points chosen bit-stable WITHOUT a rounding wrapper (jx has no round
+    * op): 0.5/0.75 are exact binary fractions and l_quantity is
+    * integer-valued, so the linear interpolation a + (b−a)·f is exact in
+    * both engines regardless of each one's formula. */
+  private val percentileJson = """{
+    "from": "lineitem",
+    "groupby": ["l_returnflag"],
+    "select": [
+      {"name": "p50", "value": "l_quantity", "aggregate": "percentile", "percentile": 0.5},
+      {"name": "p75", "value": "l_quantity", "aggregate": "percentile", "percentile": 0.75},
+      {"name": "n", "value": ".", "aggregate": "count"}],
+    "sort": ["l_returnflag"]}"""
+
   /** The reference's `meta.columns` endpoint (upstream: ActiveData
     * exposes cluster schema metadata as a queryable table —
     * jx_elasticsearch/meta.py): column name/type/nullability of a table,
@@ -156,6 +170,7 @@ object JxQueries {
   val queries: Map[String, Q] = Map(
     "jx_meta_columns" -> jxMetaColumns,
     "jx_ops_expr" -> ((s, d) => Jx.run(s, opsExprJson, name => t(s, d, name))),
+    "jx_percentile" -> ((s, d) => Jx.run(s, percentileJson, name => t(s, d, name))),
     "jx_edges_topn" -> ((s, d) => Jx.run(s, edgesTopnJson, name => t(s, d, name))),
     "jx_edges_expr" -> ((s, d) => Jx.run(s, edgesExprJson, name => t(s, d, name))),
     "jx_select_expr" -> ((s, d) => Jx.run(s, selectExprJson, name => t(s, d, name))),
@@ -172,6 +187,13 @@ object JxQueries {
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    "jx_percentile" ->
+      """SELECT l_returnflag,
+                percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,
+                percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag
+         ORDER BY l_returnflag NULLS FIRST""",
     "jx_ops_expr" ->
       """SELECT event_id,
                 left(event_type, 3) AS l3,

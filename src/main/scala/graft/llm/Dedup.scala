@@ -171,6 +171,30 @@ object Dedup {
       .select("da", "db", "c", "na", "nb", "jaccard")
   }
 
+  /** X1a': containment near-dup — the ASYMMETRIC overlap measure
+    * c / min(|A|, |B|): catches sub-document duplication (one doc quoted
+    * or embedded inside a larger one) that symmetric Jaccard misses —
+    * a 200-shingle doc fully contained in a 2000-shingle doc has
+    * jaccard ≈ 0.1 but containment 1.0. Same capped shared-shingle
+    * candidate join and array-intersect verify as [[dedupNgram]]; only
+    * the final ratio differs. Standard member of a training-data dedup
+    * suite next to the symmetric family. */
+  val dedupContainment: Q = (s, d) => {
+    val sh0 = shingles(s, d)
+    val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") > HotShingleCap).select("h")
+    val sh = sh0.join(hot, Seq("h"), "left_anti")
+    val pairs = sh.as("a").join(sh.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    verifyJaccard(pairs, sh)
+      .withColumn("containment", col("c").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= 0.8)
+      .select(col("da"), col("db"), col("c"), r4(col("containment")).as("containment"))
+      .orderBy(desc("containment"), asc("da"), asc("db"))
+  }
+
   /** X1e: embedding-cosine near-dup candidates — top-50 most similar pairs.
     * Brute-force O(n²) self-join is the verification baseline; the scale
     * path is `dedup_embed_lsh` (banded LSH buckets → cosine verify → top-k,
@@ -534,6 +558,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_ngram" -> dedupNgram,
     "dedup_ngram_prefix" -> dedupNgramPrefix,
+    "dedup_containment" -> dedupContainment,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_md5" -> dedupSimhashMd5,
@@ -670,6 +695,23 @@ object Dedup {
          FROM pairs p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
          WHERE c * 1.0 / (x.n + y.n - c) > 0.3
          ORDER BY jaccard DESC, da ASC, db ASC""",
+    "dedup_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           sh0 AS (SELECT DISTINCT doc_id,
+                          CAST('0x' || substr(md5(unnest(
+                            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
+                   FROM toks WHERE len(t) >= 3),
+           keep AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 50),
+           sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep USING (h)),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                     FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+         SELECT da, db, c, round(c * 1.0 / least(x.n, y.n), 4) AS containment
+         FROM pairs p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+         WHERE c * 1.0 / least(x.n, y.n) >= 0.8
+         ORDER BY containment DESC, da ASC, db ASC""",
     "dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            sh0 AS (SELECT DISTINCT doc_id,

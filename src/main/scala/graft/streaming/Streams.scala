@@ -169,6 +169,21 @@ object Streams {
       }
   }
 
+  /** ST6: streaming exact dedup — the in-flight form of the reference's
+    * idempotent etl keys: a re-delivered record (at-least-once sources
+    * redeliver on retry) is dropped by key BEFORE it reaches any sink,
+    * instead of each sink deduplicating on write.
+    * `dropDuplicatesWithinWatermark` bounds the key state by the
+    * watermark — state for a key is dropped once the watermark passes
+    * it, so memory is O(keys-per-lateness-window), not O(all keys ever):
+    * the property that makes streaming dedup viable on an unbounded
+    * 100 TB/day stream. Redeliveries later than the watermark fall
+    * through to the idempotent SINK ([[idempotentAppend]]) — the two
+    * layers compose into the end-to-end exactly-once story. */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+      lateness: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", lateness).dropDuplicatesWithinWatermark(keys)
+
   /** ST5: idempotent sink — per micro-batch, dedup on the lineage key,
     * then OVERWRITE the batch's own partition (dynamic partition
     * overwrite): a re-delivered batch id rewrites exactly its partition

@@ -223,6 +223,25 @@ class StreamsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("ST6: streaming dedup drops re-delivered keys within the watermark") {
+    val in = MemoryStream[Ev](spark)
+    val q = Streams.dedupStream(in.toDF(), Seq("user_id", "ts"), "1 hour")
+      .writeStream.format("memory").queryName("st6").outputMode("append").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), "click", 1.0),
+        Ev(1, ts("2024-01-01 00:00:00"), "click", 1.0), // same-batch dup
+        Ev(2, ts("2024-01-01 00:01:00"), "view", 2.0))
+      q.processAllAvailable()
+      // cross-batch redelivery of user 1's event, still inside the
+      // watermark: state remembers the key and drops it
+      in.addData(Ev(1, ts("2024-01-01 00:00:00"), "click", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("st6").count() === 2)
+      assert(spark.table("st6").filter(col("user_id") === 1).count() === 1)
+    } finally q.stop()
+  }
+
   test("ST1+ST5: incremental file ingest through the idempotent sink") {
     val srcDir = tmp("graft-st1-src")
     val outDir = tmp("graft-st1-out")
