@@ -186,9 +186,19 @@ object Jx {
     * jx_base/query.py deep-from normalization): each element of the
     * terminal array becomes a row, addressable under the segment name
     * (select "subtests.value"), with parent columns still in scope. */
-  def run(spark: SparkSession, json: String, tables: String => DataFrame): DataFrame = {
-    val q = mapper.readTree(json)
-    val base = resolveFrom(req(q, "from").asText(), tables)
+  def run(spark: SparkSession, json: String, tables: String => DataFrame): DataFrame =
+    runNode(spark, mapper.readTree(json), tables)
+
+  private def runNode(spark: SparkSession, q: JsonNode,
+      tables: String => DataFrame): DataFrame = {
+    val fromNode = req(q, "from")
+    // nested FROM: a jx query in from-position runs first and becomes the
+    // base frame (upstream: jx_base/query.py accepts a QueryOp as `from`).
+    // Compiles to one composed plan — Catalyst sees through the nesting,
+    // so filters on the outer query still push into the inner one's scan.
+    val base =
+      if (fromNode.isObject) runNode(spark, fromNode, tables)
+      else resolveFrom(fromNode.asText(), tables)
     val filtered = opt(q, "where").map(w => base.filter(expr(w))).getOrElse(base)
 
     val selects = selectList(q)

@@ -132,6 +132,23 @@ object JxQueries {
     "select": [{"name": "n", "value": ".", "aggregate": "count"}],
     "sort": ["part"]}"""
 
+  /** Nested FROM — a jx query as the `from` of another (upstream:
+    * jx_base/query.py accepts a QueryOp in from-position): the inner
+    * query aggregates per user, the outer filters and re-aggregates the
+    * aggregate. One composed Catalyst plan, no materialization between. */
+  private val nestedFromJson = """{
+    "from": {
+      "from": "events",
+      "groupby": ["user_id"],
+      "select": [
+        {"name": "n_ev", "value": ".", "aggregate": "count"},
+        {"name": "max_value", "value": "value", "aggregate": "max"}]},
+    "where": {"gte": ["n_ev", 50]},
+    "select": [
+      {"name": "n_users", "value": ".", "aggregate": "count"},
+      {"name": "sum_ev", "value": "n_ev", "aggregate": "sum"},
+      {"name": "max_of_max", "value": "max_value", "aggregate": "max"}]}"""
+
   /** Parameterized percentile aggregate through the compiler. Percentile
     * points chosen bit-stable WITHOUT a rounding wrapper (jx has no round
     * op): 0.5/0.75 are exact binary fractions and l_quantity is
@@ -171,6 +188,7 @@ object JxQueries {
     "jx_meta_columns" -> jxMetaColumns,
     "jx_ops_expr" -> ((s, d) => Jx.run(s, opsExprJson, name => t(s, d, name))),
     "jx_percentile" -> ((s, d) => Jx.run(s, percentileJson, name => t(s, d, name))),
+    "jx_nested_from" -> ((s, d) => Jx.run(s, nestedFromJson, name => t(s, d, name))),
     "jx_edges_topn" -> ((s, d) => Jx.run(s, edgesTopnJson, name => t(s, d, name))),
     "jx_edges_expr" -> ((s, d) => Jx.run(s, edgesExprJson, name => t(s, d, name))),
     "jx_select_expr" -> ((s, d) => Jx.run(s, selectExprJson, name => t(s, d, name))),
@@ -187,6 +205,12 @@ object JxQueries {
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    "jx_nested_from" ->
+      """SELECT count(*) AS n_users, CAST(sum(n_ev) AS BIGINT) AS sum_ev,
+                max(max_value) AS max_of_max
+         FROM (SELECT user_id, count(*) AS n_ev, max(value) AS max_value
+               FROM events GROUP BY user_id)
+         WHERE n_ev >= 50""",
     "jx_percentile" ->
       """SELECT l_returnflag,
                 percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50,

@@ -259,23 +259,74 @@ object Dedup {
     * That reproducibility is cashed in below: the DuckDB oracle replays
     * the identical pipeline (md5 → universal hashes → min per doc → bands
     * → bucket join → Jaccard verify) in pure SQL. */
-  val dedupMinhash: Q = (s, d) => {
-    val K = 8
-    val bandsOf = 4 // 4 bands × 2 rows
-    val M = 2147483647L // 2^31 - 1 (prime); a_k·x + b_k stays in int64
-    val sh = shingles(s, d).withColumn("hb", pmod(col("h"), lit(M)))
-    val hashAggs = (0 until K).map { k =>
-      min(pmod(lit(2 * k + 1) * col("hb") + lit(104729L * (k + 1)), lit(M))).as(s"h$k")
+  /** MinHash constants shared by the batch pipeline and its in-row
+    * streaming twin — K hashes in K/2 bands from the universal family
+    * h_k(x) = ((2k+1)·x + 104729·(k+1)) mod M over md5-derived shingle
+    * hashes. */
+  private val MinhashK = 8
+  private val MinhashM = 2147483647L // 2^31 − 1 (prime); a_k·x + b_k stays in int64
+
+  private def minhashBandArraySql(col: Int => String): String =
+    (0 until MinhashK / 2)
+      .map(b => s"concat_ws('_', ${col(2 * b)}, ${col(2 * b + 1)})")
+      .mkString("array(", ", ", ")")
+
+  /** (doc_id, band, bh) banded MinHash rows for a (doc_id, text) frame —
+    * the batch form (explode → groupBy mins), used to BUILD a corpus
+    * index. One posexplode over the in-row band array, not a bands-way
+    * union: a union re-evaluates the signature aggregate per branch per
+    * join side. */
+  def minhashBands(docs: DataFrame): DataFrame = {
+    val sh = shinglesOf(docs).withColumn("hb", pmod(col("h"), lit(MinhashM)))
+    val hashAggs = (0 until MinhashK).map { k =>
+      min(pmod(lit(2 * k + 1) * col("hb") + lit(104729L * (k + 1)), lit(MinhashM))).as(s"h$k")
     }
-    val sig = sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
-    // One posexplode over the in-row band array, not a bandsOf-way union:
-    // a union re-evaluates the signature aggregate per branch per join
-    // side (8× in the self-join below).
-    val bandArray = expr((0 until bandsOf)
-      .map(b => s"concat_ws('_', h${2 * b}, h${2 * b + 1})")
-      .mkString("array(", ", ", ")"))
-    val bands = sig.select(col("doc_id"), posexplode(bandArray))
+    sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
+      .select(col("doc_id"), posexplode(expr(minhashBandArraySql(k => s"h$k"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+  }
+
+  /** The STATELESS in-row twin of [[minhashBands]]: the whole signature —
+    * shingle hashes, K universal-family mins, band keys — computes as
+    * array expressions on each row, no explode, no groupBy. Identical
+    * output by construction (min over a multiset equals min over its
+    * distinct set; DedupSpec asserts equality), which is what lets the
+    * SAME index semantics run on an unbounded STREAM of incoming docs:
+    * per-row map, zero state. Adds `hs` (distinct shingle hashes) and
+    * `n_sh` for the exact-Jaccard verify, and `bands` (the band-key
+    * array, posexplode-ready). */
+  def minhashInRow(docs: DataFrame): DataFrame = {
+    val M = MinhashM
+    val shArr =
+      """transform(sequence(0, size(toks) - 3),
+           i -> CAST(conv(substr(md5(concat(
+                  element_at(toks, i + 1), ' ',
+                  element_at(toks, i + 2), ' ',
+                  element_at(toks, i + 3))), 1, 15), 16, 10) AS BIGINT))"""
+    val withSig = (0 until MinhashK).foldLeft(
+      docs.withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("hs", expr(s"array_distinct($shArr)"))
+        .withColumn("n_sh", size(col("hs")).cast("long"))
+        .withColumn("hbs", expr(s"transform(hs, h -> pmod(h, ${M}L))"))) {
+      (df, k) =>
+        df.withColumn(s"h$k", expr(
+          s"array_min(transform(hbs, x -> pmod(${2 * k + 1}L * x + ${104729L * (k + 1)}L, ${M}L)))"))
+    }
+    withSig
+      .withColumn("bands", expr(minhashBandArraySql(k => s"h$k")))
+      .drop(("toks" +: "hbs" +: (0 until MinhashK).map(k => s"h$k")): _*)
+  }
+
+  /** Per-doc shingle-hash sets, the verify side of every Jaccard path:
+    * (doc_id, hs, n_sh). */
+  def docShingleSets(docs: DataFrame): DataFrame =
+    shinglesOf(docs).groupBy("doc_id")
+      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+
+  val dedupMinhash: Q = (s, d) => {
+    val sh = shingles(s, d)
+    val bands = minhashBands(t(s, d, "documents"))
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -482,6 +533,36 @@ object Dedup {
                   FROM sigs CROSS JOIN combos),
        $simhashOracleTail"""
   }
+
+  /** X1h: the ONLINE near-dup gate — "is this incoming document a
+    * near-dup of the corpus?", the ingestion-time form every training
+    * pipeline needs once the corpus is deduped. `newDocs` may be a
+    * STREAMING frame: its signatures compute in-row ([[minhashInRow]] —
+    * stateless), candidates come from a stream-static equi-join against
+    * the pre-built corpus band index, and the exact-Jaccard verify is a
+    * second stream-static join plus an in-row `array_intersect` — no
+    * stateful operator anywhere, so it runs append-mode with no
+    * watermark. A doc matching a corpus doc in several bands emits that
+    * many duplicate rows; dedupe at the sink per micro-batch
+    * (foreachBatch dropDuplicates — the ST5/ST6 layer) rather than with
+    * an in-stream distinct, which would grow state forever. At 100 TB:
+    * the band index shuffles once at build time; each arriving doc
+    * touches only its 4 band buckets. */
+  def dedupAgainstCorpus(newDocs: DataFrame, corpusBands: DataFrame,
+      corpusSets: DataFrame, jt: Double = 0.5): DataFrame =
+    minhashInRow(newDocs)
+      .select(col("doc_id"), col("hs"), col("n_sh"), posexplode(col("bands")))
+      .select(col("doc_id"), col("hs"), col("n_sh"),
+        col("pos").as("band"), col("col").as("bh"))
+      .join(corpusBands.select(col("doc_id").as("corpus_doc"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .join(corpusSets.select(col("doc_id").as("corpus_doc"),
+        col("hs").as("corpus_hs"), col("n_sh").as("corpus_n")), Seq("corpus_doc"))
+      .withColumn("c", size(array_intersect(col("hs"), col("corpus_hs"))).cast("long"))
+      .withColumn("jaccard",
+        r4(col("c").cast("double") / (col("n_sh") + col("corpus_n") - col("c"))))
+      .filter(col("jaccard") >= jt)
+      .select("doc_id", "corpus_doc", "jaccard")
 
   /** X1f: near-dup clustering — the step a real dedup pipeline needs
     * AFTER candidate pairs: connected components over the pair graph,

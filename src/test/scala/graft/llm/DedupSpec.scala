@@ -109,6 +109,44 @@ class DedupSpec extends graft.SparkSpec {
     assert(hits >= (nBase * 0.7).toLong, s"simhash recovered $hits of $nBase")
   }
 
+  test("in-row minhash signatures equal the batch groupBy pipeline's exactly") {
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
+    val batch = Dedup.minhashBands(docs)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val inRow = Dedup.minhashInRow(docs)
+      .select(col("doc_id"), org.apache.spark.sql.functions.posexplode(col("bands")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(inRow === batch)
+  }
+
+  test("online gate: a streamed near-dup of the corpus is flagged, a novel doc is not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+    val corpusBands = Dedup.minhashBands(corpus)
+    val corpusSets = Dedup.docShingleSets(corpus)
+
+    // a near-dup of corpus doc 0 (2 of its 40 words changed — the same
+    // regime the fixture's true pairs use) and an unrelated doc
+    val base = corpus.filter(col("doc_id") === 0L)
+      .head().getAs[String]("text").split(" ")
+    val nearDup = base.updated(7, "zzz1").updated(23, "zzz2").mkString(" ")
+    val novel = (1 to 40).map(i => s"q$i").mkString(" ")
+
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup.dedupAgainstCorpus(
+        in.toDF().toDF("doc_id", "text"), corpusBands, corpusSets)
+      .writeStream.format("memory").queryName("gate").outputMode("append").start()
+    try {
+      in.addData((1000L, nearDup), (1001L, novel))
+      q.processAllAvailable()
+      val hits = spark.table("gate")
+        .select("doc_id", "corpus_doc").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((1000L, 0L)), s"near-dup not flagged: $hits")
+      assert(!hits.exists(_._1 == 1001L), s"novel doc falsely flagged: $hits")
+    } finally q.stop()
+  }
+
   test("MJS multi-index banding: same hamming<=3 pairs, wider (sparser) buckets") {
     // the pigeonhole guarantee is exact for BOTH schemes, so the verified
     // pair sets must be identical — MJS only changes which candidates get
