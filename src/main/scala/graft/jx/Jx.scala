@@ -57,7 +57,16 @@ object Jx {
     * Π |domain| cells), not a data pass; all heavy lifting stayed
     * distributed in [[run]]. Edge parts sort nulls-first, matching the
     * dense-join's null part placement. */
-  def cubeJson(df: DataFrame, edgeNames: Seq[String], aggNames: Seq[String]): String = {
+  def cubeJson(df: DataFrame, edgeNames: Seq[String], aggNames: Seq[String]): String =
+    cubeJsonWithDomains(df, edgeNames.map((_, "set")), aggNames)
+
+  /** [[cubeJson]] with each edge's domain TYPE carried into its header
+    * (a range edge reports `domain.type: "range"`, not a generic set) —
+    * partitions still come from the dense result frame, which already
+    * materializes every domain part by construction. */
+  def cubeJsonWithDomains(df: DataFrame, edges: Seq[(String, String)],
+      aggNames: Seq[String]): String = {
+    val edgeNames = edges.map(_._1)
     val rows = df.collect()
     val schema = df.schema
     val edgeIdx = edgeNames.map(schema.fieldIndex)
@@ -77,11 +86,11 @@ object Jx {
     val root = mapper.createObjectNode()
     root.putObject("meta").put("format", "cube")
     val edgesArr = root.putArray("edges")
-    edgeNames.zip(domains).foreach { case (name, parts) =>
+    edges.zip(domains).foreach { case ((name, domType), parts) =>
       val e = edgesArr.addObject()
       e.put("name", name)
       val dom = e.putObject("domain")
-      dom.put("type", "set")
+      dom.put("type", domType)
       val ps = dom.putArray("partitions")
       parts.foreach { v =>
         val p = ps.addObject()
@@ -175,7 +184,12 @@ object Jx {
       case "cube" =>
         require(edgeNames.nonEmpty, "format:cube needs edges")
         val aggs = selectList(q).filter(_.aggregate.isDefined).map(_.name)
-        cubeJson(df, edgeNames, if (aggs.nonEmpty) aggs else Seq("count"))
+        val edgeDoms = opt(q, "edges").map(arr).getOrElse(Nil).map { e =>
+          val dt = (if (e.isTextual) None else opt(e, "domain"))
+            .flatMap(d => opt(d, "type")).map(_.asText()).getOrElse("set")
+          (edgeName(e), dt)
+        }
+        cubeJsonWithDomains(df, edgeDoms, if (aggs.nonEmpty) aggs else Seq("count"))
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
   }

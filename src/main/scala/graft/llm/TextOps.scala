@@ -138,6 +138,35 @@ object TextOps {
       .orderBy("doc_id")
       .limit(300)
 
+  /** The materialized form the trainer actually reads: each doc exploded
+    * into its per-chunk SLICES — (chunk, tok_start, tok_end) — so the
+    * tokenized corpus can be written chunk-by-chunk with every chunk
+    * exactly `ctx` tokens (a doc crossing a boundary contributes a
+    * segment to each side). Pure integer arithmetic over
+    * [[packChunks]]'s offsets: a doc starting at (chunk_id, offset) with
+    * n tokens spans ⌈(offset + n) / ctx⌉ chunks; segment j covers doc
+    * tokens [j·ctx − offset, min(n, (j+1)·ctx − offset)). Still
+    * per-shard — no global order, no state. */
+  def packSegments(docs: org.apache.spark.sql.DataFrame, ctx: Long, nShards: Long):
+      org.apache.spark.sql.DataFrame =
+    packChunks(docs, ctx, nShards)
+      .filter(col("n_tok") > 0)
+      .withColumn("n_chunks",
+        ((col("chunk_offset") + col("n_tok") - 1) / ctx).cast("long") + 1)
+      .select(col("doc_id"), col("shard"), col("chunk_id"), col("chunk_offset"),
+        col("n_tok"), explode(sequence(lit(0L), col("n_chunks") - 1)).as("j"))
+      .select(
+        col("doc_id"), col("shard"),
+        (col("chunk_id") + col("j")).as("chunk"),
+        greatest(col("j") * ctx - col("chunk_offset"), lit(0L)).as("tok_start"),
+        least(col("n_tok"), (col("j") + 1) * ctx - col("chunk_offset")).as("tok_end"))
+      .withColumn("seg_len", col("tok_end") - col("tok_start"))
+
+  val textPackSegments: Q = (s, d) =>
+    packSegments(t(s, d, "documents"), ctx = 2048L, nShards = 8L)
+      .orderBy("doc_id", "chunk")
+      .limit(500)
+
   /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
     * md5). Identical fingerprints ⇒ same bag of words — the cheap exact
     * near-dup key; groupBy(fingerprint) at scale shuffles only the 16-byte
@@ -189,6 +218,7 @@ object TextOps {
     "text_langid" -> textLangid,
     "text_langid_ngram" -> textLangidNgram,
     "text_pack_chunks" -> textPackChunks,
+    "text_pack_segments" -> textPackSegments,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
 
@@ -224,6 +254,28 @@ object TextOps {
                 CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
                 cum_before % 2048 AS chunk_offset
          FROM packed ORDER BY doc_id LIMIT 300""",
+    "text_pack_segments" ->
+      """WITH base AS (SELECT doc_id, doc_id % 8 AS shard,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                       FROM documents),
+           packed AS (SELECT doc_id, shard, n_tok,
+                             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                            AND 1 PRECEDING), 0)
+                                  AS BIGINT) AS cum_before
+                      FROM base),
+           chunks AS (SELECT doc_id, shard, n_tok,
+                             CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
+                             cum_before % 2048 AS chunk_offset,
+                             CAST((cum_before % 2048 + n_tok - 1) // 2048 AS BIGINT) + 1 AS n_chunks
+                      FROM packed WHERE n_tok > 0),
+           segs AS (SELECT doc_id, shard, chunk_id + j.j AS chunk,
+                           greatest(j.j * 2048 - chunk_offset, 0) AS tok_start,
+                           least(n_tok, (j.j + 1) * 2048 - chunk_offset) AS tok_end
+                    FROM chunks, LATERAL (SELECT unnest(generate_series(0, n_chunks - 1)) AS j) j)
+         SELECT doc_id, shard, chunk, tok_start, tok_end,
+                tok_end - tok_start AS seg_len
+         FROM segs ORDER BY doc_id, chunk LIMIT 500""",
     "text_langid_ngram" ->
       """SELECT lang, predicted, count(*) AS n
          FROM (SELECT lang,

@@ -365,6 +365,13 @@ class JxSpec extends graft.SparkSpec {
     val t = mapper.readTree(Jx.runFormatted(spark, tableQ, _ => logs))
     assert(t.get("meta").get("format").asText() === "table")
     assert(t.get("data").size() === 3)
+    // cube headers carry the edge's REAL domain type, not a generic set
+    val rangeQ = """{"from": "logs",
+      "edges": [{"name": "bucket", "value": "duration",
+                 "domain": {"type": "range", "min": 0, "max": 50, "interval": 10}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]}"""
+    val c = mapper.readTree(Jx.runFormatted(spark, rangeQ, _ => logs))
+    assert(c.get("edges").get(0).get("domain").get("type").asText() === "range")
   }
 
   test("expression value feeds aggregates too") {
