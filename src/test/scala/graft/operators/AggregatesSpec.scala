@@ -24,6 +24,42 @@ class AggregatesSpec extends graft.SparkSpec {
     }
   }
 
+  test("daily partial aggregates re-merge exactly; HLL sketches union across days") {
+    // the reference's storage model: ETL writes per-day indices, queries
+    // re-aggregate across days. That only works when every aggregate is
+    // MERGEABLE: count/sum/min/max re-combine exactly, and cardinality
+    // must be carried as a sketch (a per-day countDistinct CANNOT be
+    // summed — users active on two days double-count). Datasketches HLL
+    // (hll_sketch_agg → hll_union_agg) is the carrier at 100 TB.
+    val ev = graft.Tables.t(spark, sf, "events")
+      .withColumn("day", to_date(col("ts")))
+    val daily = ev.groupBy("day", "event_type").agg(
+      count(lit(1)).as("n"), sum("value").as("sv"),
+      min("value").as("mn"), max("value").as("mx"),
+      hll_sketch_agg(col("user_id")).as("hll"))
+    val merged = daily.groupBy("event_type").agg(
+      sum("n").as("n"), sum("sv").as("sv"),
+      min("mn").as("mn"), max("mx").as("mx"),
+      hll_sketch_estimate(hll_union_agg(col("hll"))).as("users_est"))
+    val direct = ev.groupBy("event_type").agg(
+      count(lit(1)).as("n"), sum("value").as("sv"),
+      min("value").as("mn"), max("value").as("mx"),
+      countDistinct(col("user_id")).as("users"))
+    val m = merged.collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    direct.collect().foreach { r =>
+      val et = r.getAs[String]("event_type")
+      assert(m(et).getAs[Long]("n") === r.getAs[Long]("n"))
+      // double sums re-associate across the merge — exact to fp noise
+      assert(math.abs(m(et).getAs[Double]("sv") - r.getAs[Double]("sv"))
+        <= 1e-6 * math.abs(r.getAs[Double]("sv")))
+      assert(m(et).getAs[Double]("mn") === r.getAs[Double]("mn"))
+      assert(m(et).getAs[Double]("mx") === r.getAs[Double]("mx"))
+      val exact = r.getAs[Long]("users").toDouble
+      assert(math.abs(m(et).getAs[Long]("users_est") - exact) / exact <= 0.05,
+        s"$et: hll=${m(et).getAs[Long]("users_est")} exact=$exact")
+    }
+  }
+
   test("A9 scale path: percentile_approx brackets the exact percentile") {
     val ev = graft.Tables.t(spark, sf, "events")
     val both = ev.groupBy("event_type").agg(
