@@ -226,7 +226,17 @@ object Jx {
       else if (groupby.nonEmpty || aggs.nonEmpty) sparseGroup(filtered, groupby, aggs)
       else selects match {
         case Nil => filtered
-        case ss  => filtered.select(ss.map(s => selValue(s).as(s.name)): _*)
+        case ss => filtered.select(ss.flatMap { s =>
+          // jx leaves select: "a.*" expands a struct to its fields under
+          // dotted leaf names ("a.b"), the reference's flattened-document
+          // convention (upstream: mo_dots leaves)
+          if (s.valueNode.isEmpty && s.value.endsWith(".*")) {
+            val parent = s.value.dropRight(2)
+            val fields = filtered.select(col(parent)).schema.head.dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+            fields.toSeq.map(f => col(s"$parent.$f").as(s"$parent.$f"))
+          } else Seq(selValue(s).as(s.name))
+        }: _*)
       }
 
     val windowed = opt(q, "window").map(ws => applyWindows(projected, arr(ws)))

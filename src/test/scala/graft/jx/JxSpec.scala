@@ -374,6 +374,19 @@ class JxSpec extends graft.SparkSpec {
     assert(c.get("edges").get(0).get("domain").get("type").asText() === "range")
   }
 
+  test("select a.* expands struct leaves under dotted names") {
+    val nested = logs.select(col("id"),
+      struct(col("suite"), col("platform")).as("m"))
+    val out = Jx.run(spark, """{
+      "from": "t", "select": ["id", "m.*"], "sort": "id", "limit": 2}""",
+      _ => nested)
+    assert(out.columns.toSeq === Seq("id", "m.suite", "m.platform"))
+    val r = out.collect().head
+    assert(r.getLong(0) === 1L)
+    assert(r.getString(1) === "mochitest")
+    assert(r.getString(2) === "win")
+  }
+
   test("expression value feeds aggregates too") {
     val out = run("""{
       "from": "logs",
