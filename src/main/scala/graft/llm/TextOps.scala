@@ -167,6 +167,62 @@ object TextOps {
       .orderBy("doc_id", "chunk")
       .limit(500)
 
+  /** X4e: intra-document repetition signals (the Gopher/MassiveText
+    * quality-filter family — Rae et al. 2021, public recipe): documents
+    * dominated by a few repeated n-grams are boilerplate/spam and get
+    * filtered before training. Two signals per doc: duplicate-token
+    * fraction (1 − distinct/total, pure in-row array ops) and the
+    * top-bigram fraction (share of all bigram occurrences held by the
+    * most frequent bigram — explode → per-doc count → max/sum, one
+    * shuffle keyed by doc_id so skew is bounded by document length). */
+  val textRepetition: Q = (s, d) => {
+    val base = t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        size(array_distinct(col("toks"))).cast("long").as("n_dist"),
+        col("toks"))
+    val bigrams = base.filter(col("n_tok") >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks) - 2),
+             i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))""")).as("bg"))
+      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_bg_n"), sum("c").as("n_bg"))
+    base.select("doc_id", "n_tok", "n_dist")
+      .join(bigrams, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tok"),
+        r4(lit(1.0) - col("n_dist").cast("double") / col("n_tok")).as("dup_tok_frac"),
+        col("top_bg_n"),
+        r4(col("top_bg_n").cast("double") / col("n_bg")).as("top_bg_frac"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** X4f: corpus mixture sampling — assemble a training mix by weighting
+    * sources (the "2 epochs of wiki, 0.4 of web" step every run config
+    * encodes). Weight w ≥ 0 per source → each doc contributes ⌊w⌋ copies
+    * plus one more with probability frac(w), decided by the md5-hash of
+    * its id (same family as sample_hash): deterministic across runs,
+    * engines, and repartitioning — reproducible mixtures are as
+    * load-bearing as reproducible splits. Pure map-side arithmetic +
+    * an explode of bounded width; no shuffle grows with corpus size. */
+  val textMixSources: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+      .withColumn("w", expr(
+        """CASE CAST(substr(source, 4) AS INT) % 3
+             WHEN 0 THEN 2.25 WHEN 1 THEN 1.0 ELSE 0.4 END"""))
+      .withColumn("hfrac", expr(
+        "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 1000000) / 1e6"))
+      .withColumn("n_copies",
+        floor(col("w")).cast("long") +
+          when(col("hfrac") < col("w") - floor(col("w")), 1L).otherwise(0L))
+    docs.groupBy("source")
+      .agg(count(lit(1)).as("n_in"),
+        sum("n_copies").as("n_out"),
+        r4(first("w")).as("w"))
+      .orderBy("source")
+  }
+
   /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
     * md5). Identical fingerprints ⇒ same bag of words — the cheap exact
     * near-dup key; groupBy(fingerprint) at scale shuffles only the 16-byte
@@ -219,6 +275,8 @@ object TextOps {
     "text_langid_ngram" -> textLangidNgram,
     "text_pack_chunks" -> textPackChunks,
     "text_pack_segments" -> textPackSegments,
+    "text_repetition" -> textRepetition,
+    "text_mix_sources" -> textMixSources,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
 
@@ -254,6 +312,39 @@ object TextOps {
                 CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
                 cum_before % 2048 AS chunk_offset
          FROM packed ORDER BY doc_id LIMIT 300""",
+    "text_repetition" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                        CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+                 FROM base),
+           bg AS (SELECT doc_id,
+                         unnest([toks[i] || ' ' || toks[i+1]
+                                 for i in generate_series(1, len(toks) - 1)]) AS g
+                  FROM base WHERE len(toks) >= 2),
+           bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+           agg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg_n,
+                          CAST(sum(c) AS BIGINT) AS n_bg
+                   FROM bgc GROUP BY 1)
+         SELECT t.doc_id, n_tok,
+                round(1.0 - n_dist * 1.0 / n_tok, 4) AS dup_tok_frac,
+                top_bg_n,
+                round(top_bg_n * 1.0 / n_bg, 4) AS top_bg_frac
+         FROM t JOIN agg ON t.doc_id = agg.doc_id
+         ORDER BY t.doc_id LIMIT 300""",
+    "text_mix_sources" ->
+      """WITH w AS (SELECT doc_id, source,
+                           CASE CAST(substr(source, 4) AS INT) % 3
+                             WHEN 0 THEN 2.25 WHEN 1 THEN 1.0 ELSE 0.4 END AS w,
+                           (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+                             % 1000000) / 1e6 AS hfrac
+                    FROM documents),
+           c AS (SELECT source, w,
+                        CAST(floor(w) AS BIGINT)
+                          + CASE WHEN hfrac < w - floor(w) THEN 1 ELSE 0 END AS n_copies
+                 FROM w)
+         SELECT source, count(*) AS n_in, CAST(sum(n_copies) AS BIGINT) AS n_out,
+                round(any_value(w), 4) AS w
+         FROM c GROUP BY source ORDER BY source""",
     "text_pack_segments" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 AS shard,
                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
