@@ -178,7 +178,15 @@ object Dedup {
     * jaccard ≈ 0.1 but containment 1.0. Same capped shared-shingle
     * candidate join and array-intersect verify as [[dedupNgram]]; only
     * the final ratio differs. Standard member of a training-data dedup
-    * suite next to the symmetric family. */
+    * suite next to the symmetric family.
+    *
+    * Scale note: this is the EXACT baseline (cost = the same Σ df² pair
+    * join as dedupNgram). MinHash banding is NOT a valid candidate path
+    * here — a small doc fully contained in a large one has low jaccard,
+    * so jaccard-tuned bands miss exactly the pairs containment exists to
+    * catch; the sub-quadratic path is a prefix filter on the SMALLER
+    * side's rarest shingles (c ≥ t·min(n) pigeonholes within the smaller
+    * set), the one-sided twin of dedupNgramPrefix. */
   val dedupContainment: Q = (s, d) => {
     val sh0 = shingles(s, d)
     val hot = sh0.groupBy("h").agg(count(lit(1)).as("df"))
