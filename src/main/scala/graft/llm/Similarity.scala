@@ -138,9 +138,10 @@ object Similarity {
     * (nlist·dim cells — tiny), assignment is one map-side pass, the
     * probe join touches nprobe/nlist of the corpus — no shuffle grows
     * with n² anywhere. */
-  val simIvf: Q = (s, d) => {
-    val nlist = 16
-    val nprobe = 4
+  /** The IVF index build shared by the ANN query and the census:
+    * (vecs+norms, refined centroids, scored, assignment). */
+  private def ivfIndex(s: SparkSession, d: String, nlist: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val vecs = t(s, d, "embeddings")
       .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
     val seed = vecs.filter(col("vec_id") < nlist)
@@ -168,6 +169,13 @@ object Similarity {
     val scored = score(cents)
     val assign = scored.groupBy("vec_id")
       .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+    (vecs, cents, scored, assign)
+  }
+
+  val simIvf: Q = (s, d) => {
+    val nlist = 16
+    val nprobe = 4
+    val (vecs, _, scored, assign) = ivfIndex(s, d, nlist)
     val inv = assign.join(vecs, Seq("vec_id"))
       .select(col("cid"), col("vec_id").as("nid"),
         col("embedding").as("nv"), col("norm2").as("nn"))
@@ -190,9 +198,26 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** X3c: IVF list-balance census — the IVF twin of
+    * [[simLshCandidates]]'s cost monitor: per centroid, how many vectors
+    * its inverted list holds and what share of the corpus that is. Probe
+    * cost is Σ sizes of the probed lists, so a skewed quantizer silently
+    * degrades ANN toward a scan; this census is the quantity to watch
+    * (and the k-means refinement's measurable win over seed-only
+    * centroids — LshRecallSpec gates recall, this gates balance). */
+  val simIvfCensus: Q = (s, d) => {
+    val (vecs, _, _, assign) = ivfIndex(s, d, 16)
+    assign.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(vecs.agg(count(lit(1)).as("n_total"))))
+      .select(col("cid"), col("n_vecs"),
+        r4(col("n_vecs").cast("double") / col("n_total")).as("share"))
+      .orderBy("cid")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> simTopk,
     "sim_ivf" -> simIvf,
+    "sim_ivf_census" -> simIvfCensus,
     "sim_lsh_candidates" -> simLshCandidates)
 
   /** Shared oracle CTE prefix: regenerate the md5-derived ±1 planes, the
@@ -221,9 +246,12 @@ object Similarity {
                 CAST(sum(bit * (1 << (7 - (p % 8)))) AS BIGINT) AS bh
          FROM bits GROUP BY 1, 2)"""
 
-  val oracle: Map[String, String] = Map(
-    "sim_ivf" ->
-      """WITH raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+  /** Shared oracle prefix: the full k-means IVF quantizer replay (seed →
+    * two Lloyd iterations with decimal-exact means → final assignment),
+    * through the `assign(vec_id, cid)` CTE. Used by sim_ivf and
+    * sim_ivf_census. */
+  private val ivfOracleCte: String =
+    """raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
                       FROM embeddings),
            fl AS (SELECT vec_id, embedding AS f FROM embeddings),
            vn AS (SELECT vec_id, v,
@@ -277,7 +305,16 @@ object Similarity {
            assign AS (SELECT vec_id, cid FROM (
              SELECT vec_id, cid,
                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-             FROM scored) WHERE rn = 1),
+             FROM scored) WHERE rn = 1)"""
+
+  val oracle: Map[String, String] = Map(
+    "sim_ivf_census" ->
+      s"""WITH $ivfOracleCte
+         SELECT cid, count(*) AS n_vecs,
+                round(count(*) * 1.0 / (SELECT count(*) FROM raw), 4) AS share
+         FROM assign GROUP BY cid ORDER BY cid""",
+    "sim_ivf" ->
+      s"""WITH $ivfOracleCte,
            inv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
                    FROM assign a JOIN vn v USING (vec_id)),
            probes AS (SELECT vec_id AS qid, cid FROM (

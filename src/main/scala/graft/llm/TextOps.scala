@@ -223,6 +223,30 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** X4g: unigram-logprob quality score — the perplexity PROXY used to
+    * rank documents when no LM is at hand (CCNet-style: docs whose
+    * tokens are globally rare score high / read as noise, boilerplate of
+    * common tokens scores low): nll = −mean ln p(tok), p estimated from
+    * the corpus itself. Scale shape: the token-frequency table is a
+    * vocabulary aggregate that STREAMS (never collected); the doc side
+    * joins by token (one shuffle), then re-aggregates by doc_id. The
+    * mean-of-ln is FP-order-dependent in the last ulp — r4 absorbs it,
+    * same policy as tfidf. */
+  val textLogfreq: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("wc"))
+    toks.join(freq, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        r4(-avg(log(col("wc").cast("double") / col("n_total")))).as("nll"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
     * md5). Identical fingerprints ⇒ same bag of words — the cheap exact
     * near-dup key; groupBy(fingerprint) at scale shuffles only the 16-byte
@@ -277,6 +301,7 @@ object TextOps {
     "text_pack_segments" -> textPackSegments,
     "text_repetition" -> textRepetition,
     "text_mix_sources" -> textMixSources,
+    "text_logfreq" -> textLogfreq,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
 
@@ -312,6 +337,15 @@ object TextOps {
                 CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
                 cum_before % 2048 AS chunk_offset
          FROM packed ORDER BY doc_id LIMIT 300""",
+    "text_logfreq" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+           t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+           tot AS (SELECT count(*) AS n FROM t2),
+           freq AS (SELECT w, count(*) AS wc FROM t2 GROUP BY 1)
+         SELECT doc_id, count(*) AS n_tok,
+                round(-avg(ln(wc * 1.0 / (SELECT n FROM tot))), 4) AS nll
+         FROM t2 JOIN freq USING (w)
+         GROUP BY doc_id ORDER BY doc_id LIMIT 300""",
     "text_repetition" ->
       """WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
            t AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
