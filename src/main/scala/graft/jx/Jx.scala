@@ -494,7 +494,15 @@ object Jx {
             if (sortKeys.nonEmpty) Window.partitionBy(partition: _*).orderBy(sortKeys: _*)
             else Window.partitionBy(partition: _*)))
         case Some(agg) =>
-          val sel = Sel(name, req(w, "value").asText(), Some(agg.asText()))
+          // window values are full op-trees too (the op-tree-anywhere
+          // rule), and percentile windows take the same parameter as
+          // percentile selects
+          val vNode = req(w, "value")
+          val sel = Sel(name,
+            if (vNode.isTextual) vNode.asText() else ".",
+            Some(agg.asText()),
+            Some(vNode).filter(v => !v.isTextual),
+            opt(w, "percentile").map(_.asDouble()))
           acc.withColumn(sel.name, aggColRaw(sel).over(frame))
       }
     }

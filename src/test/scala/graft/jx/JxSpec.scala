@@ -374,6 +374,26 @@ class JxSpec extends graft.SparkSpec {
     assert(c.get("edges").get(0).get("domain").get("type").asText() === "range")
   }
 
+  test("window values accept op-trees and the percentile parameter") {
+    val out = run("""{
+      "from": "logs",
+      "select": [
+        {"name": "id", "value": "id"},
+        {"name": "suite", "value": "suite"},
+        {"name": "duration", "value": "duration"}],
+      "window": [
+        {"name": "run_d2", "value": {"mult": ["duration", {"literal": 2}]},
+         "aggregate": "sum", "edges": ["suite"], "sort": ["id"]},
+        {"name": "p50", "value": "duration", "aggregate": "percentile",
+         "percentile": 0.5, "edges": ["suite"]}],
+      "sort": ["id"]}""").collect()
+    // mochitest rows (ids 1,2,5; durations 10,20,50): running 2x sums
+    // 20, 60, 160; partition median 20
+    val moch = out.filter(_.getString(1) == "mochitest")
+    assert(moch.map(_.getDouble(3)).toSeq === Seq(20.0, 60.0, 160.0))
+    assert(moch.map(_.getDouble(4)).distinct.toSeq === Seq(20.0))
+  }
+
   test("select a.* expands struct leaves under dotted names") {
     val nested = logs.select(col("id"),
       struct(col("suite"), col("platform")).as("m"))
