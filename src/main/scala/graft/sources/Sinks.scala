@@ -32,6 +32,50 @@ object Sinks {
     df.write.mode("overwrite").partitionBy(keyCol)
       .option("compression", "gzip").json(dir)
 
+  /** S8 (engine addition): partition compaction — the maintenance pass
+    * every streaming/partitioned sink needs at scale. Each micro-batch
+    * and each idempotent re-ETL appends its own files, so a day's
+    * directory decays into thousands of KB-sized parquet files; scans
+    * then pay per-file open/footer costs and executors schedule
+    * per-file tasks (the "small files problem" — at 100 TB the
+    * difference between a scan dominated by S3 GETs and one dominated
+    * by bytes). Compaction rewrites each partition to
+    * ⌈bytes / targetBytes⌉ files ATOMICALLY per partition via dynamic
+    * partition overwrite — readers never see a partial partition, and
+    * only partitions present in the rewrite are touched (same
+    * idempotency contract as the daily router).
+    *
+    * Rewrites everything it reads; an incremental driver would pass a
+    * predicate selecting only decayed partitions (e.g. yesterday's). */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession, dir: String,
+      partitionCol: String, targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val df = spark.read.parquet(dir)
+    // current size per partition, from the file index (no data pass)
+    val files = df.inputFiles
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sessionState.newHadoopConf())
+    val sizes = files.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val part = p.getParent.getName // e.g. "day=20240101"
+      part -> fs.getFileStatus(p).getLen
+    }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    val nFiles = sizes.map { case (k, bytes) =>
+      k -> math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    }
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    nFiles.foreach { case (partDir, n) =>
+      val Array(colName, value) = partDir.split("=", 2)
+      // localCheckpoint materializes the partition BEFORE the overwrite —
+      // Spark (rightly) refuses to overwrite a path a live plan still
+      // reads; the checkpoint breaks that file dependency and makes the
+      // per-partition swap safe
+      df.filter(col(colName) === value)
+        .localCheckpoint()
+        .repartition(n)
+        .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+    }
+  }
+
   /** S5: Elasticsearch bulk sink — each row becomes the bulk API's
     * action/source line pair (`{"index":{"_index":…,"_id":…}}` then the
     * document JSON), routed to a daily index `<name>_YYYYMMDD` by the

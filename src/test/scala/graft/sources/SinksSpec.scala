@@ -47,6 +47,31 @@ class SinksSpec extends graft.SparkSpec {
       .collect().map(_.getLong(0)).toSeq === Seq(9L))
   }
 
+  test("S8: compaction rewrites decayed partitions to few files, same data") {
+    val dir = Files.createTempDirectory("graft-s8").toString
+    val rows = (0 until 200).map(i =>
+      (i.toLong, ts(s"2024-01-0${1 + i % 2} 10:00:00"), s"ev$i"))
+    val df = rows.toDF("event_id", "ts", "event_type")
+      .withColumn("day", date_format(col("ts"), "yyyyMMdd"))
+    // simulate micro-batch decay: many tiny files per day partition
+    df.repartition(20).write.mode("overwrite").partitionBy("day").parquet(dir)
+    def filesPerDay: Map[String, Int] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory).map { d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    assert(filesPerDay.values.forall(_ >= 10), s"fixture not decayed: $filesPerDay")
+    val before = spark.read.parquet(dir).select("event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    Sinks.compactPartitions(spark, dir, "day") // targetBytes default ≫ data
+
+    val after = filesPerDay
+    assert(after.values.forall(_ === 1), s"not compacted: $after")
+    val data = spark.read.parquet(dir).select("event_id", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(data === before)
+  }
+
   test("S5: ES bulk sink emits action/source NDJSON pairs per daily index") {
     val dir = Files.createTempDirectory("graft-s5").toString
     val df = Seq(
