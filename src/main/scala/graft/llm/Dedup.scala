@@ -585,7 +585,10 @@ object Dedup {
     * small-star (Kiveris et al., same join primitives). Oracle: DuckDB
     * replays the same MinHash pairs, then a recursive-CTE reachability
     * closure — min reachable label ≡ the propagation fixpoint. */
-  val dedupClusters: Q = (s, d) => {
+  /** The min-label fixpoint over the MinHash pair graph: (id, lbl) with
+    * lbl = the smallest doc id reachable from id. Shared by the cluster
+    * report and the drop list. */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     val pairs = dedupMinhash(s, d).select("da", "db")
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
@@ -606,12 +609,27 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.groupBy(col("lbl").as("cluster_id"))
+    labels
+  }
+
+  val dedupClusters: Q = (s, d) =>
+    clusterLabels(s, d).groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         concat_ws(",",
           transform(array_sort(collect_list(col("id"))), _.cast("string"))).as("members"))
       .orderBy("cluster_id")
-  }
+
+  /** X1f': the ACTIONABLE dedup output — the drop list: every non-canonical
+    * member mapped to its cluster's canonical doc (the min id). A real
+    * pipeline left-anti joins the corpus against this to materialize the
+    * deduped training set; emitting (doc_id → canonical) rather than the
+    * cluster report keeps provenance (why was this doc dropped, and for
+    * which survivor). */
+  val dedupDropList: Q = (s, d) =>
+    clusterLabels(s, d)
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"), col("lbl").as("canonical"))
+      .orderBy("doc_id")
 
   /** X4b: benchmark decontamination — the training-data hygiene op that
     * keeps evaluation content out of the training set (the GPT-3-style
@@ -655,6 +673,7 @@ object Dedup {
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_clusters" -> dedupClusters,
+    "dedup_drop_list" -> dedupDropList,
     "text_decontaminate" -> textDecontaminate)
 
   /** Shared oracle CTE: the full MinHash pipeline (md5 shingle hashes →
@@ -718,6 +737,18 @@ object Dedup {
          SELECT cluster_id, count(*) AS n_docs,
                 array_to_string(list(CAST(id AS VARCHAR) ORDER BY id), ',') AS members
          FROM labels GROUP BY cluster_id ORDER BY cluster_id""",
+    "dedup_drop_list" ->
+      s"""WITH RECURSIVE $minhashCte,
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS canonical FROM reach GROUP BY id)
+         SELECT id AS doc_id, canonical FROM labels
+         WHERE id <> canonical ORDER BY doc_id""",
     "dedup_embed_lsh" ->
       s"""WITH ${Similarity.lshOracleCte},
            cand AS (SELECT DISTINCT x.vec_id AS da, y.vec_id AS db

@@ -72,6 +72,26 @@ class SinksSpec extends graft.SparkSpec {
     assert(data === before)
   }
 
+  test("schema accretion at the storage layer: mergeSchema unifies evolving files") {
+    // the reference's documents grow fields over time (schemaless JSON);
+    // the columnar equivalent: older parquet files simply lack the new
+    // column, and a mergeSchema read presents the union schema with
+    // nulls for the missing field — the storage-level twin of
+    // set_union_byname's query-level accretion
+    val dir = Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.parquet(s"$dir/old")
+    Seq((3L, "c", 7.5)).toDF("id", "v", "score")
+      .write.parquet(s"$dir/new")
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$dir/old", s"$dir/new")
+    assert(merged.columns.sorted.toSeq === Seq("id", "score", "v"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length === 3)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score")))
+    assert(rows(2).getDouble(rows(2).fieldIndex("score")) === 7.5)
+  }
+
   test("S5: ES bulk sink emits action/source NDJSON pairs per daily index") {
     val dir = Files.createTempDirectory("graft-s5").toString
     val df = Seq(
