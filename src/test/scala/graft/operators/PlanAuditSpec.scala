@@ -71,6 +71,13 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("text_logfreq / dedup_containment: vocabulary and pair joins stay equi-keyed") {
+    for (key <- Seq("text_logfreq", "dedup_containment")) {
+      val p = plan(key)
+      assert(!p.contains("CartesianProduct"), s"$key:\n$p")
+    }
+  }
+
   test("jx_edges_topn: the top-N remap joins, not a driver-side collect") {
     // the compiled default domain must keep both passes in-plan: a rank
     // over the counts frame and a join-based remap of the fact rows
