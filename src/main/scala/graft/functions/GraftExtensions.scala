@@ -39,7 +39,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => PolyHash64(es.head)),
     ("simhash64",
       info("simhash64", "_FUNC_(tokens) - 64-bit SimHash signature of a token array"),
-      (es: Seq[Expression]) => SimHash64(es.head)))
+      (es: Seq[Expression]) => SimHash64(es.head)),
+    ("sorted_intersect_count",
+      info("sorted_intersect_count",
+        "_FUNC_(a, b) - |a intersect b| for two ascending-sorted long arrays"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -75,6 +75,74 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two ASCENDING-SORTED long arrays —
+  * the hot primitive of every candidate-pair Jaccard verify
+  * (`|A ∩ B|` over per-doc shingle-hash sets).
+  *
+  * Why not `size(array_intersect(a, b))`: that builds a hash set from one
+  * side AND materializes the intersection array, per pair — pure
+  * allocation for a value we immediately reduce to its length. With both
+  * sides sorted once at build time (`array_sort` in the per-doc
+  * aggregate, amortized over every pair the doc appears in), the count
+  * is a two-pointer merge: zero allocation, no hashing, branch-friendly,
+  * whole-stage-codegen'd. Duplicate elements are counted once per match
+  * step (inputs are DISTINCT sets by construction here). Null elements
+  * are not expected (shingle hashes are non-null; `collect_list` drops
+  * nulls) and are treated as ordinary values by position. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.lang.Long.valueOf(c)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |int ${i}n = $a.numElements(); int ${j}n = $b.numElements();
+         |while ($i < ${i}n && $j < ${j}n) {
+         |  long $x = $a.getLong($i);
+         |  long $y = $b.getLong($j);
+         |  if ($x == $y) { $c++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def apply(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
 object DotProduct {
   def apply(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))

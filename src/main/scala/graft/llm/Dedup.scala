@@ -159,14 +159,17 @@ object Dedup {
     * This IS how PPJoin-family implementations verify: against the
     * records' own token lists, not a re-shuffle of the index. */
   private def verifyJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    // arrays sorted ONCE per doc (amortized over every pair the doc joins
+    // into) so the per-pair overlap is the zero-allocation codegen'd
+    // two-pointer count, not array_intersect's hash-and-materialize
     val docSets = sh.groupBy("doc_id")
-      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n_sh"))
     cand
       .join(docSets.select(col("doc_id").as("da"), col("hs").as("ha"),
         col("n_sh").as("na")), Seq("da"))
       .join(docSets.select(col("doc_id").as("db"), col("hs").as("hb"),
         col("n_sh").as("nb")), Seq("db"))
-      .withColumn("c", size(array_intersect(col("ha"), col("hb"))).cast("long"))
+      .withColumn("c", graft.functions.SortedIntersectCount(col("ha"), col("hb")))
       .withColumn("jaccard", col("c").cast("double") / (col("na") + col("nb") - col("c")))
       .select("da", "db", "c", "na", "nb", "jaccard")
   }
@@ -314,7 +317,7 @@ object Dedup {
     val withSig = (0 until MinhashK).foldLeft(
       docs.withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
-        .withColumn("hs", expr(s"array_distinct($shArr)"))
+        .withColumn("hs", expr(s"array_sort(array_distinct($shArr))"))
         .withColumn("n_sh", size(col("hs")).cast("long"))
         .withColumn("hbs", expr(s"transform(hs, h -> pmod(h, ${M}L))"))) {
       (df, k) =>
@@ -330,7 +333,7 @@ object Dedup {
     * (doc_id, hs, n_sh). */
   def docShingleSets(docs: DataFrame): DataFrame =
     shinglesOf(docs).groupBy("doc_id")
-      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("n_sh"))
+      .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n_sh"))
 
   val dedupMinhash: Q = (s, d) => {
     val sh = shingles(s, d)
@@ -566,7 +569,7 @@ object Dedup {
         Seq("band", "bh"))
       .join(corpusSets.select(col("doc_id").as("corpus_doc"),
         col("hs").as("corpus_hs"), col("n_sh").as("corpus_n")), Seq("corpus_doc"))
-      .withColumn("c", size(array_intersect(col("hs"), col("corpus_hs"))).cast("long"))
+      .withColumn("c", graft.functions.SortedIntersectCount(col("hs"), col("corpus_hs")))
       .withColumn("jaccard",
         r4(col("c").cast("double") / (col("n_sh") + col("corpus_n") - col("c"))))
       .filter(col("jaccard") >= jt)

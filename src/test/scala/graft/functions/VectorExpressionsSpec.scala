@@ -52,4 +52,23 @@ class VectorExpressionsSpec extends graft.SparkSpec {
       .select(DotProduct.cosine(col("v"), col("v")).as("c")).collect()
     rows.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-9))
   }
+
+  test("SortedIntersectCount equals size(array_intersect) on random sorted sets") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(19)
+    val rows = (0 until 200).map { i =>
+      val a = rnd.shuffle((0L until 500L).toList).take(1 + rnd.nextInt(80)).distinct.sorted
+      val b = rnd.shuffle((0L until 500L).toList).take(1 + rnd.nextInt(80)).distinct.sorted
+      (i, a, b)
+    }
+    val df = spark.createDataFrame(rows).toDF("i", "a", "b")
+      .withColumn("fast", graft.functions.SortedIntersectCount(col("a"), col("b")))
+      .withColumn("ref", size(array_intersect(col("a"), col("b"))).cast("long"))
+    assert(df.filter(col("fast") =!= col("ref")).isEmpty)
+    // empty-overlap and identical-set edges
+    val edge = Seq((Seq(1L, 2L, 3L), Seq(4L, 5L)), (Seq(1L, 2L), Seq(1L, 2L)))
+      .toDF("a", "b")
+      .withColumn("c", graft.functions.SortedIntersectCount(col("a"), col("b")))
+    assert(edge.collect().map(_.getAs[Long]("c")).toSeq === Seq(0L, 2L))
+  }
 }
