@@ -71,6 +71,33 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("hot scalar pipelines run inside WholeStageCodegen (no interpreted gaps)") {
+    // the expression-language queries must fuse scan→filter→project into
+    // codegen'd stages; a custom expression without doGenCode (or a UDF)
+    // would break the span and show up here
+    // codegen'd stages print as "*(n) Operator"; AQE-wrapped plans only
+    // reveal them once executed (isFinalPlan=true)
+    def finalPlan(key: String): String = {
+      val df = graft.SparkEntry.queries(key)(spark, sf)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    for (key <- Seq("filter_pred", "str_concat", "arith_nullskip", "json_struct")) {
+      val p = finalPlan(key)
+      assert(p.contains("*("), s"$key has no codegen span:\n$p")
+      assert(p.linesIterator.exists(l =>
+        l.contains("*(") && (l.contains("Filter") || l.contains("Project"))),
+        s"$key's filter/project stage is interpreted:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$key fell out of codegen:\n$p")
+    }
+    // and the custom expressions advertise codegen: the LSH signature
+    // (48 DotProducts) and the sorted-overlap verify must not appear
+    // under an interpreted Project
+    val lsh = finalPlan("dedup_embed_lsh")
+    assert(lsh.linesIterator.exists(l => l.contains("*(") && l.contains("Project")), lsh)
+  }
+
   test("text_logfreq / dedup_containment: vocabulary and pair joins stay equi-keyed") {
     for (key <- Seq("text_logfreq", "dedup_containment")) {
       val p = plan(key)
