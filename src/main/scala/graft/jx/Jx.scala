@@ -591,6 +591,24 @@ object Jx {
           val xs = arr(a)
           JxFunctions.jxFloor(expr(xs.head), xs(1).asDouble())
         case "abs"      => abs(expr(a))
+        // the math family (upstream: jx_base/expressions ModOp/ExpOp/…,
+        // numerics via mo_math): mod is python-style (sign of divisor,
+        // pmod), log is the NATURAL log, round takes a digit count
+        case "mod"   => pair(a, (l, r) => pmod(l, r))
+        case "sqrt"  => sqrt(expr(a))
+        case "exp"   => exp(expr(a))
+        case "log"   => log(expr(a))
+        case "power" => pair(a, (l, r) => pow(l, r))
+        case "sign"  => signum(expr(a))
+        case "round" =>
+          val xs = arr(a)
+          round(expr(xs.head), xs(1).asInt())
+        // regex: FULL match (upstream RegExpOp wraps re.match with an
+        // anchored pattern) — anchor explicitly so contains-style engines
+        // agree
+        case "regex" =>
+          val xs = arr(a)
+          expr(xs.head).rlike("^(?:" + text(xs(1)) + ")$")
         // E6 convention: "" ≡ missing, so coalesce skips empty strings and
         // concat drops empty operands, not just nulls (upstream: mo_dots
         // treats "" as Null everywhere a value is tested for existence)

@@ -132,6 +132,24 @@ object JxQueries {
     "select": [{"name": "n", "value": ".", "aggregate": "count"}],
     "sort": ["part"]}"""
 
+  /** The math-family sweep: mod/sqrt/log/power/sign/round plus the
+    * anchored regex predicate, all through the compiler. Transcendental
+    * results round to 3 decimals — libm implementations differ in the
+    * last ulp across engines; sqrt is IEEE-exact but keeps the same
+    * shape for uniformity. */
+  private val mathJson = """{
+    "from": "events",
+    "where": {"regex": ["event_type", {"literal": "(click|view)"}]},
+    "select": [
+      {"name": "event_id", "value": "event_id"},
+      {"name": "m7", "value": {"mod": ["user_id", 7]}},
+      {"name": "rt", "value": {"round": [{"sqrt": "value"}, 3]}},
+      {"name": "lg", "value": {"round": [{"log": {"add": ["value", {"literal": 1}]}}, 3]}},
+      {"name": "pw", "value": {"round": [{"power": ["value", {"literal": 0.5}]}, 3]}},
+      {"name": "sg", "value": {"sign": {"sub": ["value", 50]}}}],
+    "sort": ["event_id"],
+    "limit": 300}"""
+
   /** Nested FROM — a jx query as the `from` of another (upstream:
     * jx_base/query.py accepts a QueryOp in from-position): the inner
     * query aggregates per user, the outer filters and re-aggregates the
@@ -189,6 +207,7 @@ object JxQueries {
     "jx_ops_expr" -> ((s, d) => Jx.run(s, opsExprJson, name => t(s, d, name))),
     "jx_percentile" -> ((s, d) => Jx.run(s, percentileJson, name => t(s, d, name))),
     "jx_nested_from" -> ((s, d) => Jx.run(s, nestedFromJson, name => t(s, d, name))),
+    "jx_math" -> ((s, d) => Jx.run(s, mathJson, name => t(s, d, name))),
     "jx_edges_topn" -> ((s, d) => Jx.run(s, edgesTopnJson, name => t(s, d, name))),
     "jx_edges_expr" -> ((s, d) => Jx.run(s, edgesExprJson, name => t(s, d, name))),
     "jx_select_expr" -> ((s, d) => Jx.run(s, selectExprJson, name => t(s, d, name))),
@@ -205,6 +224,16 @@ object JxQueries {
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    "jx_math" ->
+      """SELECT event_id,
+                CAST(user_id % 7 AS DOUBLE) AS m7,
+                round(sqrt(value), 3) AS rt,
+                round(ln(value + 1.0), 3) AS lg,
+                round(pow(value, 0.5), 3) AS pw,
+                CAST(sign(value - 50.0) AS DOUBLE) AS sg
+         FROM events
+         WHERE regexp_full_match(event_type, '(click|view)')
+         ORDER BY event_id LIMIT 300""",
     "jx_nested_from" ->
       """SELECT count(*) AS n_users, CAST(sum(n_ev) AS BIGINT) AS sum_ev,
                 max(max_value) AS max_of_max

@@ -22,5 +22,8 @@ class GraftExtensionsSpec extends graft.SparkSpec {
     // registration is idempotent
     GraftExtensions.register(spark)
     assert(spark.sql("SELECT dot_product(array(1.0D), array(2.0D))").head().getDouble(0) === 2.0)
+    assert(spark.sql(
+      "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L))")
+      .head().getLong(0) === 2L)
   }
 }
