@@ -216,6 +216,47 @@ object LogParsers {
     (ok, dead)
   }
 
+  // ------------------------------------------------------ T8 junit xml
+
+  /** JUnit XML report schema: testsuite attributes (XML attributes carry
+    * the default "_" prefix) plus the testcase array, each case with an
+    * optional failure element. */
+  val junitSchema: StructType = StructType(Seq(
+    StructField("_name", StringType),
+    StructField("_tests", LongType),
+    StructField("_failures", LongType),
+    StructField("_time", DoubleType),
+    StructField("testcase", ArrayType(StructType(Seq(
+      StructField("_name", StringType),
+      StructField("_classname", StringType),
+      StructField("_time", DoubleType),
+      StructField("failure", StructType(Seq(
+        StructField("_message", StringType),
+        StructField("_VALUE", StringType))))))))))
+
+  /** T8: JUnit XML test-report ingestion — the industry-generic sibling
+    * of the mozlog parser (same ETL shape: one report per row in, one
+    * row per testcase out). `from_xml` (Spark 4) parses in-plan — no
+    * per-file XML library loop, the same declared-schema discipline as
+    * [[readJsonLines]] — then the testcase array explodes into the
+    * denormalized per-test table the reference builds from its own log
+    * formats. `explode_outer` keeps empty suites visible. */
+  def parseJunitXml(df: DataFrame, xmlCol: String = "value"): DataFrame =
+    df
+      .withColumn("r", from_xml(col(xmlCol), junitSchema))
+      .select(
+        col("r._name").as("suite"),
+        col("r._tests").as("suite_tests"),
+        col("r._failures").as("suite_failures"),
+        explode_outer(col("r.testcase")).as("tc"))
+      .select(
+        col("suite"), col("suite_tests"), col("suite_failures"),
+        col("tc._classname").as("classname"),
+        col("tc._name").as("test"),
+        col("tc._time").as("duration_s"),
+        col("tc.failure").isNotNull.as("failed"),
+        col("tc.failure._message").as("failure_message"))
+
   // ------------------------------------------------------- source shorthands
 
   /** S3: raw text log scan (upstream: imports/text_log.py iterated HTTP

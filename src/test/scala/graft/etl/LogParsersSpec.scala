@@ -119,6 +119,32 @@ class LogParsersSpec extends graft.SparkSpec {
     assert(d.head.getAs[String]("error") === "parse_failed")
   }
 
+  test("T8: JUnit XML reports explode into per-testcase rows") {
+    import spark.implicits._
+    val xml = Seq(
+      """<testsuite name="auth" tests="2" failures="1" time="3.5">
+        |  <testcase name="login_ok" classname="AuthSpec" time="1.2"/>
+        |  <testcase name="login_bad" classname="AuthSpec" time="2.3">
+        |    <failure message="expected 401">stacktrace here</failure>
+        |  </testcase>
+        |</testsuite>""".stripMargin,
+      """<testsuite name="empty" tests="0" failures="0" time="0.0"></testsuite>""")
+      .toDF("value")
+    val out = LogParsers.parseJunitXml(xml).orderBy("suite", "test").collect()
+    assert(out.length === 3) // 2 cases + the empty suite kept by explode_outer
+    val bad = out.find(r => r.getAs[String]("test") == "login_bad").get
+    assert(bad.getAs[String]("classname") === "AuthSpec")
+    assert(bad.getAs[Boolean]("failed"))
+    assert(bad.getAs[String]("failure_message") === "expected 401")
+    assert(bad.getAs[Double]("duration_s") === 2.3)
+    val ok = out.find(r => r.getAs[String]("test") == "login_ok").get
+    assert(!ok.getAs[Boolean]("failed"))
+    assert(ok.getAs[String]("failure_message") == null)
+    val empty = out.find(r => r.getAs[String]("suite") == "empty").get
+    assert(empty.getAs[String]("test") == null)
+    assert(empty.getAs[Long]("suite_tests") === 0L)
+  }
+
   test("S1/S3: file-backed readers round-trip the same parse") {
     val dir = java.nio.file.Files.createTempDirectory("graft-logs").toFile
     try {
