@@ -81,12 +81,14 @@ object Similarity {
     * products per row) once per branch — 12× per LSH self-join — while
     * the explode computes it once per side (measured ~2.5× on
     * dedup_embed_lsh). */
-  def lshBands(sig: DataFrame, idCol: String, bands: Int = 6, bits: Int = 8): DataFrame =
-    sig.select(col(idCol), posexplode(expr(
+  def lshBands(sig: DataFrame, idCol: String, bands: Int = 6, bits: Int = 8,
+      keep: Seq[String] = Nil): DataFrame =
+    sig.select((col(idCol) +: keep.map(col)) :+ posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),
               b -> aggregate(slice(sig, b * $bits + 1, $bits),
-                             0L, (acc, bit) -> acc * 2 + bit))""")))
-      .select(col(idCol), col("pos").as("band"), col("col").as("bh"))
+                             0L, (acc, bit) -> acc * 2 + bit))""")): _*)
+      .select((col(idCol) +: keep.map(col)) :+ col("pos").as("band")
+        :+ col("col").as("bh"): _*)
 
   /** Candidate pairs sharing any LSH band bucket. */
   def lshCandidatePairs(sig: DataFrame, idCol: String): DataFrame = {
@@ -196,6 +198,31 @@ object Similarity {
       .filter(col("rnk") <= 5)
       .select("qid", "rnk", "nid", "cosine")
       .orderBy("qid", "rnk")
+  }
+
+  /** X3d: the ONLINE ANN gate — "which corpus vectors is this incoming
+    * embedding near?", the ingestion-time twin of
+    * [[graft.llm.Dedup.dedupAgainstCorpus]] for the embedding space.
+    * `newVecs` may be STREAMING: the 48-plane signature is in-row
+    * codegen'd DotProducts (stateless), candidates come from a
+    * stream-static equi-join against the pre-built corpus band index,
+    * and the exact-cosine verify is a second stream-static join — no
+    * stateful operator, append-mode, no watermark. A pair colliding in
+    * several bands emits duplicate rows; dedupe at the sink per
+    * micro-batch (the ST5/ST6 layer). */
+  def annAgainstCorpus(newVecs: DataFrame, corpusBands: DataFrame,
+      corpus: DataFrame, minCosine: Double = 0.9): DataFrame = {
+    val sig = lshSignature(newVecs
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding"))))
+    lshBands(sig, "vec_id", keep = Seq("embedding", "norm2"))
+      .join(corpusBands.select(col("vec_id").as("corpus_vec"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .join(corpus.select(col("vec_id").as("corpus_vec"),
+        col("embedding").as("cv"), col("norm2").as("cn")), Seq("corpus_vec"))
+      .withColumn("cosine",
+        r4(DotProduct(col("embedding"), col("cv")) / (sqrt(col("norm2")) * sqrt(col("cn")))))
+      .filter(col("cosine") >= minCosine)
+      .select("vec_id", "corpus_vec", "cosine")
   }
 
   /** X3c: IVF list-balance census — the IVF twin of

@@ -59,6 +59,40 @@ class LshRecallSpec extends graft.SparkSpec {
     assert(cand.count() < n * n / 10, s"candidate set is near-quadratic")
   }
 
+  test("online ANN gate: a streamed near-dup embedding is flagged, noise is not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(43)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val corpusVecs = Seq.fill(40)(unit())
+    val corpus = corpusVecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+      .withColumn("norm2", graft.functions.DotProduct(col("embedding"), col("embedding")))
+    val corpusBands = Similarity.lshBands(Similarity.lshSignature(corpus), "vec_id")
+
+    // near-dup of corpus vec 0; plus an unrelated unit vector
+    val nd = {
+      val v = corpusVecs(0).map(x => x + 0.02 * rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(x => (x / n).toFloat)
+    }
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = Similarity.annAgainstCorpus(
+        in.toDF().toDF("vec_id", "embedding"), corpusBands, corpus)
+      .writeStream.format("memory").queryName("anngate").outputMode("append").start()
+    try {
+      in.addData((500L, nd), (501L, unit()))
+      q.processAllAvailable()
+      val hits = spark.table("anngate").select("vec_id", "corpus_vec").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((500L, 0L)), s"near-dup embedding not flagged: $hits")
+      assert(!hits.exists(_._1 == 501L), s"noise falsely flagged: $hits")
+    } finally q.stop()
+  }
+
   test("IVF recovers near-dup neighbors without the O(n*m) scan") {
     // same corpus layout written as an embeddings table; sim_ivf's
     // queries are vec_id < 20 (bases 0..19), whose near-dups are
