@@ -291,6 +291,24 @@ class JxSpec extends graft.SparkSpec {
     assert(r4n.getString(12) === "xpcshell")
   }
 
+  test("math ops: exp/log/power/sign/mod/round through the compiler") {
+    val out = run("""{
+      "from": "logs", "select": [
+        {"name": "e1", "value": {"round": [{"exp": {"literal": 1}}, 4]}},
+        {"name": "l1", "value": {"round": [{"log": {"exp": {"literal": 2}}}, 6]}},
+        {"name": "p", "value": {"power": [{"literal": 2}, {"literal": 10}]}},
+        {"name": "sg", "value": {"sign": {"literal": -3}}},
+        {"name": "m", "value": {"mod": [{"literal": 7}, {"literal": 3}]}}],
+      "limit": 1}""").collect().head
+    assert(out.getDouble(0) === 2.7183)
+    assert(out.getDouble(1) === 2.0)
+    assert(out.getDouble(2) === 1024.0)
+    assert(out.getDouble(3) === -1.0)
+    // integral literals keep integer typing through mod (bare numbers in
+    // op-argument position become doubles; {"literal": n} does not)
+    assert(out.getLong(4) === 1L)
+  }
+
   test("default domain with limit: top-N parts + other + the null part") {
     val out = run("""{
       "from": "logs",
