@@ -205,6 +205,41 @@ object Relational {
       .orderBy("bucket_id")
   }
 
+  /** J6 at scale: the banded interval join — when BOTH sides are large,
+    * a theta join (point ∈ [lo, hi)) plans as a nested loop and dies at
+    * 100 TB. The standard conversion: quantize the axis into fixed-width
+    * bands, explode each interval into every band it overlaps, band the
+    * point side (one band per point), equi-join on the band key, and
+    * re-check the exact predicate as the join residual. Each (point,
+    * interval) match surfaces exactly once — the point has ONE band — so
+    * no dedup pass is needed. Cost: equi-join on a key with bounded
+    * per-band population + (interval_width / band_width) index rows per
+    * interval; pick `width` near the median interval length. */
+  def bandedRangeJoin(points: DataFrame, pCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      width: Double): DataFrame = {
+    val bp = points.withColumn("__band", floor(col(pCol) / width).cast("long"))
+    val bi = intervals.withColumn("__band", explode(sequence(
+      floor(col(loCol) / width).cast("long"),
+      floor(col(hiCol) / width).cast("long"))))
+    bp.join(bi, Seq("__band"))
+      .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
+      .drop("__band")
+  }
+
+  /** Driver key for [[bandedRangeJoin]]: each user's [min, max) value
+    * range as the interval side, every event as the point side — a
+    * genuinely big-big interval join (no broadcastable side at scale). */
+  val joinRangeBanded: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val iv = ev.groupBy(col("user_id").as("uid"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    bandedRangeJoin(ev.select("event_id", "value"), "value", iv, "lo", "hi", 25.0)
+      .groupBy("uid")
+      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_v"))
+      .orderBy("uid")
+  }
+
   /** J7: as-of join — for each purchase, the latest signup at-or-before it
     * for the same user (reference shape: revision enrichment = latest build
     * ≤ test timestamp, upstream activedata_etl/imports/repos/). Expressed
@@ -248,6 +283,7 @@ object Relational {
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
     "join_range" -> joinRange,
+    "join_range_banded" -> joinRangeBanded,
     "join_asof" -> joinAsof,
     "join_cross" -> joinCross)
 
@@ -338,6 +374,12 @@ object Relational {
                       (3, 150.0, 200.0), (4, 200.0, 1e9)) AS b(bucket_id, lo, hi)
            ON value >= lo AND value < hi
          GROUP BY bucket_id ORDER BY bucket_id""",
+    "join_range_banded" ->
+      """WITH iv AS (SELECT user_id AS uid, min(value) AS lo, max(value) AS hi
+                     FROM events GROUP BY 1)
+         SELECT uid, count(*) AS n, round(sum(e.value), 2) AS sum_v
+         FROM iv JOIN events e ON e.value >= iv.lo AND e.value < iv.hi
+         GROUP BY uid ORDER BY uid""",
     "join_asof" ->
       """SELECT p_id, user_id, p_ts, s_ts
          FROM (SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts, s.ts AS s_ts,

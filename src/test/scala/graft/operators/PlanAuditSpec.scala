@@ -105,6 +105,14 @@ class PlanAuditSpec extends graft.SparkSpec {
     }
   }
 
+  test("join_range_banded: big-big interval join is equi-keyed, never nested-loop") {
+    val p = plan("join_range_banded")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
   test("jx_edges_topn: the top-N remap joins, not a driver-side collect") {
     // the compiled default domain must keep both passes in-plan: a rank
     // over the counts frame and a join-based remap of the fact rows
