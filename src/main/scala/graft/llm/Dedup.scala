@@ -206,6 +206,58 @@ object Dedup {
       .orderBy(desc("containment"), asc("da"), asc("db"))
   }
 
+  /** X1a'' — the sub-quadratic containment path [[dedupContainment]]'s doc
+    * promises: the ONE-SIDED prefix filter. Containment ≥ t means
+    * c ≥ t·min(|A|,|B|) = t·n_small, so (pigeonhole) the SMALLER doc's
+    * rarest-first prefix of length n − ⌈t·n⌉ + 1 must share a shingle
+    * with the larger doc's FULL set — if none of those prefix shingles
+    * hits B, at most ⌈t·n⌉ − 1 < t·n of A's shingles can. Only prefixes
+    * are indexed on the probe side; the build side is the full shingle
+    * table. Join cost drops from Σ df² to Σ prefix_df·df — and prefixes
+    * hold each doc's RAREST shingles, so the pruning lands on exactly
+    * the buckets that dominate the quadratic cost. (A two-sided
+    * prefix-×-prefix join — dedupNgramPrefix's shape — would be WRONG
+    * here: the big doc's prefix bound is n_big − ⌈t·n_small⌉ + 1, which
+    * is unknowable at index time and ≈ its whole set anyway.)
+    *
+    * Output is IDENTICAL to [[dedupContainment]] — equality is
+    * ScalaTest-gated in DedupSpec and both share the DuckDB oracle. */
+  val dedupContainmentPrefix: Q = (s, d) => {
+    val ct = 0.8
+    val sh0 = shingles(s, d)
+    // same one-window df annotation + hot cap + localCheckpoint as
+    // dedupNgramPrefix: three downstream branches re-read the capped set
+    val shdf = sh0
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+      .filter(col("df") <= HotShingleCap)
+      .localCheckpoint()
+    val sh = shdf.select("doc_id", "h")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val prefix = shdf
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("df", "h")))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rk") <= col("n_sh") - ceil(lit(ct) * col("n_sh")) + 1)
+      .select(col("doc_id").as("pd"), col("h"), col("n_sh").as("pn"))
+    val full = sh.join(sizes, Seq("doc_id"))
+      .select(col("doc_id").as("fd"), col("h"), col("n_sh").as("fn"))
+    // probe side must be the pair's smaller set (ties broken by id so
+    // each unordered pair is generated from exactly one orientation)
+    val cand = prefix.join(full,
+        prefix("h") === full("h") &&
+          (col("pn") < col("fn") || (col("pn") === col("fn") && col("pd") < col("fd"))))
+      .select(least(col("pd"), col("fd")).as("da"),
+        greatest(col("pd"), col("fd")).as("db"))
+      .distinct()
+    verifyJaccard(cand, sh)
+      .withColumn("containment", col("c").cast("double") / least(col("na"), col("nb")))
+      .filter(col("containment") >= ct)
+      .select(col("da"), col("db"), col("c"), r4(col("containment")).as("containment"))
+      .orderBy(desc("containment"), asc("da"), asc("db"))
+  }
+
   /** X1e: embedding-cosine near-dup candidates — top-50 most similar pairs.
     * Brute-force O(n²) self-join is the verification baseline; the scale
     * path is `dedup_embed_lsh` (banded LSH buckets → cosine verify → top-k,
@@ -669,6 +721,7 @@ object Dedup {
     "dedup_ngram" -> dedupNgram,
     "dedup_ngram_prefix" -> dedupNgramPrefix,
     "dedup_containment" -> dedupContainment,
+    "dedup_containment_prefix" -> dedupContainmentPrefix,
     "dedup_minhash" -> dedupMinhash,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_md5" -> dedupSimhashMd5,
@@ -718,6 +771,26 @@ object Dedup {
        mh AS (SELECT m.da, m.db, cc, x.n AS na, y.n AS nb
               FROM common m JOIN sz x ON m.da = x.doc_id
               JOIN sz y ON m.db = y.doc_id)"""
+
+  /** Shared by dedup_containment and its prefix-filtered twin — the two
+    * queries compute the identical result set by construction. */
+  private val containmentOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           sh0 AS (SELECT DISTINCT doc_id,
+                          CAST('0x' || substr(md5(unnest(
+                            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
+                   FROM toks WHERE len(t) >= 3),
+           keep AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 50),
+           sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep USING (h)),
+           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+           pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
+                     FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2)
+         SELECT da, db, c, round(c * 1.0 / least(x.n, y.n), 4) AS containment
+         FROM pairs p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
+         WHERE c * 1.0 / least(x.n, y.n) >= 0.8
+         ORDER BY containment DESC, da ASC, db ASC"""
 
   val oracle: Map[String, String] = Map(
     "dedup_simhash_md5" -> simhashMd5Oracle,
@@ -818,23 +891,9 @@ object Dedup {
          FROM pairs p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
          WHERE c * 1.0 / (x.n + y.n - c) > 0.3
          ORDER BY jaccard DESC, da ASC, db ASC""",
-    "dedup_containment" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-           sh0 AS (SELECT DISTINCT doc_id,
-                          CAST('0x' || substr(md5(unnest(
-                            [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-                             for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
-                   FROM toks WHERE len(t) >= 3),
-           keep AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 50),
-           sh AS (SELECT sh0.doc_id, sh0.h FROM sh0 JOIN keep USING (h)),
-           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-           pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c
-                     FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-                     GROUP BY 1, 2)
-         SELECT da, db, c, round(c * 1.0 / least(x.n, y.n), 4) AS containment
-         FROM pairs p JOIN sz x ON p.da = x.doc_id JOIN sz y ON p.db = y.doc_id
-         WHERE c * 1.0 / least(x.n, y.n) >= 0.8
-         ORDER BY containment DESC, da ASC, db ASC""",
+    "dedup_containment" -> containmentOracle,
+    // the prefix-filtered path computes the SAME result set — one oracle
+    "dedup_containment_prefix" -> containmentOracle,
     "dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            sh0 AS (SELECT DISTINCT doc_id,

@@ -219,7 +219,7 @@ object TextOps {
     docs.groupBy("source")
       .agg(count(lit(1)).as("n_in"),
         sum("n_copies").as("n_out"),
-        r4(first("w")).as("w"))
+        r4(first(col("w")).cast("double")).as("w"))
       .orderBy("source")
   }
 
@@ -377,7 +377,7 @@ object TextOps {
                           + CASE WHEN hfrac < w - floor(w) THEN 1 ELSE 0 END AS n_copies
                  FROM w)
          SELECT source, count(*) AS n_in, CAST(sum(n_copies) AS BIGINT) AS n_out,
-                round(any_value(w), 4) AS w
+                CAST(round(CAST(any_value(w) AS DOUBLE), 4) AS DOUBLE) AS w
          FROM c GROUP BY source ORDER BY source""",
     "text_pack_segments" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 AS shard,

@@ -52,6 +52,40 @@ class DedupSpec extends graft.SparkSpec {
   private def truePairHits(result: org.apache.spark.sql.DataFrame): Long =
     result.filter(col("db") === col("da") + nBase && col("da") < nBase).count()
 
+  /** Containment's design regime — SUB-document duplication: doc i+nBase is
+    * an 18-word slice of doc i (60 words), so containment ≈ 1.0 while
+    * jaccard ≈ 16/58 ≈ 0.28 — below the symmetric family's threshold. */
+  private lazy val containCorpusDir: String = {
+    val rnd = new scala.util.Random(41)
+    def doc(): Seq[String] = Seq.fill(60)("w" + rnd.nextInt(500000))
+    val bases = Seq.fill(nBase)(doc())
+    val subs = bases.map(_.slice(10, 28))
+    val noise = Seq.fill(nBase)(doc())
+    val rows = (bases ++ subs ++ noise).zipWithIndex.map { case (ws, i) =>
+      val text = ws.mkString(" ")
+      (i.toLong, text, "en", "src" + (i % 3), text.length.toLong)
+    }
+    val dir = Files.createTempDirectory("graft-contain").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("dedup_containment catches embedded sub-documents symmetric jaccard misses") {
+    val out = Dedup.dedupContainment(spark, containCorpusDir)
+    assert(truePairHits(out) === nBase.toLong)
+    // the same true pairs sit BELOW the symmetric threshold: jaccard ≈ 16/58
+    val jac = Dedup.dedupNgram(spark, containCorpusDir)
+    assert(truePairHits(jac) === 0L)
+  }
+
+  test("one-sided prefix containment is EXACTLY dedup_containment (pigeonhole guarantee)") {
+    val full = Dedup.dedupContainment(spark, containCorpusDir).collect().map(_.toString).toSeq
+    val pref = Dedup.dedupContainmentPrefix(spark, containCorpusDir).collect().map(_.toString).toSeq
+    assert(pref === full)
+    assert(full.nonEmpty)
+  }
+
   test("dedup_clusters groups transitive near-dup chains into one component") {
     val rnd = new scala.util.Random(7)
     def doc(n: Int): Seq[String] = Seq.fill(n)("w" + rnd.nextInt(500000))
