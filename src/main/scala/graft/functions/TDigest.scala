@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
@@ -222,6 +223,12 @@ case class TDigestSketchAgg(
   extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
 
   override def prettyName: String = "tdigest_sketch"
+  // AbstractDataType is private[sql], so ImplicitCastInputTypes is out of
+  // reach here: validate at analysis time instead (the Column API casts).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == DoubleType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tdigest_sketch requires DOUBLE input, got ${child.dataType.sql}")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
@@ -259,6 +266,10 @@ case class TDigestMergeAgg(
   extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
 
   override def prettyName: String = "tdigest_merge"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"tdigest_merge requires BINARY sketch input, got ${child.dataType.sql}")
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
@@ -306,14 +317,19 @@ case class TDigestQuantile(left: Expression, right: Expression)
 }
 
 object TDigestSketchAgg {
-  /** Column API: `df.groupBy("day").agg(TDigestSketchAgg(col("value")))`. */
-  def apply(c: Column, compression: Int = 100): Column =
+  /** Column API: `df.groupBy("day").agg(TDigestSketchAgg(col("value")))`.
+    * No default on the two-arg overload: the case class's synthesized apply
+    * already carries defaults, and Scala forbids defaults on two overloads. */
+  def apply(c: Column): Column = apply(c, 100)
+  def apply(c: Column, compression: Int): Column =
     ColumnBridge.column(
-      TDigestSketchAgg(ColumnBridge.expression(c), compression).toAggregateExpression())
+      TDigestSketchAgg(ColumnBridge.expression(c.cast("double")), compression)
+        .toAggregateExpression())
 }
 
 object TDigestMergeAgg {
-  def apply(c: Column, compression: Int = 100): Column =
+  def apply(c: Column): Column = apply(c, 100)
+  def apply(c: Column, compression: Int): Column =
     ColumnBridge.column(
       TDigestMergeAgg(ColumnBridge.expression(c), compression).toAggregateExpression())
 }
