@@ -55,17 +55,32 @@ object Bench {
     // ever overflow; the untruncated 3-decimal JSON is also written to
     // bench_full.json for human/judge consumption.
     val sfName = new java.io.File(sfDir).getName
-    def line(dec: Int): String = {
+    // Round 7 lesson: with 113 queries even line(0) exceeds the driver's
+    // tail window, so BENCH_r07 recorded parsed:null despite rc=0. When
+    // precision degradation alone can't fit the line, shrink the stdout
+    // map to the top-K costliest queries (they're what the 2× gate cares
+    // about) and say how many cheap ones were elided; bench_full.json
+    // always carries all of them at 3 decimals.
+    def line(dec: Int, topK: Int): String = {
       def sec(v: Double) = s"%.${dec}f".formatLocal(java.util.Locale.ROOT, v)
         .replaceAll("(\\.\\d*?)0+$", "$1").replaceAll("\\.$", "")
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
+      val kept =
+        if (topK >= results.size) results.toSeq
+        else results.toSeq.sortBy(-_._2).take(topK)
+      val omitted =
+        if (kept.size == results.size) ""
+        else s""","queries_omitted":${results.size - kept.size}"""
+      val qs = kept.map { case (k, v) => "\"" + k + "\":" + sec(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omitted,"errors":$errJson,"sf":"$sfName"}"""
     }
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"), line(3) + "\n")
+      java.nio.file.Paths.get("bench_full.json"), line(3, Int.MaxValue) + "\n")
     catch { case _: Throwable => () } // sidecar is best-effort
-    println((2 to 0 by -1).map(line).find(_.length <= 1920).getOrElse(line(0)))
+    val candidates =
+      (2 to 0 by -1).map(line(_, Int.MaxValue)) ++
+        Seq(60, 40, 25, 15).map(line(1, _))
+    println(candidates.find(_.length <= 1920).getOrElse(line(0, 10)))
     spark.stop()
     if (errors.nonEmpty) {
       errors.foreach { case (k, v) => System.err.println(s"[bench] FAILED $k: $v") }

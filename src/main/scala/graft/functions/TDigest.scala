@@ -305,6 +305,14 @@ case class TDigestQuantile(left: Expression, right: Expression)
 
   override def prettyName: String = "tdigest_quantile"
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"tdigest_quantile requires a BINARY sketch, got ${left.dataType.sql}")
+    else if (right.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"tdigest_quantile requires a DOUBLE quantile, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def nullSafeEval(sketch: Any, q: Any): Any = {
     val d = TDigest.deserialize(sketch.asInstanceOf[Array[Byte]])

@@ -275,8 +275,46 @@ object Aggregates {
         col("n"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** A16: mergeable t-digest percentile — the sketch→store→re-merge cycle
+    * as a gated query (upstream analog: the ES t-digest behind the
+    * reference's percentile aggs, jx_elasticsearch/es52/aggs.py).
+    *
+    * Pipeline under test: (1) daily PARTIAL sketches per (day, event_type)
+    * — the storable binary artifact a rollup table would persist; (2)
+    * cross-day re-merge of the stored sketches per event_type; (3)
+    * quantile estimates off the merged sketch. The assertion is rank-based:
+    * the δ=100 digest's q-estimate must land between the EXACT percentiles
+    * at q∓0.05 rank (t-digest worst-case rank error is O(1/δ) ≪ 5%). The
+    * oracle pins the booleans TRUE per group, so a silently-broken merge
+    * (wrong weights, dropped centroids, version skew) fails the hash gate
+    * rather than just drifting. */
+  val aggTdigest: Q = (s, d) => {
+    import graft.functions.{TDigestMergeAgg, TDigestQuantile, TDigestSketchAgg}
+    val ev = t(s, d, "events")
+    val daily = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(TDigestSketchAgg(col("value")).as("sketch"))
+    val merged = daily.groupBy("event_type")
+      .agg(TDigestMergeAgg(col("sketch")).as("sk"))
+      .select(col("event_type"),
+        TDigestQuantile(col("sk"), 0.5).as("td50"),
+        TDigestQuantile(col("sk"), 0.9).as("td90"))
+    val exact = ev.groupBy("event_type")
+      .agg(
+        expr("percentile(value, 0.45)").as("lo50"),
+        expr("percentile(value, 0.55)").as("hi50"),
+        expr("percentile(value, 0.85)").as("lo90"),
+        expr("percentile(value, 0.95)").as("hi90"))
+    merged.join(exact, Seq("event_type"))
+      .select(col("event_type"),
+        (col("td50") >= col("lo50") && col("td50") <= col("hi50")).as("p50_ok"),
+        (col("td90") >= col("lo90") && col("td90") <= col("hi90")).as("p90_ok"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
     "agg_groupby" -> aggGroupby,
+    "agg_tdigest" -> aggTdigest,
     "edges_dense" -> edgesDense,
     "edges_dense_null" -> edgesDenseNull,
     "edges_histogram" -> edgesHistogram,
@@ -293,6 +331,13 @@ object Aggregates {
     "agg_pivot" -> aggPivot)
 
   val oracle: Map[String, String] = Map(
+    // The sketch bytes aren't SQL-expressible; the gated contract is the
+    // rank-tolerance assertion itself. The oracle pins one TRUE/TRUE row
+    // per observed event_type — a broken sketch/merge/quantile flips a
+    // boolean and fails the hash compare.
+    "agg_tdigest" ->
+      """SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
