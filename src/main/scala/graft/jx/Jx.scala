@@ -385,9 +385,10 @@ object Jx {
           .select(vcol.cast("string").as("__v"))
           .filter(col("__v").isNotNull)
           .groupBy("__v").agg(count(lit(1)).as("__cnt"))
-          .withColumn("__rk", row_number().over(
-            Window.orderBy(desc("__cnt"), asc("__v"))))
-          .filter(col("__rk") <= n)
+          // sort+limit → TakeOrderedAndProject: per-partition heaps, no
+          // single-partition global rank window over the counts frame
+          .orderBy(desc("__cnt"), asc("__v"))
+          .limit(n)
           .select("__v")
         Edge(name,
           (df, tag) => {

@@ -244,9 +244,13 @@ object Dedup {
     val full = sh.join(sizes, Seq("doc_id"))
       .select(col("doc_id").as("fd"), col("h"), col("n_sh").as("fn"))
     // probe side must be the pair's smaller set (ties broken by id so
-    // each unordered pair is generated from exactly one orientation)
-    val cand = prefix.join(full,
-        prefix("h") === full("h") &&
+    // each unordered pair is generated from exactly one orientation).
+    // Both sides share shdf's lineage, so the equi-key MUST be qualified
+    // through plan aliases — unqualified prefix("h")/full("h") resolve to
+    // the same attribute and the condition degenerates to trivially-true
+    // (cartesian-with-filter).
+    val cand = prefix.as("p").join(full.as("f"),
+        col("p.h") === col("f.h") &&
           (col("pn") < col("fn") || (col("pn") === col("fn") && col("pd") < col("fd"))))
       .select(least(col("pd"), col("fd")).as("da"),
         greatest(col("pd"), col("fd")).as("db"))

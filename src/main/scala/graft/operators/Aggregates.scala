@@ -112,11 +112,15 @@ object Aggregates {
   /** A4b: gap-fill over the dense time axis (LOCF — last observation
     * carried forward): the resample primitive time-series pipelines run
     * after densification. Empty cells keep n = 0 but inherit the last
-    * observed aggregate via an ignoreNulls window over the day axis. The
-    * window is global-ordered BY CONSTRUCTION over the dense axis — its
-    * row count is the number of buckets (bounded, tiny), never the row
-    * count of the fact table, so the single-partition window is safe at
-    * any data scale. */
+    * observed aggregate.
+    *
+    * Two-level LOCF so no window is ever global: (1) an ignoreNulls
+    * window PARTITIONED BY MONTH carries values within each month; (2)
+    * the cross-month carry-in is computed on the month-level frame
+    * (~axis_days/30 rows) via a broadcast triangular join — "latest
+    * earlier month's last observation" — and coalesced in. A 100×-longer
+    * axis (or a per-minute axis) just widens the month partitions and the
+    * tiny carry frame; nothing serializes onto one partition. */
   val edgesTimeLocf: Q = (s, d) => {
     val ev = t(s, d, "events").filter(col("event_type") === "purchase")
     val bounds = t(s, d, "events").agg(
@@ -126,10 +130,26 @@ object Aggregates {
       explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
     val sparse = ev.groupBy(date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("cnt"), r2(sum("value")).as("sv"))
-    val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    domain.join(sparse, Seq("day"), "left")
+    val dense = domain.join(sparse, Seq("day"), "left")
+      .withColumn("mon", date_trunc("month", col("day")))
+    val wIn = Window.partitionBy("mon").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // last observed (day, value) per month, off the SPARSE frame
+    val monLast = sparse
+      .withColumn("mon", date_trunc("month", col("day")))
+      .groupBy("mon").agg(max(struct(col("day"), col("sv"))).as("m"))
+      .select(col("mon"), col("m.sv").as("last_sv"))
+    // carry-in per month = last observation of any earlier month
+    val carry = dense.select("mon").distinct().as("m")
+      .join(broadcast(monLast.as("b")), col("b.mon") < col("m.mon"))
+      .groupBy(col("m.mon").as("mon"))
+      .agg(max(struct(col("b.mon").as("bm"), col("b.last_sv").as("lsv"))).as("x"))
+      .select(col("mon"), col("x.lsv").as("carry_sv"))
+    dense
+      .withColumn("locf_in", last("sv", ignoreNulls = true).over(wIn))
+      .join(broadcast(carry), Seq("mon"), "left")
       .select(col("day"), coalesce(col("cnt"), lit(0L)).as("n"),
-        last("sv", ignoreNulls = true).over(w).as("sum_value_locf"))
+        coalesce(col("locf_in"), col("carry_sv")).as("sum_value_locf"))
       .orderBy("day")
   }
 
@@ -160,9 +180,10 @@ object Aggregates {
   val edgesTopnOther: Q = (s, d) => {
     val ev = t(s, d, "events")
     val counts = ev.groupBy("event_type").agg(count(lit(1)).as("cnt"))
-    val ranked = counts.withColumn("rk",
-      row_number().over(Window.orderBy(desc("cnt"), asc("event_type"))))
-    val top = ranked.filter(col("rk") <= 3).select(col("event_type").as("top_type"))
+    // top-N via sort+limit → TakeOrderedAndProject (per-partition heaps,
+    // no global single-partition rank window)
+    val top = counts.orderBy(desc("cnt"), asc("event_type")).limit(3)
+      .select(col("event_type").as("top_type"))
     ev.join(broadcast(top), ev("event_type") === top("top_type"), "left")
       .withColumn("part", coalesce(col("top_type"), lit("other")))
       .groupBy("part")
@@ -299,14 +320,29 @@ object Aggregates {
       .select(col("event_type"),
         TDigestQuantile(col("sk"), 0.5).as("td50"),
         TDigestQuantile(col("sk"), 0.9).as("td90"))
+    // small-n guard: a ±0.05-rank band is degenerate for tiny groups (a
+    // 10-row group's q45/q55 can coincide while the digest interpolates
+    // between observations) — below 20 values the band widens to the
+    // group's full [min, max], which any correct digest satisfies
     val exact = ev.groupBy("event_type")
       .agg(
-        expr("percentile(value, 0.45)").as("lo50"),
-        expr("percentile(value, 0.55)").as("hi50"),
-        expr("percentile(value, 0.85)").as("lo90"),
-        expr("percentile(value, 0.95)").as("hi90"))
-    merged.join(exact, Seq("event_type"))
-      .select(col("event_type"),
+        count(col("value")).as("nv"),
+        min("value").as("mn"), max("value").as("mx"),
+        expr("percentile(value, 0.45)").as("plo50"),
+        expr("percentile(value, 0.55)").as("phi50"),
+        expr("percentile(value, 0.85)").as("plo90"),
+        expr("percentile(value, 0.95)").as("phi90"))
+      .select(col("event_type"), col("nv"), col("mn"), col("mx"),
+        when(col("nv") < 20, col("mn")).otherwise(col("plo50")).as("lo50"),
+        when(col("nv") < 20, col("mx")).otherwise(col("phi50")).as("hi50"),
+        when(col("nv") < 20, col("mn")).otherwise(col("plo90")).as("lo90"),
+        when(col("nv") < 20, col("mx")).otherwise(col("phi90")).as("hi90"))
+    // null-safe equi-join: a NULL event_type group is a real group to
+    // both GROUP BYs, and a plain `=` join would silently drop it; both
+    // frames share ev's lineage so the key must be alias-qualified
+    merged.as("m").join(exact.as("e"),
+        col("m.event_type") <=> col("e.event_type"))
+      .select(col("m.event_type").as("event_type"),
         (col("td50") >= col("lo50") && col("td50") <= col("hi50")).as("p50_ok"),
         (col("td90") >= col("lo90") && col("td90") <= col("hi90")).as("p90_ok"))
       .orderBy("event_type")

@@ -242,20 +242,30 @@ object Relational {
 
   /** J7: as-of join — for each purchase, the latest signup at-or-before it
     * for the same user (reference shape: revision enrichment = latest build
-    * ≤ test timestamp, upstream activedata_etl/imports/repos/). Expressed
-    * as range join + row_number top-1: shuffles both sides once on user_id;
-    * at scale the window dedup happens within the join's partitioning. */
+    * ≤ test timestamp, upstream activedata_etl/imports/repos/).
+    *
+    * NOT a join at all: union both event kinds into one stream and take a
+    * per-user running max of signup timestamps (ROWS unbounded-preceding →
+    * current, ordered by (ts, kind) with signups sorting before purchases
+    * at equal ts so `s_ts <= p_ts` includes ties). One shuffle on user_id,
+    * one pass per row — work is LINEAR in a user's history. The previous
+    * formulation (theta-join every purchase to ALL earlier signups, then
+    * row_number → rn=1) materialized a per-user quadratic pair set before
+    * the window pruned it; a skewed user with 10⁵ events would emit ~10¹⁰
+    * intermediate rows at 100 TB. PlanAuditSpec pins the join-free shape. */
   val joinAsof: Q = (s, d) => {
     val ev = t(s, d, "events")
-    val p = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("p_id"), col("user_id"), col("ts").as("p_ts"))
-    val sg = ev.filter(col("event_type") === "signup")
-      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
-    val w = Window.partitionBy("p_id").orderBy(desc_nulls_last("s_ts"))
-    p.join(sg, p("user_id") === sg("s_user") && sg("s_ts") <= p("p_ts"), "left")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("p_id", "user_id", "p_ts", "s_ts")
+    val both = ev.filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        when(col("event_type") === "purchase", col("event_id")).as("p_id"),
+        col("user_id"), col("ts"),
+        (col("event_type") === "purchase").cast("int").as("kind"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    both
+      .withColumn("s_ts", max(when(col("kind") === 0, col("ts"))).over(w))
+      .filter(col("kind") === 1)
+      .select(col("p_id"), col("user_id"), col("ts").as("p_ts"), col("s_ts"))
       .orderBy("p_id")
       .limit(300)
   }

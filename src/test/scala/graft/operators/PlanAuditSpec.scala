@@ -113,6 +113,16 @@ class PlanAuditSpec extends graft.SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("join_asof is join-free: one per-user window pass, no pair blowup") {
+    // the as-of must plan as union → shuffle-on-user → Window; any Join
+    // node means the quadratic purchase×earlier-signups expansion is back
+    val p = plan("join_asof")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("user_id"), s"window not partitioned by user_id:\n$p")
+  }
+
   test("jx_edges_topn: the top-N remap joins, not a driver-side collect") {
     // the compiled default domain must keep both passes in-plan: a rank
     // over the counts frame and a join-based remap of the fact rows
