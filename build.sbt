@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The external driver parses graft.Bench's JSON line out of a bounded
+// stdout tail. sbt's default LoggedOutput strategy prefixes every forked-
+// process line with "[info] ", which has broken that parse every round —
+// inherit the real stdout/stderr so program output reaches the driver raw.
+run / outputStrategy := Some(sbt.OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
