@@ -63,23 +63,34 @@ object Transforms {
 
   /** T3: property normalization (upstream: imports/buildbot.py — a ~2000-line
     * builder-name → {platform, type, branch} mapping): a broadcast lookup
-    * join plus when-chains for the patterned tail. The mapping table is tiny
-    * and read-only → broadcast; the fact side never shuffles. */
+    * join plus when-chains for the patterned tail (names the table doesn't
+    * know). The mapping is built at REALISTIC dimension size — 2000 distinct
+    * builder names with derived {platform, build type} attributes, generated
+    * deterministically so the DuckDB oracle reconstructs the identical
+    * table — and the fact side synthesizes a name per event covering 2200
+    * residues, so ~9% of rows exercise the unmatched tail. A few thousand
+    * rows of strings is KBs → broadcast; the fact side never shuffles
+    * before the final group-by. */
   val etlNormalize: Q = (s, d) => {
-    import s.implicits._
-    val mapping = Seq(
-      ("error", "incident", "sev1"), ("purchase", "conversion", "sev3"),
-      ("signup", "conversion", "sev3"), ("click", "engagement", "sev4"))
-      .toDF("event_type", "category", "severity")
-    val ev = t(s, d, "events")
-    ev.join(broadcast(mapping), Seq("event_type"), "left")
-      .withColumn("category", coalesce(col("category"), lit("unknown")))
-      .withColumn("severity",
-        when(col("severity").isNull && col("value") > 200.0, "sev2")
-          .otherwise(coalesce(col("severity"), lit("sev5"))))
-      .groupBy("category", "severity")
+    val plats = Seq("linux64", "win64", "macosx64", "android-arm",
+      "linux32", "win32", "macosx-aarch64")
+    val btypes = Seq("opt", "debug", "pgo", "asan", "ccov")
+    val mapping = s.range(2000).select(
+      concat(lit("builder-"), col("id").cast("string")).as("bname"),
+      element_at(array(plats.map(lit): _*), (col("id") % 7).cast("int") + 1)
+        .as("platform"),
+      element_at(array(btypes.map(lit): _*), (col("id") % 5).cast("int") + 1)
+        .as("btype"))
+    val ev = t(s, d, "events").withColumn("bname",
+      concat(lit("builder-"), (col("event_id") % 2200).cast("string")))
+    ev.join(broadcast(mapping), Seq("bname"), "left")
+      .withColumn("platform", coalesce(col("platform"), lit("unknown")))
+      .withColumn("btype",
+        when(col("btype").isNull && col("value") > 200.0, "hot-unknown")
+          .otherwise(coalesce(col("btype"), lit("unknown"))))
+      .groupBy("platform", "btype")
       .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_value"))
-      .orderBy("category", "severity")
+      .orderBy("platform", "btype")
   }
 
   /** T4: fan-out — one message → N work items (upstream: transforms/
@@ -195,14 +206,22 @@ object Transforms {
                 round(avg(k * k) - avg(k) * avg(k), 4) AS var_k
          FROM parsed GROUP BY event_type ORDER BY event_type""",
     "etl_normalize" ->
-      """WITH mapping(event_type, category, severity) AS (
-           VALUES ('error', 'incident', 'sev1'), ('purchase', 'conversion', 'sev3'),
-                  ('signup', 'conversion', 'sev3'), ('click', 'engagement', 'sev4'))
-         SELECT coalesce(m.category, 'unknown') AS category,
-                CASE WHEN m.severity IS NULL AND e.value > 200.0 THEN 'sev2'
-                     ELSE coalesce(m.severity, 'sev5') END AS severity,
+      """WITH mapping AS (
+           SELECT 'builder-' || CAST(i AS VARCHAR) AS bname,
+                  ['linux64','win64','macosx64','android-arm',
+                   'linux32','win32','macosx-aarch64'][CAST(i % 7 AS INT) + 1]
+                    AS platform,
+                  ['opt','debug','pgo','asan','ccov'][CAST(i % 5 AS INT) + 1]
+                    AS btype
+           FROM range(2000) t(i)),
+         ev AS (SELECT 'builder-' || CAST(event_id % 2200 AS VARCHAR) AS bname,
+                       value
+                FROM events)
+         SELECT coalesce(m.platform, 'unknown') AS platform,
+                CASE WHEN m.btype IS NULL AND e.value > 200.0 THEN 'hot-unknown'
+                     ELSE coalesce(m.btype, 'unknown') END AS btype,
                 count(*) AS n, round(sum(e.value), 2) AS sum_value
-         FROM events e LEFT JOIN mapping m USING (event_type)
+         FROM ev e LEFT JOIN mapping m USING (bname)
          GROUP BY 1, 2 ORDER BY 1, 2""",
     "etl_fanout" ->
       """SELECT doc_id, count(*) AS n_words, count(DISTINCT word) AS n_distinct

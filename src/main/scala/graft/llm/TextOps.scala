@@ -292,7 +292,59 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** PII redaction — the first pass a training-data pipeline runs over a
+    * raw corpus: strip emails / URLs / phone-shaped IDs before anything
+    * downstream sees the text. The synthetic corpus carries no PII, so
+    * each doc is first decorated with deterministic PII derived from its
+    * own doc_id (both engines construct the identical string), then
+    * redacted. Patterns stay in the regex subset Java and RE2 evaluate
+    * identically (char classes, +, bounded repeats), passed as Column
+    * literals so no SQL-string escaping is involved. Pure per-doc
+    * codegen'd string work — no shuffle, linear at any corpus size. */
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^ ]+"
+  private val PhoneRe = "\\+1-555-[0-9]{4}"
+
+  private def withPii(df: org.apache.spark.sql.DataFrame) = df.withColumn("pii",
+    concat(col("text"),
+      lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com or "),
+      lit("+1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" via https://host"), (col("doc_id") % 97).cast("string"),
+      lit(".example.org/path?id="), (col("doc_id") * 7919).cast("string")))
+
+  /** Redact + count: per-doc match counts for each PII class and the md5
+    * of the fully-redacted text (pins every replaced byte, not just the
+    * counts, against the oracle). */
+  val textRedact: Q = (s, d) =>
+    withPii(t(s, d, "documents"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("pii"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("pii"), lit(UrlRe), lit(0))).as("n_urls"),
+        size(regexp_extract_all(col("pii"), lit(PhoneRe), lit(0))).as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("pii"),
+          EmailRe, "<EMAIL>"), UrlRe, "<URL>"), PhoneRe, "<PHONE>")).as("red_md5"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** Hash-preserving variant: each PII match is replaced by a stable
+    * 8-hex-digit pseudonym (md5 prefix of the matched string), so joins
+    * on the redacted identity still link records across documents without
+    * exposing the raw value. */
+  val textRedactHash: Q = (s, d) =>
+    withPii(t(s, d, "documents"))
+      .select(
+        col("doc_id"),
+        array_join(transform(regexp_extract_all(col("pii"), lit(EmailRe), lit(0)),
+          e => substring(md5(e), 1, 8)), ",").as("email_keys"),
+        array_join(transform(regexp_extract_all(col("pii"), lit(PhoneRe), lit(0)),
+          e => substring(md5(e), 1, 8)), ",").as("phone_keys"))
+      .orderBy("doc_id")
+      .limit(300)
+
   val queries: Map[String, Q] = Map(
+    "text_redact" -> textRedact,
+    "text_redact_hash" -> textRedactHash,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
@@ -306,6 +358,47 @@ object TextOps {
     "text_tfidf" -> textTfidf)
 
   val oracle: Map[String, String] = Map(
+    "text_redact" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' via https://host' || CAST(doc_id % 97 AS VARCHAR)
+                       || '.example.org/path?id='
+                       || CAST(doc_id * 7919 AS VARCHAR) AS pii
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(pii,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT)
+                  AS n_emails,
+                CAST(len(regexp_extract_all(pii, 'https?://[^ ]+')) AS INT)
+                  AS n_urls,
+                CAST(len(regexp_extract_all(pii, '\+1-555-[0-9]{4}')) AS INT)
+                  AS n_phones,
+                md5(regexp_replace(regexp_replace(regexp_replace(pii,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  'https?://[^ ]+', '<URL>', 'g'),
+                  '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS red_md5
+         FROM p ORDER BY doc_id LIMIT 300""",
+    "text_redact_hash" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  text || ' Contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || ' via https://host' || CAST(doc_id % 97 AS VARCHAR)
+                       || '.example.org/path?id='
+                       || CAST(doc_id * 7919 AS VARCHAR) AS pii
+           FROM documents)
+         SELECT doc_id,
+                array_to_string(list_transform(regexp_extract_all(pii,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'),
+                  e -> substr(md5(e), 1, 8)), ',') AS email_keys,
+                array_to_string(list_transform(regexp_extract_all(pii,
+                  '\+1-555-[0-9]{4}'),
+                  e -> substr(md5(e), 1, 8)), ',') AS phone_keys
+         FROM p ORDER BY doc_id LIMIT 300""",
     "text_tokens" ->
       """SELECT doc_id,
                 CAST(len(string_split(text, ' ')) AS INT) AS n_ws,

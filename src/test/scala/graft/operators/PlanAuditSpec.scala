@@ -113,6 +113,12 @@ class PlanAuditSpec extends graft.SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("etl_normalize broadcasts the 2000-row mapping dim (fact side never shuffles pre-agg)") {
+    val p = plan("etl_normalize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("join_asof is join-free: one per-user window pass, no pair blowup") {
     // the as-of must plan as union → shuffle-on-user → Window; any Join
     // node means the quadratic purchase×earlier-signups expansion is back
