@@ -471,12 +471,21 @@ object Jx {
 
   private def applyWindows(df: DataFrame, ws: Seq[JsonNode]): DataFrame =
     ws.foldLeft(df) { (acc, w) =>
-      val partition = opt(w, "edges").map(arr).getOrElse(Nil).map(e => col(e.asText()))
+      // window edges follow the op-tree-anywhere rule: a bare string is a
+      // column path, an object {name?, value: <op-tree>} partitions by the
+      // compiled expression (upstream: jx window `edges` accept any edge
+      // spec, jx_python/windows.py)
+      val partition = opt(w, "edges").map(arr).getOrElse(Nil).map {
+        case e if e.isTextual => col(e.asText())
+        case o => expr(req(o, "value"))
+      }
       val sortKeys = opt(w, "sort").map(sn =>
         (if (sn.isArray) arr(sn) else Seq(sn)).map {
           case t if t.isTextual => col(t.asText()).asc_nulls_first
           case o =>
-            val c = col(req(o, "value").asText())
+            // sort values are op-trees too (a textual value compiles to
+            // the column path, so the plain form is unchanged)
+            val c = expr(req(o, "value"))
             if (opt(o, "sort").exists(_.asText() == "desc")) c.desc_nulls_last
             else c.asc_nulls_first
         }).getOrElse(Nil)

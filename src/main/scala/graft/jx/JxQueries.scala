@@ -47,6 +47,27 @@ object JxQueries {
     "sort": ["event_type", "rn"],
     "limit": 500}"""
 
+  /** Expression-valued window edges (SURVEY §7.6 (d), the last jx-parity
+    * item): the window partitions by a computed value bucket
+    * (floor(value, 50) — an op-tree, not a column) and sorts within it.
+    * Covers both window forms: rownum (no aggregate) and a running
+    * aggregate; `bmax` is max (order-insensitive per prefix, so doubles
+    * compare exactly against the oracle with no summation-order risk). */
+  private val windowEdgesJson = """{
+    "from": "events",
+    "select": [
+      {"name": "event_id", "value": "event_id"},
+      {"name": "value", "value": "value"}],
+    "window": [
+      {"name": "rn",
+       "edges": [{"name": "vbucket", "value": {"floor": ["value", 50]}}],
+       "sort": ["event_id"]},
+      {"name": "bmax", "value": "value", "aggregate": "max",
+       "edges": [{"name": "vbucket", "value": {"floor": ["value", 50]}}],
+       "sort": ["event_id"]}],
+    "sort": ["event_id"],
+    "limit": 500}"""
+
   private val globalJson = """{
     "from": "lineitem",
     "where": {"eq": {"l_returnflag": "A"}},
@@ -221,7 +242,8 @@ object JxQueries {
     "jx_groupby" -> ((s, d) => Jx.run(s, groupbyJson, name => t(s, d, name))),
     "jx_edges" -> ((s, d) => Jx.run(s, edgesJson, name => t(s, d, name))),
     "jx_range" -> ((s, d) => Jx.run(s, rangeJson, name => t(s, d, name))),
-    "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))))
+    "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))),
+    "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     "jx_math" ->
@@ -336,5 +358,15 @@ object JxQueries {
            FROM events
            WINDOW w AS (PARTITION BY event_type
                         ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST))
-         ORDER BY event_type NULLS FIRST, rn NULLS FIRST LIMIT 500""")
+         ORDER BY event_type NULLS FIRST, rn NULLS FIRST LIMIT 500""",
+    "jx_window_edges" ->
+      """SELECT event_id, value, rn, bmax FROM (
+           SELECT event_id, value,
+                  CAST(row_number() OVER w AS INT) AS rn,
+                  max(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS bmax
+           FROM events
+           WINDOW w AS (PARTITION BY floor(value / 50.0) * 50.0
+                        ORDER BY event_id ASC NULLS FIRST))
+         ORDER BY event_id NULLS FIRST LIMIT 500""")
 }

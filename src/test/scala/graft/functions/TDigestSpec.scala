@@ -52,6 +52,53 @@ class TDigestSpec extends graft.SparkSpec {
     }
   }
 
+  test("null-keyed group survives the sketch-vs-exact validation join") {
+    // GROUP BY keeps a NULL key as a real group; the validation join must
+    // be null-safe (<=>) or that group silently disappears from the output
+    val df = Seq((Option.empty[String], 1.0), (None, 2.0), (None, 3.0),
+      (Some("a"), 10.0), (Some("a"), 20.0)).toDF("event_type", "value")
+    val merged = df.groupBy("event_type")
+      .agg(TDigestSketchAgg(col("value")).as("sk"))
+      .select(col("event_type"), TDigestQuantile(col("sk"), 0.5).as("td50"))
+    val exact = df.groupBy("event_type")
+      .agg(min("value").as("mn"), max("value").as("mx"))
+    val out = merged.as("m").join(exact.as("e"),
+        col("m.event_type") <=> col("e.event_type"))
+      .select(col("m.event_type").as("event_type"),
+        (col("td50") >= col("mn") && col("td50") <= col("mx")).as("ok"))
+      .collect()
+    assert(out.length == 2, s"expected null + 'a' groups, got ${out.length}")
+    assert(out.exists(_.isNullAt(0)), "null-keyed group was dropped")
+    assert(out.forall(_.getBoolean(1)))
+  }
+
+  test("merge is associative within rank error: (a+b)+c vs a+(b+c)") {
+    val rnd = new scala.util.Random(23)
+    val xs = Array.fill(30000)(math.exp(rnd.nextGaussian()))
+    val Seq(a1, b1, c1, a2, b2, c2) = Seq.fill(6)(new TDigest(100))
+    val (ca, cb, cc) = (xs.slice(0, 10000), xs.slice(10000, 20000), xs.slice(20000, 30000))
+    Seq(a1, a2).foreach(d => ca.foreach(d.add))
+    Seq(b1, b2).foreach(d => cb.foreach(d.add))
+    Seq(c1, c2).foreach(d => cc.foreach(d.add))
+    val left = { a1.merge(b1); a1.merge(c1); a1 }   // (a+b)+c
+    val right = { b2.merge(c2); a2.merge(b2); a2 }  // a+(b+c)
+    assert(math.abs(left.totalWeight - right.totalWeight) < 1e-6)
+    val sorted = xs.sorted
+    for (q <- Seq(0.1, 0.5, 0.9)) {
+      val dl = rankOf(sorted, left.quantile(q))
+      val dr = rankOf(sorted, right.quantile(q))
+      assert(math.abs(dl - q) < 0.015 && math.abs(dr - q) < 0.015,
+        s"q=$q left-rank=$dl right-rank=$dr")
+    }
+  }
+
+  test("TDigestQuantile rejects a non-binary sketch column at analysis time") {
+    val df = Seq((1, 2.0)).toDF("k", "v")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(TDigestQuantile(col("v"), 0.5)).collect()
+    }
+  }
+
   test("per-day sketches stored, re-merged across days == whole-corpus percentile") {
     val d = "/root/testdata/sf0.01"
     val ev = graft.Tables.t(spark, d, "events")
