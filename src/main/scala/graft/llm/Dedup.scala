@@ -721,7 +721,40 @@ object Dedup {
     decontaminate(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
   }
 
+  /** X-family: Bloom-filter membership gate — the approximate negative
+    * cache a 100 TB incremental pipeline consults before any exact work
+    * ("was this key already ingested / is it in the benchmark set?").
+    * Build: one [[graft.functions.BloomSketchAgg]] pass over the member
+    * keys (partials OR-merge map-side; the artifact is a 128 KB binary,
+    * storable and re-mergeable via BloomMergeAgg regardless of corpus
+    * size). Probe: the filter is COLLECTED (one row, KB-scale — the same
+    * runtime-filter pattern Spark's own bloom join injection uses) and
+    * probed as a codegen'd literal inside the scan stage, no join, no
+    * shuffle. The driver row pins exact member/probe counts plus the two
+    * contract booleans: zero false negatives (a Bloom guarantee —
+    * violating it means the filter is broken) and FPR ≤ 1% on
+    * non-members (m=2^20 bits, k=7 ⇒ theory is orders of magnitude
+    * below that at this cardinality). */
+  val dedupBloomGate: Q = (s, d) => {
+    import graft.functions.{BloomMightContain, BloomSketchAgg}
+    val ev = t(s, d, "events")
+    val bfBytes = ev.filter(col("event_type") === "purchase")
+      .agg(BloomSketchAgg(col("event_id"), 1 << 20, 7).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    ev.select(col("event_id"),
+        (col("event_type") === "purchase").as("is_member"),
+        BloomMightContain(lit(bfBytes), col("event_id")).as("hit"))
+      .agg(
+        count(lit(1)).as("n_probed"),
+        sum(when(col("is_member"), 1L).otherwise(0L)).as("n_members"),
+        (sum(when(col("is_member") && !col("hit"), 1L).otherwise(0L)) === 0)
+          .as("no_false_negatives"),
+        (sum(when(!col("is_member") && col("hit"), 1L).otherwise(0L)) * lit(100L) <=
+          sum(when(!col("is_member"), 1L).otherwise(0L))).as("fp_rate_ok"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_bloom_gate" -> dedupBloomGate,
     "dedup_ngram" -> dedupNgram,
     "dedup_ngram_prefix" -> dedupNgramPrefix,
     "dedup_containment" -> dedupContainment,
@@ -797,6 +830,13 @@ object Dedup {
          ORDER BY containment DESC, da ASC, db ASC"""
 
   val oracle: Map[String, String] = Map(
+    "dedup_bloom_gate" ->
+      """SELECT count(*) AS n_probed,
+                CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                  AS n_members,
+                TRUE AS no_false_negatives,
+                TRUE AS fp_rate_ok
+         FROM events""",
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_simhash_mjs" -> simhashMjsOracle,
     "dedup_minhash" ->

@@ -126,6 +126,31 @@ object Relational {
       .agg(count(lit(1)).as("n_sample"), r2(avg("value")).as("avg_value"))
       .orderBy("event_type")
 
+  /** O6b: stratified sampling with exact per-group quotas — the
+    * training-mix primitive `sample_hash` can't express: "exactly k docs
+    * per source/language/class", not a fraction. Rows rank by the same
+    * md5 key-hash (engine-stable pseudorandom order, reproducible across
+    * runs/partitionings), and each group keeps its first k. One shuffle
+    * on the stratum key; the per-group sort is bounded by stratum size.
+    * For billion-row strata the refinement is a two-phase threshold (rank
+    * only rows whose hash clears a sketched k-th-quantile estimate) —
+    * same output, no full per-group sort; not needed at this row count
+    * and the window form is what the oracle replays exactly. */
+  val sampleStratified: Q = (s, d) => {
+    val k = 50
+    val w = Window.partitionBy("event_type").orderBy("hs", "event_id")
+    t(s, d, "events")
+      .withColumn("hs", expr(
+        "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_sample"),
+        r2(sum("value")).as("sum_value"),
+        r2(avg("value")).as("avg_value"))
+      .orderBy("event_type")
+  }
+
   /** J1: broadcast equi-join — the reference's denormalize/enrich pattern
     * (small dim copied to every fact row). TPC-H Q3 shape. At 100 TB the
     * dims here are KB-MB; broadcast avoids shuffling the fact table. */
@@ -287,6 +312,7 @@ object Relational {
     "set_except" -> setExcept,
     "dedup_exact" -> dedupExact,
     "sample_hash" -> sampleHash,
+    "sample_stratified" -> sampleStratified,
     "join_broadcast" -> joinBroadcast,
     "join_sortmerge" -> joinSortmerge,
     "join_outer" -> joinOuter,
@@ -314,6 +340,16 @@ object Relational {
                               AS BIGINT) % 100 AS hs
                FROM events)
          WHERE hs < 10 GROUP BY event_type ORDER BY event_type""",
+    "sample_stratified" ->
+      """SELECT event_type, count(*) AS n_sample,
+                round(sum(value), 2) AS sum_value, round(avg(value), 2) AS avg_value
+         FROM (SELECT event_type, value,
+                      row_number() OVER (
+                        PARTITION BY event_type
+                        ORDER BY CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                                   AS BIGINT) ASC, event_id ASC) AS rn
+               FROM events)
+         WHERE rn <= 50 GROUP BY event_type ORDER BY event_type""",
     "scan_parquet" ->
       """SELECT count(*) AS n_rows, CAST(sum(l_orderkey) AS BIGINT) AS sum_okey,
          round(sum(l_quantity), 2) AS sum_qty FROM lineitem""",

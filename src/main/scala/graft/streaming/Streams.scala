@@ -225,11 +225,56 @@ object Streams {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** ST7: stream-stream interval join — enrich each purchase with every
+    * signup by the same user within the preceding `horizon`. BOTH sides
+    * carry watermarks and the join predicate bounds s_ts to a time band
+    * around p_ts, which is what lets Spark EVICT join state: a buffered
+    * signup older than (purchase watermark − horizon) can never match
+    * again and is dropped, so state is O(horizon × rate), not O(stream).
+    * An unbanded stream-stream join would buffer forever — the predicate
+    * is load-bearing, not an optimization. Inner join → append mode. */
+  def purchaseSignupJoin(purchases: DataFrame, signups: DataFrame,
+      lateness: String = "1 hour", horizon: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val sg = signups.withWatermark("ts", lateness)
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
+    p.join(sg,
+      col("p_user") === col("s_user") &&
+        col("s_ts") <= col("p_ts") &&
+        col("s_ts") >= col("p_ts") - expr(s"interval $horizon"))
+  }
+
+  /** ST7 batch twin for the oracle: the identical plan in batch mode
+    * (watermarks are a no-op in batch), aggregated to a deterministic
+    * summary row. */
+  val streamJoin: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    purchaseSignupJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "signup"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        countDistinct(col("p_user")).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
-    "stream_sessions" -> streamSessions)
+    "stream_sessions" -> streamSessions,
+    "stream_join" -> streamJoin)
 
   val oracle: Map[String, String] = Map(
+    "stream_join" ->
+      """SELECT count(*) AS n_pairs,
+                CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+                CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_users
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+           ON p.user_id = s.user_id
+          AND s.ts <= p.ts
+          AND s.ts >= p.ts - INTERVAL 2 HOUR""",
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
                 count(*) AS n, round(sum(value), 2) AS sum_value

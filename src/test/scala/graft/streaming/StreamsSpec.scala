@@ -108,6 +108,31 @@ class StreamsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("ST7: stream-stream interval join emits banded pairs in append mode") {
+    val purchases = MemoryStream[Ev](spark)
+    val signups = MemoryStream[Ev](spark)
+    val joined = Streams.purchaseSignupJoin(
+      purchases.toDF().withColumn("event_id", col("user_id") * 1000 + lit(1)),
+      signups.toDF(),
+      lateness = "10 minutes", horizon = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("st7")
+      .outputMode("append").start()
+    try {
+      signups.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), "signup", 0.0),
+        Ev(2, ts("2024-01-01 00:05:00"), "signup", 0.0))
+      purchases.addData(
+        Ev(1, ts("2024-01-01 00:30:00"), "purchase", 5.0), // 30 min after u1 signup → joins
+        Ev(2, ts("2024-01-01 02:00:00"), "purchase", 7.0), // 115 min after u2 signup → outside 1h band
+        Ev(3, ts("2024-01-01 00:30:00"), "purchase", 9.0)) // no signup at all
+      q.processAllAvailable()
+      val rows = spark.table("st7").collect()
+      assert(rows.length === 1, rows.mkString("; "))
+      assert(rows.head.getAs[Long]("p_user") === 1L)
+      assert(rows.head.getAs[Timestamp]("s_ts") === ts("2024-01-01 00:00:00"))
+    } finally q.stop()
+  }
+
   test("ST4: late data behind the watermark is dropped") {
     val in = MemoryStream[Ev](spark)
     val q = Streams.tumblingCountsStream(in.toDF(), "10 minutes", "5 minutes")
