@@ -348,7 +348,39 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** A16: heavy-hitter frequency estimation via Spark's BUILT-IN mergeable
+    * count-min sketch aggregate (§2.10 policy: built-ins before custom
+    * code). The pipeline use: find the skewed keys — hot users, hot
+    * shingles, hot join keys — without a full exact groupBy at 100 TB;
+    * partial sketches merge map-side and the artifact is bytes, like the
+    * t-digest and Bloom families. Deterministic (fixed seed). The driver
+    * row carries the exact top-10 (real data, hash-gated) plus the two CMS
+    * contract booleans pinned TRUE: estimates never undercount, and
+    * overcount is bounded by eps·N (probed driver-side against the
+    * collected sketch — 10 keys, the response-formatting pattern). */
+  val aggHeavyHitters: Q = (s, d) => {
+    import s.implicits._
+    val ev = t(s, d, "events")
+    val n = ev.count()
+    val cmsBytes = ev
+      .select(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(cmsBytes))
+    val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+      .orderBy(desc("n_exact"), asc("user_id")).limit(10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+    val slack = (0.001 * n).toLong + 1
+    top.toSeq.toDF("user_id", "n_exact", "n_est")
+      .select(col("user_id"), col("n_exact"),
+        (col("n_est") >= col("n_exact")).as("no_undercount"),
+        (col("n_est") <= col("n_exact") + lit(slack)).as("bounded_overcount"))
+      .orderBy(desc("n_exact"), asc("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_groupby" -> aggGroupby,
     "agg_tdigest" -> aggTdigest,
     "edges_dense" -> edgesDense,
@@ -374,6 +406,12 @@ object Aggregates {
     "agg_tdigest" ->
       """SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_heavy_hitters" ->
+      """SELECT user_id, n_exact,
+                TRUE AS no_undercount, TRUE AS bounded_overcount
+         FROM (SELECT user_id, count(*) AS n_exact FROM events
+               GROUP BY user_id ORDER BY n_exact DESC, user_id ASC LIMIT 10)
+         ORDER BY n_exact DESC, user_id ASC""",
     "agg_groupby" ->
       """SELECT l_returnflag, l_linestatus,
                 round(sum(l_quantity), 2) AS sum_qty,
