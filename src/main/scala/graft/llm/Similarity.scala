@@ -225,6 +225,53 @@ object Similarity {
       .select("vec_id", "corpus_vec", "cosine")
   }
 
+  /** X3e: IVF index persistence — build ONCE, probe many. The two
+    * storable artifacts of the IVF index as plain tables:
+    * `centroids(cid, cv, cn)` (nlist rows, KBs) and
+    * `invlists(cid, nid, nv, nn)` (one row per corpus vector,
+    * hash-partitionable by cid). At 100 TB the clustering pass runs once
+    * per index build; every later query batch reads the artifacts and
+    * runs [[ivfProbe]] — no re-clustering, and the inverted-list scan
+    * prunes to the probed cids (partition pruning if the table is written
+    * `partitionBy("cid")`). IvfPersistSpec pins probe-from-disk ==
+    * probe-in-plan row-for-row. */
+  def ivfArtifacts(s: SparkSession, d: String, nlist: Int = 16):
+      (DataFrame, DataFrame) = {
+    val (vecs, cents, _, assign) = ivfIndex(s, d, nlist)
+    val inv = assign.join(vecs, Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("norm2").as("nn"))
+    (cents, inv)
+  }
+
+  /** Probe an IVF index from its stored artifacts: nearest `nprobe`
+    * centroids per query (tiny crossJoin against the broadcast centroid
+    * table), then exact cosine top-k over only the probed inverted
+    * lists. Same plan shape as [[simIvf]]'s probe half — the point is it
+    * needs ONLY the two artifact tables, not the build pipeline. */
+  def ivfProbe(queries: DataFrame, centroids: DataFrame, invlists: DataFrame,
+      nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qv"),
+      DotProduct(col("embedding"), col("embedding")).as("qn"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("cos",
+        DotProduct(col("qv"), col("cv")) / (sqrt(col("qn")) * sqrt(col("cn"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(desc("cos"), asc("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select("qid", "cid")
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+    probes.join(invlists, Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        r4(DotProduct(col("qv"), col("nv")) / (sqrt(col("qn")) * sqrt(col("nn")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "nid", "cosine")
+      .orderBy("qid", "rnk")
+  }
+
   /** X3c: IVF list-balance census — the IVF twin of
     * [[simLshCandidates]]'s cost monitor: per centroid, how many vectors
     * its inverted list holds and what share of the corpus that is. Probe

@@ -45,4 +45,26 @@ object Skew {
       .agg(aggs.head.merge(aggs.head.name),
         aggs.tail.map(a => a.merge(a.name)): _*)
   }
+
+  /** Skew-salted equi-join for INNER/LEFT joins: the skewed probe side
+    * gets a per-row salt in [0, salts); the build side is replicated once
+    * per salt (explode, no shuffle of its own) and the join key becomes
+    * (key, salt) — the hot key's rows land on `salts` reducers instead of
+    * one. Row-identical to the plain join for inner/left semantics (each
+    * probe row meets each matching build row exactly once, under exactly
+    * one salt). Build-side shuffle volume grows ×salts — size `salts` ≈
+    * hot-key rows ÷ healthy-partition rows. Use when AQE's runtime skew
+    * split can't kick in (first shuffle of a stage, misleading stats, or
+    * a deterministic plan is required); RIGHT/FULL joins would duplicate
+    * unmatched build rows per salt — not supported here. */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      salts: Int = 16, joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    val l = left.withColumn("__salt", pmod(spark_partition_id()
+      + monotonically_increasing_id(), lit(salts)))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
+  }
 }

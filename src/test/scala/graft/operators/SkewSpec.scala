@@ -8,6 +8,25 @@ import org.apache.spark.sql.functions._
 class SkewSpec extends graft.SparkSpec {
   import spark.implicits._
 
+  test("saltedJoin is row-identical to the plain join on a skewed key") {
+    val rows = (1 to 20000).map { i =>
+      val k = if (i % 10 == 0) s"k${i % 7}" else "HOT"
+      (k, i.toLong)
+    }
+    val left = rows.toDF("k", "lv").repartition(8)
+    val right = (Seq("HOT", "k0", "k3", "unmatched"))
+      .zipWithIndex.map { case (k, i) => (k, i * 100) }.toDF("k", "rv")
+
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .orderBy("k", "lv").collect().map(_.toString).toSeq
+      val salted = Skew.saltedJoin(left, right, "k", salts = 8, joinType = jt)
+        .select("k", "lv", "rv")
+        .orderBy("k", "lv").collect().map(_.toString).toSeq
+      assert(plain === salted, s"joinType=$jt diverged")
+    }
+  }
+
   test("saltedAggregate equals direct groupBy on a skewed distribution") {
     // 90% of rows share one hot key
     val rows = (1 to 10000).map { i =>
