@@ -342,7 +342,34 @@ object TextOps {
       .orderBy("doc_id")
       .limit(300)
 
+  /** Text normalization/cleaning — the whitespace/control-char hygiene
+    * pass that precedes tokenization (tabs, CRLF, NULs, repeated blanks
+    * from crawled/extracted text). The corpus is clean, so each doc is
+    * first decorated with deterministic mess derived from its doc_id
+    * (tab/newline/CR/NUL runs and doubled spaces — identical string in
+    * both engines via chr()), then normalized: control chars and space
+    * runs collapse to single spaces, ends trimmed. Reports per-doc
+    * before/after lengths and pins every normalized byte via md5. In-row
+    * codegen'd string work, no shuffle. */
+  val textClean: Q = (s, d) => {
+    val messy = t(s, d, "documents").withColumn("mess",
+      concat(lit(" \t"), col("text"),
+        lit("\r\n"), lit("\u0001\u0001"),
+        col("doc_id").cast("string"),
+        lit("\t\t "), col("lang"), lit("  tail   ")))
+    messy.select(
+        col("doc_id"),
+        length(col("mess")).as("n_raw"),
+        length(trim(regexp_replace(col("mess"), "[ \\t\\n\\r\\x01]+", " ")))
+          .as("n_clean"),
+        md5(trim(regexp_replace(col("mess"), "[ \\t\\n\\r\\x01]+", " ")))
+          .as("clean_md5"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_clean" -> textClean,
     "text_redact" -> textRedact,
     "text_redact_hash" -> textRedactHash,
     "text_tokens" -> textTokens,
@@ -358,6 +385,21 @@ object TextOps {
     "text_tfidf" -> textTfidf)
 
   val oracle: Map[String, String] = Map(
+    "text_clean" ->
+      """WITH m AS (
+           SELECT doc_id,
+                  ' ' || chr(9) || text || chr(13) || chr(10)
+                      || chr(1) || chr(1)
+                      || CAST(doc_id AS VARCHAR)
+                      || chr(9) || chr(9) || ' ' || lang || '  tail   ' AS mess
+           FROM documents)
+         SELECT doc_id,
+                CAST(length(mess) AS INT) AS n_raw,
+                CAST(length(trim(regexp_replace(mess,
+                  '[ \t\n\r\x01]+', ' ', 'g'))) AS INT) AS n_clean,
+                md5(trim(regexp_replace(mess,
+                  '[ \t\n\r\x01]+', ' ', 'g'))) AS clean_md5
+         FROM m ORDER BY doc_id LIMIT 300""",
     "text_redact" ->
       """WITH p AS (
            SELECT doc_id,
