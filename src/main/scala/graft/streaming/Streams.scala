@@ -232,9 +232,14 @@ object Streams {
     * signup older than (purchase watermark − horizon) can never match
     * again and is dropped, so state is O(horizon × rate), not O(stream).
     * An unbanded stream-stream join would buffer forever — the predicate
-    * is load-bearing, not an optimization. Inner join → append mode. */
+    * is load-bearing, not an optimization. Inner join → append mode;
+    * `left_outer` additionally emits an unmatched purchase (null signup
+    * columns) once the GLOBAL watermark proves no matching signup can
+    * still arrive — i.e. null results are watermark-delayed, not
+    * immediate (StreamsSpec ST7b pins this). */
   def purchaseSignupJoin(purchases: DataFrame, signups: DataFrame,
-      lateness: String = "1 hour", horizon: String = "2 hours"): DataFrame = {
+      lateness: String = "1 hour", horizon: String = "2 hours",
+      joinType: String = "inner"): DataFrame = {
     val p = purchases.withWatermark("ts", lateness)
       .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
         col("ts").as("p_ts"))
@@ -243,7 +248,8 @@ object Streams {
     p.join(sg,
       col("p_user") === col("s_user") &&
         col("s_ts") <= col("p_ts") &&
-        col("s_ts") >= col("p_ts") - expr(s"interval $horizon"))
+        col("s_ts") >= col("p_ts") - expr(s"interval $horizon"),
+      joinType)
   }
 
   /** ST7 batch twin for the oracle: the identical plan in batch mode

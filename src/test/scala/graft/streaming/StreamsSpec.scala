@@ -133,6 +133,40 @@ class StreamsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("ST7b: left-outer stream-stream join emits unmatched purchases only after the watermark proves no match can come") {
+    val purchases = MemoryStream[Ev](spark)
+    val signups = MemoryStream[Ev](spark)
+    val joined = Streams.purchaseSignupJoin(
+      purchases.toDF().withColumn("event_id", col("user_id") * 1000 + lit(1)),
+      signups.toDF(),
+      lateness = "10 minutes", horizon = "1 hour", joinType = "left_outer")
+    val q = joined.writeStream.format("memory").queryName("st7b")
+      .outputMode("append").start()
+    try {
+      signups.addData(Ev(1, ts("2024-01-01 00:00:00"), "signup", 0.0))
+      purchases.addData(
+        Ev(1, ts("2024-01-01 00:30:00"), "purchase", 5.0), // matches u1 signup
+        Ev(3, ts("2024-01-01 00:30:00"), "purchase", 9.0)) // no signup exists
+      q.processAllAvailable()
+      // matched row emits promptly; the unmatched one must NOT — a
+      // matching signup could still arrive until the watermark passes
+      val early = spark.table("st7b").collect()
+      assert(early.length === 1 && early.head.getAs[Long]("p_user") === 1L,
+        early.mkString("; "))
+      // advance BOTH watermarks well past 00:30 (+lateness); the join can
+      // then prove u3's purchase unmatched and emit it with null s_ts
+      purchases.addData(Ev(9, ts("2024-01-01 03:00:00"), "purchase", 1.0))
+      signups.addData(Ev(9, ts("2024-01-01 03:00:00"), "signup", 0.0))
+      q.processAllAvailable()
+      purchases.addData(Ev(10, ts("2024-01-01 04:00:00"), "purchase", 1.0))
+      signups.addData(Ev(10, ts("2024-01-01 04:00:00"), "signup", 0.0))
+      q.processAllAvailable()
+      val u3 = spark.table("st7b").filter(col("p_user") === 3L).collect()
+      assert(u3.length === 1, spark.table("st7b").collect().mkString("; "))
+      assert(u3.head.isNullAt(u3.head.fieldIndex("s_ts")), u3.head.toString)
+    } finally q.stop()
+  }
+
   test("ST4: late data behind the watermark is dropped") {
     val in = MemoryStream[Ev](spark)
     val q = Streams.tumblingCountsStream(in.toDF(), "10 minutes", "5 minutes")
