@@ -129,6 +129,24 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(winLine.contains("user_id"), s"window not partitioned by user_id:\n$p")
   }
 
+  test("text_redact is a pure scan-stage pipeline: top-k, no join, no pre-agg shuffle") {
+    val p = plan("text_redact")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("dedup_bloom_gate probes as a literal in the scan stage — no join anywhere") {
+    val p = plan("dedup_bloom_gate")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("bloom_might_contain"), p)
+  }
+
+  test("sample_stratified shuffles once, on the stratum key") {
+    val p = plan("sample_stratified")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("hashpartitioning(event_type"), p)
+  }
+
   test("jx_edges_topn: the top-N remap joins, not a driver-side collect") {
     // the compiled default domain must keep both passes in-plan: a rank
     // over the counts frame and a join-based remap of the fact rows
