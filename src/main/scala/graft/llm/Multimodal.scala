@@ -105,9 +105,27 @@ object Multimodal {
     Array(mean, sq / n - mean * mean, n)
   }
 
+  /** X5c: the decode stage as a DRIVER-GATED query — [[decodeFeatures]]'s
+    * mapPartitions plumbing runs end-to-end and its output hash-matches
+    * the DuckDB oracle: the fake codec's byte-histogram moments are exact
+    * integer sums under 2^53 (ASCII payloads), so both engines derive
+    * bit-identical doubles from the identical bytes. The one rows-only
+    * hole in the X5 family closes: schema, partition batching, AND the
+    * produced features are all oracle-checked; a real codec swaps in for
+    * `fakeDecode` with the rest of the pipeline already proven. */
+  val mmFeatures: Q = (s, d) => {
+    val feats = decodeFeatures(withPayload(t(s, d, "documents")))
+    feats.select(col("doc_id"), col("n_bytes"),
+        r4(col("feat")(0)).as("mean_byte"),
+        r4(col("feat")(1)).as("var_byte"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
-    "mm_frames" -> mmFrames)
+    "mm_frames" -> mmFrames,
+    "mm_features" -> mmFeatures)
 
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
@@ -115,6 +133,24 @@ object Multimodal {
                 CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                 CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
          FROM documents GROUP BY source ORDER BY source""",
+    "mm_features" ->
+      """WITH ch AS (
+           SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b
+           FROM (SELECT doc_id, text,
+                        unnest(generate_series(1, length(text))) AS i
+                 FROM documents)),
+         agg AS (
+           SELECT doc_id,
+                  CAST(sum(b) AS DOUBLE) AS s,
+                  CAST(sum(b * b) AS DOUBLE) AS sq,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM ch GROUP BY doc_id)
+         SELECT d.doc_id,
+                CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                round(s / n, 4) AS mean_byte,
+                round(sq / n - (s / n) * (s / n), 4) AS var_byte
+         FROM documents d JOIN agg USING (doc_id)
+         ORDER BY doc_id LIMIT 300""",
     "mm_frames" ->
       """WITH f AS (
            SELECT doc_id,
