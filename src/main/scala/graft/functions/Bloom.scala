@@ -216,19 +216,29 @@ case class BloomMightContain(left: Expression, right: Expression)
         s"bloom_might_contain requires a BIGINT key, got ${right.dataType.sql}")
     else TypeCheckResult.TypeCheckSuccess
 
-  @transient private lazy val filter: BloomFilter = {
-    val bytes = left.eval(null).asInstanceOf[Array[Byte]]
-    BloomFilter.deserialize(bytes)
-  }
+  // the foldable filter child may still fold to NULL (lit(null) cast to
+  // binary); deserialize only when bytes exist so planning/codegen never
+  // NPEs — a null filter yields a null result through the normal
+  // null-propagation path instead
+  @transient private lazy val filterBytes: Array[Byte] =
+    left.eval(null).asInstanceOf[Array[Byte]]
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.deserialize(filterBytes)
 
   override def nullSafeEval(bytes: Any, key: Any): Any =
     java.lang.Boolean.valueOf(filter.mightContain(key.asInstanceOf[Long]))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // the deserialized filter rides along as a codegen reference object;
-    // the literal bytes child only participates in the (constant) null check
-    val bf = ctx.addReferenceObj("bloomFilter", filter, classOf[BloomFilter].getName)
-    nullSafeCodeGen(ctx, ev, (_, key) => s"${ev.value} = $bf.mightContain($key);")
+    if (filterBytes == null) {
+      // left child folds to null → nullSafeCodeGen's null check always
+      // fires; the body below is unreachable but must still compile
+      nullSafeCodeGen(ctx, ev, (_, _) => s"${ev.value} = false;")
+    } else {
+      // the deserialized filter rides along as a codegen reference object;
+      // the literal bytes child only participates in the (constant) null check
+      val bf = ctx.addReferenceObj("bloomFilter", filter, classOf[BloomFilter].getName)
+      nullSafeCodeGen(ctx, ev, (_, key) => s"${ev.value} = $bf.mightContain($key);")
+    }
   }
 
   override protected def withNewChildrenInternal(

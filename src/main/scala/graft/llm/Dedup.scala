@@ -733,13 +733,23 @@ object Dedup {
     * shuffle. The driver row pins exact member/probe counts plus the two
     * contract booleans: zero false negatives (a Bloom guarantee —
     * violating it means the filter is broken) and FPR ≤ 1% on
-    * non-members (m=2^20 bits, k=7 ⇒ theory is orders of magnitude
-    * below that at this cardinality). */
+    * non-members.
+    *
+    * SIZING: the filter is allocated from the MEMBER CARDINALITY, not a
+    * constant — 13 bits/key (k=7 ⇒ theoretical FPR ≈ 0.2%, 5× inside the
+    * 1% contract), floor 2^20 bits, rounded up to a power of two. A fixed
+    * m would silently break the fp_rate_ok pin the moment the corpus
+    * outgrows it (~100k keys for 2^20); sizing from a cheap count() keeps
+    * the contract invariant across scale factors. */
   val dedupBloomGate: Q = (s, d) => {
     import graft.functions.{BloomMightContain, BloomSketchAgg}
     val ev = t(s, d, "events")
-    val bfBytes = ev.filter(col("event_type") === "purchase")
-      .agg(BloomSketchAgg(col("event_id"), 1 << 20, 7).as("bf"))
+    val members = ev.filter(col("event_type") === "purchase")
+    val wantBits = 13L * math.max(members.count(), 1L)
+    var numBits = 1 << 20
+    while (numBits < wantBits && numBits < (1 << 30)) numBits <<= 1
+    val bfBytes = members
+      .agg(BloomSketchAgg(col("event_id"), numBits, 7).as("bf"))
       .head().getAs[Array[Byte]](0)
     ev.select(col("event_id"),
         (col("event_type") === "purchase").as("is_member"),

@@ -133,11 +133,18 @@ object Multimodal {
                 CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                 CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
          FROM documents GROUP BY source ORDER BY source""",
+    // BYTE-exact, not character-exact: the Spark side hashes UTF-8 BYTES
+    // of the payload, so the oracle enumerates encode(text)'s bytes (hex
+    // the blob once, slice 2-char chunks) rather than ascii() code points
+    // — identical on ASCII but divergence-proof on multi-byte text — and
+    // LEFT JOINs so an empty doc keeps its (0, 0.0, 0.0) row exactly as
+    // fakeDecode emits it.
     "mm_features" ->
       """WITH ch AS (
-           SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS b
-           FROM (SELECT doc_id, text,
-                        unnest(generate_series(1, length(text))) AS i
+           SELECT doc_id,
+                  CAST('0x' || substr(h, CAST(2 * i - 1 AS INT), 2) AS INT) AS b
+           FROM (SELECT doc_id, hex(encode(text)) AS h,
+                        unnest(generate_series(1, octet_length(encode(text)))) AS i
                  FROM documents)),
          agg AS (
            SELECT doc_id,
@@ -147,9 +154,9 @@ object Multimodal {
            FROM ch GROUP BY doc_id)
          SELECT d.doc_id,
                 CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
-                round(s / n, 4) AS mean_byte,
-                round(sq / n - (s / n) * (s / n), 4) AS var_byte
-         FROM documents d JOIN agg USING (doc_id)
+                coalesce(round(s / n, 4), 0.0) AS mean_byte,
+                coalesce(round(sq / n - (s / n) * (s / n), 4), 0.0) AS var_byte
+         FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY doc_id LIMIT 300""",
     "mm_frames" ->
       """WITH f AS (

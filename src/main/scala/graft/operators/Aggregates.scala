@@ -355,27 +355,33 @@ object Aggregates {
     * partial sketches merge map-side and the artifact is bytes, like the
     * t-digest and Bloom families. Deterministic (fixed seed). The driver
     * row carries the exact top-10 (real data, hash-gated) plus the two CMS
-    * contract booleans pinned TRUE: estimates never undercount, and
-    * overcount is bounded by eps·N (probed driver-side against the
-    * collected sketch — 10 keys, the response-formatting pattern). */
+    * contract booleans pinned TRUE.
+    *
+    * FULLY LAZY: the sketch builds as a 1-row aggregate INSIDE the plan
+    * and the top-10 keys probe it through [[graft.functions.CmsEstimateCount]]
+    * after a broadcast cross-join — no driver action at construction, so
+    * Bench's timed `.count()` pays for the sketch build like any other
+    * stage (an earlier version built the sketch eagerly, understating this
+    * key's bench cost).
+    *
+    * Pin robustness: "overcount ≤ eps·N" is probabilistic, ≥ confidence
+    * per queried key. At 0.99 a 10-key probe fails ~10% of regenerated
+    * corpora; confidence 0.9999 (depth 10 rather than 5 — the sketch is
+    * still KB-scale) drops that to ~0.1%, making the pinned TRUE robust
+    * across scale factors and reseeds, not just lucky on seed 42. */
   val aggHeavyHitters: Q = (s, d) => {
-    import s.implicits._
     val ev = t(s, d, "events")
-    val n = ev.count()
-    val cmsBytes = ev
-      .select(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("cms"))
-      .head().getAs[Array[Byte]](0)
-    val cms = org.apache.spark.util.sketch.CountMinSketch
-      .readFrom(new java.io.ByteArrayInputStream(cmsBytes))
+    val sk = ev.agg(
+      expr("count_min_sketch(user_id, 0.001d, 0.9999d, 42)").as("cms"),
+      count(lit(1)).as("n_total"))
     val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
       .orderBy(desc("n_exact"), asc("user_id")).limit(10)
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
-    val slack = (0.001 * n).toLong + 1
-    top.toSeq.toDF("user_id", "n_exact", "n_est")
+    val est = graft.functions.CmsEstimateCount(col("cms"), col("user_id"))
+    val slack = (lit(0.001) * col("n_total")).cast("long") + lit(1L)
+    top.crossJoin(broadcast(sk))
       .select(col("user_id"), col("n_exact"),
-        (col("n_est") >= col("n_exact")).as("no_undercount"),
-        (col("n_est") <= col("n_exact") + lit(slack)).as("bounded_overcount"))
+        (est >= col("n_exact")).as("no_undercount"),
+        (est <= col("n_exact") + slack).as("bounded_overcount"))
       .orderBy(desc("n_exact"), asc("user_id"))
   }
 

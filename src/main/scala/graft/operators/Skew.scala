@@ -30,13 +30,25 @@ object Skew {
   def max2(name: String, c: Column): SaltedAgg =
     SaltedAgg(name, max(c).as(name), n => max(col(n)).as(n))
 
+  /** Deterministic per-row salt: hashed from the FULL row content, never
+    * from partition/row position. Position-derived salts
+    * (spark_partition_id + monotonically_increasing_id) are the
+    * SPARK-23207 failure class: when a map task is recomputed after a
+    * fetch failure, upstream row order can differ, the recomputed rows get
+    * DIFFERENT salts, and reducers holding mixed generations double-count
+    * or drop rows. A content hash re-derives the identical salt on every
+    * recomputation. Trade-off: byte-identical duplicate rows share a salt
+    * — acceptable, since real hot keys (one user, many distinct events)
+    * still spread, and correctness under retry is non-negotiable. */
+  private def contentSalt(df: DataFrame, salts: Int): Column =
+    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(salts.toLong))
+
   /** Two-phase salted groupBy: spreads each key over `salts` partial
     * groups, then merges. Equivalent to `df.groupBy(keys).agg(...)` for
     * decomposable aggregates (proven in SkewSpec). */
   def saltedAggregate(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAgg],
       salts: Int = 16): DataFrame = {
-    val salted = df.withColumn("__salt", pmod(spark_partition_id()
-      + monotonically_increasing_id(), lit(salts)))
+    val salted = df.withColumn("__salt", contentSalt(df, salts))
     val partial = salted
       .groupBy((keys.map(col) :+ col("__salt")): _*)
       .agg(aggs.head.partial, aggs.tail.map(_.partial): _*)
@@ -61,8 +73,7 @@ object Skew {
       salts: Int = 16, joinType: String = "inner"): DataFrame = {
     require(joinType == "inner" || joinType == "left",
       s"saltedJoin supports inner/left, got $joinType")
-    val l = left.withColumn("__salt", pmod(spark_partition_id()
-      + monotonically_increasing_id(), lit(salts)))
+    val l = left.withColumn("__salt", contentSalt(left, salts))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")

@@ -66,4 +66,12 @@ class BloomSpec extends graft.SparkSpec {
       df.select(BloomMightContain(col("bf"), col("k"))).collect()
     }
   }
+
+  test("null filter literal yields null results, not an NPE at planning") {
+    // a foldable-but-null filter (e.g. a build over zero rows collected as
+    // null) must flow through null propagation, never deserialize(null)
+    val probed = spark.range(0, 10)
+      .select(BloomMightContain(lit(null).cast("binary"), col("id")).as("hit"))
+    assert(probed.collect().forall(_.isNullAt(0)))
+  }
 }
