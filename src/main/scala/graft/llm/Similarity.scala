@@ -272,6 +272,32 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** X3e driver gate: the build-once/probe-many loop under the oracle.
+    * Builds the IVF artifacts, writes them to parquet (inverted lists
+    * `partitionBy("cid")` so the probe partition-prunes to the probed
+    * lists — IvfPersistSpec pins the PartitionFilters), RELOADS both
+    * tables, and answers the sim_ivf query purely from the stored index.
+    * Same oracle SQL as sim_ivf: the stored-artifact probe must be
+    * row-identical to the in-plan index.
+    *
+    * The write here is the INDEX BUILD — a deliberate one-time action
+    * (the entire point of persistence), not a construction-time accident:
+    * at 100 TB the clustering + artifact write runs once per corpus
+    * version, and every later query batch pays only the pruned probe.
+    * Bench accordingly times build+probe together on the first rep and
+    * mostly the probe on warm reps (overwrite of an unchanged KB/MB-scale
+    * index is cheap), which mirrors the production cost profile. */
+  val simIvfPersist: Q = (s, d) => {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_persist/" +
+      java.lang.Integer.toHexString(d.hashCode)
+    val (cents, inv) = ivfArtifacts(s, d, 16)
+    cents.write.mode("overwrite").parquet(s"$dir/centroids")
+    inv.write.mode("overwrite").partitionBy("cid").parquet(s"$dir/invlists")
+    val qs = t(s, d, "embeddings").filter(col("vec_id") < 20)
+    ivfProbe(qs, s.read.parquet(s"$dir/centroids"),
+      s.read.parquet(s"$dir/invlists"))
+  }
+
   /** X3c: IVF list-balance census — the IVF twin of
     * [[simLshCandidates]]'s cost monitor: per centroid, how many vectors
     * its inverted list holds and what share of the corpus that is. Probe
@@ -291,6 +317,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "sim_topk" -> simTopk,
     "sim_ivf" -> simIvf,
+    "sim_ivf_persist" -> simIvfPersist,
     "sim_ivf_census" -> simIvfCensus,
     "sim_lsh_candidates" -> simLshCandidates)
 
@@ -387,6 +414,29 @@ object Similarity {
          SELECT cid, count(*) AS n_vecs,
                 round(count(*) * 1.0 / (SELECT count(*) FROM raw), 4) AS share
          FROM assign GROUP BY cid ORDER BY cid""",
+    // sim_ivf_persist shares sim_ivf's oracle verbatim: the stored-index
+    // probe must reproduce the in-plan IVF answer row for row.
+    "sim_ivf_persist" ->
+      s"""WITH $ivfOracleCte,
+           inv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
+                   FROM assign a JOIN vn v USING (vec_id)),
+           probes AS (SELECT vec_id AS qid, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+             FROM scored WHERE vec_id < 20) WHERE rk <= 4),
+           q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn FROM vn WHERE vec_id < 20),
+           cand AS (
+             SELECT p.qid, i.nid,
+                    round(list_reduce([q.qv[k] * i.nv[k] for k in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(q.qn) * sqrt(i.nn)), 4) AS cosine
+             FROM probes p JOIN inv i USING (cid) JOIN q ON q.qid = p.qid
+             WHERE p.qid <> i.nid)
+         SELECT qid, rnk, nid, cosine FROM (
+           SELECT qid, nid, cosine,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
+           FROM cand) WHERE rnk <= 5
+         ORDER BY qid, rnk""",
     "sim_ivf" ->
       s"""WITH $ivfOracleCte,
            inv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn

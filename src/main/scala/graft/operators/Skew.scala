@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Common._
 
 /** Skew mitigation for aggregations (SURVEY.md §4 — the reference splits
   * oversized keys manually in sinks/split.py; Spark's AQE handles skewed
@@ -78,4 +79,42 @@ object Skew {
       explode(sequence(lit(0L), lit(salts - 1L))))
     l.join(r, Seq(key, "__salt"), joinType).drop("__salt")
   }
+
+  /** Driver gate for [[saltedJoin]]: a DELIBERATELY hot probe side —
+    * every third user_id folds into key 0, so one key carries ~33% of
+    * events (the one-reducer-pegged shape) — joined to the customer dim
+    * on the salted (key, __salt) pair, then aggregated per market
+    * segment. Row-identical to the plain join by construction (each probe
+    * row meets each matching build row under exactly one salt), which is
+    * what the oracle SQL asserts: it runs the UNSALTED join. PlanAuditSpec
+    * pins the physical shape — build-side salt explode present, join keys
+    * carry __salt. */
+  val joinSkewSalted: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .withColumn("hot_key",
+        when(col("user_id") % 3 === 0, lit(0L)).otherwise(col("user_id")))
+      .select("hot_key", "value")
+    val dim = t(s, d, "customer")
+      .select(col("c_custkey").as("hot_key"), col("c_mktsegment"))
+    saltedJoin(ev, dim, "hot_key", salts = 16)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("c_mktsegment")
+  }
+
+  val queries: Map[String, Q] = Map("join_skew_salted" -> joinSkewSalted)
+
+  val oracle: Map[String, String] = Map(
+    "join_skew_salted" ->
+      """WITH ev AS (
+           SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS hot_key,
+                  value
+           FROM events)
+         SELECT c.c_mktsegment,
+                count(*) AS n_events,
+                round(sum(e.value), 2) AS total_value
+         FROM ev e JOIN customer c ON c.c_custkey = e.hot_key
+         GROUP BY c.c_mktsegment
+         ORDER BY c.c_mktsegment""")
 }

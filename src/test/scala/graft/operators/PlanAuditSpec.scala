@@ -147,6 +147,15 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(p.contains("hashpartitioning(event_type"), p)
   }
 
+  test("join_skew_salted: build side explodes the salt, join keys carry it") {
+    // the whole point of the salted join is the (key, salt) composite —
+    // a plan that drops either collapses the hot key back onto one reducer
+    val p = plan("join_skew_salted")
+    assert(p.contains("explode"), s"build-side salt explode missing:\n$p")
+    assert(p.contains("__salt"), s"join does not carry the salt key:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("jx_edges_topn: the top-N remap joins, not a driver-side collect") {
     // the compiled default domain must keep both passes in-plan: a rank
     // over the counts frame and a join-based remap of the fact rows
