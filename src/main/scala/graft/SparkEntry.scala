@@ -47,6 +47,7 @@ object SparkEntry {
       etl.Transforms.queries ++
       llm.TextOps.queries ++
       llm.Dedup.queries ++
+      llm.Pipeline.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
       streaming.Streams.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
       etl.Transforms.oracle ++
       llm.TextOps.oracle ++
       llm.Dedup.oracle ++
+      llm.Pipeline.oracle ++
       llm.Similarity.oracle ++
       llm.Multimodal.oracle ++
       streaming.Streams.oracle ++

@@ -246,6 +246,52 @@ case class BloomMightContain(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Response-scale probe twin of [[BloomMightContain]] for PER-ROW filter
+  * columns — e.g. one filter per group coming out of an aggregate, probed
+  * on the handful of result rows a front-end formats. The filter is
+  * deserialized per DISTINCT byte array (reference-identity cache, same
+  * trick as [[CmsEstimateCount]]), so a frame with G groups pays G
+  * decodes, not G×rows. Deliberately [[CodegenFallback]] and deliberately
+  * NOT for scan gating: a full-scan probe must use the foldable
+  * [[BloomMightContain]], which decodes once and codegens the loop. */
+case class BloomProbeRow(left: Expression, right: Expression)
+  extends BinaryExpression with BinaryLike[Expression]
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def prettyName: String = "bloom_probe_row"
+  override def dataType: DataType = BooleanType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType != BinaryType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_probe_row requires a BINARY filter, got ${left.dataType.sql}")
+    else if (right.dataType != LongType)
+      TypeCheckResult.TypeCheckFailure(
+        s"bloom_probe_row requires a BIGINT key, got ${right.dataType.sql}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  @transient private var cachedRef: Array[Byte] = _
+  @transient private var cached: BloomFilter = _
+
+  override def nullSafeEval(bytes: Any, key: Any): Any = {
+    val b = bytes.asInstanceOf[Array[Byte]]
+    if (!(b eq cachedRef)) {
+      cached = BloomFilter.deserialize(b)
+      cachedRef = b
+    }
+    java.lang.Boolean.valueOf(cached.mightContain(key.asInstanceOf[Long]))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BloomProbeRow =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomProbeRow {
+  def apply(filter: Column, key: Column): Column =
+    ColumnBridge.column(BloomProbeRow(
+      ColumnBridge.expression(filter), ColumnBridge.expression(key)))
+}
+
 object BloomSketchAgg {
   def apply(c: Column): Column = apply(c, 1 << 20, 7)
   def apply(c: Column, numBits: Int, numHashes: Int): Column =

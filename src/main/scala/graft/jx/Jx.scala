@@ -314,6 +314,20 @@ object Jx {
       case "percentile" =>
         org.apache.spark.sql.functions.percentile(v, lit(s.percentile.getOrElse(0.5)))
       case "union"       => array_sort(collect_set(v))
+      // sketch aggregates — the 100 TB twins of cardinality/percentile,
+      // reachable from the query language, not just the Column API. Each
+      // compiles to the same mergeable aggregate the operator layer uses;
+      // map-side partials and KB-scale shuffle rows come for free.
+      case "cardinality_hll" =>
+        // datasketches HLL: estimate over the merged per-group sketch
+        hll_sketch_estimate(hll_sketch_agg(v))
+      case "percentile_tdigest" =>
+        graft.functions.TDigestQuantile(
+          graft.functions.TDigestSketchAgg(v), s.percentile.getOrElse(0.5))
+      case "bloom" =>
+        // the membership-gate artifact itself (binary); a caller feeds it
+        // to bloom_might_contain — jx_sketch gates the DECISIONS it makes
+        graft.functions.BloomSketchAgg(v)
       case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
     })
   }

@@ -223,7 +223,46 @@ object JxQueries {
       .orderBy("name")
   }
 
+  /** Sketch aggregates through the query language (SURVEY §7.7 idea (a)):
+    * one jx query asks for the HLL cardinality, the t-digest median, and
+    * the per-group Bloom filter alongside their exact twins. The driver
+    * row gates DECISIONS, not sketch bytes (the dedup_bloom_gate pattern):
+    * HLL within 5% of exact, t-digest p50 within max(5% rel, 0.5 abs) of
+    * the exact median, each group's Bloom filter hits a known member
+    * (min user_id) and stays clean on a key far outside the id domain. */
+  private val sketchJson = """{
+    "from": "events",
+    "groupby": ["event_type"],
+    "select": [
+      {"name": "n", "value": ".", "aggregate": "count"},
+      {"name": "n_users", "value": "user_id", "aggregate": "cardinality"},
+      {"name": "n_users_hll", "value": "user_id", "aggregate": "cardinality_hll"},
+      {"name": "p50", "value": "value", "aggregate": "median"},
+      {"name": "p50_td", "value": "value", "aggregate": "percentile_tdigest",
+       "percentile": 0.5},
+      {"name": "min_user", "value": "user_id", "aggregate": "min"},
+      {"name": "bf", "value": "user_id", "aggregate": "bloom"}],
+    "sort": ["event_type"]}"""
+
+  private val jxSketch: Q = (s, d) => {
+    import org.apache.spark.sql.functions._
+    val res = Jx.run(s, sketchJson, name => t(s, d, name))
+    res.select(
+      col("event_type"), col("n"), col("n_users"),
+      round(col("p50"), 2).as("p50"),
+      (abs(col("n_users_hll") - col("n_users"))
+        <= col("n_users") * lit(0.05)).as("hll_ok"),
+      (abs(col("p50_td") - col("p50"))
+        <= greatest(abs(col("p50")) * lit(0.05), lit(0.5))).as("td_ok"),
+      graft.functions.BloomProbeRow(col("bf"), col("min_user"))
+        .as("bloom_member"),
+      graft.functions.BloomProbeRow(col("bf"), lit(10000043L))
+        .as("bloom_fp"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, Q] = Map(
+    "jx_sketch" -> jxSketch,
     "jx_meta_columns" -> jxMetaColumns,
     "jx_ops_expr" -> ((s, d) => Jx.run(s, opsExprJson, name => t(s, d, name))),
     "jx_percentile" -> ((s, d) => Jx.run(s, percentileJson, name => t(s, d, name))),
@@ -246,6 +285,16 @@ object JxQueries {
     "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    "jx_sketch" ->
+      """SELECT event_type,
+                count(*) AS n,
+                count(DISTINCT user_id) AS n_users,
+                round(quantile_cont(value, 0.5), 2) AS p50,
+                TRUE AS hll_ok,
+                TRUE AS td_ok,
+                TRUE AS bloom_member,
+                FALSE AS bloom_fp
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "jx_math" ->
       """SELECT event_id,
                 CAST(user_id % 7 AS DOUBLE) AS m7,

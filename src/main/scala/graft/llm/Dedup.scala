@@ -343,14 +343,35 @@ object Dedup {
     * index. One posexplode over the in-row band array, not a bands-way
     * union: a union re-evaluates the signature aggregate per branch per
     * join side. */
-  def minhashBands(docs: DataFrame): DataFrame = {
-    val sh = shinglesOf(docs).withColumn("hb", pmod(col("h"), lit(MinhashM)))
+  def minhashBands(docs: DataFrame): DataFrame =
+    minhashBandsFromShingles(shinglesOf(docs))
+
+  /** The same band build over a PRECOMPUTED (doc_id, h) shingle frame —
+    * the form a composed pipeline uses so the expensive shingle pass is
+    * paid once and shared across every consumer (bands, Jaccard verify,
+    * decontamination). */
+  def minhashBandsFromShingles(shFrame: DataFrame): DataFrame = {
+    val sh = shFrame.withColumn("hb", pmod(col("h"), lit(MinhashM)))
     val hashAggs = (0 until MinhashK).map { k =>
       min(pmod(lit(2 * k + 1) * col("hb") + lit(104729L * (k + 1)), lit(MinhashM))).as(s"h$k")
     }
     sh.groupBy("doc_id").agg(hashAggs.head, hashAggs.tail: _*)
       .select(col("doc_id"), posexplode(expr(minhashBandArraySql(k => s"h$k"))))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+  }
+
+  /** Banded-LSH candidates + exact-Jaccard verify over a precomputed
+    * shingle frame: the (da, db, jaccard, …) scored pair set every MinHash
+    * consumer (near-dup report, clusters, drop list, composed pipeline)
+    * derives from. */
+  def minhashScoredPairsFrom(sh: DataFrame): DataFrame = {
+    val bands = minhashBandsFromShingles(sh)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .distinct()
+    verifyJaccard(cand, sh.select("doc_id", "h"))
   }
 
   /** The STATELESS in-row twin of [[minhashBands]]: the whole signature —
@@ -391,19 +412,11 @@ object Dedup {
     shinglesOf(docs).groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n_sh"))
 
-  val dedupMinhash: Q = (s, d) => {
-    val sh = shingles(s, d)
-    val bands = minhashBands(t(s, d, "documents"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
-      .distinct()
-    verifyJaccard(cand, sh.select("doc_id", "h"))
+  val dedupMinhash: Q = (s, d) =>
+    minhashScoredPairsFrom(shingles(s, d))
       .filter(col("jaccard") >= 0.5)
       .select(col("da"), col("db"), r4(col("jaccard")).as("jaccard"))
       .orderBy(desc("jaccard"), asc("da"), asc("db"))
-  }
 
   /** X1c: SimHash near-dup pairs (Charikar 2002). One 64-bit signature per
     * doc via the codegen'd [[graft.functions.SimHash64]] expression; the
@@ -647,8 +660,14 @@ object Dedup {
   /** The min-label fixpoint over the MinHash pair graph: (id, lbl) with
     * lbl = the smallest doc id reachable from id. Shared by the cluster
     * report and the drop list. */
-  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
-    val pairs = dedupMinhash(s, d).select("da", "db")
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    clusterLabelsFrom(dedupMinhash(s, d))
+
+  /** The same iterative min-label propagation over ANY (da, db) pair
+    * frame — public so a composed pipeline can feed pairs scored from a
+    * shared shingle pass instead of re-deriving them. */
+  def clusterLabelsFrom(pairFrame: DataFrame): DataFrame = {
+    val pairs = pairFrame.select("da", "db")
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
       .localCheckpoint()
@@ -700,9 +719,16 @@ object Dedup {
     * that grows with corpus size. Overlap is counted in the same
     * md5-hashed shingle space as dedup_ngram, so the DuckDB oracle
     * replays it exactly. */
-  def decontaminate(corpus: DataFrame, bench: DataFrame, minOverlap: Int = 3): DataFrame = {
-    val sh = shinglesOf(corpus)
-    val bsh = shinglesOf(bench).select("h").distinct()
+  def decontaminate(corpus: DataFrame, bench: DataFrame, minOverlap: Int = 3): DataFrame =
+    decontaminateSh(shinglesOf(corpus), shinglesOf(bench), minOverlap)
+
+  /** Shingle-level form: corpus and bench arrive as precomputed (doc_id,
+    * h) frames, so a composed pipeline shares one shingle pass across
+    * dedup and decontamination. */
+  def decontaminateSh(corpusSh: DataFrame, benchSh: DataFrame,
+      minOverlap: Int = 3): DataFrame = {
+    val sh = corpusSh
+    val bsh = benchSh.select("h").distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     sh.join(broadcast(bsh), Seq("h"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
@@ -783,8 +809,12 @@ object Dedup {
     * universal-family minhashes → 4×2 bands → bucket join → Jaccard
     * verify) up to the scored pair set `mh`. Used by dedup_minhash and
     * replayed as the pair source for dedup_clusters. */
-  private val minhashCte: String =
-    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  private val minhashCte: String = minhashCteFrom("documents")
+
+  /** The same CTE chain over any (doc_id, text) relation — the composed
+    * pipeline points it at its cleaned/redacted CTE. */
+  private[llm] def minhashCteFrom(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
        sh AS (SELECT DISTINCT doc_id,
                      CAST('0x' || substr(md5(unnest(
                        [t[i] || ' ' || t[i+1] || ' ' || t[i+2]

@@ -301,9 +301,9 @@ object TextOps {
     * identically (char classes, +, bounded repeats), passed as Column
     * literals so no SQL-string escaping is involved. Pure per-doc
     * codegen'd string work — no shuffle, linear at any corpus size. */
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val UrlRe = "https?://[^ ]+"
-  private val PhoneRe = "\\+1-555-[0-9]{4}"
+  private[llm] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[llm] val UrlRe = "https?://[^ ]+"
+  private[llm] val PhoneRe = "\\+1-555-[0-9]{4}"
 
   private def withPii(df: org.apache.spark.sql.DataFrame) = df.withColumn("pii",
     concat(col("text"),

@@ -266,10 +266,29 @@ object Streams {
         countDistinct(col("p_user")).as("n_users"))
   }
 
+  /** ST7b batch twin: the LEFT-OUTER form — unmatched purchases survive
+    * with null signup columns (in streaming they emit watermark-delayed;
+    * in batch they appear directly — same result set, which is the point
+    * of the twin). Summarized deterministically: pair/purchase counts
+    * split by matched vs unmatched. */
+  val streamJoinLo: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    purchaseSignupJoin(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "signup"),
+      joinType = "left_outer")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("s_ts")).as("n_matched"),
+        countDistinct(col("p_id")).as("n_purchases"),
+        countDistinct(when(col("s_ts").isNull, col("p_id"))).as("n_unmatched_purchases"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sessions" -> streamSessions,
-    "stream_join" -> streamJoin)
+    "stream_join" -> streamJoin,
+    "stream_join_lo" -> streamJoinLo)
 
   val oracle: Map[String, String] = Map(
     "stream_join" ->
@@ -281,6 +300,19 @@ object Streams {
            ON p.user_id = s.user_id
           AND s.ts <= p.ts
           AND s.ts >= p.ts - INTERVAL 2 HOUR""",
+    "stream_join_lo" ->
+      """SELECT count(*) AS n_rows,
+                count(s.s_ts) AS n_matched,
+                CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases,
+                CAST(count(DISTINCT CASE WHEN s.s_ts IS NULL
+                                         THEN p.event_id END) AS BIGINT)
+                  AS n_unmatched_purchases
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT user_id AS s_user, ts AS s_ts FROM events
+                    WHERE event_type = 'signup') s
+           ON p.user_id = s.s_user
+          AND s.s_ts <= p.ts
+          AND s.s_ts >= p.ts - INTERVAL 2 HOUR""",
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
                 count(*) AS n, round(sum(value), 2) AS sum_value

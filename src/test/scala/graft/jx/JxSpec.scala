@@ -435,4 +435,27 @@ class JxSpec extends graft.SparkSpec {
     assert(out.map(r => (r.getString(0), r.getDouble(1))).toSeq ===
       Seq(("mochitest", 160.0), ("reftest", 14.0), ("xpcshell", 140.0)))
   }
+
+  test("sketch aggregates: cardinality_hll / percentile_tdigest / bloom") {
+    // tiny exact-checkable group: HLL is exact at this cardinality, the
+    // t-digest holds every point so p50 is the exact interpolated median,
+    // and the per-group Bloom filter answers membership on its own ids
+    val out = run("""{
+      "from": "logs",
+      "groupby": ["suite"],
+      "select": [
+        {"name": "n_ids", "value": "id", "aggregate": "cardinality_hll"},
+        {"name": "p50", "value": "duration", "aggregate": "percentile_tdigest"},
+        {"name": "bf", "value": "id", "aggregate": "bloom"}],
+      "sort": ["suite"]}""")
+    val moch = out.filter(col("suite") === "mochitest")
+      .select(col("n_ids"), col("p50"),
+        graft.functions.BloomProbeRow(col("bf"), lit(2L)).as("member"),
+        graft.functions.BloomProbeRow(col("bf"), lit(99999L)).as("stranger"))
+      .head()
+    assert(moch.getLong(0) === 3L)           // ids 1, 2, 5 — HLL exact here
+    assert(moch.getDouble(1) === 20.0)       // exact median of 10/20/50
+    assert(moch.getBoolean(2))               // id 2 is a member
+    assert(!moch.getBoolean(3))              // far-off key stays clean
+  }
 }

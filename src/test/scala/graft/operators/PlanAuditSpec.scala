@@ -156,6 +156,17 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("pipeline_corpus: one shared shingle pass, no stage collapses the composition") {
+    // the composed plan must consume the MATERIALIZED shingle frame —
+    // any conv(substr(md5(...))) in the final plan means a stage quietly
+    // re-shingled the corpus (3× the most expensive pass at 100 TB)
+    val p = plan("pipeline_corpus")
+    assert(!p.contains("conv("), s"shingle recompute in the composed plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the survivor byte pin is the only md5 left in-plan
+    assert(p.contains("md5"), p)
+  }
+
   test("jx_edges_topn: the top-N remap joins, not a driver-side collect") {
     // the compiled default domain must keep both passes in-plan: a rank
     // over the counts frame and a join-based remap of the fact rows
