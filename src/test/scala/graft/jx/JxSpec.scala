@@ -436,6 +436,41 @@ class JxSpec extends graft.SparkSpec {
       Seq(("mochitest", 160.0), ("reftest", 14.0), ("xpcshell", 140.0)))
   }
 
+  test("cube format: duration and default(top-N) domains round-trip in headers") {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // duration domain: dense fixed-width buckets, type echoed in the header
+    val dur = mapper.readTree(Jx.runFormatted(spark, """{
+      "from": "logs", "format": "cube",
+      "edges": [{"name": "dur", "value": "duration",
+                 "domain": {"type": "duration", "min": 0, "max": 59,
+                            "interval": 20, "allowNulls": false}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]}""", _ => logs))
+    val de = dur.get("edges").get(0)
+    assert(de.get("domain").get("type").asText() === "duration")
+    val dparts = (0 until de.get("domain").get("partitions").size())
+      .map(de.get("domain").get("partitions").get(_).get("value").asDouble())
+    assert(dparts === Seq(0.0, 20.0, 40.0))
+    val dcells = dur.get("data").get("n")
+    // durations 10,20,30,40,50,7 → {7,10} | {20,30} | {40,50}
+    assert((0 until 3).map(dcells.get(_).asLong()) === Seq(2L, 2L, 2L))
+
+    // default (top-N) domain: top parts + "other" + the null part
+    val top = mapper.readTree(Jx.runFormatted(spark, """{
+      "from": "logs", "format": "cube",
+      "edges": [{"name": "p", "value": "suite",
+                 "domain": {"type": "default", "limit": 1}}],
+      "select": [{"name": "n", "value": ".", "aggregate": "count"}]}""", _ => logs))
+    val te = top.get("edges").get(0)
+    assert(te.get("domain").get("type").asText() === "default")
+    val tparts = (0 until te.get("domain").get("partitions").size())
+      .map(te.get("domain").get("partitions").get(_).get("value"))
+    // null part first (null-first ordering), then the top-1 suite, then other
+    assert(tparts.map(v => if (v.isNull) null else v.asText())
+      === Seq(null, "mochitest", "other"))
+    val tcells = top.get("data").get("n")
+    assert((0 until 3).map(tcells.get(_).asLong()) === Seq(0L, 3L, 3L))
+  }
+
   test("sketch aggregates: cardinality_hll / percentile_tdigest / bloom") {
     // tiny exact-checkable group: HLL is exact at this cardinality, the
     // t-digest holds every point so p50 is the exact interpolated median,
