@@ -298,6 +298,89 @@ object Similarity {
       s.read.parquet(s"$dir/invlists"))
   }
 
+  /** X3f: product-quantization ANN — the MEMORY-bound scale path beside
+    * IVF's compute-bound one. The 64-dim vector splits into M=8
+    * subvectors; each subspace gets its own K=16-centroid codebook
+    * (deterministic seeds + 2 decimal-exact Lloyd iterations, the same
+    * quantizer recipe as [[ivfIndex]]); a vector stores as 8 small codes
+    * (≈8 bytes vs 256 — a 32× footprint cut, which at 100 TB is the
+    * difference between an in-memory index and one that pages). Queries
+    * use ADC (asymmetric distance computation): per query, an 8×16 table
+    * of exact subspace dot products against the codebook, then each
+    * candidate's approximate dot is just 8 table lookups summed — no
+    * per-candidate float math at all. Here the lookup is the
+    * codes⋈broadcast(table) join and the sum is an m-ordered fold
+    * (bit-deterministic in both engines).
+    *
+    * Correctness gate is EXACT, not recall-based: the oracle replays the
+    * whole pipeline — subspace slicing, both Lloyd iterations with
+    * decimal(27,10) means, tie-broken argmin codes, the ADC table and
+    * fold — so the driver hash-compares the actual top-k under the
+    * approximate metric. (Recall vs brute force is the quantizer's
+    * quality, not the engine's correctness; PqSpec pins the Lloyd
+    * improvement instead.) */
+  /** The PQ codebook build, exposed for [[simPq]] and PqSpec:
+    * returns (sub, seedCentroids, finalCentroids, codes). */
+  private[llm] def pqParts(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val vecs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    // subvectors, float→double once: (vec_id, m ∈ [0,8), sv: 8 doubles)
+    val sub = vecs.select(col("vec_id"), posexplode(expr(
+        """transform(sequence(0, 7),
+             m -> transform(slice(embedding, m * 8 + 1, 8),
+                            x -> CAST(x AS DOUBLE)))""")))
+      .select(col("vec_id"), col("pos").as("m"), col("col").as("sv"))
+    val seed = sub.filter(col("vec_id") < 16)
+      .select(col("m"), col("vec_id").as("cid"), col("sv").as("cv"))
+    // one Lloyd step per subspace: decimal-exact per-dimension means
+    def lloyd(cents: DataFrame): DataFrame = pqAssign(sub, cents)
+      .join(sub, Seq("vec_id", "m"))
+      .select(col("m"), col("cid"), posexplode(col("sv")))
+      .groupBy("m", "cid", "pos")
+      .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as("mu"))
+      .groupBy("m", "cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
+        x => x.getField("mu")).as("cv"))
+    val cents = lloyd(lloyd(seed))
+    (sub, seed, cents, pqAssign(sub, cents))
+  }
+
+  /** Nearest codebook entry per (vector, subspace): L2² via an ordered
+    * fold; min over a (dist, cid) struct = smallest-cid tie-break. */
+  private[llm] def pqAssign(sub: DataFrame, cents: DataFrame): DataFrame =
+    sub.join(broadcast(cents), Seq("m"))
+      .withColumn("dist", expr(
+        "aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("dc"))
+      .select(col("vec_id"), col("m"), col("dc.cid").as("cid"),
+        col("dc.dist").as("dist"))
+
+  val simPq: Q = (s, d) => {
+    val (sub, _, cents, codesWithDist) = pqParts(s, d)
+    val codes = codesWithDist.select("vec_id", "m", "cid")
+    // ADC table: 20 queries × 8 subspaces × ≤16 centroids of exact dots
+    val qsub = sub.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
+    val tab = qsub.join(broadcast(cents), Seq("m"))
+      .withColumn("pd", expr(
+        "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
+      .select(col("qid"), col("m"), col("cid"), col("pd"))
+    val w = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    codes.join(broadcast(tab), Seq("m", "cid"))
+      .groupBy(col("qid"), col("vec_id").as("nid"))
+      // m-ordered fold so the 8-term sum is bit-identical to the oracle's
+      .agg(expr("""aggregate(transform(array_sort(collect_list(struct(m, pd))),
+                   x -> x.pd), 0D, (a, v) -> a + v)""").as("adot"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("adot", r4(col("adot")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "nid", "adot")
+      .orderBy("qid", "rnk")
+  }
+
   /** X3c: IVF list-balance census — the IVF twin of
     * [[simLshCandidates]]'s cost monitor: per centroid, how many vectors
     * its inverted list holds and what share of the corpus that is. Probe
@@ -319,6 +402,7 @@ object Similarity {
     "sim_ivf" -> simIvf,
     "sim_ivf_persist" -> simIvfPersist,
     "sim_ivf_census" -> simIvfCensus,
+    "sim_pq" -> simPq,
     "sim_lsh_candidates" -> simLshCandidates)
 
   /** Shared oracle CTE prefix: regenerate the md5-derived ±1 planes, the
@@ -409,6 +493,77 @@ object Similarity {
              FROM scored) WHERE rn = 1)"""
 
   val oracle: Map[String, String] = Map(
+    // full PQ replay: subspace slices → per-subspace 2-iteration Lloyd
+    // (decimal-exact means, argmin tie-broken by cid) → codes → ADC table
+    // → m-ordered fold. Rounds BEFORE ranking, same as the Spark side.
+    "sim_pq" ->
+      """WITH raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+                      FROM embeddings),
+           sub AS (SELECT vec_id, m, v[8 * m + 1 : 8 * m + 8] AS sv
+                   FROM raw CROSS JOIN generate_series(0, 7) t(m)),
+           seed AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+           d0 AS (SELECT s.vec_id, s.m, c.cid,
+                         list_reduce([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                                      for i in generate_series(1, 8)],
+                                     (a, b) -> a + b) AS dist
+                  FROM sub s JOIN seed c USING (m)),
+           a0 AS (SELECT vec_id, m, cid FROM (
+                    SELECT vec_id, m, cid,
+                           row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY dist, cid) AS rn
+                    FROM d0) WHERE rn = 1),
+           m1 AS (SELECT a.m, a.cid, t.i,
+                         CAST(sum(CAST(s.sv[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS mu
+                  FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+                  CROSS JOIN generate_series(1, 8) t(i)
+                  GROUP BY a.m, a.cid, t.i),
+           c1 AS (SELECT m, cid, list(mu ORDER BY i) AS cv FROM m1 GROUP BY m, cid),
+           d1 AS (SELECT s.vec_id, s.m, c.cid,
+                         list_reduce([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                                      for i in generate_series(1, 8)],
+                                     (a, b) -> a + b) AS dist
+                  FROM sub s JOIN c1 c USING (m)),
+           a1 AS (SELECT vec_id, m, cid FROM (
+                    SELECT vec_id, m, cid,
+                           row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY dist, cid) AS rn
+                    FROM d1) WHERE rn = 1),
+           m2 AS (SELECT a.m, a.cid, t.i,
+                         CAST(sum(CAST(s.sv[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS mu
+                  FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+                  CROSS JOIN generate_series(1, 8) t(i)
+                  GROUP BY a.m, a.cid, t.i),
+           c2 AS (SELECT m, cid, list(mu ORDER BY i) AS cv FROM m2 GROUP BY m, cid),
+           d2 AS (SELECT s.vec_id, s.m, c.cid,
+                         list_reduce([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                                      for i in generate_series(1, 8)],
+                                     (a, b) -> a + b) AS dist
+                  FROM sub s JOIN c2 c USING (m)),
+           codes AS (SELECT vec_id, m, cid FROM (
+                       SELECT vec_id, m, cid,
+                              row_number() OVER (PARTITION BY vec_id, m
+                                                 ORDER BY dist, cid) AS rn
+                       FROM d2) WHERE rn = 1),
+           qsub AS (SELECT vec_id AS qid, m, sv AS qv FROM sub WHERE vec_id < 20),
+           tab AS (SELECT q.qid, c.m, c.cid,
+                          list_reduce([q.qv[i] * c.cv[i]
+                                       for i in generate_series(1, 8)],
+                                      (a, b) -> a + b) AS pd
+                   FROM qsub q JOIN c2 c USING (m)),
+           ap AS (SELECT t.qid, k.vec_id AS nid,
+                         round(list_reduce(list(t.pd ORDER BY t.m),
+                                           (a, b) -> a + b), 4) AS adot
+                  FROM codes k JOIN tab t ON t.m = k.m AND t.cid = k.cid
+                  GROUP BY t.qid, k.vec_id)
+         SELECT qid, rnk, nid, adot FROM (
+           SELECT qid, nid, adot,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY adot DESC, nid ASC) AS INT) AS rnk
+           FROM ap WHERE qid <> nid)
+         WHERE rnk <= 5
+         ORDER BY qid, rnk""",
     "sim_ivf_census" ->
       s"""WITH $ivfOracleCte
          SELECT cid, count(*) AS n_vecs,

@@ -167,6 +167,15 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(p.contains("md5"), p)
   }
 
+  test("sim_pq: codebook and ADC table stay broadcast, no cartesian blowup") {
+    // PQ's scale contract: per-candidate work is table lookups — the
+    // codes⋈table join must broadcast the KB-scale ADC table, never
+    // shuffle the codes on it or degrade to a cartesian product
+    val p = plan("sim_pq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("jx_edges_topn: the top-N remap joins, not a driver-side collect") {
     // the compiled default domain must keep both passes in-plan: a rank
     // over the counts frame and a join-based remap of the fact rows
