@@ -709,6 +709,47 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lbl").as("canonical"))
       .orderBy("doc_id")
 
+  /** X1e: passage-level EXACT-substring dedup — the training-data pass
+    * that catches repeated SPANS across documents (boilerplate, quoted
+    * blocks, licence headers) that whole-doc measures miss: two long docs
+    * sharing one 16-token passage have tiny Jaccard but the passage still
+    * memorizes. The suffix-array formulation doesn't distribute; the
+    * Spark-native equivalent is CONTENT-DEFINED window fingerprinting:
+    * every k-token rolling window is hashed (one in-row transform over
+    * the token array — the linear pass), and a window is KEPT iff its own
+    * hash ≡ 0 (mod p). Selection by content, not position, is the load-
+    * bearing trick: the same passage selects the same windows in every
+    * document regardless of alignment, so no stride/offset coordination
+    * is needed (the winnowing/CDC idea). Expected 1/p of windows survive
+    * to the shuffle; a shared passage of length ≥ k is detected with
+    * probability ≈ 1 − (1−1/p)^(L−k+1), rising to certainty for
+    * multi-window spans. Report = fingerprints seen in ≥ 2 distinct docs,
+    * with occurrence counts — the input to a span-trim pass. */
+  /** The selected-window front end of [[dedupSubstring]] over any
+    * (doc_id, text) frame: rolling k-token window hashes, kept iff
+    * h ≡ 0 (mod p). Content-defined selection — the same passage keeps
+    * the same windows at any offset in any document. */
+  def substringFingerprints(docs: DataFrame, k: Int = 16, p: Int = 4): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, size(toks) - $k),
+              i -> CAST(conv(substr(md5(array_join(slice(toks, i + 1, $k), ' ')),
+                             1, 15), 16, 10) AS BIGINT))""")).as("h"))
+      .filter(pmod(col("h"), lit(p)) === 0)
+
+  val dedupSubstring: Q = (s, d) => {
+    substringFingerprints(t(s, d, "documents"))
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min("doc_id").as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(desc("n_docs"), desc("n_occ"), asc("h"))
+      .limit(200)
+  }
+
   /** X4b: benchmark decontamination — the training-data hygiene op that
     * keeps evaluation content out of the training set (the GPT-3-style
     * n-gram overlap filter; 3-word shingles here). Two-table API: the
@@ -803,6 +844,7 @@ object Dedup {
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_clusters" -> dedupClusters,
     "dedup_drop_list" -> dedupDropList,
+    "dedup_substring" -> dedupSubstring,
     "text_decontaminate" -> textDecontaminate)
 
   /** Shared oracle CTE: the full MinHash pipeline (md5 shingle hashes →
@@ -877,6 +919,21 @@ object Dedup {
                 TRUE AS no_false_negatives,
                 TRUE AS fp_rate_ok
          FROM events""",
+    "dedup_substring" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           wins AS (SELECT doc_id,
+                           CAST('0x' || substr(md5(array_to_string(t[i:i+15], ' ')),
+                                1, 15) AS BIGINT) AS h
+                    FROM (SELECT doc_id, t,
+                                 unnest(generate_series(1, len(t) - 15)) AS i
+                          FROM toks WHERE len(t) >= 16)),
+           sel AS (SELECT * FROM wins WHERE h % 4 = 0)
+         SELECT h,
+                CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                count(*) AS n_occ,
+                min(doc_id) AS min_doc
+         FROM sel GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_docs DESC, n_occ DESC, h ASC LIMIT 200""",
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_simhash_mjs" -> simhashMjsOracle,
     "dedup_minhash" ->
