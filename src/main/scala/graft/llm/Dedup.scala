@@ -730,13 +730,20 @@ object Dedup {
     * h ≡ 0 (mod p). Content-defined selection — the same passage keeps
     * the same windows at any offset in any document. */
   def substringFingerprints(docs: DataFrame, k: Int = 16, p: Int = 4): DataFrame =
+    substringFingerprintsPos(docs, k, p).select("doc_id", "h")
+
+  /** As [[substringFingerprints]] but keeping each selected window's
+    * 0-based token position — the span-trim pass needs to know WHICH
+    * tokens a repeated fingerprint covers. */
+  def substringFingerprintsPos(docs: DataFrame, k: Int = 16, p: Int = 4): DataFrame =
     docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= k)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(toks) - $k),
               i -> CAST(conv(substr(md5(array_join(slice(toks, i + 1, $k), ' ')),
-                             1, 15), 16, 10) AS BIGINT))""")).as("h"))
+                             1, 15), 16, 10) AS BIGINT))""")))
+      .select(col("doc_id"), col("pos").as("tok_pos"), col("col").as("h"))
       .filter(pmod(col("h"), lit(p)) === 0)
 
   val dedupSubstring: Q = (s, d) => {
@@ -748,6 +755,51 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .orderBy(desc("n_docs"), desc("n_occ"), asc("h"))
       .limit(200)
+  }
+
+  /** X1e': the span-TRIM pass completing [[dedupSubstring]] — actually
+    * REMOVE each repeated passage everywhere except its canonical (lowest
+    * doc_id) occurrence, instead of just reporting it. A doc's token is
+    * dropped iff it lies inside a selected window whose fingerprint also
+    * appears in an earlier doc. All per-doc work (window hashes, covered
+    * positions, token filter, re-join) is in-row over the token array;
+    * the only shuffle moves selected 8-byte fingerprints — the canonical
+    * owner per fingerprint is a KB-scale broadcast side at any corpus
+    * size. Output pins the trimmed byte stream (md5), not just counts. */
+  val dedupSubstringTrim: Q = (s, d) =>
+    substringTrim(t(s, d, "documents"))
+      .filter(col("n_dropped") > 0)
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** The reusable trim over any (doc_id, text) frame: per doc, the token
+    * counts before/after and the md5 of the trimmed byte stream. Docs
+    * trimmed to nothing drop out (no kept tokens to aggregate). */
+  def substringTrim(docs: DataFrame, k: Int = 16, p: Int = 4): DataFrame = {
+    val wins = substringFingerprintsPos(docs, k, p)
+    // canonical owner per shared fingerprint
+    val shared = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("owner"))
+      .filter(col("n_docs") >= 2)
+      .select("h", "owner")
+    // token positions covered by a repeated window this doc does not own
+    val covered = wins.join(shared, Seq("h"))
+      .filter(col("doc_id") =!= col("owner"))
+      .select(col("doc_id"),
+        explode(sequence(col("tok_pos"), col("tok_pos") + lit(k - 1))).as("idx"))
+      .distinct()
+    val toks = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), col("pos").as("idx"), col("col").as("tok"))
+    toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("idx"), col("tok")))),
+          x => x.getField("tok")), " ")).as("trim_md5"))
+      .join(toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok")), Seq("doc_id"))
+      .withColumn("n_dropped", col("n_tok") - col("n_kept"))
+      .select("doc_id", "n_tok", "n_kept", "n_dropped", "trim_md5")
   }
 
   /** X4b: benchmark decontamination — the training-data hygiene op that
@@ -845,6 +897,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters,
     "dedup_drop_list" -> dedupDropList,
     "dedup_substring" -> dedupSubstring,
+    "dedup_substring_trim" -> dedupSubstringTrim,
     "text_decontaminate" -> textDecontaminate)
 
   /** Shared oracle CTE: the full MinHash pipeline (md5 shingle hashes →
@@ -934,6 +987,38 @@ object Dedup {
                 min(doc_id) AS min_doc
          FROM sel GROUP BY h HAVING count(DISTINCT doc_id) >= 2
          ORDER BY n_docs DESC, n_occ DESC, h ASC LIMIT 200""",
+    "dedup_substring_trim" ->
+      """WITH toks0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           wins AS (SELECT doc_id, i - 1 AS tok_pos,
+                           CAST('0x' || substr(md5(array_to_string(t[i:i+15], ' ')),
+                                1, 15) AS BIGINT) AS h
+                    FROM (SELECT doc_id, t,
+                                 unnest(generate_series(1, len(t) - 15)) AS i
+                          FROM toks0 WHERE len(t) >= 16)),
+           sel AS (SELECT * FROM wins WHERE h % 4 = 0),
+           shared AS (SELECT h, min(doc_id) AS owner FROM sel GROUP BY h
+                      HAVING count(DISTINCT doc_id) >= 2),
+           covered AS (SELECT DISTINCT s.doc_id, s.tok_pos + g.j AS idx
+                       FROM sel s JOIN shared sh USING (h)
+                       CROSS JOIN generate_series(0, 15) g(j)
+                       WHERE s.doc_id <> sh.owner),
+           tk AS (SELECT doc_id, i - 1 AS idx, t[i] AS tok
+                  FROM (SELECT doc_id, t,
+                               unnest(generate_series(1, len(t))) AS i
+                        FROM toks0)),
+           kept AS (SELECT tk.doc_id, tk.idx, tk.tok
+                    FROM tk LEFT JOIN covered c
+                      ON c.doc_id = tk.doc_id AND c.idx = tk.idx
+                    WHERE c.doc_id IS NULL),
+           agg AS (SELECT doc_id, count(*) AS n_kept,
+                          md5(string_agg(tok, ' ' ORDER BY idx)) AS trim_md5
+                   FROM kept GROUP BY doc_id),
+           tot AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM toks0)
+         SELECT a.doc_id, t.n_tok, a.n_kept,
+                t.n_tok - a.n_kept AS n_dropped, a.trim_md5
+         FROM agg a JOIN tot t USING (doc_id)
+         WHERE t.n_tok - a.n_kept > 0
+         ORDER BY a.doc_id LIMIT 300""",
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_simhash_mjs" -> simhashMjsOracle,
     "dedup_minhash" ->

@@ -240,4 +240,21 @@ class DedupSpec extends graft.SparkSpec {
       .map(_.getLong(1)).toSet
     assert(shared.subsetOf(alone), "shared windows leak outside the passage")
   }
+
+  test("substring trim drops repeats only from non-canonical docs") {
+    import spark.implicits._
+    val passage = (1 to 30).map(i => s"p$i").mkString(" ")
+    val docA = ((1 to 7).map(i => s"a$i") :+ passage).mkString(" ")
+    val docB = ((1 to 13).map(i => s"b$i") :+ passage :+ "b_tail").mkString(" ")
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    val out = Dedup.substringTrim(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    // the owner (doc 1, lowest id) loses nothing
+    assert(out(1L) === (37L, 0L))
+    // doc 2 loses tokens, all from inside the passage, never its own text
+    val (n2, dropped2) = out(2L)
+    assert(n2 === 44L)
+    assert(dropped2 > 0L && dropped2 <= 30L,
+      s"trim touched tokens outside the shared passage: dropped $dropped2")
+  }
 }
