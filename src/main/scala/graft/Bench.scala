@@ -74,6 +74,32 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omitted,"errors":$errJson,"sf":"$sfName"}"""
     }
+    // Variance tracking (round-11 survey idea (c)): before overwriting the
+    // sidecar, diff this run's per-query times against the PREVIOUS
+    // bench_full.json and call out >3× moves on queries present in both —
+    // the sandbox's documented ~2× noise band means a 3× move is either
+    // contention worth discounting or a real plan regression worth
+    // reading. stderr-only: the driver's stdout JSON contract is untouched.
+    try {
+      val prevPath = java.nio.file.Paths.get("bench_full.json")
+      // only compare like-for-like scale factors
+      if (java.nio.file.Files.exists(prevPath) &&
+          java.nio.file.Files.readString(prevPath).contains(s""""sf":"$sfName"""")) {
+        val prev = java.nio.file.Files.readString(prevPath)
+        val entry = """"([a-z0-9_]+)":([0-9.]+)""".r
+        val prevTimes = entry.findAllMatchIn(
+            prev.dropWhile(_ != '{').drop(1)) // skip the outer object keys
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        results.foreach { case (k, v) =>
+          prevTimes.get(k).filter(_ >= 0.15).foreach { pv =>
+            if (v > 3 * pv || (v >= 0.15 && pv > 3 * v))
+              System.err.println(
+                f"[bench] VARIANCE $k: $pv%.2fs -> $v%.2fs (${v / pv}%.1fx) on " +
+                  "this tree — contention or regression, re-measure standalone")
+          }
+        }
+      }
+    } catch { case _: Throwable => () } // tracking is best-effort
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), line(3, Int.MaxValue) + "\n")
     catch { case _: Throwable => () } // sidecar is best-effort
