@@ -802,6 +802,28 @@ object Dedup {
       .select("doc_id", "n_tok", "n_kept", "n_dropped", "trim_md5")
   }
 
+  /** The storable passage index for [[substringGateAgainstCorpus]]: one
+    * row per selected fingerprint with its canonical owner — KB–MB scale
+    * per corpus shard, buildable once and unioned incrementally. */
+  def substringIndex(corpus: DataFrame, k: Int = 16, p: Int = 4): DataFrame =
+    substringFingerprints(corpus, k, p)
+      .groupBy("h").agg(min("doc_id").as("owner"))
+
+  /** X1e streaming twin: the passage gate at INGESTION time — "does this
+    * arriving doc contain a span already in the corpus?". The doc's
+    * selected window hashes compute in-row (stateless — explode/transform
+    * only, no aggregate), then a stream-static equi-join against the
+    * prebuilt [[substringIndex]]; append-mode, no watermark, no state.
+    * Content-defined selection is what makes this work online: the
+    * arriving doc selects exactly the windows the corpus selected for the
+    * same span, at any offset. Emits one row per hit (doc_id, tok_pos, h,
+    * owner); dedupe/aggregate at the sink per micro-batch. */
+  def substringGateAgainstCorpus(newDocs: DataFrame, corpusIndex: DataFrame,
+      k: Int = 16, p: Int = 4): DataFrame =
+    substringFingerprintsPos(newDocs, k, p)
+      .join(corpusIndex.select(col("h"), col("owner")), Seq("h"))
+      .select("doc_id", "tok_pos", "h", "owner")
+
   /** X4b: benchmark decontamination — the training-data hygiene op that
     * keeps evaluation content out of the training set (the GPT-3-style
     * n-gram overlap filter; 3-word shingles here). Two-table API: the

@@ -241,6 +241,30 @@ class DedupSpec extends graft.SparkSpec {
     assert(shared.subsetOf(alone), "shared windows leak outside the passage")
   }
 
+  test("online substring gate: a streamed doc embedding a corpus span is " +
+      "flagged, a novel doc is not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+    val index = Dedup.substringIndex(corpus)
+    // embed corpus doc 0's full text at an arbitrary offset; novel filler
+    val span = corpus.filter(col("doc_id") === 0L).head().getAs[String]("text")
+    val embedded = ((1 to 9).map(i => s"x$i") :+ span :+ "x_tail").mkString(" ")
+    val novel = (1 to 60).map(i => s"q$i").mkString(" ")
+
+    val in = MemoryStream[(Long, String)](spark)
+    val q = Dedup.substringGateAgainstCorpus(
+        in.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("sgate").outputMode("append").start()
+    try {
+      in.addData((2000L, embedded), (2001L, novel))
+      q.processAllAvailable()
+      val hits = spark.table("sgate").select("doc_id", "owner").distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((2000L, 0L)), s"embedded span not flagged: $hits")
+      assert(!hits.exists(_._1 == 2001L), s"novel doc falsely flagged: $hits")
+    } finally q.stop()
+  }
+
   test("substring trim drops repeats only from non-canonical docs") {
     import spark.implicits._
     val passage = (1 to 30).map(i => s"p$i").mkString(" ")
