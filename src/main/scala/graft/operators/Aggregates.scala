@@ -296,6 +296,25 @@ object Aggregates {
         col("n"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** A14b: explicit GROUPING SETS — the general form rollup/cube are
+    * shorthand for: an arbitrary list of grouping combinations in ONE
+    * pass (here: by flag, by status, and the grand total — note
+    * (flag, status) itself is deliberately absent, which neither rollup
+    * nor cube can express). Spark expands it to a single Expand +
+    * aggregate, not one scan per set. */
+  val aggGroupingSets: Q = (s, d) => {
+    val li = t(s, d, "lineitem")
+    li.createOrReplaceTempView("li_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(1) AS n,
+                round(sum(l_quantity), 2) AS sum_qty
+         FROM li_gs
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY flag, status""")
+  }
+
   /** A16: mergeable t-digest percentile — the sketch→store→re-merge cycle
     * as a gated query (upstream analog: the ES t-digest behind the
     * reference's percentile aggs, jx_elasticsearch/es52/aggs.py).
@@ -402,6 +421,7 @@ object Aggregates {
     "agg_collect_set" -> aggCollectSet,
     "agg_first_last" -> aggFirstLast,
     "agg_rollup" -> aggRollup,
+    "agg_grouping_sets" -> aggGroupingSets,
     "agg_pivot" -> aggPivot)
 
   val oracle: Map[String, String] = Map(
@@ -560,6 +580,13 @@ object Aggregates {
                 count(*) FILTER (WHERE event_type = 'signup') AS signup,
                 count(*) FILTER (WHERE event_type = 'error') AS error
          FROM events GROUP BY 1 ORDER BY 1""",
+    "agg_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY flag, status""",
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
                 coalesce(l_linestatus, 'ALL') AS status,

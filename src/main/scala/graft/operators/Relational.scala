@@ -302,7 +302,61 @@ object Relational {
     r.crossJoin(flags).orderBy("r_name", "flag")
   }
 
+  /** J10: approximate-string (edit-distance) join — entity matching over
+    * dirty text keys without the O(n·m) all-pairs levenshtein. Two scale
+    * moves, both of which matter more as data grows:
+    *  1. DEDUPE BEFORE VERIFY: candidates generate over DISTINCT strings
+    *     (vocabulary-sized — orders of magnitude below row count on any
+    *     real key column), never over rows.
+    *  2. PIGEONHOLE SEGMENT BLOCKING: each string splits into 3 segments;
+    *     two equal-length strings within ≤2 substitutions must agree on
+    *     at least one (segment index, segment text) pair — so candidates
+    *     come from an equi-join on the segment key, and the exact
+    *     levenshtein runs only inside blocks. (Same banding argument as
+    *     the SimHash family; completeness is for substitution edits —
+    *     indel pairs of different lengths are out of contract and the
+    *     oracle replays the identical blocking.)
+    * The probe side is a deterministic 1-char corruption of each distinct
+    * name (position = name_id % length), so both engines build identical
+    * inputs and every probe has at least its own origin as a match. */
+  val joinFuzzy: Q = (s, d) => {
+    val names = t(s, d, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(min("p_partkey").as("name_id"))
+    val probe = names.select(col("name_id").as("qid"),
+      expr("""concat(substr(name, 1, CAST(name_id % length(name) AS INT)),
+                     'z',
+                     substr(name, CAST(name_id % length(name) AS INT) + 2))""")
+        .as("qname"))
+    def segments(df: DataFrame, nameCol: String, idCol: String): DataFrame =
+      df.select(col(idCol), col(nameCol), explode(expr(
+        s"""transform(sequence(0, 2),
+              i -> struct(i AS i, length($nameCol) AS l,
+                          substr($nameCol,
+                                 CAST((i * length($nameCol)) DIV 3 AS INT) + 1,
+                                 CAST(((i + 1) * length($nameCol)) DIV 3
+                                      - (i * length($nameCol)) DIV 3 AS INT)) AS seg))"""))
+        .as("s"))
+        .select(col(idCol), col(nameCol),
+          col("s.i").as("i"), col("s.l").as("l"), col("s.seg").as("seg"))
+    val cand = segments(probe, "qname", "qid")
+      .join(segments(names, "name", "name_id"), Seq("i", "l", "seg"))
+      .select("qid", "qname", "name_id", "name")
+      .distinct()
+    cand
+      .withColumn("dist", levenshtein(col("qname"), col("name")).cast("long"))
+      .filter(col("dist") <= 2)
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_matches"),
+        min(struct(col("dist"), col("name_id"))).as("b"))
+      .select(col("qid"), col("n_matches"),
+        col("b.dist").as("min_dist"), col("b.name_id").as("best_id"))
+      .orderBy("qid")
+      .limit(300)
+  }
+
   val queries: Map[String, Q] = Map(
+    "join_fuzzy" -> joinFuzzy,
     "scan_parquet" -> scanParquet,
     "sort_multi" -> sortMulti,
     "sort_limit" -> sortLimit,
@@ -324,6 +378,40 @@ object Relational {
     "join_cross" -> joinCross)
 
   val oracle: Map[String, String] = Map(
+    "join_fuzzy" ->
+      """WITH names AS (SELECT p_name AS name, min(p_partkey) AS name_id
+                        FROM part GROUP BY p_name),
+           probe AS (SELECT name_id AS qid,
+                            substr(name, 1, CAST(name_id % length(name) AS INT))
+                              || 'z'
+                              || substr(name, CAST(name_id % length(name) AS INT) + 2)
+                              AS qname
+                     FROM names),
+           pseg AS (SELECT qid, qname, g.i, length(qname) AS l,
+                           substr(qname, (g.i * length(qname)) // 3 + 1,
+                                  ((g.i + 1) * length(qname)) // 3
+                                    - (g.i * length(qname)) // 3) AS seg
+                    FROM probe CROSS JOIN generate_series(0, 2) g(i)),
+           nseg AS (SELECT name_id, name, g.i, length(name) AS l,
+                           substr(name, (g.i * length(name)) // 3 + 1,
+                                  ((g.i + 1) * length(name)) // 3
+                                    - (g.i * length(name)) // 3) AS seg
+                    FROM names CROSS JOIN generate_series(0, 2) g(i)),
+           cand AS (SELECT DISTINCT p.qid, p.qname, n.name_id, n.name
+                    FROM pseg p JOIN nseg n
+                      ON n.i = p.i AND n.l = p.l AND n.seg = p.seg),
+           hits AS (SELECT qid, name_id,
+                           levenshtein(qname, name) AS dist
+                    FROM cand WHERE levenshtein(qname, name) <= 2),
+           agg AS (SELECT qid, count(*) AS n_matches, min(dist) AS min_dist
+                   FROM hits GROUP BY qid),
+           best AS (SELECT h.qid, min(h.name_id) AS best_id
+                    FROM hits h JOIN agg a
+                      ON a.qid = h.qid AND h.dist = a.min_dist
+                    GROUP BY h.qid)
+         SELECT a.qid, a.n_matches, a.min_dist, b.best_id
+         FROM agg a JOIN best b USING (qid)
+         ORDER BY a.qid LIMIT 300""",
     "set_union_byname" ->
       """WITH u AS (
            SELECT event_id, user_id, value, NULL AS props

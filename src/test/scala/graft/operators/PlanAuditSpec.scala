@@ -167,6 +167,14 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(p.contains("md5"), p)
   }
 
+  test("join_fuzzy: candidates come from the segment equi-join, never all-pairs") {
+    val p = plan("join_fuzzy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the block key (segment index, length, segment text) is a join key
+    assert(p.contains("seg"), p)
+  }
+
   test("sim_pq: codebook and ADC table stay broadcast, no cartesian blowup") {
     // PQ's scale contract: per-candidate work is table lookups — the
     // codes⋈table join must broadcast the KB-scale ADC table, never
