@@ -43,7 +43,23 @@ object GraftExtensions {
     ("sorted_intersect_count",
       info("sorted_intersect_count",
         "_FUNC_(a, b) - |a intersect b| for two ascending-sorted long arrays"),
-      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    ("bloom_might_contain",
+      info("bloom_might_contain",
+        "_FUNC_(filter, key) - probe a FOLDABLE serialized Bloom filter for a BIGINT key"),
+      (es: Seq[Expression]) => BloomMightContain(es(0), es(1))),
+    ("bloom_probe_row",
+      info("bloom_probe_row",
+        "_FUNC_(filter, key) - probe a per-row Bloom filter column (response-scale rows)"),
+      (es: Seq[Expression]) => BloomProbeRow(es(0), es(1))),
+    ("cms_estimate_count",
+      info("cms_estimate_count",
+        "_FUNC_(sketch, key) - estimated count of a BIGINT key in a serialized count-min sketch"),
+      (es: Seq[Expression]) => CmsEstimateCount(es(0), es(1))),
+    ("tdigest_quantile",
+      info("tdigest_quantile",
+        "_FUNC_(sketch, q) - quantile estimate from a serialized t-digest"),
+      (es: Seq[Expression]) => TDigestQuantile(es(0), es(1))))
 
   /** Register on an existing session (idempotent). */
   def register(spark: SparkSession): Unit = {

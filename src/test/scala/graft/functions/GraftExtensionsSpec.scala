@@ -26,4 +26,38 @@ class GraftExtensionsSpec extends graft.SparkSpec {
       "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L))")
       .head().getLong(0) === 2L)
   }
+
+  test("sketch probe functions reach SQL: bloom, cms, tdigest") {
+    GraftExtensions.register(spark)
+    spark.range(0, 100)
+      .selectExpr("id").createOrReplaceTempView("keys_ext")
+    // build each sketch via the Column API, probe it via the SQL surface
+    import org.apache.spark.sql.functions._
+    val bf = spark.table("keys_ext")
+      .agg(BloomSketchAgg(col("id")).as("bf")).head().getAs[Array[Byte]](0)
+    val td = spark.table("keys_ext")
+      .agg(TDigestSketchAgg(col("id"))).head().getAs[Array[Byte]](0)
+    spark.createDataFrame(
+        java.util.List.of(org.apache.spark.sql.Row(bf, td)),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("bf",
+            org.apache.spark.sql.types.BinaryType),
+          org.apache.spark.sql.types.StructField("td",
+            org.apache.spark.sql.types.BinaryType))))
+      .createOrReplaceTempView("sketches_ext")
+    val r = spark.sql(
+      """SELECT bloom_probe_row(bf, 42L) AS hit,
+                bloom_probe_row(bf, 123456789L) AS miss,
+                tdigest_quantile(td, 0.5D) AS p50
+         FROM sketches_ext""").head()
+    assert(r.getBoolean(0))
+    assert(!r.getBoolean(1))
+    assert(math.abs(r.getDouble(2) - 49.5) < 2.0)
+    // cms: sketch via built-in aggregate, probe via the registered fn
+    val est = spark.sql(
+      """SELECT cms_estimate_count(
+                  (SELECT count_min_sketch(id, 0.001d, 0.999d, 7) FROM keys_ext),
+                  5L) AS est""").head().getLong(0)
+    assert(est === 1L)
+  }
 }
