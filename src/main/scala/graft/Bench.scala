@@ -95,7 +95,7 @@ object Bench {
             if (v > 3 * pv || (v >= 0.15 && pv > 3 * v))
               System.err.println(
                 f"[bench] VARIANCE $k: $pv%.2fs -> $v%.2fs (${v / pv}%.1fx) on " +
-                  "this tree — contention or regression, re-measure standalone")
+                  "this tree - contention or regression, re-measure standalone")
           }
         }
       }
