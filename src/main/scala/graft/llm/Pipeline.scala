@@ -50,35 +50,48 @@ object Pipeline {
       TextOps.EmailRe, "<EMAIL>"), TextOps.UrlRe, "<URL>"),
       TextOps.PhoneRe, "<PHONE>")
 
-  val pipelineCorpus: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    val hygienic = docs.select(col("doc_id"), hygienicText(col("text")).as("text"))
+  /** The library surface: run the full hygiene chain over ANY corpus
+    * frame against ANY benchmark frame (both (doc_id, text)). Returns the
+    * packed survivor layout plus the md5 of each survivor's final bytes.
+    * `benchIds` must not collide with corpus ids (they are held out by
+    * id). */
+  def corpusHygiene(corpus: DataFrame, bench: DataFrame,
+      jaccardThreshold: Double = 0.5, minOverlap: Int = 3,
+      ctx: Long = 2048L, nShards: Long = 8L): DataFrame = {
+    val hygCorpus = corpus.select(col("doc_id"), hygienicText(col("text")).as("text"))
+    val hygBench = bench.select(col("doc_id"), hygienicText(col("text")).as("text"))
+    // the one shingle pass over corpus ∪ bench, materialized and shared
+    // (see object doc); bench rows ride along so decontamination reuses it
+    val sh = Dedup.shinglesOf(hygCorpus.unionByName(hygBench)).localCheckpoint()
+    val benchIds = hygBench.select("doc_id")
+    val corpusSh = sh.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
+    val benchSh = sh.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
 
-    // the one shingle pass, materialized and shared (see object doc)
-    val sh = Dedup.shinglesOf(hygienic).localCheckpoint()
-
-    // near-dup drop list from banded-LSH pairs over the shared shingles
+    // near-dup drop list from banded-LSH pairs over the corpus shingles
     val dropIds = Dedup.clusterLabelsFrom(
-        Dedup.minhashScoredPairsFrom(sh).filter(col("jaccard") >= 0.5))
+        Dedup.minhashScoredPairsFrom(corpusSh)
+          .filter(col("jaccard") >= jaccardThreshold))
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"))
 
-    // benchmark = doc_id < 10 (deterministic slice the oracle rebuilds);
-    // those docs are held out entirely, and any training doc overlapping
-    // them by >= 3 shingles is dropped
-    val contaminated = Dedup.decontaminateSh(
-        sh.filter(col("doc_id") >= 10),
-        sh.filter(col("doc_id") < 10), minOverlap = 3)
+    val contaminated = Dedup.decontaminateSh(corpusSh, benchSh, minOverlap)
       .select("doc_id")
 
-    val survivors = hygienic.filter(col("doc_id") >= 10)
+    val survivors = hygCorpus
       .join(dropIds, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
 
-    TextOps.packChunks(survivors, ctx = 2048L, nShards = 8L)
+    TextOps.packChunks(survivors, ctx, nShards)
       .join(survivors.select(col("doc_id"), md5(col("text")).as("final_md5")),
         Seq("doc_id"))
       .select("doc_id", "shard", "n_tok", "chunk_id", "chunk_offset", "final_md5")
+  }
+
+  /** Driver gate: the documents table split into corpus (doc_id ≥ 10) and
+    * benchmark (doc_id < 10) — a deterministic split the oracle rebuilds. */
+  val pipelineCorpus: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
       .orderBy("doc_id")
       .limit(300)
   }
@@ -96,7 +109,8 @@ object Pipeline {
                       'https?://[^ ]+', '<URL>', 'g'),
                       '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS text
              FROM documents),
-           ${Dedup.minhashCteFrom("hyg")},
+           corp AS (SELECT doc_id, text FROM hyg WHERE doc_id >= 10),
+           ${Dedup.minhashCteFrom("corp")},
            pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
            edges AS (SELECT da AS src, db AS dst FROM pairs
                      UNION ALL SELECT db, da FROM pairs),
@@ -107,15 +121,21 @@ object Pipeline {
            droplist AS (SELECT id AS doc_id FROM (
              SELECT id, min(lbl) AS canonical FROM reach GROUP BY id)
              WHERE id <> canonical),
-           bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 10),
+           btoks AS (SELECT doc_id, string_split(text, ' ') AS t
+                     FROM hyg WHERE doc_id < 10),
+           bench AS (SELECT DISTINCT
+                       CAST('0x' || substr(md5(unnest(
+                         [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                          for i in generate_series(1, len(t) - 2)])), 1, 15)
+                         AS BIGINT) AS h
+                     FROM btoks WHERE len(t) >= 3),
            ov AS (SELECT sh.doc_id, count(*) AS n_overlap
                   FROM sh JOIN bench USING (h)
-                  WHERE sh.doc_id >= 10 GROUP BY 1),
+                  GROUP BY 1),
            contaminated AS (SELECT doc_id FROM ov WHERE n_overlap >= 3),
            survivors AS (
-             SELECT doc_id, text FROM hyg
-             WHERE doc_id >= 10
-               AND doc_id NOT IN (SELECT doc_id FROM droplist)
+             SELECT doc_id, text FROM corp
+             WHERE doc_id NOT IN (SELECT doc_id FROM droplist)
                AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
            base AS (SELECT doc_id, doc_id % 8 AS shard,
                            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
