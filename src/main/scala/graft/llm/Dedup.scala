@@ -644,6 +644,23 @@ object Dedup {
       .filter(col("jaccard") >= jt)
       .select("doc_id", "corpus_doc", "jaccard")
 
+  /** X1d driver gate — the online dedup gate's batch twin (the identical
+    * plan runs on a stream; DedupSpec drives the MemoryStream form): a
+    * deterministic probe slice (doc_id % 10 = 0) through
+    * [[dedupAgainstCorpus]] against the full corpus index, self-matches
+    * removed, sink-style distinct applied so the oracle compares the
+    * decision set. The probe side signatures compute IN-ROW
+    * ([[minhashInRow]]) — their equality to the batch signature is what
+    * lets the DuckDB oracle replay the batch form. */
+  val dedupOnlineGate: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val probes = docs.filter(col("doc_id") % 10 === 0)
+    dedupAgainstCorpus(probes, minhashBands(docs), docShingleSets(docs))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .distinct()
+      .orderBy(desc("jaccard"), asc("doc_id"), asc("corpus_doc"))
+  }
+
   /** X1f: near-dup clustering — the step a real dedup pipeline needs
     * AFTER candidate pairs: connected components over the pair graph,
     * one canonical doc per cluster (the min id; everything else is the
@@ -920,6 +937,7 @@ object Dedup {
     "dedup_drop_list" -> dedupDropList,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_trim" -> dedupSubstringTrim,
+    "dedup_online_gate" -> dedupOnlineGate,
     "text_decontaminate" -> textDecontaminate)
 
   /** Shared oracle CTE: the full MinHash pipeline (md5 shingle hashes →
@@ -1048,6 +1066,27 @@ object Dedup {
          SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
          FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5
          ORDER BY jaccard DESC, da ASC, db ASC""",
+    // online gate decision set: probe slice vs the whole corpus index;
+    // threshold on the ROUNDED jaccard, matching the gate's filter
+    "dedup_online_gate" ->
+      s"""WITH $minhashCte,
+           probes AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+           pc AS (SELECT DISTINCT p.doc_id AS did, c.doc_id AS corpus_doc
+                  FROM bands p
+                  JOIN probes pr ON pr.doc_id = p.doc_id
+                  JOIN bands c ON c.band = p.band AND c.bh = p.bh
+                  WHERE c.doc_id <> p.doc_id),
+           pcommon AS (SELECT pc.did, pc.corpus_doc, count(*) AS cc
+                       FROM pc JOIN sh a ON a.doc_id = pc.did
+                       JOIN sh b ON b.doc_id = pc.corpus_doc AND b.h = a.h
+                       GROUP BY 1, 2),
+           pscored AS (SELECT m.did AS doc_id, m.corpus_doc,
+                              round(cc * 1.0 / (x.n + y.n - cc), 4) AS jaccard
+                       FROM pcommon m JOIN sz x ON m.did = x.doc_id
+                       JOIN sz y ON m.corpus_doc = y.doc_id)
+         SELECT doc_id, corpus_doc, jaccard FROM pscored
+         WHERE jaccard >= 0.5
+         ORDER BY jaccard DESC, doc_id ASC, corpus_doc ASC""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCte,
            pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),

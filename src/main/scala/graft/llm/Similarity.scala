@@ -272,6 +272,32 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** X3d driver gate — the online ANN gate's batch twin (the identical
+    * plan runs on a stream; LshRecallSpec drives the MemoryStream form):
+    * a deterministic probe slice (vec_id % 100 = 0) flows through
+    * [[annAgainstCorpus]] against the full corpus band index and the
+    * gate's decision — each arriving vector's NEAREST banded neighbor —
+    * is what the oracle compares. (A fixed high threshold would be
+    * vacuous on this corpus, whose max pairwise cosine is ~0.51; top-1
+    * per probe is non-trivial on any data.) Band collisions emit
+    * duplicate rows by design; the sink-style distinct collapses them
+    * before ranking. */
+  val simOnlineGate: Q = (s, d) => {
+    val vecs = t(s, d, "embeddings")
+    val corpus = vecs.withColumn("norm2",
+      DotProduct(col("embedding"), col("embedding")))
+    val corpusBands = lshBands(lshSignature(corpus), "vec_id")
+    val probes = vecs.filter(col("vec_id") % 100 === 0)
+    val hits = annAgainstCorpus(probes, corpusBands, corpus, minCosine = -1.0)
+      .filter(col("vec_id") =!= col("corpus_vec"))
+      .distinct()
+    val w = Window.partitionBy("vec_id").orderBy(desc("cosine"), asc("corpus_vec"))
+    hits.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select("vec_id", "corpus_vec", "cosine")
+      .orderBy("vec_id")
+  }
+
   /** X3e driver gate: the build-once/probe-many loop under the oracle.
     * Builds the IVF artifacts, writes them to parquet (inverted lists
     * `partitionBy("cid")` so the probe partition-prunes to the probed
@@ -403,6 +429,7 @@ object Similarity {
     "sim_ivf_persist" -> simIvfPersist,
     "sim_ivf_census" -> simIvfCensus,
     "sim_pq" -> simPq,
+    "sim_online_gate" -> simOnlineGate,
     "sim_lsh_candidates" -> simLshCandidates)
 
   /** Shared oracle CTE prefix: regenerate the md5-derived ±1 planes, the
@@ -613,6 +640,37 @@ object Similarity {
                                           ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
            FROM cand) WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    // the online gate's decision set: same banded candidates, exact
+    // cosine verify, threshold applied to the ROUNDED value like the
+    // Spark side
+    "sim_online_gate" ->
+      s"""WITH $lshOracleCte,
+           probes AS (SELECT vec_id FROM embeddings WHERE vec_id % 100 = 0),
+           pcand AS (SELECT DISTINCT p.vec_id AS qid, c.vec_id AS corpus_vec
+                     FROM bands p
+                     JOIN probes pr ON pr.vec_id = p.vec_id
+                     JOIN bands c ON c.band = p.band AND c.bh = p.bh
+                     WHERE c.vec_id <> p.vec_id),
+           dv AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in v] AS dv FROM vecs),
+           n AS (SELECT vec_id,
+                        list_reduce([dv[i] * dv[i] for i in generate_series(1, len(dv))],
+                                    (x, y) -> x + y) AS norm2
+                 FROM dv),
+           scored AS (
+             SELECT c.qid AS vec_id, c.corpus_vec,
+                    round(list_reduce([a.dv[i] * b.dv[i] for i in generate_series(1, 64)],
+                                      (x, y) -> x + y)
+                          / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) AS cosine
+             FROM pcand c
+             JOIN dv a ON a.vec_id = c.qid JOIN dv b ON b.vec_id = c.corpus_vec
+             JOIN n na ON na.vec_id = c.qid JOIN n nb ON nb.vec_id = c.corpus_vec)
+         SELECT vec_id, corpus_vec, cosine FROM (
+           SELECT vec_id, corpus_vec, cosine,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, corpus_vec ASC) AS rnk
+           FROM scored)
+         WHERE rnk = 1
+         ORDER BY vec_id""",
     "sim_lsh_candidates" ->
       s"""WITH $lshOracleCte
          SELECT band, bh, count(*) AS n_docs,
