@@ -789,10 +789,11 @@ object Dedup {
       .orderBy("doc_id")
       .limit(300)
 
-  /** The reusable trim over any (doc_id, text) frame: per doc, the token
-    * counts before/after and the md5 of the trimmed byte stream. Docs
-    * trimmed to nothing drop out (no kept tokens to aggregate). */
-  def substringTrim(docs: DataFrame, k: Int = 16, p: Int = 4): DataFrame = {
+  /** The kept (doc_id, idx, tok) stream after span removal — shared core
+    * of [[substringTrim]] (counts/md5 report) and [[substringTrimText]]
+    * (the trimmed corpus itself). */
+  private def substringKeptTokens(docs: DataFrame, k: Int, p: Int):
+      (DataFrame, DataFrame) = {
     val wins = substringFingerprintsPos(docs, k, p)
     // canonical owner per shared fingerprint
     val shared = wins.groupBy("h")
@@ -808,7 +809,25 @@ object Dedup {
     val toks = docs
       .select(col("doc_id"), posexplode(split(col("text"), " ")))
       .select(col("doc_id"), col("pos").as("idx"), col("col").as("tok"))
-    toks.join(covered, Seq("doc_id", "idx"), "left_anti")
+    (toks, toks.join(covered, Seq("doc_id", "idx"), "left_anti"))
+  }
+
+  /** The trimmed corpus: every doc with its repeated spans removed (the
+    * canonical occurrence keeps them). Docs trimmed to nothing drop out;
+    * docs with no repeats pass through byte-identical. */
+  def substringTrimText(docs: DataFrame, k: Int = 16, p: Int = 4): DataFrame =
+    substringKeptTokens(docs, k, p)._2
+      .groupBy("doc_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("idx"), col("tok")))),
+        x => x.getField("tok")), " ").as("text"))
+
+  /** The reusable trim REPORT over any (doc_id, text) frame: per doc, the
+    * token counts before/after and the md5 of the trimmed byte stream.
+    * Docs trimmed to nothing drop out (no kept tokens to aggregate). */
+  def substringTrim(docs: DataFrame, k: Int = 16, p: Int = 4): DataFrame = {
+    val (toks, kept) = substringKeptTokens(docs, k, p)
+    kept
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         md5(array_join(transform(

@@ -57,7 +57,8 @@ object Pipeline {
     * id). */
   def corpusHygiene(corpus: DataFrame, bench: DataFrame,
       jaccardThreshold: Double = 0.5, minOverlap: Int = 3,
-      ctx: Long = 2048L, nShards: Long = 8L): DataFrame = {
+      ctx: Long = 2048L, nShards: Long = 8L,
+      trimSpans: Boolean = false): DataFrame = {
     val hygCorpus = corpus.select(col("doc_id"), hygienicText(col("text")).as("text"))
     val hygBench = bench.select(col("doc_id"), hygienicText(col("text")).as("text"))
     // the one shingle pass over corpus ∪ bench, materialized and shared
@@ -77,9 +78,16 @@ object Pipeline {
     val contaminated = Dedup.decontaminateSh(corpusSh, benchSh, minOverlap)
       .select("doc_id")
 
-    val survivors = hygCorpus
+    val survivors0 = hygCorpus
       .join(dropIds, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // optional passage-level pass (the Lee-et-al-style completion):
+    // whole-doc near-dups are already gone; this removes REPEATED SPANS
+    // surviving inside otherwise-distinct docs, keeping each span's
+    // canonical (lowest doc_id) occurrence
+    val survivors =
+      if (trimSpans) Dedup.substringTrimText(survivors0) else survivors0
 
     TextOps.packChunks(survivors, ctx, nShards)
       .join(survivors.select(col("doc_id"), md5(col("text")).as("final_md5")),
@@ -96,11 +104,31 @@ object Pipeline {
       .limit(300)
   }
 
-  val queries: Map[String, Q] = Map("pipeline_corpus" -> pipelineCorpus)
+  /** The full chain including the passage-level span trim. Honest note
+    * about THIS corpus: its shared ≥16-token passages occur only inside
+    * whole-doc near-dup clusters (verified: every window-sharing doc set
+    * is a jaccard ≥ 0.97 cluster), so after the drop-list stage the trim
+    * finds nothing to remove — the gate still proves the composition
+    * (every surviving byte flows through the trim machinery and the
+    * oracle replays it), while `dedup_substring_trim` demonstrates the
+    * stage firing on the pre-dedup corpus (22 docs at sf0.01). On a real
+    * crawl the two stages catch different things: whole-doc copies vs
+    * boilerplate spans inside otherwise-distinct docs. */
+  val pipelineCorpusTrim: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        trimSpans = true)
+      .orderBy("doc_id")
+      .limit(300)
+  }
 
-  val oracle: Map[String, String] = Map(
-    "pipeline_corpus" ->
-      raw"""WITH RECURSIVE
+  val queries: Map[String, Q] = Map(
+    "pipeline_corpus" -> pipelineCorpus,
+    "pipeline_corpus_trim" -> pipelineCorpusTrim)
+
+  /** Shared oracle prefix: every stage up to the survivor set. */
+  private val hygienePrefix: String =
+    raw"""WITH RECURSIVE
            hyg AS (
              SELECT doc_id,
                     regexp_replace(regexp_replace(regexp_replace(
@@ -136,20 +164,57 @@ object Pipeline {
            survivors AS (
              SELECT doc_id, text FROM corp
              WHERE doc_id NOT IN (SELECT doc_id FROM droplist)
-               AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-           base AS (SELECT doc_id, doc_id % 8 AS shard,
-                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
-                    FROM survivors),
-           packed AS (SELECT doc_id, shard, n_tok,
-                             CAST(coalesce(sum(n_tok) OVER (
-                               PARTITION BY shard ORDER BY doc_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                               AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-                      FROM base)
-         SELECT p.doc_id, p.shard, p.n_tok,
-                CAST(p.cum_before // 2048 AS BIGINT) AS chunk_id,
-                p.cum_before % 2048 AS chunk_offset,
-                md5(s.text) AS final_md5
-         FROM packed p JOIN survivors s USING (doc_id)
-         ORDER BY p.doc_id LIMIT 300""")
+               AND doc_id NOT IN (SELECT doc_id FROM contaminated))"""
+
+  /** The packing tail, parameterized on the frame being packed. */
+  private def packTail(src: String): String =
+    s"""base AS (SELECT doc_id, doc_id % 8 AS shard,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                 FROM $src),
+        packed AS (SELECT doc_id, shard, n_tok,
+                          CAST(coalesce(sum(n_tok) OVER (
+                            PARTITION BY shard ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+                   FROM base)
+      SELECT p.doc_id, p.shard, p.n_tok,
+             CAST(p.cum_before // 2048 AS BIGINT) AS chunk_id,
+             p.cum_before % 2048 AS chunk_offset,
+             md5(s.text) AS final_md5
+      FROM packed p JOIN $src s USING (doc_id)
+      ORDER BY p.doc_id LIMIT 300"""
+
+  val oracle: Map[String, String] = Map(
+    "pipeline_corpus" ->
+      s"""$hygienePrefix,
+           ${packTail("survivors")}""",
+    // the trim stage replayed over the survivor set (same construction as
+    // dedup_substring_trim, t-prefixed names to avoid CTE collisions)
+    "pipeline_corpus_trim" ->
+      s"""$hygienePrefix,
+           strs AS (SELECT doc_id, string_split(text, ' ') AS st FROM survivors),
+           twins AS (SELECT doc_id, i - 1 AS tok_pos,
+                            CAST('0x' || substr(md5(array_to_string(st[i:i+15], ' ')),
+                                 1, 15) AS BIGINT) AS h
+                     FROM (SELECT doc_id, st,
+                                  unnest(generate_series(1, len(st) - 15)) AS i
+                           FROM strs WHERE len(st) >= 16)),
+           tsel AS (SELECT * FROM twins WHERE h % 4 = 0),
+           tshared AS (SELECT h, min(doc_id) AS owner FROM tsel GROUP BY h
+                       HAVING count(DISTINCT doc_id) >= 2),
+           tcov AS (SELECT DISTINCT s2.doc_id, s2.tok_pos + g.j AS idx
+                    FROM tsel s2 JOIN tshared sh2 USING (h)
+                    CROSS JOIN generate_series(0, 15) g(j)
+                    WHERE s2.doc_id <> sh2.owner),
+           ttk AS (SELECT doc_id, i - 1 AS idx, st[i] AS tok
+                   FROM (SELECT doc_id, st,
+                                unnest(generate_series(1, len(st))) AS i
+                         FROM strs)),
+           tkept AS (SELECT ttk.doc_id, ttk.idx, ttk.tok
+                     FROM ttk LEFT JOIN tcov c2
+                       ON c2.doc_id = ttk.doc_id AND c2.idx = ttk.idx
+                     WHERE c2.doc_id IS NULL),
+           trimmed AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text
+                       FROM tkept GROUP BY doc_id),
+           ${packTail("trimmed")}""")
 }
