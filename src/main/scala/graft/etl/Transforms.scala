@@ -71,16 +71,22 @@ object Transforms {
     * residues, so ~9% of rows exercise the unmatched tail. A few thousand
     * rows of strings is KBs → broadcast; the fact side never shuffles
     * before the final group-by. */
-  val etlNormalize: Q = (s, d) => {
+  /** The generated 2000-row builder-name dimension (T3's mapping),
+    * shared with the composed [[etlPipeline]]. */
+  private def builderDim(s: SparkSession): DataFrame = {
     val plats = Seq("linux64", "win64", "macosx64", "android-arm",
       "linux32", "win32", "macosx-aarch64")
     val btypes = Seq("opt", "debug", "pgo", "asan", "ccov")
-    val mapping = s.range(2000).select(
+    s.range(2000).select(
       concat(lit("builder-"), col("id").cast("string")).as("bname"),
       element_at(array(plats.map(lit): _*), (col("id") % 7).cast("int") + 1)
         .as("platform"),
       element_at(array(btypes.map(lit): _*), (col("id") % 5).cast("int") + 1)
         .as("btype"))
+  }
+
+  val etlNormalize: Q = (s, d) => {
+    val mapping = builderDim(s)
     val ev = t(s, d, "events").withColumn("bname",
       concat(lit("builder-"), (col("event_id") % 2200).cast("string")))
     ev.join(broadcast(mapping), Seq("bname"), "left")
@@ -170,7 +176,42 @@ object Transforms {
       .orderBy("route")
   }
 
+  /** T-pipeline: the reference's ETL path COMPOSED end-to-end in one plan
+    * — validate/route (T7's dead-letter split) → normalize against the
+    * broadcast builder dim (T3) → sessionize per (user, platform) (T1's
+    * group-agg shape) → stamp deterministic hash-bucketed lineage ids
+    * (T6) → assign the daily index route (S7's shape, keyed on session
+    * start day). Proves the ETL stages compose without collapsing: one
+    * scan of events, the dim broadcast, one session shuffle, 32-way
+    * parallel lineage windows — no global window, no driver round-trip. */
+  val etlPipeline: Q = (s, d) => {
+    val ev = t(s, d, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+    val (ok, _) = LogParsers.deadLetter(
+      ev, col("k").isNotNull && col("value") <= 300.0, "validation_failed")
+    val norm = ok
+      .withColumn("bname",
+        concat(lit("builder-"), (col("event_id") % 2200).cast("string")))
+      .join(broadcast(builderDim(s)), Seq("bname"), "left")
+      .withColumn("platform", coalesce(col("platform"), lit("unknown")))
+    val sess = norm.groupBy("user_id", "platform")
+      .agg(count(lit(1)).as("n_events"),
+        r2(sum("value")).as("total_value"),
+        min("ts").as("start_ts"))
+    val w = Window.partitionBy("bucket").orderBy("user_id", "platform")
+    sess
+      .withColumn("bucket", pmod(col("user_id"), lit(32L)))
+      .withColumn("etl_id",
+        (col("bucket") * lit(4294967296L) + row_number().over(w)).cast("long"))
+      .withColumn("idx", concat(lit("sessions-"),
+        date_format(date_trunc("day", col("start_ts")), "yyyy.MM.dd")))
+      .select("user_id", "platform", "n_events", "total_value", "etl_id", "idx")
+      .orderBy("user_id", "platform")
+      .limit(300)
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_pipeline" -> etlPipeline,
     "etl_unittest_sessionize" -> etlSessionize,
     "etl_perfherder" -> etlPerfherder,
     "etl_normalize" -> etlNormalize,
@@ -180,6 +221,38 @@ object Transforms {
     "etl_dead_letter" -> etlDeadLetter)
 
   val oracle: Map[String, String] = Map(
+    "etl_pipeline" ->
+      """WITH ev AS (SELECT *,
+                            CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                     FROM events),
+           ok AS (SELECT * FROM ev WHERE k IS NOT NULL AND value <= 300.0),
+           mapping AS (
+             SELECT 'builder-' || CAST(i AS VARCHAR) AS bname,
+                    ['linux64','win64','macosx64','android-arm',
+                     'linux32','win32','macosx-aarch64'][CAST(i % 7 AS INT) + 1]
+                      AS platform
+             FROM range(2000) t(i)),
+           norm AS (
+             SELECT o.user_id, o.ts, o.value,
+                    coalesce(m.platform, 'unknown') AS platform
+             FROM ok o LEFT JOIN mapping m
+               ON m.bname = 'builder-' || CAST(o.event_id % 2200 AS VARCHAR)),
+           sess AS (
+             SELECT user_id, platform,
+                    count(*) AS n_events,
+                    round(sum(value), 2) AS total_value,
+                    min(ts) AS start_ts
+             FROM norm GROUP BY 1, 2),
+           ranked AS (
+             SELECT *, user_id % 32 AS bucket,
+                    row_number() OVER (PARTITION BY user_id % 32
+                                       ORDER BY user_id, platform) AS rn
+             FROM sess)
+         SELECT user_id, platform, n_events, total_value,
+                CAST(bucket * 4294967296 + rn AS BIGINT) AS etl_id,
+                'sessions-' || strftime(date_trunc('day', start_ts), '%Y.%m.%d') AS idx
+         FROM ranked
+         ORDER BY user_id, platform LIMIT 300""",
     "etl_unittest_sessionize" ->
       """SELECT user_id, min(ts) AS start_ts, max(ts) AS end_ts,
                 count(*) AS n_events,

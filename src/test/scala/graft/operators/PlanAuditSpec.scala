@@ -167,6 +167,16 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(p.contains("md5"), p)
   }
 
+  test("etl_pipeline composes without collapsing: dim broadcast, no global window") {
+    val p = plan("etl_pipeline")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the lineage window must partition by bucket — a global window here
+    // serializes every session through one task
+    val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
+    assert(winLine.contains("bucket"), s"lineage window not bucket-partitioned:\n$p")
+  }
+
   test("join_fuzzy: candidates come from the segment equi-join, never all-pairs") {
     val p = plan("join_fuzzy")
     assert(!p.contains("CartesianProduct"), p)
