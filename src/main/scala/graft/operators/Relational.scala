@@ -151,6 +151,31 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** O6c: WEIGHTED sampling without replacement (Efraimidis–Spirakis
+    * exponential race) — the training-mix primitive the uniform samplers
+    * can't express: "k rows, probability proportional to weight" (quality
+    * score, document length, source priority). Each row draws a
+    * deterministic md5-uniform u ∈ (0,1] and its exponential arrival time
+    * −ln(u)/w; the k SMALLEST arrivals are the sample — one in-row
+    * expression per row plus a top-k (TakeOrdered; per-partition heaps,
+    * never a global sort). Reproducible across runs and repartitionings
+    * like the other md5-keyed samplers. The driver row hash-gates the
+    * exact selected id set; the heavier-rows-oversampled property is
+    * SampleSpec's assertion. */
+  val sampleWeighted: Q = (s, d) => {
+    val k = 100
+    t(s, d, "events")
+      .withColumn("u",
+        (expr("CAST(conv(substr(md5(concat('wsamp:', CAST(event_id AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+          .cast("double") + 1.0) / lit(1.152921504606846976e18))
+      .withColumn("w", greatest(col("value"), lit(0.001)))
+      .withColumn("pri", -log(col("u")) / col("w"))
+      .orderBy(asc("pri"), asc("event_id"))
+      .limit(k)
+      .select(col("event_id"), col("event_type"), r2(col("value")).as("value"))
+      .orderBy("event_id")
+  }
+
   /** J1: broadcast equi-join — the reference's denormalize/enrich pattern
     * (small dim copied to every fact row). TPC-H Q3 shape. At 100 TB the
     * dims here are KB-MB; broadcast avoids shuffling the fact table. */
@@ -367,6 +392,7 @@ object Relational {
     "dedup_exact" -> dedupExact,
     "sample_hash" -> sampleHash,
     "sample_stratified" -> sampleStratified,
+    "sample_weighted" -> sampleWeighted,
     "join_broadcast" -> joinBroadcast,
     "join_sortmerge" -> joinSortmerge,
     "join_outer" -> joinOuter,
@@ -428,6 +454,18 @@ object Relational {
                               AS BIGINT) % 100 AS hs
                FROM events)
          WHERE hs < 10 GROUP BY event_type ORDER BY event_type""",
+    "sample_weighted" ->
+      """WITH pri AS (
+           SELECT event_id, event_type, value,
+                  -ln((CAST('0x' || substr(md5('wsamp:' || CAST(event_id AS VARCHAR)),
+                            1, 15) AS BIGINT) + 1.0) / 1152921504606846976.0)
+                    / greatest(value, 0.001) AS pri
+           FROM events)
+         SELECT event_id, event_type, round(value, 2) AS value
+         FROM (SELECT *, row_number() OVER (ORDER BY pri ASC, event_id ASC) AS rn
+               FROM pri)
+         WHERE rn <= 100
+         ORDER BY event_id""",
     "sample_stratified" ->
       """SELECT event_type, count(*) AS n_sample,
                 round(sum(value), 2) AS sum_value, round(avg(value), 2) AS avg_value

@@ -35,4 +35,21 @@ class SampleSpec extends graft.SparkSpec {
     // md5 is uniform: the 10% slice lands near 10% (loose 3x bounds)
     assert(nIn > nAll / 30 && nIn < nAll / 3, s"$nIn of $nAll")
   }
+
+  test("sample_weighted oversamples heavy rows and is layout-invariant") {
+    val base = graft.SparkEntry.queries("sample_weighted")(spark, d)
+    val sample = base.collect()
+    assert(sample.length > 0)
+    // weight-proportional selection: the sample's mean value must clearly
+    // exceed the population mean (weights ARE the values)
+    val popMean = t(spark, d, "events").agg(avg("value")).head().getDouble(0)
+    val sampleMean = base.agg(avg("value")).head().getDouble(0)
+    assert(sampleMean > popMean * 1.3,
+      s"weighted sample mean $sampleMean not above population mean $popMean")
+    // md5-keyed priorities: identical selection under a different layout
+    val ids = sample.map(_.getLong(0)).toSet
+    val again = graft.SparkEntry.queries("sample_weighted")(spark, d)
+      .collect().map(_.getLong(0)).toSet
+    assert(again === ids)
+  }
 }
