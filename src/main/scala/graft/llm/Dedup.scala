@@ -409,7 +409,12 @@ object Dedup {
   /** Per-doc shingle-hash sets, the verify side of every Jaccard path:
     * (doc_id, hs, n_sh). */
   def docShingleSets(docs: DataFrame): DataFrame =
-    shinglesOf(docs).groupBy("doc_id")
+    docShingleSetsFromShingles(shinglesOf(docs))
+
+  /** As [[docShingleSets]] over a precomputed (doc_id, h) frame — lets an
+    * index build share one shingle pass between bands and verify sets. */
+  def docShingleSetsFromShingles(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n_sh"))
 
   val dedupMinhash: Q = (s, d) =>
@@ -655,7 +660,13 @@ object Dedup {
   val dedupOnlineGate: Q = (s, d) => {
     val docs = t(s, d, "documents")
     val probes = docs.filter(col("doc_id") % 10 === 0)
-    dedupAgainstCorpus(probes, minhashBands(docs), docShingleSets(docs))
+    // the corpus INDEX (bands + verify sets) derives from ONE materialized
+    // shingle pass — in production it is built once and stored; here the
+    // localCheckpoint plays that role so the gate doesn't re-shingle the
+    // corpus per consumer
+    val sh = shinglesOf(docs).localCheckpoint()
+    dedupAgainstCorpus(probes, minhashBandsFromShingles(sh),
+        docShingleSetsFromShingles(sh))
       .filter(col("doc_id") =!= col("corpus_doc"))
       .distinct()
       .orderBy(desc("jaccard"), asc("doc_id"), asc("corpus_doc"))
