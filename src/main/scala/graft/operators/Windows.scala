@@ -60,6 +60,23 @@ object Windows {
       .orderBy("event_type", "rn")
   }
 
+  /** W3b: the distribution-rank family — ntile (equal-depth bucketing for
+    * quantile assignment), percent_rank and cume_dist (normalized ranks —
+    * percentile features without materializing the percentile). Same
+    * per-partition parallelism as the rank family. */
+  val winNtile: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy(desc("value"), asc("event_id"))
+    t(s, d, "events")
+      .select(
+        col("event_id"), col("event_type"),
+        row_number().over(w).as("rn"),
+        ntile(4).over(w).as("quartile"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cdist"))
+      .filter(col("rn") <= 20)
+      .orderBy("event_type", "rn")
+  }
+
   /** W4: first/last value in partition (full frame for last). */
   val winFirstLast: Q = (s, d) =>
     t(s, d, "events")
@@ -114,6 +131,7 @@ object Windows {
     "win_sliding" -> winSliding,
     "win_range_frame" -> winRangeFrame,
     "win_rank" -> winRank,
+    "win_ntile" -> winNtile,
     "win_first_last" -> winFirstLast,
     "win_lag" -> winLag,
     "win_percentile" -> winPercentile,
@@ -146,6 +164,16 @@ object Windows {
                       CAST(row_number() OVER w AS INT) AS rn,
                       CAST(rank() OVER w AS INT) AS rk,
                       CAST(dense_rank() OVER w AS INT) AS drk
+               FROM events
+               WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC))
+         WHERE rn <= 20 ORDER BY event_type, rn""",
+    "win_ntile" ->
+      """SELECT event_id, event_type, rn, quartile, pct_rank, cdist
+         FROM (SELECT event_id, event_type,
+                      CAST(row_number() OVER w AS INT) AS rn,
+                      CAST(ntile(4) OVER w AS INT) AS quartile,
+                      round(percent_rank() OVER w, 4) AS pct_rank,
+                      round(cume_dist() OVER w, 4) AS cdist
                FROM events
                WINDOW w AS (PARTITION BY event_type ORDER BY value DESC, event_id ASC))
          WHERE rn <= 20 ORDER BY event_type, rn""",
