@@ -26,6 +26,17 @@ object JxQueries {
     "select": [{"name": "n", "value": ".", "aggregate": "count"}],
     "sort": ["event_type"]}"""
 
+  /** Duration domain under the oracle (§2.4 A5's jx face): same dense
+    * fixed-width bucketing as range, domain type echoed through the cube
+    * headers (JxSpec pins the serialization side). */
+  private val durationJson = """{
+    "from": "events",
+    "edges": [{"name": "dur", "value": "value",
+               "domain": {"type": "duration", "min": 0, "max": 500, "interval": 100}}],
+    "select": [{"name": "n", "value": ".", "aggregate": "count"},
+               {"name": "max_v", "value": "value", "aggregate": "max"}],
+    "sort": ["dur"]}"""
+
   private val rangeJson = """{
     "from": "events",
     "edges": [{"name": "bucket", "value": "value",
@@ -281,6 +292,7 @@ object JxQueries {
     "jx_groupby" -> ((s, d) => Jx.run(s, groupbyJson, name => t(s, d, name))),
     "jx_edges" -> ((s, d) => Jx.run(s, edgesJson, name => t(s, d, name))),
     "jx_range" -> ((s, d) => Jx.run(s, rangeJson, name => t(s, d, name))),
+    "jx_duration" -> ((s, d) => Jx.run(s, durationJson, name => t(s, d, name))),
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))),
     "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))))
 
@@ -392,6 +404,14 @@ object JxQueries {
          SELECT d.event_type, coalesce(s.cnt, 0) AS n
          FROM dom d LEFT JOIN sparse s ON d.event_type IS NOT DISTINCT FROM s.event_type
          ORDER BY d.event_type NULLS FIRST""",
+    "jx_duration" ->
+      """WITH domain AS (SELECT CAST(unnest(generate_series(0, 5, 1)) * 100.0 AS DOUBLE) AS dur),
+              sparse AS (SELECT floor(value / 100.0) * 100.0 AS dur,
+                                count(*) AS cnt, max(value) AS mx
+                         FROM events GROUP BY 1)
+         SELECT d.dur, coalesce(s.cnt, 0) AS n, s.mx AS max_v
+         FROM domain d LEFT JOIN sparse s USING (dur)
+         ORDER BY dur NULLS FIRST""",
     "jx_range" ->
       """WITH domain AS (SELECT CAST(unnest(generate_series(0, 10, 1)) * 50.0 AS DOUBLE) AS bucket),
               sparse AS (SELECT floor(value / 50.0) * 50.0 AS bucket, count(*) AS cnt
