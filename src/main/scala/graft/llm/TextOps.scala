@@ -247,6 +247,42 @@ object TextOps {
       .limit(300)
   }
 
+  /** Bigram language-model scoring — the conditional-probability upgrade
+    * of [[textLogfreq]]'s unigram proxy: per doc, the mean
+    * −ln P(wᵢ | wᵢ₋₁) under an add-1-smoothed bigram model trained on the
+    * corpus itself (quality filters score "does this doc read like the
+    * corpus"; contextual models catch scrambled/boilerplate text that
+    * unigram frequency cannot). Scale shape: the LM tables are
+    * vocabulary-bounded (C(a,b) and context counts C(a) — orders of
+    * magnitude below corpus size), the per-doc pass joins on hashed
+    * token keys, and the vocab size rides along as a broadcast scalar.
+    * Cross-engine exactness: counts are integers, the smoothed ratio is
+    * the same rational in both engines, and round(avg(−ln r), 4)
+    * tolerates summation-order ULP (the proven textLogfreq pattern). */
+  val textBigramNll: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val big = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+             i -> struct(element_at(toks, i) AS a,
+                         element_at(toks, i + 1) AS b))""")).as("bg"))
+      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bigramCounts = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val contextCounts = big.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(countDistinct(col("w")).as("v"))
+    big.join(bigramCounts, Seq("a", "b")).join(contextCounts, Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll", -log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), r4(avg("nll")).as("nll"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
     * md5). Identical fingerprints ⇒ same bag of words — the cheap exact
     * near-dup key; groupBy(fingerprint) at scale shuffles only the 16-byte
@@ -381,6 +417,7 @@ object TextOps {
     "text_repetition" -> textRepetition,
     "text_mix_sources" -> textMixSources,
     "text_logfreq" -> textLogfreq,
+    "text_bigram_nll" -> textBigramNll,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
 
@@ -472,6 +509,21 @@ object TextOps {
                 CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
                 cum_before % 2048 AS chunk_offset
          FROM packed ORDER BY doc_id LIMIT 300""",
+    "text_bigram_nll" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           big AS (SELECT doc_id, t[i] AS a, t[i+1] AS b
+                   FROM (SELECT doc_id, t,
+                                unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM toks WHERE len(t) >= 2)),
+           bc AS (SELECT a, b, count(*) AS c_ab FROM big GROUP BY 1, 2),
+           cc AS (SELECT a, count(*) AS c_a FROM big GROUP BY 1),
+           vv AS (SELECT count(DISTINCT w) AS v
+                  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                  WHERE length(w) > 0)
+         SELECT g.doc_id, count(*) AS n_bigrams,
+                round(avg(-ln((bc.c_ab + 1.0) / (cc.c_a + vv.v))), 4) AS nll
+         FROM big g JOIN bc USING (a, b) JOIN cc USING (a) CROSS JOIN vv
+         GROUP BY g.doc_id ORDER BY g.doc_id LIMIT 300""",
     "text_logfreq" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
            t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
