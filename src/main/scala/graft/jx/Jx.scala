@@ -205,14 +205,26 @@ object Jx {
 
   private def runNode(spark: SparkSession, q: JsonNode,
       tables: String => DataFrame): DataFrame = {
-    val fromNode = req(q, "from")
-    // nested FROM: a jx query in from-position runs first and becomes the
-    // base frame (upstream: jx_base/query.py accepts a QueryOp as `from`).
-    // Compiles to one composed plan — Catalyst sees through the nesting,
-    // so filters on the outer query still push into the inner one's scan.
-    val base =
-      if (fromNode.isObject) runNode(spark, fromNode, tables)
-      else resolveFrom(fromNode.asText(), tables)
+    // `pipeline` in from-position: the composed corpus-hygiene chain
+    // (normalize → redact → near-dup drop → decontaminate → pack) as a
+    // first-class jx query type, so the reference's users reach the
+    // engine's flagship pipeline through the SAME front-end they speak
+    // everywhere else (upstream analog: jx is ActiveData's single user
+    // surface). The corpus/benchmark inputs are themselves full jx
+    // queries, and the usual tail (where/select/sort/limit/window)
+    // applies over the packed survivor frame — one composed plan.
+    val base = opt(q, "pipeline") match {
+      case Some(p) => runPipeline(spark, p, tables)
+      case None =>
+        val fromNode = req(q, "from")
+        // nested FROM: a jx query in from-position runs first and becomes
+        // the base frame (upstream: jx_base/query.py accepts a QueryOp as
+        // `from`). Compiles to one composed plan — Catalyst sees through
+        // the nesting, so filters on the outer query still push into the
+        // inner one's scan.
+        if (fromNode.isObject) runNode(spark, fromNode, tables)
+        else resolveFrom(fromNode.asText(), tables)
+    }
     val filtered = opt(q, "where").map(w => base.filter(expr(w))).getOrElse(base)
 
     val selects = selectList(q)
@@ -256,6 +268,23 @@ object Jx {
     opt(q, "limit").map(n => sorted.limit(n.asInt())).getOrElse(sorted)
   }
 
+  /** Compile a {"pipeline": {...}} node into [[graft.llm.Pipeline
+    * .corpusHygiene]]. Spec keys: `corpus` and `benchmark` (jx queries,
+    * required), `jaccard_threshold`, `min_overlap`, `context`, `shards`,
+    * `trim_spans` (optional knobs, defaulting to the library defaults).
+    * Output schema is the hygiene pipeline's packed survivor layout:
+    * (doc_id, shard, n_tok, chunk_id, chunk_offset, final_md5). */
+  private def runPipeline(spark: SparkSession, p: JsonNode,
+      tables: String => DataFrame): DataFrame =
+    graft.llm.Pipeline.corpusHygiene(
+      runNode(spark, req(p, "corpus"), tables),
+      runNode(spark, req(p, "benchmark"), tables),
+      jaccardThreshold = opt(p, "jaccard_threshold").map(_.asDouble()).getOrElse(0.5),
+      minOverlap = opt(p, "min_overlap").map(_.asInt()).getOrElse(3),
+      ctx = opt(p, "context").map(_.asLong()).getOrElse(2048L),
+      nShards = opt(p, "shards").map(_.asLong()).getOrElse(8L),
+      trimSpans = opt(p, "trim_spans").exists(_.asBoolean()))
+
   private def resolveFrom(name: String, tables: String => DataFrame): DataFrame = {
     val segs = name.split("\\.")
     segs.tail.foldLeft((tables(segs.head), "")) { case ((df, prefix), seg) =>
@@ -270,9 +299,13 @@ object Jx {
     * (the reference allows full op-trees anywhere a field name fits);
     * compiled through [[expr]]. Plain field names stay in `value`.
     * `percentile` parameterizes the percentile aggregate (upstream:
-    * select {"aggregate": "percentile", "percentile": p}). */
+    * select {"aggregate": "percentile", "percentile": p}); `bits`
+    * parameterizes the bloom aggregate's filter size — a fixed default
+    * silently inflates the FPR once a group's key cardinality outgrows
+    * it, so the spec must be able to carry the size. */
   private case class Sel(name: String, value: String, aggregate: Option[String],
-      valueNode: Option[JsonNode] = None, percentile: Option[Double] = None)
+      valueNode: Option[JsonNode] = None, percentile: Option[Double] = None,
+      bits: Option[Int] = None)
 
   private def selectList(q: JsonNode): Seq[Sel] =
     opt(q, "select") match {
@@ -288,7 +321,8 @@ object Jx {
             val value = vNode.filter(_.isTextual).map(_.asText()).getOrElse(".")
             val name = opt(o, "name").map(_.asText()).getOrElse(value)
             Sel(name, value, opt(o, "aggregate").map(_.asText()), exprNode,
-              opt(o, "percentile").map(_.asDouble()))
+              opt(o, "percentile").map(_.asDouble()),
+              opt(o, "bits").map(_.asInt()))
         }
     }
 
@@ -326,8 +360,11 @@ object Jx {
           graft.functions.TDigestSketchAgg(v), s.percentile.getOrElse(0.5))
       case "bloom" =>
         // the membership-gate artifact itself (binary); a caller feeds it
-        // to bloom_might_contain — jx_sketch gates the DECISIONS it makes
-        graft.functions.BloomSketchAgg(v)
+        // to bloom_might_contain — jx_sketch gates the DECISIONS it makes.
+        // Size comes from the spec ("bits"): a fixed default breaks the
+        // FP pin once a group's cardinality outgrows it (at 10 bits/key
+        // the 1<<20 default saturates near 100k keys/group).
+        graft.functions.BloomSketchAgg(v, s.bits.getOrElse(1 << 20), 7)
       case other => throw new IllegalArgumentException(s"unsupported aggregate: $other")
     })
   }
@@ -434,11 +471,15 @@ object Jx {
         val d = domainSpec.get
         val (lo, hi, iv) = (req(d, "min").asDouble(), req(d, "max").asDouble(),
           req(d, "interval").asDouble())
+        // the domain partitions [min, max) half-open (upstream range
+        // domains): the last part starts at the largest interval multiple
+        // BELOW max, and values ≥ max fall outside the domain (the dense
+        // domain-left-join drops their sparse rows)
         exprEdge(name, floor(vcol / iv) * iv,
           df => df.sparkSession.range(1)
             .select(explode(sequence(
               lit(math.floor(lo / iv).toLong),
-              lit(math.floor(hi / iv).toLong), lit(1L))).as("__i"))
+              lit(math.ceil(hi / iv).toLong - 1), lit(1L))).as("__i"))
             .select((col("__i") * iv).cast("double").as(name)))
       case Some("time") =>
         val unit = opt(domainSpec.get, "interval").map(_.asText()).getOrElse("day")

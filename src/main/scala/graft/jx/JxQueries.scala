@@ -252,8 +252,20 @@ object JxQueries {
       {"name": "p50_td", "value": "value", "aggregate": "percentile_tdigest",
        "percentile": 0.5},
       {"name": "min_user", "value": "user_id", "aggregate": "min"},
-      {"name": "bf", "value": "user_id", "aggregate": "bloom"}],
+      {"name": "bf", "value": "user_id", "aggregate": "bloom", "bits": 8388608}],
     "sort": ["event_type"]}"""
+
+  /** The composed hygiene pipeline reached THROUGH the query language —
+    * corpus/benchmark split expressed as jx sub-queries, knobs at the
+    * library defaults, tail sort+limit identical to pipeline_corpus. The
+    * oracle is pipeline_corpus's full-replay SQL verbatim: the jx front
+    * end must compile to the exact same decision set as the Column API. */
+  private val pipelineJson = """{
+    "pipeline": {
+      "corpus": {"from": "documents", "where": {"gte": ["doc_id", 10]}},
+      "benchmark": {"from": "documents", "where": {"lt": ["doc_id", 10]}}},
+    "sort": ["doc_id"],
+    "limit": 300}"""
 
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
@@ -294,9 +306,13 @@ object JxQueries {
     "jx_range" -> ((s, d) => Jx.run(s, rangeJson, name => t(s, d, name))),
     "jx_duration" -> ((s, d) => Jx.run(s, durationJson, name => t(s, d, name))),
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))),
-    "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))))
+    "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))),
+    "jx_pipeline" -> ((s, d) => Jx.run(s, pipelineJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
+    // the jx front end must land on the Column API's exact decision set,
+    // so the oracle is pipeline_corpus's full-replay SQL verbatim
+    "jx_pipeline" -> graft.llm.Pipeline.oracle("pipeline_corpus"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,
@@ -405,7 +421,7 @@ object JxQueries {
          FROM dom d LEFT JOIN sparse s ON d.event_type IS NOT DISTINCT FROM s.event_type
          ORDER BY d.event_type NULLS FIRST""",
     "jx_duration" ->
-      """WITH domain AS (SELECT CAST(unnest(generate_series(0, 5, 1)) * 100.0 AS DOUBLE) AS dur),
+      """WITH domain AS (SELECT CAST(unnest(generate_series(0, 4, 1)) * 100.0 AS DOUBLE) AS dur),
               sparse AS (SELECT floor(value / 100.0) * 100.0 AS dur,
                                 count(*) AS cnt, max(value) AS mx
                          FROM events GROUP BY 1)
@@ -413,7 +429,7 @@ object JxQueries {
          FROM domain d LEFT JOIN sparse s USING (dur)
          ORDER BY dur NULLS FIRST""",
     "jx_range" ->
-      """WITH domain AS (SELECT CAST(unnest(generate_series(0, 10, 1)) * 50.0 AS DOUBLE) AS bucket),
+      """WITH domain AS (SELECT CAST(unnest(generate_series(0, 9, 1)) * 50.0 AS DOUBLE) AS bucket),
               sparse AS (SELECT floor(value / 50.0) * 50.0 AS bucket, count(*) AS cnt
                          FROM events GROUP BY 1)
          SELECT d.bucket, coalesce(s.cnt, 0) AS n

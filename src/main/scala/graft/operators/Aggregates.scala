@@ -367,6 +367,74 @@ object Aggregates {
       .orderBy("event_type")
   }
 
+  /** A16b: the cross-day sketch ARTIFACT STORE — the missing half of the
+    * mergeable-sketch story. [[aggTdigest]] proves partials merge in one
+    * plan; this key proves they merge across a STORAGE boundary, the
+    * reference's daily-index shape (upstream: push_to_es.py writes one
+    * index per day; multi_day_index.py queries the union): per-day
+    * partial sketches (t-digest over value, HLL over user_id, a Bloom
+    * membership filter, the exact row count) are written to a parquet
+    * rollup table partitioned by day, RELOADED, and re-merged per
+    * event_type — so serialization round-trip + cross-file merge are both
+    * under the oracle. At 100 TB this is the production rollup: each
+    * day's job appends KB-scale partials; a quarter's percentile needs
+    * only ~90 sketch rows re-merged, never the raw events.
+    *
+    * Build-once/probe-many via [[graft.llm.Artifacts]], like
+    * sim_ivf_persist and dedup_online_gate: the bench times the
+    * MERGE+PROBE over the stored rollup, the build runs once per session.
+    *
+    * Decision pins (all hash-gated): n = Σ daily counts must equal the
+    * exact count (a dropped partial breaks it); td50 inside the exact
+    * ±0.05-rank band ([[aggTdigest]]'s recipe); HLL estimate within 5% of
+    * exact cardinality; merged Bloom contains each group's min user (no
+    * false negatives survive a merge) and rejects an out-of-domain key. */
+  val aggTdigestStore: Q = (s, d) => {
+    import graft.functions.{BloomMergeAgg, BloomProbeRow, BloomSketchAgg,
+      TDigestMergeAgg, TDigestQuantile}
+    val ev = t(s, d, "events")
+    val dir = graft.llm.Artifacts.buildOnce(s, "sketch_store", d) { dd =>
+      ev.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+        .agg(
+          graft.functions.TDigestSketchAgg(col("value")).as("td"),
+          hll_sketch_agg(col("user_id")).as("hll"),
+          BloomSketchAgg(col("user_id"), 1 << 23, 7).as("bf"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$dd/daily")
+    }
+    val merged = s.read.parquet(s"$dir/daily")
+      .groupBy("event_type")
+      .agg(
+        TDigestMergeAgg(col("td")).as("sk"),
+        hll_sketch_estimate(hll_union_agg(col("hll"))).as("hll_est"),
+        BloomMergeAgg(col("bf"), 1 << 23, 7).as("bf"),
+        sum(col("n")).as("n_stored"))
+      .select(col("event_type"), col("hll_est"), col("bf"), col("n_stored"),
+        TDigestQuantile(col("sk"), 0.5).as("td50"))
+    val exact = ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        countDistinct(col("user_id")).as("nd_exact"),
+        min(col("user_id")).as("min_user"),
+        min("value").as("mn"), max("value").as("mx"),
+        expr("percentile(value, 0.45)").as("plo50"),
+        expr("percentile(value, 0.55)").as("phi50"))
+      .select(col("event_type"), col("n_exact"), col("nd_exact"), col("min_user"),
+        when(col("n_exact") < 20, col("mn")).otherwise(col("plo50")).as("lo50"),
+        when(col("n_exact") < 20, col("mx")).otherwise(col("phi50")).as("hi50"))
+    merged.as("m").join(exact.as("e"),
+        col("m.event_type") <=> col("e.event_type"))
+      .select(col("m.event_type").as("event_type"),
+        col("n_exact").as("n"),
+        (col("n_stored") === col("n_exact")).as("store_complete"),
+        (col("td50") >= col("lo50") && col("td50") <= col("hi50")).as("p50_ok"),
+        (abs(col("hll_est") - col("nd_exact")) <= col("nd_exact") * lit(0.05))
+          .as("hll_ok"),
+        BloomProbeRow(col("bf"), col("min_user")).as("bloom_member"),
+        BloomProbeRow(col("bf"), lit(10000043L)).as("bloom_fp"))
+      .orderBy("event_type")
+  }
+
   /** A16: heavy-hitter frequency estimation via Spark's BUILT-IN mergeable
     * count-min sketch aggregate (§2.10 policy: built-ins before custom
     * code). The pipeline use: find the skewed keys — hot users, hot
@@ -408,6 +476,7 @@ object Aggregates {
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_groupby" -> aggGroupby,
     "agg_tdigest" -> aggTdigest,
+    "agg_tdigest_store" -> aggTdigestStore,
     "edges_dense" -> edgesDense,
     "edges_dense_null" -> edgesDenseNull,
     "edges_histogram" -> edgesHistogram,
@@ -431,6 +500,12 @@ object Aggregates {
     // boolean and fails the hash compare.
     "agg_tdigest" ->
       """SELECT event_type, TRUE AS p50_ok, TRUE AS p90_ok
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // the stored-rollup twin: exact n plus the five merge-survival pins
+    "agg_tdigest_store" ->
+      """SELECT event_type, count(*) AS n,
+                TRUE AS store_complete, TRUE AS p50_ok, TRUE AS hll_ok,
+                TRUE AS bloom_member, FALSE AS bloom_fp
          FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_heavy_hitters" ->
       """SELECT user_id, n_exact,

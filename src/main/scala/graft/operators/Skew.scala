@@ -81,18 +81,21 @@ object Skew {
   }
 
   /** Driver gate for [[saltedJoin]]: a DELIBERATELY hot probe side —
-    * every third user_id folds into key 0, so one key carries ~33% of
+    * every third user_id folds into key 1, so one key carries ~33% of
     * events (the one-reducer-pegged shape) — joined to the customer dim
     * on the salted (key, __salt) pair, then aggregated per market
-    * segment. Row-identical to the plain join by construction (each probe
-    * row meets each matching build row under exactly one salt), which is
-    * what the oracle SQL asserts: it runs the UNSALTED join. PlanAuditSpec
-    * pins the physical shape — build-side salt explode present, join keys
-    * carry __salt. */
+    * segment. The hot key is 1, not 0: custkeys start at 1, so the hot
+    * slice SURVIVES the inner join and actually flows through the salted
+    * path (a hot key absent from the dim would make the demo vacuous —
+    * the skewed rows would just vanish). Row-identical to the plain join
+    * by construction (each probe row meets each matching build row under
+    * exactly one salt), which is what the oracle SQL asserts: it runs
+    * the UNSALTED join. PlanAuditSpec pins the physical shape —
+    * build-side salt explode present, join keys carry __salt. */
   val joinSkewSalted: Q = (s, d) => {
     val ev = t(s, d, "events")
       .withColumn("hot_key",
-        when(col("user_id") % 3 === 0, lit(0L)).otherwise(col("user_id")))
+        when(col("user_id") % 3 === 0, lit(1L)).otherwise(col("user_id")))
       .select("hot_key", "value")
     val dim = t(s, d, "customer")
       .select(col("c_custkey").as("hot_key"), col("c_mktsegment"))
@@ -108,7 +111,7 @@ object Skew {
   val oracle: Map[String, String] = Map(
     "join_skew_salted" ->
       """WITH ev AS (
-           SELECT CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END AS hot_key,
+           SELECT CASE WHEN user_id % 3 = 0 THEN 1 ELSE user_id END AS hot_key,
                   value
            FROM events)
          SELECT c.c_mktsegment,

@@ -125,15 +125,17 @@ class JxSpec extends graft.SparkSpec {
                  "domain": {"type": "range", "min": 0, "max": 50, "interval": 10}}],
       "select": [{"name": "n", "value": ".", "aggregate": "count"}],
       "sort": ["bin"]}""").collect()
-    // bins 0..50 step 10 → 6 parts, all materialized
-    assert(out.length === 6)
+    // [0, 50) half-open step 10 → 5 parts, all materialized; the
+    // duration-50 row sits AT max and is out of domain (upstream range
+    // domains partition [min, max))
+    assert(out.length === 5)
     val cells = out.map(r => r.getDouble(0) -> r.getLong(1)).toMap
     assert(cells(0.0) === 1L)  // 7.0
     assert(cells(10.0) === 1L) // 10.0
     assert(cells(20.0) === 1L) // 20.0
     assert(cells(30.0) === 1L)
     assert(cells(40.0) === 1L)
-    assert(cells(50.0) === 1L)
+    assert(!cells.contains(50.0))
   }
 
   test("time domain: dense calendar-day buckets with in-plan bounds") {

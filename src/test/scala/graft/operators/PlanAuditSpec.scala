@@ -141,6 +141,24 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(p.contains("bloom_might_contain"), p)
   }
 
+  test("dedup_online_gate probes the STORED band/set index, never re-shingling the corpus") {
+    // build-once/probe-many: the gate's plan must read the persisted
+    // artifact tables (bands partitioned by band, sets) — a corpus-side
+    // shingle recompute would show up as a SECOND documents scan
+    val p = plan("dedup_online_gate")
+    assert(p.contains("graft_artifacts"), s"gate does not read the stored index:\n$p")
+    // every documents scan must be the PROBE slice (doc_id % 10 pushed
+    // into DataFilters) — a corpus re-shingle scan would read the full
+    // table. (Two probe scans may appear textually: the band artifact is
+    // partitioned, so Spark adds a dynamic-partition-pruning subquery
+    // whose broadcast AQE reuses at runtime.)
+    val docScans = p.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("documents")).toSeq
+    assert(docScans.nonEmpty, p)
+    docScans.foreach(l =>
+      assert(l.contains("% 10"), s"full-corpus scan (index not reused): $l"))
+  }
+
   test("sample_stratified shuffles once, on the stratum key") {
     val p = plan("sample_stratified")
     assert(!p.contains("Join"), p)
@@ -192,6 +210,20 @@ class PlanAuditSpec extends graft.SparkSpec {
     val p = plan("sim_pq")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("sim_ivfpq: ADC + coarse-dot tables broadcast; candidates only from probed lists") {
+    // the composed index's scale contract: the residual ADC table and
+    // per-list coarse dots are broadcast-tiny; the only nested-loop is
+    // the deliberate nlist-row centroid cross (as in sim_ivf) — the
+    // corpus side must reach the ranker through equi-joins alone
+    val p = plan("sim_ivfpq")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val nested = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val centroidCross = "BroadcastExchange IdentityBroadcastMode".r.findAllIn(p).size
+    assert(nested <= centroidCross,
+      s"non-centroid nested-loop join in the IVF-PQ plan:\n$p")
   }
 
   test("jx_edges_topn: the top-N remap joins, not a driver-side collect") {
