@@ -635,7 +635,20 @@ object Dedup {
     * touches only its 4 band buckets. */
   def dedupAgainstCorpus(newDocs: DataFrame, corpusBands: DataFrame,
       corpusSets: DataFrame, jt: Double = 0.5): DataFrame =
-    minhashInRow(newDocs)
+    dedupAgainstCorpusSigned(minhashInRow(newDocs), corpusBands, corpusSets, jt)
+
+  /** [[dedupAgainstCorpus]] over an already-SIGNED probe frame
+    * ((doc_id, hs, n_sh, bands) — [[minhashInRow]]'s output). Split out
+    * so a batch caller can materialize the signatures once: the in-row
+    * chain is ~1k md5s per doc, and an unmaterialized probe subtree gets
+    * re-evaluated by the pushed-down non-empty filter, the band-join
+    * broadcast AND its dynamic-partition-pruning subquery — 3× the
+    * probe's real cost in the gate's measured plan. A streaming caller
+    * passes the signed stream straight through (stateless in-row
+    * signatures; nothing to materialize). */
+  def dedupAgainstCorpusSigned(signed: DataFrame, corpusBands: DataFrame,
+      corpusSets: DataFrame, jt: Double = 0.5): DataFrame =
+    signed
       .select(col("doc_id"), col("hs"), col("n_sh"), posexplode(col("bands")))
       .select(col("doc_id"), col("hs"), col("n_sh"),
         col("pos").as("band"), col("col").as("bh"))
@@ -677,8 +690,11 @@ object Dedup {
       docShingleSetsFromShingles(sh)
         .write.mode("overwrite").parquet(s"$dd/sets")
     }
-    dedupAgainstCorpus(probes, s.read.parquet(s"$dir/bands"),
-        s.read.parquet(s"$dir/sets"))
+    // probe signatures materialized ONCE (the in-row chain is the real
+    // per-probe cost; see dedupAgainstCorpusSigned) — the streaming form
+    // computes them per arriving row, the batch gate per probe slice
+    dedupAgainstCorpusSigned(minhashInRow(probes).localCheckpoint(),
+        s.read.parquet(s"$dir/bands"), s.read.parquet(s"$dir/sets"))
       .filter(col("doc_id") =!= col("corpus_doc"))
       .distinct()
       .orderBy(desc("jaccard"), asc("doc_id"), asc("corpus_doc"))

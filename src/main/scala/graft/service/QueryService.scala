@@ -1,0 +1,71 @@
+package graft.service
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's HTTP query surface, re-expressed over the jx compiler
+  * (upstream: active_data/app.py — a Flask app accepting a jx JSON query
+  * on POST /query and answering in the requested format). This closes
+  * the last user-facing gap: the reference's users don't import a
+  * library, they POST jx to a service; everything they POST compiles
+  * through [[graft.jx.Jx.runFormatted]] onto the same oracle-gated
+  * operator inventory.
+  *
+  * Deliberately thin and dependency-free (the JDK's built-in
+  * HttpServer): the engine stays the product — the service is one
+  * dispatch layer, no query logic of its own. The Spark DRIVER hosts
+  * it; execution still fans out over the cluster, and the response
+  * collect is the already-aggregated result set (the same
+  * response-formatting boundary [[graft.jx.Jx.listJson]] documents).
+  * Concurrency: HttpServer's default executor serializes requests on
+  * the calling thread; a production deployment would plug in a bounded
+  * pool and Spark's scheduler pools (`spark.scheduler.mode=FAIR`) —
+  * the handler is stateless so that is a config change, not a rewrite.
+  *
+  * Endpoints:
+  *  - `POST /query`   — body: a jx JSON query; 200 with the jx-formatted
+  *    response (list/table/cube per the query's `format`), 400 with
+  *    `{"error": …}` on a bad query.
+  *  - `GET  /health`  — `{"status":"ok"}` liveness probe.
+  */
+object QueryService {
+
+  /** Start the service on `port` (0 = ephemeral; read the bound port off
+    * the returned server). `tables` resolves jx `from` names, exactly as
+    * for [[graft.jx.Jx.run]]. Caller owns the server lifecycle. */
+  def start(spark: SparkSession, tables: String => DataFrame,
+      port: Int = 0): HttpServer = {
+    val server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/health", (ex: HttpExchange) =>
+      respond(ex, 200, """{"status":"ok"}"""))
+    server.createContext("/query", (ex: HttpExchange) =>
+      if (ex.getRequestMethod != "POST")
+        respond(ex, 405, """{"error":"POST a jx query"}""")
+      else {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        try respond(ex, 200, graft.jx.Jx.runFormatted(spark, body, tables))
+        catch {
+          case e: Exception =>
+            respond(ex, 400, s"""{"error":${quote(e.getMessage)}}""")
+        }
+      })
+    server.start()
+    server
+  }
+
+  private def quote(s: String): String =
+    "\"" + Option(s).getOrElse("query failed")
+      .replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\x00-\\x1f]", " ") + "\""
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+}

@@ -147,16 +147,15 @@ class PlanAuditSpec extends graft.SparkSpec {
     // shingle recompute would show up as a SECOND documents scan
     val p = plan("dedup_online_gate")
     assert(p.contains("graft_artifacts"), s"gate does not read the stored index:\n$p")
-    // every documents scan must be the PROBE slice (doc_id % 10 pushed
-    // into DataFilters) — a corpus re-shingle scan would read the full
-    // table. (Two probe scans may appear textually: the band artifact is
-    // partitioned, so Spark adds a dynamic-partition-pruning subquery
-    // whose broadcast AQE reuses at runtime.)
+    // the probe's signatures are materialized (localCheckpoint) before
+    // the joins, so the final plan holds NO documents scan at all — any
+    // documents FileScan here means either a corpus re-shingle or an
+    // unmaterialized probe subtree being re-evaluated by the pushed
+    // filter / band broadcast / DPP subquery (3× the probe's real cost)
     val docScans = p.linesIterator
       .filter(l => l.contains("FileScan") && l.contains("documents")).toSeq
-    assert(docScans.nonEmpty, p)
-    docScans.foreach(l =>
-      assert(l.contains("% 10"), s"full-corpus scan (index not reused): $l"))
+    assert(docScans.isEmpty,
+      s"documents scanned in the probe plan (index or signatures not reused):\n$p")
   }
 
   test("sample_stratified shuffles once, on the stratum key") {

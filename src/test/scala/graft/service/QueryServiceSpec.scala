@@ -1,0 +1,96 @@
+package graft.service
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.DataFrame
+
+/** The HTTP surface end-to-end: boot on an ephemeral port, POST real jx
+  * over HTTP, and assert the formatted responses — the same round trip
+  * the reference's users make against ActiveData (upstream:
+  * active_data/app.py). The query logic itself is JxSpec's territory;
+  * this spec pins the transport: dispatch, formats, error shape,
+  * liveness. */
+class QueryServiceSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val mapper = new ObjectMapper()
+
+  private lazy val logs: DataFrame = Seq(
+    (1L, "mochitest", "win", 10.0),
+    (2L, "mochitest", "linux", 20.0),
+    (3L, "xpcshell", "win", 30.0))
+    .toDF("id", "suite", "platform", "duration")
+
+  private def withServer(f: (HttpClient, Int) => Unit): Unit = {
+    val server = QueryService.start(spark, _ => logs)
+    try f(HttpClient.newHttpClient(), server.getAddress.getPort)
+    finally server.stop(0)
+  }
+
+  private def post(c: HttpClient, port: Int, body: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("health endpoint answers ok") {
+    withServer { (c, port) =>
+      val r = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/health")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(mapper.readTree(r.body()).get("status").asText() === "ok")
+    }
+  }
+
+  test("POST /query runs jx and answers the list format") {
+    withServer { (c, port) =>
+      val r = post(c, port, """{
+        "from": "logs",
+        "select": ["id", "suite"],
+        "where": {"gte": ["duration", 20]},
+        "sort": ["id"]}""")
+      assert(r.statusCode() === 200)
+      val root = mapper.readTree(r.body())
+      assert(root.get("meta").get("format").asText() === "list")
+      val data = root.get("data")
+      assert(data.size() === 2)
+      assert(data.get(0).get("id").asLong() === 2L)
+      assert(data.get(1).get("suite").asText() === "xpcshell")
+    }
+  }
+
+  test("POST /query answers the cube format for an edges query") {
+    withServer { (c, port) =>
+      val r = post(c, port, """{
+        "from": "logs",
+        "edges": ["suite"],
+        "select": [{"name": "n", "value": ".", "aggregate": "count"}]}""")
+      assert(r.statusCode() === 200)
+      val root = mapper.readTree(r.body())
+      assert(root.get("meta").get("format").asText() === "cube")
+      assert(root.get("edges").get(0).get("name").asText() === "suite")
+      // dense domain: null part + 2 observed suites, counts align
+      assert(root.get("data").get("n").size() === 3)
+    }
+  }
+
+  test("a malformed query answers 400 with an error body, not a hang") {
+    withServer { (c, port) =>
+      val r = post(c, port, """{"from": "logs", "select": [{"name": "x",
+        "value": "duration", "aggregate": "no_such_agg"}]}""")
+      assert(r.statusCode() === 400)
+      assert(mapper.readTree(r.body()).has("error"))
+    }
+  }
+
+  test("GET /query is rejected with 405") {
+    withServer { (c, port) =>
+      val r = c.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/query")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 405)
+    }
+  }
+}
