@@ -397,11 +397,26 @@ object Similarity {
         col("dc.dist").as("dist"))
 
   val simPq: Q = (s, d) => {
-    val (sub, _, cents, codesWithDist) = pqParts(s, d)
-    val codes = codesWithDist.select("vec_id", "m", "cid")
+    // Build-once/probe-many ([[Artifacts]], same policy as sim_ivfpq /
+    // sim_ivf_persist / the dedup gate): the codebooks and codes are the
+    // storable index; warm calls pay only the ADC probe. The stored
+    // artifacts are deterministic (seeded Lloyd), so the oracle replay
+    // is unchanged.
+    val dir = Artifacts.buildOnce(s, "pq", d) { dd =>
+      val (_, _, cents, codesWithDist) = pqParts(s, d)
+      cents.localCheckpoint().write.mode("overwrite").parquet(s"$dd/pqcents")
+      codesWithDist.select("vec_id", "m", "cid")
+        .write.mode("overwrite").parquet(s"$dd/codes")
+    }
+    val cents = s.read.parquet(s"$dir/pqcents")
+    val codes = s.read.parquet(s"$dir/codes")
     // ADC table: 20 queries × 8 subspaces × ≤16 centroids of exact dots
-    val qsub = sub.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("m"), col("sv").as("qv"))
+    val qsub = t(s, d, "embeddings").filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), posexplode(expr(
+        """transform(sequence(0, 7),
+             m -> transform(slice(embedding, m * 8 + 1, 8),
+                            x -> CAST(x AS DOUBLE)))""")))
+      .select(col("qid"), col("pos").as("m"), col("col").as("qv"))
     val tab = qsub.join(broadcast(cents), Seq("m"))
       .withColumn("pd", expr(
         "aggregate(zip_with(qv, cv, (x, y) -> x * y), 0D, (a, v) -> a + v)"))
