@@ -460,6 +460,20 @@ object Similarity {
     * single qcdot + Σ addition — so the driver hash-compares the actual
     * IVF-PQ top-k. */
   val simIvfPq: Q = (s, d) => {
+    val w = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    ivfPqApprox(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "nid", "adot")
+      .orderBy("qid", "rnk")
+  }
+
+  /** The IVF-PQ approximate scorer shared by [[simIvfPq]] (rank the ADC
+    * metric directly) and [[simIvfPqRerank]] (ADC shortlist → exact
+    * re-rank): returns (qid, nid, adot) for every candidate in the
+    * query's nprobe probed lists, adot already rounded (round-then-rank,
+    * same as the oracle). */
+  private def ivfPqApprox(s: SparkSession, d: String): DataFrame = {
     val nprobe = 4
     // Build-once/probe-many ([[Artifacts]]): the IVF-PQ index — coarse
     // centroids, residual codebooks, per-vector codes, list assignments —
@@ -514,7 +528,6 @@ object Similarity {
       .filter(col("rk") <= nprobe)
       .select(col("vec_id").as("qid"), col("cid"))
     val cand = probes.join(s.read.parquet(s"$dir/assign"), Seq("cid"))
-    val w = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
     cand.join(codes, Seq("nid"))
       .join(broadcast(tab), Seq("qid", "m", "pqc"))
       // m-ordered fold; 0D + pd0 = pd0 exactly, so the 8-term sum is
@@ -524,10 +537,39 @@ object Similarity {
                    x -> x.pd), 0D, (a, v) -> a + v)""").as("s8"))
       .join(broadcast(qc), Seq("qid", "cid"))
       .filter(col("qid") =!= col("nid"))
-      .withColumn("adot", r4(col("qcdot") + col("s8")))
-      .withColumn("rnk", row_number().over(w))
+      .select(col("qid"), col("nid"), r4(col("qcdot") + col("s8")).as("adot"))
+  }
+
+  /** X3g-b: the two-stage IVF-PQ search (Jégou §V's refinement, the
+    * shape every production ANN system runs): the broad ADC pass ranks
+    * ALL probed-list candidates by the approximate metric, a SHORTLIST
+    * (top-R=20 per query) survives, and only those R rows pay an exact
+    * 64-dim dot against the raw vectors — per query, 20 exact dots
+    * instead of |probed lists|, while recall recovers from any PQ
+    * quantization error inside the shortlist. The exact side joins the
+    * corpus table by nid (at 100 TB: a broadcast of the R·|queries|
+    * shortlist against the vector table, or a pruned lookup if vectors
+    * are stored by id — never a scan of the approximate candidates'
+    * full lists). Oracle: the full sim_ivfpq replay up to the candidate
+    * adots, the same round-then-rank top-R cut, then exact list_reduce
+    * dots re-ranked — hash-exact like its siblings. */
+  val simIvfPqRerank: Q = (s, d) => {
+    val wA = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    val shortlist = ivfPqApprox(s, d)
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= 20)
+      .select("qid", "nid")
+    val vecs = t(s, d, "embeddings")
+    val corpus = vecs.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val qv = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wE = Window.partitionBy("qid").orderBy(desc("dot"), asc("nid"))
+    shortlist.join(corpus, Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("dot", r4(DotProduct(col("qe"), col("nv"))))
+      .withColumn("rnk", row_number().over(wE))
       .filter(col("rnk") <= 5)
-      .select("qid", "rnk", "nid", "adot")
+      .select("qid", "rnk", "nid", "dot")
       .orderBy("qid", "rnk")
   }
 
@@ -551,6 +593,7 @@ object Similarity {
     "sim_topk" -> simTopk,
     "sim_ivf" -> simIvf,
     "sim_ivfpq" -> simIvfPq,
+    "sim_ivfpq_rerank" -> simIvfPqRerank,
     "sim_ivf_persist" -> simIvfPersist,
     "sim_ivf_census" -> simIvfCensus,
     "sim_pq" -> simPq,
@@ -644,85 +687,12 @@ object Similarity {
                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
              FROM scored) WHERE rn = 1)"""
 
-  val oracle: Map[String, String] = Map(
-    // full PQ replay: subspace slices → per-subspace 2-iteration Lloyd
-    // (decimal-exact means, argmin tie-broken by cid) → codes → ADC table
-    // → m-ordered fold. Rounds BEFORE ranking, same as the Spark side.
-    "sim_pq" ->
-      """WITH raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-                      FROM embeddings),
-           sub AS (SELECT vec_id, m, v[8 * m + 1 : 8 * m + 8] AS sv
-                   FROM raw CROSS JOIN generate_series(0, 7) t(m)),
-           seed AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
-           d0 AS (SELECT s.vec_id, s.m, c.cid,
-                         list_reduce([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
-                                      for i in generate_series(1, 8)],
-                                     (a, b) -> a + b) AS dist
-                  FROM sub s JOIN seed c USING (m)),
-           a0 AS (SELECT vec_id, m, cid FROM (
-                    SELECT vec_id, m, cid,
-                           row_number() OVER (PARTITION BY vec_id, m
-                                              ORDER BY dist, cid) AS rn
-                    FROM d0) WHERE rn = 1),
-           m1 AS (SELECT a.m, a.cid, t.i,
-                         CAST(sum(CAST(s.sv[t.i] AS DECIMAL(27,10))) AS DOUBLE)
-                           / count(*) AS mu
-                  FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
-                  CROSS JOIN generate_series(1, 8) t(i)
-                  GROUP BY a.m, a.cid, t.i),
-           c1 AS (SELECT m, cid, list(mu ORDER BY i) AS cv FROM m1 GROUP BY m, cid),
-           d1 AS (SELECT s.vec_id, s.m, c.cid,
-                         list_reduce([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
-                                      for i in generate_series(1, 8)],
-                                     (a, b) -> a + b) AS dist
-                  FROM sub s JOIN c1 c USING (m)),
-           a1 AS (SELECT vec_id, m, cid FROM (
-                    SELECT vec_id, m, cid,
-                           row_number() OVER (PARTITION BY vec_id, m
-                                              ORDER BY dist, cid) AS rn
-                    FROM d1) WHERE rn = 1),
-           m2 AS (SELECT a.m, a.cid, t.i,
-                         CAST(sum(CAST(s.sv[t.i] AS DECIMAL(27,10))) AS DOUBLE)
-                           / count(*) AS mu
-                  FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
-                  CROSS JOIN generate_series(1, 8) t(i)
-                  GROUP BY a.m, a.cid, t.i),
-           c2 AS (SELECT m, cid, list(mu ORDER BY i) AS cv FROM m2 GROUP BY m, cid),
-           d2 AS (SELECT s.vec_id, s.m, c.cid,
-                         list_reduce([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
-                                      for i in generate_series(1, 8)],
-                                     (a, b) -> a + b) AS dist
-                  FROM sub s JOIN c2 c USING (m)),
-           codes AS (SELECT vec_id, m, cid FROM (
-                       SELECT vec_id, m, cid,
-                              row_number() OVER (PARTITION BY vec_id, m
-                                                 ORDER BY dist, cid) AS rn
-                       FROM d2) WHERE rn = 1),
-           qsub AS (SELECT vec_id AS qid, m, sv AS qv FROM sub WHERE vec_id < 20),
-           tab AS (SELECT q.qid, c.m, c.cid,
-                          list_reduce([q.qv[i] * c.cv[i]
-                                       for i in generate_series(1, 8)],
-                                      (a, b) -> a + b) AS pd
-                   FROM qsub q JOIN c2 c USING (m)),
-           ap AS (SELECT t.qid, k.vec_id AS nid,
-                         round(list_reduce(list(t.pd ORDER BY t.m),
-                                           (a, b) -> a + b), 4) AS adot
-                  FROM codes k JOIN tab t ON t.m = k.m AND t.cid = k.cid
-                  GROUP BY t.qid, k.vec_id)
-         SELECT qid, rnk, nid, adot FROM (
-           SELECT qid, nid, adot,
-                  CAST(row_number() OVER (PARTITION BY qid
-                                          ORDER BY adot DESC, nid ASC) AS INT) AS rnk
-           FROM ap WHERE qid <> nid)
-         WHERE rnk <= 5
-         ORDER BY qid, rnk""",
-    // IVF-PQ residual replay: the coarse CTE chain verbatim, residuals
-    // against the final centroids, the sim_pq Lloyd recipe over residual
-    // subvectors (p-prefixed CTE names — the coarse chain already owns
-    // m1/c1/m2/c2), ADC + coarse-dot tables, candidates ONLY from the
-    // probed lists, m-ordered fold then ONE qcdot+s8 addition.
-    "sim_ivfpq" ->
-      s"""WITH $ivfOracleCte,
+  /** The IVF-PQ replay chain shared by sim_ivfpq and sim_ivfpq_rerank:
+    * the coarse IVF CTEs, residuals, residual codebooks (p-prefixed),
+    * ADC + coarse-dot tables, probed-list candidates, per-candidate
+    * rounded adot set `ap`. */
+  private val ivfPqOracleCte: String =
+    s"""$ivfOracleCte,
            resid AS (SELECT a.vec_id,
                             [b.v[i] - c.cv[i] for i in generate_series(1, 64)] AS rv
                      FROM assign a JOIN vn b ON b.vec_id = a.vec_id
@@ -803,11 +773,115 @@ object Similarity {
                   JOIN s8 s ON s.qid = c.qid AND s.nid = c.nid
                   JOIN qcd q ON q.qid = c.qid AND q.cid = c.cid
                   WHERE c.qid <> c.nid)
+    """
+
+  val oracle: Map[String, String] = Map(
+    // full PQ replay: subspace slices → per-subspace 2-iteration Lloyd
+    // (decimal-exact means, argmin tie-broken by cid) → codes → ADC table
+    // → m-ordered fold. Rounds BEFORE ranking, same as the Spark side.
+    "sim_pq" ->
+      """WITH raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+                      FROM embeddings),
+           sub AS (SELECT vec_id, m, v[8 * m + 1 : 8 * m + 8] AS sv
+                   FROM raw CROSS JOIN generate_series(0, 7) t(m)),
+           seed AS (SELECT m, vec_id AS cid, sv AS cv FROM sub WHERE vec_id < 16),
+           d0 AS (SELECT s.vec_id, s.m, c.cid,
+                         list_reduce([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                                      for i in generate_series(1, 8)],
+                                     (a, b) -> a + b) AS dist
+                  FROM sub s JOIN seed c USING (m)),
+           a0 AS (SELECT vec_id, m, cid FROM (
+                    SELECT vec_id, m, cid,
+                           row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY dist, cid) AS rn
+                    FROM d0) WHERE rn = 1),
+           m1 AS (SELECT a.m, a.cid, t.i,
+                         CAST(sum(CAST(s.sv[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS mu
+                  FROM a0 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+                  CROSS JOIN generate_series(1, 8) t(i)
+                  GROUP BY a.m, a.cid, t.i),
+           c1 AS (SELECT m, cid, list(mu ORDER BY i) AS cv FROM m1 GROUP BY m, cid),
+           d1 AS (SELECT s.vec_id, s.m, c.cid,
+                         list_reduce([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                                      for i in generate_series(1, 8)],
+                                     (a, b) -> a + b) AS dist
+                  FROM sub s JOIN c1 c USING (m)),
+           a1 AS (SELECT vec_id, m, cid FROM (
+                    SELECT vec_id, m, cid,
+                           row_number() OVER (PARTITION BY vec_id, m
+                                              ORDER BY dist, cid) AS rn
+                    FROM d1) WHERE rn = 1),
+           m2 AS (SELECT a.m, a.cid, t.i,
+                         CAST(sum(CAST(s.sv[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS mu
+                  FROM a1 a JOIN sub s ON s.vec_id = a.vec_id AND s.m = a.m
+                  CROSS JOIN generate_series(1, 8) t(i)
+                  GROUP BY a.m, a.cid, t.i),
+           c2 AS (SELECT m, cid, list(mu ORDER BY i) AS cv FROM m2 GROUP BY m, cid),
+           d2 AS (SELECT s.vec_id, s.m, c.cid,
+                         list_reduce([(s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i])
+                                      for i in generate_series(1, 8)],
+                                     (a, b) -> a + b) AS dist
+                  FROM sub s JOIN c2 c USING (m)),
+           codes AS (SELECT vec_id, m, cid FROM (
+                       SELECT vec_id, m, cid,
+                              row_number() OVER (PARTITION BY vec_id, m
+                                                 ORDER BY dist, cid) AS rn
+                       FROM d2) WHERE rn = 1),
+           qsub AS (SELECT vec_id AS qid, m, sv AS qv FROM sub WHERE vec_id < 20),
+           tab AS (SELECT q.qid, c.m, c.cid,
+                          list_reduce([q.qv[i] * c.cv[i]
+                                       for i in generate_series(1, 8)],
+                                      (a, b) -> a + b) AS pd
+                   FROM qsub q JOIN c2 c USING (m)),
+           ap AS (SELECT t.qid, k.vec_id AS nid,
+                         round(list_reduce(list(t.pd ORDER BY t.m),
+                                           (a, b) -> a + b), 4) AS adot
+                  FROM codes k JOIN tab t ON t.m = k.m AND t.cid = k.cid
+                  GROUP BY t.qid, k.vec_id)
+         SELECT qid, rnk, nid, adot FROM (
+           SELECT qid, nid, adot,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY adot DESC, nid ASC) AS INT) AS rnk
+           FROM ap WHERE qid <> nid)
+         WHERE rnk <= 5
+         ORDER BY qid, rnk""",
+    // IVF-PQ residual replay: the coarse CTE chain verbatim, residuals
+    // against the final centroids, the sim_pq Lloyd recipe over residual
+    // subvectors (p-prefixed CTE names — the coarse chain already owns
+    // m1/c1/m2/c2), ADC + coarse-dot tables, candidates ONLY from the
+    // probed lists, m-ordered fold then ONE qcdot+s8 addition. Shared up
+    // to the per-candidate adot set `ap` with sim_ivfpq_rerank.
+    "sim_ivfpq" ->
+      s"""WITH $ivfPqOracleCte
          SELECT qid, rnk, nid, adot FROM (
            SELECT qid, nid, adot,
                   CAST(row_number() OVER (PARTITION BY qid
                                           ORDER BY adot DESC, nid ASC) AS INT) AS rnk
            FROM ap) WHERE rnk <= 5
+         ORDER BY qid, rnk""",
+    // two-stage refinement: the same candidate adots, the identical
+    // round-then-rank top-20 cut, then EXACT 64-dim dots re-ranked.
+    "sim_ivfpq_rerank" ->
+      s"""WITH $ivfPqOracleCte,
+           topr AS (SELECT qid, nid FROM (
+                      SELECT qid, nid,
+                             row_number() OVER (PARTITION BY qid
+                                                ORDER BY adot DESC, nid ASC) AS ark
+                      FROM ap) WHERE ark <= 20),
+           ex AS (SELECT t.qid, t.nid,
+                         round(list_reduce([q.v[i] * n.v[i]
+                                            for i in generate_series(1, 64)],
+                                           (x, y) -> x + y), 4) AS dot
+                  FROM topr t
+                  JOIN vn q ON q.vec_id = t.qid
+                  JOIN vn n ON n.vec_id = t.nid)
+         SELECT qid, rnk, nid, dot FROM (
+           SELECT qid, nid, dot,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY dot DESC, nid ASC) AS INT) AS rnk
+           FROM ex) WHERE rnk <= 5
          ORDER BY qid, rnk""",
     "sim_ivf_census" ->
       s"""WITH $ivfOracleCte
