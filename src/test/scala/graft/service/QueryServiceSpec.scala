@@ -76,6 +76,34 @@ class QueryServiceSpec extends graft.SparkSpec {
     }
   }
 
+  test("the composed hygiene pipeline runs end-to-end over HTTP") {
+    // the complete reference user journey: POST jx with a pipeline node,
+    // get the packed survivor layout back — HTTP → jx compiler → the
+    // full corpus-hygiene chain, one round trip
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (20L, "one two three four five six seven eight"),
+      (21L, "one two three four five six seven eight"),
+      (22L, "totally different words in this document here"))
+      .toDF("doc_id", "text")
+    val server = QueryService.start(spark, _ => docs)
+    try {
+      val r = post(HttpClient.newHttpClient(), server.getAddress.getPort, """{
+        "pipeline": {
+          "corpus": {"from": "docs", "where": {"gte": ["doc_id", 10]}},
+          "benchmark": {"from": "docs", "where": {"lt": ["doc_id", 10]}}},
+        "sort": ["doc_id"]}""")
+      assert(r.statusCode() === 200)
+      val data = mapper.readTree(r.body()).get("data")
+      val ids = (0 until data.size()).map(data.get(_).get("doc_id").asLong())
+      // 20/21 are exact near-dups → one canonical survives; 22 survives
+      assert(ids.contains(22L))
+      assert(!(ids.contains(20L) && ids.contains(21L)),
+        s"near-dup pair both survived the pipeline: $ids")
+      assert(data.get(0).has("chunk_id") && data.get(0).has("final_md5"))
+    } finally server.stop(0)
+  }
+
   test("a malformed query answers 400 with an error body, not a hang") {
     withServer { (c, port) =>
       val r = post(c, port, """{"from": "logs", "select": [{"name": "x",
