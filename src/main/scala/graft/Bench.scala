@@ -141,6 +141,57 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"),
       line(3, Int.MaxValue, withReps = true) + "\n")
     catch { case _: Throwable => () } // sidecar is best-effort
+    // Machine-append the BASELINE.md narrative row (round-11 verdict: the
+    // manual record drifted from the artifact). Rows carry an [auto] marker;
+    // re-running the same tree at the same sf REPLACES its [auto] row only
+    // when the new total is LOWER — the documented best-of-runs policy is
+    // now enforced by code, so a contended re-run can never overwrite a
+    // quiet record and hand-written narrative rows are never touched.
+    try {
+      def gitRev: String = {
+        val head = java.nio.file.Paths.get(".git/HEAD")
+        val h = java.nio.file.Files.readString(head).trim
+        val full =
+          if (h.startsWith("ref: "))
+            java.nio.file.Files.readString(
+              java.nio.file.Paths.get(".git/" + h.drop(5))).trim
+          else h
+        full.take(7)
+      }
+      val baseline = java.nio.file.Paths.get("BASELINE.md")
+      if (java.nio.file.Files.exists(baseline) && errors.isEmpty) {
+        val rev = gitRev
+        val sfNum = sfName.stripPrefix("sf")
+        val top = results.toSeq.sortBy(-_._2).take(5)
+          .map { case (k, v) => f"$k $v%.1f" }.mkString(", ")
+        val escNote =
+          if (repsUsed.exists(_._2 > reps))
+            s"; escalated: ${repsUsed.filter(_._2 > reps).keys.mkString(",")}"
+          else "; 0 escalated"
+        val row = f"| ${java.time.LocalDate.now} | $rev | $sfNum | $total%.1f " +
+          s"| [auto] ${results.size} queries, min-of-$reps + variance " +
+          s"escalation$escNote; top: $top |"
+        val lines = java.nio.file.Files.readAllLines(baseline)
+        val key = s"| $rev | $sfNum |"
+        val existing = (0 until lines.size).find { i =>
+          val l = lines.get(i)
+          l.contains("[auto]") && l.contains(key) &&
+            l.contains(s" ${results.size} queries")
+        }
+        existing match {
+          case Some(i) =>
+            val prevTotal = """\| ([0-9.]+) \| \[auto\]""".r
+              .findFirstMatchIn(lines.get(i)).map(_.group(1).toDouble)
+            if (prevTotal.forall(total < _)) {
+              lines.set(i, row)
+              java.nio.file.Files.write(baseline, lines)
+            } // else: a better (lower) record for this tree already stands
+          case None =>
+            java.nio.file.Files.writeString(baseline,
+              String.join("\n", lines) + "\n" + row + "\n")
+        }
+      }
+    } catch { case _: Throwable => () } // narrative append is best-effort
     val candidates =
       (2 to 0 by -1).map(line(_, Int.MaxValue)) ++
         Seq(60, 40, 25, 15).map(line(1, _))
