@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{DotProduct, SimHash64}
 import graft.operators.Common._
@@ -993,8 +994,54 @@ object Dedup {
           sum(when(!col("is_member"), 1L).otherwise(0L))).as("fp_rate_ok"))
   }
 
+  /** X1f: cross-corpus overlap estimation via KMV (k-minimum-values)
+    * sketches — the audit that tells you WHETHER to pay for a full
+    * cross-source dedup before you run one. Per source: the K smallest
+    * distinct 60-bit shingle hashes (a bottom-k sketch — the md5 hash
+    * doubles as the uniform permutation). Per source pair: the classic
+    * KMV union estimator, jaccard ≈ |A_K ∩ B_K ∩ U_K| / |U_K| where U_K
+    * is the K smallest values of the sketch union. Everything after the
+    * shingle pass moves only K·S rows (S = #sources) — at 100 TB the
+    * sketches are KB-sized regardless of corpus size, the pair expansion
+    * is K·S² sketch-row copies (no document data), and the one full-data
+    * pass is the same shingle scan every dedup key already shares.
+    * Deterministic (no sampling), so the estimate replays exactly in
+    * the oracle. */
+  val dedupCorpusOverlap: Q = (s, d) => {
+    val K = 128
+    val docs = t(s, d, "documents")
+    val srcH = shinglesOf(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .select("source", "h").distinct()
+    val wS = Window.partitionBy("source").orderBy("h")
+    val kmv = srcH.withColumn("rn", row_number().over(wS))
+      .filter(col("rn") <= K).drop("rn")
+    val srcs = kmv.select(col("source").as("other")).distinct()
+    // expand each sketch row to every pair containing its source: the
+    // sketch is tiny by construction, so the S-fold copy is cheap and
+    // keeps the estimator a plain groupBy (no per-pair re-scan)
+    val expanded = kmv.join(broadcast(srcs), col("source") =!= col("other"))
+      .select(
+        least(col("source"), col("other")).as("src_a"),
+        greatest(col("source"), col("other")).as("src_b"),
+        col("source"), col("h"))
+    val unioned = expanded.groupBy("src_a", "src_b", "h")
+      .agg(
+        max(when(col("source") === col("src_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("source") === col("src_b"), 1).otherwise(0)).as("in_b"))
+    val wP = Window.partitionBy("src_a", "src_b").orderBy("h")
+    unioned.withColumn("rn", row_number().over(wP)).filter(col("rn") <= K)
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_union"),
+        sum(col("in_a") * col("in_b")).as("n_common"))
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        r4(col("n_common").cast("double") / col("n_union")).as("jaccard_est"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_bloom_gate" -> dedupBloomGate,
+    "dedup_corpus_overlap" -> dedupCorpusOverlap,
     "dedup_ngram" -> dedupNgram,
     "dedup_ngram_prefix" -> dedupNgramPrefix,
     "dedup_containment" -> dedupContainment,
@@ -1077,6 +1124,37 @@ object Dedup {
          ORDER BY containment DESC, da ASC, db ASC"""
 
   val oracle: Map[String, String] = Map(
+    "dedup_corpus_overlap" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                         CAST('0x' || substr(md5(unnest(
+                           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, len(t) - 2)])), 1, 15)
+                              AS BIGINT) AS h
+                  FROM toks WHERE len(t) >= 3),
+           sv AS (SELECT DISTINCT d.source, s.h
+                  FROM sh s JOIN documents d USING (doc_id)),
+           kmv AS (SELECT source, h FROM (
+             SELECT source, h,
+                    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM sv) WHERE rn <= 128),
+           srcs AS (SELECT DISTINCT source AS other FROM kmv),
+           ex AS (SELECT least(k.source, o.other) AS src_a,
+                         greatest(k.source, o.other) AS src_b,
+                         k.source, k.h
+                  FROM kmv k JOIN srcs o ON k.source <> o.other),
+           un AS (SELECT src_a, src_b, h,
+                         max(CASE WHEN source = src_a THEN 1 ELSE 0 END) AS in_a,
+                         max(CASE WHEN source = src_b THEN 1 ELSE 0 END) AS in_b
+                  FROM ex GROUP BY 1, 2, 3),
+           topk AS (SELECT * FROM (
+             SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                          ORDER BY h) AS rn
+             FROM un) WHERE rn <= 128)
+         SELECT src_a, src_b,
+                CAST(sum(in_a * in_b) AS BIGINT) AS n_common,
+                round(sum(in_a * in_b) * 1.0 / count(*), 4) AS jaccard_est
+         FROM topk GROUP BY 1, 2 ORDER BY 1, 2""",
     "dedup_bloom_gate" ->
       """SELECT count(*) AS n_probed,
                 CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)

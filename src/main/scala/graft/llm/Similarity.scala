@@ -589,8 +589,43 @@ object Similarity {
       .orderBy("cid")
   }
 
+  /** X3g: semantic deduplication (SemDeDup-shaped: cluster-then-prune).
+    * Embedding-space near-dups are found WITHIN coarse k-means clusters
+    * only: reuse [[ivfIndex]]'s quantizer (seed + two decimal-exact Lloyd
+    * iterations — the same `assign` the ANN paths trust), self-join each
+    * cluster's members, and drop every vector that has a smaller-id
+    * neighbor in its cluster at cosine ≥ τ. Output is the drop decision
+    * itself: (cid, vec_id, dup_of = smallest qualifying neighbor, that
+    * pair's cosine). τ = 0.35 sits in this corpus's near-dup tail (99.9th
+    * percentile of the pair-cosine distribution) so drops occur at every
+    * test SF.
+    *
+    * At 100 TB: the pair join is per-cluster (join key cid), so cost is
+    * Σ cᵢ² with cᵢ ≈ n/nlist — nlist grows with the corpus to hold
+    * cluster sizes bounded, which is exactly the published SemDeDup
+    * recipe (k ∝ n). Never all-pairs: the quantizer is broadcast-scored
+    * (nlist ≪ n) and the self-join shuffles each vector once on cid. */
+  val simSemanticDedup: Q = (s, d) => {
+    val tau = 0.35
+    val (vecs, _, _, assign) = ivfIndex(s, d, 16)
+    val mem = assign.join(vecs, Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("embedding").as("v"), col("norm2").as("n2"))
+    val other = mem.select(col("cid"), col("vec_id").as("bid"),
+      col("v").as("bv"), col("n2").as("bn"))
+    mem.join(other, Seq("cid"))
+      .filter(col("bid") < col("vec_id"))
+      .withColumn("cos",
+        DotProduct(col("v"), col("bv")) / (sqrt(col("n2")) * sqrt(col("bn"))))
+      .filter(col("cos") >= tau)
+      .groupBy("cid", "vec_id")
+      .agg(min(col("bid")).as("dup_of"),
+        r4(min_by(col("cos"), col("bid"))).as("cosine"))
+      .orderBy("cid", "vec_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk" -> simTopk,
+    "sim_semantic_dedup" -> simSemanticDedup,
     "sim_ivf" -> simIvf,
     "sim_ivfpq" -> simIvfPq,
     "sim_ivfpq_rerank" -> simIvfPqRerank,
@@ -932,6 +967,25 @@ object Similarity {
                                           ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
            FROM cand) WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    // semantic dedup: same quantizer replay through `assign`, pairs
+    // joined within clusters only; the τ filter applies to the RAW
+    // cosine (bit-identical doubles — same left-fold order), rounding
+    // only on the reported pair like the Spark side
+    "sim_semantic_dedup" ->
+      s"""WITH $ivfOracleCte,
+           mem AS (SELECT a.cid, v.vec_id, v.v, v.norm2
+                   FROM assign a JOIN vn v USING (vec_id)),
+           pairs AS (
+             SELECT a.cid, a.vec_id, b.vec_id AS bid,
+                    list_reduce([a.v[k] * b.v[k] for k in generate_series(1, 64)],
+                                (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
+             FROM mem a JOIN mem b ON a.cid = b.cid AND b.vec_id < a.vec_id),
+           hits AS (SELECT cid, vec_id, bid, cos,
+                           row_number() OVER (PARTITION BY cid, vec_id
+                                              ORDER BY bid ASC) AS rn
+                    FROM pairs WHERE cos >= 0.35)
+         SELECT cid, vec_id, bid AS dup_of, round(cos, 4) AS cosine
+         FROM hits WHERE rn = 1 ORDER BY cid, vec_id""",
     // the online gate's decision set: same banded candidates, exact
     // cosine verify, threshold applied to the ROUNDED value like the
     // Spark side

@@ -404,7 +404,61 @@ object TextOps {
       .limit(300)
   }
 
+  /** X4i: percentile quality gate — keep each source's most-fluent half,
+    * scored by [[textLogfreq]]'s unigram NLL (low = reads like the
+    * corpus). This is the standard per-source quality threshold of
+    * web-corpus pipelines: thresholds are RELATIVE to the source (a
+    * fixed global cutoff would empty low-resource sources and keep
+    * boilerplate from verbose ones). Plan shape: the LM table is
+    * vocabulary-bounded, the rank window partitions by source — one
+    * shuffle on source, no global sort. Ties rank deterministically
+    * (rounded nll, then doc_id), so the kept set replays exactly. */
+  val textQualityFilter: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("wc"))
+    val nll = toks.join(freq, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "source")
+      .agg(r4(-avg(log(col("wc").cast("double") / col("n_total")))).as("nll"))
+    val wR = Window.partitionBy("source").orderBy(col("nll").asc, col("doc_id").asc)
+    val wC = Window.partitionBy("source")
+    nll.withColumn("rn", row_number().over(wR))
+      .withColumn("n_src", count(lit(1)).over(wC))
+      .filter(col("rn") * 2 <= col("n_src"))
+      .select("source", "doc_id", "nll")
+      .orderBy("source", "doc_id")
+  }
+
+  /** X4j: token-budget sampling — fill a fixed per-source token quota and
+    * stop, the operator that turns "all of src7" into "src7's share of
+    * the training mix". Docs are drawn in a deterministic pseudo-random
+    * order (md5 of doc_id — no RNG state, replays everywhere) and the
+    * budget is split across 4 hash shards per source (quota/shard), so
+    * the cumulative-sum window partitions by (source, shard): at 100 TB
+    * no single window serializes a whole source — the same per-shard
+    * quota shape [[textPackChunks]] uses. Docs whose cumulative count
+    * would cross the shard quota are cut. */
+  val textTokenBudget: Q = (s, d) => {
+    val quota = 300L // tokens per (source, shard); 4 shards ≈ 1200/source
+    val base = t(s, d, "documents").select(
+      col("doc_id"), col("source"),
+      (col("doc_id") % 4).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"),
+      md5(col("doc_id").cast("string")).as("ord"))
+    val w = Window.partitionBy("source", "shard").orderBy("ord", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= quota)
+      .select("source", "shard", "doc_id", "n_tok", "cum_tok")
+      .orderBy("source", "doc_id")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_quality_filter" -> textQualityFilter,
+    "text_token_budget" -> textTokenBudget,
     "text_clean" -> textClean,
     "text_redact" -> textRedact,
     "text_redact_hash" -> textRedactHash,
@@ -422,6 +476,37 @@ object TextOps {
     "text_tfidf" -> textTfidf)
 
   val oracle: Map[String, String] = Map(
+    "text_quality_filter" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+           t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
+           tot AS (SELECT count(*) AS n FROM t2),
+           freq AS (SELECT w, count(*) AS wc FROM t2 GROUP BY 1),
+           nll AS (SELECT t2.doc_id, d.source,
+                          round(-avg(ln(wc * 1.0 / (SELECT n FROM tot))), 4) AS nll
+                   FROM t2 JOIN freq USING (w)
+                   JOIN documents d ON d.doc_id = t2.doc_id
+                   GROUP BY 1, 2),
+           r AS (SELECT *,
+                        row_number() OVER (PARTITION BY source
+                                           ORDER BY nll ASC, doc_id ASC) AS rn,
+                        count(*) OVER (PARTITION BY source) AS n_src
+                 FROM nll)
+         SELECT source, doc_id, nll FROM r
+         WHERE rn * 2 <= n_src ORDER BY source, doc_id""",
+    "text_token_budget" ->
+      """WITH base AS (SELECT doc_id, source, doc_id % 4 AS shard,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                              md5(CAST(doc_id AS VARCHAR)) AS ord
+                       FROM documents),
+           c AS (SELECT *,
+                        CAST(sum(n_tok) OVER (PARTITION BY source, shard
+                                              ORDER BY ord, doc_id
+                                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                              AND CURRENT ROW) AS BIGINT) AS cum_tok
+                 FROM base)
+         SELECT source, shard, doc_id, n_tok, cum_tok
+         FROM c WHERE cum_tok <= 300 ORDER BY source, doc_id""",
     "text_clean" ->
       """WITH m AS (
            SELECT doc_id,

@@ -1,0 +1,127 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+/** Invariant + plan gates for the corpus-level training-data operators
+  * added in round 12: semantic dedup (cluster-then-prune), KMV
+  * cross-source overlap, the per-source quality percentile gate, and
+  * token-budget sampling. The DuckDB oracle pins each key's exact output;
+  * this spec pins the CLAIMS the outputs must satisfy (decision-rule
+  * invariants) and the plan shapes the 100 TB story depends on. */
+class CorpusOpsSpec extends graft.SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(key: String) = graft.SparkEntry.queries(key)(spark, sf)
+
+  // ---- sim_semantic_dedup ----
+
+  test("semantic dedup drops only toward smaller ids at cosine >= tau") {
+    val rows = run("sim_semantic_dedup")
+      .select("cid", "vec_id", "dup_of", "cosine").collect()
+    assert(rows.nonEmpty, "no drops at sf0.001 — tau miscalibrated for corpus")
+    rows.foreach { r =>
+      assert(r.getLong(2) < r.getLong(1), s"dup_of must be a smaller id: $r")
+      assert(r.getDouble(3) >= 0.35, s"kept a pair below tau: $r")
+    }
+    // keep-rule sanity: a vector is dropped at most once (one row per id)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length)
+  }
+
+  test("semantic dedup joins within clusters — never a cartesian pair scan") {
+    val p = run("sim_semantic_dedup").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // the member self-join must key on cid (cluster-local pairs)
+    assert(p.contains("cid"), p)
+  }
+
+  test("semantic dedup drop set is consistent with the IVF assignment") {
+    // every (cid, vec_id) in the drop list must be a real cluster member
+    // pair: re-derive membership from the census path's assignment by
+    // checking the drop's cid exists and holds >= 2 vectors
+    val census = run("sim_ivf_census").select("cid", "n_vecs").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run("sim_semantic_dedup").select("cid").distinct().collect().foreach { r =>
+      val cid = r.getLong(0)
+      assert(census.getOrElse(cid, 0L) >= 2L,
+        s"drop in cluster $cid which holds < 2 members")
+    }
+  }
+
+  // ---- dedup_corpus_overlap ----
+
+  test("corpus overlap emits one estimate per unordered source pair in [0,1]") {
+    val rows = run("dedup_corpus_overlap")
+      .select("src_a", "src_b", "n_common", "jaccard_est").collect()
+    val nSrc = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
+    assert(rows.length == nSrc * (nSrc - 1) / 2,
+      s"expected C($nSrc,2) pairs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), s"pair not canonicalized: $r")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0, s"est out of range: $r")
+      assert(r.getLong(2) <= 128L, s"n_common exceeds sketch size K: $r")
+    }
+  }
+
+  test("corpus overlap estimate tracks true Jaccard on a constructed overlap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    // two sources sharing exactly half their shingle space: texts are
+    // 5-word windows over a shared vocab run vs a disjoint run
+    def doc(src: String, id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), "en", src, words.mkString(" ").length.toLong)
+    val shared = (0 until 300).map(i => s"s$i")
+    val aOnly = (0 until 300).map(i => s"a$i")
+    val bOnly = (0 until 300).map(i => s"b$i")
+    val docs = Seq(
+      doc("srcA", 1L, shared), doc("srcA", 2L, aOnly),
+      doc("srcB", 3L, shared), doc("srcB", 4L, bOnly))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val est = graft.SparkEntry.queries("dedup_corpus_overlap")(spark, dir)
+      .select("jaccard_est").head().getDouble(0)
+    // true Jaccard of the shingle sets is ~ (298) / (298*3 + 2*2) ≈ 0.33
+    assert(est > 0.2 && est < 0.5, s"KMV estimate $est far from truth ~0.33")
+  }
+
+  // ---- text_quality_filter ----
+
+  test("quality filter keeps at most half of each source, the lowest-nll half") {
+    val kept = run("text_quality_filter").select("source", "doc_id", "nll").collect()
+    assert(kept.nonEmpty)
+    val bySrc = kept.groupBy(_.getString(0))
+    val totals = graft.operators.Common.t(spark, sf, "documents")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, rows) =>
+      assert(rows.length <= totals(src) / 2 + 1,
+        s"$src kept ${rows.length} of ${totals(src)}")
+    }
+  }
+
+  // ---- text_token_budget ----
+
+  test("token budget never overruns a shard quota and fills monotonically") {
+    val rows = run("text_token_budget")
+      .select("source", "shard", "doc_id", "n_tok", "cum_tok").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(4) <= 300L, s"quota overrun: $r"))
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      // within a shard the kept docs' cumulative sums are distinct and
+      // each equals the running sum of kept n_tok (no gaps below quota)
+      val sorted = rs.sortBy(_.getLong(4))
+      val runningSums = sorted.scanLeft(0L)(_ + _.getLong(3)).drop(1)
+      assert(sorted.map(_.getLong(4)).sameElements(runningSums),
+        s"cumulative fill has gaps: ${sorted.mkString(";")}")
+    }
+  }
+
+  test("token budget windows partition by (source, shard) — no global sort") {
+    val p = run("text_token_budget").queryExecution.executedPlan.toString
+    // the only Exchange below the window must be hash partitioning on
+    // source+shard, not a single-partition global exchange
+    assert(p.contains("hashpartitioning"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+}
