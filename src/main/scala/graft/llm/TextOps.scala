@@ -456,9 +456,44 @@ object TextOps {
       .orderBy("source", "doc_id")
   }
 
+  /** X4k: per-source distribution drift — KL(source ‖ corpus) over the
+    * unigram token distributions. The mixture-balancing audit: a source
+    * whose KL spikes is off-distribution (boilerplate, wrong language,
+    * scraped junk) and gets down-weighted before training; near-zero KL
+    * means the source adds volume but little diversity. Every source
+    * token appears in the corpus by construction, so no smoothing is
+    * needed and the sum is exact. Plan shape: token explode → two
+    * vocabulary-bounded count tables (source×word, word) + two scalar
+    * totals; the KL sum is one groupBy over the source×word table — no
+    * per-document state anywhere, so 100 TB is three shuffles over
+    * vocabulary-sized data after the scan. Cross-engine exactness: all
+    * counts are integers (< 2⁵³ — their double products are exact), the
+    * log ratio is the same rational in both engines, and the result
+    * rounds at 4 decimals. */
+  val textSourceKl: Q = (s, d) => {
+    val toks = t(s, d, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val srcTot = toks.groupBy("source").agg(count(lit(1)).as("n_src"))
+    val srcFreq = toks.groupBy("source", "w").agg(count(lit(1)).as("c_sw"))
+    val corpTot = toks.agg(count(lit(1)).as("n_all"))
+    val corpFreq = toks.groupBy("w").agg(count(lit(1)).as("c_w"))
+    srcFreq.join(srcTot, Seq("source"))
+      .join(corpFreq, Seq("w"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("term",
+        (col("c_sw").cast("double") / col("n_src")) *
+          log((col("c_sw").cast("double") * col("n_all")) /
+            (col("n_src").cast("double") * col("c_w"))))
+      .groupBy("source")
+      .agg(max(col("n_src")).as("n_tok"), r4(sum(col("term"))).as("kl"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_quality_filter" -> textQualityFilter,
     "text_token_budget" -> textTokenBudget,
+    "text_source_kl" -> textSourceKl,
     "text_clean" -> textClean,
     "text_redact" -> textRedact,
     "text_redact_hash" -> textRedactHash,
@@ -507,6 +542,19 @@ object TextOps {
                  FROM base)
          SELECT source, shard, doc_id, n_tok, cum_tok
          FROM c WHERE cum_tok <= 300 ORDER BY source, doc_id""",
+    "text_source_kl" ->
+      """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                       FROM documents),
+           t2 AS (SELECT source, w FROM toks WHERE length(w) > 0),
+           st AS (SELECT source, count(*) AS n_src FROM t2 GROUP BY 1),
+           sf AS (SELECT source, w, count(*) AS c_sw FROM t2 GROUP BY 1, 2),
+           ct AS (SELECT count(*) AS n_all FROM t2),
+           cf AS (SELECT w, count(*) AS c_w FROM t2 GROUP BY 1)
+         SELECT source, CAST(max(n_src) AS BIGINT) AS n_tok,
+                round(sum((c_sw * 1.0 / n_src) *
+                          ln((c_sw * 1.0 * n_all) / (n_src * 1.0 * c_w))), 4) AS kl
+         FROM sf JOIN st USING (source) JOIN cf USING (w) CROSS JOIN ct
+         GROUP BY source ORDER BY source""",
     "text_clean" ->
       """WITH m AS (
            SELECT doc_id,

@@ -117,6 +117,37 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  // ---- text_source_kl ----
+
+  test("source KL is non-negative and flags an off-distribution source") {
+    val rows = run("text_source_kl").select("source", "n_tok", "kl").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0, s"KL must be >= 0: $r"))
+  }
+
+  test("a constructed off-distribution source dominates the KL ranking") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_kl").toString
+    val rnd = new scala.util.Random(7)
+    // three sources drawing from the same vocab, one from a disjoint one
+    def doc(src: String, id: Long, vocab: Int => String) = {
+      val words = Seq.fill(50)(vocab(rnd.nextInt(40)))
+      (id, words.mkString(" "), "en", src, words.mkString(" ").length.toLong)
+    }
+    val docs = ((0 until 9).map { i =>
+      doc(s"in${i % 3}", i.toLong, k => s"w$k")
+    } ++ (9 until 12).map { i =>
+      doc("outlier", i.toLong, k => s"z$k")
+    }).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val kl = graft.SparkEntry.queries("text_source_kl")(spark, dir)
+      .select("source", "kl").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val inMax = kl.filter(_._1.startsWith("in")).values.max
+    assert(kl("outlier") > inMax + 0.5,
+      s"outlier KL ${kl("outlier")} should dominate in-distribution max $inMax")
+  }
+
   test("token budget windows partition by (source, shard) — no global sort") {
     val p = run("text_token_budget").queryExecution.executedPlan.toString
     // the only Exchange below the window must be hash partitioning on
