@@ -490,10 +490,69 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** X4l: BPE merge training — the first 3 merge decisions of a
+    * byte-pair-encoding tokenizer learned ON the corpus, distributed.
+    * Each round: count adjacent symbol pairs across every word
+    * occurrence (vocabulary-bounded table), pick the most frequent pair
+    * (deterministic tie-break: count desc, then pair), and merge it
+    * corpus-wide. Words are encoded as U+001F-separated symbol strings;
+    * a merge is two literal `replace` passes of `␟l␟r␟` → `␟lr␟` — the
+    * double scan reaches every non-overlapping occurrence (the first
+    * pass takes the odd ones in a run, the second the rest) and both
+    * engines share left-to-right non-overlapping replace semantics, so
+    * the application replays bit-exactly. (In a run of ≥5 identical
+    * overlapping symbols this deviates from strict leftmost-greedy BPE
+    * — both engines deviate IDENTICALLY, and merge DECISIONS are
+    * unaffected since counts are taken before application.)
+    *
+    * Output is the trained artifact: one row per merge step — the pair,
+    * its pre-merge occurrence count, and the corpus symbol count after
+    * applying it. At 100 TB each round is one scan + one
+    * vocabulary-bounded aggregate + one broadcast of a single merge
+    * rule — the same shape production BPE trainers distribute; the
+    * re-encoded corpus would be materialized per round (here the
+    * lineage is short enough to stay lazy). */
+  val textBpeMerges: Q = (s, d) => {
+    val SEP = "\u001f"
+    def syms(encCol: String): org.apache.spark.sql.Column =
+      expr(s"filter(split($encCol, '$SEP'), x -> x != '')")
+    val words0 = t(s, d, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP)).as("enc"))
+    def round(words: org.apache.spark.sql.DataFrame, step: Int):
+        (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+      val top1 = words
+        .select(syms("enc").as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(sy) - 1),
+               i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))"""))
+          .as("p"))
+        .select(col("p.l").as("l"), col("p.r").as("r"))
+        .groupBy("l", "r").agg(count(lit(1)).as("c"))
+        .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
+      val applied = words.crossJoin(broadcast(top1))
+        .withColumn("pat", concat(lit(SEP), col("l"), lit(SEP), col("r"), lit(SEP)))
+        .withColumn("rep", concat(lit(SEP), col("l"), col("r"), lit(SEP)))
+        .select(expr("replace(replace(enc, pat, rep), pat, rep)").as("enc"))
+      val nSyms = applied.agg(sum(size(syms("enc"))).as("ns"))
+      val row = top1.crossJoin(nSyms).select(
+        lit(step).as("step"), col("l").as("left_sym"), col("r").as("right_sym"),
+        col("c").as("n_pair"), col("ns").as("n_symbols"))
+      (applied, row)
+    }
+    val (w1, r1) = round(words0, 1)
+    val (w2, r2) = round(w1, 2)
+    val (_, r3) = round(w2, 3)
+    r1.union(r2).union(r3).orderBy("step")
+  }
+
   val queries: Map[String, Q] = Map(
     "text_quality_filter" -> textQualityFilter,
     "text_token_budget" -> textTokenBudget,
     "text_source_kl" -> textSourceKl,
+    "text_bpe_merges" -> textBpeMerges,
     "text_clean" -> textClean,
     "text_redact" -> textRedact,
     "text_redact_hash" -> textRedactHash,
@@ -542,6 +601,64 @@ object TextOps {
                  FROM base)
          SELECT source, shard, doc_id, n_tok, cum_tok
          FROM c WHERE cum_tok <= 300 ORDER BY source, doc_id""",
+    "text_bpe_merges" ->
+      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+           e1 AS (SELECT chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g') AS enc
+                  FROM w0 WHERE length(w) > 0),
+           s1 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms
+                  FROM e1),
+           p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r, count(*) AS c
+                  FROM (SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS i
+                        FROM s1 WHERE len(syms) >= 2)
+                  GROUP BY 1, 2),
+           t1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           e2 AS (SELECT replace(replace(enc,
+                    chr(31) || t1.l || chr(31) || t1.r || chr(31),
+                    chr(31) || t1.l || t1.r || chr(31)),
+                    chr(31) || t1.l || chr(31) || t1.r || chr(31),
+                    chr(31) || t1.l || t1.r || chr(31)) AS enc
+                  FROM s1 CROSS JOIN t1),
+           s2 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms
+                  FROM e2),
+           n1 AS (SELECT sum(len(syms)) AS ns FROM s2),
+           p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r, count(*) AS c
+                  FROM (SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS i
+                        FROM s2 WHERE len(syms) >= 2)
+                  GROUP BY 1, 2),
+           t2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           e3 AS (SELECT replace(replace(enc,
+                    chr(31) || t2.l || chr(31) || t2.r || chr(31),
+                    chr(31) || t2.l || t2.r || chr(31)),
+                    chr(31) || t2.l || chr(31) || t2.r || chr(31),
+                    chr(31) || t2.l || t2.r || chr(31)) AS enc
+                  FROM s2 CROSS JOIN t2),
+           s3 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms
+                  FROM e3),
+           n2 AS (SELECT sum(len(syms)) AS ns FROM s3),
+           p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r, count(*) AS c
+                  FROM (SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS i
+                        FROM s3 WHERE len(syms) >= 2)
+                  GROUP BY 1, 2),
+           t3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           e4 AS (SELECT replace(replace(enc,
+                    chr(31) || t3.l || chr(31) || t3.r || chr(31),
+                    chr(31) || t3.l || t3.r || chr(31)),
+                    chr(31) || t3.l || chr(31) || t3.r || chr(31),
+                    chr(31) || t3.l || t3.r || chr(31)) AS enc
+                  FROM s3 CROSS JOIN t3),
+           n3 AS (SELECT sum(len(list_filter(string_split(enc, chr(31)), x -> x <> '')))
+                         AS ns FROM e4)
+         SELECT * FROM (
+           SELECT 1 AS step, t1.l AS left_sym, t1.r AS right_sym,
+                  CAST(t1.c AS BIGINT) AS n_pair, CAST(n1.ns AS BIGINT) AS n_symbols
+           FROM t1 CROSS JOIN n1
+           UNION ALL
+           SELECT 2, t2.l, t2.r, CAST(t2.c AS BIGINT), CAST(n2.ns AS BIGINT)
+           FROM t2 CROSS JOIN n2
+           UNION ALL
+           SELECT 3, t3.l, t3.r, CAST(t3.c AS BIGINT), CAST(n3.ns AS BIGINT)
+           FROM t3 CROSS JOIN n3)
+         ORDER BY step""",
     "text_source_kl" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
                        FROM documents),

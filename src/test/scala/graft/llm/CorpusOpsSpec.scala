@@ -117,6 +117,43 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  // ---- text_bpe_merges ----
+
+  test("BPE merges shrink the symbol count by exactly the merge count") {
+    val rows = run("text_bpe_merges")
+      .select("step", "left_sym", "right_sym", "n_pair", "n_symbols").collect()
+      .sortBy(_.getInt(0))
+    assert(rows.length == 3)
+    // symbol count strictly decreases; each round removes at most n_pair
+    // symbols (exactly n_pair when the merged pair never self-overlaps)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val removed = a.getLong(4) - b.getLong(4)
+      assert(removed > 0 && removed <= b.getLong(3),
+        s"step ${b.getInt(0)} removed $removed vs n_pair ${b.getLong(3)}")
+    }
+  }
+
+  test("BPE learns hierarchical merges on a constructed corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    // 'abc' dominates: round 1 must merge (a,b) (tie with (b,c) broken
+    // lexicographically), round 2 must merge the NEW symbol (ab, c) —
+    // proving merged symbols re-enter the pair statistics
+    val text = Seq.fill(50)("abc").mkString(" ") + " xy xy xy"
+    Seq((1L, text, "en", "src0", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.SparkEntry.queries("text_bpe_merges")(spark, dir)
+      .select("step", "left_sym", "right_sym", "n_pair").collect()
+      .sortBy(_.getInt(0))
+    assert(rows(0).getString(1) == "a" && rows(0).getString(2) == "b"
+      && rows(0).getLong(3) == 50L, s"round 1: ${rows(0)}")
+    assert(rows(1).getString(1) == "ab" && rows(1).getString(2) == "c"
+      && rows(1).getLong(3) == 50L, s"round 2: ${rows(1)}")
+    assert(rows(2).getString(1) == "x" && rows(2).getString(2) == "y"
+      && rows(2).getLong(3) == 3L, s"round 3: ${rows(2)}")
+  }
+
   // ---- text_source_kl ----
 
   test("source KL is non-negative and flags an off-distribution source") {
