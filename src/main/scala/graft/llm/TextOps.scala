@@ -507,11 +507,17 @@ object TextOps {
     *
     * Output is the trained artifact: one row per merge step — the pair,
     * its pre-merge occurrence count, and the corpus symbol count after
-    * applying it. At 100 TB each round is one scan + one
-    * vocabulary-bounded aggregate + one broadcast of a single merge
-    * rule — the same shape production BPE trainers distribute; the
-    * re-encoded corpus would be materialized per round (here the
-    * lineage is short enough to stay lazy). */
+    * applying it.
+    *
+    * The production-BPE compression: ONE corpus scan builds the
+    * word-frequency table, and every round thereafter runs over the
+    * VOCABULARY (distinct words, pair counts weighted by word count —
+    * mathematically identical to occurrence-level counting, since a
+    * word's pair structure repeats with the word). At 100 TB that's one
+    * scan total + 3 rounds of vocabulary-sized (MB-scale) work — the
+    * exact shape of real distributed BPE trainers. Distinct words stay
+    * distinct under merging (symbols concatenate back to the word), so
+    * no re-grouping is needed between rounds. */
   val textBpeMerges: Q = (s, d) => {
     val SEP = "\u001f"
     def syms(encCol: String): org.apache.spark.sql.Column =
@@ -519,24 +525,33 @@ object TextOps {
     val words0 = t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-      .select(concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP)).as("enc"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP)).as("enc"),
+        col("cnt"))
+      // the ONE corpus-sized pass, materialized: every round's pair
+      // aggregate and symbol count re-reads the vocabulary table from
+      // here instead of re-exploding the corpus (3.5 s → ~1 s at sf0.1;
+      // at 100 TB this is a parquet word-frequency table)
+      .localCheckpoint()
     def round(words: org.apache.spark.sql.DataFrame, step: Int):
         (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
       val top1 = words
-        .select(syms("enc").as("sy"))
+        .select(syms("enc").as("sy"), col("cnt"))
         .filter(size(col("sy")) >= 2)
         .select(explode(expr(
           """transform(sequence(1, size(sy) - 1),
                i -> struct(element_at(sy, i) AS l, element_at(sy, i + 1) AS r))"""))
-          .as("p"))
-        .select(col("p.l").as("l"), col("p.r").as("r"))
-        .groupBy("l", "r").agg(count(lit(1)).as("c"))
+          .as("p"), col("cnt"))
+        .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
+        .groupBy("l", "r").agg(sum(col("cnt")).as("c"))
         .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
       val applied = words.crossJoin(broadcast(top1))
         .withColumn("pat", concat(lit(SEP), col("l"), lit(SEP), col("r"), lit(SEP)))
         .withColumn("rep", concat(lit(SEP), col("l"), col("r"), lit(SEP)))
-        .select(expr("replace(replace(enc, pat, rep), pat, rep)").as("enc"))
-      val nSyms = applied.agg(sum(size(syms("enc"))).as("ns"))
+        .select(expr("replace(replace(enc, pat, rep), pat, rep)").as("enc"),
+          col("cnt"))
+      val nSyms = applied.agg(sum(size(syms("enc")) * col("cnt")).as("ns"))
       val row = top1.crossJoin(nSyms).select(
         lit(step).as("step"), col("l").as("left_sym"), col("r").as("right_sym"),
         col("c").as("n_pair"), col("ns").as("n_symbols"))
@@ -602,13 +617,17 @@ object TextOps {
          SELECT source, shard, doc_id, n_tok, cum_tok
          FROM c WHERE cum_tok <= 300 ORDER BY source, doc_id""",
     "text_bpe_merges" ->
-      """WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
-           e1 AS (SELECT chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g') AS enc
-                  FROM w0 WHERE length(w) > 0),
-           s1 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms
+      """WITH w0 AS (SELECT w, count(*) AS cnt
+                  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                  WHERE length(w) > 0 GROUP BY 1),
+           e1 AS (SELECT chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g') AS enc,
+                         cnt
+                  FROM w0),
+           s1 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms,
+                         cnt
                   FROM e1),
-           p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r, count(*) AS c
-                  FROM (SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS i
+           p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+                  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
                         FROM s1 WHERE len(syms) >= 2)
                   GROUP BY 1, 2),
            t1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
@@ -616,13 +635,15 @@ object TextOps {
                     chr(31) || t1.l || chr(31) || t1.r || chr(31),
                     chr(31) || t1.l || t1.r || chr(31)),
                     chr(31) || t1.l || chr(31) || t1.r || chr(31),
-                    chr(31) || t1.l || t1.r || chr(31)) AS enc
+                    chr(31) || t1.l || t1.r || chr(31)) AS enc,
+                         cnt
                   FROM s1 CROSS JOIN t1),
-           s2 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms
+           s2 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms,
+                         cnt
                   FROM e2),
-           n1 AS (SELECT sum(len(syms)) AS ns FROM s2),
-           p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r, count(*) AS c
-                  FROM (SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS i
+           n1 AS (SELECT sum(len(syms) * cnt) AS ns FROM s2),
+           p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+                  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
                         FROM s2 WHERE len(syms) >= 2)
                   GROUP BY 1, 2),
            t2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
@@ -630,13 +651,15 @@ object TextOps {
                     chr(31) || t2.l || chr(31) || t2.r || chr(31),
                     chr(31) || t2.l || t2.r || chr(31)),
                     chr(31) || t2.l || chr(31) || t2.r || chr(31),
-                    chr(31) || t2.l || t2.r || chr(31)) AS enc
+                    chr(31) || t2.l || t2.r || chr(31)) AS enc,
+                         cnt
                   FROM s2 CROSS JOIN t2),
-           s3 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms
+           s3 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms,
+                         cnt
                   FROM e3),
-           n2 AS (SELECT sum(len(syms)) AS ns FROM s3),
-           p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r, count(*) AS c
-                  FROM (SELECT syms, unnest(generate_series(1, len(syms) - 1)) AS i
+           n2 AS (SELECT sum(len(syms) * cnt) AS ns FROM s3),
+           p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+                  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
                         FROM s3 WHERE len(syms) >= 2)
                   GROUP BY 1, 2),
            t3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
@@ -644,10 +667,11 @@ object TextOps {
                     chr(31) || t3.l || chr(31) || t3.r || chr(31),
                     chr(31) || t3.l || t3.r || chr(31)),
                     chr(31) || t3.l || chr(31) || t3.r || chr(31),
-                    chr(31) || t3.l || t3.r || chr(31)) AS enc
+                    chr(31) || t3.l || t3.r || chr(31)) AS enc,
+                         cnt
                   FROM s3 CROSS JOIN t3),
-           n3 AS (SELECT sum(len(list_filter(string_split(enc, chr(31)), x -> x <> '')))
-                         AS ns FROM e4)
+           n3 AS (SELECT sum(len(list_filter(string_split(enc, chr(31)), x -> x <> ''))
+                             * cnt) AS ns FROM e4)
          SELECT * FROM (
            SELECT 1 AS step, t1.l AS left_sym, t1.r AS right_sym,
                   CAST(t1.c AS BIGINT) AS n_pair, CAST(n1.ns AS BIGINT) AS n_symbols
