@@ -518,15 +518,22 @@ object TextOps {
     * exact shape of real distributed BPE trainers. Distinct words stay
     * distinct under merging (symbols concatenate back to the word), so
     * no re-grouping is needed between rounds. */
-  val textBpeMerges: Q = (s, d) => {
-    val SEP = "\u001f"
-    def syms(encCol: String): org.apache.spark.sql.Column =
-      expr(s"filter(split($encCol, '$SEP'), x -> x != '')")
+  private val BpeSep = "\u001f"
+
+  private def bpeSyms(encCol: String): org.apache.spark.sql.Column =
+    expr(s"filter(split($encCol, '$BpeSep'), x -> x != '')")
+
+  /** The shared 3-round training chain: returns the final encoded
+    * vocabulary (w, enc, cnt) and the per-step merge-decision rows. */
+  private def bpeChain(s: org.apache.spark.sql.SparkSession, d: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val SEP = BpeSep
+    def syms(encCol: String): org.apache.spark.sql.Column = bpeSyms(encCol)
     val words0 = t(s, d, "documents")
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      .select(
+      .select(col("w"),
         concat(lit(SEP), regexp_replace(col("w"), "(.)", "$1" + SEP)).as("enc"),
         col("cnt"))
       // the ONE corpus-sized pass, materialized: every round's pair
@@ -549,7 +556,8 @@ object TextOps {
       val applied = words.crossJoin(broadcast(top1))
         .withColumn("pat", concat(lit(SEP), col("l"), lit(SEP), col("r"), lit(SEP)))
         .withColumn("rep", concat(lit(SEP), col("l"), col("r"), lit(SEP)))
-        .select(expr("replace(replace(enc, pat, rep), pat, rep)").as("enc"),
+        .select(col("w"),
+          expr("replace(replace(enc, pat, rep), pat, rep)").as("enc"),
           col("cnt"))
       val nSyms = applied.agg(sum(size(syms("enc")) * col("cnt")).as("ns"))
       val row = top1.crossJoin(nSyms).select(
@@ -559,8 +567,36 @@ object TextOps {
     }
     val (w1, r1) = round(words0, 1)
     val (w2, r2) = round(w1, 2)
-    val (_, r3) = round(w2, 3)
-    r1.union(r2).union(r3).orderBy("step")
+    val (w3, r3) = round(w2, 3)
+    (w3, r1.union(r2).union(r3))
+  }
+
+  val textBpeMerges: Q = (s, d) => bpeChain(s, d)._2.orderBy("step")
+
+  /** X4l-encode: APPLY the learned merges — tokenize documents with the
+    * trained vocabulary (the encode half of the tokenizer-training
+    * story). Each sampled document's words join the final encoded
+    * vocabulary (word → symbol sequence after all 3 merges) and
+    * re-assemble in position order; output per doc is its
+    * whitespace-word count, BPE-symbol count, and the md5 of the full
+    * segmentation. At 100 TB: the vocabulary is one side of a hash join
+    * (broadcast at real-world vocab sizes); documents never leave their
+    * partitions until the per-doc aggregate. */
+  val textBpeEncode: Q = (s, d) => {
+    val (vocab, _) = bpeChain(s, d)
+    val vf = vocab.select(col("w"), bpeSyms("enc").as("sy"))
+    t(s, d, "documents").filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0)
+      .join(vf, Seq("w"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("sy"))).as("n_bpe"),
+        md5(concat_ws(" ", flatten(transform(
+          sort_array(collect_list(struct(col("pos"), col("sy")))),
+          p => p.getField("sy"))))).as("bpe_md5"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, Q] = Map(
@@ -568,6 +604,7 @@ object TextOps {
     "text_token_budget" -> textTokenBudget,
     "text_source_kl" -> textSourceKl,
     "text_bpe_merges" -> textBpeMerges,
+    "text_bpe_encode" -> textBpeEncode,
     "text_clean" -> textClean,
     "text_redact" -> textRedact,
     "text_redact_hash" -> textRedactHash,
@@ -583,6 +620,67 @@ object TextOps {
     "text_bigram_nll" -> textBigramNll,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
+
+  /** Shared BPE oracle CTE chain: word-frequency table → 3 rounds of
+    * (weighted pair counts → argmax merge → double-replace application),
+    * with the original word `w` carried through so the encode oracle can
+    * join documents back to the trained vocabulary (e4). */
+  private val bpeOracleCte: String =
+    """w0 AS (SELECT w, count(*) AS cnt
+                  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                  WHERE length(w) > 0 GROUP BY 1),
+           e1 AS (SELECT w, chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g') AS enc,
+                         cnt
+                  FROM w0),
+           s1 AS (SELECT w, enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms,
+                         cnt
+                  FROM e1),
+           p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+                  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
+                        FROM s1 WHERE len(syms) >= 2)
+                  GROUP BY 1, 2),
+           t1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           e2 AS (SELECT w, replace(replace(enc,
+                    chr(31) || t1.l || chr(31) || t1.r || chr(31),
+                    chr(31) || t1.l || t1.r || chr(31)),
+                    chr(31) || t1.l || chr(31) || t1.r || chr(31),
+                    chr(31) || t1.l || t1.r || chr(31)) AS enc,
+                         cnt
+                  FROM s1 CROSS JOIN t1),
+           s2 AS (SELECT w, enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms,
+                         cnt
+                  FROM e2),
+           n1 AS (SELECT sum(len(syms) * cnt) AS ns FROM s2),
+           p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+                  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
+                        FROM s2 WHERE len(syms) >= 2)
+                  GROUP BY 1, 2),
+           t2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           e3 AS (SELECT w, replace(replace(enc,
+                    chr(31) || t2.l || chr(31) || t2.r || chr(31),
+                    chr(31) || t2.l || t2.r || chr(31)),
+                    chr(31) || t2.l || chr(31) || t2.r || chr(31),
+                    chr(31) || t2.l || t2.r || chr(31)) AS enc,
+                         cnt
+                  FROM s2 CROSS JOIN t2),
+           s3 AS (SELECT w, enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms,
+                         cnt
+                  FROM e3),
+           n2 AS (SELECT sum(len(syms) * cnt) AS ns FROM s3),
+           p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
+                  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
+                        FROM s3 WHERE len(syms) >= 2)
+                  GROUP BY 1, 2),
+           t3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+           e4 AS (SELECT w, replace(replace(enc,
+                    chr(31) || t3.l || chr(31) || t3.r || chr(31),
+                    chr(31) || t3.l || t3.r || chr(31)),
+                    chr(31) || t3.l || chr(31) || t3.r || chr(31),
+                    chr(31) || t3.l || t3.r || chr(31)) AS enc,
+                         cnt
+                  FROM s3 CROSS JOIN t3),
+           n3 AS (SELECT sum(len(list_filter(string_split(enc, chr(31)), x -> x <> ''))
+                             * cnt) AS ns FROM e4)"""
 
   val oracle: Map[String, String] = Map(
     "text_quality_filter" ->
@@ -617,61 +715,7 @@ object TextOps {
          SELECT source, shard, doc_id, n_tok, cum_tok
          FROM c WHERE cum_tok <= 300 ORDER BY source, doc_id""",
     "text_bpe_merges" ->
-      """WITH w0 AS (SELECT w, count(*) AS cnt
-                  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-                  WHERE length(w) > 0 GROUP BY 1),
-           e1 AS (SELECT chr(31) || regexp_replace(w, '(.)', '\1' || chr(31), 'g') AS enc,
-                         cnt
-                  FROM w0),
-           s1 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms,
-                         cnt
-                  FROM e1),
-           p1 AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
-                  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
-                        FROM s1 WHERE len(syms) >= 2)
-                  GROUP BY 1, 2),
-           t1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-           e2 AS (SELECT replace(replace(enc,
-                    chr(31) || t1.l || chr(31) || t1.r || chr(31),
-                    chr(31) || t1.l || t1.r || chr(31)),
-                    chr(31) || t1.l || chr(31) || t1.r || chr(31),
-                    chr(31) || t1.l || t1.r || chr(31)) AS enc,
-                         cnt
-                  FROM s1 CROSS JOIN t1),
-           s2 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms,
-                         cnt
-                  FROM e2),
-           n1 AS (SELECT sum(len(syms) * cnt) AS ns FROM s2),
-           p2 AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
-                  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
-                        FROM s2 WHERE len(syms) >= 2)
-                  GROUP BY 1, 2),
-           t2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-           e3 AS (SELECT replace(replace(enc,
-                    chr(31) || t2.l || chr(31) || t2.r || chr(31),
-                    chr(31) || t2.l || t2.r || chr(31)),
-                    chr(31) || t2.l || chr(31) || t2.r || chr(31),
-                    chr(31) || t2.l || t2.r || chr(31)) AS enc,
-                         cnt
-                  FROM s2 CROSS JOIN t2),
-           s3 AS (SELECT enc, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms,
-                         cnt
-                  FROM e3),
-           n2 AS (SELECT sum(len(syms) * cnt) AS ns FROM s3),
-           p3 AS (SELECT syms[i] AS l, syms[i + 1] AS r, sum(cnt) AS c
-                  FROM (SELECT syms, cnt, unnest(generate_series(1, len(syms) - 1)) AS i
-                        FROM s3 WHERE len(syms) >= 2)
-                  GROUP BY 1, 2),
-           t3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-           e4 AS (SELECT replace(replace(enc,
-                    chr(31) || t3.l || chr(31) || t3.r || chr(31),
-                    chr(31) || t3.l || t3.r || chr(31)),
-                    chr(31) || t3.l || chr(31) || t3.r || chr(31),
-                    chr(31) || t3.l || t3.r || chr(31)) AS enc,
-                         cnt
-                  FROM s3 CROSS JOIN t3),
-           n3 AS (SELECT sum(len(list_filter(string_split(enc, chr(31)), x -> x <> ''))
-                             * cnt) AS ns FROM e4)
+      s"""WITH $bpeOracleCte
          SELECT * FROM (
            SELECT 1 AS step, t1.l AS left_sym, t1.r AS right_sym,
                   CAST(t1.c AS BIGINT) AS n_pair, CAST(n1.ns AS BIGINT) AS n_symbols
@@ -683,6 +727,20 @@ object TextOps {
            SELECT 3, t3.l, t3.r, CAST(t3.c AS BIGINT), CAST(n3.ns AS BIGINT)
            FROM t3 CROSS JOIN n3)
          ORDER BY step""",
+    "text_bpe_encode" ->
+      s"""WITH $bpeOracleCte,
+           vf AS (SELECT w, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms
+                  FROM e4),
+           dt AS (SELECT doc_id, i AS pos, t[i] AS w
+                  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                        FROM (SELECT doc_id, string_split(text, ' ') AS t
+                              FROM documents WHERE doc_id < 20))
+                  WHERE length(t[i]) > 0),
+           jt AS (SELECT d.doc_id, d.pos, v.syms FROM dt d JOIN vf v USING (w))
+         SELECT doc_id, count(*) AS n_words,
+                CAST(sum(len(syms)) AS BIGINT) AS n_bpe,
+                md5(array_to_string(flatten(list(syms ORDER BY pos)), ' ')) AS bpe_md5
+         FROM jt GROUP BY doc_id ORDER BY doc_id""",
     "text_source_kl" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
                        FROM documents),

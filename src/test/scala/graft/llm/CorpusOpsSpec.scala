@@ -154,6 +154,17 @@ class CorpusOpsSpec extends graft.SparkSpec {
       && rows(2).getLong(3) == 3L, s"round 3: ${rows(2)}")
   }
 
+  test("BPE encode tokenizes with the trained vocabulary") {
+    val rows = run("text_bpe_encode")
+      .select("doc_id", "n_words", "n_bpe", "bpe_md5").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // symbols can never be fewer than words (a word is >= 1 symbol)
+      assert(r.getLong(2) >= r.getLong(1), s"n_bpe < n_words: $r")
+      assert(r.getString(3).length == 32, s"md5 shape: $r")
+    }
+  }
+
   // ---- text_source_kl ----
 
   test("source KL is non-negative and flags an off-distribution source") {
