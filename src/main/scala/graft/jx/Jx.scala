@@ -213,9 +213,10 @@ object Jx {
     // surface). The corpus/benchmark inputs are themselves full jx
     // queries, and the usual tail (where/select/sort/limit/window)
     // applies over the packed survivor frame — one composed plan.
-    val base = opt(q, "pipeline") match {
-      case Some(p) => runPipeline(spark, p, tables)
-      case None =>
+    val base = (opt(q, "pipeline"), opt(q, "corpus_op")) match {
+      case (Some(p), _) => runPipeline(spark, p, tables)
+      case (None, Some(c)) => runCorpusOp(spark, c, tables)
+      case _ =>
         val fromNode = req(q, "from")
         // nested FROM: a jx query in from-position runs first and becomes
         // the base frame (upstream: jx_base/query.py accepts a QueryOp as
@@ -284,6 +285,30 @@ object Jx {
       ctx = opt(p, "context").map(_.asLong()).getOrElse(2048L),
       nShards = opt(p, "shards").map(_.asLong()).getOrElse(8L),
       trimSpans = opt(p, "trim_spans").exists(_.asBoolean()))
+
+  /** Compile a {"corpus_op": {...}} node — the corpus-level
+    * training-data operators (SURVEY §2.9 X4i–X4l) reached through jx,
+    * the same single-user-surface story as `pipeline` (upstream analog:
+    * jx is ActiveData's only query language). Spec keys: `op` (one of
+    * quality_gate / source_kl / token_budget / bpe_merges) and `corpus`
+    * (a jx query, required); token_budget also takes `quota` and
+    * `shards`. The op functions are the Column-API library entry points,
+    * so the jx front end lands on the exact same decision sets the
+    * driver oracles pin. */
+  private def runCorpusOp(spark: SparkSession, c: JsonNode,
+      tables: String => DataFrame): DataFrame = {
+    val docs = runNode(spark, req(c, "corpus"), tables)
+    req(c, "op").asText() match {
+      case "quality_gate" => graft.llm.TextOps.qualityFilterOf(docs)
+      case "source_kl" => graft.llm.TextOps.sourceKlOf(docs)
+      case "token_budget" => graft.llm.TextOps.tokenBudgetOf(docs,
+        opt(c, "quota").map(_.asLong()).getOrElse(300L),
+        opt(c, "shards").map(_.asLong()).getOrElse(4L))
+      case "bpe_merges" => graft.llm.TextOps.bpeMergesOf(docs)
+      case other =>
+        throw new IllegalArgumentException(s"unknown corpus_op: $other")
+    }
+  }
 
   private def resolveFrom(name: String, tables: String => DataFrame): DataFrame = {
     val segs = name.split("\\.")

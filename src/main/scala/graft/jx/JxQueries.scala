@@ -267,6 +267,12 @@ object JxQueries {
     "sort": ["doc_id"],
     "limit": 300}"""
 
+  private val qualityGateJson = """{
+    "corpus_op": {"op": "quality_gate", "corpus": {"from": "documents"}}}"""
+
+  private val sourceKlJson = """{
+    "corpus_op": {"op": "source_kl", "corpus": {"from": "documents"}}}"""
+
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     val res = Jx.run(s, sketchJson, name => t(s, d, name))
@@ -307,12 +313,18 @@ object JxQueries {
     "jx_duration" -> ((s, d) => Jx.run(s, durationJson, name => t(s, d, name))),
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))),
     "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))),
-    "jx_pipeline" -> ((s, d) => Jx.run(s, pipelineJson, name => t(s, d, name))))
+    "jx_pipeline" -> ((s, d) => Jx.run(s, pipelineJson, name => t(s, d, name))),
+    "jx_quality_gate" -> ((s, d) => Jx.run(s, qualityGateJson, name => t(s, d, name))),
+    "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
     // so the oracle is pipeline_corpus's full-replay SQL verbatim
     "jx_pipeline" -> graft.llm.Pipeline.oracle("pipeline_corpus"),
+    // same single-surface contract for the corpus ops: the jx front end
+    // must land on the Column API's exact decision set
+    "jx_quality_gate" -> graft.llm.TextOps.oracle("text_quality_filter"),
+    "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

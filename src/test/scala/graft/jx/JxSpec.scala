@@ -473,6 +473,32 @@ class JxSpec extends graft.SparkSpec {
     assert((0 until 3).map(tcells.get(_).asLong()) === Seq(0L, 3L, 3L))
   }
 
+  test("corpus_op composes with a jx-filtered corpus and rejects unknown ops") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the dog ran", "en", "srcA", 39L),
+      (2L, "zx qv wq jj kk zz pp qq ww ee", "en", "srcA", 29L),
+      (3L, "the dog sat on the mat and the cat ran", "en", "srcB", 39L),
+      (4L, "aa bb cc dd ee ff gg hh ii jj", "en", "srcB", 29L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def runDocs(q: String) = Jx.run(spark, q, _ => docs)
+    // the gate over the FULL corpus keeps the most-fluent half per source
+    val kept = runDocs("""{
+      "corpus_op": {"op": "quality_gate", "corpus": {"from": "documents"}}}""")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), s"kept $kept")
+    // a jx where on the corpus sub-query restricts what the op sees —
+    // with only srcA in view, srcA's best doc is kept
+    val keptA = runDocs("""{
+      "corpus_op": {"op": "quality_gate",
+        "corpus": {"from": "documents", "where": {"eq": {"source": "srcA"}}}}}""")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptA == Set(1L), s"keptA $keptA")
+    intercept[IllegalArgumentException] {
+      runDocs("""{"corpus_op": {"op": "nope", "corpus": {"from": "documents"}}}""")
+        .collect()
+    }
+  }
+
   test("sketch aggregates: cardinality_hll / percentile_tdigest / bloom") {
     // tiny exact-checkable group: HLL is exact at this cardinality, the
     // t-digest holds every point so p50 is the exact interpolated median,
