@@ -304,7 +304,8 @@ object Jx {
       case "token_budget" => graft.llm.TextOps.tokenBudgetOf(docs,
         opt(c, "quota").map(_.asLong()).getOrElse(300L),
         opt(c, "shards").map(_.asLong()).getOrElse(4L))
-      case "bpe_merges" => graft.llm.TextOps.bpeMergesOf(docs)
+      case "bpe_merges" => graft.llm.TextOps.bpeMergesOf(docs,
+        opt(c, "merges").map(_.asInt()).getOrElse(3))
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

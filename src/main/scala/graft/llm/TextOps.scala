@@ -544,8 +544,14 @@ object TextOps {
     bpeChainOf(t(s, d, "documents"))
 
   /** The same trainer over ANY (text) frame (jx `corpus_op` entry
-    * point). */
-  private[graft] def bpeChainOf(docs: org.apache.spark.sql.DataFrame):
+    * point), generalized to `nMerges` rounds. When the corpus runs out
+    * of pairs before the budget (every word fully merged), remaining
+    * rounds are identity passes that emit no row — a sentinel rule with
+    * an impossible pattern (empty symbols never appear between
+    * separators) keeps the lazy plan total without driver-side
+    * emptiness checks. */
+  private[graft] def bpeChainOf(docs: org.apache.spark.sql.DataFrame,
+      nMerges: Int = 3):
       (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val SEP = BpeSep
     def syms(encCol: String): org.apache.spark.sql.Column = bpeSyms(encCol)
@@ -573,29 +579,41 @@ object TextOps {
         .select(col("p.l").as("l"), col("p.r").as("r"), col("cnt"))
         .groupBy("l", "r").agg(sum(col("cnt")).as("c"))
         .orderBy(desc("c"), asc("l"), asc("r")).limit(1)
-      val applied = words.crossJoin(broadcast(top1))
+      // pair-exhaustion guard: a real pair always outranks the c = -1
+      // sentinel; with no pairs left the sentinel's empty-symbol pattern
+      // matches nothing (symbols are non-empty), so `applied` = words
+      val sp = words.sparkSession
+      import sp.implicits._
+      val rule = top1
+        .unionByName(Seq(("", "", -1L)).toDF("l", "r", "c"))
+        .orderBy(desc("c")).limit(1)
+      val applied = words.crossJoin(broadcast(rule))
         .withColumn("pat", concat(lit(SEP), col("l"), lit(SEP), col("r"), lit(SEP)))
         .withColumn("rep", concat(lit(SEP), col("l"), col("r"), lit(SEP)))
         .select(col("w"),
           expr("replace(replace(enc, pat, rep), pat, rep)").as("enc"),
           col("cnt"))
       val nSyms = applied.agg(sum(size(syms("enc")) * col("cnt")).as("ns"))
-      val row = top1.crossJoin(nSyms).select(
+      val row = rule.filter(col("c") >= 0).crossJoin(nSyms).select(
         lit(step).as("step"), col("l").as("left_sym"), col("r").as("right_sym"),
         col("c").as("n_pair"), col("ns").as("n_symbols"))
       (applied, row)
     }
-    val (w1, r1) = round(words0, 1)
-    val (w2, r2) = round(w1, 2)
-    val (w3, r3) = round(w2, 3)
-    (w3, r1.union(r2).union(r3))
+    val (fw, rows) = (1 to nMerges)
+      .foldLeft((words0, Vector.empty[org.apache.spark.sql.DataFrame])) {
+        case ((w, acc), step) =>
+          val (w2, r) = round(w, step)
+          (w2, acc :+ r)
+      }
+    (fw, rows.reduce(_ union _))
   }
 
   val textBpeMerges: Q = (s, d) => bpeChain(s, d)._2.orderBy("step")
 
   /** jx `corpus_op` entry point for the trainer's merge table. */
-  def bpeMergesOf(docs: org.apache.spark.sql.DataFrame):
-      org.apache.spark.sql.DataFrame = bpeChainOf(docs)._2.orderBy("step")
+  def bpeMergesOf(docs: org.apache.spark.sql.DataFrame, nMerges: Int = 3):
+      org.apache.spark.sql.DataFrame =
+    bpeChainOf(docs, nMerges)._2.orderBy("step")
 
   /** X4l-encode: APPLY the learned merges — tokenize documents with the
     * trained vocabulary (the encode half of the tokenizer-training

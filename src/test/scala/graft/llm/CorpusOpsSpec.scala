@@ -154,6 +154,16 @@ class CorpusOpsSpec extends graft.SparkSpec {
       && rows(2).getLong(3) == 3L, s"round 3: ${rows(2)}")
   }
 
+  test("BPE merge budget beyond exhaustion degrades to identity rounds") {
+    import spark.implicits._
+    // 'abc'×50 + 'xy'×3: exactly 3 merges exist ((a,b), (ab,c), (x,y));
+    // asking for 5 must return 3 rows, not crash or emit junk rules
+    val text = Seq.fill(50)("abc").mkString(" ") + " xy xy xy"
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val rows = TextOps.bpeMergesOf(docs, nMerges = 5).collect()
+    assert(rows.length == 3, rows.mkString(";"))
+  }
+
   test("BPE encode tokenizes with the trained vocabulary") {
     val rows = run("text_bpe_encode")
       .select("doc_id", "n_words", "n_bpe", "bpe_md5").collect()

@@ -104,6 +104,29 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("a corpus_op runs end-to-end over HTTP") {
+    // the training-data ops through the same single user surface: POST a
+    // corpus_op node, get the trained BPE merge table back
+    val docs = Seq(
+      (1L, "abab abab abab cdcd"),
+      (2L, "abab cdcd cdcd abab"))
+      .toDF("doc_id", "text")
+    val server = QueryService.start(spark, _ => docs)
+    try {
+      val r = post(HttpClient.newHttpClient(), server.getAddress.getPort, """{
+        "corpus_op": {"op": "bpe_merges", "merges": 2,
+                      "corpus": {"from": "docs"}},
+        "sort": ["step"]}""")
+      assert(r.statusCode() === 200)
+      val data = mapper.readTree(r.body()).get("data")
+      assert(data.size() === 2)
+      // 'a b' dominates: 5×abab (2 (a,b) pairs each) beats 3×cdcd
+      assert(data.get(0).get("left_sym").asText() === "a")
+      assert(data.get(0).get("right_sym").asText() === "b")
+      assert(data.get(0).get("n_pair").asLong() === 10L)
+    } finally server.stop(0)
+  }
+
   test("a malformed query answers 400 with an error body, not a hang") {
     withServer { (c, port) =>
       val r = post(c, port, """{"from": "logs", "select": [{"name": "x",
