@@ -58,9 +58,19 @@ object Pipeline {
   def corpusHygiene(corpus: DataFrame, bench: DataFrame,
       jaccardThreshold: Double = 0.5, minOverlap: Int = 3,
       ctx: Long = 2048L, nShards: Long = 8L,
-      trimSpans: Boolean = false): DataFrame = {
-    val hygCorpus = corpus.select(col("doc_id"), hygienicText(col("text")).as("text"))
+      trimSpans: Boolean = false,
+      qualitySources: Option[DataFrame] = None): DataFrame = {
+    val hygCorpus0 = corpus.select(col("doc_id"), hygienicText(col("text")).as("text"))
     val hygBench = bench.select(col("doc_id"), hygienicText(col("text")).as("text"))
+    // optional X4i stage, FIRST (cheap filters before expensive dedup —
+    // the standard pipeline order): per-source NLL percentile gate over
+    // the hygienic corpus; `qualitySources` supplies (doc_id, source)
+    val hygCorpus = qualitySources match {
+      case Some(srcs) =>
+        TextOps.qualityFilterOf(hygCorpus0.join(srcs, Seq("doc_id")))
+          .select("doc_id").join(hygCorpus0, Seq("doc_id"))
+      case None => hygCorpus0
+    }
     // the one shingle pass over corpus ∪ bench, materialized and shared
     // (see object doc); bench rows ride along so decontamination reuses it
     val sh = Dedup.shinglesOf(hygCorpus.unionByName(hygBench)).localCheckpoint()
@@ -122,12 +132,28 @@ object Pipeline {
       .limit(300)
   }
 
+  /** The chain with the per-source quality percentile gate composed in
+    * FRONT (X4i into X9): only each source's most-fluent half reaches
+    * the shingle pass — the standard cheap-filter-before-expensive-dedup
+    * order, and at 100 TB the gate halves every downstream stage's
+    * input. */
+  val pipelineCorpusQuality: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        qualitySources = Some(docs.select("doc_id", "source")))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus" -> pipelineCorpus,
-    "pipeline_corpus_trim" -> pipelineCorpusTrim)
+    "pipeline_corpus_trim" -> pipelineCorpusTrim,
+    "pipeline_corpus_quality" -> pipelineCorpusQuality)
 
-  /** Shared oracle prefix: every stage up to the survivor set. */
-  private val hygienePrefix: String =
+  /** Shared oracle prefix: every stage up to the survivor set.
+    * `corpusSrc` is the CTE the shingle pass and survivors read (plain
+    * `corp`, or the quality-gated `corpq` built by `qualityCtes`). */
+  private def hygienePrefixFrom(corpusSrc: String, qualityCtes: String = ""): String =
     raw"""WITH RECURSIVE
            hyg AS (
              SELECT doc_id,
@@ -138,7 +164,8 @@ object Pipeline {
                       '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS text
              FROM documents),
            corp AS (SELECT doc_id, text FROM hyg WHERE doc_id >= 10),
-           ${Dedup.minhashCteFrom("corp")},
+           $qualityCtes
+           ${Dedup.minhashCteFrom(corpusSrc)},
            pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
            edges AS (SELECT da AS src, db AS dst FROM pairs
                      UNION ALL SELECT db, da FROM pairs),
@@ -162,9 +189,33 @@ object Pipeline {
                   GROUP BY 1),
            contaminated AS (SELECT doc_id FROM ov WHERE n_overlap >= 3),
            survivors AS (
-             SELECT doc_id, text FROM corp
+             SELECT doc_id, text FROM $corpusSrc
              WHERE doc_id NOT IN (SELECT doc_id FROM droplist)
                AND doc_id NOT IN (SELECT doc_id FROM contaminated))"""
+
+  private val hygienePrefix: String = hygienePrefixFrom("corp")
+
+  /** The X4i gate as oracle CTEs: per-source NLL over the hygienic
+    * corpus slice, keep each source's most-fluent half → `corpq`. */
+  private val qualityGateCtes: String =
+    """qsrc AS (SELECT c.doc_id, d.source, c.text
+                FROM corp c JOIN documents d USING (doc_id)),
+           qt AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+                  FROM qsrc),
+           qt2 AS (SELECT doc_id, source, w FROM qt WHERE length(w) > 0),
+           qtot AS (SELECT count(*) AS n FROM qt2),
+           qfreq AS (SELECT w, count(*) AS wc FROM qt2 GROUP BY 1),
+           qnll AS (SELECT doc_id, source,
+                           round(-avg(ln(wc * 1.0 / (SELECT n FROM qtot))), 4) AS nll
+                    FROM qt2 JOIN qfreq USING (w) GROUP BY 1, 2),
+           qr AS (SELECT *,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY nll ASC, doc_id ASC) AS rn,
+                         count(*) OVER (PARTITION BY source) AS n_src
+                  FROM qnll),
+           corpq AS (SELECT c.doc_id, c.text
+                     FROM corp c JOIN qr ON qr.doc_id = c.doc_id
+                     WHERE qr.rn * 2 <= qr.n_src),"""
 
   /** The packing tail, parameterized on the frame being packed. */
   private def packTail(src: String): String =
@@ -187,6 +238,9 @@ object Pipeline {
   val oracle: Map[String, String] = Map(
     "pipeline_corpus" ->
       s"""$hygienePrefix,
+           ${packTail("survivors")}""",
+    "pipeline_corpus_quality" ->
+      s"""${hygienePrefixFrom("corpq", qualityGateCtes)},
            ${packTail("survivors")}""",
     // the trim stage replayed over the survivor set (same construction as
     // dedup_substring_trim, t-prefixed names to avoid CTE collisions)

@@ -117,6 +117,15 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  // ---- pipeline_corpus_quality ----
+
+  test("quality-gated pipeline halves the corpus reaching dedup") {
+    val plain = run("pipeline_corpus").count()
+    val gated = run("pipeline_corpus_quality").count()
+    assert(gated > 0 && gated < plain,
+      s"gated $gated vs plain $plain — the X4i stage should cut the input")
+  }
+
   // ---- text_bpe_merges ----
 
   test("BPE merges shrink the symbol count by exactly the merge count") {
