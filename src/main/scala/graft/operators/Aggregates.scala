@@ -389,12 +389,17 @@ object Aggregates {
     * ±0.05-rank band ([[aggTdigest]]'s recipe); HLL estimate within 5% of
     * exact cardinality; merged Bloom contains each group's min user (no
     * false negatives survive a merge) and rejects an out-of-domain key. */
-  val aggTdigestStore: Q = (s, d) => {
-    import graft.functions.{BloomMergeAgg, BloomProbeRow, BloomSketchAgg,
-      TDigestMergeAgg, TDigestQuantile}
-    val ev = t(s, d, "events")
-    val dir = graft.llm.Artifacts.buildOnce(s, "sketch_store", d) { dd =>
-      ev.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+  /** The daily sketch-partial rollup table behind [[aggTdigestStore]] and
+    * [[aggSketchDashboard]], built once per (session, dataset) into the
+    * [[graft.llm.Artifacts]] store: one row per (day, event_type) holding
+    * a t-digest over value, an HLL and a Bloom filter over user_id, and
+    * the exact row count — parquet, `partitionBy("day")` so any day-range
+    * consumer prunes to just the requested partitions. */
+  private[graft] def sketchStoreDir(s: SparkSession, d: String): java.io.File = {
+    import graft.functions.BloomSketchAgg
+    graft.llm.Artifacts.buildOnce(s, "sketch_store", d) { dd =>
+      t(s, d, "events")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
         .agg(
           graft.functions.TDigestSketchAgg(col("value")).as("td"),
           hll_sketch_agg(col("user_id")).as("hll"),
@@ -402,6 +407,13 @@ object Aggregates {
           count(lit(1)).as("n"))
         .write.mode("overwrite").partitionBy("day").parquet(s"$dd/daily")
     }
+  }
+
+  val aggTdigestStore: Q = (s, d) => {
+    import graft.functions.{BloomMergeAgg, BloomProbeRow,
+      TDigestMergeAgg, TDigestQuantile}
+    val ev = t(s, d, "events")
+    val dir = sketchStoreDir(s, d)
     val merged = s.read.parquet(s"$dir/daily")
       .groupBy("event_type")
       .agg(
@@ -432,6 +444,66 @@ object Aggregates {
           .as("hll_ok"),
         BloomProbeRow(col("bf"), col("min_user")).as("bloom_member"),
         BloomProbeRow(col("bf"), lit(10000043L)).as("bloom_fp"))
+      .orderBy("event_type")
+  }
+
+  /** A16c: the DASHBOARD readout over the daily sketch store — the serving
+    * frame [[graft.service.QueryService]]'s `/dashboard` endpoint formats
+    * (upstream: ActiveData's dashboards re-query raw indexes per panel;
+    * here every panel aggregate is a KB-scale sketch re-merge). A day
+    * range selects partitions by PARTITION PRUNING (`day` is the store's
+    * partition column — a quarter reads ~90 sketch rows, never the raw
+    * events), then per event_type: Σn exact rows, HLL-estimated distinct
+    * users, t-digest median. At 100 TB the events table is petabyte-raw
+    * but this frame's input is kilobytes — the whole point of keeping the
+    * rollup mergeable. */
+  def sketchDashboardFrame(s: SparkSession, d: String,
+      dayLo: String, dayHi: String): DataFrame = {
+    import graft.functions.{TDigestMergeAgg, TDigestQuantile}
+    val dir = sketchStoreDir(s, d)
+    s.read.parquet(s"$dir/daily")
+      .filter(col("day") >= lit(dayLo) && col("day") <= lit(dayHi))
+      .groupBy("event_type")
+      .agg(
+        sum(col("n")).as("n"),
+        round(hll_sketch_estimate(hll_union_agg(col("hll")))).cast("long")
+          .as("users_est"),
+        TDigestMergeAgg(col("td")).as("sk"))
+      .select(col("event_type"), col("n"), col("users_est"),
+        round(TDigestQuantile(col("sk"), 0.5), 2).as("p50_est"))
+      .orderBy("event_type")
+  }
+
+  /** The driver gate for [[sketchDashboardFrame]]: an 8-day window
+    * re-merged from the store vs the same window computed exact from raw
+    * events. Pins: `range_complete` (Σ of pruned daily counts == exact
+    * range count — a mis-pruned partition or dropped partial breaks it),
+    * `p50_ok` (merged-digest median inside the exact ±0.05-rank band),
+    * `hll_ok` (distinct-user estimate within max(1, 5%) of exact). */
+  val aggSketchDashboard: Q = (s, d) => {
+    val (lo, hi) = ("2024-01-05", "2024-01-12")
+    val dash = sketchDashboardFrame(s, d, lo, hi)
+    val ev = t(s, d, "events")
+      .filter(date_format(col("ts"), "yyyy-MM-dd").between(lo, hi))
+    val exact = ev.groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        countDistinct(col("user_id")).as("nd_exact"),
+        min("value").as("mn"), max("value").as("mx"),
+        expr("percentile(value, 0.45)").as("plo"),
+        expr("percentile(value, 0.55)").as("phi"))
+      .select(col("event_type"), col("n_exact"), col("nd_exact"),
+        when(col("n_exact") < 20, col("mn")).otherwise(col("plo")).as("lo50"),
+        when(col("n_exact") < 20, col("mx")).otherwise(col("phi")).as("hi50"))
+    dash.as("m").join(exact.as("e"),
+        col("m.event_type") <=> col("e.event_type"))
+      .select(col("m.event_type").as("event_type"),
+        col("n_exact").as("n"),
+        (col("m.n") === col("n_exact")).as("range_complete"),
+        (col("p50_est") >= col("lo50") && col("p50_est") <= col("hi50"))
+          .as("p50_ok"),
+        (abs(col("users_est") - col("nd_exact")) <=
+          greatest(lit(1.0), col("nd_exact") * lit(0.05))).as("hll_ok"))
       .orderBy("event_type")
   }
 
@@ -477,6 +549,7 @@ object Aggregates {
     "agg_groupby" -> aggGroupby,
     "agg_tdigest" -> aggTdigest,
     "agg_tdigest_store" -> aggTdigestStore,
+    "sketch_dashboard" -> aggSketchDashboard,
     "edges_dense" -> edgesDense,
     "edges_dense_null" -> edgesDenseNull,
     "edges_histogram" -> edgesHistogram,
@@ -507,6 +580,14 @@ object Aggregates {
                 TRUE AS store_complete, TRUE AS p50_ok, TRUE AS hll_ok,
                 TRUE AS bloom_member, FALSE AS bloom_fp
          FROM events GROUP BY event_type ORDER BY event_type""",
+    // the day-range dashboard readout: exact n for the pruned window plus
+    // the three merge/pruning-survival pins
+    "sketch_dashboard" ->
+      """SELECT event_type, count(*) AS n, TRUE AS range_complete,
+                TRUE AS p50_ok, TRUE AS hll_ok
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+         GROUP BY event_type ORDER BY event_type""",
     "agg_heavy_hitters" ->
       """SELECT user_id, n_exact,
                 TRUE AS no_undercount, TRUE AS bounded_overcount

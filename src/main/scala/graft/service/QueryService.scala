@@ -29,18 +29,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - `POST /query`   — body: a jx JSON query; 200 with the jx-formatted
   *    response (list/table/cube per the query's `format`), 400 with
   *    `{"error": …}` on a bad query.
+  *  - `POST /dashboard` — (when started with a `dataset`) body:
+  *    `{"from_day": "YYYY-MM-DD", "to_day": "YYYY-MM-DD", "format":
+  *    "cube"|"list"|"table"}`; answers the jx-formatted per-event-type
+  *    readout from the PERSISTED daily sketch store
+  *    ([[graft.operators.Aggregates.sketchDashboardFrame]]) — every
+  *    aggregate is a KB-scale sketch re-merge over day-pruned partials,
+  *    never a raw-events scan; the dashboard refresh cost is independent
+  *    of corpus size.
   *  - `GET  /health`  — `{"status":"ok"}` liveness probe.
   */
 object QueryService {
 
   /** Start the service on `port` (0 = ephemeral; read the bound port off
     * the returned server). `tables` resolves jx `from` names, exactly as
-    * for [[graft.jx.Jx.run]]. Caller owns the server lifecycle. */
+    * for [[graft.jx.Jx.run]]. `dataset` (a testdata sf directory) enables
+    * the `/dashboard` endpoint, which keys the sketch store to that
+    * corpus. Caller owns the server lifecycle. */
   def start(spark: SparkSession, tables: String => DataFrame,
-      port: Int = 0): HttpServer = {
+      port: Int = 0, dataset: Option[String] = None): HttpServer = {
     val server = HttpServer.create(new InetSocketAddress(port), 0)
     server.createContext("/health", (ex: HttpExchange) =>
       respond(ex, 200, """{"status":"ok"}"""))
+    dataset.foreach { d =>
+      server.createContext("/dashboard", (ex: HttpExchange) =>
+        if (ex.getRequestMethod != "POST")
+          respond(ex, 405, """{"error":"POST a dashboard request"}""")
+        else {
+          val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+          try respond(ex, 200, dashboardJson(spark, d, body))
+          catch {
+            case e: Exception =>
+              respond(ex, 400, s"""{"error":${quote(e.getMessage)}}""")
+          }
+        })
+    }
     server.createContext("/query", (ex: HttpExchange) =>
       if (ex.getRequestMethod != "POST")
         respond(ex, 405, """{"error":"POST a jx query"}""")
@@ -54,6 +77,29 @@ object QueryService {
       })
     server.start()
     server
+  }
+
+  /** Serve one dashboard request: parse the day window, merge the stored
+    * partials, serialize in the requested jx format (`cube` default —
+    * event_type edge, the three readout aggregates as values). */
+  private def dashboardJson(spark: SparkSession, dataset: String,
+      body: String): String = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val q = mapper.readTree(if (body.trim.isEmpty) "{}" else body)
+    def day(field: String, dflt: String): String = {
+      val v = Option(q.get(field)).map(_.asText()).getOrElse(dflt)
+      require(v.matches("\\d{4}-\\d{2}-\\d{2}"), s"$field must be YYYY-MM-DD")
+      v
+    }
+    val df = graft.operators.Aggregates.sketchDashboardFrame(
+      spark, dataset, day("from_day", "0000-01-01"), day("to_day", "9999-12-31"))
+    Option(q.get("format")).map(_.asText()).getOrElse("cube") match {
+      case "list"  => graft.jx.Jx.listJson(df)
+      case "table" => graft.jx.Jx.tableJson(df)
+      case "cube"  => graft.jx.Jx.cubeJson(df, Seq("event_type"),
+        Seq("n", "users_est", "p50_est"))
+      case other => throw new IllegalArgumentException(s"unknown format: $other")
+    }
   }
 
   private def quote(s: String): String =

@@ -144,4 +144,98 @@ class QueryServiceSpec extends graft.SparkSpec {
       assert(r.statusCode() === 405)
     }
   }
+
+  // ---- /dashboard (the persisted-sketch-store readout) ----
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def postPath(c: HttpClient, port: Int, path: String,
+      body: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /dashboard answers a day window from the sketch store, cube format") {
+    val server = QueryService.start(spark, _ => spark.emptyDataFrame,
+      dataset = Some(sf))
+    try {
+      val c = HttpClient.newHttpClient()
+      val r = postPath(c, server.getAddress.getPort, "/dashboard",
+        """{"from_day": "2024-01-05", "to_day": "2024-01-12"}""")
+      assert(r.statusCode() === 200, r.body())
+      val root = mapper.readTree(r.body())
+      assert(root.get("meta").get("format").asText() === "cube")
+      assert(root.get("edges").get(0).get("name").asText() === "event_type")
+      // the served n must equal the exact raw-events count for the same
+      // window, per event type — the re-merge over pruned partials is
+      // count-lossless
+      val exact = graft.Tables.t(spark, sf, "events")
+        .filter(org.apache.spark.sql.functions.date_format(
+          org.apache.spark.sql.functions.col("ts"), "yyyy-MM-dd")
+          .between("2024-01-05", "2024-01-12"))
+        .groupBy("event_type").count()
+        .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+      val parts = root.get("edges").get(0).get("domain").get("partitions")
+      val ns = root.get("data").get("n")
+      val served = (0 until parts.size())
+        .map(i => parts.get(i).get("value").asText() -> ns.get(i).asLong()).toMap
+      assert(served === exact, s"served $served vs exact $exact")
+    } finally server.stop(0)
+  }
+
+  test("POST /dashboard list format carries the estimate columns") {
+    val server = QueryService.start(spark, _ => spark.emptyDataFrame,
+      dataset = Some(sf))
+    try {
+      val r = postPath(HttpClient.newHttpClient(), server.getAddress.getPort,
+        "/dashboard", """{"format": "list"}""")
+      assert(r.statusCode() === 200, r.body())
+      val row = mapper.readTree(r.body()).get("data").get(0)
+      assert(row.has("event_type") && row.has("n") &&
+        row.has("users_est") && row.has("p50_est"))
+    } finally server.stop(0)
+  }
+
+  test("a malformed dashboard day answers 400; without a dataset the route is absent") {
+    val server = QueryService.start(spark, _ => spark.emptyDataFrame,
+      dataset = Some(sf))
+    try {
+      val r = postPath(HttpClient.newHttpClient(), server.getAddress.getPort,
+        "/dashboard", """{"from_day": "not-a-day"}""")
+      assert(r.statusCode() === 400)
+      assert(mapper.readTree(r.body()).has("error"))
+    } finally server.stop(0)
+    val bare = QueryService.start(spark, _ => spark.emptyDataFrame)
+    try {
+      val r = postPath(HttpClient.newHttpClient(), bare.getAddress.getPort,
+        "/dashboard", """{}""")
+      assert(r.statusCode() === 404)
+    } finally bare.stop(0)
+  }
+
+  test("the dashboard merge prunes the store scan to the requested day partitions") {
+    val df = graft.operators.Aggregates.sketchDashboardFrame(
+      spark, sf, "2024-01-05", "2024-01-12")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("day"),
+      s"store scan is not partition-pruned by day:\n$plan")
+    // the pruned scan must touch at most the 8 requested day partitions
+    // (inputFiles is pre-pruning — SinksSpec gotcha — so count the scan's
+    // actually-selected partition directories, descending through AQE
+    // stage wrappers to reach the physical scan)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val counts = scala.collection.mutable.Buffer[Int]()
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: QueryStageExec        => walk(q.plan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        counts += f.selectedPartitions.partitionCount
+      case other => other.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(counts.exists(n => n > 0 && n <= 8),
+      s"expected 1..8 day partitions read, got $counts")
+  }
 }
