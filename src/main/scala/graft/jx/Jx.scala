@@ -290,11 +290,13 @@ object Jx {
     * training-data operators (SURVEY §2.9 X4i–X4l) reached through jx,
     * the same single-user-surface story as `pipeline` (upstream analog:
     * jx is ActiveData's only query language). Spec keys: `op` (one of
-    * quality_gate / source_kl / token_budget / bpe_merges) and `corpus`
-    * (a jx query, required); token_budget also takes `quota` and
-    * `shards`. The op functions are the Column-API library entry points,
-    * so the jx front end lands on the exact same decision sets the
-    * driver oracles pin. */
+    * quality_gate / source_kl / token_budget / bpe_merges /
+    * semantic_dedup / overlap) and `corpus` (a jx query, required —
+    * documents-shaped for the text ops, (vec_id, embedding)-shaped for
+    * semantic_dedup); token_budget also takes `quota` and `shards`,
+    * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
+    * functions are the Column-API library entry points, so the jx front
+    * end lands on the exact same decision sets the driver oracles pin. */
   private def runCorpusOp(spark: SparkSession, c: JsonNode,
       tables: String => DataFrame): DataFrame = {
     val docs = runNode(spark, req(c, "corpus"), tables)
@@ -306,6 +308,11 @@ object Jx {
         opt(c, "shards").map(_.asLong()).getOrElse(4L))
       case "bpe_merges" => graft.llm.TextOps.bpeMergesOf(docs,
         opt(c, "merges").map(_.asInt()).getOrElse(3))
+      case "semantic_dedup" => graft.llm.Similarity.semanticDedupOf(docs,
+        opt(c, "nlist").map(_.asInt()).getOrElse(16),
+        opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
+      case "overlap" => graft.llm.Dedup.corpusOverlapOf(docs,
+        opt(c, "k").map(_.asInt()).getOrElse(128))
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

@@ -273,6 +273,12 @@ object JxQueries {
   private val sourceKlJson = """{
     "corpus_op": {"op": "source_kl", "corpus": {"from": "documents"}}}"""
 
+  private val semanticDedupJson = """{
+    "corpus_op": {"op": "semantic_dedup", "corpus": {"from": "embeddings"}}}"""
+
+  private val overlapJson = """{
+    "corpus_op": {"op": "overlap", "corpus": {"from": "documents"}}}"""
+
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     val res = Jx.run(s, sketchJson, name => t(s, d, name))
@@ -315,7 +321,9 @@ object JxQueries {
     "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))),
     "jx_pipeline" -> ((s, d) => Jx.run(s, pipelineJson, name => t(s, d, name))),
     "jx_quality_gate" -> ((s, d) => Jx.run(s, qualityGateJson, name => t(s, d, name))),
-    "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))))
+    "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
+    "jx_semantic_dedup" -> ((s, d) => Jx.run(s, semanticDedupJson, name => t(s, d, name))),
+    "jx_overlap" -> ((s, d) => Jx.run(s, overlapJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -325,6 +333,8 @@ object JxQueries {
     // must land on the Column API's exact decision set
     "jx_quality_gate" -> graft.llm.TextOps.oracle("text_quality_filter"),
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
+    "jx_semantic_dedup" -> graft.llm.Similarity.oracle("sim_semantic_dedup"),
+    "jx_overlap" -> graft.llm.Dedup.oracle("dedup_corpus_overlap"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

@@ -1007,9 +1007,12 @@ object Dedup {
     * pass is the same shingle scan every dedup key already shares.
     * Deterministic (no sampling), so the estimate replays exactly in
     * the oracle. */
-  val dedupCorpusOverlap: Q = (s, d) => {
-    val K = 128
-    val docs = t(s, d, "documents")
+  val dedupCorpusOverlap: Q = (s, d) => corpusOverlapOf(t(s, d, "documents"))
+
+  /** [[dedupCorpusOverlap]] over any (doc_id, text, source) frame — the
+    * entry the jx `corpus_op` front end dispatches to (the X11 pattern:
+    * one decision set behind both surfaces). */
+  def corpusOverlapOf(docs: DataFrame, K: Int = 128): DataFrame = {
     val srcH = shinglesOf(docs)
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .select("source", "h").distinct()

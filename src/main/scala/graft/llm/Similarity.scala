@@ -143,8 +143,15 @@ object Similarity {
   /** The IVF index build shared by the ANN query and the census:
     * (vecs+norms, refined centroids, scored, assignment). */
   private def ivfIndex(s: SparkSession, d: String, nlist: Int):
+      (DataFrame, DataFrame, DataFrame, DataFrame) =
+    ivfIndexOf(t(s, d, "embeddings"), nlist)
+
+  /** [[ivfIndex]] over any (vec_id, embedding) frame — the
+    * frame-parameterized entry the jx `corpus_op` front end reaches
+    * (same contract as [[graft.llm.TextOps.qualityFilterOf]]). */
+  private[graft] def ivfIndexOf(vecsIn: DataFrame, nlist: Int):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val vecs = t(s, d, "embeddings")
+    val vecs = vecsIn.select(col("vec_id"), col("embedding"))
       .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
     val seed = vecs.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"), col("norm2").as("cn"))
@@ -605,9 +612,14 @@ object Similarity {
     * cluster sizes bounded, which is exactly the published SemDeDup
     * recipe (k ∝ n). Never all-pairs: the quantizer is broadcast-scored
     * (nlist ≪ n) and the self-join shuffles each vector once on cid. */
-  val simSemanticDedup: Q = (s, d) => {
-    val tau = 0.35
-    val (vecs, _, _, assign) = ivfIndex(s, d, 16)
+  val simSemanticDedup: Q = (s, d) => semanticDedupOf(t(s, d, "embeddings"))
+
+  /** [[simSemanticDedup]] over any (vec_id, embedding) frame — the entry
+    * the jx `corpus_op` front end dispatches to, so a jx user prunes the
+    * exact same drop set the driver oracle pins. */
+  def semanticDedupOf(embs: DataFrame, nlist: Int = 16,
+      tau: Double = 0.35): DataFrame = {
+    val (vecs, _, _, assign) = ivfIndexOf(embs, nlist)
     val mem = assign.join(vecs, Seq("vec_id"))
       .select(col("cid"), col("vec_id"), col("embedding").as("v"), col("norm2").as("n2"))
     val other = mem.select(col("cid"), col("vec_id").as("bid"),

@@ -499,6 +499,36 @@ class JxSpec extends graft.SparkSpec {
     }
   }
 
+  test("corpus_op: semantic_dedup and overlap reach the embedding/sketch ops") {
+    // two identical vectors in one cluster → the larger id is dropped as
+    // a dup of the smaller; the knobs (tau) pass through the spec
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (5L, Array(1.0f, 0.02f)), (9L, Array(0.99f, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val drops = Jx.run(spark, """{
+      "corpus_op": {"op": "semantic_dedup", "nlist": 2, "tau": 0.9,
+        "corpus": {"from": "embeddings"}}}""", _ => vecs)
+      .select("vec_id", "dup_of").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(drops.keySet == Set(5L, 9L) && drops(9L) === 0L, s"drops $drops")
+    // overlap over two sources sharing half their shingles estimates a
+    // mid-range jaccard, keyed (src_a, src_b)
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten", "srcA"),
+      (2L, "one two three four five six seven eight nine ten", "srcB"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "srcB"))
+      .toDF("doc_id", "text", "source")
+    val ov = Jx.run(spark, """{
+      "corpus_op": {"op": "overlap", "corpus": {"from": "documents"}}}""",
+      _ => docs).collect()
+    assert(ov.length === 1)
+    val r = ov.head
+    assert(r.getString(0) === "srcA" && r.getString(1) === "srcB")
+    val jac = r.getDouble(3)
+    assert(jac > 0.2 && jac < 0.8, s"jaccard_est $jac")
+  }
+
   test("sketch aggregates: cardinality_hll / percentile_tdigest / bloom") {
     // tiny exact-checkable group: HLL is exact at this cardinality, the
     // t-digest holds every point so p50 is the exact interpolated median,
