@@ -395,19 +395,24 @@ object Aggregates {
     * a t-digest over value, an HLL and a Bloom filter over user_id, and
     * the exact row count — parquet, `partitionBy("day")` so any day-range
     * consumer prunes to just the requested partitions. */
-  private[graft] def sketchStoreDir(s: SparkSession, d: String): java.io.File = {
-    import graft.functions.BloomSketchAgg
+  private[graft] def sketchStoreDir(s: SparkSession, d: String): java.io.File =
     graft.llm.Artifacts.buildOnce(s, "sketch_store", d) { dd =>
-      t(s, d, "events")
-        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
-        .agg(
-          graft.functions.TDigestSketchAgg(col("value")).as("td"),
-          hll_sketch_agg(col("user_id")).as("hll"),
-          BloomSketchAgg(col("user_id"), 1 << 23, 7).as("bf"),
-          count(lit(1)).as("n"))
+      sketchPartialsOf(t(s, d, "events"))
         .write.mode("overwrite").partitionBy("day").parquet(s"$dd/daily")
     }
-  }
+
+  /** One store row per (day, event_type): the four mergeable partials.
+    * Shared by the batch rollup build above and the STREAMING maintainer
+    * ([[graft.streaming.Streams.sketchStoreSink]]) — one store schema,
+    * two writers. */
+  private[graft] def sketchPartialsOf(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_type"))
+      .agg(
+        graft.functions.TDigestSketchAgg(col("value")).as("td"),
+        hll_sketch_agg(col("user_id")).as("hll"),
+        graft.functions.BloomSketchAgg(col("user_id"), 1 << 23, 7).as("bf"),
+        count(lit(1)).as("n"))
 
   val aggTdigestStore: Q = (s, d) => {
     import graft.functions.{BloomMergeAgg, BloomProbeRow,
@@ -458,10 +463,18 @@ object Aggregates {
     * but this frame's input is kilobytes — the whole point of keeping the
     * rollup mergeable. */
   def sketchDashboardFrame(s: SparkSession, d: String,
+      dayLo: String, dayHi: String): DataFrame =
+    sketchMergeFrame(
+      s.read.parquet(s"${sketchStoreDir(s, d)}/daily"), dayLo, dayHi)
+
+  /** The dashboard merge over any frame of store partials (day-pruned
+    * batch rollup or the stream-maintained store — the partials are
+    * mergeable, so WHICH writer produced them and how many rows a day
+    * holds cannot change the readout). */
+  private[graft] def sketchMergeFrame(partials: DataFrame,
       dayLo: String, dayHi: String): DataFrame = {
     import graft.functions.{TDigestMergeAgg, TDigestQuantile}
-    val dir = sketchStoreDir(s, d)
-    s.read.parquet(s"$dir/daily")
+    partials
       .filter(col("day") >= lit(dayLo) && col("day") <= lit(dayHi))
       .groupBy("event_type")
       .agg(
@@ -480,9 +493,16 @@ object Aggregates {
     * range count — a mis-pruned partition or dropped partial breaks it),
     * `p50_ok` (merged-digest median inside the exact ±0.05-rank band),
     * `hll_ok` (distinct-user estimate within max(1, 5%) of exact). */
-  val aggSketchDashboard: Q = (s, d) => {
-    val (lo, hi) = ("2024-01-05", "2024-01-12")
-    val dash = sketchDashboardFrame(s, d, lo, hi)
+  val aggSketchDashboard: Q = (s, d) =>
+    dashboardPins(s, d,
+      sketchDashboardFrame(s, d, "2024-01-05", "2024-01-12"),
+      "2024-01-05", "2024-01-12")
+
+  /** The gate comparison behind [[aggSketchDashboard]] and the streamed
+    * store's twin ([[graft.streaming.Streams]]): any dashboard readout
+    * frame vs the same window computed exact from raw events. */
+  private[graft] def dashboardPins(s: SparkSession, d: String,
+      dash: DataFrame, lo: String, hi: String): DataFrame = {
     val ev = t(s, d, "events")
       .filter(date_format(col("ts"), "yyyy-MM-dd").between(lo, hi))
     val exact = ev.groupBy("event_type")

@@ -199,6 +199,28 @@ object Streams {
       .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
   }
 
+  /** ST8: the streaming MAINTAINER of the daily sketch rollup behind the
+    * dashboard ([[graft.operators.Aggregates.sketchDashboardFrame]]): per
+    * micro-batch, fold the batch's events into per-(day, event_type)
+    * PARTIAL sketches and write them under the batch's own
+    * (day, batch_id) partitions — dynamic partition overwrite, so a
+    * REDELIVERED batch replaces exactly its own partials instead of
+    * double-counting (the same effectively-exactly-once recipe as
+    * [[idempotentAppend]]). The store accretes one partial row per
+    * (day, event_type, batch); reads stay day-pruned, and because the
+    * partials are mergeable the dashboard merge is exact over ANY number
+    * of rows per day — the writer never compacts or rewrites history,
+    * and a late event simply adds another partial to its event-time day.
+    * At 100 TB this is the production shape: a continuously-running job
+    * keeps KB-scale dashboard state fresh without ever re-scanning raw
+    * events. */
+  def sketchStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    graft.operators.Aggregates.sketchPartialsOf(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("day", "batch_id").parquet(dir)
+  }
+
   /** Batch-twin query for the oracle: identical plan to
     * tumblingCountsStream minus the watermark (a no-op in batch). */
   val streamTumbling: Q = (s, d) =>
@@ -284,13 +306,47 @@ object Streams {
         countDistinct(when(col("s_ts").isNull, col("p_id"))).as("n_unmatched_purchases"))
   }
 
+  /** ST8 batch twin / driver gate: replay the streaming maintenance in
+    * batch — two deterministic "micro-batches" (an event_id parity
+    * split) sunk through [[sketchStoreSink]], batch 0 REDELIVERED to
+    * prove the idempotent overwrite — then the dashboard merge over the
+    * STREAMED store for the same 8-day window as `sketch_dashboard`,
+    * pinned against exact raw-events values. A double-counted
+    * redelivery, dropped partial, or mis-pruned day breaks the exact-n
+    * pin; a broken cross-batch merge breaks the p50/HLL pins. Oracle:
+    * identical SQL to `sketch_dashboard` (the maintained store must be
+    * indistinguishable from the batch rollup at read time). */
+  val streamSketchStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "sketch_store_stream", d) { dd =>
+      val ev = t(s, d, "events")
+      val daily = s"$dd/daily"
+      sketchStoreSink(ev.filter(col("event_id") % 2 === 0), 0L, daily)
+      sketchStoreSink(ev.filter(col("event_id") % 2 === 1), 1L, daily)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      sketchStoreSink(ev.filter(col("event_id") % 2 === 0), 0L, daily)
+    }
+    graft.operators.Aggregates.dashboardPins(s, d,
+      graft.operators.Aggregates.sketchMergeFrame(
+        s.read.parquet(s"$dir/daily"), "2024-01-05", "2024-01-12"),
+      "2024-01-05", "2024-01-12")
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sessions" -> streamSessions,
     "stream_join" -> streamJoin,
-    "stream_join_lo" -> streamJoinLo)
+    "stream_join_lo" -> streamJoinLo,
+    "stream_sketch_store" -> streamSketchStore)
 
   val oracle: Map[String, String] = Map(
+    // the streamed store must read back identical to the batch rollup:
+    // sketch_dashboard's oracle verbatim
+    "stream_sketch_store" ->
+      """SELECT event_type, count(*) AS n, TRUE AS range_complete,
+                TRUE AS p50_ok, TRUE AS hll_ok
+         FROM events
+         WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+         GROUP BY event_type ORDER BY event_type""",
     "stream_join" ->
       """SELECT count(*) AS n_pairs,
                 CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases,

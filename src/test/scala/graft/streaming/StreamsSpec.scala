@@ -78,6 +78,43 @@ class StreamsSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("ST8: the stream-maintained sketch store reads back exact and idempotent") {
+    val dir = tmp("graft-st8")
+    val in = MemoryStream[Ev](spark)
+    val q = in.toDF().writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.sketchStoreSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 00:01:00"), "click", 10.0),
+        Ev(2, ts("2024-01-01 00:02:00"), "click", 20.0))
+      q.processAllAvailable()
+      // the second micro-batch adds a new day AND a late event for day
+      // one — the late row becomes one more partial under its event-time
+      // day, no rewrite of batch 0's output
+      in.addData(
+        Ev(3, ts("2024-01-02 00:01:00"), "view", 30.0),
+        Ev(4, ts("2024-01-01 23:59:00"), "click", 40.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = graft.operators.Aggregates.sketchMergeFrame(
+      spark.read.parquet(dir), "2024-01-01", "2024-01-02")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("click") === ((3L, 3L)), s"merged readout $out")
+    assert(out("view") === ((1L, 1L)), s"merged readout $out")
+    // at-least-once redelivery of batch 0 must overwrite its own
+    // partials, not append beside them — counts unchanged
+    Streams.sketchStoreSink(Seq(
+      Ev(1, ts("2024-01-01 00:01:00"), "click", 10.0),
+      Ev(2, ts("2024-01-01 00:02:00"), "click", 20.0)).toDF(), 0L, dir)
+    val again = graft.operators.Aggregates.sketchMergeFrame(
+      spark.read.parquet(dir), "2024-01-01", "2024-01-02")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again("click") === 3L, s"redelivery double-counted: $again")
+  }
+
   test("T7 streaming: dead-letter split routes per micro-batch") {
     // the reference's error re-queue is stream-side (etl.py catches a
     // failing key and writes it to the error bucket while good keys
