@@ -291,12 +291,13 @@ object Jx {
     * the same single-user-surface story as `pipeline` (upstream analog:
     * jx is ActiveData's only query language). Spec keys: `op` (one of
     * quality_gate / source_kl / token_budget / bpe_merges /
-    * semantic_dedup / overlap) and `corpus` (a jx query, required —
+    * semantic_dedup / overlap / dsir) and `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
     * functions are the Column-API library entry points, so the jx front
-    * end lands on the exact same decision sets the driver oracles pin. */
+    * end lands on the exact same decision sets the driver oracles pin;
+    * dsir takes `target_lang`/`buckets` (DSIR importance resampling). */
   private def runCorpusOp(spark: SparkSession, c: JsonNode,
       tables: String => DataFrame): DataFrame = {
     val docs = runNode(spark, req(c, "corpus"), tables)
@@ -313,6 +314,9 @@ object Jx {
         opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
       case "overlap" => graft.llm.Dedup.corpusOverlapOf(docs,
         opt(c, "k").map(_.asInt()).getOrElse(128))
+      case "dsir" => graft.llm.TextOps.dsirOf(docs,
+        opt(c, "target_lang").map(_.asText()).getOrElse("en"),
+        opt(c, "buckets").map(_.asInt()).getOrElse(128))
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

@@ -504,6 +504,71 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** X4m: DSIR-style importance resampling (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling") — score
+    * every document by how much more likely its hashed-bigram features
+    * are under a TARGET distribution (here: the English slice) than
+    * under the RAW corpus, and keep documents whose mean
+    * log-likelihood-ratio is positive. This is the published recipe for
+    * steering a web-scale crawl toward a target domain without training
+    * a classifier: both distributions live over a FIXED B=128 hashed
+    * feature space, so the model is two 128-row count tables no matter
+    * the corpus size.
+    *
+    * Plan shape at 100 TB: one feature pass (in-row bigram hashing, no
+    * joins), two bucket-count aggregates over a 128-key space (map-side
+    * combine collapses each partition to ≤128 rows before the shuffle),
+    * then the log-ratio table — KB-scale — broadcasts back onto the
+    * feature stream and one groupBy(doc_id) produces the scores. No
+    * global sort: selection is a THRESHOLD (w > 0 ⇔ importance ratio
+    * > 1), not a top-K, so the gate is embarrassingly parallel. (A
+    * production variant can fold the 128-entry table into a map literal
+    * and score in-row with zero doc-side shuffle — the
+    * [[graft.llm.Dedup]] foldable-probe pattern.)
+    *
+    * Cross-engine exactness: feature buckets ride the shared 60-bit md5
+    * recipe (Dedup.scala:61 ⇄ the '0x'||substr(md5) DuckDB twin), counts
+    * are integers, add-1 smoothing makes the same rational in both
+    * engines, and round(avg(ln r), 4) tolerates summation-order ULP —
+    * the proven [[textBigramNll]] pattern. The `selected` flag derives
+    * from the ROUNDED weight so the kept set replays exactly. */
+  val textDsir: Q = (s, d) => dsirOf(t(s, d, "documents"))
+
+  /** The same gate over ANY (doc_id, lang, text) frame (jx `corpus_op`
+    * entry point). Target = rows where `lang == targetLang`. */
+  def dsirOf(docs: org.apache.spark.sql.DataFrame, targetLang: String = "en",
+      buckets: Int = 128): org.apache.spark.sql.DataFrame = {
+    val b = buckets.toLong
+    val feats = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+             i -> CAST(conv(substr(md5(concat(
+                    element_at(toks, i), ' ', element_at(toks, i + 1))),
+                  1, 15), 16, 10) AS BIGINT))""")).as("h"))
+      .withColumn("b", col("h") % b)
+    val rawCnt = feats.groupBy("b").agg(count(lit(1)).as("rc"))
+    val tgtCnt = feats.filter(col("lang") === targetLang)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val totals = feats.agg(
+      count(lit(1)).as("r_n"),
+      count(when(col("lang") === targetLang, lit(1))).as("t_n"))
+    val ratio = rawCnt.join(tgtCnt, Seq("b"), "left")
+      .na.fill(0L, Seq("tc"))
+      .crossJoin(broadcast(totals))
+      .withColumn("lr",
+        log((col("tc") + lit(1.0)) / (col("t_n") + lit(b.toDouble))) -
+          log((col("rc") + lit(1.0)) / (col("r_n") + lit(b.toDouble))))
+      .select("b", "lr")
+    feats.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"), r4(avg(col("lr"))).as("dsir_w"))
+      .withColumn("selected", col("dsir_w") > 0)
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   /** X4l: BPE merge training — the first 3 merge decisions of a
     * byte-pair-encoding tokenizer learned ON the corpus, distributed.
     * Each round: count adjacent symbol pairs across every word
@@ -654,6 +719,7 @@ object TextOps {
     "text_quality_filter" -> textQualityFilter,
     "text_token_budget" -> textTokenBudget,
     "text_source_kl" -> textSourceKl,
+    "text_dsir" -> textDsir,
     "text_bpe_merges" -> textBpeMerges,
     "text_bpe_encode" -> textBpeEncode,
     "text_clean" -> textClean,
@@ -805,6 +871,27 @@ object TextOps {
                           ln((c_sw * 1.0 * n_all) / (n_src * 1.0 * c_w))), 4) AS kl
          FROM sf JOIN st USING (source) JOIN cf USING (w) CROSS JOIN ct
          GROUP BY source ORDER BY source""",
+    "text_dsir" ->
+      """WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                       FROM documents),
+           f AS (SELECT doc_id, lang,
+                        CAST('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 15)
+                             AS BIGINT) % 128 AS b
+                 FROM (SELECT doc_id, lang, t,
+                              unnest(generate_series(1, len(t) - 1)) AS i
+                       FROM toks WHERE len(t) >= 2)),
+           rc AS (SELECT b, count(*) AS rc FROM f GROUP BY 1),
+           tc AS (SELECT b, count(*) AS tc FROM f WHERE lang = 'en' GROUP BY 1),
+           tot AS (SELECT count(*) AS r_n,
+                          count(*) FILTER (WHERE lang = 'en') AS t_n FROM f),
+           lr AS (SELECT rc.b,
+                         ln((COALESCE(tc.tc, 0) + 1.0) / (tot.t_n + 128.0)) -
+                         ln((rc.rc + 1.0) / (tot.r_n + 128.0)) AS lr
+                  FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot)
+         SELECT f.doc_id, count(*) AS n_feat, round(avg(lr.lr), 4) AS dsir_w,
+                round(avg(lr.lr), 4) > 0 AS selected
+         FROM f JOIN lr ON f.b = lr.b
+         GROUP BY f.doc_id ORDER BY f.doc_id LIMIT 300""",
     "text_clean" ->
       """WITH m AS (
            SELECT doc_id,

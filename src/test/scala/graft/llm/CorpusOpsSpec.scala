@@ -222,4 +222,45 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(p.contains("hashpartitioning"), p)
     assert(!p.contains("SinglePartition"), p)
   }
+
+  // ---- text_dsir ----
+
+  test("dsir selection flag is exactly the sign of the rounded weight") {
+    val rows = run("text_dsir").select("dsir_w", "selected").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getBoolean(1) == (r.getDouble(0) > 0.0),
+        s"selected must be dsir_w > 0: $r")
+    }
+  }
+
+  test("dsir separates target-language docs on a constructed corpus") {
+    import spark.implicits._
+    // en docs draw bigrams from vocab A, fr docs from disjoint vocab B:
+    // the likelihood ratio (target=en over raw) must be positive for
+    // every en doc and negative for every fr doc
+    val rnd = new scala.util.Random(11)
+    def doc(id: Long, lang: String, pfx: String) = {
+      val words = Seq.fill(60)(s"$pfx${rnd.nextInt(30)}")
+      (id, words.mkString(" "), lang, "web", 0L)
+    }
+    val docs = ((0 until 8).map(i => doc(i.toLong, "en", "w")) ++
+      (8 until 16).map(i => doc(i.toLong, "fr", "z")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val byLang = TextOps.dsirOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    (0 until 8).foreach(i => assert(byLang(i.toLong) > 0.0,
+      s"en doc $i should have positive dsir weight, got ${byLang(i.toLong)}"))
+    (8 until 16).foreach(i => assert(byLang(i.toLong) < 0.0,
+      s"fr doc $i should have negative dsir weight, got ${byLang(i.toLong)}"))
+  }
+
+  test("dsir broadcasts the 128-row ratio table — no shuffle join on docs") {
+    val p = run("text_dsir").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      s"ratio table must broadcast onto the feature stream:\n$p")
+    // the doc-side feature stream must never sort-merge against the
+    // KB-scale model — that would shuffle the whole corpus on bucket id
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
