@@ -938,6 +938,59 @@ object Dedup {
     decontaminate(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
   }
 
+  /** X4b-audit: the contamination REPORT — [[decontaminate]] answers
+    * "which training docs must go"; this answers the eval-owner's
+    * question first: per benchmark item, HOW compromised is it? (The
+    * GPT-3/PaLM appendices publish exactly this readout — per-task
+    * clean/dirty splits — before any drop decision is made.) For each
+    * bench item: how many corpus docs share ≥ `minOverlap` shingles,
+    * the worst offender (most shared shingles; deterministic tie-break
+    * on smallest doc_id), and what fraction of the ITEM's shingles
+    * appear in any qualifying corpus doc (`contamination_frac` — the
+    * quantity that decides whether the item is still usable as eval).
+    *
+    * Plan shape at 100 TB: the bench shingle set is KB-scale →
+    * broadcast; ONE pass over corpus shingles produces the hit stream
+    * (corpus_doc, bench_id, h), which is bounded by true overlap volume,
+    * not corpus size. Pair counts aggregate on (bench_id, doc_id); the
+    * coverage count re-aggregates only the hit stream (left-semi against
+    * the qualifying pairs), never the corpus — so a bench item
+    * contaminated by millions of docs costs rows proportional to hits,
+    * with no per-group collect that could blow up. */
+  def contamReport(corpus: DataFrame, bench: DataFrame, minOverlap: Int = 3): DataFrame = {
+    val bsh = shinglesOf(bench).select(col("doc_id").as("bench_id"), col("h"))
+    val bsizes = bsh.groupBy("bench_id").agg(count(lit(1)).as("n_bsh"))
+    val hits = shinglesOf(corpus).join(broadcast(bsh), Seq("h"))
+      .select(col("bench_id"), col("doc_id"), col("h"))
+    val pairs = hits.groupBy("bench_id", "doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minOverlap)
+    val covered = hits.join(pairs.select("bench_id", "doc_id"),
+        Seq("bench_id", "doc_id"), "left_semi")
+      .select("bench_id", "h").distinct()
+      .groupBy("bench_id").agg(count(lit(1)).as("n_covered"))
+    pairs.groupBy("bench_id")
+      .agg(
+        count(lit(1)).as("n_contaminating"),
+        max(col("n_shared")).as("max_shared"),
+        max_by(col("doc_id"), struct(col("n_shared"), -col("doc_id"))).as("worst_doc"))
+      .join(covered, Seq("bench_id"))
+      .join(broadcast(bsizes), Seq("bench_id"))
+      .withColumn("contamination_frac",
+        r4(col("n_covered").cast("double") / col("n_bsh")))
+      .select("bench_id", "n_contaminating", "worst_doc", "max_shared",
+        "n_covered", "n_bsh", "contamination_frac")
+      .orderBy("bench_id")
+  }
+
+  /** Driver key for [[contamReport]]: same corpus/bench split as
+    * `text_decontaminate`, so the two keys audit and act on the same
+    * contamination set. */
+  val textContamReport: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    contamReport(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+  }
+
   /** X-family: Bloom-filter membership gate — the approximate negative
     * cache a 100 TB incremental pipeline consults before any exact work
     * ("was this key already ingested / is it in the benchmark set?").
@@ -1060,7 +1113,8 @@ object Dedup {
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_trim" -> dedupSubstringTrim,
     "dedup_online_gate" -> dedupOnlineGate,
-    "text_decontaminate" -> textDecontaminate)
+    "text_decontaminate" -> textDecontaminate,
+    "text_contam_report" -> textContamReport)
 
   /** Shared oracle CTE: the full MinHash pipeline (md5 shingle hashes →
     * universal-family minhashes → 4×2 bands → bucket join → Jaccard
@@ -1301,6 +1355,36 @@ object Dedup {
          FROM ov o JOIN sz USING (doc_id)
          WHERE n_overlap >= 3
          ORDER BY n_overlap DESC, doc_id ASC""",
+    "text_contam_report" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           sh AS (SELECT DISTINCT doc_id,
+                         CAST('0x' || substr(md5(unnest(
+                           [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                            for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
+                  FROM toks WHERE len(t) >= 3),
+           bsh AS (SELECT doc_id AS bench_id, h FROM sh WHERE doc_id < 10),
+           bsizes AS (SELECT bench_id, count(*) AS n_bsh FROM bsh GROUP BY 1),
+           hits AS (SELECT b.bench_id, c.doc_id, c.h
+                    FROM sh c JOIN bsh b USING (h) WHERE c.doc_id >= 10),
+           pairs AS (SELECT bench_id, doc_id, count(*) AS n_shared
+                     FROM hits GROUP BY 1, 2 HAVING count(*) >= 3),
+           covered AS (SELECT h2.bench_id, count(DISTINCT h2.h) AS n_covered
+                       FROM hits h2 JOIN pairs USING (bench_id, doc_id)
+                       GROUP BY 1),
+           worst AS (SELECT bench_id, doc_id AS worst_doc FROM (
+               SELECT bench_id, doc_id,
+                      row_number() OVER (PARTITION BY bench_id
+                                         ORDER BY n_shared DESC, doc_id ASC) AS rk
+               FROM pairs) WHERE rk = 1),
+           agg AS (SELECT bench_id, count(*) AS n_contaminating,
+                          max(n_shared) AS max_shared
+                   FROM pairs GROUP BY 1)
+         SELECT a.bench_id, a.n_contaminating, w.worst_doc, a.max_shared,
+                c.n_covered, s.n_bsh,
+                round(c.n_covered * 1.0 / s.n_bsh, 4) AS contamination_frac
+         FROM agg a JOIN worst w USING (bench_id)
+         JOIN covered c USING (bench_id) JOIN bsizes s USING (bench_id)
+         ORDER BY a.bench_id""",
     "dedup_ngram_prefix" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            sh0 AS (SELECT DISTINCT doc_id,

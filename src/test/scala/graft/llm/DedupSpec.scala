@@ -281,4 +281,41 @@ class DedupSpec extends graft.SparkSpec {
     assert(dropped2 > 0L && dropped2 <= 30L,
       s"trim touched tokens outside the shared passage: dropped $dropped2")
   }
+
+  test("contamination report: per-bench-item offender count, worst doc, " +
+    "and shingle coverage") {
+    import spark.implicits._
+    val t10 = (1 to 10).map(i => s"t$i").mkString(" ")     // 8 shingles
+    val bench = Seq(
+      (1L, t10),                                           // contaminated
+      (2L, (1 to 10).map(i => s"z$i").mkString(" "))       // clean
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (10L, t10),                                          // full copy: 8 shared
+      (11L, (1 to 5).map(i => s"t$i").mkString(" ")),      // 3 shared (>= min)
+      (12L, (1 to 6).map(i => s"t$i").mkString(" ") + " q7 q8"), // 4 shared
+      (13L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")              // unrelated
+    ).toDF("doc_id", "text")
+    val rows = Dedup.contamReport(corpus, bench).collect()
+    assert(rows.length === 1, "clean bench item must not appear")
+    val r = rows.head
+    assert(r.getAs[Long]("bench_id") === 1L)
+    assert(r.getAs[Long]("n_contaminating") === 3L)
+    assert(r.getAs[Long]("worst_doc") === 10L)
+    assert(r.getAs[Long]("max_shared") === 8L)
+    // the full copy alone covers all 8 bench shingles
+    assert(r.getAs[Long]("n_covered") === 8L && r.getAs[Long]("n_bsh") === 8L)
+    assert(r.getAs[Double]("contamination_frac") === 1.0)
+  }
+
+  test("contamination report worst-doc tie-break is the smallest doc_id") {
+    import spark.implicits._
+    val span = (1 to 6).map(i => s"s$i").mkString(" ")      // 4 shingles
+    val bench = Seq((1L, span)).toDF("doc_id", "text")
+    val corpus = Seq((21L, span + " x1"), (20L, span + " y1"))
+      .toDF("doc_id", "text")                               // both share all 4
+    val r = Dedup.contamReport(corpus, bench).collect().head
+    assert(r.getAs[Long]("max_shared") === 4L)
+    assert(r.getAs[Long]("worst_doc") === 20L)
+  }
 }
