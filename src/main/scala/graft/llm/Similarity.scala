@@ -635,7 +635,42 @@ object Similarity {
       .orderBy("cid", "vec_id")
   }
 
+  /** X3g (forward idea j): k-NN GRAPH construction over the IVF lists —
+    * the input artifact for graph-based curation analyses (diversity
+    * sampling, community detection, coreset selection). Every vector
+    * gets directed edges to its k nearest neighbors WITHIN its inverted
+    * list (the standard bucketed-kNN approximation: candidate set =
+    * cluster co-members, so edge recall tracks IVF list quality, which
+    * [[simIvfCensus]] monitors). Rank is over the ROUNDED cosine with
+    * dst-id tie-break — deterministic and engine-replayable.
+    *
+    * Plan shape at 100 TB: the self-join is cid-equi (one shuffle on
+    * cid); within-list work is Σ|list|² but list size is bounded by
+    * nlist scaling with n (and the census catches imbalance), so no
+    * global n² anywhere. Top-k is a per-src window over candidates
+    * bounded by the src's own list size. */
+  def knnGraphOf(embs: DataFrame, nlist: Int = 16, k: Int = 3): DataFrame = {
+    val (vecs, _, _, assign) = ivfIndexOf(embs, nlist)
+    val mem = assign.join(vecs, Seq("vec_id"))
+    val a = mem.select(col("cid"), col("vec_id").as("src"),
+      col("embedding").as("av"), col("norm2").as("an"))
+    val b = mem.select(col("cid"), col("vec_id").as("dst"),
+      col("embedding").as("bv"), col("norm2").as("bn"))
+    val w = Window.partitionBy("src").orderBy(desc("cosine"), asc("dst"))
+    a.join(b, Seq("cid"))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cosine",
+        r4(DotProduct(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("src", "rnk", "dst", "cosine", "cid")
+      .orderBy("src", "rnk")
+  }
+
+  val simKnnGraph: Q = (s, d) => knnGraphOf(t(s, d, "embeddings"))
+
   val queries: Map[String, Q] = Map(
+    "sim_knn_graph" -> simKnnGraph,
     "sim_topk" -> simTopk,
     "sim_semantic_dedup" -> simSemanticDedup,
     "sim_ivf" -> simIvf,
@@ -979,6 +1014,25 @@ object Similarity {
                                           ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
            FROM cand) WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    // kNN graph: same quantizer replay through `assign`, per-src top-k
+    // within the cluster; rank over the ROUNDED cosine like the Spark
+    // side (r4 then row_number on the rounded column)
+    "sim_knn_graph" ->
+      s"""WITH $ivfOracleCte,
+           mem AS (SELECT a.cid, v.vec_id, v.v, v.norm2
+                   FROM assign a JOIN vn v USING (vec_id)),
+           cand AS (
+             SELECT a.cid, a.vec_id AS src, b.vec_id AS dst,
+                    round(list_reduce([a.v[k] * b.v[k] for k in generate_series(1, 64)],
+                                      (x, y) -> x + y)
+                          / (sqrt(a.norm2) * sqrt(b.norm2)), 4) AS cosine
+             FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+         SELECT src, rnk, dst, cosine, cid FROM (
+           SELECT cid, src, dst, cosine,
+                  CAST(row_number() OVER (PARTITION BY src
+                                          ORDER BY cosine DESC, dst ASC) AS INT) AS rnk
+           FROM cand) WHERE rnk <= 3
+         ORDER BY src, rnk""",
     // semantic dedup: same quantizer replay through `assign`, pairs
     // joined within clusters only; the τ filter applies to the RAW
     // cosine (bit-identical doubles — same left-fold order), rounding

@@ -534,12 +534,12 @@ object TextOps {
     * from the ROUNDED weight so the kept set replays exactly. */
   val textDsir: Q = (s, d) => dsirOf(t(s, d, "documents"))
 
-  /** The same gate over ANY (doc_id, lang, text) frame (jx `corpus_op`
-    * entry point). Target = rows where `lang == targetLang`. */
-  def dsirOf(docs: org.apache.spark.sql.DataFrame, targetLang: String = "en",
-      buckets: Int = 128): org.apache.spark.sql.DataFrame = {
-    val b = buckets.toLong
-    val feats = docs
+  /** The hashed-bigram feature stream shared by the batch gate and the
+    * ratio-table build: one row per (doc, feature-bucket occurrence),
+    * all in-row codegen. */
+  private def dsirFeatsOf(docs: org.apache.spark.sql.DataFrame,
+      buckets: Int): org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), col("lang"), explode(expr(
@@ -547,26 +547,82 @@ object TextOps {
              i -> CAST(conv(substr(md5(concat(
                     element_at(toks, i), ' ', element_at(toks, i + 1))),
                   1, 15), 16, 10) AS BIGINT))""")).as("h"))
-      .withColumn("b", col("h") % b)
+      .withColumn("b", col("h") % buckets.toLong)
+
+  /** The stored MODEL of the DSIR gate: the 128-row log-likelihood-ratio
+    * table (bucket → lr). Build once per corpus snapshot, store like any
+    * sketch artifact, and every later scoring pass — batch or streamed —
+    * consumes it without touching the corpus again. */
+  def dsirRatioOf(docs: org.apache.spark.sql.DataFrame,
+      targetLang: String = "en",
+      buckets: Int = 128): org.apache.spark.sql.DataFrame = {
+    val b = buckets.toLong
+    val feats = dsirFeatsOf(docs, buckets)
     val rawCnt = feats.groupBy("b").agg(count(lit(1)).as("rc"))
     val tgtCnt = feats.filter(col("lang") === targetLang)
       .groupBy("b").agg(count(lit(1)).as("tc"))
     val totals = feats.agg(
       count(lit(1)).as("r_n"),
       count(when(col("lang") === targetLang, lit(1))).as("t_n"))
-    val ratio = rawCnt.join(tgtCnt, Seq("b"), "left")
+    rawCnt.join(tgtCnt, Seq("b"), "left")
       .na.fill(0L, Seq("tc"))
       .crossJoin(broadcast(totals))
       .withColumn("lr",
         log((col("tc") + lit(1.0)) / (col("t_n") + lit(b.toDouble))) -
           log((col("rc") + lit(1.0)) / (col("r_n") + lit(b.toDouble))))
       .select("b", "lr")
+  }
+
+  /** The same gate over ANY (doc_id, lang, text) frame (jx `corpus_op`
+    * entry point). Target = rows where `lang == targetLang`. */
+  def dsirOf(docs: org.apache.spark.sql.DataFrame, targetLang: String = "en",
+      buckets: Int = 128): org.apache.spark.sql.DataFrame = {
+    val feats = dsirFeatsOf(docs, buckets)
+    val ratio = dsirRatioOf(docs, targetLang, buckets)
     feats.join(broadcast(ratio), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feat"), r4(avg(col("lr"))).as("dsir_w"))
       .withColumn("selected", col("dsir_w") > 0)
       .orderBy("doc_id")
       .limit(300)
+  }
+
+  /** Forward idea (i): the STREAMED DSIR gate — score-and-select in
+    * flight. The ratio table (the KB-scale model [[dsirRatioOf]] built
+    * offline) is folded into a map LITERAL, so scoring is a single
+    * stateless in-row expression: hash bigrams, look each bucket up in
+    * the map, left-fold the mean — no join, no aggregation state, no
+    * watermark; works identically on a batch frame and a streaming one
+    * (append mode), the [[graft.llm.Dedup.dedupAgainstCorpus]]
+    * foldable-model pattern applied to importance resampling.
+    *
+    * Mean is an ordered in-row fold while the batch twin's `avg` is a
+    * shuffle aggregate — same addends, so the rounded weight agrees
+    * (StreamsSpec gates batch⇄stream equality on this corpus). */
+  def dsirGateInRow(docs: org.apache.spark.sql.DataFrame,
+      ratio: Seq[(Long, Double)],
+      buckets: Int = 128,
+      // lr for a bucket the corpus never produced (streamed novel text):
+      // the smoothed-ratio constant log((r_n+B)/(t_n+B)) if the caller
+      // has the totals, else 0.0 (neutral)
+      defaultLr: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    val m = map(ratio.flatMap { case (bk, lr) =>
+      Seq(lit(bk), lit(lr)) }: _*)
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("hs", expr(
+        s"""transform(sequence(1, size(toks) - 1),
+              i -> CAST(conv(substr(md5(concat(
+                     element_at(toks, i), ' ', element_at(toks, i + 1))),
+                   1, 15), 16, 10) AS BIGINT) % ${buckets.toLong}L)"""))
+      .withColumn("n_feat", size(col("hs")).cast("long"))
+      .withColumn("dsir_w", r4(
+        aggregate(col("hs"), lit(0.0),
+          (acc, h) => acc + coalesce(element_at(m, h), lit(defaultLr)))
+          / col("n_feat")))
+      .withColumn("selected", col("dsir_w") > 0)
+      .select("doc_id", "n_feat", "dsir_w", "selected")
   }
 
   /** X4l: BPE merge training — the first 3 merge decisions of a
@@ -715,7 +771,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** X4n (forward idea h): deterministic training-shard export manifest —
+    * the write-side contract a trainer consumes before reading a corpus
+    * export. Docs are hash-sharded on an md5 key hash (stable across
+    * runs, engines, and partitioner choices — NOT Spark's partitioner),
+    * and each shard is summarized by what a trainer validates: doc /
+    * token / byte counts, the id range, and an order-independent content
+    * fingerprint (`bit_xor` of per-doc content hashes — commutative and
+    * associative, so it partial-aggregates map-side with no sort and no
+    * string concat; equal fingerprints + equal n_docs ⇒ same doc
+    * multiset up to xor's even-multiplicity blind spot, which n_docs
+    * disambiguates in practice).
+    *
+    * Plan shape at 100 TB: one groupBy on a 16-value key with map-side
+    * partials — every per-doc column (shard, token count, content hash)
+    * is computed in-row inside whole-stage codegen; the shuffle carries
+    * 16 rows per task. No window, no collect, no skew (md5 spreads keys
+    * uniformly regardless of doc_id distribution). */
+  def shardManifest(docs: org.apache.spark.sql.DataFrame,
+                    nShards: Int = 16): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("shard", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        % nShards)
+      .withColumn("content_h", expr(
+        "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        expr("bit_xor(content_h)").as("content_fp"))
+      .orderBy("shard")
+
+  val textShardManifest: Q = (s, d) => shardManifest(t(s, d, "documents"))
+
   val queries: Map[String, Q] = Map(
+    "text_shard_manifest" -> textShardManifest,
     "text_quality_filter" -> textQualityFilter,
     "text_token_budget" -> textTokenBudget,
     "text_source_kl" -> textSourceKl,
@@ -800,6 +894,19 @@ object TextOps {
                              * cnt) AS ns FROM e4)"""
 
   val oracle: Map[String, String] = Map(
+    "text_shard_manifest" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 16 AS shard,
+                  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h,
+                  len(string_split(text, ' ')) AS n_toks
+           FROM documents)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                bit_xor(content_h) AS content_fp
+         FROM d GROUP BY shard ORDER BY shard""",
     "text_quality_filter" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                        FROM documents),

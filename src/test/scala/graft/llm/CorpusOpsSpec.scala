@@ -263,4 +263,95 @@ class CorpusOpsSpec extends graft.SparkSpec {
     // KB-scale model — that would shuffle the whole corpus on bucket id
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("streamed DSIR gate scores doc-for-doc like the batch gate, " +
+    "with zero streaming state") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val batch = TextOps.dsirOf(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_feat"), r.getAs[Double]("dsir_w"),
+          r.getAs[Boolean]("selected")))).toMap
+    assert(batch.nonEmpty)
+    // the stored model: 128-row ratio table, collected once
+    val ratio = TextOps.dsirRatioOf(docs).collect()
+      .map(r => (r.getAs[Long]("b"), r.getAs[Double]("lr"))).toSeq
+    assert(ratio.size <= 128)
+
+    val in = MemoryStream[(Long, String, String)](spark)
+    val q = TextOps.dsirGateInRow(
+        in.toDF().toDF("doc_id", "text", "lang"), ratio)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      val rows = docs.select("doc_id", "text", "lang").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+      in.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream").collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_feat"), r.getAs[Double]("dsir_w"),
+            r.getAs[Boolean]("selected")))).toMap
+      batch.foreach { case (id, (nf, w, sel)) =>
+        val (snf, sw, ssel) = streamed(id)
+        assert(snf === nf, s"doc $id feature count: stream $snf vs batch $nf")
+        // both sides round to 4 decimals; an ULP at the .00005 boundary
+        // may move one step of the last digit
+        assert(math.abs(sw - w) <= 1e-4 + 1e-9,
+          s"doc $id weight: stream $sw vs batch $w")
+        assert(ssel === sel, s"doc $id selection flipped: $sw vs $w")
+      }
+      // in-flight means STATELESS: no state store anywhere in the query
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "streamed DSIR gate must not create streaming state")
+    } finally q.stop()
+  }
+
+  test("kNN graph: <= k consecutive-ranked out-edges per src, cosine " +
+    "non-increasing, edges never leave the src's IVF list") {
+    val rows = run("sim_knn_graph").collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[Long]("src"))
+    bySrc.foreach { case (src, es) =>
+      val ranked = es.sortBy(_.getAs[Int]("rnk"))
+      assert(ranked.length <= 3, s"src $src has ${ranked.length} edges")
+      assert(ranked.map(_.getAs[Int]("rnk")).toSeq ==
+        (1 to ranked.length), s"ranks not consecutive for src $src")
+      val cos = ranked.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
+        s"cosine must be non-increasing in rank for src $src")
+      assert(es.map(_.getAs[Long]("cid")).distinct.length == 1,
+        s"src $src edges span multiple lists")
+    }
+    // an edge's cid is the ASSIGNMENT of both endpoints: wherever dst
+    // itself appears as a src, it must carry the same cid
+    val srcCid = bySrc.map { case (s, es) => s -> es.head.getAs[Long]("cid") }
+    rows.foreach { r =>
+      val dst = r.getAs[Long]("dst")
+      srcCid.get(dst).foreach(c => assert(c == r.getAs[Long]("cid"),
+        s"edge ${r.getAs[Long]("src")}->$dst crosses lists"))
+    }
+  }
+
+  test("shard manifest accounts for every doc and fingerprints content, " +
+    "independent of row order") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val m1 = TextOps.shardManifest(docs).collect()
+    assert(m1.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    assert(m1.map(_.getAs[Long]("n_bytes")).sum ===
+      docs.agg(sum("n_chars")).head().getLong(0))
+    // order-independence: a repartitioned (arbitrary row order) input
+    // produces the identical manifest byte-for-byte
+    val m2 = TextOps.shardManifest(docs.repartition(7)).collect()
+    assert(m1.map(_.toString).toSeq === m2.map(_.toString).toSeq)
+    // content-sensitivity: editing one doc changes its shard's
+    // fingerprint and no other shard's row
+    val edited = docs.withColumn("text",
+      when(col("doc_id") === 0L, concat(col("text"), lit(" tampered")))
+        .otherwise(col("text")))
+    val m3 = TextOps.shardManifest(edited).collect()
+    val changed = m1.map(_.toString).toSet.diff(m3.map(_.toString).toSet)
+    assert(changed.size === 1, s"exactly one shard row must change: $changed")
+  }
 }
