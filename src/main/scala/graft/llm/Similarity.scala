@@ -669,8 +669,28 @@ object Similarity {
 
   val simKnnGraph: Q = (s, d) => knnGraphOf(t(s, d, "embeddings"))
 
+  /** X3h-b (forward idea k): MUTUAL (reciprocal) kNN filter — keep only
+    * the pairs that are in each other's top-k, the standard denoising
+    * pre-step before graph clustering (a one-way edge into a hub is
+    * usually an artifact of the hub's density, not a real affinity; a
+    * reciprocal edge is evidence both ways). One row per unordered pair
+    * with both ranks. In production the graph is a stored artifact and
+    * this is a self-join of that table on reversed endpoints — an
+    * equi-join on (src, dst), no scoring re-run. */
+  val simKnnMutual: Q = (s, d) => {
+    val edges = knnGraphOf(t(s, d, "embeddings"))
+    val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
+      col("rnk").as("rnk_rev"))
+    edges.join(rev, Seq("src", "dst"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"), col("cosine"),
+        col("rnk").as("rnk_fwd"), col("rnk_rev"))
+      .orderBy("src", "dst")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_knn_graph" -> simKnnGraph,
+    "sim_knn_mutual" -> simKnnMutual,
     "sim_topk" -> simTopk,
     "sim_semantic_dedup" -> simSemanticDedup,
     "sim_ivf" -> simIvf,
@@ -712,6 +732,25 @@ object Similarity {
     * two Lloyd iterations with decimal-exact means → final assignment),
     * through the `assign(vec_id, cid)` CTE. Used by sim_ivf and
     * sim_ivf_census. */
+  /** The kNN-graph edge set `g` shared by sim_knn_graph and its mutual
+    * filter: cluster members self-joined within cid, rounded cosine,
+    * per-src rank (rounded value, dst tie-break), kept at rnk <= 3. */
+  private lazy val knnGraphOracleCte: String =
+    s"""$ivfOracleCte,
+       mem AS (SELECT a.cid, v.vec_id, v.v, v.norm2
+               FROM assign a JOIN vn v USING (vec_id)),
+       knncand AS (
+         SELECT a.cid, a.vec_id AS src, b.vec_id AS dst,
+                round(list_reduce([a.v[k] * b.v[k] for k in generate_series(1, 64)],
+                                  (x, y) -> x + y)
+                      / (sqrt(a.norm2) * sqrt(b.norm2)), 4) AS cosine
+         FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id <> b.vec_id),
+       g AS (SELECT cid, src, dst, cosine, rnk FROM (
+           SELECT cid, src, dst, cosine,
+                  CAST(row_number() OVER (PARTITION BY src
+                                          ORDER BY cosine DESC, dst ASC) AS INT) AS rnk
+           FROM knncand) WHERE rnk <= 3)"""
+
   private val ivfOracleCte: String =
     """raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
                       FROM embeddings),
@@ -1018,21 +1057,16 @@ object Similarity {
     // within the cluster; rank over the ROUNDED cosine like the Spark
     // side (r4 then row_number on the rounded column)
     "sim_knn_graph" ->
-      s"""WITH $ivfOracleCte,
-           mem AS (SELECT a.cid, v.vec_id, v.v, v.norm2
-                   FROM assign a JOIN vn v USING (vec_id)),
-           cand AS (
-             SELECT a.cid, a.vec_id AS src, b.vec_id AS dst,
-                    round(list_reduce([a.v[k] * b.v[k] for k in generate_series(1, 64)],
-                                      (x, y) -> x + y)
-                          / (sqrt(a.norm2) * sqrt(b.norm2)), 4) AS cosine
-             FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
-         SELECT src, rnk, dst, cosine, cid FROM (
-           SELECT cid, src, dst, cosine,
-                  CAST(row_number() OVER (PARTITION BY src
-                                          ORDER BY cosine DESC, dst ASC) AS INT) AS rnk
-           FROM cand) WHERE rnk <= 3
-         ORDER BY src, rnk""",
+      s"""WITH $knnGraphOracleCte
+         SELECT src, rnk, dst, cosine, cid FROM g ORDER BY src, rnk""",
+    // mutual filter: the graph self-joined on reversed endpoints — a
+    // pair survives iff BOTH directed edges exist in g
+    "sim_knn_mutual" ->
+      s"""WITH $knnGraphOracleCte
+         SELECT a.src, a.dst, a.cosine, a.rnk AS rnk_fwd, b.rnk AS rnk_rev
+         FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
+         WHERE a.src < a.dst
+         ORDER BY a.src, a.dst""",
     // semantic dedup: same quantizer replay through `assign`, pairs
     // joined within clusters only; the τ filter applies to the RAW
     // cosine (bit-identical doubles — same left-fold order), rounding

@@ -788,12 +788,18 @@ object TextOps {
     * is computed in-row inside whole-stage codegen; the shuffle carries
     * 16 rows per task. No window, no collect, no skew (md5 spreads keys
     * uniformly regardless of doc_id distribution). */
-  def shardManifest(docs: org.apache.spark.sql.DataFrame,
-                    nShards: Int = 16): org.apache.spark.sql.DataFrame =
+  /** The stable shard assignment shared by the manifest and the export
+    * sink (md5 of the doc id — NOT Spark's partitioner, so membership
+    * survives engine and partitioning changes). */
+  def shardCol(nShards: Int): org.apache.spark.sql.Column =
+    expr("CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)") %
+      nShards
+
+  /** Manifest over a frame that ALREADY carries its `shard` column —
+    * the read-back path of the export round-trip re-derives the
+    * manifest from the files as written. */
+  def shardManifestOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     docs
-      .withColumn("shard", expr(
-        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)")
-        % nShards)
       .withColumn("content_h", expr(
         "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"))
       .groupBy("shard")
@@ -806,10 +812,55 @@ object TextOps {
         expr("bit_xor(content_h)").as("content_fp"))
       .orderBy("shard")
 
+  def shardManifest(docs: org.apache.spark.sql.DataFrame,
+                    nShards: Int = 16): org.apache.spark.sql.DataFrame =
+    shardManifestOf(docs.withColumn("shard", shardCol(nShards)))
+
   val textShardManifest: Q = (s, d) => shardManifest(t(s, d, "documents"))
+
+  /** Forward idea (l): the shard-export SINK — write the corpus as
+    * `partitionBy(shard)` parquet ONCE per (session, dataset) via the
+    * [[graft.llm.Artifacts]] store, then RE-DERIVE the manifest from the
+    * files as written. The returned manifest is therefore a statement
+    * about the bytes on disk, not about the input frame — and it is
+    * hash-gated against the same oracle as [[textShardManifest]], which
+    * proves the export round-trips losslessly (doc set, token counts,
+    * content fingerprints all survive the write/read cycle). Partition
+    * values read back as the narrowest inferred type (int), recast
+    * before the manifest group-by. */
+  val textShardExport: Q = (s, d) => {
+    val dir = Artifacts.buildOnce(s, "shard_export", d) { dd =>
+      t(s, d, "documents")
+        .withColumn("shard", shardCol(16))
+        .write.mode("overwrite").partitionBy("shard").parquet(s"$dd/docs")
+    }
+    shardManifestOf(s.read.parquet(s"$dir/docs")
+      .withColumn("shard", col("shard").cast("long")))
+  }
+
+  /** Forward idea (m): per-source manifest drill-down — the same
+    * fingerprint algebra rolled up over shard × source with `rollup`
+    * (per-(shard,source) cells, per-shard subtotals, grand total). The
+    * subtotal rows prove the algebra composes: a shard's fingerprint is
+    * the bit_xor of its per-source cells, so a trainer can verify any
+    * slice against the whole without re-reading the corpus. */
+  val textShardManifestSrc: Q = (s, d) =>
+    t(s, d, "documents")
+      .withColumn("shard", shardCol(16))
+      .withColumn("content_h", expr(
+        "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+      .rollup("shard", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"),
+        expr("bit_xor(content_h)").as("content_fp"))
+      .orderBy(asc_nulls_first("shard"), asc_nulls_first("source"))
 
   val queries: Map[String, Q] = Map(
     "text_shard_manifest" -> textShardManifest,
+    "text_shard_export" -> textShardExport,
+    "text_shard_manifest_src" -> textShardManifestSrc,
     "text_quality_filter" -> textQualityFilter,
     "text_token_budget" -> textTokenBudget,
     "text_source_kl" -> textSourceKl,
@@ -907,6 +958,34 @@ object TextOps {
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc,
                 bit_xor(content_h) AS content_fp
          FROM d GROUP BY shard ORDER BY shard""",
+    // the export key re-derives the SAME manifest from the written
+    // files — one oracle pins both the query and the round-trip
+    "text_shard_export" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 16 AS shard,
+                  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h,
+                  len(string_split(text, ' ')) AS n_toks
+           FROM documents)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                bit_xor(content_h) AS content_fp
+         FROM d GROUP BY shard ORDER BY shard""",
+    "text_shard_manifest_src" ->
+      """WITH d AS (SELECT doc_id, n_chars, source,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 16 AS shard,
+                  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h,
+                  len(string_split(text, ' ')) AS n_toks
+           FROM documents)
+         SELECT shard, source, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                bit_xor(content_h) AS content_fp
+         FROM d GROUP BY ROLLUP (shard, source)
+         ORDER BY shard NULLS FIRST, source NULLS FIRST""",
     "text_quality_filter" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                        FROM documents),

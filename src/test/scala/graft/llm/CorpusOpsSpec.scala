@@ -354,4 +354,49 @@ class CorpusOpsSpec extends graft.SparkSpec {
     val changed = m1.map(_.toString).toSet.diff(m3.map(_.toString).toSet)
     assert(changed.size === 1, s"exactly one shard row must change: $changed")
   }
+
+  test("mutual kNN pairs are exactly the graph edges present both ways") {
+    val g = run("sim_knn_graph").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    val mutual = run("sim_knn_mutual").collect()
+    assert(mutual.nonEmpty)
+    mutual.foreach { r =>
+      val (a, b) = (r.getAs[Long]("src"), r.getAs[Long]("dst"))
+      assert(a < b, "one row per unordered pair")
+      assert(g.contains((a, b)) && g.contains((b, a)),
+        s"pair ($a,$b) not reciprocal in the graph")
+    }
+    // completeness: every reciprocal edge pair in g appears
+    val expected = g.filter { case (a, b) => a < b && g.contains((b, a)) }
+    assert(mutual.map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+      === expected)
+  }
+
+  test("shard export writes real shard partitions and the manifest " +
+    "re-derived from disk matches the input manifest") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val fromInput = TextOps.shardManifest(docs).collect().map(_.toString)
+    val fromDisk = run("text_shard_export").collect().map(_.toString)
+    assert(fromDisk.toSeq === fromInput.toSeq)
+    val dir = graft.llm.Artifacts.dir(spark, "shard_export", sf)
+    val parts = new java.io.File(dir, "docs").listFiles()
+      .filter(_.getName.startsWith("shard="))
+    assert(parts.length > 1, s"expected shard=* partition dirs in $dir")
+  }
+
+  test("rollup manifest fingerprint algebra composes: shard subtotal = " +
+    "xor of its source cells, grand total = xor of shard subtotals") {
+    val rows = run("text_shard_manifest_src").collect()
+    def fp(r: org.apache.spark.sql.Row) = r.getAs[Long]("content_fp")
+    val cells = rows.filter(r => !r.isNullAt(0) && !r.isNullAt(1))
+    val shardTotals = rows.filter(r => !r.isNullAt(0) && r.isNullAt(1))
+      .map(r => r.getAs[Long]("shard") -> fp(r)).toMap
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    cells.groupBy(_.getAs[Long]("shard")).foreach { case (sh, cs) =>
+      assert(cs.map(fp).reduce(_ ^ _) === shardTotals(sh),
+        s"shard $sh subtotal is not the xor of its source cells")
+    }
+    assert(shardTotals.values.reduce(_ ^ _) === fp(grand.head))
+  }
 }
