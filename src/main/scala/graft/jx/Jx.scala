@@ -291,7 +291,7 @@ object Jx {
     * the same single-user-surface story as `pipeline` (upstream analog:
     * jx is ActiveData's only query language). Spec keys: `op` (one of
     * quality_gate / source_kl / token_budget / bpe_merges /
-    * semantic_dedup / overlap / dsir) and `corpus` (a jx query, required —
+    * semantic_dedup / overlap / dsir / shard_manifest) and `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -317,6 +317,8 @@ object Jx {
       case "dsir" => graft.llm.TextOps.dsirOf(docs,
         opt(c, "target_lang").map(_.asText()).getOrElse("en"),
         opt(c, "buckets").map(_.asInt()).getOrElse(128))
+      case "shard_manifest" => graft.llm.TextOps.shardManifest(docs,
+        opt(c, "shards").map(_.asInt()).getOrElse(16))
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

@@ -283,6 +283,10 @@ object JxQueries {
     "corpus_op": {"op": "dsir", "corpus": {"from": "documents"},
                   "target_lang": "en", "buckets": 128}}"""
 
+  private val shardManifestJson = """{
+    "corpus_op": {"op": "shard_manifest", "corpus": {"from": "documents"},
+                  "shards": 16}}"""
+
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     val res = Jx.run(s, sketchJson, name => t(s, d, name))
@@ -328,7 +332,9 @@ object JxQueries {
     "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
     "jx_semantic_dedup" -> ((s, d) => Jx.run(s, semanticDedupJson, name => t(s, d, name))),
     "jx_overlap" -> ((s, d) => Jx.run(s, overlapJson, name => t(s, d, name))),
-    "jx_dsir" -> ((s, d) => Jx.run(s, dsirJson, name => t(s, d, name))))
+    "jx_dsir" -> ((s, d) => Jx.run(s, dsirJson, name => t(s, d, name))),
+    "jx_shard_manifest" ->
+      ((s, d) => Jx.run(s, shardManifestJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -341,6 +347,7 @@ object JxQueries {
     "jx_semantic_dedup" -> graft.llm.Similarity.oracle("sim_semantic_dedup"),
     "jx_overlap" -> graft.llm.Dedup.oracle("dedup_corpus_overlap"),
     "jx_dsir" -> graft.llm.TextOps.oracle("text_dsir"),
+    "jx_shard_manifest" -> graft.llm.TextOps.oracle("text_shard_manifest"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

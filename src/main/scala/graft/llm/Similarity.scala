@@ -677,20 +677,40 @@ object Similarity {
     * with both ranks. In production the graph is a stored artifact and
     * this is a self-join of that table on reversed endpoints — an
     * equi-join on (src, dst), no scoring re-run. */
-  val simKnnMutual: Q = (s, d) => {
-    val edges = knnGraphOf(t(s, d, "embeddings"))
+  private def mutualEdgesOf(embs: DataFrame): DataFrame = {
+    val edges = knnGraphOf(embs)
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
       col("rnk").as("rnk_rev"))
     edges.join(rev, Seq("src", "dst"))
       .filter(col("src") < col("dst"))
       .select(col("src"), col("dst"), col("cosine"),
         col("rnk").as("rnk_fwd"), col("rnk_rev"))
-      .orderBy("src", "dst")
   }
+
+  val simKnnMutual: Q = (s, d) =>
+    mutualEdgesOf(t(s, d, "embeddings")).orderBy("src", "dst")
+
+  /** X3h-c (forward idea n): SEMANTIC CLUSTERS — connected components
+    * over the mutual kNN graph, reusing the exact iterative min-label
+    * machinery near-dup clustering proved out
+    * ([[graft.llm.Dedup.clusterLabelsFrom]]: per round one distributed
+    * join + min-groupBy, `localCheckpoint` caps lineage). Mutual edges
+    * make the components meaningful (one-way hub edges would glue
+    * unrelated regions); the result is the curation artifact diversity
+    * samplers and topic auditors consume — cluster id, size, members. */
+  val simKnnClusters: Q = (s, d) =>
+    Dedup.clusterLabelsFrom(mutualEdgesOf(t(s, d, "embeddings"))
+        .select(col("src").as("da"), col("dst").as("db")))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        concat_ws(",", transform(array_sort(collect_list(col("id"))),
+          _.cast("string"))).as("members"))
+      .orderBy("cluster_id")
 
   val queries: Map[String, Q] = Map(
     "sim_knn_graph" -> simKnnGraph,
     "sim_knn_mutual" -> simKnnMutual,
+    "sim_knn_clusters" -> simKnnClusters,
     "sim_topk" -> simTopk,
     "sim_semantic_dedup" -> simSemanticDedup,
     "sim_ivf" -> simIvf,
@@ -1067,6 +1087,24 @@ object Similarity {
          FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
          WHERE a.src < a.dst
          ORDER BY a.src, a.dst""",
+    // clusters: recursive reachability closure over the mutual pairs —
+    // min reachable label == the Spark side's propagation fixpoint
+    "sim_knn_clusters" ->
+      s"""WITH RECURSIVE $knnGraphOracleCte,
+           mpairs AS (SELECT a.src AS da, a.dst AS db
+                      FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
+                      WHERE a.src < a.dst),
+           medges AS (SELECT da AS src, db AS dst FROM mpairs
+                      UNION ALL SELECT db, da FROM mpairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM medges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN medges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         SELECT cluster_id, count(*) AS n_vecs,
+                array_to_string(list(CAST(id AS VARCHAR) ORDER BY id), ',')
+                  AS members
+         FROM labels GROUP BY cluster_id ORDER BY cluster_id""",
     // semantic dedup: same quantizer replay through `assign`, pairs
     // joined within clusters only; the τ filter applies to the RAW
     // cosine (bit-identical doubles — same left-fold order), rounding

@@ -838,6 +838,36 @@ object TextOps {
       .withColumn("shard", col("shard").cast("long")))
   }
 
+  /** Merge per-batch manifests by pure distributive algebra — counts
+    * and token/byte sums add, id ranges min/max, fingerprints xor. An
+    * incremental exporter maintains today's manifest as
+    * `merge(yesterday, manifest(today's docs))` without re-reading a
+    * single old shard. */
+  def mergeManifests(parts: org.apache.spark.sql.DataFrame*): org.apache.spark.sql.DataFrame =
+    parts.reduce(_ unionByName _)
+      .groupBy("shard")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_bytes").as("n_bytes"),
+        min("min_doc").as("min_doc"),
+        max("max_doc").as("max_doc"),
+        expr("bit_xor(content_fp)").as("content_fp"))
+      .orderBy("shard")
+
+  /** Forward idea (o): the incremental-manifest gate — the corpus split
+    * into two disjoint "days", each day manifested INDEPENDENTLY, the
+    * two manifests merged by [[mergeManifests]]. Hash-gated against the
+    * FULL-corpus manifest oracle: merge(manifest(A), manifest(B)) ==
+    * manifest(A ∪ B) exactly — the daily-index shape for exports, with
+    * no old-shard re-read. */
+  val textShardDelta: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    mergeManifests(
+      shardManifest(docs.filter(col("doc_id") % 2 === 0)),
+      shardManifest(docs.filter(col("doc_id") % 2 =!= 0)))
+  }
+
   /** Forward idea (m): per-source manifest drill-down — the same
     * fingerprint algebra rolled up over shard × source with `rollup`
     * (per-(shard,source) cells, per-shard subtotals, grand total). The
@@ -861,6 +891,7 @@ object TextOps {
     "text_shard_manifest" -> textShardManifest,
     "text_shard_export" -> textShardExport,
     "text_shard_manifest_src" -> textShardManifestSrc,
+    "text_shard_delta" -> textShardDelta,
     "text_quality_filter" -> textQualityFilter,
     "text_token_budget" -> textTokenBudget,
     "text_source_kl" -> textSourceKl,
@@ -946,6 +977,21 @@ object TextOps {
 
   val oracle: Map[String, String] = Map(
     "text_shard_manifest" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 16 AS shard,
+                  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h,
+                  len(string_split(text, ' ')) AS n_toks
+           FROM documents)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                bit_xor(content_h) AS content_fp
+         FROM d GROUP BY shard ORDER BY shard""",
+    // the delta key merges two independent day-manifests; the oracle is
+    // the FULL-corpus manifest — the gate IS the algebra claim
+    "text_shard_delta" ->
       """WITH d AS (SELECT doc_id, n_chars,
                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
                        AS BIGINT) % 16 AS shard,

@@ -384,6 +384,43 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(parts.length > 1, s"expected shard=* partition dirs in $dir")
   }
 
+  test("manifest merge algebra: any disjoint split merges to the full " +
+    "manifest, in any merge order") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val full = TextOps.shardManifest(docs).collect().map(_.toString).toSeq
+    val parts = (0 to 2).map(k =>
+      TextOps.shardManifest(docs.filter(col("doc_id") % 3 === k)))
+    assert(TextOps.mergeManifests(parts: _*).collect()
+      .map(_.toString).toSeq === full)
+    assert(TextOps.mergeManifests(parts.reverse: _*).collect()
+      .map(_.toString).toSeq === full, "merge must be order-independent")
+  }
+
+  test("semantic clusters partition the mutual-graph vertex set and " +
+    "never split a mutual pair") {
+    val mutual = run("sim_knn_mutual").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val clusters = run("sim_knn_clusters").collect()
+    val member2cluster = clusters.flatMap { r =>
+      r.getAs[String]("members").split(",").map(_.toLong ->
+        r.getAs[Long]("cluster_id"))
+    }.toMap
+    // every vertex with a mutual edge is clustered exactly once
+    val verts = mutual.flatMap(p => Seq(p._1, p._2)).distinct
+    assert(member2cluster.keySet === verts.toSet)
+    assert(member2cluster.size ===
+      clusters.map(_.getAs[Long]("n_vecs")).sum)
+    // an edge never crosses clusters, and the label is the min member
+    mutual.foreach { case (a, b) =>
+      assert(member2cluster(a) === member2cluster(b),
+        s"mutual pair ($a,$b) split across clusters")
+    }
+    clusters.foreach { r =>
+      val ms = r.getAs[String]("members").split(",").map(_.toLong)
+      assert(r.getAs[Long]("cluster_id") === ms.min)
+    }
+  }
+
   test("rollup manifest fingerprint algebra composes: shard subtotal = " +
     "xor of its source cells, grand total = xor of shard subtotals") {
     val rows = run("text_shard_manifest_src").collect()
