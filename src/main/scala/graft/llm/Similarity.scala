@@ -707,10 +707,37 @@ object Similarity {
           _.cast("string"))).as("members"))
       .orderBy("cluster_id")
 
+  /** X3h-d (forward idea q): CLUSTER-DIVERSITY SAMPLER — the curation
+    * step the cluster artifact feeds: keep ≤m representatives per
+    * semantic cluster, highest mutual-degree first (the best-connected
+    * member is the medoid-ish exemplar; ties break on smallest id).
+    * Downsampling over-represented semantic neighborhoods while keeping
+    * every cluster represented is the standard diversity pass between
+    * dedup and mixing. Degrees and ranks are per-cluster windows over
+    * the KB-scale label/edge tables — nothing rescans the vectors. */
+  val simKnnDiverse: Q = (s, d) => {
+    val m = 2
+    val pairs = mutualEdgesOf(t(s, d, "embeddings"))
+      .select(col("src").as("da"), col("dst").as("db"))
+    val labels = Dedup.clusterLabelsFrom(pairs)
+    val deg = pairs.select(col("da").as("id"))
+      .unionByName(pairs.select(col("db").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("degree"), asc("vec_id"))
+    labels.select(col("lbl").as("cluster_id"), col("id").as("vec_id"))
+      .join(deg.withColumnRenamed("id", "vec_id"), Seq("vec_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+      .select("cluster_id", "rk", "vec_id", "degree")
+      .orderBy("cluster_id", "rk")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_knn_graph" -> simKnnGraph,
     "sim_knn_mutual" -> simKnnMutual,
     "sim_knn_clusters" -> simKnnClusters,
+    "sim_knn_diverse" -> simKnnDiverse,
     "sim_topk" -> simTopk,
     "sim_semantic_dedup" -> simSemanticDedup,
     "sim_ivf" -> simIvf,
@@ -1105,6 +1132,28 @@ object Similarity {
                 array_to_string(list(CAST(id AS VARCHAR) ORDER BY id), ',')
                   AS members
          FROM labels GROUP BY cluster_id ORDER BY cluster_id""",
+    // diversity sampler: top-m per cluster by mutual degree (the same
+    // closure + a degree count over the undirected edge list)
+    "sim_knn_diverse" ->
+      s"""WITH RECURSIVE $knnGraphOracleCte,
+           mpairs AS (SELECT a.src AS da, a.dst AS db
+                      FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
+                      WHERE a.src < a.dst),
+           medges AS (SELECT da AS src, db AS dst FROM mpairs
+                      UNION ALL SELECT db, da FROM mpairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM medges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN medges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           deg AS (SELECT src AS id, count(*) AS degree FROM medges GROUP BY 1)
+         SELECT cluster_id, rk, vec_id, degree FROM (
+           SELECT l.cluster_id, d.id AS vec_id, d.degree,
+                  CAST(row_number() OVER (PARTITION BY l.cluster_id
+                                          ORDER BY d.degree DESC, d.id ASC)
+                       AS INT) AS rk
+           FROM labels l JOIN deg d ON d.id = l.id)
+         WHERE rk <= 2 ORDER BY cluster_id, rk""",
     // semantic dedup: same quantizer replay through `assign`, pairs
     // joined within clusters only; the τ filter applies to the RAW
     // cosine (bit-identical doubles — same left-fold order), rounding

@@ -868,6 +868,41 @@ object TextOps {
       shardManifest(docs.filter(col("doc_id") % 2 =!= 0)))
   }
 
+  /** Forward idea (r): manifest DIFF — recover what changed between two
+    * manifests without touching the corpus: counts/sums subtract,
+    * fingerprints xor (xor is its own inverse, so cur ⊕ prev is exactly
+    * the fingerprint of the added docs when prev ⊆ cur). Shards with no
+    * delta drop out. The incremental-export audit: diff(today,
+    * yesterday) must equal manifest(today's new docs) — which is
+    * exactly how the driver gates it. */
+  def diffManifests(cur: org.apache.spark.sql.DataFrame,
+      prev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def slim(m: org.apache.spark.sql.DataFrame, sign: Int) =
+      m.select(col("shard"),
+        (col("n_docs") * sign).as("n_docs"),
+        (col("n_tokens") * sign).as("n_tokens"),
+        (col("n_bytes") * sign).as("n_bytes"),
+        col("content_fp"))
+    slim(cur, 1).unionByName(slim(prev, -1))
+      .groupBy("shard")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_bytes").as("n_bytes"),
+        expr("bit_xor(content_fp)").as("content_fp"))
+      .filter(col("n_docs") =!= 0)
+      .orderBy("shard")
+  }
+
+  /** The diff gate: manifest(all) diffed against manifest(evens) must
+    * recover manifest(odds) exactly — oracled by the odd-slice SQL. */
+  val textShardDiff: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    diffManifests(
+      shardManifest(docs),
+      shardManifest(docs.filter(col("doc_id") % 2 === 0)))
+  }
+
   /** Forward idea (m): per-source manifest drill-down — the same
     * fingerprint algebra rolled up over shard × source with `rollup`
     * (per-(shard,source) cells, per-shard subtotals, grand total). The
@@ -892,6 +927,7 @@ object TextOps {
     "text_shard_export" -> textShardExport,
     "text_shard_manifest_src" -> textShardManifestSrc,
     "text_shard_delta" -> textShardDelta,
+    "text_shard_diff" -> textShardDiff,
     "text_quality_filter" -> textQualityFilter,
     "text_token_budget" -> textTokenBudget,
     "text_source_kl" -> textSourceKl,
@@ -1002,6 +1038,21 @@ object TextOps {
                 CAST(sum(n_toks) AS BIGINT) AS n_tokens,
                 CAST(sum(n_chars) AS BIGINT) AS n_bytes,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                bit_xor(content_h) AS content_fp
+         FROM d GROUP BY shard ORDER BY shard""",
+    // the diff key subtracts the even-slice manifest from the full one;
+    // the oracle is the ODD slice's manifest — diff(whole, part) must
+    // recover exactly the complement
+    "text_shard_diff" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 16 AS shard,
+                  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h,
+                  len(string_split(text, ' ')) AS n_toks
+           FROM documents WHERE doc_id % 2 = 1)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
                 bit_xor(content_h) AS content_fp
          FROM d GROUP BY shard ORDER BY shard""",
     // the export key re-derives the SAME manifest from the written

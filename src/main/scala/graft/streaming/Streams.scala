@@ -221,6 +221,23 @@ object Streams {
       .write.mode("overwrite").partitionBy("day", "batch_id").parquet(dir)
   }
 
+  /** ST9 (forward idea s): stream-maintained SHARD-MANIFEST store — the
+    * export twin of [[sketchStoreSink]]. Each micro-batch writes its own
+    * partial manifest under `batch_id=…`; partials obey
+    * [[graft.llm.TextOps.mergeManifests]]' distributive algebra
+    * (sums / min / max / xor), so the merged readout is exact over any
+    * number of partials, and a redelivered batch id overwrites only its
+    * own partition (dynamic partition overwrite: at-least-once delivery
+    * → exactly-once manifest). A continuously-ingesting exporter keeps
+    * the trainer-facing manifest fresh without ever re-reading old
+    * shards. */
+  def manifestStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    graft.llm.TextOps.shardManifest(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
+  }
+
   /** Batch-twin query for the oracle: identical plan to
     * tumblingCountsStream minus the watermark (a no-op in batch). */
   val streamTumbling: Q = (s, d) =>

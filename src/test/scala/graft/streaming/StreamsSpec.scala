@@ -115,6 +115,41 @@ class StreamsSpec extends graft.SparkSpec {
     assert(again("click") === 3L, s"redelivery double-counted: $again")
   }
 
+  test("ST9: stream-maintained manifest store merges to the exact " +
+    "whole-corpus manifest and redelivery never double-counts") {
+    val dir = tmp("graft-st9")
+    val docs = (0L until 24L).map(i =>
+      (i, s"tok$i alpha beta gamma d$i", "en", "web", 20L + i))
+    val full = graft.llm.TextOps.shardManifest(
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().map(_.toString).toSeq
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.manifestStoreSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(docs.take(10): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(10): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = graft.llm.TextOps.mergeManifests(
+      spark.read.parquet(dir).drop("batch_id"))
+      .collect().map(_.toString).toSeq
+    assert(readout === full, "merged partials must equal the one-shot manifest")
+    // at-least-once redelivery: batch 0 re-sunk under its own id
+    // overwrites its partition — the readout must not change
+    Streams.manifestStoreSink(
+      docs.take(10).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      0L, dir)
+    assert(readout === full, "redelivered batch double-counted")
+  }
+
   test("T7 streaming: dead-letter split routes per micro-batch") {
     // the reference's error re-queue is stream-side (etl.py catches a
     // failing key and writes it to the error bucket while good keys
