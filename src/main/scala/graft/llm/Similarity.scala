@@ -667,18 +667,33 @@ object Similarity {
       .orderBy("src", "rnk")
   }
 
-  val simKnnGraph: Q = (s, d) => knnGraphOf(t(s, d, "embeddings"))
+  /** The graph is an ARTIFACT (the [[graft.llm.Artifacts]]
+    * build-once/probe-many contract, like `sim_ivf_persist`): the
+    * quantizer + scoring pass runs once per (session, dataset); the
+    * graph / mutual / cluster / diversity keys all PROBE the stored
+    * edge table — what a production curation stack does (the kNN graph
+    * is built nightly; every analysis reads it). Long/int/double
+    * columns round-trip parquet bit-exactly, so the stored graph stays
+    * under the same oracle as the in-plan build. */
+  private def knnEdgesStored(s: SparkSession, d: String): DataFrame = {
+    val dir = Artifacts.buildOnce(s, "knn_graph", d) { dd =>
+      knnGraphOf(t(s, d, "embeddings"))
+        .write.mode("overwrite").parquet(s"$dd/edges")
+    }
+    s.read.parquet(s"$dir/edges")
+  }
+
+  val simKnnGraph: Q = (s, d) => knnEdgesStored(s, d).orderBy("src", "rnk")
 
   /** X3h-b (forward idea k): MUTUAL (reciprocal) kNN filter — keep only
     * the pairs that are in each other's top-k, the standard denoising
     * pre-step before graph clustering (a one-way edge into a hub is
     * usually an artifact of the hub's density, not a real affinity; a
     * reciprocal edge is evidence both ways). One row per unordered pair
-    * with both ranks. In production the graph is a stored artifact and
-    * this is a self-join of that table on reversed endpoints — an
-    * equi-join on (src, dst), no scoring re-run. */
-  private def mutualEdgesOf(embs: DataFrame): DataFrame = {
-    val edges = knnGraphOf(embs)
+    * with both ranks. The graph is the stored artifact and this is a
+    * self-join of that table on reversed endpoints — an equi-join on
+    * (src, dst), no scoring re-run. */
+  private def mutualOfEdges(edges: DataFrame): DataFrame = {
     val rev = edges.select(col("dst").as("src"), col("src").as("dst"),
       col("rnk").as("rnk_rev"))
     edges.join(rev, Seq("src", "dst"))
@@ -688,7 +703,7 @@ object Similarity {
   }
 
   val simKnnMutual: Q = (s, d) =>
-    mutualEdgesOf(t(s, d, "embeddings")).orderBy("src", "dst")
+    mutualOfEdges(knnEdgesStored(s, d)).orderBy("src", "dst")
 
   /** X3h-c (forward idea n): SEMANTIC CLUSTERS — connected components
     * over the mutual kNN graph, reusing the exact iterative min-label
@@ -699,7 +714,7 @@ object Similarity {
     * unrelated regions); the result is the curation artifact diversity
     * samplers and topic auditors consume — cluster id, size, members. */
   val simKnnClusters: Q = (s, d) =>
-    Dedup.clusterLabelsFrom(mutualEdgesOf(t(s, d, "embeddings"))
+    Dedup.clusterLabelsFrom(mutualOfEdges(knnEdgesStored(s, d))
         .select(col("src").as("da"), col("dst").as("db")))
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"),
@@ -717,7 +732,7 @@ object Similarity {
     * the KB-scale label/edge tables — nothing rescans the vectors. */
   val simKnnDiverse: Q = (s, d) => {
     val m = 2
-    val pairs = mutualEdgesOf(t(s, d, "embeddings"))
+    val pairs = mutualOfEdges(knnEdgesStored(s, d))
       .select(col("src").as("da"), col("dst").as("db"))
     val labels = Dedup.clusterLabelsFrom(pairs)
     val deg = pairs.select(col("da").as("id"))
