@@ -291,7 +291,7 @@ object Jx {
     * the same single-user-surface story as `pipeline` (upstream analog:
     * jx is ActiveData's only query language). Spec keys: `op` (one of
     * quality_gate / source_kl / token_budget / bpe_merges /
-    * semantic_dedup / overlap / dsir / shard_manifest) and `corpus` (a jx query, required —
+    * semantic_dedup / overlap / dsir / shard_manifest / knn_diverse) and `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -319,6 +319,10 @@ object Jx {
         opt(c, "buckets").map(_.asInt()).getOrElse(128))
       case "shard_manifest" => graft.llm.TextOps.shardManifest(docs,
         opt(c, "shards").map(_.asInt()).getOrElse(16))
+      case "knn_diverse" => graft.llm.Similarity.knnDiverseOf(docs,
+        opt(c, "m").map(_.asInt()).getOrElse(2),
+        opt(c, "nlist").map(_.asInt()).getOrElse(16),
+        opt(c, "k").map(_.asInt()).getOrElse(3))
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

@@ -287,6 +287,10 @@ object JxQueries {
     "corpus_op": {"op": "shard_manifest", "corpus": {"from": "documents"},
                   "shards": 16}}"""
 
+  private val knnDiverseJson = """{
+    "corpus_op": {"op": "knn_diverse", "corpus": {"from": "embeddings"},
+                  "m": 2, "nlist": 16, "k": 3}}"""
+
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     val res = Jx.run(s, sketchJson, name => t(s, d, name))
@@ -334,7 +338,9 @@ object JxQueries {
     "jx_overlap" -> ((s, d) => Jx.run(s, overlapJson, name => t(s, d, name))),
     "jx_dsir" -> ((s, d) => Jx.run(s, dsirJson, name => t(s, d, name))),
     "jx_shard_manifest" ->
-      ((s, d) => Jx.run(s, shardManifestJson, name => t(s, d, name))))
+      ((s, d) => Jx.run(s, shardManifestJson, name => t(s, d, name))),
+    "jx_knn_diverse" ->
+      ((s, d) => Jx.run(s, knnDiverseJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -348,6 +354,7 @@ object JxQueries {
     "jx_overlap" -> graft.llm.Dedup.oracle("dedup_corpus_overlap"),
     "jx_dsir" -> graft.llm.TextOps.oracle("text_dsir"),
     "jx_shard_manifest" -> graft.llm.TextOps.oracle("text_shard_manifest"),
+    "jx_knn_diverse" -> graft.llm.Similarity.oracle("sim_knn_diverse"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

@@ -730,10 +730,7 @@ object Similarity {
     * every cluster represented is the standard diversity pass between
     * dedup and mixing. Degrees and ranks are per-cluster windows over
     * the KB-scale label/edge tables — nothing rescans the vectors. */
-  val simKnnDiverse: Q = (s, d) => {
-    val m = 2
-    val pairs = mutualOfEdges(knnEdgesStored(s, d))
-      .select(col("src").as("da"), col("dst").as("db"))
+  private def diverseFromPairs(pairs: DataFrame, m: Int): DataFrame = {
     val labels = Dedup.clusterLabelsFrom(pairs)
     val deg = pairs.select(col("da").as("id"))
       .unionByName(pairs.select(col("db").as("id")))
@@ -748,11 +745,55 @@ object Similarity {
       .orderBy("cluster_id", "rk")
   }
 
+  val simKnnDiverse: Q = (s, d) =>
+    diverseFromPairs(mutualOfEdges(knnEdgesStored(s, d))
+      .select(col("src").as("da"), col("dst").as("db")), m = 2)
+
+  /** [[simKnnDiverse]] over ANY (vec_id, embedding) frame — the jx
+    * `corpus_op` entry point (idea t): graph built in-plan from the
+    * frame, then the same mutual-filter → CC → top-m-by-degree chain,
+    * with the sample quota `m` as the jx-facing knob. */
+  def knnDiverseOf(embs: DataFrame, m: Int = 2, nlist: Int = 16,
+      k: Int = 3): DataFrame =
+    diverseFromPairs(
+      mutualOfEdges(knnGraphOf(embs, nlist, k))
+        .select(col("src").as("da"), col("dst").as("db")), m)
+
+  /** X3h-e (forward idea v): CLUSTER-HEALTH readout — per semantic
+    * cluster: member count, degree range, mutual-edge count, and mean
+    * in-cluster cosine (a diameter proxy: low mean cosine = a loose,
+    * probably-chained component that large-star CC or a higher τ should
+    * split). The monitoring view a curation pipeline alarms on, all
+    * derived from the stored edge artifact — no vector rescan. */
+  val simKnnStats: Q = (s, d) => {
+    val mutual = mutualOfEdges(knnEdgesStored(s, d))
+    val pairs = mutual.select(col("src").as("da"), col("dst").as("db"),
+      col("cosine"))
+    val labels = Dedup.clusterLabelsFrom(pairs.select("da", "db"))
+    val deg = pairs.select(col("da").as("id"))
+      .unionByName(pairs.select(col("db").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("dg"))
+    val memberStats = labels.join(deg, Seq("id"))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        min("dg").as("min_degree"), max("dg").as("max_degree"))
+    val edgeStats = pairs
+      .join(labels.withColumnRenamed("id", "da"), Seq("da"))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_edges"),
+        // decimal sum is exact ⇒ order-independent: a double avg can
+        // land a last-ulp either side of a .00005 rounding boundary
+        r4(sum(col("cosine").cast("decimal(14,4)")).cast("double")
+          / count(lit(1))).as("mean_cosine"))
+    memberStats.join(edgeStats, Seq("cluster_id")).orderBy("cluster_id")
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_knn_graph" -> simKnnGraph,
     "sim_knn_mutual" -> simKnnMutual,
     "sim_knn_clusters" -> simKnnClusters,
     "sim_knn_diverse" -> simKnnDiverse,
+    "sim_knn_stats" -> simKnnStats,
     "sim_topk" -> simTopk,
     "sim_semantic_dedup" -> simSemanticDedup,
     "sim_ivf" -> simIvf,
@@ -1169,6 +1210,31 @@ object Similarity {
                        AS INT) AS rk
            FROM labels l JOIN deg d ON d.id = l.id)
          WHERE rk <= 2 ORDER BY cluster_id, rk""",
+    // cluster-health stats: member/degree aggregates over the closure's
+    // labels plus edge aggregates over the mutual pairs
+    "sim_knn_stats" ->
+      s"""WITH RECURSIVE $knnGraphOracleCte,
+           mpairs AS (SELECT a.src AS da, a.dst AS db, a.cosine
+                      FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
+                      WHERE a.src < a.dst),
+           medges AS (SELECT da AS src, db AS dst FROM mpairs
+                      UNION ALL SELECT db, da FROM mpairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM medges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN medges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           deg AS (SELECT src AS id, count(*) AS dg FROM medges GROUP BY 1),
+           ms AS (SELECT l.cluster_id, count(*) AS n_vecs,
+                         min(d.dg) AS min_degree, max(d.dg) AS max_degree
+                  FROM labels l JOIN deg d USING (id) GROUP BY 1),
+           es AS (SELECT l.cluster_id, count(*) AS n_edges,
+                         round(CAST(sum(CAST(p.cosine AS DECIMAL(14,4)))
+                                    AS DOUBLE) / count(*), 4) AS mean_cosine
+                  FROM mpairs p JOIN labels l ON l.id = p.da GROUP BY 1)
+         SELECT ms.cluster_id, n_vecs, min_degree, max_degree,
+                n_edges, mean_cosine
+         FROM ms JOIN es USING (cluster_id) ORDER BY ms.cluster_id""",
     // semantic dedup: same quantizer replay through `assign`, pairs
     // joined within clusters only; the τ filter applies to the RAW
     // cosine (bit-identical doubles — same left-fold order), rounding

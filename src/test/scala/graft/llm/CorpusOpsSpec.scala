@@ -421,6 +421,26 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("cluster-health stats agree with the cluster and mutual-edge sets") {
+    val stats = run("sim_knn_stats").collect()
+    val clusters = run("sim_knn_clusters").collect()
+      .map(r => r.getAs[Long]("cluster_id") -> r.getAs[Long]("n_vecs")).toMap
+    val nMutual = run("sim_knn_mutual").count()
+    assert(stats.map(_.getAs[Long]("cluster_id")).toSet === clusters.keySet)
+    stats.foreach { r =>
+      val (cid, nv) = (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_vecs"))
+      assert(nv === clusters(cid))
+      // a connected component on nv vertices needs >= nv-1 edges
+      assert(r.getAs[Long]("n_edges") >= nv - 1, s"cluster $cid underconnected")
+      assert(r.getAs[Long]("min_degree") >= 1L)
+      assert(r.getAs[Long]("min_degree") <= r.getAs[Long]("max_degree"))
+      val mc = r.getAs[Double]("mean_cosine")
+      assert(mc >= -1.0 && mc <= 1.0)
+    }
+    assert(stats.map(_.getAs[Long]("n_edges")).sum === nMutual,
+      "per-cluster edge counts must partition the mutual edge set")
+  }
+
   test("rollup manifest fingerprint algebra composes: shard subtotal = " +
     "xor of its source cells, grand total = xor of shard subtotals") {
     val rows = run("text_shard_manifest_src").collect()
