@@ -291,7 +291,8 @@ object Jx {
     * the same single-user-surface story as `pipeline` (upstream analog:
     * jx is ActiveData's only query language). Spec keys: `op` (one of
     * quality_gate / source_kl / token_budget / bpe_merges /
-    * semantic_dedup / overlap / dsir / shard_manifest / knn_diverse) and `corpus` (a jx query, required —
+    * semantic_dedup / overlap / dsir / shard_manifest / knn_diverse /
+    * knn_clusters) and `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -321,6 +322,9 @@ object Jx {
         opt(c, "shards").map(_.asInt()).getOrElse(16))
       case "knn_diverse" => graft.llm.Similarity.knnDiverseOf(docs,
         opt(c, "m").map(_.asInt()).getOrElse(2),
+        opt(c, "nlist").map(_.asInt()).getOrElse(16),
+        opt(c, "k").map(_.asInt()).getOrElse(3))
+      case "knn_clusters" => graft.llm.Similarity.knnClustersOf(docs,
         opt(c, "nlist").map(_.asInt()).getOrElse(16),
         opt(c, "k").map(_.asInt()).getOrElse(3))
       case other =>

@@ -291,6 +291,9 @@ object JxQueries {
     "corpus_op": {"op": "knn_diverse", "corpus": {"from": "embeddings"},
                   "m": 2, "nlist": 16, "k": 3}}"""
 
+  private val knnClustersJson = """{
+    "corpus_op": {"op": "knn_clusters", "corpus": {"from": "embeddings"}}}"""
+
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     val res = Jx.run(s, sketchJson, name => t(s, d, name))
@@ -340,7 +343,9 @@ object JxQueries {
     "jx_shard_manifest" ->
       ((s, d) => Jx.run(s, shardManifestJson, name => t(s, d, name))),
     "jx_knn_diverse" ->
-      ((s, d) => Jx.run(s, knnDiverseJson, name => t(s, d, name))))
+      ((s, d) => Jx.run(s, knnDiverseJson, name => t(s, d, name))),
+    "jx_knn_clusters" ->
+      ((s, d) => Jx.run(s, knnClustersJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -355,6 +360,7 @@ object JxQueries {
     "jx_dsir" -> graft.llm.TextOps.oracle("text_dsir"),
     "jx_shard_manifest" -> graft.llm.TextOps.oracle("text_shard_manifest"),
     "jx_knn_diverse" -> graft.llm.Similarity.oracle("sim_knn_diverse"),
+    "jx_knn_clusters" -> graft.llm.Similarity.oracle("sim_knn_clusters"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

@@ -713,14 +713,23 @@ object Similarity {
     * make the components meaningful (one-way hub edges would glue
     * unrelated regions); the result is the curation artifact diversity
     * samplers and topic auditors consume — cluster id, size, members. */
-  val simKnnClusters: Q = (s, d) =>
-    Dedup.clusterLabelsFrom(mutualOfEdges(knnEdgesStored(s, d))
-        .select(col("src").as("da"), col("dst").as("db")))
+  private def clustersFromPairs(pairs: DataFrame): DataFrame =
+    Dedup.clusterLabelsFrom(pairs)
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"),
         concat_ws(",", transform(array_sort(collect_list(col("id"))),
           _.cast("string"))).as("members"))
       .orderBy("cluster_id")
+
+  val simKnnClusters: Q = (s, d) =>
+    clustersFromPairs(mutualOfEdges(knnEdgesStored(s, d))
+      .select(col("src").as("da"), col("dst").as("db")))
+
+  /** [[simKnnClusters]] over ANY (vec_id, embedding) frame — the jx
+    * `corpus_op` entry point (idea w): graph built in-plan. */
+  def knnClustersOf(embs: DataFrame, nlist: Int = 16, k: Int = 3): DataFrame =
+    clustersFromPairs(mutualOfEdges(knnGraphOf(embs, nlist, k))
+      .select(col("src").as("da"), col("dst").as("db")))
 
   /** X3h-d (forward idea q): CLUSTER-DIVERSITY SAMPLER — the curation
     * step the cluster artifact feeds: keep ≤m representatives per

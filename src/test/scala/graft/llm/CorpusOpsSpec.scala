@@ -421,6 +421,33 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("bucketed mutual-kNN recovers most brute-force mutual pairs " +
+    "(the quality bound the IVF approximation must clear)") {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = graft.Tables.t(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("n2", graft.functions.DotProduct(col("embedding"), col("embedding")))
+    val a = vecs.select(col("vec_id").as("src"),
+      col("embedding").as("av"), col("n2").as("an"))
+    val b = vecs.select(col("vec_id").as("dst"),
+      col("embedding").as("bv"), col("n2").as("bn"))
+    val w = Window.partitionBy("src").orderBy(desc("cos"), asc("dst"))
+    val top = a.crossJoin(b).filter(col("src") =!= col("dst"))
+      .withColumn("cos", graft.functions.DotProduct(col("av"), col("bv"))
+        / (sqrt(col("an")) * sqrt(col("bn"))))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteMutual = top.filter { case (x, y) => x < y && top((y, x)) }
+    assert(bruteMutual.nonEmpty)
+    val got = run("sim_knn_mutual").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    val recall = got.intersect(bruteMutual).size.toDouble / bruteMutual.size
+    assert(recall >= 0.6,
+      f"bucketed mutual recall $recall%.2f < 0.6 of ${bruteMutual.size} true pairs")
+  }
+
   test("cluster-health stats agree with the cluster and mutual-edge sets") {
     val stats = run("sim_knn_stats").collect()
     val clusters = run("sim_knn_clusters").collect()
