@@ -17,25 +17,34 @@ object Tables {
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Session-level conf, set here so even a caller-provided session (the
-    // driver's smoke check) can read the TIMESTAMP(NANOS) events table.
+    // driver's smoke check) can read either historical `events.ts` layout.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    normalizeNanoTimestamps(df)
+    normalizeTimestamps(df)
   }
 
-  /** The driver's `events` table carries TIMESTAMP(NANOS) parquet columns,
-    * which Spark reads only as raw longs (`spark.sql.legacy.parquet
-    * .nanosAsLong=true`, set in Verify/Bench/test sessions). Convert to
-    * micros TimestampType here — `div 1000` truncates exactly like DuckDB's
-    * nanos→micros read, so oracle compares stay bit-identical.
+  /** The driver has shipped `events.ts` in two parquet layouts over time:
+    * TIMESTAMP(NANOS) (read as raw longs under `spark.sql.legacy.parquet
+    * .nanosAsLong=true`) and `Timestamp(isAdjustedToUTC=false, micros)`
+    * (read as TIMESTAMP_NTZ). Normalize both to session-zoned TimestampType:
+    * the session is pinned to UTC everywhere (Bench/Verify/tests), so the
+    * NTZ cast reinterprets the same wall-clock instant DuckDB reads, and
+    * `div 1000` truncates nanos exactly like DuckDB's nanos→micros read —
+    * oracle compares stay bit-identical in either layout.
     */
-  private def normalizeNanoTimestamps(df: DataFrame): DataFrame =
-    df.schema.fields.filter(f => f.name == "ts" &&
-        f.dataType == org.apache.spark.sql.types.LongType)
-      .foldLeft(df) { (acc, f) =>
-        acc.withColumn(f.name,
-          org.apache.spark.sql.functions.expr(s"timestamp_micros(${f.name} div 1000)"))
+  private def normalizeTimestamps(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.name == "ts").foldLeft(df) { (acc, f) =>
+      f.dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          acc.withColumn(f.name,
+            org.apache.spark.sql.functions.expr(s"timestamp_micros(${f.name} div 1000)"))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          acc.withColumn(f.name,
+            org.apache.spark.sql.functions.col(f.name).cast(
+              org.apache.spark.sql.types.TimestampType))
+        case _ => acc
       }
+    }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = t(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame   = t(spark, sfDir, "orders")

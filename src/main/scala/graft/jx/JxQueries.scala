@@ -294,6 +294,9 @@ object JxQueries {
   private val knnClustersJson = """{
     "corpus_op": {"op": "knn_clusters", "corpus": {"from": "embeddings"}}}"""
 
+  private val knnStatsJson = """{
+    "corpus_op": {"op": "knn_stats", "corpus": {"from": "embeddings"}}}"""
+
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     val res = Jx.run(s, sketchJson, name => t(s, d, name))
@@ -343,9 +346,11 @@ object JxQueries {
     "jx_shard_manifest" ->
       ((s, d) => Jx.run(s, shardManifestJson, name => t(s, d, name))),
     "jx_knn_diverse" ->
-      ((s, d) => Jx.run(s, knnDiverseJson, name => t(s, d, name))),
+      ((s, d) => Jx.run(s, knnDiverseJson, name => t(s, d, name), Some(d))),
     "jx_knn_clusters" ->
-      ((s, d) => Jx.run(s, knnClustersJson, name => t(s, d, name))))
+      ((s, d) => Jx.run(s, knnClustersJson, name => t(s, d, name), Some(d))),
+    "jx_knn_stats" ->
+      ((s, d) => Jx.run(s, knnStatsJson, name => t(s, d, name), Some(d))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -361,6 +366,7 @@ object JxQueries {
     "jx_shard_manifest" -> graft.llm.TextOps.oracle("text_shard_manifest"),
     "jx_knn_diverse" -> graft.llm.Similarity.oracle("sim_knn_diverse"),
     "jx_knn_clusters" -> graft.llm.Similarity.oracle("sim_knn_clusters"),
+    "jx_knn_stats" -> graft.llm.Similarity.oracle("sim_knn_stats"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

@@ -733,10 +733,23 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
+      // one hop of min-label propagation over the edges...
       val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("lbl"))
-      val next = labels.unionByName(prop)
+      val gathered = labels.unionByName(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
+      // ...then POINTER JUMPING: every label is itself a vertex id, so
+      // follow lbl -> label(lbl) and keep the smaller. The reach of the
+      // component minimum DOUBLES per round instead of growing one hop,
+      // so convergence is O(log diameter) — a chain component longer
+      // than the round cap (the r13 mutual-graph regression: denser
+      // multi-probe graphs make long thin components) still converges,
+      // and at 100 TB the round count stays logarithmic in n.
+      val next = gathered.join(
+          gathered.select(col("id").as("lbl"), col("lbl").as("lbl2")),
+          Seq("lbl"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
         .localCheckpoint()
       // labels only ever decrease; any strict decrease = not converged
       converged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))

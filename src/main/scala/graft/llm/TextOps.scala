@@ -529,9 +529,12 @@ object TextOps {
     * Cross-engine exactness: feature buckets ride the shared 60-bit md5
     * recipe (Dedup.scala:61 ⇄ the '0x'||substr(md5) DuckDB twin), counts
     * are integers, add-1 smoothing makes the same rational in both
-    * engines, and round(avg(ln r), 4) tolerates summation-order ULP —
-    * the proven [[textBigramNll]] pattern. The `selected` flag derives
-    * from the ROUNDED weight so the kept set replays exactly. */
+    * engines, and the per-doc mean SUMS THROUGH DECIMAL(28,12) before
+    * the r4 — exact ⇒ order-independent (SURVEY §4.1: anything feeding a
+    * DECISION from a distributed mean must, or the oracle is flaky; a
+    * double avg landed a last-ulp across the .00005 boundary in r12).
+    * The `selected` flag derives from the ROUNDED weight so the kept
+    * set replays exactly. */
   val textDsir: Q = (s, d) => dsirOf(t(s, d, "documents"))
 
   /** The hashed-bigram feature stream shared by the batch gate and the
@@ -581,7 +584,12 @@ object TextOps {
     val ratio = dsirRatioOf(docs, targetLang, buckets)
     feats.join(broadcast(ratio), Seq("b"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feat"), r4(avg(col("lr"))).as("dsir_w"))
+      .agg(count(lit(1)).as("n_feat"),
+        // decimal sum is exact ⇒ order-independent: a double avg can
+        // land a last-ulp either side of a .00005 rounding boundary,
+        // and `selected` is a DECISION fed by the rounded value
+        r4(sum(col("lr").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("dsir_w"))
       .withColumn("selected", col("dsir_w") > 0)
       .orderBy("doc_id")
       .limit(300)
@@ -596,8 +604,9 @@ object TextOps {
     * (append mode), the [[graft.llm.Dedup.dedupAgainstCorpus]]
     * foldable-model pattern applied to importance resampling.
     *
-    * Mean is an ordered in-row fold while the batch twin's `avg` is a
-    * shuffle aggregate — same addends, so the rounded weight agrees
+    * Mean is a decimal in-row fold and the batch twin sums the same
+    * addends through decimal — exact arithmetic is commutative, so the
+    * rounded weight agrees bit-for-bit regardless of order
     * (StreamsSpec gates batch⇄stream equality on this corpus). */
   def dsirGateInRow(docs: org.apache.spark.sql.DataFrame,
       ratio: Seq[(Long, Double)],
@@ -617,10 +626,16 @@ object TextOps {
                      element_at(toks, i), ' ', element_at(toks, i + 1))),
                    1, 15), 16, 10) AS BIGINT) % ${buckets.toLong}L)"""))
       .withColumn("n_feat", size(col("hs")).cast("long"))
+      // decimal fold ⇒ bit-identical to the batch gate's exact decimal
+      // sum (same addends, exact arithmetic, any order); the cast back
+      // to decimal(28,12) inside the lambda keeps the accumulator type
+      // stable (decimal + widens precision) and is lossless at these
+      // magnitudes (|Σlr| < 1e6 needs 18 of the 28 digits)
       .withColumn("dsir_w", r4(
-        aggregate(col("hs"), lit(0.0),
-          (acc, h) => acc + coalesce(element_at(m, h), lit(defaultLr)))
-          / col("n_feat")))
+        aggregate(col("hs"), lit(BigDecimal(0)).cast("decimal(28,12)"),
+          (acc, h) => (acc + coalesce(element_at(m, h), lit(defaultLr))
+            .cast("decimal(28,12)")).cast("decimal(28,12)"))
+          .cast("double") / col("n_feat")))
       .withColumn("selected", col("dsir_w") > 0)
       .select("doc_id", "n_feat", "dsir_w", "selected")
   }
@@ -1171,8 +1186,11 @@ object TextOps {
                          ln((COALESCE(tc.tc, 0) + 1.0) / (tot.t_n + 128.0)) -
                          ln((rc.rc + 1.0) / (tot.r_n + 128.0)) AS lr
                   FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot)
-         SELECT f.doc_id, count(*) AS n_feat, round(avg(lr.lr), 4) AS dsir_w,
-                round(avg(lr.lr), 4) > 0 AS selected
+         SELECT f.doc_id, count(*) AS n_feat,
+                round(CAST(sum(CAST(lr.lr AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*), 4) AS dsir_w,
+                round(CAST(sum(CAST(lr.lr AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*), 4) > 0 AS selected
          FROM f JOIN lr ON f.b = lr.b
          GROUP BY f.doc_id ORDER BY f.doc_id LIMIT 300""",
     "text_clean" ->

@@ -69,7 +69,7 @@ object QueryService {
         respond(ex, 405, """{"error":"POST a jx query"}""")
       else {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
-        try respond(ex, 200, graft.jx.Jx.runFormatted(spark, body, tables))
+        try respond(ex, 200, graft.jx.Jx.runFormatted(spark, body, tables, dataset))
         catch {
           case e: Exception =>
             respond(ex, 400, s"""{"error":${quote(e.getMessage)}}""")

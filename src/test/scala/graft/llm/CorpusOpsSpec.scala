@@ -309,7 +309,7 @@ class CorpusOpsSpec extends graft.SparkSpec {
   }
 
   test("kNN graph: <= k consecutive-ranked out-edges per src, cosine " +
-    "non-increasing, edges never leave the src's IVF list") {
+    "non-increasing, edges stay within each endpoint's p=3 assigned lists") {
     val rows = run("sim_knn_graph").collect()
     assert(rows.nonEmpty)
     val bySrc = rows.groupBy(_.getAs[Long]("src"))
@@ -321,16 +321,15 @@ class CorpusOpsSpec extends graft.SparkSpec {
       val cos = ranked.map(_.getAs[Double]("cosine"))
       assert(cos.zip(cos.tail).forall { case (a, b) => a >= b },
         s"cosine must be non-increasing in rank for src $src")
-      assert(es.map(_.getAs[Long]("cid")).distinct.length == 1,
-        s"src $src edges span multiple lists")
+      // an edge's cid is a list BOTH endpoints were replicated into, so
+      // a src's out-edges span at most its p=3 assigned lists
+      assert(es.map(_.getAs[Long]("cid")).distinct.length <= 3,
+        s"src $src edges span more than p=3 lists")
     }
-    // an edge's cid is the ASSIGNMENT of both endpoints: wherever dst
-    // itself appears as a src, it must carry the same cid
-    val srcCid = bySrc.map { case (s, es) => s -> es.head.getAs[Long]("cid") }
-    rows.foreach { r =>
-      val dst = r.getAs[Long]("dst")
-      srcCid.get(dst).foreach(c => assert(c == r.getAs[Long]("cid"),
-        s"edge ${r.getAs[Long]("src")}->$dst crosses lists"))
+    // symmetric: the same bound holds from the dst side
+    rows.groupBy(_.getAs[Long]("dst")).foreach { case (dst, es) =>
+      assert(es.map(_.getAs[Long]("cid")).distinct.length <= 3,
+        s"dst $dst appears under more than p=3 cids")
     }
   }
 

@@ -127,6 +127,31 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("a knn_stats corpus_op over HTTP probes the stored graph artifact") {
+    // start the service with a dataset dir: the plain-embeddings corpus
+    // routes to the stored knn_graph artifact (the same tables the
+    // sim_knn_* driver keys probe) instead of rebuilding the graph
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = post(HttpClient.newHttpClient(), server.getAddress.getPort, """{
+        "corpus_op": {"op": "knn_stats", "corpus": {"from": "embeddings"}},
+        "sort": ["cluster_id"]}""")
+      assert(r.statusCode() === 200)
+      val data = mapper.readTree(r.body()).get("data")
+      assert(data.size() > 0)
+      val row = data.get(0)
+      Seq("cluster_id", "n_vecs", "min_degree", "max_degree", "n_edges",
+        "mean_cosine").foreach(c => assert(row.has(c), s"missing column $c"))
+      // the HTTP answer must be the stored-artifact readout byte-for-byte
+      val direct = graft.llm.Similarity.queries("sim_knn_stats")(spark, sf)
+        .collect()
+      assert(data.size() === direct.length)
+      assert(row.get("n_vecs").asLong() === direct.head.getAs[Long]("n_vecs"))
+    } finally server.stop(0)
+  }
+
   test("a malformed query answers 400 with an error body, not a hang") {
     withServer { (c, port) =>
       val r = post(c, port, """{"from": "logs", "select": [{"name": "x",
