@@ -67,7 +67,15 @@ object Jx {
   def cubeJsonWithDomains(df: DataFrame, edges: Seq[(String, String)],
       aggNames: Seq[String]): String = {
     val edgeNames = edges.map(_._1)
-    val rows = df.collect()
+    // formatting-layer guard: the cube is dense (Π |domain| cells) and
+    // the HTTP surface accepts arbitrary edges, so refuse to pull a
+    // result set that is no longer "response-sized" onto the driver
+    // instead of OOMing it — the caller should bound the edge domains
+    // (limit / explicit domain) and retry
+    val maxCells = 100000
+    val rows = df.limit(maxCells + 1).collect()
+    require(rows.length <= maxCells,
+      s"cube result exceeds $maxCells cells; bound the edge domains")
     val schema = df.schema
     val edgeIdx = edgeNames.map(schema.fieldIndex)
     val aggIdx = aggNames.map(schema.fieldIndex)

@@ -167,6 +167,51 @@ object TextOps {
       .orderBy("doc_id", "chunk")
       .limit(500)
 
+  /** Forward idea (x): PACKING-AWARE SHARD MANIFEST — the trainer-facing
+    * closing of the packing loop: one row per PACKING shard (the
+    * [[packChunks]] pmod shard, not the export hash shard) stating what
+    * the packed shard contains — docs, token total, how many ctx-sized
+    * chunks the shard fills, the fill of the final (possibly partial)
+    * chunk, and the xor content fingerprint ([[shardManifest]]'s
+    * distributive-algebra recipe). `n_chunks` is derived FROM the packed
+    * coordinates (max over docs of the chunk its last token lands in),
+    * so the manifest is a statement about the packing arithmetic itself:
+    * gap-free, quota-true packing forces n_chunks == ceil(n_tokens/ctx)
+    * and 0 < last_fill <= ctx — a trainer validates a delivered shard
+    * against this row before consuming a single chunk.
+    *
+    * Plan shape at 100 TB: the same per-shard cumulative window packing
+    * itself uses (no global order), then a groupBy collapsing to
+    * nShards rows — KB-scale output, merge-able across batches exactly
+    * like [[mergeManifests]] (sums add, fingerprints xor; n_chunks/
+    * last_fill re-derive from the merged totals). */
+  def packManifest(docs: org.apache.spark.sql.DataFrame, ctx: Long,
+      nShards: Long): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)").as("content_h"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        // the chunk the shard's last token lands in, from the packed
+        // coordinates (cum_before == chunk_id·ctx + chunk_offset)
+        (max(((col("cum_before") + col("n_tok") - 1) / ctx).cast("long")) + 1)
+          .as("n_chunks"),
+        expr("bit_xor(content_h)").as("content_fp"))
+      .withColumn("last_fill", col("n_tokens") - (col("n_chunks") - 1) * ctx)
+      .select("shard", "n_docs", "n_tokens", "n_chunks", "last_fill", "content_fp")
+      .orderBy("shard")
+  }
+
+  val textPackManifest: Q = (s, d) =>
+    packManifest(t(s, d, "documents"), ctx = 2048L, nShards = 8L)
+
   /** X4e: intra-document repetition signals (the Gopher/MassiveText
     * quality-filter family — Rae et al. 2021, public recipe): documents
     * dominated by a few repeated n-grams are boilerplate/spam and get
@@ -905,7 +950,10 @@ object TextOps {
         sum("n_tokens").as("n_tokens"),
         sum("n_bytes").as("n_bytes"),
         expr("bit_xor(content_fp)").as("content_fp"))
-      .filter(col("n_docs") =!= 0)
+      // keep a shard whose counts cancelled but whose fingerprint moved:
+      // a doc REPLACED by another (same count, different content) is a
+      // real delta the count filter alone would silently report as none
+      .filter(col("n_docs") =!= 0 || col("content_fp") =!= 0)
       .orderBy("shard")
   }
 
@@ -958,6 +1006,7 @@ object TextOps {
     "text_langid_ngram" -> textLangidNgram,
     "text_pack_chunks" -> textPackChunks,
     "text_pack_segments" -> textPackSegments,
+    "text_pack_manifest" -> textPackManifest,
     "text_repetition" -> textRepetition,
     "text_mix_sources" -> textMixSources,
     "text_logfreq" -> textLogfreq,
@@ -1280,6 +1329,24 @@ object TextOps {
                 CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
                 cum_before % 2048 AS chunk_offset
          FROM packed ORDER BY doc_id LIMIT 300""",
+    "text_pack_manifest" ->
+      """WITH base AS (SELECT doc_id, doc_id % 8 AS shard,
+                              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                              CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h
+                       FROM documents),
+           packed AS (SELECT doc_id, shard, n_tok, content_h,
+                             CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                                            AND 1 PRECEDING), 0)
+                                  AS BIGINT) AS cum_before
+                      FROM base)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(max((cum_before + n_tok - 1) // 2048) + 1 AS BIGINT) AS n_chunks,
+                CAST(CAST(sum(n_tok) AS BIGINT)
+                     - (max((cum_before + n_tok - 1) // 2048)) * 2048 AS BIGINT) AS last_fill,
+                bit_xor(content_h) AS content_fp
+         FROM packed GROUP BY shard ORDER BY shard""",
     "text_bigram_nll" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            big AS (SELECT doc_id, t[i] AS a, t[i+1] AS b

@@ -20,11 +20,13 @@ object Sinks {
     * day's directory in a single job. Dynamic partition overwrite keeps
     * re-ETL idempotent per day (only days present in `df` are rewritten).
     * SinksSpec proves pruning: a `day = X` read plans only that partition. */
-  def dailyRouter(df: DataFrame, dir: String, tsCol: String = "ts"): Unit = {
-    df.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def dailyRouter(df: DataFrame, dir: String, tsCol: String = "ts"): Unit =
     df.withColumn("day", date_format(col(tsCol), "yyyyMMdd"))
-      .write.mode("overwrite").partitionBy("day").parquet(dir)
-  }
+      // writer-scoped option, NOT session conf: a session-level dynamic
+      // mode would silently change overwrite semantics for every later
+      // partitioned write on the shared session
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(dir)
 
   /** S6: staged JSON-lines sink, one directory per etl key (the S3 staging
     * layout; gzip via codec to match the reference's .json.gz objects). */
@@ -62,7 +64,6 @@ object Sinks {
     val nFiles = sizes.map { case (k, bytes) =>
       k -> math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     }
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     nFiles.foreach { case (partDir, n) =>
       val Array(colName, value) = partDir.split("=", 2)
       // localCheckpoint materializes the partition BEFORE the overwrite —
@@ -72,7 +73,8 @@ object Sinks {
       df.filter(col(colName) === value)
         .localCheckpoint()
         .repartition(n)
-        .write.mode("overwrite").partitionBy(partitionCol).parquet(dir)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partitionCol).parquet(dir)
     }
   }
 

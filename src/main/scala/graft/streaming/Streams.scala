@@ -191,13 +191,15 @@ object Streams {
     * semantics (upstream sinks/s3_bucket.py: one S3 object per etl key,
     * re-ETL replaces it). Effectively-exactly-once on top of the
     * checkpoint's at-least-once redelivery. */
-  def idempotentAppend(batch: DataFrame, batchId: Long, dir: String, keyCols: Seq[String]): Unit = {
-    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def idempotentAppend(batch: DataFrame, batchId: Long, dir: String, keyCols: Seq[String]): Unit =
     batch
       .dropDuplicates(keyCols)
       .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
-  }
+      // writer-scoped option, NOT session conf: a session-level dynamic
+      // mode would silently change overwrite semantics for every later
+      // partitioned write on the shared session
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
 
   /** ST8: the streaming MAINTAINER of the daily sketch rollup behind the
     * dashboard ([[graft.operators.Aggregates.sketchDashboardFrame]]): per
@@ -214,12 +216,11 @@ object Streams {
     * At 100 TB this is the production shape: a continuously-running job
     * keeps KB-scale dashboard state fresh without ever re-scanning raw
     * events. */
-  def sketchStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit = {
-    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def sketchStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit =
     graft.operators.Aggregates.sketchPartialsOf(batch)
       .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("day", "batch_id").parquet(dir)
-  }
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day", "batch_id").parquet(dir)
 
   /** ST9 (forward idea s): stream-maintained SHARD-MANIFEST store — the
     * export twin of [[sketchStoreSink]]. Each micro-batch writes its own
@@ -231,12 +232,11 @@ object Streams {
     * → exactly-once manifest). A continuously-ingesting exporter keeps
     * the trainer-facing manifest fresh without ever re-reading old
     * shards. */
-  def manifestStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit = {
-    batch.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+  def manifestStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit =
     graft.llm.TextOps.shardManifest(batch)
       .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").partitionBy("batch_id").parquet(dir)
-  }
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
 
   /** Batch-twin query for the oracle: identical plan to
     * tumblingCountsStream minus the watermark (a no-op in batch). */

@@ -333,6 +333,42 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("pack manifest: quota-true, gap-free — chunk count matches the " +
+    "token total and the segment mass fills every chunk except the last") {
+    val ctx = 64L
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val m = TextOps.packManifest(docs, ctx, nShards = 4L).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum === docs.count())
+    m.foreach { r =>
+      val (nTok, nChunks, lastFill) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("last_fill"))
+      // gap-free packing forces the chunk count to be exactly the
+      // token total's ceiling division — no skipped or oversized chunk
+      assert(nChunks === (nTok + ctx - 1) / ctx,
+        s"shard ${r.getAs[Long]("shard")}: $nChunks chunks for $nTok tokens")
+      assert(lastFill > 0 && lastFill <= ctx,
+        s"shard ${r.getAs[Long]("shard")}: last chunk fill $lastFill")
+    }
+    // cross-check against the materialized segments: per (shard, chunk),
+    // segment token mass == ctx for every chunk except the shard's last,
+    // which carries exactly last_fill
+    val segMass = TextOps.packSegments(docs, ctx, nShards = 4L)
+      .groupBy("shard", "chunk")
+      .agg(org.apache.spark.sql.functions.sum("seg_len").as("mass"))
+      .collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("chunk")) ->
+        r.getAs[Long]("mass")).toMap
+    m.foreach { r =>
+      val (sh, nChunks, lastFill) = (r.getAs[Long]("shard"),
+        r.getAs[Long]("n_chunks"), r.getAs[Long]("last_fill"))
+      (0L until nChunks).foreach { c =>
+        val expect = if (c == nChunks - 1) lastFill else ctx
+        assert(segMass.getOrElse((sh, c), 0L) === expect,
+          s"shard $sh chunk $c mass ${segMass.get((sh, c))} != $expect")
+      }
+    }
+  }
+
   test("shard manifest accounts for every doc and fingerprints content, " +
     "independent of row order") {
     val docs = graft.Tables.t(spark, sf, "documents")
