@@ -303,8 +303,9 @@ object Jx {
     * the same single-user-surface story as `pipeline` (upstream analog:
     * jx is ActiveData's only query language). Spec keys: `op` (one of
     * quality_gate / source_kl / token_budget / bpe_merges /
-    * semantic_dedup / overlap / dsir / shard_manifest / knn_diverse /
-    * knn_clusters / knn_stats) and `corpus` (a jx query, required —
+    * semantic_dedup / overlap / dsir / shard_manifest / pack_manifest /
+    * knn_diverse / knn_clusters / knn_stats) and `corpus` (a jx query,
+    * required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -352,6 +353,9 @@ object Jx {
         opt(c, "buckets").map(_.asInt()).getOrElse(128))
       case "shard_manifest" => graft.llm.TextOps.shardManifest(docs,
         opt(c, "shards").map(_.asInt()).getOrElse(16))
+      case "pack_manifest" => graft.llm.TextOps.packManifest(docs,
+        opt(c, "context").map(_.asLong()).getOrElse(2048L),
+        opt(c, "shards").map(_.asLong()).getOrElse(8L))
       case "knn_diverse" => storeDir match {
         case Some(d) => graft.llm.Similarity.knnDiverseStored(spark, d,
           opt(c, "m").map(_.asInt()).getOrElse(2))

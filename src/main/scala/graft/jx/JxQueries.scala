@@ -297,6 +297,10 @@ object JxQueries {
   private val knnStatsJson = """{
     "corpus_op": {"op": "knn_stats", "corpus": {"from": "embeddings"}}}"""
 
+  private val packManifestJson = """{
+    "corpus_op": {"op": "pack_manifest", "corpus": {"from": "documents"},
+                  "context": 2048, "shards": 8}}"""
+
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     val res = Jx.run(s, sketchJson, name => t(s, d, name))
@@ -350,7 +354,9 @@ object JxQueries {
     "jx_knn_clusters" ->
       ((s, d) => Jx.run(s, knnClustersJson, name => t(s, d, name), Some(d))),
     "jx_knn_stats" ->
-      ((s, d) => Jx.run(s, knnStatsJson, name => t(s, d, name), Some(d))))
+      ((s, d) => Jx.run(s, knnStatsJson, name => t(s, d, name), Some(d))),
+    "jx_pack_manifest" ->
+      ((s, d) => Jx.run(s, packManifestJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -367,6 +373,7 @@ object JxQueries {
     "jx_knn_diverse" -> graft.llm.Similarity.oracle("sim_knn_diverse"),
     "jx_knn_clusters" -> graft.llm.Similarity.oracle("sim_knn_clusters"),
     "jx_knn_stats" -> graft.llm.Similarity.oracle("sim_knn_stats"),
+    "jx_pack_manifest" -> graft.llm.TextOps.oracle("text_pack_manifest"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

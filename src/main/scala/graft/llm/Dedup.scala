@@ -730,27 +730,35 @@ object Dedup {
       .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      // one hop of min-label propagation over the edges...
-      val prop = edges.join(labels.withColumnRenamed("id", "src"), Seq("src"))
+    // one hop of min-label propagation over the edges, then POINTER
+    // JUMPING: every label is itself a vertex id, so follow
+    // lbl -> label(lbl) and keep the smaller. The reach of the component
+    // minimum DOUBLES per step instead of growing one hop, so
+    // convergence is O(log diameter) — a chain component longer than the
+    // round cap (the r13 mutual-graph regression: denser multi-probe
+    // graphs make long thin components) still converges, and at 100 TB
+    // the step count stays logarithmic in n.
+    def step(l: DataFrame): DataFrame = {
+      val prop = edges.join(l.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("lbl"))
-      val gathered = labels.unionByName(prop)
+      val gathered = l.unionByName(prop)
         .groupBy("id").agg(min("lbl").as("lbl"))
-      // ...then POINTER JUMPING: every label is itself a vertex id, so
-      // follow lbl -> label(lbl) and keep the smaller. The reach of the
-      // component minimum DOUBLES per round instead of growing one hop,
-      // so convergence is O(log diameter) — a chain component longer
-      // than the round cap (the r13 mutual-graph regression: denser
-      // multi-probe graphs make long thin components) still converges,
-      // and at 100 TB the round count stays logarithmic in n.
-      val next = gathered.join(
+      gathered.join(
           gathered.select(col("id").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("lbl2"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+    }
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      // TWO steps per checkpoint/convergence check: the check and the
+      // checkpoint are each a full Spark job, and on the KB-scale label
+      // tables of a typical component set the per-job scheduling
+      // overhead — not the data — dominates CC cost (measured 5.7 s for
+      // 2k pairs). An extra step after quiescence is a no-op join, far
+      // cheaper than doubling the action count.
+      val next = step(step(labels)).localCheckpoint()
       // labels only ever decrease; any strict decrease = not converged
       converged = next.join(labels.withColumnRenamed("lbl", "prev"), Seq("id"))
         .filter(col("lbl") < col("prev")).isEmpty

@@ -668,7 +668,12 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
       .filter(col("prb") <= p)
       .select(col("vec_id"), col("cid"))
-    val mem = probes.join(vecs, Seq("vec_id"))
+    // materialize the replicated membership ONCE: both sides of the
+    // candidate self-join derive from it, and without the checkpoint the
+    // whole quantizer chain (2 Lloyd passes + scoring + probe window)
+    // is evaluated twice. The materialized table is p× the vector count
+    // — it IS the inverted file a production IVF build persists anyway.
+    val mem = probes.join(vecs, Seq("vec_id")).localCheckpoint()
     val a = mem.select(col("cid"), col("vec_id").as("src"),
       col("embedding").as("av"), col("norm2").as("an"))
     val b = mem.select(col("cid"), col("vec_id").as("dst"),

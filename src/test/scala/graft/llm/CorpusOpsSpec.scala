@@ -369,6 +369,20 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("in-plan kNN readout fallbacks land on the stored artifact's exact " +
+    "result set") {
+    // the jx corpus_op falls back to the in-plan build whenever the
+    // corpus subquery or knobs are non-standard — the fallback must be
+    // the same computation, not a drifting twin
+    val embs = graft.Tables.t(spark, sf, "embeddings")
+    assert(Similarity.knnStatsOf(embs).collect().map(_.toString).toSeq ===
+      run("sim_knn_stats").collect().map(_.toString).toSeq)
+    assert(Similarity.knnClustersOf(embs).collect().map(_.toString).toSeq ===
+      run("sim_knn_clusters").collect().map(_.toString).toSeq)
+    assert(Similarity.knnDiverseOf(embs).collect().map(_.toString).toSeq ===
+      run("sim_knn_diverse").collect().map(_.toString).toSeq)
+  }
+
   test("shard manifest accounts for every doc and fingerprints content, " +
     "independent of row order") {
     val docs = graft.Tables.t(spark, sf, "documents")
