@@ -343,9 +343,13 @@ object Jx {
         opt(c, "shards").map(_.asLong()).getOrElse(4L))
       case "bpe_merges" => graft.llm.TextOps.bpeMergesOf(docs,
         opt(c, "merges").map(_.asInt()).getOrElse(3))
-      case "semantic_dedup" => graft.llm.Similarity.semanticDedupOf(docs,
-        opt(c, "nlist").map(_.asInt()).getOrElse(16),
-        opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
+      case "semantic_dedup" => storeDir match {
+        case Some(d) => graft.llm.Similarity.semanticDedupStored(spark, d,
+          opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
+        case None => graft.llm.Similarity.semanticDedupOf(docs,
+          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
+      }
       case "overlap" => graft.llm.Dedup.corpusOverlapOf(docs,
         opt(c, "k").map(_.asInt()).getOrElse(128))
       case "dsir" => graft.llm.TextOps.dsirOf(docs,

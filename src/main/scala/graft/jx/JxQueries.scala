@@ -344,7 +344,8 @@ object JxQueries {
     "jx_pipeline" -> ((s, d) => Jx.run(s, pipelineJson, name => t(s, d, name))),
     "jx_quality_gate" -> ((s, d) => Jx.run(s, qualityGateJson, name => t(s, d, name))),
     "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
-    "jx_semantic_dedup" -> ((s, d) => Jx.run(s, semanticDedupJson, name => t(s, d, name))),
+    "jx_semantic_dedup" ->
+      ((s, d) => Jx.run(s, semanticDedupJson, name => t(s, d, name), Some(d))),
     "jx_overlap" -> ((s, d) => Jx.run(s, overlapJson, name => t(s, d, name))),
     "jx_dsir" -> ((s, d) => Jx.run(s, dsirJson, name => t(s, d, name))),
     "jx_shard_manifest" ->

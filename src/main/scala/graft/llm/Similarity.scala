@@ -140,11 +140,39 @@ object Similarity {
     * (nlist·dim cells — tiny), assignment is one map-side pass, the
     * probe join touches nprobe/nlist of the corpus — no shuffle grows
     * with n² anywhere. */
-  /** The IVF index build shared by the ANN query and the census:
-    * (vecs+norms, refined centroids, scored, assignment). */
+  /** The coarse quantizer as ITS OWN stored artifact, shared by every
+    * family that needs it (ivf / ivf_persist / ivfpq / knn_graph /
+    * semantic_dedup): the expensive part — two decimal-exact Lloyd
+    * passes over the corpus — runs once per (session, dataset, nlist);
+    * the artifact stores `cents` (nlist rows, KBs) and `assign` (one
+    * row per vector — the same scale as any inverted list). The scored
+    * table is NOT stored: it is n×nlist rows (nlist× the corpus at
+    * scale) and recomputing it is one broadcast-centroid pass — store
+    * the model, re-derive the cheap map-side product. Doubles
+    * round-trip parquet bit-exactly, so stored == in-plan under every
+    * oracle. */
+  private def quantizerStore(s: SparkSession, d: String, nlist: Int): java.io.File =
+    Artifacts.buildOnce(s, s"quantizer_$nlist", d) { dd =>
+      val (_, cents, _, assign) = ivfIndexOf(t(s, d, "embeddings"), nlist)
+      cents.write.mode("overwrite").parquet(s"$dd/cents")
+      assign.write.mode("overwrite").parquet(s"$dd/assign")
+    }
+
+  /** The IVF index shared by the ANN query, the census, and the
+    * downstream index builds: (vecs+norms, refined centroids, scored,
+    * assignment) — centroids and assignment PROBE the stored quantizer;
+    * scoring is re-derived in-plan from the broadcast centroids. */
   private def ivfIndex(s: SparkSession, d: String, nlist: Int):
-      (DataFrame, DataFrame, DataFrame, DataFrame) =
-    ivfIndexOf(t(s, d, "embeddings"), nlist)
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val dir = quantizerStore(s, d, nlist)
+    val vecs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
+    val cents = s.read.parquet(s"$dir/cents")
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        DotProduct(col("embedding"), col("cv")) / (sqrt(col("norm2")) * sqrt(col("cn"))))
+    (vecs, cents, scored, s.read.parquet(s"$dir/assign"))
+  }
 
   /** [[ivfIndex]] over any (vec_id, embedding) frame — the
     * frame-parameterized entry the jx `corpus_op` front end reaches
@@ -612,14 +640,31 @@ object Similarity {
     * cluster sizes bounded, which is exactly the published SemDeDup
     * recipe (k ∝ n). Never all-pairs: the quantizer is broadcast-scored
     * (nlist ≪ n) and the self-join shuffles each vector once on cid. */
-  val simSemanticDedup: Q = (s, d) => semanticDedupOf(t(s, d, "embeddings"))
+  val simSemanticDedup: Q = (s, d) => semanticDedupStored(s, d)
 
-  /** [[simSemanticDedup]] over any (vec_id, embedding) frame — the entry
-    * the jx `corpus_op` front end dispatches to, so a jx user prunes the
-    * exact same drop set the driver oracle pins. */
+  /** Store-backed [[semanticDedupOf]] for the standard embeddings table:
+    * the per-query quantizer rebuild collapses to a probe of the shared
+    * stored quantizer ([[quantizerStore]]); only the within-cluster pair
+    * scan runs per query. */
+  def semanticDedupStored(s: SparkSession, d: String,
+      tau: Double = 0.35): DataFrame = {
+    val (vecs, _, _, assign) = ivfIndex(s, d, 16)
+    semanticDedupFromIndex(vecs, assign, tau)
+  }
+
+  /** [[simSemanticDedup]] over any (vec_id, embedding) frame — the jx
+    * `corpus_op` fallback for a non-standard corpus subquery, so a jx
+    * user prunes the exact same drop set the driver oracle pins. A plain
+    * `{"from": "embeddings"}` corpus at default nlist routes to
+    * [[semanticDedupStored]] instead. */
   def semanticDedupOf(embs: DataFrame, nlist: Int = 16,
       tau: Double = 0.35): DataFrame = {
     val (vecs, _, _, assign) = ivfIndexOf(embs, nlist)
+    semanticDedupFromIndex(vecs, assign, tau)
+  }
+
+  private def semanticDedupFromIndex(vecs: DataFrame, assign: DataFrame,
+      tau: Double): DataFrame = {
     val mem = assign.join(vecs, Seq("vec_id"))
       .select(col("cid"), col("vec_id"), col("embedding").as("v"), col("norm2").as("n2"))
     val other = mem.select(col("cid"), col("vec_id").as("bid"),
@@ -661,8 +706,13 @@ object Similarity {
     * merge is exact. Recall/cost is tuned by (nlist, p) exactly as in
     * published cluster-replication kNN-graph practice. */
   def knnGraphOf(embs: DataFrame, nlist: Int = 16, k: Int = 3,
-      p: Int = 3): DataFrame = {
-    val (vecs, _, scored, _) = ivfIndexOf(embs, nlist)
+      p: Int = 3): DataFrame =
+    knnGraphFromIndex(ivfIndexOf(embs, nlist), k, p)
+
+  private def knnGraphFromIndex(
+      idx: (DataFrame, DataFrame, DataFrame, DataFrame),
+      k: Int, p: Int): DataFrame = {
+    val (vecs, _, scored, _) = idx
     val probes = scored
       .withColumn("prb", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
@@ -710,7 +760,9 @@ object Similarity {
     * stored tables stay under the same oracles as the in-plan build. */
   private def knnStore(s: SparkSession, d: String): java.io.File =
     Artifacts.buildOnce(s, "knn_graph", d) { dd =>
-      knnGraphOf(t(s, d, "embeddings"))
+      // the graph build probes the SHARED stored quantizer instead of
+      // re-running the Lloyd passes inside this family's build
+      knnGraphFromIndex(ivfIndex(s, d, 16), k = 3, p = 3)
         .write.mode("overwrite").parquet(s"$dd/edges")
       val mutual = mutualOfEdges(s.read.parquet(s"$dd/edges"))
       mutual.write.mode("overwrite").parquet(s"$dd/mutual")
