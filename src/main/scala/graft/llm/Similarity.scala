@@ -944,7 +944,52 @@ object Similarity {
     statsFromStore(knnMutualStored(s, d), knnLabelsStored(s, d),
       knnDegreesStored(s, d))
 
+  /** X3h-f (forward idea y): RECALL CENSUS — the monitoring readout for
+    * the bucketed approximation itself. The CorpusOpsSpec recall gate
+    * runs at tiny SF; this key measures the SAME quantity on the live
+    * corpus at any scale: brute-force top-k for a FIXED SAMPLE of
+    * vectors (cost: sample × n exact dots — bounded by the sample, not
+    * n²), intersected with the stored graph's out-edges for those
+    * vectors. One row: sampled srcs, true edges, edges the bucketed
+    * graph found, recall. The production alarm is this number trending
+    * down as the corpus drifts away from its quantizer — the signal to
+    * re-train centroids or raise p/nlist, exactly what the census
+    * family does for list balance ([[simIvfCensus]]). Ranking recipe
+    * (rounded cosine, dst tie-break) is identical to the graph's, so
+    * brute and bucketed agree wherever both see the pair. */
+  val simKnnRecall: Q = (s, d) => {
+    val sampleMax = 50L
+    val edges = knnEdgesStored(s, d)
+      .filter(col("src") < sampleMax)
+      .select(col("src"), col("dst"))
+    val vecs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
+    val sample = vecs.filter(col("vec_id") < sampleMax)
+      .select(col("vec_id").as("src"), col("embedding").as("av"),
+        col("norm2").as("an"))
+    val w = Window.partitionBy("src").orderBy(desc("cosine"), asc("dst"))
+    val brute = vecs
+      .select(col("vec_id").as("dst"), col("embedding").as("bv"),
+        col("norm2").as("bn"))
+      .crossJoin(broadcast(sample))
+      .filter(col("src") =!= col("dst"))
+      .withColumn("cosine",
+        r4(DotProduct(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select("src", "dst")
+    brute
+      .join(edges.withColumn("found", lit(1L)), Seq("src", "dst"), "left")
+      .agg(
+        countDistinct(col("src")).as("n_sampled"),
+        count(lit(1)).as("n_true_edges"),
+        coalesce(sum("found"), lit(0L)).as("n_found"),
+        r4(coalesce(sum("found"), lit(0L)).cast("double") / count(lit(1)))
+          .as("recall"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_knn_recall" -> simKnnRecall,
     "sim_knn_graph" -> simKnnGraph,
     "sim_knn_mutual" -> simKnnMutual,
     "sim_knn_clusters" -> simKnnClusters,
@@ -1327,6 +1372,31 @@ object Similarity {
     "sim_knn_graph" ->
       s"""WITH $knnGraphOracleCte
          SELECT src, rnk, dst, cosine, cid FROM g ORDER BY src, rnk""",
+    // recall census: brute-force top-3 for the vec_id < 50 sample
+    // (same rounded-cosine/dst-tie ranking recipe as g), left-joined
+    // against the graph's directed edges for those srcs
+    "sim_knn_recall" ->
+      s"""WITH $knnGraphOracleCte,
+         sample AS (SELECT vec_id, v, norm2 FROM vn WHERE vec_id < 50),
+         brute AS (SELECT src, dst FROM (
+             SELECT a.vec_id AS src, b.vec_id AS dst,
+                    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+                      round(list_reduce([a.v[k] * b.v[k] for k in generate_series(1, 64)],
+                                        (x, y) -> x + y)
+                            / (sqrt(a.norm2) * sqrt(b.norm2)), 4) DESC,
+                      b.vec_id ASC) AS rnk
+             FROM sample a JOIN vn b ON a.vec_id <> b.vec_id)
+           WHERE rnk <= 3),
+         found AS (SELECT b.src, b.dst,
+                          CASE WHEN ge.src IS NOT NULL THEN 1 ELSE 0 END AS f
+                   FROM brute b
+                   LEFT JOIN (SELECT src, dst FROM g WHERE src < 50) ge
+                     ON ge.src = b.src AND ge.dst = b.dst)
+         SELECT CAST(count(DISTINCT src) AS BIGINT) AS n_sampled,
+                count(*) AS n_true_edges,
+                CAST(sum(f) AS BIGINT) AS n_found,
+                round(sum(f) * 1.0 / count(*), 4) AS recall
+         FROM found""",
     // mutual filter: the graph self-joined on reversed endpoints — a
     // pair survives iff BOTH directed edges exist in g
     "sim_knn_mutual" ->

@@ -497,6 +497,17 @@ class CorpusOpsSpec extends graft.SparkSpec {
       f"bucketed mutual recall $recall%.2f < 0.6 of ${bruteMutual.size} true pairs")
   }
 
+  test("recall census internal consistency and the quality bound") {
+    val r = run("sim_knn_recall").head()
+    assert(r.getAs[Long]("n_sampled") > 0)
+    assert(r.getAs[Long]("n_true_edges") === r.getAs[Long]("n_sampled") * 3)
+    assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_true_edges"))
+    // same bound as the brute-force mutual gate: the census is the
+    // at-scale monitoring twin of that spec assertion
+    assert(r.getAs[Double]("recall") >= 0.6,
+      s"sampled directed-edge recall ${r.getAs[Double]("recall")} < 0.6")
+  }
+
   test("cluster-health stats agree with the cluster and mutual-edge sets") {
     val stats = run("sim_knn_stats").collect()
     val clusters = run("sim_knn_clusters").collect()
