@@ -304,8 +304,8 @@ object Jx {
     * jx is ActiveData's only query language). Spec keys: `op` (one of
     * quality_gate / source_kl / token_budget / bpe_merges /
     * semantic_dedup / overlap / dsir / shard_manifest / pack_manifest /
-    * knn_diverse / knn_clusters / knn_stats) and `corpus` (a jx query,
-    * required —
+    * knn_diverse / knn_clusters / knn_stats / knn_recall /
+    * quantizer_refresh) and `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -313,8 +313,8 @@ object Jx {
     * end lands on the exact same decision sets the driver oracles pin;
     * dsir takes `target_lang`/`buckets` (DSIR importance resampling).
     *
-    * The kNN-graph readouts (knn_diverse / knn_clusters / knn_stats)
-    * route to the STORED artifact ([[graft.llm.Artifacts]] `knn_graph`
+    * The kNN-graph readouts (knn_diverse / knn_clusters / knn_stats /
+    * knn_recall) route to the STORED artifact ([[graft.llm.Artifacts]] `knn_graph`
     * family) when the corpus is the plain standard `embeddings` table at
     * default index knobs and the service was started with a dataset dir
     * — the jx surface then provably shares the sim_* keys' build-once
@@ -379,6 +379,17 @@ object Jx {
         case None => graft.llm.Similarity.knnStatsOf(docs,
           opt(c, "nlist").map(_.asInt()).getOrElse(16),
           opt(c, "k").map(_.asInt()).getOrElse(3))
+      }
+      case "knn_recall" => storeDir match {
+        case Some(d) => graft.llm.Similarity.knnRecallStored(spark, d)
+        case None => graft.llm.Similarity.knnRecallOf(docs,
+          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          opt(c, "k").map(_.asInt()).getOrElse(3))
+      }
+      case "quantizer_refresh" => storeDir match {
+        case Some(d) => graft.llm.Similarity.quantizerRefreshStored(spark, d)
+        case None => graft.llm.Similarity.quantizerRefreshOf(docs,
+          opt(c, "nlist").map(_.asInt()).getOrElse(16))
       }
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")

@@ -301,6 +301,12 @@ object JxQueries {
     "corpus_op": {"op": "pack_manifest", "corpus": {"from": "documents"},
                   "context": 2048, "shards": 8}}"""
 
+  private val knnRecallJson = """{
+    "corpus_op": {"op": "knn_recall", "corpus": {"from": "embeddings"}}}"""
+
+  private val quantizerRefreshJson = """{
+    "corpus_op": {"op": "quantizer_refresh", "corpus": {"from": "embeddings"}}}"""
+
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     val res = Jx.run(s, sketchJson, name => t(s, d, name))
@@ -357,7 +363,11 @@ object JxQueries {
     "jx_knn_stats" ->
       ((s, d) => Jx.run(s, knnStatsJson, name => t(s, d, name), Some(d))),
     "jx_pack_manifest" ->
-      ((s, d) => Jx.run(s, packManifestJson, name => t(s, d, name))))
+      ((s, d) => Jx.run(s, packManifestJson, name => t(s, d, name))),
+    "jx_knn_recall" ->
+      ((s, d) => Jx.run(s, knnRecallJson, name => t(s, d, name), Some(d))),
+    "jx_quantizer_refresh" ->
+      ((s, d) => Jx.run(s, quantizerRefreshJson, name => t(s, d, name), Some(d))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -374,6 +384,8 @@ object JxQueries {
     "jx_knn_diverse" -> graft.llm.Similarity.oracle("sim_knn_diverse"),
     "jx_knn_clusters" -> graft.llm.Similarity.oracle("sim_knn_clusters"),
     "jx_knn_stats" -> graft.llm.Similarity.oracle("sim_knn_stats"),
+    "jx_knn_recall" -> graft.llm.Similarity.oracle("sim_knn_recall"),
+    "jx_quantizer_refresh" -> graft.llm.Similarity.oracle("sim_quantizer_refresh"),
     "jx_pack_manifest" -> graft.llm.TextOps.oracle("text_pack_manifest"),
     "jx_sketch" ->
       """SELECT event_type,

@@ -722,9 +722,52 @@ object Dedup {
 
   /** The same iterative min-label propagation over ANY (da, db) pair
     * frame — public so a composed pipeline can feed pairs scored from a
-    * shared shingle pass instead of re-deriving them. */
-  def clusterLabelsFrom(pairFrame: DataFrame): DataFrame = {
-    val pairs = pairFrame.select("da", "db")
+    * shared shingle pass instead of re-deriving them.
+    *
+    * Driver short-circuit (forward idea aa): a near-dup pair set is the
+    * OUTPUT of the banded join — KB-to-MB scale even on a 100 TB corpus
+    * (it is the duplicate rate times n, not n²). When it fits under
+    * `driverMax` rows (bounded: 2M pairs ≈ 32 MB of longs), a single
+    * collect + union-find replaces the multi-job distributed loop whose
+    * cost is pure scheduling overhead at that size (measured: each
+    * propagate/checkpoint/convergence-check round is a full Spark job).
+    * Union-by-min + path compression makes every root the component
+    * minimum, so the labels are IDENTICAL to the distributed fixpoint
+    * (DedupSpec pins equality on the same pair set). Above the bound the
+    * pointer-jumping loop runs unchanged — the 100 TB path stays
+    * distributed, the threshold only picks the cheaper engine for the
+    * same deterministic answer. */
+  def clusterLabelsFrom(pairFrame: DataFrame,
+      driverMax: Long = 2000000L): DataFrame = {
+    val pairs = pairFrame.select("da", "db").localCheckpoint()
+    if (pairs.count() <= driverMax) {
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // attach the larger root under the smaller: the final root of
+        // every component is its minimum id — the distributed loop's
+        // min-label fixpoint by construction
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keysIterator.toSeq.sorted
+        .map(id => org.apache.spark.sql.Row(id, find(id)))
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("lbl",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val s = pairFrame.sparkSession
+      return s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), schema)
+    }
     val edges = pairs.select(col("da").as("src"), col("db").as("dst"))
       .unionByName(pairs.select(col("db").as("src"), col("da").as("dst")))
       .localCheckpoint()

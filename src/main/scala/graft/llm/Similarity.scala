@@ -957,12 +957,16 @@ object Similarity {
     * family does for list balance ([[simIvfCensus]]). Ranking recipe
     * (rounded cosine, dst tie-break) is identical to the graph's, so
     * brute and bucketed agree wherever both see the pair. */
-  val simKnnRecall: Q = (s, d) => {
-    val sampleMax = 50L
-    val edges = knnEdgesStored(s, d)
+  /** Census body shared by the stored and in-plan recall variants:
+    * brute-force top-k for the fixed sample intersected with the graph's
+    * directed out-edges for those srcs. `vecsIn` must be
+    * (vec_id, embedding); `edges` must carry (src, dst). */
+  private def knnRecallFrom(edges: DataFrame, vecsIn: DataFrame,
+      sampleMax: Long = 50L, k: Int = 3): DataFrame = {
+    val graphEdges = edges
       .filter(col("src") < sampleMax)
       .select(col("src"), col("dst"))
-    val vecs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val vecs = vecsIn.select(col("vec_id"), col("embedding"))
       .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
     val sample = vecs.filter(col("vec_id") < sampleMax)
       .select(col("vec_id").as("src"), col("embedding").as("av"),
@@ -976,10 +980,10 @@ object Similarity {
       .withColumn("cosine",
         r4(DotProduct(col("av"), col("bv")) / (sqrt(col("an")) * sqrt(col("bn")))))
       .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 3)
+      .filter(col("rnk") <= k)
       .select("src", "dst")
     brute
-      .join(edges.withColumn("found", lit(1L)), Seq("src", "dst"), "left")
+      .join(graphEdges.withColumn("found", lit(1L)), Seq("src", "dst"), "left")
       .agg(
         countDistinct(col("src")).as("n_sampled"),
         count(lit(1)).as("n_true_edges"),
@@ -988,8 +992,98 @@ object Similarity {
           .as("recall"))
   }
 
+  /** Store-backed recall census over the standard embeddings table —
+    * what the sim key and the jx `corpus_op` route both probe. */
+  def knnRecallStored(s: SparkSession, d: String): DataFrame =
+    knnRecallFrom(knnEdgesStored(s, d), t(s, d, "embeddings"))
+
+  /** [[knnRecallStored]] over ANY (vec_id, embedding) frame — the jx
+    * `corpus_op` fallback for a non-standard corpus subquery: graph
+    * built in-plan with the same (nlist, k, p) knobs, then censused. */
+  def knnRecallOf(embs: DataFrame, nlist: Int = 16, k: Int = 3): DataFrame =
+    knnRecallFrom(knnGraphOf(embs, nlist, k), embs)
+
+  val simKnnRecall: Q = (s, d) => knnRecallStored(s, d)
+
+  /** X3i (forward idea ac): INCREMENTAL QUANTIZER REFRESH report — the
+    * maintenance readout for a continuously ingesting corpus. One more
+    * Lloyd step is taken FROM THE STORED assignment (new centroid =
+    * per-dimension mean of each stored list's current members, exact
+    * decimal sums → order-independent), every vector is re-scored
+    * against the refreshed centroids, and the report says per list what
+    * the refresh would change: members before/after, arrivals (n_in),
+    * departures (n_out), and the L2 distance the centroid itself moved
+    * (`shift`). n_in/n_out IDENTIFY the drifted vectors — a production
+    * refresh rewrites only those assignment rows (KB-scale delta), not
+    * the full corpus; `shift` trending up is the re-train alarm, the
+    * drift twin of [[simIvfCensus]]'s balance alarm and the recall
+    * census's quality alarm. Plan shape: one broadcast-centroid pass for
+    * the re-score (same as every probe), one posexplode mean over the
+    * stored lists — no pairwise work anywhere. */
+  /** Refresh report over the STORED quantizer — what the sim key and the
+    * jx `corpus_op` route both reach. */
+  def quantizerRefreshStored(s: SparkSession, d: String): DataFrame = {
+    val (vecs, cents, _, assign) = ivfIndex(s, d, 16)
+    quantizerRefreshFrom(vecs, cents, assign)
+  }
+
+  /** [[quantizerRefreshStored]] over ANY (vec_id, embedding) frame — the
+    * jx `corpus_op` fallback for a non-standard corpus subquery: the
+    * quantizer is trained in-plan, then the same one-step refresh report. */
+  def quantizerRefreshOf(embs: DataFrame, nlist: Int = 16): DataFrame = {
+    val (vecs, cents, _, assign) = ivfIndexOf(embs, nlist)
+    quantizerRefreshFrom(vecs, cents, assign)
+  }
+
+  private def quantizerRefreshFrom(vecs: DataFrame, cents: DataFrame,
+      assign: DataFrame): DataFrame = {
+    // one Lloyd step from the stored lists (same decimal-mean recipe as
+    // ivfIndexOf.lloyd — §4.1: a decision-feeding distributed mean must
+    // be order-independent)
+    val newCents = assign.join(vecs, Seq("vec_id"))
+      .select(col("cid"), posexplode(col("embedding")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        x => x.getField("m")).as("ncv"))
+      .withColumn("ncn", DotProduct(col("ncv"), col("ncv")))
+    val moved = vecs.crossJoin(broadcast(newCents))
+      .withColumn("cos",
+        DotProduct(col("embedding"), col("ncv")) /
+          (sqrt(col("norm2")) * sqrt(col("ncn"))))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("ncid"))
+      .join(assign.select(col("vec_id"), col("cid").as("ocid")), Seq("vec_id"))
+    val before = moved.groupBy(col("ocid").as("cid"))
+      .agg(count(lit(1)).as("n_before"),
+        sum(when(col("ncid") =!= col("ocid"), 1L).otherwise(0L)).as("n_out"))
+    val after = moved.groupBy(col("ncid").as("cid"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("ncid") =!= col("ocid"), 1L).otherwise(0L)).as("n_in"))
+    val shift = cents.select(col("cid"), col("cv").as("ocv"))
+      .join(newCents.select(col("cid"), col("ncv")), Seq("cid"))
+      .withColumn("shift", r4(sqrt(aggregate(
+        zip_with(col("ocv"), col("ncv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0d), (acc, x) => acc + x))))
+      .select("cid", "shift")
+    before.join(after, Seq("cid"), "full")
+      .join(shift, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_in"), lit(0L)).as("n_in"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"),
+        col("shift"))
+      .orderBy("cid")
+  }
+
+  val simQuantizerRefresh: Q = (s, d) => quantizerRefreshStored(s, d)
+
   val queries: Map[String, Q] = Map(
     "sim_knn_recall" -> simKnnRecall,
+    "sim_quantizer_refresh" -> simQuantizerRefresh,
     "sim_knn_graph" -> simKnnGraph,
     "sim_knn_mutual" -> simKnnMutual,
     "sim_knn_clusters" -> simKnnClusters,
@@ -1397,6 +1491,54 @@ object Similarity {
                 CAST(sum(f) AS BIGINT) AS n_found,
                 round(sum(f) * 1.0 / count(*), 4) AS recall
          FROM found""",
+    // quantizer refresh: one MORE Lloyd step from the final stored
+    // assignment (m3/c3 extend the m1/m2 decimal-mean recipe), re-score,
+    // then the per-list before/after/in/out/shift report
+    "sim_quantizer_refresh" ->
+      s"""WITH $ivfOracleCte,
+           m3 AS (SELECT a.cid, t.i,
+                         CAST(sum(CAST(f.f[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS m
+                  FROM assign a JOIN fl f USING (vec_id)
+                  CROSS JOIN generate_series(1, 64) t(i)
+                  GROUP BY a.cid, t.i),
+           c3 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m3 GROUP BY cid),
+           c3n AS (SELECT cid, cv,
+                          list_reduce([cv[i] * cv[i] for i in generate_series(1, 64)],
+                                      (x, y) -> x + y) AS cn
+                   FROM c3),
+           sc3 AS (SELECT a.vec_id, c.cid,
+                          list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
+                   FROM vn a CROSS JOIN c3n c),
+           as3 AS (SELECT vec_id, cid FROM (
+                     SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cos DESC, cid ASC) AS rn
+                     FROM sc3) WHERE rn = 1),
+           moved AS (SELECT o.vec_id, o.cid AS ocid, n.cid AS ncid
+                     FROM assign o JOIN as3 n USING (vec_id)),
+           bef AS (SELECT ocid AS cid, count(*) AS n_before,
+                          CAST(sum(CASE WHEN ncid <> ocid THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+                   FROM moved GROUP BY ocid),
+           aft AS (SELECT ncid AS cid, count(*) AS n_after,
+                          CAST(sum(CASE WHEN ncid <> ocid THEN 1 ELSE 0 END) AS BIGINT) AS n_in
+                   FROM moved GROUP BY ncid),
+           sh AS (SELECT o.cid,
+                         round(sqrt(list_reduce(
+                           [(o.cv[i] - n.cv[i]) * (o.cv[i] - n.cv[i])
+                            for i in generate_series(1, 64)],
+                           (x, y) -> x + y)), 4) AS shift
+                  FROM c2 o JOIN c3 n USING (cid))
+         SELECT coalesce(b.cid, a.cid) AS cid,
+                CAST(coalesce(b.n_before, 0) AS BIGINT) AS n_before,
+                CAST(coalesce(a.n_after, 0) AS BIGINT) AS n_after,
+                CAST(coalesce(a.n_in, 0) AS BIGINT) AS n_in,
+                CAST(coalesce(b.n_out, 0) AS BIGINT) AS n_out,
+                s.shift
+         FROM bef b FULL JOIN aft a ON a.cid = b.cid
+         LEFT JOIN sh s ON s.cid = coalesce(b.cid, a.cid)
+         ORDER BY cid""",
     // mutual filter: the graph self-joined on reversed endpoints — a
     // pair survives iff BOTH directed edges exist in g
     "sim_knn_mutual" ->

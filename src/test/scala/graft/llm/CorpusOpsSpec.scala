@@ -381,6 +381,35 @@ class CorpusOpsSpec extends graft.SparkSpec {
       run("sim_knn_clusters").collect().map(_.toString).toSeq)
     assert(Similarity.knnDiverseOf(embs).collect().map(_.toString).toSeq ===
       run("sim_knn_diverse").collect().map(_.toString).toSeq)
+    assert(Similarity.knnRecallOf(embs).collect().map(_.toString).toSeq ===
+      run("sim_knn_recall").collect().map(_.toString).toSeq)
+    assert(Similarity.quantizerRefreshOf(embs).collect().map(_.toString).toSeq ===
+      run("sim_quantizer_refresh").collect().map(_.toString).toSeq)
+  }
+
+  test("quantizer refresh report conserves the corpus and balances " +
+    "arrivals against departures") {
+    val rows = run("sim_quantizer_refresh").collect()
+    val n = graft.Tables.t(spark, sf, "embeddings").count()
+    // every vector is in exactly one list before AND after the refresh
+    assert(rows.map(_.getAs[Long]("n_before")).sum === n)
+    assert(rows.map(_.getAs[Long]("n_after")).sum === n)
+    // a departure from one list is an arrival at another
+    assert(rows.map(_.getAs[Long]("n_in")).sum ===
+      rows.map(_.getAs[Long]("n_out")).sum)
+    rows.foreach { r =>
+      // per-list flow equation
+      assert(r.getAs[Long]("n_after") ===
+        r.getAs[Long]("n_before") - r.getAs[Long]("n_out") + r.getAs[Long]("n_in"),
+        s"flow equation violated: $r")
+      // a list never loses more members than it had
+      assert(r.getAs[Long]("n_out") <= r.getAs[Long]("n_before"))
+      assert(r.getAs[Double]("shift") >= 0.0)
+    }
+    // the report covers exactly the census's lists
+    val censusCids = run("sim_ivf_census").select("cid").collect()
+      .map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("cid")).toSet === censusCids)
   }
 
   test("shard manifest accounts for every doc and fingerprints content, " +

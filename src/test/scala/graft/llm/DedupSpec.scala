@@ -114,6 +114,29 @@ class DedupSpec extends graft.SparkSpec {
     assert(out.forall(_.getLong(0) < 200L), out.mkString(";"))
   }
 
+  test("driver union-find short-circuit labels exactly like the " +
+    "distributed min-label fixpoint") {
+    // forward idea aa: same pair set through both engines — a chain, a
+    // star, a 2-cycle merge, singleton-free noise pairs
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),            // chain: min 1 reaches 4
+      (10L, 11L), (10L, 12L), (10L, 13L),      // star
+      (20L, 21L), (21L, 22L), (22L, 20L),      // cycle
+      (30L, 31L), (4L, 30L))                   // late merge into the chain
+      .toDF("da", "db")
+    val fast = Dedup.clusterLabelsFrom(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = Dedup.clusterLabelsFrom(pairs, driverMax = -1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fast === dist)
+    // and the labels are the component minima
+    assert(fast.filter(_._1 <= 4L).forall(_._2 == 1L))
+    assert(fast.filter(p => p._1 >= 30L).forall(_._2 == 1L),
+      "the 30-31 pair merges into the chain through 4")
+    assert(fast.filter(p => p._1 >= 10L && p._1 <= 13L).forall(_._2 == 10L))
+    assert(fast.filter(p => p._1 >= 20L && p._1 <= 22L).forall(_._2 == 20L))
+  }
+
   test("dedup_ngram (exact jaccard with hot-shingle cap) finds every true pair") {
     val out = Dedup.dedupNgram(spark, corpusDir)
     assert(truePairHits(out) === nBase.toLong)

@@ -152,6 +152,34 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the recall census is readable over HTTP — the ANN quality alarm " +
+    "through the query surface") {
+    // forward idea ab: the monitoring number an operator watches (recall
+    // trending down = quantizer drifting) served by the same corpus_op
+    // route, probing the stored graph artifact
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = post(HttpClient.newHttpClient(), server.getAddress.getPort, """{
+        "corpus_op": {"op": "knn_recall", "corpus": {"from": "embeddings"}}}""")
+      assert(r.statusCode() === 200)
+      val data = mapper.readTree(r.body()).get("data")
+      assert(data.size() === 1)
+      val row = data.get(0)
+      Seq("n_sampled", "n_true_edges", "n_found", "recall")
+        .foreach(c => assert(row.has(c), s"missing column $c"))
+      // the served number IS the stored-artifact census
+      val direct = graft.llm.Similarity.queries("sim_knn_recall")(spark, sf)
+        .head()
+      assert(row.get("recall").asDouble() === direct.getAs[Double]("recall"))
+      assert(row.get("n_true_edges").asLong() ===
+        direct.getAs[Long]("n_true_edges"))
+      // and the gate the spec holds the graph to is visible here too
+      assert(row.get("recall").asDouble() >= 0.6)
+    } finally server.stop(0)
+  }
+
   test("a malformed query answers 400 with an error body, not a hang") {
     withServer { (c, port) =>
       val r = post(c, port, """{"from": "logs", "select": [{"name": "x",
