@@ -279,6 +279,29 @@ object Similarity {
     (cents, inv)
   }
 
+  /** Stateless assignment of NEW vectors against a FIXED centroid table —
+    * the ingestion-time maintenance primitive behind the streamed
+    * inverted-list delta store ([[graft.streaming.Streams.invlistStoreSink]],
+    * ST10). One broadcast pass: score against the (KB-scale) centroids,
+    * argmax per vector, returned in inverted-list row shape
+    * (cid, nid, nv, nn) so the output appends straight onto the stored
+    * lists. Because assignment depends ONLY on the fixed centroids, a
+    * probe over base + streamed delta is bit-identical to a probe over a
+    * full batch rebuild with the same quantizer (StreamsSpec ST10 pins
+    * it) — the index stays fresh without ever re-scanning the corpus. */
+  def assignAgainstCentroids(newVecs: DataFrame, centroids: DataFrame): DataFrame = {
+    val v = newVecs.select(col("vec_id"), col("embedding"))
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
+    val assign = v.crossJoin(broadcast(centroids))
+      .withColumn("cos", DotProduct(col("embedding"), col("cv")) /
+        (sqrt(col("norm2")) * sqrt(col("cn"))))
+      .groupBy("vec_id")
+      .agg(max_by(col("cid"), struct(col("cos"), -col("cid"))).as("cid"))
+    assign.join(v, Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("norm2").as("nn"))
+  }
+
   /** Probe an IVF index from its stored artifacts: nearest `nprobe`
     * centroids per query (tiny crossJoin against the broadcast centroid
     * table), then exact cosine top-k over only the probed inverted

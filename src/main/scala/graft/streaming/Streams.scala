@@ -238,6 +238,36 @@ object Streams {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
+  /** ST10 (forward idea ac, streaming half): stream-maintained IVF
+    * INVERTED-LIST delta store — the ingestion path of a continuously
+    * growing ANN index. Each micro-batch of new embeddings is assigned
+    * against the FIXED stored centroids
+    * ([[graft.llm.Similarity.assignAgainstCentroids]]: one broadcast
+    * pass, stateless) and written under its own (cid, batch_id)
+    * partitions — dynamic partition overwrite, so a redelivered batch
+    * replaces exactly its own rows (the [[idempotentAppend]] recipe).
+    * cid stays the leading partition column so probes partition-prune to
+    * the probed lists, delta rows included. Assignment depends only on
+    * the fixed centroids, so base ∪ delta is bit-identical to a batch
+    * rebuild over the grown corpus with the same quantizer — probes stay
+    * exact while the (expensive, rare) centroid re-train is a separate
+    * scheduled job, monitored by `sim_quantizer_refresh`'s drift report
+    * and `sim_knn_recall`'s quality census. */
+  def invlistStoreSink(batch: DataFrame, batchId: Long, dir: String,
+      centroids: DataFrame): Unit =
+    graft.llm.Similarity.assignAgainstCentroids(batch, centroids)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cid", "batch_id").parquet(dir)
+
+  /** Read the streamed delta back in inverted-list shape. Partition
+    * columns come back as the narrowest inferred type (cid as INT) — the
+    * cast here restores the artifact schema so the delta unions cleanly
+    * onto the stored base lists. */
+  def invlistDelta(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir).select(col("cid").cast("long").as("cid"),
+      col("nid"), col("nv"), col("nn"))
+
   /** Batch-twin query for the oracle: identical plan to
     * tumblingCountsStream minus the watermark (a no-op in batch). */
   val streamTumbling: Q = (s, d) =>

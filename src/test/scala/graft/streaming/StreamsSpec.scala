@@ -150,6 +150,60 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "redelivered batch double-counted")
   }
 
+  test("ST10: the streamed inverted-list delta keeps probes exactly " +
+    "equal to a batch rebuild with the same quantizer") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmp("graft-st10")
+    val embs = graft.Tables.t(spark, sf, "embeddings")
+    // quantizer trained on the BASE half only; centroids then stay FIXED
+    // while the delta half streams in — the production shape (re-train
+    // is a separate scheduled job, monitored by sim_quantizer_refresh)
+    val base = embs.filter(col("vec_id") % 2 === 0)
+    val delta = embs.filter(col("vec_id") % 2 === 1)
+    val (_, cents, _, _) = graft.llm.Similarity.ivfIndexOf(base, 8)
+    val centsFixed = cents.localCheckpoint()
+    val baseInv = graft.llm.Similarity
+      .assignAgainstCentroids(base, centsFixed)
+
+    val deltaRows = delta.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.invlistStoreSink(batch, id, dir, centsFixed)
+      }
+      .start()
+    try {
+      in.addData(deltaRows.take(deltaRows.length / 2): _*)
+      q.processAllAvailable()
+      in.addData(deltaRows.drop(deltaRows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val maintained = baseInv.unionByName(Streams.invlistDelta(spark, dir))
+    val rebuilt = graft.llm.Similarity.assignAgainstCentroids(embs, centsFixed)
+    // the maintained lists ARE the batch rebuild, row for row
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cid"), col("nid"), col("nn")).collect()
+      .map(_.toString).sorted.toSeq
+    assert(canon(maintained) === canon(rebuilt))
+    // and a probe over base ∪ delta answers exactly like the rebuild
+    val queries = embs.filter(col("vec_id") < 10)
+    val got = graft.llm.Similarity
+      .ivfProbe(queries, centsFixed, maintained).collect().map(_.toString).toSeq
+    val want = graft.llm.Similarity
+      .ivfProbe(queries, centsFixed, rebuilt).collect().map(_.toString).toSeq
+    assert(got === want)
+    // at-least-once redelivery: batch 0 re-sunk under its own id
+    // overwrites its own (cid, batch_id) partitions — nothing doubles
+    Streams.invlistStoreSink(
+      deltaRows.take(deltaRows.length / 2).toSeq.toDF("vec_id", "embedding"),
+      0L, dir, centsFixed)
+    assert(canon(baseInv.unionByName(Streams.invlistDelta(spark, dir)))
+      === canon(rebuilt), "redelivered batch double-counted")
+  }
+
   test("T7 streaming: dead-letter split routes per micro-batch") {
     // the reference's error re-queue is stream-side (etl.py catches a
     // failing key and writes it to the error bucket while good keys
