@@ -36,7 +36,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    ([[graft.operators.Aggregates.sketchDashboardFrame]]) — every
   *    aggregate is a KB-scale sketch re-merge over day-pruned partials,
   *    never a raw-events scan; the dashboard refresh cost is independent
-  *    of corpus size.
+  *    of corpus size. With `{"view": "ann"}` it answers the ANN health
+  *    panel (recall / balance / drift) from the stored index artifacts.
   *  - `GET  /health`  — `{"status":"ok"}` liveness probe.
   */
 object QueryService {
@@ -81,11 +82,28 @@ object QueryService {
 
   /** Serve one dashboard request: parse the day window, merge the stored
     * partials, serialize in the requested jx format (`cube` default —
-    * event_type edge, the three readout aggregates as values). */
+    * event_type edge, the three readout aggregates as values).
+    *
+    * `{"view": "ann"}` answers the ANN HEALTH PANEL instead: the three
+    * monitoring numbers an index operator watches, each a probe of the
+    * stored artifacts (never a rebuild) — `recall` (the bucketed graph's
+    * recall census vs brute force, the quality alarm), `balance` (the
+    * per-list IVF census, the skew alarm), and `drift` (the one-step
+    * quantizer-refresh report, the re-train alarm). Each section is the
+    * byte-identical frame of its driver key (sim_knn_recall /
+    * sim_ivf_census / sim_quantizer_refresh), so the panel inherits
+    * their oracles. */
   private def dashboardJson(spark: SparkSession, dataset: String,
       body: String): String = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val q = mapper.readTree(if (body.trim.isEmpty) "{}" else body)
+    if (Option(q.get("view")).exists(_.asText() == "ann")) {
+      def section(key: String): String =
+        graft.jx.Jx.listJson(graft.llm.Similarity.queries(key)(spark, dataset))
+      return s"""{"recall":${section("sim_knn_recall")},""" +
+        s""""balance":${section("sim_ivf_census")},""" +
+        s""""drift":${section("sim_quantizer_refresh")}}"""
+    }
     def day(field: String, dflt: String): String = {
       val v = Option(q.get(field)).map(_.asText()).getOrElse(dflt)
       require(v.matches("\\d{4}-\\d{2}-\\d{2}"), s"$field must be YYYY-MM-DD")

@@ -249,6 +249,34 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the dashboard ann view serves recall, balance, and drift from " +
+    "the stored index artifacts") {
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = postPath(HttpClient.newHttpClient(), server.getAddress.getPort,
+        "/dashboard", """{"view": "ann"}""")
+      assert(r.statusCode() === 200)
+      val panel = mapper.readTree(r.body())
+      Seq("recall", "balance", "drift").foreach(s =>
+        assert(panel.has(s), s"missing panel section $s"))
+      // each section is its driver key's frame byte-for-byte
+      val recall = panel.get("recall").get("data").get(0)
+      val direct = graft.llm.Similarity.queries("sim_knn_recall")(spark, sf)
+        .head()
+      assert(recall.get("recall").asDouble() === direct.getAs[Double]("recall"))
+      val balance = panel.get("balance").get("data")
+      assert(balance.size() ===
+        graft.llm.Similarity.queries("sim_ivf_census")(spark, sf).count())
+      val drift = panel.get("drift").get("data")
+      assert(drift.size() > 0)
+      val d0 = drift.get(0)
+      Seq("cid", "n_before", "n_after", "n_in", "n_out", "shift")
+        .foreach(c => assert(d0.has(c), s"missing drift column $c"))
+    } finally server.stop(0)
+  }
+
   test("a malformed dashboard day answers 400; without a dataset the route is absent") {
     val server = QueryService.start(spark, _ => spark.emptyDataFrame,
       dataset = Some(sf))
