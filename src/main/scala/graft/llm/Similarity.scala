@@ -1058,20 +1058,71 @@ object Similarity {
     quantizerRefreshFrom(vecs, cents, assign)
   }
 
-  private def quantizerRefreshFrom(vecs: DataFrame, cents: DataFrame,
-      assign: DataFrame): DataFrame = {
-    // one Lloyd step from the stored lists (same decimal-mean recipe as
-    // ivfIndexOf.lloyd — §4.1: a decision-feeding distributed mean must
-    // be order-independent)
-    val newCents = assign.join(vecs, Seq("vec_id"))
+  /** One Lloyd update from an assignment: per-dimension decimal-exact
+    * mean of each list's members (the [[ivfIndexOf]] recipe — §4.1: a
+    * decision-feeding distributed mean must be order-independent).
+    * Returns a centroid table (cid, cv, cn). Public as the re-train
+    * primitive the refresh report and [[applyQuantizerRefresh]] share. */
+  def lloydStep(vecs: DataFrame, assign: DataFrame): DataFrame =
+    assign.join(vecs.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .select(col("cid"), posexplode(col("embedding")))
       .groupBy("cid", "pos")
       .agg((sum(col("col").cast("decimal(27,10)")).cast("double") /
         count(lit(1))).as("m"))
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        x => x.getField("m")).as("ncv"))
-      .withColumn("ncn", DotProduct(col("ncv"), col("ncv")))
+        x => x.getField("m")).as("cv"))
+      .withColumn("cn", DotProduct(col("cv"), col("cv")))
+
+  /** Apply a refresh IN PLACE on a cid-partitioned inverted-list store:
+    * re-assign the stored vectors against the refreshed centroids and
+    * rewrite ONLY the lists drift touched (every list that gained or
+    * lost a member), via dynamic partition overwrite — the other
+    * partitions' files are never rewritten. This is the "re-assign only
+    * drifted vectors" half of the refresh story: at 100 TB a mostly-
+    * converged quantizer drifts a few percent of vectors per refresh,
+    * so the rewrite is proportional to the drift, not the corpus.
+    * Returns the number of lists rewritten (0 = the store was already
+    * the fixpoint and nothing was written). IvfPersistSpec pins both
+    * the equality with a full re-assignment and the untouched bytes. */
+  def applyQuantizerRefresh(s: SparkSession, invlistDir: String,
+      newCents: DataFrame): Long = {
+    val old = s.read.parquet(invlistDir)
+      .select(col("cid").cast("long").as("ocid"), col("nid"))
+    val stored = s.read.parquet(invlistDir)
+      .select(col("nid").as("vec_id"), col("nv").as("embedding"))
+    val reassigned = assignAgainstCentroids(stored, newCents)
+    val affected = reassigned.select(col("cid"), col("nid"))
+      .join(old, Seq("nid"))
+      .filter(col("cid") =!= col("ocid"))
+      .select(explode(array(col("cid"), col("ocid"))).as("cid"))
+      .distinct()
+    // materialize BEFORE the overwrite: both frames read the very files
+    // the write replaces
+    val rows = reassigned.join(broadcast(affected), Seq("cid"))
+      .localCheckpoint()
+    val affectedCids = affected.collect().map(_.getLong(0)) // ≤ nlist rows
+    val writtenCids = rows.select("cid").distinct().collect()
+      .map(_.getLong(0)).toSet
+    if (writtenCids.nonEmpty)
+      rows.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cid").parquet(invlistDir)
+    // a DRAINED list (lost every member) has no rows in the write, so
+    // dynamic overwrite leaves its old partition behind — drop it
+    // explicitly or its members would exist in two lists
+    affectedCids.filterNot(writtenCids).foreach { c =>
+      val p = new java.io.File(invlistDir, s"cid=$c")
+      Option(p.listFiles()).getOrElse(Array.empty[java.io.File]).foreach(_.delete())
+      p.delete()
+    }
+    affectedCids.length.toLong
+  }
+
+  private def quantizerRefreshFrom(vecs: DataFrame, cents: DataFrame,
+      assign: DataFrame): DataFrame = {
+    // one Lloyd step from the stored lists
+    val newCents = lloydStep(vecs, assign)
+      .select(col("cid"), col("cv").as("ncv"), col("cn").as("ncn"))
     val moved = vecs.crossJoin(broadcast(newCents))
       .withColumn("cos",
         DotProduct(col("embedding"), col("ncv")) /

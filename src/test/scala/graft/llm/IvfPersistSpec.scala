@@ -32,6 +32,54 @@ class IvfPersistSpec extends graft.SparkSpec {
     assert(fromDisk === inPlan, "stored-index probe diverged from in-plan IVF")
   }
 
+  test("applying a refresh rewrites only drift-touched lists and lands " +
+    "on the full re-assignment") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ivf3").toString + "/invlists"
+    // dim-4 synthetic with drift BY CONSTRUCTION: lists on axes e1/e2/e3;
+    // the refreshed quantizer replaces e3 with e4, which moves the
+    // c-vectors (0, 0.6, 0.8, 0) from list 2 to list 1 (cos 0.6 vs 0) —
+    // list 0 is untouched by the refresh
+    def f(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+    val vecs = (
+      (1L to 3L).map(i => (i, f(1, 0, 0, 0))) ++
+      (11L to 13L).map(i => (i, f(0, 1, 0, 0))) ++
+      (21L to 23L).map(i => (i, f(0, 0.6, 0.8, 0)))
+    ).toDF("vec_id", "embedding")
+    def cents(third: Seq[Double]): org.apache.spark.sql.DataFrame =
+      Seq((0L, Seq(1.0, 0, 0, 0)), (1L, Seq(0.0, 1, 0, 0)), (2L, third))
+        .toDF("cid", "cv")
+        .withColumn("cn", graft.functions.DotProduct(col("cv"), col("cv")))
+    Similarity.assignAgainstCentroids(vecs, cents(Seq(0.0, 0, 1, 0)))
+      .write.partitionBy("cid").parquet(dir)
+
+    def files(cid: Long) = Option(new java.io.File(dir, s"cid=$cid")
+      .listFiles()).getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet"))
+      .map(p => p.getName -> p.lastModified()).sorted.toSeq
+    val untouchedBefore = files(0L)
+    assert(files(2L).nonEmpty, "list 2 must exist before the refresh")
+
+    val newCents = cents(Seq(0.0, 0, 0, 1))
+    val n = Similarity.applyQuantizerRefresh(spark, dir, newCents)
+    assert(n === 2L, s"drift touches lists 1 and 2 only, got $n")
+
+    // the store now IS the full re-assignment against the new centroids
+    val got = spark.read.parquet(dir)
+      .select(col("cid").cast("long"), col("nid"), col("nn"))
+      .collect().map(_.toString).sorted.toSeq
+    val want = Similarity.assignAgainstCentroids(vecs, newCents)
+      .select(col("cid"), col("nid"), col("nn"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got === want)
+    // list 0's bytes were never rewritten; list 2 drained completely and
+    // its partition is gone (its survivors would otherwise double-count)
+    assert(files(0L) === untouchedBefore, "untouched list was rewritten")
+    assert(files(2L).isEmpty, "drained list left stale rows behind")
+    // idempotence: re-applying the same centroids is a no-op write
+    assert(Similarity.applyQuantizerRefresh(spark, dir, newCents) === 0L)
+  }
+
   test("probing a stored index prunes the inverted-list scan to the probed cids") {
     val dir = Files.createTempDirectory("ivf2").toString
     val (cents, inv) = Similarity.ivfArtifacts(spark, sf, nlist = 16)
