@@ -385,6 +385,36 @@ object Similarity {
       s.read.parquet(s"$dir/invlists"))
   }
 
+  /** X3e-b: INCREMENTAL INDEX GROWTH under the oracle — the driver-gated
+    * batch twin of the streamed delta store (ST10,
+    * [[graft.streaming.Streams.invlistStoreSink]]). The even-id half is
+    * the BASE corpus and trains the quantizer; the odd-id half is the
+    * later-arriving delta, assigned by the same stateless
+    * [[assignAgainstCentroids]] primitive the streaming sink uses. The
+    * readout is per-list: base members, delta members, and an order-free
+    * xor membership fingerprint over base ∪ delta. The DuckDB oracle
+    * REBUILDS the grown index (trains on the even half, assigns
+    * everything), so "maintained lists == batch rebuild" — the claim the
+    * ST10 spec pins at one SF — is hash-proven at every gate SF. */
+  val simIvfDelta: Q = (s, d) => {
+    val embs = t(s, d, "embeddings")
+    val base = embs.filter(col("vec_id") % 2 === 0)
+    val delta = embs.filter(col("vec_id") % 2 === 1)
+    val (_, cents, _, _) = ivfIndexOf(base, 32)
+    val inv = assignAgainstCentroids(base, cents)
+      .withColumn("is_base", lit(1L))
+      .unionByName(assignAgainstCentroids(delta, cents)
+        .withColumn("is_base", lit(0L)))
+    inv
+      .withColumn("member_h",
+        expr("CAST(conv(substr(md5(CAST(nid AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("cid")
+      .agg(sum(col("is_base")).as("n_base"),
+        sum(lit(1L) - col("is_base")).as("n_delta"),
+        expr("bit_xor(member_h)").as("member_fp"))
+      .orderBy("cid")
+  }
+
   /** X3f: product-quantization ANN — the MEMORY-bound scale path beside
     * IVF's compute-bound one. The 64-dim vector splits into M=8
     * subvectors; each subspace gets its own K=16-centroid codebook
@@ -1158,6 +1188,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "sim_knn_recall" -> simKnnRecall,
     "sim_quantizer_refresh" -> simQuantizerRefresh,
+    "sim_ivf_delta" -> simIvfDelta,
     "sim_knn_graph" -> simKnnGraph,
     "sim_knn_mutual" -> simKnnMutual,
     "sim_knn_clusters" -> simKnnClusters,
@@ -1288,6 +1319,70 @@ object Similarity {
              SELECT vec_id, cid,
                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
              FROM scored) WHERE rn = 1)"""
+
+  /** The incremental-growth replay: the ivfOracleCte training chain run
+    * over the EVEN-id half only (bvn/bfl, seeds even < 32), then the
+    * final assignment over EVERYTHING — base by training, delta by the
+    * same fixed-centroid rule the streaming sink applies. */
+  private val ivfDeltaOracleCte: String =
+    """raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+                      FROM embeddings),
+           fl AS (SELECT vec_id, embedding AS f FROM embeddings),
+           vn AS (SELECT vec_id, v,
+                         list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
+                                     (x, y) -> x + y) AS norm2
+                  FROM raw),
+           bvn AS (SELECT * FROM vn WHERE vec_id % 2 = 0),
+           bfl AS (SELECT * FROM fl WHERE vec_id % 2 = 0),
+           seed AS (SELECT vec_id AS cid, v AS cv, norm2 AS cn
+                    FROM bvn WHERE vec_id < 32),
+           sc0 AS (SELECT a.vec_id, c.cid,
+                          list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
+                   FROM bvn a CROSS JOIN seed c),
+           as0 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+             FROM sc0) WHERE rn = 1),
+           m1 AS (SELECT a.cid, t.i,
+                         CAST(sum(CAST(f.f[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS m
+                  FROM as0 a JOIN bfl f USING (vec_id)
+                  CROSS JOIN generate_series(1, 64) t(i)
+                  GROUP BY a.cid, t.i),
+           c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
+           c1n AS (SELECT cid, cv,
+                          list_reduce([cv[i] * cv[i] for i in generate_series(1, 64)],
+                                      (x, y) -> x + y) AS cn
+                   FROM c1),
+           sc1 AS (SELECT a.vec_id, c.cid,
+                          list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
+                   FROM bvn a CROSS JOIN c1n c),
+           as1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+             FROM sc1) WHERE rn = 1),
+           m2 AS (SELECT a.cid, t.i,
+                         CAST(sum(CAST(f.f[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS m
+                  FROM as1 a JOIN bfl f USING (vec_id)
+                  CROSS JOIN generate_series(1, 64) t(i)
+                  GROUP BY a.cid, t.i),
+           c2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),
+           cents AS (SELECT cid, cv,
+                            list_reduce([cv[i] * cv[i] for i in generate_series(1, 64)],
+                                        (x, y) -> x + y) AS cn
+                     FROM c2),
+           scoredAll AS (
+             SELECT a.vec_id, c.cid,
+                    list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, 64)],
+                                (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
+             FROM vn a CROSS JOIN cents c),
+           assignAll AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+             FROM scoredAll) WHERE rn = 1)"""
 
   /** The IVF-PQ replay chain shared by sim_ivfpq and sim_ivfpq_rerank:
     * the coarse IVF CTEs, residuals, residual codebooks (p-prefixed),
@@ -1565,6 +1660,17 @@ object Similarity {
                 CAST(sum(f) AS BIGINT) AS n_found,
                 round(sum(f) * 1.0 / count(*), 4) AS recall
          FROM found""",
+    // incremental growth: the oracle REBUILDS the grown index (trains on
+    // the even half, assigns everything) — maintained == rebuild is the
+    // hash-compared claim
+    "sim_ivf_delta" ->
+      s"""WITH $ivfDeltaOracleCte
+         SELECT a.cid,
+                CAST(sum(CASE WHEN a.vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+                CAST(sum(CASE WHEN a.vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+                bit_xor(CAST('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 15)
+                             AS BIGINT)) AS member_fp
+         FROM assignAll a GROUP BY a.cid ORDER BY a.cid""",
     // quantizer refresh: one MORE Lloyd step from the final stored
     // assignment (m3/c3 extend the m1/m2 decimal-mean recipe), re-score,
     // then the per-list before/after/in/out/shift report
