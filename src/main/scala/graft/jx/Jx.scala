@@ -305,7 +305,7 @@ object Jx {
     * quality_gate / source_kl / token_budget / bpe_merges /
     * semantic_dedup / overlap / dsir / shard_manifest / pack_manifest /
     * knn_diverse / knn_clusters / knn_stats / knn_recall /
-    * quantizer_refresh) and `corpus` (a jx query, required —
+    * quantizer_refresh / ivf_delta) and `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -391,6 +391,8 @@ object Jx {
         case None => graft.llm.Similarity.quantizerRefreshOf(docs,
           opt(c, "nlist").map(_.asInt()).getOrElse(16))
       }
+      case "ivf_delta" => graft.llm.Similarity.ivfDeltaOf(docs,
+        opt(c, "nlist").map(_.asInt()).getOrElse(32))
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

@@ -307,6 +307,9 @@ object JxQueries {
   private val quantizerRefreshJson = """{
     "corpus_op": {"op": "quantizer_refresh", "corpus": {"from": "embeddings"}}}"""
 
+  private val ivfDeltaJson = """{
+    "corpus_op": {"op": "ivf_delta", "corpus": {"from": "embeddings"}}}"""
+
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     val res = Jx.run(s, sketchJson, name => t(s, d, name))
@@ -367,7 +370,9 @@ object JxQueries {
     "jx_knn_recall" ->
       ((s, d) => Jx.run(s, knnRecallJson, name => t(s, d, name), Some(d))),
     "jx_quantizer_refresh" ->
-      ((s, d) => Jx.run(s, quantizerRefreshJson, name => t(s, d, name), Some(d))))
+      ((s, d) => Jx.run(s, quantizerRefreshJson, name => t(s, d, name), Some(d))),
+    "jx_ivf_delta" ->
+      ((s, d) => Jx.run(s, ivfDeltaJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -386,6 +391,7 @@ object JxQueries {
     "jx_knn_stats" -> graft.llm.Similarity.oracle("sim_knn_stats"),
     "jx_knn_recall" -> graft.llm.Similarity.oracle("sim_knn_recall"),
     "jx_quantizer_refresh" -> graft.llm.Similarity.oracle("sim_quantizer_refresh"),
+    "jx_ivf_delta" -> graft.llm.Similarity.oracle("sim_ivf_delta"),
     "jx_pack_manifest" -> graft.llm.TextOps.oracle("text_pack_manifest"),
     "jx_sketch" ->
       """SELECT event_type,

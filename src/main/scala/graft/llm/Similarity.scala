@@ -396,11 +396,10 @@ object Similarity {
     * REBUILDS the grown index (trains on the even half, assigns
     * everything), so "maintained lists == batch rebuild" — the claim the
     * ST10 spec pins at one SF — is hash-proven at every gate SF. */
-  val simIvfDelta: Q = (s, d) => {
-    val embs = t(s, d, "embeddings")
+  def ivfDeltaOf(embs: DataFrame, nlist: Int = 32): DataFrame = {
     val base = embs.filter(col("vec_id") % 2 === 0)
     val delta = embs.filter(col("vec_id") % 2 === 1)
-    val (_, cents, _, _) = ivfIndexOf(base, 32)
+    val (_, cents, _, _) = ivfIndexOf(base, nlist)
     val inv = assignAgainstCentroids(base, cents)
       .withColumn("is_base", lit(1L))
       .unionByName(assignAgainstCentroids(delta, cents)
@@ -414,6 +413,8 @@ object Similarity {
         expr("bit_xor(member_h)").as("member_fp"))
       .orderBy("cid")
   }
+
+  val simIvfDelta: Q = (s, d) => ivfDeltaOf(t(s, d, "embeddings"))
 
   /** X3f: product-quantization ANN — the MEMORY-bound scale path beside
     * IVF's compute-bound one. The 64-dim vector splits into M=8
