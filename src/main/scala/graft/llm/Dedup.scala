@@ -830,6 +830,44 @@ object Dedup {
       .select(col("id").as("doc_id"), col("lbl").as("canonical"))
       .orderBy("doc_id")
 
+  /** X1f'': QUALITY-AWARE canonical selection — which duplicate to KEEP.
+    * min-id canonicals (dedupDropList) are arbitrary; production dedup
+    * keeps the best member of each near-dup cluster (the fuller, less
+    * truncated copy) and drops the rest. Per cluster: argmax over
+    * (quality, n_chars, -doc_id) using the same cheap quality score as
+    * `text_quality` — a TOTAL order (doc_id is unique), so the pick is
+    * deterministic under any partitioning. Scale shape: the label table
+    * is pair-graph output (dup-rate × n rows, not n); the doc-side join
+    * moves one row per CLUSTERED doc only, and the per-cluster argmax is
+    * a `max_by` aggregate — partial-aggregated map-side, one shuffle on
+    * the cluster key, no window over the corpus. At a 30–50 % dup rate
+    * on 100 TB the label join is a plain equi-join (NOT broadcast — the
+    * drop set scales with the corpus); AQE handles the skew of a
+    * boilerplate mega-cluster. */
+  val dedupCanonical: Q = (s, d) => {
+    val labels = clusterLabels(s, d)
+    val docs = t(s, d, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_stop",
+        size(expr("filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))")))
+      .select(col("doc_id"), col("n_chars"),
+        r4(when(col("n_chars") < 100, 0.2).otherwise(1.0) *
+          when(col("n_stop") === 0, 0.5).otherwise(1.0)).as("quality"))
+    labels.join(docs, labels("id") === docs("doc_id"))
+      .groupBy(col("lbl").as("cluster_id"))
+      .agg(
+        max(struct(col("quality"), col("n_chars"),
+          (-col("doc_id")).as("neg_id"))).as("mx"),
+        count(lit(1)).as("n_docs"))
+      .select(col("cluster_id"),
+        (-col("mx.neg_id")).as("canonical"),
+        col("mx.quality").as("canon_quality"),
+        col("mx.n_chars").as("canon_chars"),
+        col("n_docs"),
+        (col("n_docs") - 1).as("n_dropped"))
+      .orderBy("cluster_id")
+  }
+
   /** X1e: passage-level EXACT-substring dedup — the training-data pass
     * that catches repeated SPANS across documents (boilerplate, quoted
     * blocks, licence headers) that whole-doc measures miss: two long docs
@@ -1174,6 +1212,7 @@ object Dedup {
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_clusters" -> dedupClusters,
     "dedup_drop_list" -> dedupDropList,
+    "dedup_canonical" -> dedupCanonical,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_trim" -> dedupSubstringTrim,
     "dedup_online_gate" -> dedupOnlineGate,
@@ -1383,6 +1422,31 @@ object Dedup {
            labels AS (SELECT id, min(lbl) AS canonical FROM reach GROUP BY id)
          SELECT id AS doc_id, canonical FROM labels
          WHERE id <> canonical ORDER BY doc_id""",
+    "dedup_canonical" ->
+      s"""WITH RECURSIVE $minhashCte,
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           q AS (SELECT doc_id, n_chars,
+                        round((CASE WHEN n_chars < 100 THEN 0.2 ELSE 1.0 END) *
+                              (CASE WHEN n_stop = 0 THEN 0.5 ELSE 1.0 END), 4) AS quality
+                 FROM (SELECT doc_id, n_chars,
+                              len(list_filter(string_split(text, ' '),
+                                w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+                       FROM documents)),
+           m AS (SELECT l.cluster_id, q.doc_id, q.quality, q.n_chars,
+                        row_number() OVER (PARTITION BY l.cluster_id
+                          ORDER BY q.quality DESC, q.n_chars DESC, q.doc_id ASC) AS rn,
+                        count(*) OVER (PARTITION BY l.cluster_id) AS n_docs
+                 FROM labels l JOIN q ON q.doc_id = l.id)
+         SELECT cluster_id, doc_id AS canonical, quality AS canon_quality,
+                n_chars AS canon_chars, n_docs, n_docs - 1 AS n_dropped
+         FROM m WHERE rn = 1 ORDER BY cluster_id""",
     "dedup_embed_lsh" ->
       s"""WITH ${Similarity.lshOracleCte},
            cand AS (SELECT DISTINCT x.vec_id AS da, y.vec_id AS db

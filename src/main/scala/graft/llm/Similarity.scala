@@ -1186,7 +1186,50 @@ object Similarity {
 
   val simQuantizerRefresh: Q = (s, d) => quantizerRefreshStored(s, d)
 
+  /** X4f': TOPIC-aware mixture rebalancing — the embedding-space twin of
+    * `text_mix_sources`. Source labels under-segment a crawl (one "web"
+    * source hides many topics); the stored coarse quantizer already
+    * partitions the corpus semantically, so its lists double as TOPICS.
+    * Per topic: doc/token mass, the natural share, and the
+    * temperature-α=0.5 target share q_t ∝ p_t^α (the standard
+    * multilingual/multi-source rebalancing rule — upweight rare topics,
+    * damp dominant ones), plus the per-topic sampling ratio a mixture
+    * job applies. Determinism (§7.4): the only cross-row double sum is
+    * Σ√tokens — each term is rounded to a 6-dp DECIMAL first (sqrt of
+    * an integer is never a round-half tie: a tie needs an exact decimal,
+    * i.e. a perfect square, whose sqrt is an integer), so the sum is
+    * exact and order-free; every division is a single double op on
+    * identical operands in both engines. Scale shape: probes the stored
+    * assign table (one row per vector), one groupBy on nlist keys, the
+    * two totals broadcast back — nothing grows faster than n, and the
+    * readout is nlist rows. */
+  val textTopicMix: Q = (s, d) => {
+    val dir = quantizerStore(s, d, 16)
+    val assign = s.read.parquet(s"$dir/assign")
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val byTopic = assign.join(docs, assign("vec_id") === docs("doc_id"))
+      .groupBy(col("cid").as("topic"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .withColumn("pow",
+        expr("cast(round(sqrt(cast(n_tokens as double)), 6) as decimal(38,6))"))
+    val tot = byTopic.agg(
+      sum("n_tokens").as("tot_tokens"),
+      sum("pow").as("tot_pow"))
+    byTopic.crossJoin(broadcast(tot))
+      .withColumn("share",
+        r4(col("n_tokens").cast("double") / col("tot_tokens")))
+      .withColumn("target_share",
+        r4(col("pow").cast("double") / col("tot_pow").cast("double")))
+      .select(col("topic"), col("n_docs"), col("n_tokens"),
+        col("share"), col("target_share"),
+        r4(col("target_share") / col("share")).as("sample_ratio"))
+      .orderBy("topic")
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_topic_mix" -> textTopicMix,
     "sim_knn_recall" -> simKnnRecall,
     "sim_quantizer_refresh" -> simQuantizerRefresh,
     "sim_ivf_delta" -> simIvfDelta,
@@ -1474,6 +1517,32 @@ object Similarity {
     """
 
   val oracle: Map[String, String] = Map(
+    // topic mixture: quantizer-assign replay + per-list token mass;
+    // Σ√tokens goes through a 6-dp DECIMAL per term so the total is
+    // exact (order-free); every division is one double op per row.
+    "text_topic_mix" ->
+      s"""WITH $ivfOracleCte,
+           dt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+                  FROM documents),
+           bt AS (SELECT a.cid AS topic, count(*) AS n_docs,
+                         CAST(sum(d.n_tok) AS BIGINT) AS n_tokens
+                  FROM assign a JOIN dt d ON d.doc_id = a.vec_id
+                  GROUP BY a.cid),
+           btp AS (SELECT topic, n_docs, n_tokens,
+                          CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+                               AS DECIMAL(38,6)) AS pow
+                   FROM bt),
+           tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                          sum(pow) AS tot_pow
+                   FROM btp),
+           shares AS (SELECT topic, n_docs, n_tokens,
+                             round(CAST(n_tokens AS DOUBLE) / tot_tokens, 4) AS share,
+                             round(CAST(pow AS DOUBLE) / CAST(tot_pow AS DOUBLE), 4)
+                               AS target_share
+                      FROM btp CROSS JOIN tot)
+         SELECT topic, n_docs, n_tokens, share, target_share,
+                round(target_share / share, 4) AS sample_ratio
+         FROM shares ORDER BY topic""",
     // full PQ replay: subspace slices → per-subspace 2-iteration Lloyd
     // (decimal-exact means, argmin tie-broken by cid) → codes → ADC table
     // → m-ordered fold. Rounds BEFORE ranking, same as the Spark side.

@@ -572,4 +572,71 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
     assert(shardTotals.values.reduce(_ ^ _) === fp(grand.head))
   }
+
+  test("canonical pick is the quality-argmax member of its own cluster") {
+    val clusters = run("dedup_clusters").collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        r.getAs[String]("members").split(",").map(_.toLong).toSet).toMap
+    // recompute the quality key per doc exactly as text_quality defines it
+    val q = graft.Tables.t(spark, sf, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_stop",
+        size(expr("filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))")))
+      .select(col("doc_id"), col("n_chars"),
+        round(when(col("n_chars") < 100, 0.2).otherwise(1.0) *
+          when(col("n_stop") === 0, 0.5).otherwise(1.0), 4).as("quality"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getLong(1))).toMap
+    val canon = run("dedup_canonical").collect()
+    assert(canon.nonEmpty, "no clusters at sf0.001 — corpus miscalibrated")
+    assert(canon.map(_.getAs[Long]("cluster_id")).toSet === clusters.keySet,
+      "canonical report must cover exactly the cluster set")
+    canon.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = clusters(cid)
+      val c = r.getAs[Long]("canonical")
+      assert(members.contains(c), s"canonical $c not a member of cluster $cid")
+      assert(r.getAs[Long]("n_docs") === members.size.toLong)
+      assert(r.getAs[Long]("n_dropped") === members.size.toLong - 1)
+      // argmax over (quality, n_chars, -id): no member may beat the pick
+      val best = members.maxBy { m =>
+        val (ql, nc) = q(m); (ql, nc, -m)
+      }
+      assert(c === best, s"cluster $cid picked $c but $best wins the order")
+      assert(r.getAs[Double]("canon_quality") === q(c)._1)
+      assert(r.getAs[Long]("canon_chars") === q(c)._2)
+    }
+  }
+
+  test("topic mix shares are a distribution and the temperature upweights " +
+    "rare topics monotonically") {
+    val rows = run("text_topic_mix").collect()
+    assert(rows.nonEmpty)
+    val share = rows.map(_.getAs[Double]("share"))
+    val target = rows.map(_.getAs[Double]("target_share"))
+    // each column is a distribution (to within 4-dp per-row rounding)
+    assert(math.abs(share.sum - 1.0) <= 0.0001 * rows.length)
+    assert(math.abs(target.sum - 1.0) <= 0.0001 * rows.length)
+    // alpha = 0.5 compresses the spread: the dominant topic is damped,
+    // the rarest is upweighted
+    val spread = share.max / share.min
+    val tSpread = target.max / target.min
+    assert(tSpread < spread, s"temperature must compress: $tSpread vs $spread")
+    // sample_ratio ∝ share^(alpha-1) is monotone DECREASING in share
+    val byShare = rows.sortBy(_.getAs[Double]("share"))
+    byShare.sliding(2).foreach {
+      case Array(lo, hi) =>
+        if (lo.getAs[Double]("share") < hi.getAs[Double]("share"))
+          assert(lo.getAs[Double]("sample_ratio") >=
+            hi.getAs[Double]("sample_ratio") - 0.001,
+            s"rarer topic must not sample below a denser one: $lo vs $hi")
+      case _ =>
+    }
+    // the mass a mixture job would draw stays the corpus mass: Σ tokens
+    // is conserved by construction (report, not resample)
+    assert(rows.map(_.getAs[Long]("n_tokens")).sum ===
+      graft.Tables.t(spark, sf, "documents")
+        .select(size(split(col("text"), " ")).cast("long")).collect()
+        .map(_.getLong(0)).sum)
+  }
 }
