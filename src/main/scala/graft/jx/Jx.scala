@@ -305,7 +305,8 @@ object Jx {
     * quality_gate / source_kl / token_budget / bpe_merges /
     * semantic_dedup / overlap / dsir / shard_manifest / pack_manifest /
     * knn_diverse / knn_clusters / knn_stats / knn_recall /
-    * quantizer_refresh / ivf_delta) and `corpus` (a jx query, required —
+    * quantizer_refresh / ivf_delta / canonical / topic_mix) and
+    * `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -393,6 +394,19 @@ object Jx {
       }
       case "ivf_delta" => graft.llm.Similarity.ivfDeltaOf(docs,
         opt(c, "nlist").map(_.asInt()).getOrElse(32))
+      case "canonical" => graft.llm.Dedup.canonicalOf(docs)
+      case "topic_mix" =>
+        // store routing mirrors the kNN readouts, but the corpus here is
+        // DOCUMENTS-shaped (the thing being mixed); the topic assignment
+        // comes from the stored quantizer when the service has a dataset
+        // dir, else from an in-plan quantizer over the embeddings table
+        val plainDocuments = corpusNode.isObject && corpusNode.size() == 1 &&
+          opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
+        if (plainDocuments && defaultKnobs && dataset.isDefined)
+          graft.llm.Similarity.textTopicMix(spark, dataset.get)
+        else graft.llm.Similarity.topicMixOf(docs,
+          graft.llm.Similarity.ivfIndexOf(tables("embeddings"),
+            opt(c, "nlist").map(_.asInt()).getOrElse(16))._4)
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

@@ -310,6 +310,12 @@ object JxQueries {
   private val ivfDeltaJson = """{
     "corpus_op": {"op": "ivf_delta", "corpus": {"from": "embeddings"}}}"""
 
+  private val canonicalJson = """{
+    "corpus_op": {"op": "canonical", "corpus": {"from": "documents"}}}"""
+
+  private val topicMixJson = """{
+    "corpus_op": {"op": "topic_mix", "corpus": {"from": "documents"}}}"""
+
   private val jxSketch: Q = (s, d) => {
     import org.apache.spark.sql.functions._
     val res = Jx.run(s, sketchJson, name => t(s, d, name))
@@ -372,7 +378,11 @@ object JxQueries {
     "jx_quantizer_refresh" ->
       ((s, d) => Jx.run(s, quantizerRefreshJson, name => t(s, d, name), Some(d))),
     "jx_ivf_delta" ->
-      ((s, d) => Jx.run(s, ivfDeltaJson, name => t(s, d, name))))
+      ((s, d) => Jx.run(s, ivfDeltaJson, name => t(s, d, name))),
+    "jx_canonical" ->
+      ((s, d) => Jx.run(s, canonicalJson, name => t(s, d, name))),
+    "jx_topic_mix" ->
+      ((s, d) => Jx.run(s, topicMixJson, name => t(s, d, name), Some(d))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -393,6 +403,8 @@ object JxQueries {
     "jx_quantizer_refresh" -> graft.llm.Similarity.oracle("sim_quantizer_refresh"),
     "jx_ivf_delta" -> graft.llm.Similarity.oracle("sim_ivf_delta"),
     "jx_pack_manifest" -> graft.llm.TextOps.oracle("text_pack_manifest"),
+    "jx_canonical" -> graft.llm.Dedup.oracle("dedup_canonical"),
+    "jx_topic_mix" -> graft.llm.Similarity.oracle("text_topic_mix"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

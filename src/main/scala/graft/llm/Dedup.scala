@@ -844,9 +844,16 @@ object Dedup {
     * on 100 TB the label join is a plain equi-join (NOT broadcast — the
     * drop set scales with the corpus); AQE handles the skew of a
     * boilerplate mega-cluster. */
-  val dedupCanonical: Q = (s, d) => {
-    val labels = clusterLabels(s, d)
-    val docs = t(s, d, "documents")
+  val dedupCanonical: Q = (s, d) =>
+    canonicalOf(t(s, d, "documents"))
+
+  /** [[dedupCanonical]] over any documents-shaped frame — the jx
+    * `corpus_op` front end's entry (same contract as
+    * [[graft.llm.TextOps.qualityFilterOf]]). */
+  private[graft] def canonicalOf(docsIn: DataFrame): DataFrame = {
+    val labels = clusterLabelsFrom(
+      minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5))
+    val docs = docsIn
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_stop",
         size(expr("filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))")))

@@ -1205,8 +1205,14 @@ object Similarity {
     * readout is nlist rows. */
   val textTopicMix: Q = (s, d) => {
     val dir = quantizerStore(s, d, 16)
-    val assign = s.read.parquet(s"$dir/assign")
-    val docs = t(s, d, "documents")
+    topicMixOf(t(s, d, "documents"), s.read.parquet(s"$dir/assign"))
+  }
+
+  /** [[textTopicMix]] over any documents-shaped frame and any
+    * (vec_id, cid) topic assignment — the jx `corpus_op` front end's
+    * entry; the in-plan fallback feeds it `ivfIndexOf(...)._4`. */
+  private[graft] def topicMixOf(docsIn: DataFrame, assign: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
     val byTopic = assign.join(docs, assign("vec_id") === docs("doc_id"))

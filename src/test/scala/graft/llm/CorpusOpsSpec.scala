@@ -385,6 +385,11 @@ class CorpusOpsSpec extends graft.SparkSpec {
       run("sim_knn_recall").collect().map(_.toString).toSeq)
     assert(Similarity.quantizerRefreshOf(embs).collect().map(_.toString).toSeq ===
       run("sim_quantizer_refresh").collect().map(_.toString).toSeq)
+    // topic mix: in-plan quantizer fallback == stored-quantizer probe
+    val docs = graft.Tables.t(spark, sf, "documents")
+    assert(Similarity.topicMixOf(docs,
+        Similarity.ivfIndexOf(embs, 16)._4).collect().map(_.toString).toSeq ===
+      run("text_topic_mix").collect().map(_.toString).toSeq)
   }
 
   test("quantizer refresh report conserves the corpus and balances " +

@@ -152,6 +152,30 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("a topic_mix corpus_op over HTTP probes the stored quantizer and " +
+    "answers the rebalanced mixture") {
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = post(HttpClient.newHttpClient(), server.getAddress.getPort, """{
+        "corpus_op": {"op": "topic_mix", "corpus": {"from": "documents"}},
+        "sort": ["topic"]}""")
+      assert(r.statusCode() === 200)
+      val data = mapper.readTree(r.body()).get("data")
+      assert(data.size() > 0)
+      val row = data.get(0)
+      Seq("topic", "n_docs", "n_tokens", "share", "target_share",
+        "sample_ratio").foreach(c => assert(row.has(c), s"missing column $c"))
+      // the HTTP answer must be the stored-quantizer readout exactly
+      val direct = graft.llm.Similarity.queries("text_topic_mix")(spark, sf)
+        .collect()
+      assert(data.size() === direct.length)
+      assert(row.get("n_tokens").asLong() ===
+        direct.head.getAs[Long]("n_tokens"))
+    } finally server.stop(0)
+  }
+
   test("the recall census is readable over HTTP — the ANN quality alarm " +
     "through the query surface") {
     // forward idea ab: the monitoring number an operator watches (recall
