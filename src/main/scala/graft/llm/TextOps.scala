@@ -915,6 +915,48 @@ object TextOps {
         expr("bit_xor(content_fp)").as("content_fp"))
       .orderBy("shard")
 
+  /** ST11 partials: per-source QUALITY monitor rows for one slice of the
+    * corpus — the ingest-health twin of [[shardManifest]]. Every column
+    * obeys a distributive merge algebra (sums / min / max), and the mean
+    * survives merging because what is stored is the DECIMAL quality SUM
+    * (exact, commutative — §4.1's decision-mean rule), not the mean
+    * itself. Per-doc quality is `text_quality`'s exact score. One
+    * groupBy on the source key; |sources| rows per slice reach the
+    * store. */
+  def qualityPartialsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_stop",
+        size(expr("filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))")))
+      .withColumn("q",
+        when(col("n_chars") < 100, 0.2).otherwise(1.0) *
+          when(col("n_stop") === 0, 0.5).otherwise(1.0))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("n_tokens"),
+        sum(col("q").cast("decimal(28,12)")).as("sum_q"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+
+  /** The monitor READOUT over any union of [[qualityPartialsOf]] rows:
+    * re-merge by the same distributive algebra, then surface the mean.
+    * Exact over any number of partials in any order — a redelivered or
+    * late slice changes nothing but its own rows. */
+  def qualityMergeFrom(parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    parts
+      .groupBy("source")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("sum_q").as("sum_q"),
+        min("min_chars").as("min_chars"),
+        max("max_chars").as("max_chars"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r4(col("sum_q").cast("double") / col("n_docs")).as("mean_quality"),
+        col("min_chars"), col("max_chars"))
+      .orderBy("source")
+
   /** Forward idea (o): the incremental-manifest gate — the corpus split
     * into two disjoint "days", each day manifested INDEPENDENTLY, the
     * two manifests merged by [[mergeManifests]]. Hash-gated against the

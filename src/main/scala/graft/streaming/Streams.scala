@@ -238,6 +238,23 @@ object Streams {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
+  /** ST11: stream-maintained per-source QUALITY monitor store — the
+    * ingest-health companion to the manifest store: a continuously
+    * ingesting pipeline needs "did source X's quality just crater?"
+    * answerable WITHOUT re-scanning the corpus. Each micro-batch folds
+    * its docs into per-source partials
+    * ([[graft.llm.TextOps.qualityPartialsOf]]: sums / min / max plus a
+    * DECIMAL quality sum, all distributive) written under the batch's
+    * own partition — dynamic partition overwrite, so a redelivered batch
+    * replaces exactly itself ([[idempotentAppend]]'s recipe). The
+    * readout re-merges |sources|×|batches| KB-scale rows; at 100 TB/day
+    * the monitor's refresh cost is independent of corpus size. */
+  def qualityStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit =
+    graft.llm.TextOps.qualityPartialsOf(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
   /** ST10 (forward idea ac, streaming half): stream-maintained IVF
     * INVERTED-LIST delta store — the ingestion path of a continuously
     * growing ANN index. Each micro-batch of new embeddings is assigned
@@ -378,12 +395,31 @@ object Streams {
       "2024-01-05", "2024-01-12")
   }
 
+  /** ST11 batch twin / driver gate: replay the quality-store maintenance
+    * in batch — two deterministic micro-batches (doc_id parity split)
+    * sunk through [[qualityStoreSink]], batch 0 REDELIVERED to prove the
+    * idempotent overwrite — then the monitor merge over the streamed
+    * store, which must be indistinguishable from a one-shot whole-corpus
+    * readout (the oracle computes exactly that). */
+  val streamQualityStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "quality_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val q = s"$dd/q"
+      qualityStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, q)
+      qualityStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, q)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      qualityStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, q)
+    }
+    graft.llm.TextOps.qualityMergeFrom(s.read.parquet(s"$dir/q"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sessions" -> streamSessions,
     "stream_join" -> streamJoin,
     "stream_join_lo" -> streamJoinLo,
-    "stream_sketch_store" -> streamSketchStore)
+    "stream_sketch_store" -> streamSketchStore,
+    "stream_quality_store" -> streamQualityStore)
 
   val oracle: Map[String, String] = Map(
     // the streamed store must read back identical to the batch rollup:
@@ -394,6 +430,22 @@ object Streams {
          FROM events
          WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
          GROUP BY event_type ORDER BY event_type""",
+    // the streamed quality store must read back identical to a one-shot
+    // whole-corpus readout: per-source stats computed directly
+    "stream_quality_store" ->
+      """WITH q AS (SELECT source, n_chars,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                           (CASE WHEN n_chars < 100 THEN 0.2 ELSE 1.0 END) *
+                           (CASE WHEN n_stop = 0 THEN 0.5 ELSE 1.0 END) AS qv
+                    FROM (SELECT source, n_chars, text,
+                                 len(list_filter(string_split(text, ' '),
+                                   w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+                          FROM documents))
+         SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                round(CAST(sum(CAST(qv AS DECIMAL(28,12))) AS DOUBLE) / count(*), 4)
+                  AS mean_quality,
+                min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM q GROUP BY source ORDER BY source""",
     "stream_join" ->
       """SELECT count(*) AS n_pairs,
                 CAST(count(DISTINCT p.event_id) AS BIGINT) AS n_purchases,

@@ -115,6 +115,51 @@ class StreamsSpec extends graft.SparkSpec {
     assert(again("click") === 3L, s"redelivery double-counted: $again")
   }
 
+  test("ST11: the streamed quality monitor merges to the one-shot " +
+    "whole-corpus readout and redelivery never double-counts") {
+    val dir = tmp("graft-st11")
+    // two sources with opposite quality profiles: src0 long docs with
+    // stopwords (q=1.0), src1 short docs without (q=0.1)
+    val docs = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, s"the quick doc $i of many words and more", "en", "src0", 120L + i)
+      else (i, s"tok$i junk", "en", "src1", 10L + i)
+    }
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = graft.llm.TextOps.qualityMergeFrom(
+      graft.llm.TextOps.qualityPartialsOf(df(docs)))
+      .collect().map(_.toString).toSeq
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.qualityStoreSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(docs.take(8): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(8): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = graft.llm.TextOps.qualityMergeFrom(
+      spark.read.parquet(dir).drop("batch_id"))
+      .collect().map(_.toString).toSeq
+    assert(readout === full, "merged partials must equal the one-shot readout")
+    // the monitor separates the sources: src0 reads perfect, src1 poor
+    val means = graft.llm.TextOps.qualityMergeFrom(
+      spark.read.parquet(dir).drop("batch_id"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("mean_quality")).toMap
+    assert(means("src0") === 1.0, s"long stopworded docs must score 1.0: $means")
+    assert(means("src1") === 0.1, s"short stopword-free docs must score 0.1: $means")
+    // at-least-once redelivery of batch 0 overwrites its own partition
+    Streams.qualityStoreSink(df(docs.take(8)), 0L, dir)
+    assert(readout === full, "redelivered batch double-counted")
+  }
+
   test("ST9: stream-maintained manifest store merges to the exact " +
     "whole-corpus manifest and redelivery never double-counts") {
     val dir = tmp("graft-st9")
