@@ -37,7 +37,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    aggregate is a KB-scale sketch re-merge over day-pruned partials,
   *    never a raw-events scan; the dashboard refresh cost is independent
   *    of corpus size. With `{"view": "ann"}` it answers the ANN health
-  *    panel (recall / balance / drift) from the stored index artifacts.
+  *    panel (recall / balance / drift) from the stored index artifacts;
+  *    with `{"view": "quality"}` the curation health panel (per-source
+  *    quality monitor + topic-mixture rebalance) from the streamed
+  *    quality store and the stored quantizer.
   *  - `GET  /health`  — `{"status":"ok"}` liveness probe.
   */
 object QueryService {
@@ -103,6 +106,18 @@ object QueryService {
       return s"""{"recall":${section("sim_knn_recall")},""" +
         s""""balance":${section("sim_ivf_census")},""" +
         s""""drift":${section("sim_quantizer_refresh")}}"""
+    }
+    // {"view": "quality"}: the CURATION HEALTH PANEL — `sources` is the
+    // per-source quality monitor read from the streamed partial store
+    // (stream_quality_store's frame), `mix` the topic-mixture rebalance
+    // readout over the stored quantizer (text_topic_mix's frame); both
+    // sections are byte-identical to their driver keys, so the panel
+    // inherits their oracles, and both are KB-scale store probes.
+    if (Option(q.get("view")).exists(_.asText() == "quality")) {
+      return s"""{"sources":${graft.jx.Jx.listJson(
+          graft.streaming.Streams.queries("stream_quality_store")(spark, dataset))},""" +
+        s""""mix":${graft.jx.Jx.listJson(
+          graft.llm.Similarity.queries("text_topic_mix")(spark, dataset))}}"""
     }
     def day(field: String, dflt: String): String = {
       val v = Option(q.get(field)).map(_.asText()).getOrElse(dflt)

@@ -233,4 +233,23 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
       || p.contains("ShuffledHashJoin"), p)
   }
+
+  test("dedup_canonical: per-cluster argmax is an aggregate, not a " +
+    "corpus-wide window") {
+    // the pick must partial-aggregate map-side (max over a struct key);
+    // a row_number window here would shuffle every clustered doc into
+    // per-cluster partitions just to keep rank 1
+    val p = plan("dedup_canonical")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("text_topic_mix: totals broadcast back onto the nlist-row topic " +
+    "table — no shuffle grows past the corpus scan") {
+    val p = plan("text_topic_mix")
+    // the two-row totals frame must come back as a broadcast, and the
+    // nested-loop it feeds is that broadcast (1×nlist rows, deliberate)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }

@@ -301,6 +301,33 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the dashboard quality view serves the per-source monitor and the " +
+    "topic mixture from the stores") {
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = postPath(HttpClient.newHttpClient(), server.getAddress.getPort,
+        "/dashboard", """{"view": "quality"}""")
+      assert(r.statusCode() === 200)
+      val panel = mapper.readTree(r.body())
+      Seq("sources", "mix").foreach(s =>
+        assert(panel.has(s), s"missing panel section $s"))
+      // each section is its driver key's frame byte-for-byte
+      val sources = panel.get("sources").get("data")
+      val directQ = graft.streaming.Streams
+        .queries("stream_quality_store")(spark, sf).collect()
+      assert(sources.size() === directQ.length)
+      assert(sources.get(0).get("mean_quality").asDouble() ===
+        directQ.head.getAs[Double]("mean_quality"))
+      val mix = panel.get("mix").get("data")
+      assert(mix.size() ===
+        graft.llm.Similarity.queries("text_topic_mix")(spark, sf).count())
+      Seq("topic", "share", "target_share", "sample_ratio")
+        .foreach(c => assert(mix.get(0).has(c), s"missing mix column $c"))
+    } finally server.stop(0)
+  }
+
   test("a malformed dashboard day answers 400; without a dataset the route is absent") {
     val server = QueryService.start(spark, _ => spark.emptyDataFrame,
       dataset = Some(sf))
