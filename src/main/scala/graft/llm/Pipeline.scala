@@ -59,7 +59,8 @@ object Pipeline {
       jaccardThreshold: Double = 0.5, minOverlap: Int = 3,
       ctx: Long = 2048L, nShards: Long = 8L,
       trimSpans: Boolean = false,
-      qualitySources: Option[DataFrame] = None): DataFrame = {
+      qualitySources: Option[DataFrame] = None,
+      canonicalQuality: Option[DataFrame] = None): DataFrame = {
     val hygCorpus0 = corpus.select(col("doc_id"), hygienicText(col("text")).as("text"))
     val hygBench = bench.select(col("doc_id"), hygienicText(col("text")).as("text"))
     // optional X4i stage, FIRST (cheap filters before expensive dedup —
@@ -78,12 +79,35 @@ object Pipeline {
     val corpusSh = sh.join(broadcast(benchIds), Seq("doc_id"), "left_anti")
     val benchSh = sh.join(broadcast(benchIds), Seq("doc_id"), "left_semi")
 
-    // near-dup drop list from banded-LSH pairs over the corpus shingles
-    val dropIds = Dedup.clusterLabelsFrom(
-        Dedup.minhashScoredPairsFrom(corpusSh)
-          .filter(col("jaccard") >= jaccardThreshold))
-      .filter(col("id") =!= col("lbl"))
-      .select(col("id").as("doc_id"))
+    // near-dup drop list from banded-LSH pairs over the corpus shingles.
+    // Default survivor rule: the cluster's min id. With `canonicalQuality`
+    // ((doc_id, n_chars)): the QUALITY-aware rule — keep each cluster's
+    // argmax over (quality, n_chars, -doc_id), `dedup_canonical`'s exact
+    // pick, so the pipeline drops the truncated copies instead of
+    // whichever duplicate happened to crawl first
+    val labels = Dedup.clusterLabelsFrom(
+      Dedup.minhashScoredPairsFrom(corpusSh)
+        .filter(col("jaccard") >= jaccardThreshold))
+    val dropIds = canonicalQuality match {
+      case Some(chars) =>
+        val q = hygCorpus.join(chars, Seq("doc_id"))
+          .withColumn("toks", split(col("text"), " "))
+          .withColumn("n_stop",
+            size(expr("filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))")))
+          .select(col("doc_id"), col("n_chars"),
+            r4(when(col("n_chars") < 100, 0.2).otherwise(1.0) *
+              when(col("n_stop") === 0, 0.5).otherwise(1.0)).as("quality"))
+        val picks = labels.join(q, labels("id") === q("doc_id"))
+          .groupBy(col("lbl"))
+          .agg(max(struct(col("quality"), col("n_chars"),
+            (-col("doc_id")).as("neg_id"))).as("mx"))
+          .select((-col("mx.neg_id")).as("doc_id"))
+        labels.select(col("id").as("doc_id"))
+          .join(picks, Seq("doc_id"), "left_anti")
+      case None =>
+        labels.filter(col("id") =!= col("lbl"))
+          .select(col("id").as("doc_id"))
+    }
 
     val contaminated = Dedup.decontaminateSh(corpusSh, benchSh, minOverlap)
       .select("doc_id")
@@ -145,15 +169,30 @@ object Pipeline {
       .limit(300)
   }
 
+  /** The chain with `dedup_canonical`'s quality-aware survivor rule:
+    * each near-dup cluster keeps its argmax over (quality, n_chars,
+    * -doc_id) rather than the min id — the production choice (drop the
+    * truncated crawl copies, keep the fullest). Same plan shape as
+    * pipeline_corpus plus one KB-scale pick aggregate. */
+  val pipelineCorpusCanonical: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        canonicalQuality = Some(docs.select("doc_id", "n_chars")))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus" -> pipelineCorpus,
     "pipeline_corpus_trim" -> pipelineCorpusTrim,
-    "pipeline_corpus_quality" -> pipelineCorpusQuality)
+    "pipeline_corpus_quality" -> pipelineCorpusQuality,
+    "pipeline_corpus_canonical" -> pipelineCorpusCanonical)
 
   /** Shared oracle prefix: every stage up to the survivor set.
     * `corpusSrc` is the CTE the shingle pass and survivors read (plain
     * `corp`, or the quality-gated `corpq` built by `qualityCtes`). */
-  private def hygienePrefixFrom(corpusSrc: String, qualityCtes: String = ""): String =
+  private def hygienePrefixFrom(corpusSrc: String, qualityCtes: String = "",
+      canonicalDroplist: Boolean = false): String =
     raw"""WITH RECURSIVE
            hyg AS (
              SELECT doc_id,
@@ -173,9 +212,26 @@ object Pipeline {
              SELECT src, src FROM edges
              UNION
              SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-           droplist AS (SELECT id AS doc_id FROM (
+           ${if (canonicalDroplist)
+             raw"""clab AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           cq AS (SELECT h2.doc_id, d.n_chars,
+                         round((CASE WHEN d.n_chars < 100 THEN 0.2 ELSE 1.0 END) *
+                               (CASE WHEN len(list_filter(string_split(h2.text, ' '),
+                                  w -> w IN ('the', 'a', 'of', 'and', 'to'))) = 0
+                                  THEN 0.5 ELSE 1.0 END), 4) AS quality
+                  FROM $corpusSrc h2 JOIN documents d USING (doc_id)),
+           cpick AS (SELECT doc_id FROM (
+                       SELECT q.doc_id,
+                              row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, q.n_chars DESC,
+                                         q.doc_id ASC) AS rn
+                       FROM clab l JOIN cq q ON q.doc_id = l.id) WHERE rn = 1),
+           droplist AS (SELECT id AS doc_id FROM clab
+                        WHERE id NOT IN (SELECT doc_id FROM cpick))"""
+           else
+             """droplist AS (SELECT id AS doc_id FROM (
              SELECT id, min(lbl) AS canonical FROM reach GROUP BY id)
-             WHERE id <> canonical),
+             WHERE id <> canonical)"""},
            btoks AS (SELECT doc_id, string_split(text, ' ') AS t
                      FROM hyg WHERE doc_id < 10),
            bench AS (SELECT DISTINCT
@@ -241,6 +297,9 @@ object Pipeline {
            ${packTail("survivors")}""",
     "pipeline_corpus_quality" ->
       s"""${hygienePrefixFrom("corpq", qualityGateCtes)},
+           ${packTail("survivors")}""",
+    "pipeline_corpus_canonical" ->
+      s"""${hygienePrefixFrom("corp", canonicalDroplist = true)},
            ${packTail("survivors")}""",
     // the trim stage replayed over the survivor set (same construction as
     // dedup_substring_trim, t-prefixed names to avoid CTE collisions)

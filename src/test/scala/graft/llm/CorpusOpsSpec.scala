@@ -613,6 +613,38 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("canonical pipeline swaps survivors only inside clusters, and only " +
+    "for the quality-argmax pick") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val bench = docs.filter(col("doc_id") < 10)
+    // the full survivor sets (the driver keys' limit(300) would truncate
+    // the two chains at different id boundaries)
+    val base = Pipeline.corpusHygiene(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val can = Pipeline.corpusHygiene(corpus, bench,
+        canonicalQuality = Some(docs.select("doc_id", "n_chars")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // outside the near-dup clusters the two chains are identical
+    val labels = Dedup.clusterLabelsFrom(
+      Dedup.minhashScoredPairsFrom(Dedup.shinglesOf(corpus))
+        .filter(col("jaccard") >= 0.5)).collect()
+    val clustered = labels.map(_.getLong(0)).toSet
+    assert((base -- clustered) === (can -- clustered),
+      "canonical rule must only affect clustered docs")
+    // every clustered survivor of the canonical chain is its cluster's
+    // dedup_canonical pick (decontamination may drop a pick entirely,
+    // hence subset, not equality)
+    val picks = Dedup.canonicalOf(corpus).collect()
+      .map(_.getAs[Long]("canonical")).toSet
+    assert((can & clustered).subsetOf(picks),
+      s"non-argmax survivors: ${(can & clustered) -- picks}")
+    // and the min-id chain keeps exactly the min labels among survivors
+    val minIds = labels.filter(r => r.getLong(0) == r.getLong(1))
+      .map(_.getLong(0)).toSet
+    assert((base & clustered).subsetOf(minIds))
+  }
+
   test("topic mix shares are a distribution and the temperature upweights " +
     "rare topics monotonically") {
     val rows = run("text_topic_mix").collect()
