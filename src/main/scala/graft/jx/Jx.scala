@@ -402,11 +402,12 @@ object Jx {
         // dir, else from an in-plan quantizer over the embeddings table
         val plainDocuments = corpusNode.isObject && corpusNode.size() == 1 &&
           opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
-        if (plainDocuments && defaultKnobs && dataset.isDefined)
+        val alpha = opt(c, "alpha").map(_.asDouble()).getOrElse(0.5)
+        if (plainDocuments && defaultKnobs && alpha == 0.5 && dataset.isDefined)
           graft.llm.Similarity.textTopicMix(spark, dataset.get)
         else graft.llm.Similarity.topicMixOf(docs,
           graft.llm.Similarity.ivfIndexOf(tables("embeddings"),
-            opt(c, "nlist").map(_.asInt()).getOrElse(16))._4)
+            opt(c, "nlist").map(_.asInt()).getOrElse(16))._4, alpha)
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

@@ -1211,15 +1211,22 @@ object Similarity {
   /** [[textTopicMix]] over any documents-shaped frame and any
     * (vec_id, cid) topic assignment — the jx `corpus_op` front end's
     * entry; the in-plan fallback feeds it `ivfIndexOf(...)._4`. */
-  private[graft] def topicMixOf(docsIn: DataFrame, assign: DataFrame): DataFrame = {
+  private[graft] def topicMixOf(docsIn: DataFrame, assign: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
     val docs = docsIn
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tok"))
+    // alpha = 0.5 stays on sqrt (IEEE-correctly-rounded, hence
+    // cross-engine exact — pow() is not, so only the sqrt path carries a
+    // DuckDB oracle; other temperatures are spec-gated)
+    val powExpr =
+      if (alpha == 0.5) "sqrt(cast(n_tokens as double))"
+      else s"pow(cast(n_tokens as double), ${alpha}d)"
     val byTopic = assign.join(docs, assign("vec_id") === docs("doc_id"))
       .groupBy(col("cid").as("topic"))
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
       .withColumn("pow",
-        expr("cast(round(sqrt(cast(n_tokens as double)), 6) as decimal(38,6))"))
+        expr(s"cast(round($powExpr, 6) as decimal(38,6))"))
     val tot = byTopic.agg(
       sum("n_tokens").as("tot_tokens"),
       sum("pow").as("tot_pow"))

@@ -675,5 +675,16 @@ class CorpusOpsSpec extends graft.SparkSpec {
       graft.Tables.t(spark, sf, "documents")
         .select(size(split(col("text"), " ")).cast("long")).collect()
         .map(_.getLong(0)).sum)
+    // temperature limits: alpha = 1 is the identity mixture (target ==
+    // natural share, every sample_ratio 1), the no-rebalance sanity pin
+    // for the tunable-alpha path
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val embs = graft.Tables.t(spark, sf, "embeddings")
+    val flat = Similarity.topicMixOf(docs,
+      Similarity.ivfIndexOf(embs, 16)._4, alpha = 1.0).collect()
+    flat.foreach { r =>
+      assert(r.getAs[Double]("share") === r.getAs[Double]("target_share"), r)
+      assert(r.getAs[Double]("sample_ratio") === 1.0, r)
+    }
   }
 }
