@@ -394,7 +394,15 @@ object Jx {
       }
       case "ivf_delta" => graft.llm.Similarity.ivfDeltaOf(docs,
         opt(c, "nlist").map(_.asInt()).getOrElse(32))
-      case "canonical" => graft.llm.Dedup.canonicalOf(docs)
+      case "canonical" =>
+        // plain standard corpus + a dataset dir → probe the stored pair
+        // graph (the same tables dedup_canonical reads); anything else
+        // rebuilds the pair chain in-plan
+        val plainDocs = corpusNode.isObject && corpusNode.size() == 1 &&
+          opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
+        if (plainDocs && dataset.isDefined)
+          graft.llm.Dedup.queries("dedup_canonical")(spark, dataset.get)
+        else graft.llm.Dedup.canonicalOf(docs)
       case "topic_mix" =>
         // store routing mirrors the kNN readouts, but the corpus here is
         // DOCUMENTS-shaped (the thing being mixed); the topic assignment

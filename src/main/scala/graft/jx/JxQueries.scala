@@ -380,7 +380,7 @@ object JxQueries {
     "jx_ivf_delta" ->
       ((s, d) => Jx.run(s, ivfDeltaJson, name => t(s, d, name))),
     "jx_canonical" ->
-      ((s, d) => Jx.run(s, canonicalJson, name => t(s, d, name))),
+      ((s, d) => Jx.run(s, canonicalJson, name => t(s, d, name), Some(d))),
     "jx_topic_mix" ->
       ((s, d) => Jx.run(s, topicMixJson, name => t(s, d, name), Some(d))))
 

@@ -418,10 +418,30 @@ object Dedup {
     sh.groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("hs"), count(lit(1)).as("n_sh"))
 
+  /** The scored MinHash pair graph and its CC labels as ONE stored
+    * artifact (the r12 store-conversion recipe applied to the dedup
+    * family): the shingle→band→verify chain and the iterative CC both
+    * run once per (session, dataset); `dedup_minhash`, `dedup_clusters`,
+    * `dedup_drop_list`, `dedup_canonical`, and the jx canonical route
+    * all PROBE the stored tables. The pair graph is banded-join OUTPUT
+    * (dup-rate × n rows, KB–MB at any scale), so the store holds the
+    * decision set, not the corpus; doubles (r4'd jaccard) round-trip
+    * parquet bit-exactly, so stored == in-plan under every oracle.
+    * The composed pipeline keys deliberately DON'T probe this store —
+    * their gate is that the stages compose in one plan. */
+  private def pairStore(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "minhash_pairs", d) { dd =>
+      minhashScoredPairsFrom(shingles(s, d))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), r4(col("jaccard")).as("jaccard"))
+        .localCheckpoint()
+        .write.mode("overwrite").parquet(s"$dd/pairs")
+      clusterLabelsFrom(s.read.parquet(s"$dd/pairs"))
+        .write.mode("overwrite").parquet(s"$dd/labels")
+    }
+
   val dedupMinhash: Q = (s, d) =>
-    minhashScoredPairsFrom(shingles(s, d))
-      .filter(col("jaccard") >= 0.5)
-      .select(col("da"), col("db"), r4(col("jaccard")).as("jaccard"))
+    s.read.parquet(s"${pairStore(s, d)}/pairs")
       .orderBy(desc("jaccard"), asc("da"), asc("db"))
 
   /** X1c: SimHash near-dup pairs (Charikar 2002). One 64-bit signature per
@@ -718,7 +738,7 @@ object Dedup {
     * lbl = the smallest doc id reachable from id. Shared by the cluster
     * report and the drop list. */
   private def clusterLabels(s: SparkSession, d: String): DataFrame =
-    clusterLabelsFrom(dedupMinhash(s, d))
+    s.read.parquet(s"${pairStore(s, d)}/labels")
 
   /** The same iterative min-label propagation over ANY (da, db) pair
     * frame — public so a composed pipeline can feed pairs scored from a
@@ -845,14 +865,18 @@ object Dedup {
     * drop set scales with the corpus); AQE handles the skew of a
     * boilerplate mega-cluster. */
   val dedupCanonical: Q = (s, d) =>
-    canonicalOf(t(s, d, "documents"))
+    canonicalFromLabels(clusterLabels(s, d), t(s, d, "documents"))
 
   /** [[dedupCanonical]] over any documents-shaped frame — the jx
-    * `corpus_op` front end's entry (same contract as
-    * [[graft.llm.TextOps.qualityFilterOf]]). */
-  private[graft] def canonicalOf(docsIn: DataFrame): DataFrame = {
-    val labels = clusterLabelsFrom(
-      minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5))
+    * `corpus_op` front end's IN-PLAN fallback (same contract as
+    * [[graft.llm.TextOps.qualityFilterOf]]); the standard-corpus route
+    * probes the stored pair graph instead. */
+  private[graft] def canonicalOf(docsIn: DataFrame): DataFrame =
+    canonicalFromLabels(clusterLabelsFrom(
+      minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5)),
+      docsIn)
+
+  private def canonicalFromLabels(labels: DataFrame, docsIn: DataFrame): DataFrame = {
     val docs = docsIn
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_stop",

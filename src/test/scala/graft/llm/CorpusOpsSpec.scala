@@ -390,6 +390,9 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(Similarity.topicMixOf(docs,
         Similarity.ivfIndexOf(embs, 16)._4).collect().map(_.toString).toSeq ===
       run("text_topic_mix").collect().map(_.toString).toSeq)
+    // canonical: in-plan pair-chain fallback == stored pair-graph probe
+    assert(Dedup.canonicalOf(docs).collect().map(_.toString).toSeq ===
+      run("dedup_canonical").collect().map(_.toString).toSeq)
   }
 
   test("quantizer refresh report conserves the corpus and balances " +
