@@ -313,6 +313,9 @@ object JxQueries {
   private val canonicalJson = """{
     "corpus_op": {"op": "canonical", "corpus": {"from": "documents"}}}"""
 
+  private val knnCentralityJson = """{
+    "corpus_op": {"op": "knn_centrality", "corpus": {"from": "embeddings"}}}"""
+
   private val topicMixJson = """{
     "corpus_op": {"op": "topic_mix", "corpus": {"from": "documents"}}}"""
 
@@ -382,7 +385,9 @@ object JxQueries {
     "jx_canonical" ->
       ((s, d) => Jx.run(s, canonicalJson, name => t(s, d, name), Some(d))),
     "jx_topic_mix" ->
-      ((s, d) => Jx.run(s, topicMixJson, name => t(s, d, name), Some(d))))
+      ((s, d) => Jx.run(s, topicMixJson, name => t(s, d, name), Some(d))),
+    "jx_knn_centrality" ->
+      ((s, d) => Jx.run(s, knnCentralityJson, name => t(s, d, name), Some(d))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -405,6 +410,7 @@ object JxQueries {
     "jx_pack_manifest" -> graft.llm.TextOps.oracle("text_pack_manifest"),
     "jx_canonical" -> graft.llm.Dedup.oracle("dedup_canonical"),
     "jx_topic_mix" -> graft.llm.Similarity.oracle("text_topic_mix"),
+    "jx_knn_centrality" -> graft.llm.Similarity.oracle("sim_knn_centrality"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

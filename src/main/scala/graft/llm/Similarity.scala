@@ -998,6 +998,56 @@ object Similarity {
     statsFromStore(knnMutualStored(s, d), knnLabelsStored(s, d),
       knnDegreesStored(s, d))
 
+  /** X3h-h: PageRank-style CENTRALITY over the mutual kNN graph — the
+    * graph-importance signal for coreset selection (degree counts direct
+    * neighbours; PageRank weighs a vertex by the importance of who
+    * points at it, separating a true hub from a vertex merely adjacent
+    * to one). Three fixed power-iteration steps of
+    * r ← 0.15 + 0.85·Σ r(u)/deg(u) over the undirected mutual edges.
+    * Determinism (§4.1): each contribution r/deg is ONE double division
+    * rounded to a 12-dp DECIMAL, so the per-vertex Σ is exact and
+    * shuffle-order-free; the damping update is two double ops on
+    * identical operands in both engines, re-rounded to 12 dp — the
+    * whole iteration replays bit-exactly as unrolled DuckDB CTEs.
+    * Scale shape: the edge table is the stored KB-scale artifact
+    * (mutual pairs ≤ k·n, never n²); each step is one equi-join + one
+    * groupBy on the vertex key; the driver loop only counts the 3
+    * fixed rounds — pure distributed work, same contract as CC. */
+  private[llm] def centralityOfMutual(mutual: DataFrame): DataFrame = {
+    val edges = mutual.select(col("src"), col("dst"))
+      .unionByName(mutual.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var r = deg.select(col("src").as("id"), lit(1.0d).as("r"))
+    for (_ <- 1 to 3) {
+      val contrib = edges
+        .join(deg, Seq("src"))
+        .join(r.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"),
+          expr("cast(round(r / deg, 12) as decimal(38,12))").as("c"))
+      r = contrib.groupBy("id")
+        .agg(round(lit(0.15d) + lit(0.85d) * sum(col("c")).cast("double"), 12)
+          .as("r"))
+        .localCheckpoint()
+    }
+    r.join(deg.select(col("src").as("id"), col("deg").as("degree")), Seq("id"))
+      .select(col("id").as("vec_id"), r4(col("r")).as("centrality"),
+        col("degree"))
+      .orderBy(desc("centrality"), asc("vec_id"))
+  }
+
+  val simKnnCentrality: Q = (s, d) =>
+    centralityOfMutual(knnMutualStored(s, d))
+
+  /** [[simKnnCentrality]] over ANY (vec_id, embedding) frame — the jx
+    * `corpus_op` fallback (same contract as [[knnStatsOf]]). */
+  def knnCentralityOf(embs: DataFrame, nlist: Int = 16, k: Int = 3): DataFrame =
+    centralityOfMutual(mutualOfEdges(knnGraphOf(embs, nlist, k)))
+
+  /** Store-backed twin for the standard embeddings table. */
+  def knnCentralityStored(s: SparkSession, d: String): DataFrame =
+    simKnnCentrality(s, d)
+
   /** X3h-f (forward idea y): RECALL CENSUS — the monitoring readout for
     * the bucketed approximation itself. The CorpusOpsSpec recall gate
     * runs at tiny SF; this key measures the SAME quantity on the live
@@ -1243,6 +1293,7 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "text_topic_mix" -> textTopicMix,
+    "sim_knn_centrality" -> simKnnCentrality,
     "sim_knn_recall" -> simKnnRecall,
     "sim_quantizer_refresh" -> simQuantizerRefresh,
     "sim_ivf_delta" -> simIvfDelta,
@@ -1810,6 +1861,44 @@ object Similarity {
          FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
          WHERE a.src < a.dst
          ORDER BY a.src, a.dst""",
+    // PageRank over the mutual edges: 3 unrolled power-iteration steps,
+    // each contribution r/deg rounded to a 12-dp DECIMAL before the
+    // exact per-vertex sum — the Spark side's arithmetic replayed op for
+    // op (pg-prefixed CTE names: the ivf chain already owns c1/c2)
+    "sim_knn_centrality" ->
+      s"""WITH $knnGraphOracleCte,
+           pgpairs AS (SELECT a.src, a.dst
+                       FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
+                       WHERE a.src < a.dst),
+           pgedges AS (SELECT src, dst FROM pgpairs
+                       UNION ALL SELECT dst, src FROM pgpairs),
+           pgdeg AS (SELECT src, count(*) AS deg FROM pgedges GROUP BY src),
+           pgr0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM pgdeg),
+           pgc1 AS (SELECT e.dst AS id,
+                           CAST(round(pgr0.r / d.deg, 12) AS DECIMAL(38,12)) AS c
+                    FROM pgedges e JOIN pgdeg d ON d.src = e.src
+                    JOIN pgr0 ON pgr0.id = e.src),
+           pgr1 AS (SELECT id, round(CAST(0.15 AS DOUBLE)
+                      + CAST(0.85 AS DOUBLE) * CAST(sum(c) AS DOUBLE), 12) AS r
+                    FROM pgc1 GROUP BY id),
+           pgc2 AS (SELECT e.dst AS id,
+                           CAST(round(pgr1.r / d.deg, 12) AS DECIMAL(38,12)) AS c
+                    FROM pgedges e JOIN pgdeg d ON d.src = e.src
+                    JOIN pgr1 ON pgr1.id = e.src),
+           pgr2 AS (SELECT id, round(CAST(0.15 AS DOUBLE)
+                      + CAST(0.85 AS DOUBLE) * CAST(sum(c) AS DOUBLE), 12) AS r
+                    FROM pgc2 GROUP BY id),
+           pgc3 AS (SELECT e.dst AS id,
+                           CAST(round(pgr2.r / d.deg, 12) AS DECIMAL(38,12)) AS c
+                    FROM pgedges e JOIN pgdeg d ON d.src = e.src
+                    JOIN pgr2 ON pgr2.id = e.src),
+           pgr3 AS (SELECT id, round(CAST(0.15 AS DOUBLE)
+                      + CAST(0.85 AS DOUBLE) * CAST(sum(c) AS DOUBLE), 12) AS r
+                    FROM pgc3 GROUP BY id)
+         SELECT pgr3.id AS vec_id, round(pgr3.r, 4) AS centrality,
+                d.deg AS degree
+         FROM pgr3 JOIN pgdeg d ON d.src = pgr3.id
+         ORDER BY centrality DESC, vec_id ASC""",
     // clusters: recursive reachability closure over the mutual pairs —
     // min reachable label == the Spark side's propagation fixpoint
     "sim_knn_clusters" ->

@@ -581,6 +581,43 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(shardTotals.values.reduce(_ ^ _) === fp(grand.head))
   }
 
+  test("centrality: a star center dominates its leaves, disconnected " +
+    "components don't leak rank, and the damping floor holds") {
+    // constructed mutual graph: a 5-leaf star (0 at the center) plus a
+    // disjoint edge (10, 11)
+    import spark.implicits._
+    val mutual = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L),
+      (10L, 11L)).toDF("src", "dst")
+    val rows = Similarity.centralityOfMutual(mutual).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size === 8)
+    // every rank carries at least the damping constant
+    rows.values.foreach(v => assert(v >= 0.15 - 1e-9, rows.toString))
+    // the hub out-ranks every leaf; the leaves tie by symmetry
+    val leaves = (1L to 5L).map(rows)
+    assert(leaves.toSet.size === 1, s"symmetric leaves must tie: $rows")
+    assert(rows(0L) > leaves.head, s"center must dominate: $rows")
+    // the disjoint pair is symmetric and unaffected by the star
+    assert(rows(10L) === rows(11L))
+    // deg-1 pair members converge like mutually-supporting vertices:
+    // r = 0.15 + 0.85·r fixpoint truncated at 3 rounds
+    val expected = {
+      var r = 1.0
+      for (_ <- 1 to 3) r =
+        BigDecimal(0.15 + 0.85 * BigDecimal(r / 1.0)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(rows(10L) === expected)
+  }
+
+  test("centrality: the in-plan fallback equals the stored-graph probe") {
+    val embs = graft.Tables.t(spark, sf, "embeddings")
+    assert(Similarity.knnCentralityOf(embs).collect().map(_.toString).toSeq ===
+      run("sim_knn_centrality").collect().map(_.toString).toSeq)
+  }
+
   test("canonical pick is the quality-argmax member of its own cluster") {
     val clusters = run("dedup_clusters").collect()
       .map(r => r.getAs[Long]("cluster_id") ->
