@@ -1039,6 +1039,45 @@ object Similarity {
   val simKnnCentrality: Q = (s, d) =>
     centralityOfMutual(knnMutualStored(s, d))
 
+  /** X3h-i: the CORESET the centrality signal exists for — per semantic
+    * cluster keep the m most CENTRAL members (PageRank beats raw degree
+    * at separating a true hub from a hub-adjacent vertex, so the
+    * exemplar set is less fooled by local density). Same plan shape as
+    * [[simKnnDiverse]]: a per-cluster window over KB-scale stored
+    * label rows joined to the (nlist-round) centrality table — no
+    * vector rescan, no graph rebuild at probe time. */
+  private def coresetFromLabels(labels: DataFrame, cent: DataFrame,
+      m: Int): DataFrame = {
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(desc("centrality"), asc("vec_id"))
+    labels.select(col("lbl").as("cluster_id"), col("id").as("vec_id"))
+      .join(cent.select(col("vec_id"), col("centrality")), Seq("vec_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+      .select("cluster_id", "rk", "vec_id", "centrality")
+      .orderBy("cluster_id", "rk")
+  }
+
+  val simKnnCoreset: Q = (s, d) =>
+    coresetFromLabels(knnLabelsStored(s, d),
+      centralityOfMutual(knnMutualStored(s, d)), m = 2)
+
+  /** [[simKnnCoreset]] over ANY (vec_id, embedding) frame — the jx
+    * `corpus_op` fallback (quota `m` as the jx-facing knob). */
+  def knnCoresetOf(embs: DataFrame, m: Int = 2, nlist: Int = 16,
+      k: Int = 3): DataFrame = {
+    val mutual = mutualOfEdges(knnGraphOf(embs, nlist, k))
+    coresetFromLabels(
+      Dedup.clusterLabelsFrom(
+        mutual.select(col("src").as("da"), col("dst").as("db"))),
+      centralityOfMutual(mutual), m)
+  }
+
+  /** Store-backed twin for the standard embeddings table. */
+  def knnCoresetStored(s: SparkSession, d: String, m: Int = 2): DataFrame =
+    coresetFromLabels(knnLabelsStored(s, d),
+      centralityOfMutual(knnMutualStored(s, d)), m)
+
   /** [[simKnnCentrality]] over ANY (vec_id, embedding) frame — the jx
     * `corpus_op` fallback (same contract as [[knnStatsOf]]). */
   def knnCentralityOf(embs: DataFrame, nlist: Int = 16, k: Int = 3): DataFrame =
@@ -1294,6 +1333,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "text_topic_mix" -> textTopicMix,
     "sim_knn_centrality" -> simKnnCentrality,
+    "sim_knn_coreset" -> simKnnCoreset,
     "sim_knn_recall" -> simKnnRecall,
     "sim_quantizer_refresh" -> simQuantizerRefresh,
     "sim_ivf_delta" -> simIvfDelta,
@@ -1579,6 +1619,39 @@ object Similarity {
                   JOIN qcd q ON q.qid = c.qid AND q.cid = c.cid
                   WHERE c.qid <> c.nid)
     """
+
+  /** The damped power-iteration chain over the mutual pairs of the graph
+    * CTE `g` (pg-prefixed: the ivf chain owns c1/c2). Shared by the
+    * centrality and coreset oracles. */
+  private lazy val centralityChainCte: String =
+    """pgpairs AS (SELECT a.src, a.dst
+                       FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
+                       WHERE a.src < a.dst),
+           pgedges AS (SELECT src, dst FROM pgpairs
+                       UNION ALL SELECT dst, src FROM pgpairs),
+           pgdeg AS (SELECT src, count(*) AS deg FROM pgedges GROUP BY src),
+           pgr0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM pgdeg),
+           pgc1 AS (SELECT e.dst AS id,
+                           CAST(round(pgr0.r / d.deg, 12) AS DECIMAL(38,12)) AS c
+                    FROM pgedges e JOIN pgdeg d ON d.src = e.src
+                    JOIN pgr0 ON pgr0.id = e.src),
+           pgr1 AS (SELECT id, round(CAST(0.15 AS DOUBLE)
+                      + CAST(0.85 AS DOUBLE) * CAST(sum(c) AS DOUBLE), 12) AS r
+                    FROM pgc1 GROUP BY id),
+           pgc2 AS (SELECT e.dst AS id,
+                           CAST(round(pgr1.r / d.deg, 12) AS DECIMAL(38,12)) AS c
+                    FROM pgedges e JOIN pgdeg d ON d.src = e.src
+                    JOIN pgr1 ON pgr1.id = e.src),
+           pgr2 AS (SELECT id, round(CAST(0.15 AS DOUBLE)
+                      + CAST(0.85 AS DOUBLE) * CAST(sum(c) AS DOUBLE), 12) AS r
+                    FROM pgc2 GROUP BY id),
+           pgc3 AS (SELECT e.dst AS id,
+                           CAST(round(pgr2.r / d.deg, 12) AS DECIMAL(38,12)) AS c
+                    FROM pgedges e JOIN pgdeg d ON d.src = e.src
+                    JOIN pgr2 ON pgr2.id = e.src),
+           pgr3 AS (SELECT id, round(CAST(0.15 AS DOUBLE)
+                      + CAST(0.85 AS DOUBLE) * CAST(sum(c) AS DOUBLE), 12) AS r
+                    FROM pgc3 GROUP BY id)"""
 
   val oracle: Map[String, String] = Map(
     // topic mixture: quantizer-assign replay + per-list token mass;
@@ -1867,38 +1940,28 @@ object Similarity {
     // op (pg-prefixed CTE names: the ivf chain already owns c1/c2)
     "sim_knn_centrality" ->
       s"""WITH $knnGraphOracleCte,
-           pgpairs AS (SELECT a.src, a.dst
-                       FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
-                       WHERE a.src < a.dst),
-           pgedges AS (SELECT src, dst FROM pgpairs
-                       UNION ALL SELECT dst, src FROM pgpairs),
-           pgdeg AS (SELECT src, count(*) AS deg FROM pgedges GROUP BY src),
-           pgr0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM pgdeg),
-           pgc1 AS (SELECT e.dst AS id,
-                           CAST(round(pgr0.r / d.deg, 12) AS DECIMAL(38,12)) AS c
-                    FROM pgedges e JOIN pgdeg d ON d.src = e.src
-                    JOIN pgr0 ON pgr0.id = e.src),
-           pgr1 AS (SELECT id, round(CAST(0.15 AS DOUBLE)
-                      + CAST(0.85 AS DOUBLE) * CAST(sum(c) AS DOUBLE), 12) AS r
-                    FROM pgc1 GROUP BY id),
-           pgc2 AS (SELECT e.dst AS id,
-                           CAST(round(pgr1.r / d.deg, 12) AS DECIMAL(38,12)) AS c
-                    FROM pgedges e JOIN pgdeg d ON d.src = e.src
-                    JOIN pgr1 ON pgr1.id = e.src),
-           pgr2 AS (SELECT id, round(CAST(0.15 AS DOUBLE)
-                      + CAST(0.85 AS DOUBLE) * CAST(sum(c) AS DOUBLE), 12) AS r
-                    FROM pgc2 GROUP BY id),
-           pgc3 AS (SELECT e.dst AS id,
-                           CAST(round(pgr2.r / d.deg, 12) AS DECIMAL(38,12)) AS c
-                    FROM pgedges e JOIN pgdeg d ON d.src = e.src
-                    JOIN pgr2 ON pgr2.id = e.src),
-           pgr3 AS (SELECT id, round(CAST(0.15 AS DOUBLE)
-                      + CAST(0.85 AS DOUBLE) * CAST(sum(c) AS DOUBLE), 12) AS r
-                    FROM pgc3 GROUP BY id)
+           $centralityChainCte
          SELECT pgr3.id AS vec_id, round(pgr3.r, 4) AS centrality,
                 d.deg AS degree
          FROM pgr3 JOIN pgdeg d ON d.src = pgr3.id
          ORDER BY centrality DESC, vec_id ASC""",
+    // coreset: the centrality chain joined to the recursive CC labels,
+    // top-m per cluster by (rounded centrality, id)
+    "sim_knn_coreset" ->
+      s"""WITH RECURSIVE $knnGraphOracleCte,
+           $centralityChainCte,
+           reach(id, lbl) AS (
+             SELECT src, src FROM pgedges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN pgedges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           cw AS (SELECT l.cluster_id, r.id AS vec_id, round(r.r, 4) AS centrality,
+                         row_number() OVER (PARTITION BY l.cluster_id
+                           ORDER BY round(r.r, 4) DESC, r.id ASC) AS rk
+                  FROM labels l JOIN pgr3 r ON r.id = l.id)
+         SELECT cluster_id, CAST(rk AS INT) AS rk, vec_id, centrality
+         FROM cw WHERE rk <= 2
+         ORDER BY cluster_id, rk""",
     // clusters: recursive reachability closure over the mutual pairs —
     // min reachable label == the Spark side's propagation fixpoint
     "sim_knn_clusters" ->

@@ -618,6 +618,32 @@ class CorpusOpsSpec extends graft.SparkSpec {
       run("sim_knn_centrality").collect().map(_.toString).toSeq)
   }
 
+  test("coreset: <= m members per cluster, drawn from the cluster, ranked " +
+    "by the centrality table") {
+    val clusters = run("sim_knn_clusters").collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        r.getAs[String]("members").split(",").map(_.toLong).toSet).toMap
+    val cent = run("sim_knn_centrality").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("centrality")).toMap
+    val rows = run("sim_knn_coreset").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rs) =>
+      assert(rs.length <= 2, s"cluster $cid over quota")
+      rs.foreach { r =>
+        val v = r.getAs[Long]("vec_id")
+        assert(clusters(cid).contains(v), s"$v not a member of $cid")
+        assert(r.getAs[Double]("centrality") === cent(v))
+      }
+      // the rank-1 pick carries the cluster's max centrality
+      val best = clusters(cid).map(v => (cent(v), -v)).max
+      val pick1 = rs.find(_.getAs[Int]("rk") == 1).get
+      assert(pick1.getAs[Double]("centrality") === best._1)
+      assert(pick1.getAs[Long]("vec_id") === -best._2)
+    }
+    // every cluster is represented
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSet === clusters.keySet)
+  }
+
   test("canonical pick is the quality-argmax member of its own cluster") {
     val clusters = run("dedup_clusters").collect()
       .map(r => r.getAs[Long]("cluster_id") ->
