@@ -305,8 +305,8 @@ object Jx {
     * quality_gate / source_kl / token_budget / bpe_merges /
     * semantic_dedup / overlap / dsir / shard_manifest / pack_manifest /
     * knn_diverse / knn_clusters / knn_stats / knn_recall /
-    * knn_centrality / quantizer_refresh / ivf_delta / canonical /
-    * topic_mix) and `corpus` (a jx query, required —
+    * knn_centrality / knn_coreset / quantizer_refresh / ivf_delta /
+    * canonical / topic_mix) and `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -390,6 +390,14 @@ object Jx {
       case "knn_centrality" => storeDir match {
         case Some(d) => graft.llm.Similarity.knnCentralityStored(spark, d)
         case None => graft.llm.Similarity.knnCentralityOf(docs,
+          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          opt(c, "k").map(_.asInt()).getOrElse(3))
+      }
+      case "knn_coreset" => storeDir match {
+        case Some(d) => graft.llm.Similarity.knnCoresetStored(spark, d,
+          opt(c, "m").map(_.asInt()).getOrElse(2))
+        case None => graft.llm.Similarity.knnCoresetOf(docs,
+          opt(c, "m").map(_.asInt()).getOrElse(2),
           opt(c, "nlist").map(_.asInt()).getOrElse(16),
           opt(c, "k").map(_.asInt()).getOrElse(3))
       }

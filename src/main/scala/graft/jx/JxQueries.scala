@@ -316,6 +316,10 @@ object JxQueries {
   private val knnCentralityJson = """{
     "corpus_op": {"op": "knn_centrality", "corpus": {"from": "embeddings"}}}"""
 
+  private val knnCoresetJson = """{
+    "corpus_op": {"op": "knn_coreset", "corpus": {"from": "embeddings"},
+                  "m": 2}}"""
+
   private val topicMixJson = """{
     "corpus_op": {"op": "topic_mix", "corpus": {"from": "documents"}}}"""
 
@@ -387,7 +391,9 @@ object JxQueries {
     "jx_topic_mix" ->
       ((s, d) => Jx.run(s, topicMixJson, name => t(s, d, name), Some(d))),
     "jx_knn_centrality" ->
-      ((s, d) => Jx.run(s, knnCentralityJson, name => t(s, d, name), Some(d))))
+      ((s, d) => Jx.run(s, knnCentralityJson, name => t(s, d, name), Some(d))),
+    "jx_knn_coreset" ->
+      ((s, d) => Jx.run(s, knnCoresetJson, name => t(s, d, name), Some(d))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -411,6 +417,7 @@ object JxQueries {
     "jx_canonical" -> graft.llm.Dedup.oracle("dedup_canonical"),
     "jx_topic_mix" -> graft.llm.Similarity.oracle("text_topic_mix"),
     "jx_knn_centrality" -> graft.llm.Similarity.oracle("sim_knn_centrality"),
+    "jx_knn_coreset" -> graft.llm.Similarity.oracle("sim_knn_coreset"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

@@ -1,0 +1,88 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+/** Property gates for the DISTRIBUTIVE MERGE ALGEBRAS behind the
+  * streamed stores (ST9 manifest, ST11 quality): the whole
+  * exactly-once story rests on "any partition of the corpus, merged in
+  * any order, equals the one-shot readout". The example-based specs pin
+  * one split; these pin the CLAIM over generated corpora and random
+  * multi-way splits (deterministic scalacheck seeds — reproducible
+  * failures). */
+class MergeAlgebraSpec extends graft.SparkSpec {
+
+  import spark.implicits._
+  import org.scalacheck.Gen
+  import org.scalacheck.rng.Seed
+
+  // generated documents rows: tiny vocab (forces shared shingles and
+  // duplicated tokens), mixed sources, a few empty-ish texts
+  private def corpus(n: Int, seed: Long) = {
+    val word = Gen.oneOf("the", "a", "of", "data", "spark", "tok", "x9")
+    val row = for {
+      nw <- Gen.chooseNum(1, 12)
+      ws <- Gen.listOfN(nw, word)
+      src <- Gen.oneOf("src0", "src1", "src2")
+      lang <- Gen.oneOf("en", "de")
+    } yield (ws.mkString(" "), lang, src)
+    Gen.listOfN(n, row).pureApply(Gen.Parameters.default, Seed(seed))
+      .zipWithIndex
+      .map { case ((text, lang, src), i) =>
+        (i.toLong, text, lang, src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  // a deterministic pseudo-random B-way split by doc id hash
+  private def parts(df: org.apache.spark.sql.DataFrame, b: Int) =
+    (0 until b).map(i =>
+      df.filter(pmod(xxhash64(col("doc_id")), lit(b)) === i))
+
+  test("property: shard-manifest merge over any random split equals the " +
+    "one-shot whole-corpus manifest") {
+    for ((seed, b) <- Seq((11L, 2), (12L, 3), (13L, 5))) {
+      val docs = corpus(120, seed)
+      val whole = TextOps.shardManifest(docs)
+        .collect().map(_.toString).toSeq
+      val merged = TextOps.mergeManifests(
+          parts(docs, b).map(TextOps.shardManifest(_)): _*)
+        .collect().map(_.toString).toSeq
+      assert(merged === whole, s"seed=$seed b=$b")
+    }
+  }
+
+  test("property: quality-monitor merge over any random split equals the " +
+    "one-shot per-source readout") {
+    for ((seed, b) <- Seq((21L, 2), (22L, 4))) {
+      val docs = corpus(150, seed)
+      val whole = TextOps.qualityMergeFrom(TextOps.qualityPartialsOf(docs))
+        .collect().map(_.toString).toSeq
+      val merged = TextOps.qualityMergeFrom(
+          parts(docs, b).map(TextOps.qualityPartialsOf(_))
+            .reduce(_ unionByName _))
+        .collect().map(_.toString).toSeq
+      assert(merged === whole, s"seed=$seed b=$b")
+      // and merging the same partials in reversed order changes nothing
+      val reversed = TextOps.qualityMergeFrom(
+          parts(docs, b).reverse.map(TextOps.qualityPartialsOf(_))
+            .reduce(_ unionByName _))
+        .collect().map(_.toString).toSeq
+      assert(reversed === whole, s"order-dependence at seed=$seed b=$b")
+    }
+  }
+
+  test("property: manifest diff recovers the complement of any random " +
+    "slice") {
+    val docs = corpus(100, 31L)
+    val slice = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 0)
+    val rest = docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) =!= 0)
+    // diff drops the id-range columns (ranges don't subtract); compare
+    // the subtractive columns
+    val cols = Seq("shard", "n_docs", "n_tokens", "n_bytes", "content_fp")
+    val diff = TextOps.diffManifests(
+        TextOps.shardManifest(docs), TextOps.shardManifest(slice))
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq
+    val direct = TextOps.shardManifest(rest)
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq
+    assert(diff === direct)
+  }
+}
