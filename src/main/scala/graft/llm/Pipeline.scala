@@ -61,6 +61,22 @@ object Pipeline {
       trimSpans: Boolean = false,
       qualitySources: Option[DataFrame] = None,
       canonicalQuality: Option[DataFrame] = None): DataFrame = {
+    val survivors = corpusSurvivors(corpus, bench, jaccardThreshold,
+      minOverlap, trimSpans, qualitySources, canonicalQuality)
+    TextOps.packChunks(survivors, ctx, nShards)
+      .join(survivors.select(col("doc_id"), md5(col("text")).as("final_md5")),
+        Seq("doc_id"))
+      .select("doc_id", "shard", "n_tok", "chunk_id", "chunk_offset", "final_md5")
+  }
+
+  /** The hygiene chain up to (but not including) packing: the surviving
+    * (doc_id, text) set — exposed so EXPORT consumers (the shard
+    * manifest) can run on the curated corpus without the packed layout. */
+  def corpusSurvivors(corpus: DataFrame, bench: DataFrame,
+      jaccardThreshold: Double = 0.5, minOverlap: Int = 3,
+      trimSpans: Boolean = false,
+      qualitySources: Option[DataFrame] = None,
+      canonicalQuality: Option[DataFrame] = None): DataFrame = {
     val hygCorpus0 = corpus.select(col("doc_id"), hygienicText(col("text")).as("text"))
     val hygBench = bench.select(col("doc_id"), hygienicText(col("text")).as("text"))
     // optional X4i stage, FIRST (cheap filters before expensive dedup —
@@ -120,13 +136,7 @@ object Pipeline {
     // whole-doc near-dups are already gone; this removes REPEATED SPANS
     // surviving inside otherwise-distinct docs, keeping each span's
     // canonical (lowest doc_id) occurrence
-    val survivors =
-      if (trimSpans) Dedup.substringTrimText(survivors0) else survivors0
-
-    TextOps.packChunks(survivors, ctx, nShards)
-      .join(survivors.select(col("doc_id"), md5(col("text")).as("final_md5")),
-        Seq("doc_id"))
-      .select("doc_id", "shard", "n_tok", "chunk_id", "chunk_offset", "final_md5")
+    if (trimSpans) Dedup.substringTrimText(survivors0) else survivors0
   }
 
   /** Driver gate: the documents table split into corpus (doc_id ≥ 10) and
@@ -182,11 +192,26 @@ object Pipeline {
       .limit(300)
   }
 
+  /** X9+X4n: the CLOSED export loop — the hygiene survivors manifested
+    * as trainer-facing shards (raw docs → hygiene → validated export in
+    * one gated readout). n_bytes is the HYGIENIC text length: the
+    * manifest must describe the bytes a trainer will read, not the raw
+    * crawl's. Same plan as pipeline_corpus up to the survivor set, then
+    * the 16-row manifest aggregate replaces packing. */
+  val pipelineCorpusManifest: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    TextOps.shardManifest(
+      corpusSurvivors(docs.filter(col("doc_id") >= 10),
+          docs.filter(col("doc_id") < 10))
+        .withColumn("n_chars", length(col("text"))))
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus" -> pipelineCorpus,
     "pipeline_corpus_trim" -> pipelineCorpusTrim,
     "pipeline_corpus_quality" -> pipelineCorpusQuality,
-    "pipeline_corpus_canonical" -> pipelineCorpusCanonical)
+    "pipeline_corpus_canonical" -> pipelineCorpusCanonical,
+    "pipeline_corpus_manifest" -> pipelineCorpusManifest)
 
   /** Shared oracle prefix: every stage up to the survivor set.
     * `corpusSrc` is the CTE the shingle pass and survivors read (plain
@@ -301,6 +326,22 @@ object Pipeline {
     "pipeline_corpus_canonical" ->
       s"""${hygienePrefixFrom("corp", canonicalDroplist = true)},
            ${packTail("survivors")}""",
+    // the export loop: the shard-manifest aggregation over the hygiene
+    // survivors, byte counts from the HYGIENIC text
+    "pipeline_corpus_manifest" ->
+      s"""$hygienePrefix,
+           md AS (SELECT doc_id, length(text) AS n_chars,
+                         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                              AS BIGINT) % 16 AS shard,
+                         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h,
+                         len(string_split(text, ' ')) AS n_toks
+                  FROM survivors)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                bit_xor(content_h) AS content_fp
+         FROM md GROUP BY shard ORDER BY shard""",
     // the trim stage replayed over the survivor set (same construction as
     // dedup_substring_trim, t-prefixed names to avoid CTE collisions)
     "pipeline_corpus_trim" ->
