@@ -306,7 +306,8 @@ object Jx {
     * semantic_dedup / overlap / dsir / shard_manifest / pack_manifest /
     * knn_diverse / knn_clusters / knn_stats / knn_recall /
     * knn_centrality / knn_coreset / quantizer_refresh / ivf_delta /
-    * canonical / topic_mix) and `corpus` (a jx query, required —
+    * canonical / topic_mix / quality_monitor) and `corpus` (a jx
+    * query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -408,6 +409,18 @@ object Jx {
       }
       case "ivf_delta" => graft.llm.Similarity.ivfDeltaOf(docs,
         opt(c, "nlist").map(_.asInt()).getOrElse(32))
+      case "quality_monitor" =>
+        // the ST11 monitor readout through the query surface: plain
+        // standard corpus + dataset → the streamed store's merge (the
+        // same frame the dashboard quality panel serves); any other
+        // corpus → the one-shot partials+merge in-plan (provably equal
+        // by the ST11 oracle)
+        val plainDocsQ = corpusNode.isObject && corpusNode.size() == 1 &&
+          opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
+        if (plainDocsQ && dataset.isDefined)
+          graft.streaming.Streams.queries("stream_quality_store")(spark, dataset.get)
+        else graft.llm.TextOps.qualityMergeFrom(
+          graft.llm.TextOps.qualityPartialsOf(docs))
       case "canonical" =>
         // plain standard corpus + a dataset dir → probe the stored pair
         // graph (the same tables dedup_canonical reads); anything else

@@ -320,6 +320,9 @@ object JxQueries {
     "corpus_op": {"op": "knn_coreset", "corpus": {"from": "embeddings"},
                   "m": 2}}"""
 
+  private val qualityMonitorJson = """{
+    "corpus_op": {"op": "quality_monitor", "corpus": {"from": "documents"}}}"""
+
   private val topicMixJson = """{
     "corpus_op": {"op": "topic_mix", "corpus": {"from": "documents"}}}"""
 
@@ -393,7 +396,9 @@ object JxQueries {
     "jx_knn_centrality" ->
       ((s, d) => Jx.run(s, knnCentralityJson, name => t(s, d, name), Some(d))),
     "jx_knn_coreset" ->
-      ((s, d) => Jx.run(s, knnCoresetJson, name => t(s, d, name), Some(d))))
+      ((s, d) => Jx.run(s, knnCoresetJson, name => t(s, d, name), Some(d))),
+    "jx_quality_monitor" ->
+      ((s, d) => Jx.run(s, qualityMonitorJson, name => t(s, d, name), Some(d))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -418,6 +423,7 @@ object JxQueries {
     "jx_topic_mix" -> graft.llm.Similarity.oracle("text_topic_mix"),
     "jx_knn_centrality" -> graft.llm.Similarity.oracle("sim_knn_centrality"),
     "jx_knn_coreset" -> graft.llm.Similarity.oracle("sim_knn_coreset"),
+    "jx_quality_monitor" -> graft.streaming.Streams.oracle("stream_quality_store"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,
