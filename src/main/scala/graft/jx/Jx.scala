@@ -306,8 +306,8 @@ object Jx {
     * semantic_dedup / overlap / dsir / shard_manifest / pack_manifest /
     * knn_diverse / knn_clusters / knn_stats / knn_recall /
     * knn_centrality / knn_coreset / quantizer_refresh / ivf_delta /
-    * canonical / topic_mix / quality_monitor) and `corpus` (a jx
-    * query, required —
+    * canonical / topic_mix / quality_monitor / curation_report) and
+    * `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -409,6 +409,17 @@ object Jx {
       }
       case "ivf_delta" => graft.llm.Similarity.ivfDeltaOf(docs,
         opt(c, "nlist").map(_.asInt()).getOrElse(32))
+      case "curation_report" =>
+        // standard corpus only: the report summarizes the STORED
+        // decision sets (pair-graph drop list + quality monitor), which
+        // exist for the service's dataset — an arbitrary corpus subquery
+        // has no stored decisions to summarize
+        dataset match {
+          case Some(ds) =>
+            graft.llm.TextOps.queries("text_curation_report")(spark, ds)
+          case None => throw new IllegalArgumentException(
+            "curation_report needs a dataset-backed service (stored decision sets)")
+        }
       case "quality_monitor" =>
         // the ST11 monitor readout through the query surface: plain
         // standard corpus + dataset → the streamed store's merge (the

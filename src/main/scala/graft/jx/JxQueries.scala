@@ -323,6 +323,9 @@ object JxQueries {
   private val qualityMonitorJson = """{
     "corpus_op": {"op": "quality_monitor", "corpus": {"from": "documents"}}}"""
 
+  private val curationReportJson = """{
+    "corpus_op": {"op": "curation_report", "corpus": {"from": "documents"}}}"""
+
   private val topicMixJson = """{
     "corpus_op": {"op": "topic_mix", "corpus": {"from": "documents"}}}"""
 
@@ -398,7 +401,9 @@ object JxQueries {
     "jx_knn_coreset" ->
       ((s, d) => Jx.run(s, knnCoresetJson, name => t(s, d, name), Some(d))),
     "jx_quality_monitor" ->
-      ((s, d) => Jx.run(s, qualityMonitorJson, name => t(s, d, name), Some(d))))
+      ((s, d) => Jx.run(s, qualityMonitorJson, name => t(s, d, name), Some(d))),
+    "jx_curation_report" ->
+      ((s, d) => Jx.run(s, curationReportJson, name => t(s, d, name), Some(d))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -424,6 +429,7 @@ object JxQueries {
     "jx_knn_centrality" -> graft.llm.Similarity.oracle("sim_knn_centrality"),
     "jx_knn_coreset" -> graft.llm.Similarity.oracle("sim_knn_coreset"),
     "jx_quality_monitor" -> graft.streaming.Streams.oracle("stream_quality_store"),
+    "jx_curation_report" -> graft.llm.TextOps.oracle("text_curation_report"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

@@ -939,6 +939,30 @@ object TextOps {
         min("n_chars").as("min_chars"),
         max("n_chars").as("max_chars"))
 
+  /** The pre-training CURATION REPORT — the one-page per-source summary
+    * a data owner reads before paying for a run: volume (docs/tokens),
+    * quality (the monitor's exact mean), and duplication (how much of
+    * the source the near-dup drop list would remove). Composes two
+    * STORED decision sets — the quality partials and the `minhash_pairs`
+    * drop list — so the readout costs one corpus pass for the quality
+    * scan plus KB-scale probes; nothing is recomputed that an earlier
+    * key already decided, and the oracle replays both chains so the
+    * report can't drift from the operators it summarizes. */
+  val textCurationReport: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val drops = Dedup.queries("dedup_drop_list")(s, d)
+    val dropBySrc = docs
+      .join(drops.select("doc_id"), Seq("doc_id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_near_dup"))
+    qualityMergeFrom(qualityPartialsOf(docs))
+      .join(dropBySrc, Seq("source"), "left")
+      .withColumn("n_near_dup", coalesce(col("n_near_dup"), lit(0L)))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("mean_quality"), col("n_near_dup"),
+        r4(col("n_near_dup").cast("double") / col("n_docs")).as("dup_rate"))
+      .orderBy("source")
+  }
+
   /** The monitor READOUT over any union of [[qualityPartialsOf]] rows:
     * re-merge by the same distributive algebra, then surface the mean.
     * Exact over any number of partials in any order — a redelivered or
@@ -1034,6 +1058,7 @@ object TextOps {
     "text_shard_delta" -> textShardDelta,
     "text_shard_diff" -> textShardDiff,
     "text_quality_filter" -> textQualityFilter,
+    "text_curation_report" -> textCurationReport,
     "text_token_budget" -> textTokenBudget,
     "text_source_kl" -> textSourceKl,
     "text_dsir" -> textDsir,
@@ -1189,6 +1214,42 @@ object TextOps {
                 bit_xor(content_h) AS content_fp
          FROM d GROUP BY ROLLUP (shard, source)
          ORDER BY shard NULLS FIRST, source NULLS FIRST""",
+    // curation report: the quality-monitor chain joined to the
+    // near-dup drop list (both replayed), rolled up per source
+    "text_curation_report" ->
+      s"""WITH RECURSIVE ${Dedup.minhashCteFrom("documents")},
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           dropl AS (SELECT id AS doc_id FROM (
+             SELECT id, min(lbl) AS canonical FROM reach GROUP BY id)
+             WHERE id <> canonical),
+           q AS (SELECT doc_id, source, n_chars,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                        (CASE WHEN n_chars < 100 THEN 0.2 ELSE 1.0 END) *
+                        (CASE WHEN n_stop = 0 THEN 0.5 ELSE 1.0 END) AS qv
+                 FROM (SELECT doc_id, source, n_chars, text,
+                              len(list_filter(string_split(text, ' '),
+                                w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+                       FROM documents)),
+           base AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                           round(CAST(sum(CAST(qv AS DECIMAL(28,12))) AS DOUBLE)
+                                 / count(*), 4) AS mean_quality
+                    FROM q GROUP BY source),
+           dr AS (SELECT d.source, count(*) AS n_near_dup
+                  FROM documents d JOIN dropl USING (doc_id)
+                  GROUP BY d.source)
+         SELECT b.source, b.n_docs, b.n_tokens, b.mean_quality,
+                COALESCE(dr.n_near_dup, 0) AS n_near_dup,
+                round(CAST(COALESCE(dr.n_near_dup, 0) AS DOUBLE) / b.n_docs, 4)
+                  AS dup_rate
+         FROM base b LEFT JOIN dr ON dr.source = b.source
+         ORDER BY b.source""",
     "text_quality_filter" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                        FROM documents),

@@ -644,6 +644,31 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(rows.map(_.getAs[Long]("cluster_id")).toSet === clusters.keySet)
   }
 
+  test("curation report agrees with the monitor and the drop list it " +
+    "summarizes") {
+    val report = run("text_curation_report").collect()
+    val monitor = run("stream_quality_store").collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Double]("mean_quality"))).toMap
+    val dropIds = run("dedup_drop_list").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val srcOf = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(report.map(_.getAs[String]("source")).toSet === monitor.keySet)
+    report.foreach { r =>
+      val s0 = r.getAs[String]("source")
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("mean_quality")) === monitor(s0),
+        s"report diverges from the quality monitor for $s0")
+      val expectedDrops = dropIds.count(srcOf(_) == s0).toLong
+      assert(r.getAs[Long]("n_near_dup") === expectedDrops,
+        s"report diverges from the drop list for $s0")
+    }
+    assert(report.map(_.getAs[Long]("n_near_dup")).sum === dropIds.size.toLong)
+  }
+
   test("canonical pick is the quality-argmax member of its own cluster") {
     val clusters = run("dedup_clusters").collect()
       .map(r => r.getAs[Long]("cluster_id") ->
