@@ -117,7 +117,9 @@ object QueryService {
       return s"""{"sources":${graft.jx.Jx.listJson(
           graft.streaming.Streams.queries("stream_quality_store")(spark, dataset))},""" +
         s""""mix":${graft.jx.Jx.listJson(
-          graft.llm.Similarity.queries("text_topic_mix")(spark, dataset))}}"""
+          graft.llm.Similarity.queries("text_topic_mix")(spark, dataset))},""" +
+        s""""report":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_curation_report")(spark, dataset))}}"""
     }
     def day(field: String, dflt: String): String = {
       val v = Option(q.get(field)).map(_.asText()).getOrElse(dflt)

@@ -311,8 +311,12 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "quality"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("sources", "mix").foreach(s =>
+      Seq("sources", "mix", "report").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the report section names the dup burden alongside quality
+      val rep0 = panel.get("report").get("data").get(0)
+      Seq("source", "n_near_dup", "dup_rate", "mean_quality")
+        .foreach(c => assert(rep0.has(c), s"missing report column $c"))
       // each section is its driver key's frame byte-for-byte
       val sources = panel.get("sources").get("data")
       val directQ = graft.streaming.Streams
