@@ -721,6 +721,72 @@ object Dedup {
       .orderBy(desc("jaccard"), asc("doc_id"), asc("corpus_doc"))
   }
 
+  /** X1i: EXACT incremental growth of the near-dup pair graph — the
+    * dedup twin of `sim_ivf_delta`, with a STRONGER claim: MinHash
+    * signatures need no training, so base ∪ delta is not merely
+    * quantizer-consistent with a rebuild, it IS the full-corpus pair
+    * set, bit for bit. New docs contribute (a) cross pairs — in-row
+    * signatures band-joined against the BASE index (the online gate's
+    * stream-static shape: each arriving doc touches only its 4 band
+    * buckets) — and (b) delta-internal pairs from the banded self-join
+    * of the (small) delta slice. The gate below unions the three pair
+    * sets and is oracled by `dedup_minhash`'s FULL-corpus SQL verbatim:
+    * the exactness claim is the gate. At 100 TB this is how the dedup
+    * index tracks a growing corpus without re-shingling history —
+    * the index build is per-batch-incremental, only the (rare) CC
+    * label refresh touches the accumulated KB-scale pair graph. */
+  def pairsDeltaOf(base: DataFrame, delta: DataFrame): DataFrame = {
+    val baseSh = shinglesOf(base).localCheckpoint()
+    val basePairs = minhashScoredPairsFrom(baseSh)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), r4(col("jaccard")).as("jaccard"))
+    val cross = crossPairsSigned(minhashInRow(delta).localCheckpoint(),
+      minhashBandsFromShingles(baseSh), docShingleSetsFromShingles(baseSh))
+    val deltaPairs = minhashScoredPairsFrom(shinglesOf(delta))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), r4(col("jaccard")).as("jaccard"))
+    basePairs.unionByName(cross).unionByName(deltaPairs)
+  }
+
+  /** Canonically-ordered (da < db) scored pairs between a SIGNED probe
+    * frame ([[minhashInRow]]'s output) and an index (bands: (doc_id,
+    * band, bh); sets: (doc_id, hs, n_sh)) — the batch-exact cross step
+    * of [[pairsDeltaOf]] and the streamed pair-store sink. Threshold
+    * applies to the UNROUNDED jaccard (the batch pipeline's rule). */
+  private[graft] def crossPairsSigned(signed: DataFrame, bands: DataFrame,
+      sets: DataFrame): DataFrame = {
+    val cand = signed
+      .select(col("doc_id"), posexplode(col("bands")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+      .join(bands.select(col("doc_id").as("corpus_doc"), col("band"), col("bh")),
+        Seq("band", "bh"))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .select("doc_id", "corpus_doc").distinct()
+    cand
+      .join(signed.select(col("doc_id"), col("hs"), col("n_sh")), Seq("doc_id"))
+      .join(sets.select(col("doc_id").as("corpus_doc"),
+        col("hs").as("corpus_hs"), col("n_sh").as("corpus_n")),
+        Seq("corpus_doc"))
+      .withColumn("c",
+        graft.functions.SortedIntersectCount(col("hs"), col("corpus_hs")))
+      .withColumn("j",
+        col("c").cast("double") / (col("n_sh") + col("corpus_n") - col("c")))
+      .filter(col("j") >= 0.5)
+      .select(least(col("doc_id"), col("corpus_doc")).as("da"),
+        greatest(col("doc_id"), col("corpus_doc")).as("db"),
+        r4(col("j")).as("jaccard"))
+  }
+
+  /** Driver gate: even-id base, odd-id delta — the incremental union
+    * must reproduce `dedup_minhash`'s full-corpus pair set exactly. */
+  val dedupPairsDelta: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    pairsDeltaOf(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+      .orderBy(desc("jaccard"), asc("da"), asc("db"))
+  }
+
   /** X1f: near-dup clustering — the step a real dedup pipeline needs
     * AFTER candidate pairs: connected components over the pair graph,
     * one canonical doc per cluster (the min id; everything else is the
@@ -1236,6 +1302,7 @@ object Dedup {
     "dedup_containment" -> dedupContainment,
     "dedup_containment_prefix" -> dedupContainmentPrefix,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_pairs_delta" -> dedupPairsDelta,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_md5" -> dedupSimhashMd5,
     "dedup_simhash_mjs" -> dedupSimhashMjs,
@@ -1403,6 +1470,13 @@ object Dedup {
     "dedup_simhash_md5" -> simhashMd5Oracle,
     "dedup_simhash_mjs" -> simhashMjsOracle,
     "dedup_minhash" ->
+      s"""WITH $minhashCte
+         SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
+         FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5
+         ORDER BY jaccard DESC, da ASC, db ASC""",
+    // incremental growth: the gate IS the exactness claim — base ∪
+    // cross ∪ delta must equal the full-corpus pair set verbatim
+    "dedup_pairs_delta" ->
       s"""WITH $minhashCte
          SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
          FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5

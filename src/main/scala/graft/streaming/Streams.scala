@@ -255,6 +255,79 @@ object Streams {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
+  /** ST12: stream-maintained NEAR-DUP PAIR-GRAPH delta — the dedup twin
+    * of ST10, with a stronger contract: MinHash needs no training, so
+    * the accumulated store IS the full-corpus pair set exactly (not
+    * quantizer-consistent — identical). [[pairStoreInit]] seeds the
+    * base index (bands + verify sets) and pairs; each micro-batch then
+    * (a) computes its in-row signatures, (b) joins them against the
+    * ACCUMULATED index (base + every earlier delta — so cross-batch
+    * pairs are found), (c) adds its banded internal pairs, writing all
+    * pairs AND its own index rows under its own batch partition with
+    * dynamic idempotent overwrite. A redelivered batch can only rewrite
+    * its own partitions; a redelivery arriving AFTER later batches may
+    * re-derive pairs those batches already recorded — exact duplicates
+    * by construction (same signatures, same jaccard), collapsed by the
+    * readout's distinct, so the store never drifts. At 100 TB: history
+    * is never re-shingled; each arriving batch pays its own signature
+    * pass plus band-bucket joins. */
+  def pairStoreInit(base: DataFrame, dir: String): Unit = {
+    val sh = graft.llm.Dedup.shinglesOf(base).localCheckpoint()
+    graft.llm.Dedup.minhashBandsFromShingles(sh)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    graft.llm.Dedup.docShingleSetsFromShingles(sh)
+      .write.mode("overwrite").parquet(s"$dir/sets")
+    graft.llm.Dedup.minhashScoredPairsFrom(sh)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"),
+        graft.operators.Common.r4(col("jaccard")).as("jaccard"))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/pairs")
+  }
+
+  def pairDeltaSink(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    val s = batch.sparkSession
+    val signed = graft.llm.Dedup.minhashInRow(batch).localCheckpoint()
+    def withDelta(basePath: String, deltaPath: String, cols: Seq[String]) = {
+      val b = s.read.parquet(basePath).selectExpr(cols: _*)
+      if (new java.io.File(deltaPath).exists())
+        b.unionByName(s.read.parquet(deltaPath).selectExpr(cols: _*))
+      else b
+    }
+    val bands = withDelta(s"$dir/bands", s"$dir/dbands",
+      Seq("doc_id", "band", "bh"))
+    val sets = withDelta(s"$dir/sets", s"$dir/dsets",
+      Seq("doc_id", "hs", "n_sh"))
+    val cross = graft.llm.Dedup.crossPairsSigned(signed, bands, sets)
+    val internal = graft.llm.Dedup
+      .minhashScoredPairsFrom(graft.llm.Dedup.shinglesOf(batch))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"),
+        graft.operators.Common.r4(col("jaccard")).as("jaccard"))
+    cross.unionByName(internal).distinct()
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/pairs")
+    signed.select(col("doc_id"), posexplode(col("bands")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/dbands")
+    signed.select("doc_id", "hs", "n_sh")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/dsets")
+  }
+
+  /** The accumulated pair-graph readout: distinct pairs across base and
+    * every delta partition — exact duplicates from post-hoc
+    * redeliveries collapse here. */
+  def pairStoreReadout(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/pairs")
+      .select("da", "db", "jaccard").distinct()
+      .orderBy(desc("jaccard"), asc("da"), asc("db"))
+
   /** ST10 (forward idea ac, streaming half): stream-maintained IVF
     * INVERTED-LIST delta store — the ingestion path of a continuously
     * growing ANN index. Each micro-batch of new embeddings is assigned

@@ -115,6 +115,50 @@ class StreamsSpec extends graft.SparkSpec {
     assert(again("click") === 3L, s"redelivery double-counted: $again")
   }
 
+  test("ST12: the streamed pair-graph delta accumulates to the exact " +
+    "full-corpus pair set; out-of-order redelivery only duplicates, " +
+    "never drifts") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmp("graft-st12")
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 2 === 0)
+    val delta = docs.filter(col("doc_id") % 2 =!= 0)
+    // the exactness target: the full-corpus pair set (the stored
+    // minhash_pairs artifact the batch keys probe)
+    val full = graft.SparkEntry.queries("dedup_minhash")(spark, sf)
+      .collect().map(_.toString).toSeq
+
+    Streams.pairStoreInit(base, dir)
+    val deltaRows = delta.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.pairDeltaSink(batch, id, dir)
+      }
+      .start()
+    try {
+      // two micro-batches: cross-batch pairs (odd x odd across the
+      // split) exist only if batch 1 sees batch 0's index rows
+      in.addData(deltaRows.take(deltaRows.length / 2): _*)
+      q.processAllAvailable()
+      in.addData(deltaRows.drop(deltaRows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.pairStoreReadout(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(readout === full,
+      "accumulated pair store must equal the full-corpus pair set")
+    // redeliver batch 0 AFTER batch 1: it now also sees batch 1's index
+    // rows and may re-derive batch-1 pairs — exact duplicates that the
+    // readout's distinct collapses; the result must not change
+    Streams.pairDeltaSink(
+      deltaRows.take(deltaRows.length / 2).toSeq.toDF("doc_id", "text"), 0L, dir)
+    assert(readout === full, "post-hoc redelivery drifted the pair store")
+  }
+
   test("ST11: the streamed quality monitor merges to the one-shot " +
     "whole-corpus readout and redelivery never double-counts") {
     val dir = tmp("graft-st11")
