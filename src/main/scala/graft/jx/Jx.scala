@@ -306,8 +306,8 @@ object Jx {
     * semantic_dedup / overlap / dsir / shard_manifest / pack_manifest /
     * knn_diverse / knn_clusters / knn_stats / knn_recall /
     * knn_centrality / knn_coreset / quantizer_refresh / ivf_delta /
-    * canonical / topic_mix / quality_monitor / curation_report) and
-    * `corpus` (a jx query, required —
+    * pairs_delta / canonical / topic_mix / quality_monitor /
+    * curation_report) and `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -409,6 +409,14 @@ object Jx {
       }
       case "ivf_delta" => graft.llm.Similarity.ivfDeltaOf(docs,
         opt(c, "nlist").map(_.asInt()).getOrElse(32))
+      case "pairs_delta" =>
+        // incremental pair-graph growth over an even/odd split of the
+        // corpus subquery — the same deterministic split the driver
+        // key gates (the exactness claim is corpus-independent)
+        graft.llm.Dedup.pairsDeltaOf(
+            docs.filter(col("doc_id") % 2 === 0),
+            docs.filter(col("doc_id") % 2 =!= 0))
+          .orderBy(desc("jaccard"), asc("da"), asc("db"))
       case "curation_report" =>
         // standard corpus only: the report summarizes the STORED
         // decision sets (pair-graph drop list + quality monitor), which

@@ -326,6 +326,9 @@ object JxQueries {
   private val curationReportJson = """{
     "corpus_op": {"op": "curation_report", "corpus": {"from": "documents"}}}"""
 
+  private val pairsDeltaJson = """{
+    "corpus_op": {"op": "pairs_delta", "corpus": {"from": "documents"}}}"""
+
   private val topicMixJson = """{
     "corpus_op": {"op": "topic_mix", "corpus": {"from": "documents"}}}"""
 
@@ -403,7 +406,9 @@ object JxQueries {
     "jx_quality_monitor" ->
       ((s, d) => Jx.run(s, qualityMonitorJson, name => t(s, d, name), Some(d))),
     "jx_curation_report" ->
-      ((s, d) => Jx.run(s, curationReportJson, name => t(s, d, name), Some(d))))
+      ((s, d) => Jx.run(s, curationReportJson, name => t(s, d, name), Some(d))),
+    "jx_pairs_delta" ->
+      ((s, d) => Jx.run(s, pairsDeltaJson, name => t(s, d, name))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -430,6 +435,7 @@ object JxQueries {
     "jx_knn_coreset" -> graft.llm.Similarity.oracle("sim_knn_coreset"),
     "jx_quality_monitor" -> graft.streaming.Streams.oracle("stream_quality_store"),
     "jx_curation_report" -> graft.llm.TextOps.oracle("text_curation_report"),
+    "jx_pairs_delta" -> graft.llm.Dedup.oracle("dedup_pairs_delta"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

@@ -70,6 +70,36 @@ class MergeAlgebraSpec extends graft.SparkSpec {
     }
   }
 
+  test("property: incremental pair-graph growth equals the one-shot " +
+    "full-corpus pair set on corpora with injected near-dups") {
+    // docs long enough to shingle, with deliberate duplicate TEXTS so
+    // real pairs exist on both sides of every random split
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "tok")
+    val doc = for {
+      nw <- Gen.chooseNum(4, 10)
+      ws <- Gen.listOfN(nw, word)
+    } yield ws.mkString(" ")
+    for (seed <- Seq(41L, 42L)) {
+      val texts = Gen.listOfN(25, doc)
+        .pureApply(Gen.Parameters.default, Seed(seed))
+      // each text appears twice at different ids — guaranteed near-dups
+      val docs = (texts ++ texts).zipWithIndex
+        .map { case (t0, i) => (i.toLong, t0) }.toDF("doc_id", "text")
+      val full = Dedup.minhashScoredPairsFrom(Dedup.shinglesOf(docs))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(desc("jaccard"), asc("da"), asc("db"))
+        .collect().map(_.toString).toSeq
+      assert(full.nonEmpty, s"seed $seed produced no near-dup pairs")
+      val inc = Dedup.pairsDeltaOf(
+          docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) === 0),
+          docs.filter(pmod(xxhash64(col("doc_id")), lit(3)) =!= 0))
+        .orderBy(desc("jaccard"), asc("da"), asc("db"))
+        .collect().map(_.toString).toSeq
+      assert(inc === full, s"incremental growth drifted at seed $seed")
+    }
+  }
+
   test("property: manifest diff recovers the complement of any random " +
     "slice") {
     val docs = corpus(100, 31L)
