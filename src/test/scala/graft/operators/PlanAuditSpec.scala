@@ -252,4 +252,13 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("dedup_pairs_delta: every candidate join is band/bh- or id-keyed " +
+    "— no all-pairs anywhere in the incremental chain") {
+    val p = plan("dedup_pairs_delta")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // the cross step's candidates come from the band equi-join
+    assert(p.contains("bh"), p)
+  }
 }
