@@ -777,6 +777,21 @@ object Dedup {
         r4(col("j")).as("jaccard"))
   }
 
+  /** X1j: BOILERPLATE-HUB detection — damped PageRank over the near-dup
+    * pair graph itself (the doc-level twin of `sim_knn_centrality`).
+    * A doc that is near-dup-connected to many docs that are THEMSELVES
+    * well-connected is a template/boilerplate hub — the thing to
+    * review/blocklist, not merely drop, since its whole neighbourhood
+    * is suspect. Probes the stored pair graph; the iteration chain is
+    * [[Similarity.centralityOfMutual]] verbatim (decimal-exact, 3 fixed
+    * rounds, CTE-replayed). */
+  val dedupCentrality: Q = (s, d) =>
+    Similarity.centralityOfMutual(
+        s.read.parquet(s"${pairStore(s, d)}/pairs")
+          .select(col("da").as("src"), col("db").as("dst")))
+      .select(col("vec_id").as("doc_id"), col("centrality"), col("degree"))
+      .orderBy(desc("centrality"), asc("doc_id"))
+
   /** Driver gate: even-id base, odd-id delta — the incremental union
     * must reproduce `dedup_minhash`'s full-corpus pair set exactly. */
   val dedupPairsDelta: Q = (s, d) => {
@@ -1303,6 +1318,7 @@ object Dedup {
     "dedup_containment_prefix" -> dedupContainmentPrefix,
     "dedup_minhash" -> dedupMinhash,
     "dedup_pairs_delta" -> dedupPairsDelta,
+    "dedup_centrality" -> dedupCentrality,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_md5" -> dedupSimhashMd5,
     "dedup_simhash_mjs" -> dedupSimhashMjs,
@@ -1474,6 +1490,18 @@ object Dedup {
          SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
          FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5
          ORDER BY jaccard DESC, da ASC, db ASC""",
+    // doc-graph PageRank: the near-dup pairs as pgpairs, then the
+    // shared power-iteration chain verbatim
+    "dedup_centrality" ->
+      s"""WITH $minhashCte,
+           fpairs AS (SELECT da, db FROM mh
+                      WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           pgpairs AS (SELECT da AS src, db AS dst FROM fpairs),
+           ${Similarity.centralityFromPairsCte}
+         SELECT pgr3.id AS doc_id, round(pgr3.r, 4) AS centrality,
+                d.deg AS degree
+         FROM pgr3 JOIN pgdeg d ON d.src = pgr3.id
+         ORDER BY centrality DESC, doc_id ASC""",
     // incremental growth: the gate IS the exactness claim — base ∪
     // cross ∪ delta must equal the full-corpus pair set verbatim
     "dedup_pairs_delta" ->

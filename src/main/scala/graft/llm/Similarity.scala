@@ -1624,10 +1624,16 @@ object Similarity {
     * CTE `g` (pg-prefixed: the ivf chain owns c1/c2). Shared by the
     * centrality and coreset oracles. */
   private lazy val centralityChainCte: String =
-    """pgpairs AS (SELECT a.src, a.dst
+    s"""pgpairs AS (SELECT a.src, a.dst
                        FROM g a JOIN g b ON b.src = a.dst AND b.dst = a.src
                        WHERE a.src < a.dst),
-           pgedges AS (SELECT src, dst FROM pgpairs
+           $centralityFromPairsCte"""
+
+  /** The chain from an undirected unique-pair CTE `pgpairs(src, dst)`
+    * onward — reused by [[graft.llm.Dedup]]'s doc-graph centrality
+    * oracle, which supplies its own pair source. */
+  private[llm] lazy val centralityFromPairsCte: String =
+    """pgedges AS (SELECT src, dst FROM pgpairs
                        UNION ALL SELECT dst, src FROM pgpairs),
            pgdeg AS (SELECT src, count(*) AS deg FROM pgedges GROUP BY src),
            pgr0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM pgdeg),

@@ -618,6 +618,20 @@ class CorpusOpsSpec extends graft.SparkSpec {
       run("sim_knn_centrality").collect().map(_.toString).toSeq)
   }
 
+  test("doc-graph centrality covers exactly the clustered docs and " +
+    "respects the damping floor") {
+    val rows = run("dedup_centrality").collect()
+    assert(rows.nonEmpty)
+    val clustered = run("dedup_clusters").collect()
+      .flatMap(_.getAs[String]("members").split(",").map(_.toLong)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet === clustered,
+      "centrality must rank exactly the pair-graph vertex set")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("centrality") >= 0.15 - 1e-9, r.toString)
+      assert(r.getAs[Long]("degree") >= 1L)
+    }
+  }
+
   test("coreset: <= m members per cluster, drawn from the cluster, ranked " +
     "by the centrality table") {
     val clusters = run("sim_knn_clusters").collect()
