@@ -306,8 +306,9 @@ object Jx {
     * semantic_dedup / overlap / dsir / shard_manifest / pack_manifest /
     * knn_diverse / knn_clusters / knn_stats / knn_recall /
     * knn_centrality / knn_coreset / quantizer_refresh / ivf_delta /
-    * pairs_delta / canonical / topic_mix / quality_monitor /
-    * curation_report) and `corpus` (a jx query, required —
+    * pairs_delta / pair_centrality / canonical / topic_mix /
+    * quality_monitor / curation_report) and `corpus` (a jx query,
+    * required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
@@ -428,6 +429,14 @@ object Jx {
           case None => throw new IllegalArgumentException(
             "curation_report needs a dataset-backed service (stored decision sets)")
         }
+      case "pair_centrality" =>
+        // doc-graph PageRank: stored pair graph for the standard corpus,
+        // in-plan pair chain otherwise
+        val plainDocsPc = corpusNode.isObject && corpusNode.size() == 1 &&
+          opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
+        if (plainDocsPc && dataset.isDefined)
+          graft.llm.Dedup.queries("dedup_centrality")(spark, dataset.get)
+        else graft.llm.Dedup.pairCentralityOf(docs)
       case "quality_monitor" =>
         // the ST11 monitor readout through the query surface: plain
         // standard corpus + dataset → the streamed store's merge (the

@@ -329,6 +329,9 @@ object JxQueries {
   private val pairsDeltaJson = """{
     "corpus_op": {"op": "pairs_delta", "corpus": {"from": "documents"}}}"""
 
+  private val pairCentralityJson = """{
+    "corpus_op": {"op": "pair_centrality", "corpus": {"from": "documents"}}}"""
+
   private val topicMixJson = """{
     "corpus_op": {"op": "topic_mix", "corpus": {"from": "documents"}}}"""
 
@@ -408,7 +411,9 @@ object JxQueries {
     "jx_curation_report" ->
       ((s, d) => Jx.run(s, curationReportJson, name => t(s, d, name), Some(d))),
     "jx_pairs_delta" ->
-      ((s, d) => Jx.run(s, pairsDeltaJson, name => t(s, d, name))))
+      ((s, d) => Jx.run(s, pairsDeltaJson, name => t(s, d, name))),
+    "jx_pair_centrality" ->
+      ((s, d) => Jx.run(s, pairCentralityJson, name => t(s, d, name), Some(d))))
 
   val oracle: Map[String, String] = Map(
     // the jx front end must land on the Column API's exact decision set,
@@ -436,6 +441,7 @@ object JxQueries {
     "jx_quality_monitor" -> graft.streaming.Streams.oracle("stream_quality_store"),
     "jx_curation_report" -> graft.llm.TextOps.oracle("text_curation_report"),
     "jx_pairs_delta" -> graft.llm.Dedup.oracle("dedup_pairs_delta"),
+    "jx_pair_centrality" -> graft.llm.Dedup.oracle("dedup_centrality"),
     "jx_sketch" ->
       """SELECT event_type,
                 count(*) AS n,

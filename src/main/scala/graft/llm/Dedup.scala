@@ -786,11 +786,22 @@ object Dedup {
     * [[Similarity.centralityOfMutual]] verbatim (decimal-exact, 3 fixed
     * rounds, CTE-replayed). */
   val dedupCentrality: Q = (s, d) =>
+    docCentralityOfPairs(
+      s.read.parquet(s"${pairStore(s, d)}/pairs"))
+
+  /** The doc-graph ranking over any scored (da, db) pair frame. */
+  private def docCentralityOfPairs(pairs: DataFrame): DataFrame =
     Similarity.centralityOfMutual(
-        s.read.parquet(s"${pairStore(s, d)}/pairs")
-          .select(col("da").as("src"), col("db").as("dst")))
+        pairs.select(col("da").as("src"), col("db").as("dst")))
       .select(col("vec_id").as("doc_id"), col("centrality"), col("degree"))
       .orderBy(desc("centrality"), asc("doc_id"))
+
+  /** [[dedupCentrality]] over any documents-shaped frame — the jx
+    * `corpus_op` in-plan fallback (the standard-corpus route probes the
+    * stored pair graph). */
+  private[graft] def pairCentralityOf(docsIn: DataFrame): DataFrame =
+    docCentralityOfPairs(
+      minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5))
 
   /** Driver gate: even-id base, odd-id delta — the incremental union
     * must reproduce `dedup_minhash`'s full-corpus pair set exactly. */
