@@ -91,7 +91,7 @@ object Sinks {
     * partitioned by target index. */
   def esBulk(df: DataFrame, dir: String, index: String, idCol: String,
              tsCol: String = "ts"): Unit = {
-    val doc = to_json(struct(df.columns.map(col): _*))
+    val doc = to_json(struct(df.columns.toIndexedSeq.map(col): _*))
     val action = to_json(struct(struct(
       concat(lit(index + "_"), date_format(col(tsCol), "yyyyMMdd")).as("_index"),
       col(idCol).cast("string").as("_id")).as("index")))
