@@ -275,8 +275,8 @@ object Transforms {
          SELECT event_type, count(k) AS n,
                 CAST(sum(k) AS BIGINT) AS sum_k,
                 CAST(sum(k * k) AS BIGINT) AS sum_k2,
-                round(avg(k), 4) AS mean_k,
-                round(avg(k * k) - avg(k) * avg(k), 4) AS var_k
+                round(avg(k), 4) + 0.0 AS mean_k,
+                round(avg(k * k) - avg(k) * avg(k), 4) + 0.0 AS var_k
          FROM parsed GROUP BY event_type ORDER BY event_type""",
     "etl_normalize" ->
       """WITH mapping AS (

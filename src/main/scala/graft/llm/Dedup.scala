@@ -1605,7 +1605,7 @@ object Dedup {
          SELECT c.da, c.db,
                 round(list_reduce([a.dv[i] * b.dv[i] for i in generate_series(1, 64)],
                                   (x, y) -> x + y)
-                      / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) AS cosine
+                      / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) + 0.0 AS cosine
          FROM cand c
          JOIN dvecs a ON a.vec_id = c.da JOIN dvecs b ON b.vec_id = c.db
          JOIN n na ON na.vec_id = c.da JOIN n nb ON nb.vec_id = c.db
@@ -1717,7 +1717,7 @@ object Dedup {
          SELECT a.vec_id AS da, b.vec_id AS db,
                 round(list_reduce([a.v[i] * b.v[i] for i in generate_series(1, len(a.v))],
                                   (x, y) -> x + y)
-                      / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) AS cosine
+                      / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) + 0.0 AS cosine
          FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
          JOIN n na ON na.vec_id = a.vec_id
          JOIN n nb ON nb.vec_id = b.vec_id

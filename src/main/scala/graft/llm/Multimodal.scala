@@ -155,7 +155,7 @@ object Multimodal {
          SELECT d.doc_id,
                 CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
                 coalesce(round(s / n, 4), 0.0) AS mean_byte,
-                coalesce(round(sq / n - (s / n) * (s / n), 4), 0.0) AS var_byte
+                coalesce(round(sq / n - (s / n) * (s / n), 4) + 0.0, 0.0) AS var_byte
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY doc_id LIMIT 300""",
     "mm_frames" ->

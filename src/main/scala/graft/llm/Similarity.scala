@@ -1402,7 +1402,7 @@ object Similarity {
          SELECT min(a.cid) AS cid, a.vec_id AS src, b.vec_id AS dst,
                 min(round(list_reduce([a.v[k] * b.v[k] for k in generate_series(1, 64)],
                                       (x, y) -> x + y)
-                          / (sqrt(a.norm2) * sqrt(b.norm2)), 4)) AS cosine
+                          / (sqrt(a.norm2) * sqrt(b.norm2)), 4)) + 0.0 AS cosine
          FROM mem a JOIN mem b ON a.cid = b.cid AND a.vec_id <> b.vec_id
          GROUP BY a.vec_id, b.vec_id),
        g AS (SELECT cid, src, dst, cosine, rnk FROM (
@@ -1613,7 +1613,7 @@ object Similarity {
                          list_reduce(list(t.pd ORDER BY t.m), (a, b) -> a + b) AS s8
                   FROM pcodes k JOIN ptab t ON t.m = k.m AND t.cid = k.cid
                   GROUP BY t.qid, k.vec_id),
-           ap AS (SELECT c.qid, c.nid, round(q.qcdot + s.s8, 4) AS adot
+           ap AS (SELECT c.qid, c.nid, round(q.qcdot + s.s8, 4) + 0.0 AS adot
                   FROM candp c
                   JOIN s8 s ON s.qid = c.qid AND s.nid = c.nid
                   JOIN qcd q ON q.qid = c.qid AND q.cid = c.cid
@@ -1747,7 +1747,7 @@ object Similarity {
                    FROM qsub q JOIN c2 c USING (m)),
            ap AS (SELECT t.qid, k.vec_id AS nid,
                          round(list_reduce(list(t.pd ORDER BY t.m),
-                                           (a, b) -> a + b), 4) AS adot
+                                           (a, b) -> a + b), 4) + 0.0 AS adot
                   FROM codes k JOIN tab t ON t.m = k.m AND t.cid = k.cid
                   GROUP BY t.qid, k.vec_id)
          SELECT qid, rnk, nid, adot FROM (
@@ -1783,7 +1783,7 @@ object Similarity {
            ex AS (SELECT t.qid, t.nid,
                          round(list_reduce([q.v[i] * n.v[i]
                                             for i in generate_series(1, 64)],
-                                           (x, y) -> x + y), 4) AS dot
+                                           (x, y) -> x + y), 4) + 0.0 AS dot
                   FROM topr t
                   JOIN vn q ON q.vec_id = t.qid
                   JOIN vn n ON n.vec_id = t.nid)
@@ -1812,7 +1812,7 @@ object Similarity {
            cand AS (
              SELECT p.qid, i.nid,
                     round(list_reduce([q.qv[k] * i.nv[k] for k in generate_series(1, 64)],
-                                      (x, y) -> x + y) / (sqrt(q.qn) * sqrt(i.nn)), 4) AS cosine
+                                      (x, y) -> x + y) / (sqrt(q.qn) * sqrt(i.nn)), 4) + 0.0 AS cosine
              FROM probes p JOIN inv i USING (cid) JOIN q ON q.qid = p.qid
              WHERE p.qid <> i.nid)
          SELECT qid, rnk, nid, cosine FROM (
@@ -1833,7 +1833,7 @@ object Similarity {
            cand AS (
              SELECT p.qid, i.nid,
                     round(list_reduce([q.qv[k] * i.nv[k] for k in generate_series(1, 64)],
-                                      (x, y) -> x + y) / (sqrt(q.qn) * sqrt(i.nn)), 4) AS cosine
+                                      (x, y) -> x + y) / (sqrt(q.qn) * sqrt(i.nn)), 4) + 0.0 AS cosine
              FROM probes p JOIN inv i USING (cid) JOIN q ON q.qid = p.qid
              WHERE p.qid <> i.nid)
          SELECT qid, rnk, nid, cosine FROM (
@@ -2072,7 +2072,7 @@ object Similarity {
              SELECT c.qid AS vec_id, c.corpus_vec,
                     round(list_reduce([a.dv[i] * b.dv[i] for i in generate_series(1, 64)],
                                       (x, y) -> x + y)
-                          / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) AS cosine
+                          / (sqrt(na.norm2) * sqrt(nb.norm2)), 4) + 0.0 AS cosine
              FROM pcand c
              JOIN dv a ON a.vec_id = c.qid JOIN dv b ON b.vec_id = c.corpus_vec
              JOIN n na ON na.vec_id = c.qid JOIN n nb ON nb.vec_id = c.corpus_vec)
@@ -2099,7 +2099,7 @@ object Similarity {
              SELECT q.vec_id AS qid, c.vec_id AS nid,
                     round(list_reduce([q.v[i] * c.v[i] for i in generate_series(1, len(q.v))],
                                       (x, y) -> x + y)
-                          / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) AS cosine
+                          / (sqrt(nq.norm2) * sqrt(nc.norm2)), 4) + 0.0 AS cosine
              FROM vecs q JOIN vecs c ON q.vec_id <> c.vec_id
              JOIN n nq ON nq.vec_id = q.vec_id
              JOIN n nc ON nc.vec_id = c.vec_id

@@ -1318,7 +1318,7 @@ object TextOps {
            cf AS (SELECT w, count(*) AS c_w FROM t2 GROUP BY 1)
          SELECT source, CAST(max(n_src) AS BIGINT) AS n_tok,
                 round(sum((c_sw * 1.0 / n_src) *
-                          ln((c_sw * 1.0 * n_all) / (n_src * 1.0 * c_w))), 4) AS kl
+                          ln((c_sw * 1.0 * n_all) / (n_src * 1.0 * c_w))), 4) + 0.0 AS kl
          FROM sf JOIN st USING (source) JOIN cf USING (w) CROSS JOIN ct
          GROUP BY source ORDER BY source""",
     "text_dsir" ->
@@ -1340,7 +1340,7 @@ object TextOps {
                   FROM rc LEFT JOIN tc USING (b) CROSS JOIN tot)
          SELECT f.doc_id, count(*) AS n_feat,
                 round(CAST(sum(CAST(lr.lr AS DECIMAL(28,12))) AS DOUBLE)
-                      / count(*), 4) AS dsir_w,
+                      / count(*), 4) + 0.0 AS dsir_w,
                 round(CAST(sum(CAST(lr.lr AS DECIMAL(28,12))) AS DOUBLE)
                       / count(*), 4) > 0 AS selected
          FROM f JOIN lr ON f.b = lr.b

@@ -727,8 +727,8 @@ object Aggregates {
                   a4 - 4 * m1 * a3 + 6 * m1 * m1 * a2 - 3 * power(m1, 4) AS m4
            FROM m)
          SELECT event_type, n, s1, round(m1, 2) AS mean, var_p, std_p,
-                round(m3 / power(m2, 1.5), 4) AS skew_p,
-                round(m4 / (m2 * m2) - 3, 4) AS kurt_p
+                round(m3 / power(m2, 1.5), 4) + 0.0 AS skew_p,
+                round(m4 / (m2 * m2) - 3, 4) + 0.0 AS kurt_p
          FROM c ORDER BY event_type""",
     "agg_collect_set" ->
       """SELECT l_linestatus,

@@ -291,9 +291,9 @@ object Expressions {
                 lower(trim(lang)) AS lang_lc
          FROM documents ORDER BY doc_id LIMIT 100""",
     "arith_nullskip" ->
-      """SELECT round(sum(ab), 2) AS sum_ab,
+      """SELECT round(sum(ab), 2) + 0.0 AS sum_ab,
                 CAST(count(*) FILTER (WHERE cd IS NULL) AS BIGINT) AS n_cd_null,
-                round(sum(cd), 2) AS sum_cd
+                round(sum(cd), 2) + 0.0 AS sum_cd
          FROM (SELECT CASE WHEN value IS NULL AND b IS NULL THEN NULL
                            ELSE coalesce(value, 0.0) + coalesce(b, 0.0) END AS ab,
                       CASE WHEN c IS NULL AND dd IS NULL THEN NULL
@@ -310,7 +310,7 @@ object Expressions {
          FROM events GROUP BY 1 ORDER BY 1""",
     "cond_coalesce" ->
       """SELECT event_type,
-                round(sum(coalesce(CASE WHEN value > 100.0 THEN NULL ELSE value END, -1.0)), 2) AS sum_v2,
+                round(sum(coalesce(CASE WHEN value > 100.0 THEN NULL ELSE value END, -1.0)), 2) + 0.0 AS sum_v2,
                 count(*) AS n
          FROM events GROUP BY event_type ORDER BY event_type""",
     "cond_case" ->

@@ -524,7 +524,7 @@ object Relational {
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     "join_outer" ->
       """SELECT o_orderstatus, count(*) AS n_orders, count(c_custkey) AS n_matched,
-                round(sum(c_acctbal), 2) AS sum_bal
+                round(sum(c_acctbal), 2) + 0.0 AS sum_bal
          FROM orders LEFT JOIN customer
            ON o_custkey = c_custkey AND c_acctbal > 5000.0
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",

@@ -32,6 +32,11 @@ def eq_cell(a, b):
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
+        # The driver hashes pandas values bitwise: -0.0 != +0.0 there, so
+        # mirror that here (plain == treats them as equal and once hid a
+        # real driver failure — the r13 text_dsir signed-zero cell).
+        if a == 0.0 and b == 0.0:
+            return math.copysign(1.0, a) == math.copysign(1.0, b)
         return a == b
     import numpy as np
     if isinstance(a, (list, tuple, np.ndarray)) or isinstance(b, (list, tuple, np.ndarray)):
