@@ -335,6 +335,11 @@ object Jx {
     val plainEmbeddings = corpusNode.isObject &&
       corpusNode.size() == 1 &&
       opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "embeddings")
+    // same shape test against the plain standard documents corpus, shared
+    // by the pair_centrality / quality_monitor / canonical / topic_mix
+    // store-routing cases below
+    val plainDocuments = corpusNode.isObject && corpusNode.size() == 1 &&
+      opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
     val defaultKnobs =
       opt(c, "nlist").forall(_.asInt() == 16) && opt(c, "k").forall(_.asInt() == 3)
     val storeDir = if (plainEmbeddings && defaultKnobs) dataset else None
@@ -432,9 +437,7 @@ object Jx {
       case "pair_centrality" =>
         // doc-graph PageRank: stored pair graph for the standard corpus,
         // in-plan pair chain otherwise
-        val plainDocsPc = corpusNode.isObject && corpusNode.size() == 1 &&
-          opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
-        if (plainDocsPc && dataset.isDefined)
+        if (plainDocuments && dataset.isDefined)
           graft.llm.Dedup.queries("dedup_centrality")(spark, dataset.get)
         else graft.llm.Dedup.pairCentralityOf(docs)
       case "quality_monitor" =>
@@ -443,9 +446,7 @@ object Jx {
         // same frame the dashboard quality panel serves); any other
         // corpus → the one-shot partials+merge in-plan (provably equal
         // by the ST11 oracle)
-        val plainDocsQ = corpusNode.isObject && corpusNode.size() == 1 &&
-          opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
-        if (plainDocsQ && dataset.isDefined)
+        if (plainDocuments && dataset.isDefined)
           graft.streaming.Streams.queries("stream_quality_store")(spark, dataset.get)
         else graft.llm.TextOps.qualityMergeFrom(
           graft.llm.TextOps.qualityPartialsOf(docs))
@@ -453,9 +454,7 @@ object Jx {
         // plain standard corpus + a dataset dir → probe the stored pair
         // graph (the same tables dedup_canonical reads); anything else
         // rebuilds the pair chain in-plan
-        val plainDocs = corpusNode.isObject && corpusNode.size() == 1 &&
-          opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
-        if (plainDocs && dataset.isDefined)
+        if (plainDocuments && dataset.isDefined)
           graft.llm.Dedup.queries("dedup_canonical")(spark, dataset.get)
         else graft.llm.Dedup.canonicalOf(docs)
       case "topic_mix" =>
@@ -463,8 +462,6 @@ object Jx {
         // DOCUMENTS-shaped (the thing being mixed); the topic assignment
         // comes from the stored quantizer when the service has a dataset
         // dir, else from an in-plan quantizer over the embeddings table
-        val plainDocuments = corpusNode.isObject && corpusNode.size() == 1 &&
-          opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
         val alpha = opt(c, "alpha").map(_.asDouble()).getOrElse(0.5)
         if (plainDocuments && defaultKnobs && alpha == 0.5 && dataset.isDefined)
           graft.llm.Similarity.textTopicMix(spark, dataset.get)

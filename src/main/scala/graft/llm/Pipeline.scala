@@ -106,7 +106,13 @@ object Pipeline {
         .filter(col("jaccard") >= jaccardThreshold))
     val dropIds = canonicalQuality match {
       case Some(chars) =>
-        val q = hygCorpus.join(chars, Seq("doc_id"))
+        // Left join with n_chars defaulting to 0: a clustered doc missing
+        // from the caller's quality frame still competes (at the lowest
+        // quality band) instead of silently dropping out — an all-missing
+        // cluster degrades to the min-id survivor rule rather than losing
+        // every member.
+        val q = hygCorpus.join(chars, Seq("doc_id"), "left")
+          .withColumn("n_chars", coalesce(col("n_chars"), lit(0)))
           .withColumn("toks", split(col("text"), " "))
           .withColumn("n_stop",
             size(expr("filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))")))

@@ -1311,9 +1311,16 @@ object Similarity {
     val powExpr =
       if (alpha == 0.5) "sqrt(cast(n_tokens as double))"
       else s"pow(cast(n_tokens as double), ${alpha}d)"
-    val byTopic = assign.join(docs, assign("vec_id") === docs("doc_id"))
-      .groupBy(col("cid").as("topic"))
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    // Full-outer so a partial embeddings table can't silently skew the
+    // rebalance: documents without an assignment (and assigned vec_ids
+    // without a document row) surface as a diagnostic topic = -1 group
+    // instead of vanishing. With one assignment per doc the output is
+    // identical to the inner-join form.
+    val byTopic = assign.join(docs, assign("vec_id") === docs("doc_id"),
+        "full_outer")
+      .groupBy(coalesce(col("cid"), lit(-1)).as("topic"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
       .withColumn("pow",
         expr(s"cast(round($powExpr, 6) as decimal(38,6))"))
     val tot = byTopic.agg(

@@ -291,7 +291,12 @@ object Streams {
     val signed = graft.llm.Dedup.minhashInRow(batch).localCheckpoint()
     def withDelta(basePath: String, deltaPath: String, cols: Seq[String]) = {
       val b = s.read.parquet(basePath).selectExpr(cols: _*)
-      if (new java.io.File(deltaPath).exists())
+      // Resolve through Hadoop's FileSystem so URI paths (file:/, hdfs:,
+      // s3a:) see their deltas too — java.io.File would silently report
+      // false for any non-local path and drop cross-batch pairs.
+      val p = new org.apache.hadoop.fs.Path(deltaPath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
         b.unionByName(s.read.parquet(deltaPath).selectExpr(cols: _*))
       else b
     }
