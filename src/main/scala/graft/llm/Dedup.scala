@@ -1353,12 +1353,20 @@ object Dedup {
   /** The same CTE chain over any (doc_id, text) relation — the composed
     * pipeline points it at its cleaned/redacted CTE. */
   private[llm] def minhashCteFrom(src: String): String =
-    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+    minhashCteFromShingles(
+      s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
        sh AS (SELECT DISTINCT doc_id,
                      CAST('0x' || substr(md5(unnest(
                        [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                         for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
-              FROM toks WHERE len(t) >= 3),
+              FROM toks WHERE len(t) >= 3)""")
+
+  /** The engine-generic back half of the MinHash oracle — the universal-
+    * family signature, 4×2 banding, bucket join, and Jaccard verify over
+    * ANY provided `sh (doc_id, h)` shingle CTE. Shared by the word-shingle
+    * chain above and [[Multimodal]]'s byte-shingle payload dedup. */
+  private[llm] def minhashCteFromShingles(shCte: String): String =
+    s"""$shCte,
        hb AS (SELECT doc_id, h, h % 2147483647 AS hb FROM sh),
        sig AS (SELECT doc_id,
                       min(( 1*hb + 104729) % 2147483647) AS h0,

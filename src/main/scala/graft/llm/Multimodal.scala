@@ -122,10 +122,82 @@ object Multimodal {
       .limit(300)
   }
 
+  /** Byte shingles of the payload — the multimodal twin of
+    * [[Dedup.shinglesOf]]'s word shingles: every 4-byte window of the raw
+    * payload, hashed into the same md5-derived 60-bit space, emitted as
+    * the `(doc_id, h)` shape every MinHash consumer takes. Hex-encoding
+    * the blob once and slicing 8-char windows keeps the whole shingle
+    * pass in codegen'd Column ops (no UDF, no byte-array lambda), and is
+    * what lets the DuckDB oracle reproduce identical hashes: both engines
+    * window the SAME uppercase hex string. At 100 TB the pass is linear
+    * in payload bytes and feeds the standard banded-LSH join — payload
+    * near-dup never goes all-pairs for the same reason text near-dup
+    * doesn't. */
+  def byteShinglesOf(mm: DataFrame): DataFrame =
+    mm.withColumn("hx", hex(col("payload")))
+      .filter(length(col("hx")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, CAST(length(hx) / 2 AS INT) - 4),
+             i -> substr(hx, 2 * i + 1, 8))""")).as("sh"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(sh), 1, 15), 16, 10) AS BIGINT)").as("h"))
+      .distinct()
+
+  /** X5d: payload-level near-duplicate pairs — image/audio copy detection
+    * re-expressed on the text stand-in payloads. The ENTIRE MinHash
+    * machinery is reused verbatim over [[byteShinglesOf]]'s output
+    * (signature mins, 4×2 banding, bucket join, exact-Jaccard verify):
+    * the point of the `(doc_id, h)` shingle interface is that "what gets
+    * shingled" is the only modality-specific code. With a real codec,
+    * swap the hex windows for decoded-frame pHashes and the chain is
+    * untouched. */
+  val mmDedup: Q = (s, d) => {
+    val sh = byteShinglesOf(withPayload(t(s, d, "documents")))
+    Dedup.minhashScoredPairsFrom(sh)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), r4(col("jaccard")).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("da"), asc("db"))
+  }
+
+  /** Per-payload quality/integrity gate over the DECODED features — the
+    * multimodal twin of the text quality score, shaped for pipeline
+    * composition: (doc_id, n_bytes, mean_byte, var_byte, q, keep).
+    * Factors: payload size (tiny payloads are truncated fetches), decoded
+    * mean in the expected band (32–127 for text/plain payloads — a real
+    * codec would check luma/loudness range), non-degenerate variance
+    * (constant bytes = corrupt or blank media); `keep` additionally
+    * requires the decoded length to MATCH the metadata's n_bytes (the
+    * integrity slot a real decode failure would trip). */
+  def qualityOf(mm: DataFrame): DataFrame = {
+    val meta = mm.select(col("doc_id"), col("media.n_bytes").as("meta_bytes"))
+    decodeFeatures(mm)
+      .join(meta, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bytes"),
+        r4(col("feat")(0)).as("mean_byte"),
+        r4(col("feat")(1)).as("var_byte"),
+        r4(when(col("n_bytes") < 100, 0.2).otherwise(1.0) *
+           when(col("feat")(0).between(32.0, 127.0), 1.0).otherwise(0.5) *
+           when(col("feat")(1) > 100.0, 1.0).otherwise(0.5)).as("q"),
+        (r4(when(col("n_bytes") < 100, 0.2).otherwise(1.0) *
+            when(col("feat")(0).between(32.0, 127.0), 1.0).otherwise(0.5) *
+            when(col("feat")(1) > 100.0, 1.0).otherwise(0.5)) >= 0.5 &&
+          col("n_bytes") === col("meta_bytes")).as("keep"))
+  }
+
+  /** X5e: the gate as a driver key. Same exactness argument as
+    * mm_features: the fake codec's moments are exact integer sums under
+    * 2^53, so thresholds compare bit-identical doubles in both engines. */
+  val mmQuality: Q = (s, d) =>
+    qualityOf(withPayload(t(s, d, "documents")))
+      .orderBy("doc_id")
+      .limit(300)
+
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_frames" -> mmFrames,
-    "mm_features" -> mmFeatures)
+    "mm_features" -> mmFeatures,
+    "mm_dedup" -> mmDedup,
+    "mm_quality" -> mmQuality)
 
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
@@ -158,6 +230,54 @@ object Multimodal {
                 coalesce(round(sq / n - (s / n) * (s / n), 4) + 0.0, 0.0) AS var_byte
          FROM documents d LEFT JOIN agg USING (doc_id)
          ORDER BY doc_id LIMIT 300""",
+    // the word-shingle oracle's engine-generic back half (signature,
+    // banding, bucket join, Jaccard verify) pointed at BYTE shingles:
+    // 8-hex-char (4-byte) windows of the payload blob, md5-hashed into
+    // the same 60-bit space as the Spark side
+    "mm_dedup" ->
+      s"""WITH ${Dedup.minhashCteFromShingles(
+        """bx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     CAST('0x' || substr(md5(unnest(
+                       [substr(hx, CAST(2 * i + 1 AS INT), 8)
+                        for i in generate_series(0, CAST(len(hx) / 2 AS INT) - 4)])),
+                       1, 15) AS BIGINT) AS h
+              FROM bx WHERE len(hx) >= 8)""")}
+         SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
+         FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5
+         ORDER BY jaccard DESC, da ASC, db ASC""",
+    // mm_features' byte-moment CTE plus the quality factors; LEFT JOIN +
+    // coalesce keeps empty payloads (they gate to q=0.05, keep=false,
+    // exactly as fakeDecode's (0,0,0) row does)
+    "mm_quality" ->
+      """WITH ch AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(h, CAST(2 * i - 1 AS INT), 2) AS INT) AS b
+           FROM (SELECT doc_id, hex(encode(text)) AS h,
+                        unnest(generate_series(1, octet_length(encode(text)))) AS i
+                 FROM documents)),
+         agg AS (
+           SELECT doc_id,
+                  CAST(sum(b) AS DOUBLE) AS s,
+                  CAST(sum(b * b) AS DOUBLE) AS sq,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM ch GROUP BY doc_id),
+         q0 AS (
+           SELECT d.doc_id,
+                  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                  coalesce(s / n, 0.0) AS mean0,
+                  coalesce(sq / n - (s / n) * (s / n), 0.0) AS var0
+           FROM documents d LEFT JOIN agg USING (doc_id))
+         SELECT doc_id, n_bytes,
+                round(mean0, 4) AS mean_byte,
+                round(var0, 4) + 0.0 AS var_byte,
+                round((CASE WHEN n_bytes < 100 THEN 0.2 ELSE 1.0 END) *
+                      (CASE WHEN mean0 BETWEEN 32.0 AND 127.0 THEN 1.0 ELSE 0.5 END) *
+                      (CASE WHEN var0 > 100.0 THEN 1.0 ELSE 0.5 END), 4) AS q,
+                round((CASE WHEN n_bytes < 100 THEN 0.2 ELSE 1.0 END) *
+                      (CASE WHEN mean0 BETWEEN 32.0 AND 127.0 THEN 1.0 ELSE 0.5 END) *
+                      (CASE WHEN var0 > 100.0 THEN 1.0 ELSE 0.5 END), 4) >= 0.5 AS keep
+         FROM q0 ORDER BY doc_id LIMIT 300""",
     "mm_frames" ->
       """WITH f AS (
            SELECT doc_id,

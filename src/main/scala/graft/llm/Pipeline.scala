@@ -60,9 +60,10 @@ object Pipeline {
       ctx: Long = 2048L, nShards: Long = 8L,
       trimSpans: Boolean = false,
       qualitySources: Option[DataFrame] = None,
-      canonicalQuality: Option[DataFrame] = None): DataFrame = {
+      canonicalQuality: Option[DataFrame] = None,
+      payloadGate: Boolean = false): DataFrame = {
     val survivors = corpusSurvivors(corpus, bench, jaccardThreshold,
-      minOverlap, trimSpans, qualitySources, canonicalQuality)
+      minOverlap, trimSpans, qualitySources, canonicalQuality, payloadGate)
     TextOps.packChunks(survivors, ctx, nShards)
       .join(survivors.select(col("doc_id"), md5(col("text")).as("final_md5")),
         Seq("doc_id"))
@@ -72,11 +73,23 @@ object Pipeline {
   /** The hygiene chain up to (but not including) packing: the surviving
     * (doc_id, text) set — exposed so EXPORT consumers (the shard
     * manifest) can run on the curated corpus without the packed layout. */
-  def corpusSurvivors(corpus: DataFrame, bench: DataFrame,
+  def corpusSurvivors(corpusIn: DataFrame, bench: DataFrame,
       jaccardThreshold: Double = 0.5, minOverlap: Int = 3,
       trimSpans: Boolean = false,
       qualitySources: Option[DataFrame] = None,
-      canonicalQuality: Option[DataFrame] = None): DataFrame = {
+      canonicalQuality: Option[DataFrame] = None,
+      payloadGate: Boolean = false): DataFrame = {
+    // optional X5e stage, FIRST and on the RAW rows (payload integrity is
+    // a property of the stored bytes, not the hygienic text): decode the
+    // payload via the mapPartitions codec plumbing and keep only rows
+    // passing the multimodal quality gate
+    val corpus =
+      if (payloadGate)
+        corpusIn.join(
+          Multimodal.qualityOf(Multimodal.withPayload(corpusIn))
+            .filter(col("keep")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+      else corpusIn
     val hygCorpus0 = corpus.select(col("doc_id"), hygienicText(col("text")).as("text"))
     val hygBench = bench.select(col("doc_id"), hygienicText(col("text")).as("text"))
     // optional X4i stage, FIRST (cheap filters before expensive dedup —
@@ -212,12 +225,29 @@ object Pipeline {
         .withColumn("n_chars", length(col("text"))))
   }
 
+  /** The chain with the MULTIMODAL payload gate composed in front (X5e
+    * into X9): payloads are decoded (mapPartitions codec plumbing) and
+    * integrity/quality-gated before any text stage runs — the production
+    * order for a multimodal corpus, where a corrupt payload should never
+    * pay for shingling. At 100 TB the decode pass is the expensive stage;
+    * running it first is correct anyway because EVERY downstream consumer
+    * (dedup, packing, export) needs only its verdict, and the gate's
+    * output is a KB-scale id set. */
+  val pipelineCorpusMm: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        payloadGate = true)
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus" -> pipelineCorpus,
     "pipeline_corpus_trim" -> pipelineCorpusTrim,
     "pipeline_corpus_quality" -> pipelineCorpusQuality,
     "pipeline_corpus_canonical" -> pipelineCorpusCanonical,
-    "pipeline_corpus_manifest" -> pipelineCorpusManifest)
+    "pipeline_corpus_manifest" -> pipelineCorpusManifest,
+    "pipeline_corpus_mm" -> pipelineCorpusMm)
 
   /** Shared oracle prefix: every stage up to the survivor set.
     * `corpusSrc` is the CTE the shingle pass and survivors read (plain
@@ -304,6 +334,32 @@ object Pipeline {
                      FROM corp c JOIN qr ON qr.doc_id = c.doc_id
                      WHERE qr.rn * 2 <= qr.n_src),"""
 
+  /** The X5e gate as oracle CTEs: byte-moment quality over the RAW
+    * payload bytes (mm_quality's construction) → `corpmm`, the kept
+    * corpus slice the shingle pass reads. */
+  private val mmGateCtes: String =
+    """mmch AS (SELECT doc_id,
+                       CAST('0x' || substr(h, CAST(2 * i - 1 AS INT), 2) AS INT) AS b
+                FROM (SELECT doc_id, hex(encode(text)) AS h,
+                             unnest(generate_series(1, octet_length(encode(text)))) AS i
+                      FROM documents WHERE doc_id >= 10)),
+           mmagg AS (SELECT doc_id, CAST(sum(b) AS DOUBLE) AS s,
+                            CAST(sum(b * b) AS DOUBLE) AS sq,
+                            CAST(count(*) AS DOUBLE) AS n
+                     FROM mmch GROUP BY doc_id),
+           mmkeep AS (SELECT d.doc_id
+                      FROM documents d LEFT JOIN mmagg a USING (doc_id)
+                      WHERE d.doc_id >= 10
+                        AND round((CASE WHEN octet_length(encode(d.text)) < 100
+                                        THEN 0.2 ELSE 1.0 END) *
+                              (CASE WHEN coalesce(a.s / a.n, 0.0)
+                                         BETWEEN 32.0 AND 127.0
+                                    THEN 1.0 ELSE 0.5 END) *
+                              (CASE WHEN coalesce(a.sq / a.n - (a.s / a.n) * (a.s / a.n),
+                                                  0.0) > 100.0
+                                    THEN 1.0 ELSE 0.5 END), 4) >= 0.5),
+           corpmm AS (SELECT c.doc_id, c.text FROM corp c JOIN mmkeep USING (doc_id)),"""
+
   /** The packing tail, parameterized on the frame being packed. */
   private def packTail(src: String): String =
     s"""base AS (SELECT doc_id, doc_id % 8 AS shard,
@@ -328,6 +384,9 @@ object Pipeline {
            ${packTail("survivors")}""",
     "pipeline_corpus_quality" ->
       s"""${hygienePrefixFrom("corpq", qualityGateCtes)},
+           ${packTail("survivors")}""",
+    "pipeline_corpus_mm" ->
+      s"""${hygienePrefixFrom("corpmm", mmGateCtes)},
            ${packTail("survivors")}""",
     "pipeline_corpus_canonical" ->
       s"""${hygienePrefixFrom("corp", canonicalDroplist = true)},

@@ -35,6 +35,41 @@ class MultimodalSpec extends graft.SparkSpec {
     assert(again.map(_.toString).toSeq === out.map(_.toString).toSeq)
   }
 
+  test("byteShinglesOf + MinHash finds payload near-dups and the quality gate keeps/drops correctly") {
+    // two near-identical payloads (one word changed), one unrelated, one tiny
+    val base = (0 until 60).map(i => s"word$i").mkString(" ")
+    val other = (0 until 60).map(i => s"zq${i * 7}x").mkString(" ")
+    val mmDocs = Seq(
+      (10L, base, "en", "src0", base.length.toLong),
+      (11L, base.replace("word30", "wordXX"), "en", "src0", base.length.toLong),
+      (12L, other, "en", "src1", other.length.toLong),
+      (13L, "tiny", "en", "src1", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val mm = Multimodal.withPayload(mmDocs)
+
+    val pairs = Dedup.minhashScoredPairsFrom(Multimodal.byteShinglesOf(mm))
+      .filter(col("jaccard") >= 0.5)
+      .select("da", "db").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((10L, 11L)), s"near-dup payload pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L),
+      s"unrelated payload paired: $pairs")
+
+    val q = Multimodal.qualityOf(mm)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(q(10L) && q(11L) && q(12L), s"healthy payloads must pass: $q")
+    assert(!q(13L), s"tiny payload must gate out: $q")
+
+    // integrity slot: metadata that lies about n_bytes trips keep even
+    // when the decoded quality is fine
+    val lying = mm.withColumn("media", struct(
+      col("media.mime").as("mime"),
+      (col("media.n_bytes") + 1).as("n_bytes"),
+      col("media.hint").as("hint")))
+    val q2 = Multimodal.qualityOf(lying)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(q2.values.forall(_ == false), s"integrity mismatch must gate out: $q2")
+  }
+
   test("metadata-only queries prune the payload column from the parquet scan") {
     val dir = Files.createTempDirectory("graft-mm").toString
     Multimodal.withPayload(docs).write.mode("overwrite").parquet(dir)
