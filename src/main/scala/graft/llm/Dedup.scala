@@ -968,7 +968,7 @@ object Dedup {
       minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5)),
       docsIn)
 
-  private def canonicalFromLabels(labels: DataFrame, docsIn: DataFrame): DataFrame = {
+  private[graft] def canonicalFromLabels(labels: DataFrame, docsIn: DataFrame): DataFrame = {
     val docs = docsIn
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_stop",

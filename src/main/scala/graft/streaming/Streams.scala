@@ -333,6 +333,70 @@ object Streams {
       .select("da", "db", "jaccard").distinct()
       .orderBy(desc("jaccard"), asc("da"), asc("db"))
 
+  /** ST12b: incremental connected-component LABEL maintenance over the
+    * streamed pair store — the missing streamed maintainer for the
+    * canonical/curation layer. Labels live as (id, lbl, batch_id) rows
+    * under per-batch partitions; the CURRENT label of an id is
+    * `min(lbl)` across all its rows. That min-merge readout is what
+    * makes the store exact AND redelivery-proof: new pairs can only
+    * MERGE components, and a merge only ever LOWERS a member's label
+    * (to the new component minimum), so labels are monotone decreasing
+    * over batches and per-id min ≡ latest. A redelivered batch
+    * recomputes against already-merged state, finds nothing to remap,
+    * and writes nothing — its original partition stands, stale-but-
+    * higher rows never win a min.
+    *
+    * Cost per delta batch at 100 TB: the condensed merge graph has one
+    * node per TOUCHED component (+ new ids) — KB-scale; label rewrites
+    * touch only members of components the batch merged
+    * (delta-proportional, never corpus-proportional). */
+  def labelStoreInit(s: SparkSession, dir: String): Unit =
+    graft.llm.Dedup.clusterLabelsFrom(
+        s.read.parquet(s"$dir/pairs").select("da", "db"))
+      .withColumn("batch_id", lit(-1L))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/labels")
+
+  def labelDeltaSink(s: SparkSession, batchId: Long, dir: String): Unit = {
+    // this batch's pairs (written by pairDeltaSink just before) — the
+    // partition filter prunes to one batch directory
+    val newPairs = s.read.parquet(s"$dir/pairs")
+      .filter(col("batch_id") === batchId).select("da", "db")
+    val cur = s.read.parquet(s"$dir/labels")
+      .groupBy("id").agg(min("lbl").as("lbl"))
+    // condense each new edge to its endpoints' current component labels
+    // (an unseen endpoint represents itself); CC over this label graph
+    // yields the new minimum of every merged group
+    val condensed = newPairs
+      .join(cur.select(col("id").as("da"), col("lbl").as("la")), Seq("da"), "left")
+      .join(cur.select(col("id").as("db"), col("lbl").as("lb")), Seq("db"), "left")
+      .select(coalesce(col("la"), col("da")).as("da"),
+        coalesce(col("lb"), col("db")).as("db"))
+      .filter(col("da") =!= col("db"))
+    val rm = graft.llm.Dedup.clusterLabelsFrom(condensed)
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("old_lbl"), col("lbl").as("new_lbl"))
+    // rows this batch contributes: stored ids whose component merged
+    // (label lowered), plus first labels for the batch's new ids
+    val updatedOld = cur.join(broadcast(rm), cur("lbl") === rm("old_lbl"))
+      .select(col("id"), col("new_lbl").as("lbl"))
+    val nodes = newPairs.select(col("da").as("id"))
+      .unionByName(newPairs.select(col("db").as("id"))).distinct()
+    val newLabeled = nodes.join(cur, Seq("id"), "left_anti")
+      .join(broadcast(rm.withColumnRenamed("old_lbl", "id")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("new_lbl"), col("id")).as("lbl"))
+    updatedOld.unionByName(newLabeled)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/labels")
+  }
+
+  /** The maintained labels in [[graft.llm.Dedup.clusterLabelsFrom]]'s
+    * output shape: per-id min across every batch partition. */
+  def labelStoreReadout(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/labels")
+      .groupBy("id").agg(min("lbl").as("lbl"))
+
   /** ST10 (forward idea ac, streaming half): stream-maintained IVF
     * INVERTED-LIST delta store — the ingestion path of a continuously
     * growing ANN index. Each micro-batch of new embeddings is assigned
@@ -491,15 +555,43 @@ object Streams {
     graft.llm.TextOps.qualityMergeFrom(s.read.parquet(s"$dir/q"))
   }
 
+  /** ST12b batch twin: init + two label-maintained delta batches + an
+    * out-of-order redelivery, then `dedup_canonical`'s readout over the
+    * MAINTAINED labels — gated by dedup_canonical's oracle verbatim, so
+    * the incremental CC is held to exact equality with a full-corpus
+    * rebuild (not mere consistency). */
+  val streamCanonicalStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "canonical_store_stream", d) { dd =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val p = s"$dd/p"
+      pairStoreInit(docs.filter(col("doc_id") % 3 === 0), p)
+      labelStoreInit(s, p)
+      pairDeltaSink(docs.filter(col("doc_id") % 3 === 1), 1L, p)
+      labelDeltaSink(s, 1L, p)
+      pairDeltaSink(docs.filter(col("doc_id") % 3 === 2), 2L, p)
+      labelDeltaSink(s, 2L, p)
+      // at-least-once redelivery of batch 1 AFTER batch 2: the label
+      // store must not drift (monotone min-merge makes this a no-op)
+      pairDeltaSink(docs.filter(col("doc_id") % 3 === 1), 1L, p)
+      labelDeltaSink(s, 1L, p)
+    }
+    graft.llm.Dedup.canonicalFromLabels(
+      labelStoreReadout(s, s"$dir/p"), t(s, d, "documents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_tumbling" -> streamTumbling,
     "stream_sessions" -> streamSessions,
     "stream_join" -> streamJoin,
     "stream_join_lo" -> streamJoinLo,
     "stream_sketch_store" -> streamSketchStore,
-    "stream_quality_store" -> streamQualityStore)
+    "stream_quality_store" -> streamQualityStore,
+    "stream_canonical_store" -> streamCanonicalStore)
 
   val oracle: Map[String, String] = Map(
+    // the maintained-label canonical readout must equal a full-corpus
+    // rebuild: dedup_canonical's oracle verbatim
+    "stream_canonical_store" -> graft.llm.Dedup.oracle("dedup_canonical"),
     // the streamed store must read back identical to the batch rollup:
     // sketch_dashboard's oracle verbatim
     "stream_sketch_store" ->

@@ -159,6 +159,52 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "post-hoc redelivery drifted the pair store")
   }
 
+  test("ST12b: streamed incremental CC labels equal a full-corpus rebuild; " +
+    "out-of-order redelivery never drifts the label store") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmp("graft-st12b")
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    // the exactness target: CC labels over the full-corpus pair graph
+    val fullPairs = graft.llm.Dedup
+      .minhashScoredPairsFrom(graft.llm.Dedup.shinglesOf(docs))
+      .filter(col("jaccard") >= 0.5)
+    val full = graft.llm.Dedup.clusterLabelsFrom(fullPairs)
+      .orderBy("id").collect().map(_.toString).toSeq
+
+    Streams.pairStoreInit(docs.filter(col("doc_id") % 2 === 0), dir)
+    Streams.labelStoreInit(spark, dir)
+    val deltaRows = docs.filter(col("doc_id") % 2 =!= 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) {
+          Streams.pairDeltaSink(batch, id, dir)
+          Streams.labelDeltaSink(batch.sparkSession, id, dir)
+        }
+      }
+      .start()
+    try {
+      in.addData(deltaRows.take(deltaRows.length / 2): _*)
+      q.processAllAvailable()
+      in.addData(deltaRows.drop(deltaRows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.labelStoreReadout(spark, dir)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(readout === full,
+      "maintained labels must equal the full-corpus CC rebuild")
+    // redeliver batch 0 AFTER batch 1: merges are idempotent (monotone
+    // min-label), so the store must read back unchanged
+    Streams.pairDeltaSink(
+      deltaRows.take(deltaRows.length / 2).toSeq.toDF("doc_id", "text"), 0L, dir)
+    Streams.labelDeltaSink(spark, 0L, dir)
+    assert(readout === full, "post-hoc redelivery drifted the label store")
+  }
+
   test("ST11: the streamed quality monitor merges to the one-shot " +
     "whole-corpus readout and redelivery never double-counts") {
     val dir = tmp("graft-st11")
