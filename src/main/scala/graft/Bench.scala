@@ -91,6 +91,52 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    def gitRev: String =
+      try {
+        val h = java.nio.file.Files
+          .readString(java.nio.file.Paths.get(".git/HEAD")).trim
+        (if (h.startsWith("ref: "))
+           java.nio.file.Files.readString(
+             java.nio.file.Paths.get(".git/" + h.drop(5))).trim
+         else h).take(7)
+      } catch { case _: Throwable => "unknown" }
+    // The 2×-vs-baseline gate, computed HERE instead of by judge/builder
+    // arithmetic: find the prior [auto] BASELINE.md row at this sf whose
+    // query count is closest to this run's (most recent wins ties,
+    // excluding this tree's own row), and compare PER-QUERY mean time —
+    // like-for-like even while the surface grows. The verdict's gate is
+    // "within 2× of the recorded baseline"; ratio > 2 fails loudly in
+    // both the stdout JSON and stderr.
+    val gate: Option[(String, Int, Double, Double)] =
+      try {
+        val sfNum = sfName.stripPrefix("sf")
+        val row = ("""\| \d{4}-\d{2}-\d{2} \| ([0-9a-f]{7}) \| """ +
+          java.util.regex.Pattern.quote(sfNum) +
+          """ \| ([0-9.]+) \| \[auto\] (\d+) queries""").r
+        val rev = gitRev
+        val rows = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("BASELINE.md"))
+          .toArray.toSeq.map(_.toString)
+          .flatMap(l => row.findFirstMatchIn(l))
+          .map(m => (m.group(1), m.group(3).toInt, m.group(2).toDouble))
+          .filter(_._1 != rev)
+        if (rows.isEmpty || results.isEmpty) None
+        else {
+          val (pRev, pN, pTotal) = rows.zipWithIndex
+            .minBy { case ((_, n, _), i) =>
+              (math.abs(n - results.size), -i) }._1
+          val perQ = (total / results.size) / (pTotal / pN)
+          Some((pRev, pN, pTotal, perQ))
+        }
+      } catch { case _: Throwable => None }
+    val gateJson = gate.map { case (pRev, pN, pTotal, perQ) =>
+      f""","gate":{"vs":"$pRev/${pN}q/$pTotal%.1fs","per_query_ratio":$perQ%.2f,"pass":${perQ <= 2.0}}"""
+    }.getOrElse("")
+    gate.foreach { case (pRev, pN, pTotal, perQ) =>
+      System.err.println(
+        f"[bench] GATE ${if (perQ <= 2.0) "PASS" else "FAIL"}: " +
+          f"per-query ratio $perQ%.2fx vs $pRev ($pN queries, $pTotal%.1fs)")
+    }
     // The driver parses this line out of a BOUNDED tail of stdout: the
     // last 2000 chars, which must also hold sbt's ~75-char [success]
     // trailer — so the line budget is ~1920 chars. Precision degrades
@@ -121,7 +167,7 @@ object Bench {
         else repsUsed.filter(_._2 > reps)
           .map { case (k, v) => "\"" + k + "\":" + v }
           .mkString(""","reps_escalated":{""", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omitted,"errors":$errJson$repsJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omitted,"errors":$errJson$repsJson$gateJson,"sf":"$sfName"}"""
     }
     // Variance reporting (post-escalation): anything STILL >3× after the
     // extra reps is worth reading as a possible plan regression; big
@@ -148,16 +194,6 @@ object Bench {
     // now enforced by code, so a contended re-run can never overwrite a
     // quiet record and hand-written narrative rows are never touched.
     try {
-      def gitRev: String = {
-        val head = java.nio.file.Paths.get(".git/HEAD")
-        val h = java.nio.file.Files.readString(head).trim
-        val full =
-          if (h.startsWith("ref: "))
-            java.nio.file.Files.readString(
-              java.nio.file.Paths.get(".git/" + h.drop(5))).trim
-          else h
-        full.take(7)
-      }
       val baseline = java.nio.file.Paths.get("BASELINE.md")
       if (java.nio.file.Files.exists(baseline) && errors.isEmpty) {
         val rev = gitRev
