@@ -385,17 +385,28 @@ object Dedup {
     * `n_sh` for the exact-Jaccard verify, and `bands` (the band-key
     * array, posexplode-ready). */
   def minhashInRow(docs: DataFrame): DataFrame = {
-    val M = MinhashM
     val shArr =
       """transform(sequence(0, size(toks) - 3),
            i -> CAST(conv(substr(md5(concat(
                   element_at(toks, i + 1), ' ',
                   element_at(toks, i + 2), ' ',
                   element_at(toks, i + 3))), 1, 15), 16, 10) AS BIGINT))"""
-    val withSig = (0 until MinhashK).foldLeft(
+    minhashInRowFromHashes(
       docs.withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
-        .withColumn("hs", expr(s"array_sort(array_distinct($shArr))"))
+        .withColumn("hs", expr(s"array_sort(array_distinct($shArr))")))
+      .drop("toks")
+  }
+
+  /** The signature back half of [[minhashInRow]] over any frame already
+    * carrying `hs` (sorted distinct shingle hashes): universal-family
+    * mins and band keys as in-row array expressions. Split out so other
+    * shingle front ends (e.g. [[Multimodal]]'s byte windows) get the
+    * identical stateless signature chain. */
+  private[graft] def minhashInRowFromHashes(withHs: DataFrame): DataFrame = {
+    val M = MinhashM
+    val withSig = (0 until MinhashK).foldLeft(
+      withHs
         .withColumn("n_sh", size(col("hs")).cast("long"))
         .withColumn("hbs", expr(s"transform(hs, h -> pmod(h, ${M}L))"))) {
       (df, k) =>
@@ -404,7 +415,7 @@ object Dedup {
     }
     withSig
       .withColumn("bands", expr(minhashBandArraySql(k => s"h$k")))
-      .drop(("toks" +: "hbs" +: (0 until MinhashK).map(k => s"h$k")): _*)
+      .drop(("hbs" +: (0 until MinhashK).map(k => s"h$k")): _*)
   }
 
   /** Per-doc shingle-hash sets, the verify side of every Jaccard path:
@@ -1352,14 +1363,41 @@ object Dedup {
 
   /** The same CTE chain over any (doc_id, text) relation — the composed
     * pipeline points it at its cleaned/redacted CTE. */
-  private[llm] def minhashCteFrom(src: String): String =
-    minhashCteFromShingles(
-      s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+  /** The word-shingle front CTE alone — pair with
+    * [[minhashCteFromShingles]] or [[onlineGateOracle]]. */
+  private[llm] def wordShingleCte(src: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
        sh AS (SELECT DISTINCT doc_id,
                      CAST('0x' || substr(md5(unnest(
                        [t[i] || ' ' || t[i+1] || ' ' || t[i+2]
                         for i in generate_series(1, len(t) - 2)])), 1, 15) AS BIGINT) AS h
-              FROM toks WHERE len(t) >= 3)""")
+              FROM toks WHERE len(t) >= 3)"""
+
+  private[llm] def minhashCteFrom(src: String): String =
+    minhashCteFromShingles(wordShingleCte(src))
+
+  /** The online-gate oracle (probe slice band-joined against the corpus
+    * index, exact-Jaccard verify) over ANY `sh (doc_id, h)` shingle CTE —
+    * shared by the text gate and [[Multimodal]]'s payload gate. */
+  private[llm] def onlineGateOracle(shCte: String): String =
+    s"""WITH ${minhashCteFromShingles(shCte)},
+           probes AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
+           pc AS (SELECT DISTINCT p.doc_id AS did, c.doc_id AS corpus_doc
+                  FROM bands p
+                  JOIN probes pr ON pr.doc_id = p.doc_id
+                  JOIN bands c ON c.band = p.band AND c.bh = p.bh
+                  WHERE c.doc_id <> p.doc_id),
+           pcommon AS (SELECT pc.did, pc.corpus_doc, count(*) AS cc
+                       FROM pc JOIN sh a ON a.doc_id = pc.did
+                       JOIN sh b ON b.doc_id = pc.corpus_doc AND b.h = a.h
+                       GROUP BY 1, 2),
+           pscored AS (SELECT m.did AS doc_id, m.corpus_doc,
+                              round(cc * 1.0 / (x.n + y.n - cc), 4) AS jaccard
+                       FROM pcommon m JOIN sz x ON m.did = x.doc_id
+                       JOIN sz y ON m.corpus_doc = y.doc_id)
+         SELECT doc_id, corpus_doc, jaccard FROM pscored
+         WHERE jaccard >= 0.5
+         ORDER BY jaccard DESC, doc_id ASC, corpus_doc ASC"""
 
   /** The engine-generic back half of the MinHash oracle — the universal-
     * family signature, 4×2 banding, bucket join, and Jaccard verify over
@@ -1530,25 +1568,7 @@ object Dedup {
          ORDER BY jaccard DESC, da ASC, db ASC""",
     // online gate decision set: probe slice vs the whole corpus index;
     // threshold on the ROUNDED jaccard, matching the gate's filter
-    "dedup_online_gate" ->
-      s"""WITH $minhashCte,
-           probes AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 0),
-           pc AS (SELECT DISTINCT p.doc_id AS did, c.doc_id AS corpus_doc
-                  FROM bands p
-                  JOIN probes pr ON pr.doc_id = p.doc_id
-                  JOIN bands c ON c.band = p.band AND c.bh = p.bh
-                  WHERE c.doc_id <> p.doc_id),
-           pcommon AS (SELECT pc.did, pc.corpus_doc, count(*) AS cc
-                       FROM pc JOIN sh a ON a.doc_id = pc.did
-                       JOIN sh b ON b.doc_id = pc.corpus_doc AND b.h = a.h
-                       GROUP BY 1, 2),
-           pscored AS (SELECT m.did AS doc_id, m.corpus_doc,
-                              round(cc * 1.0 / (x.n + y.n - cc), 4) AS jaccard
-                       FROM pcommon m JOIN sz x ON m.did = x.doc_id
-                       JOIN sz y ON m.corpus_doc = y.doc_id)
-         SELECT doc_id, corpus_doc, jaccard FROM pscored
-         WHERE jaccard >= 0.5
-         ORDER BY jaccard DESC, doc_id ASC, corpus_doc ASC""",
+    "dedup_online_gate" -> onlineGateOracle(wordShingleCte("documents")),
     "dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCte,
            pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),

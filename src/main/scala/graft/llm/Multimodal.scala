@@ -192,12 +192,67 @@ object Multimodal {
       .orderBy("doc_id")
       .limit(300)
 
+  /** The STATELESS in-row form of [[byteShinglesOf]]'s signatures — hex
+    * windows, md5 hashes, minhash mins, and band keys all as array
+    * expressions on each row (no explode, no groupBy), via the shared
+    * [[Dedup.minhashInRowFromHashes]] back half. Identical output to the
+    * exploded build by the same min-over-multiset argument as the text
+    * twin (MultimodalSpec pins it), which is what lets the SAME payload
+    * index semantics gate an unbounded stream of arriving media rows:
+    * per-row map, zero state. */
+  def byteMinhashInRow(mm: DataFrame): DataFrame = {
+    val shArr =
+      """transform(sequence(0, CAST(length(hx) / 2 AS INT) - 4),
+           i -> CAST(conv(substr(md5(substr(hx, 2 * i + 1, 8)), 1, 15), 16, 10) AS BIGINT))"""
+    Dedup.minhashInRowFromHashes(
+      mm.withColumn("hx", hex(col("payload")))
+        .filter(length(col("hx")) >= 8)
+        .withColumn("hs", expr(s"array_sort(array_distinct($shArr))")))
+      .drop("hx")
+  }
+
+  /** X5f: online payload-dedup gate — the multimodal twin of
+    * `dedup_online_gate`: a probe slice of arriving payloads, signed
+    * IN-ROW, band-joined against the session-stored byte-shingle index
+    * (build-once/probe-many; the probe pays only its own signature plus
+    * two index joins — the production shape for "is this image/audio
+    * already in the corpus?" at ingest time). */
+  val mmOnlineGate: Q = (s, d) => {
+    val mm = withPayload(t(s, d, "documents"))
+    val dir = Artifacts.buildOnce(s, "mm_gate", d) { dd =>
+      val sh = byteShinglesOf(mm).localCheckpoint()
+      Dedup.minhashBandsFromShingles(sh)
+        .write.mode("overwrite").partitionBy("band").parquet(s"$dd/bands")
+      Dedup.docShingleSetsFromShingles(sh)
+        .write.mode("overwrite").parquet(s"$dd/sets")
+    }
+    Dedup.dedupAgainstCorpusSigned(
+        byteMinhashInRow(mm.filter(col("doc_id") % 10 === 0)).localCheckpoint(),
+        s.read.parquet(s"$dir/bands"), s.read.parquet(s"$dir/sets"))
+      .filter(col("doc_id") =!= col("corpus_doc"))
+      .distinct()
+      .orderBy(desc("jaccard"), asc("doc_id"), asc("corpus_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_frames" -> mmFrames,
     "mm_features" -> mmFeatures,
     "mm_dedup" -> mmDedup,
-    "mm_quality" -> mmQuality)
+    "mm_quality" -> mmQuality,
+    "mm_online_gate" -> mmOnlineGate)
+
+  /** The byte-shingle front CTE (the oracle twin of [[byteShinglesOf]]):
+    * 8-hex-char (4-byte) windows of the payload blob, md5-hashed into the
+    * same 60-bit space as the Spark side. */
+  private val byteShCte: String =
+    """bx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                     CAST('0x' || substr(md5(unnest(
+                       [substr(hx, CAST(2 * i + 1 AS INT), 8)
+                        for i in generate_series(0, CAST(len(hx) / 2 AS INT) - 4)])),
+                       1, 15) AS BIGINT) AS h
+              FROM bx WHERE len(hx) >= 8)"""
 
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
@@ -235,17 +290,13 @@ object Multimodal {
     // 8-hex-char (4-byte) windows of the payload blob, md5-hashed into
     // the same 60-bit space as the Spark side
     "mm_dedup" ->
-      s"""WITH ${Dedup.minhashCteFromShingles(
-        """bx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
-       sh AS (SELECT DISTINCT doc_id,
-                     CAST('0x' || substr(md5(unnest(
-                       [substr(hx, CAST(2 * i + 1 AS INT), 8)
-                        for i in generate_series(0, CAST(len(hx) / 2 AS INT) - 4)])),
-                       1, 15) AS BIGINT) AS h
-              FROM bx WHERE len(hx) >= 8)""")}
+      s"""WITH ${Dedup.minhashCteFromShingles(byteShCte)}
          SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
          FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5
          ORDER BY jaccard DESC, da ASC, db ASC""",
+    // the text online gate's oracle (probe slice vs corpus index) over
+    // the byte shingles
+    "mm_online_gate" -> Dedup.onlineGateOracle(byteShCte),
     // mm_features' byte-moment CTE plus the quality factors; LEFT JOIN +
     // coalesce keeps empty payloads (they gate to q=0.05, keep=false,
     // exactly as fakeDecode's (0,0,0) row does)

@@ -54,6 +54,17 @@ class MultimodalSpec extends graft.SparkSpec {
     assert(!pairs.exists(p => p._1 == 12L || p._2 == 12L),
       s"unrelated payload paired: $pairs")
 
+    // the stateless in-row payload signature must equal the exploded
+    // index build bit-for-bit (the property that lets a stream reuse the
+    // stored index semantics) — same pin as the text twin in DedupSpec
+    val inRow = Multimodal.byteMinhashInRow(mm)
+      .select(col("doc_id"), posexplode(col("bands")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+      .orderBy("doc_id", "band").collect().map(_.toString).toSeq
+    val exploded = Dedup.minhashBandsFromShingles(Multimodal.byteShinglesOf(mm))
+      .orderBy("doc_id", "band").collect().map(_.toString).toSeq
+    assert(inRow === exploded, "in-row payload signature diverged from index build")
+
     val q = Multimodal.qualityOf(mm)
       .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
     assert(q(10L) && q(11L) && q(12L), s"healthy payloads must pass: $q")
