@@ -345,6 +345,10 @@ object Jx {
     val storeDir = if (plainEmbeddings && defaultKnobs) dataset else None
     req(c, "op").asText() match {
       case "quality_gate" => graft.llm.TextOps.qualityFilterOf(docs)
+      // X5 through the query surface: the payload wrap + decode +
+      // gate/dedup chains over the documents-shaped corpus node
+      case "payload_quality" => graft.llm.Multimodal.qualityReport(docs)
+      case "payload_dedup" => graft.llm.Multimodal.dedupPairsOf(docs)
       case "source_kl" => graft.llm.TextOps.sourceKlOf(docs)
       case "token_budget" => graft.llm.TextOps.tokenBudgetOf(docs,
         opt(c, "quota").map(_.asLong()).getOrElse(300L),

@@ -273,6 +273,12 @@ object JxQueries {
   private val sourceKlJson = """{
     "corpus_op": {"op": "source_kl", "corpus": {"from": "documents"}}}"""
 
+  private val payloadQualityJson = """{
+    "corpus_op": {"op": "payload_quality", "corpus": {"from": "documents"}}}"""
+
+  private val payloadDedupJson = """{
+    "corpus_op": {"op": "payload_dedup", "corpus": {"from": "documents"}}}"""
+
   private val semanticDedupJson = """{
     "corpus_op": {"op": "semantic_dedup", "corpus": {"from": "embeddings"}}}"""
 
@@ -377,6 +383,10 @@ object JxQueries {
     "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))),
     "jx_pipeline" -> ((s, d) => Jx.run(s, pipelineJson, name => t(s, d, name))),
     "jx_quality_gate" -> ((s, d) => Jx.run(s, qualityGateJson, name => t(s, d, name))),
+    "jx_payload_quality" ->
+      ((s, d) => Jx.run(s, payloadQualityJson, name => t(s, d, name))),
+    "jx_payload_dedup" ->
+      ((s, d) => Jx.run(s, payloadDedupJson, name => t(s, d, name))),
     "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
     "jx_semantic_dedup" ->
       ((s, d) => Jx.run(s, semanticDedupJson, name => t(s, d, name), Some(d))),
@@ -422,6 +432,8 @@ object JxQueries {
     // same single-surface contract for the corpus ops: the jx front end
     // must land on the Column API's exact decision set
     "jx_quality_gate" -> graft.llm.TextOps.oracle("text_quality_filter"),
+    "jx_payload_quality" -> graft.llm.Multimodal.oracle("mm_quality"),
+    "jx_payload_dedup" -> graft.llm.Multimodal.oracle("mm_dedup"),
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
     "jx_semantic_dedup" -> graft.llm.Similarity.oracle("sim_semantic_dedup"),
     "jx_overlap" -> graft.llm.Dedup.oracle("dedup_corpus_overlap"),

@@ -151,13 +151,15 @@ object Multimodal {
     * shingled" is the only modality-specific code. With a real codec,
     * swap the hex windows for decoded-frame pHashes and the chain is
     * untouched. */
-  val mmDedup: Q = (s, d) => {
-    val sh = byteShinglesOf(withPayload(t(s, d, "documents")))
-    Dedup.minhashScoredPairsFrom(sh)
+  val mmDedup: Q = (s, d) => dedupPairsOf(t(s, d, "documents"))
+
+  /** [[mmDedup]] over ANY documents-shaped frame — the jx `corpus_op`
+    * front end's entry (same contract as [[Dedup.canonicalOf]]). */
+  def dedupPairsOf(docsIn: DataFrame): DataFrame =
+    Dedup.minhashScoredPairsFrom(byteShinglesOf(withPayload(docsIn)))
       .filter(col("jaccard") >= 0.5)
       .select(col("da"), col("db"), r4(col("jaccard")).as("jaccard"))
       .orderBy(desc("jaccard"), asc("da"), asc("db"))
-  }
 
   /** Per-payload quality/integrity gate over the DECODED features — the
     * multimodal twin of the text quality score, shaped for pipeline
@@ -187,8 +189,12 @@ object Multimodal {
   /** X5e: the gate as a driver key. Same exactness argument as
     * mm_features: the fake codec's moments are exact integer sums under
     * 2^53, so thresholds compare bit-identical doubles in both engines. */
-  val mmQuality: Q = (s, d) =>
-    qualityOf(withPayload(t(s, d, "documents")))
+  val mmQuality: Q = (s, d) => qualityReport(t(s, d, "documents"))
+
+  /** [[mmQuality]] over ANY documents-shaped frame — the jx `corpus_op`
+    * front end's entry. */
+  def qualityReport(docsIn: DataFrame): DataFrame =
+    qualityOf(withPayload(docsIn))
       .orderBy("doc_id")
       .limit(300)
 
