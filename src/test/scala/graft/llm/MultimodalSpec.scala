@@ -81,6 +81,38 @@ class MultimodalSpec extends graft.SparkSpec {
     assert(q2.values.forall(_ == false), s"integrity mismatch must gate out: $q2")
   }
 
+  test("streamed payload gate: an arriving near-dup payload is flagged " +
+    "against the byte-shingle index, a novel payload is not") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = (0 until 60).map(i => s"word$i").mkString(" ")
+    val corpus = Seq((1L, base, "en", "src0", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpusSh = Multimodal.byteShinglesOf(Multimodal.withPayload(corpus))
+    val bands = Dedup.minhashBandsFromShingles(corpusSh)
+    val sets = Dedup.docShingleSetsFromShingles(corpusSh)
+
+    val nearDup = base.replace("word30", "wordXX")
+    val novel = (0 until 60).map(i => s"zq${i * 7}x").mkString(" ")
+    val in = MemoryStream[(Long, String, String)](spark)
+    // the stream signs each arriving payload IN-ROW (stateless) and
+    // probes the prebuilt index — the gate's production shape
+    val q = Dedup.dedupAgainstCorpusSigned(
+        Multimodal.byteMinhashInRow(Multimodal.withPayload(
+          in.toDF().toDF("doc_id", "text", "lang"))),
+        bands, sets)
+      .writeStream.format("memory").queryName("mmgate")
+      .outputMode("append").start()
+    try {
+      in.addData((1000L, nearDup, "en"), (1001L, novel, "en"))
+      q.processAllAvailable()
+      val hits = spark.table("mmgate")
+        .select("doc_id", "corpus_doc").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits.contains((1000L, 1L)), s"near-dup payload not flagged: $hits")
+      assert(!hits.exists(_._1 == 1001L), s"novel payload falsely flagged: $hits")
+    } finally q.stop()
+  }
+
   test("metadata-only queries prune the payload column from the parquet scan") {
     val dir = Files.createTempDirectory("graft-mm").toString
     Multimodal.withPayload(docs).write.mode("overwrite").parquet(dir)
