@@ -348,7 +348,13 @@ object Jx {
       // X5 through the query surface: the payload wrap + decode +
       // gate/dedup chains over the documents-shaped corpus node
       case "payload_quality" => graft.llm.Multimodal.qualityReport(docs)
-      case "payload_dedup" => graft.llm.Multimodal.dedupPairsOf(docs)
+      case "payload_dedup" =>
+        // plain standard corpus + dataset dir → probe the stored payload
+        // pair graph (the same table mm_dedup reads); otherwise rebuild
+        // the byte-shingle chain in-plan
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Multimodal.queries("mm_dedup")(spark, dataset.get)
+        else graft.llm.Multimodal.dedupPairsOf(docs)
       case "source_kl" => graft.llm.TextOps.sourceKlOf(docs)
       case "token_budget" => graft.llm.TextOps.tokenBudgetOf(docs,
         opt(c, "quota").map(_.asLong()).getOrElse(300L),

@@ -386,7 +386,7 @@ object JxQueries {
     "jx_payload_quality" ->
       ((s, d) => Jx.run(s, payloadQualityJson, name => t(s, d, name))),
     "jx_payload_dedup" ->
-      ((s, d) => Jx.run(s, payloadDedupJson, name => t(s, d, name))),
+      ((s, d) => Jx.run(s, payloadDedupJson, name => t(s, d, name), Some(d))),
     "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
     "jx_semantic_dedup" ->
       ((s, d) => Jx.run(s, semanticDedupJson, name => t(s, d, name), Some(d))),

@@ -688,6 +688,12 @@ object Dedup {
         Seq("band", "bh"))
       .join(corpusSets.select(col("doc_id").as("corpus_doc"),
         col("hs").as("corpus_hs"), col("n_sh").as("corpus_n")), Seq("corpus_doc"))
+      // length-ratio prune (prefix-filter literature): jaccard >= jt
+      // forces min(|A|,|B|) >= jt * max(|A|,|B|) — a necessary condition,
+      // so candidates failing it are dropped BEFORE paying the array
+      // intersect; exactness preserved
+      .filter(least(col("n_sh"), col("corpus_n")) >=
+        lit(jt) * greatest(col("n_sh"), col("corpus_n")))
       .withColumn("c", graft.functions.SortedIntersectCount(col("hs"), col("corpus_hs")))
       .withColumn("jaccard",
         r4(col("c").cast("double") / (col("n_sh") + col("corpus_n") - col("c"))))
