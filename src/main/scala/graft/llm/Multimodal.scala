@@ -281,13 +281,49 @@ object Multimodal {
       .orderBy(desc("jaccard"), asc("doc_id"), asc("corpus_doc"))
   }
 
+  /** X5g: per-source payload health — the dashboard-shaped rollup of the
+    * quality gate (n, kept, keep rate, mean quality per source). The mean
+    * sums through DECIMAL (q is already 4-dp, so the cast is exact) —
+    * the §4.1 order-independence rule for decision-feeding means. */
+  val mmQualityBySource: Q = (s, d) => {
+    val mm = withPayload(t(s, d, "documents"))
+    qualityOf(mm).join(mm.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        r4(expr("sum(cast(q as decimal(14,4)))").cast("double") /
+          count(lit(1))).as("mean_q"))
+      .withColumn("keep_rate",
+        r4(col("n_keep").cast("double") / col("n_docs")))
+      .select("source", "n_docs", "n_keep", "keep_rate", "mean_q")
+      .orderBy("source")
+  }
+
+  /** X5h: payload near-dup pressure — the one-row monitoring summary of
+    * the stored pair graph (pair count, docs touched, mean sampled
+    * Jaccard via exact decimal sum). KB-scale probe of [[mmDedup]]'s
+    * store. */
+  val mmDedupStats: Q = (s, d) => {
+    val pairs = mmDedup(s, d)
+    val docs = pairs.select(col("da").as("id"))
+      .unionByName(pairs.select(col("db").as("id")))
+      .agg(countDistinct("id").as("n_docs"))
+    pairs.agg(count(lit(1)).as("n_pairs"),
+        r4(expr("sum(cast(jaccard as decimal(14,4)))").cast("double") /
+          count(lit(1))).as("mean_jaccard"))
+      .crossJoin(docs)
+      .select("n_pairs", "n_docs", "mean_jaccard")
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_meta" -> mmMeta,
     "mm_frames" -> mmFrames,
     "mm_features" -> mmFeatures,
     "mm_dedup" -> mmDedup,
     "mm_quality" -> mmQuality,
-    "mm_online_gate" -> mmOnlineGate)
+    "mm_online_gate" -> mmOnlineGate,
+    "mm_quality_by_source" -> mmQualityBySource,
+    "mm_dedup_stats" -> mmDedupStats)
 
   /** The byte-shingle front CTE (the oracle twin of [[byteShinglesOf]]):
     * 8-hex-char (4-byte) windows of the payload blob, md5-hashed into the
@@ -345,6 +381,19 @@ object Multimodal {
     // the text online gate's oracle (probe slice vs corpus index) over
     // the byte shingles
     "mm_online_gate" -> Dedup.onlineGateOracle(byteShCte),
+    // pair-graph monitoring summary over the same chain; mean jaccard
+    // through the exact decimal sum
+    "mm_dedup_stats" ->
+      s"""WITH ${Dedup.minhashCteFromShingles(byteShCte)},
+           fp AS (SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
+                  FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           dd AS (SELECT count(DISTINCT id) AS n_docs FROM
+                    (SELECT da AS id FROM fp UNION ALL SELECT db FROM fp))
+         SELECT count(*) AS n_pairs,
+                CAST(dd.n_docs AS BIGINT) AS n_docs,
+                round(CAST(sum(CAST(jaccard AS DECIMAL(14,4))) AS DOUBLE)
+                      / count(*), 4) AS mean_jaccard
+         FROM fp CROSS JOIN dd GROUP BY dd.n_docs""",
     // mm_features' byte-moment CTE plus the quality factors; LEFT JOIN +
     // coalesce keeps empty payloads (they gate to q=0.05, keep=false,
     // exactly as fakeDecode's (0,0,0) row does)
@@ -377,6 +426,40 @@ object Multimodal {
                       (CASE WHEN mean0 BETWEEN 32.0 AND 127.0 THEN 1.0 ELSE 0.5 END) *
                       (CASE WHEN var0 > 100.0 THEN 1.0 ELSE 0.5 END), 4) >= 0.5 AS keep
          FROM q0 ORDER BY doc_id LIMIT 300""",
+    // mm_quality's byte-moment chain rolled up per source; means sum
+    // through DECIMAL(14,4) (q is 4-dp, the cast is exact)
+    "mm_quality_by_source" ->
+      """WITH ch AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(h, CAST(2 * i - 1 AS INT), 2) AS INT) AS b
+           FROM (SELECT doc_id, hex(encode(text)) AS h,
+                        unnest(generate_series(1, octet_length(encode(text)))) AS i
+                 FROM documents)),
+         agg AS (
+           SELECT doc_id,
+                  CAST(sum(b) AS DOUBLE) AS s,
+                  CAST(sum(b * b) AS DOUBLE) AS sq,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM ch GROUP BY doc_id),
+         q0 AS (
+           SELECT d.doc_id, d.source,
+                  CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                  coalesce(s / n, 0.0) AS mean0,
+                  coalesce(sq / n - (s / n) * (s / n), 0.0) AS var0
+           FROM documents d LEFT JOIN agg USING (doc_id)),
+         qq AS (
+           SELECT doc_id, source,
+                  round((CASE WHEN n_bytes < 100 THEN 0.2 ELSE 1.0 END) *
+                        (CASE WHEN mean0 BETWEEN 32.0 AND 127.0 THEN 1.0 ELSE 0.5 END) *
+                        (CASE WHEN var0 > 100.0 THEN 1.0 ELSE 0.5 END), 4) AS q
+           FROM q0)
+         SELECT source, count(*) AS n_docs,
+                CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+                round(CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE)
+                      / count(*), 4) AS keep_rate,
+                round(CAST(sum(CAST(q AS DECIMAL(14,4))) AS DOUBLE)
+                      / count(*), 4) AS mean_q
+         FROM qq GROUP BY source ORDER BY source""",
     "mm_frames" ->
       """WITH f AS (
            SELECT doc_id,

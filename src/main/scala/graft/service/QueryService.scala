@@ -113,6 +113,18 @@ object QueryService {
     // readout over the stored quantizer (text_topic_mix's frame); both
     // sections are byte-identical to their driver keys, so the panel
     // inherits their oracles, and both are KB-scale store probes.
+    // {"view": "payload"}: the MULTIMODAL HEALTH PANEL — `sources` is
+    // the per-source payload quality/keep-rate rollup, `pairs` the
+    // near-dup-pressure summary of the stored payload pair graph; both
+    // sections are byte-identical to their driver keys
+    // (mm_quality_by_source / mm_dedup_stats), so the panel inherits
+    // their oracles, and the pairs section is a KB-scale store probe.
+    if (Option(q.get("view")).exists(_.asText() == "payload")) {
+      return s"""{"sources":${graft.jx.Jx.listJson(
+          graft.llm.Multimodal.queries("mm_quality_by_source")(spark, dataset))},""" +
+        s""""pairs":${graft.jx.Jx.listJson(
+          graft.llm.Multimodal.queries("mm_dedup_stats")(spark, dataset))}}"""
+    }
     if (Option(q.get("view")).exists(_.asText() == "quality")) {
       return s"""{"sources":${graft.jx.Jx.listJson(
           graft.streaming.Streams.queries("stream_quality_store")(spark, dataset))},""" +

@@ -332,6 +332,32 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the dashboard payload view serves the per-source payload health " +
+    "and the pair-graph pressure summary") {
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = postPath(HttpClient.newHttpClient(), server.getAddress.getPort,
+        "/dashboard", """{"view": "payload"}""")
+      assert(r.statusCode() === 200)
+      val panel = mapper.readTree(r.body())
+      Seq("sources", "pairs").foreach(s =>
+        assert(panel.has(s), s"missing panel section $s"))
+      // each section is its driver key's frame byte-for-byte
+      val sources = panel.get("sources").get("data")
+      val direct = graft.llm.Multimodal
+        .queries("mm_quality_by_source")(spark, sf).collect()
+      assert(sources.size() === direct.length)
+      assert(sources.get(0).get("keep_rate").asDouble() ===
+        direct.head.getAs[Double]("keep_rate"))
+      val pairs = panel.get("pairs").get("data")
+      assert(pairs.size() === 1)
+      Seq("n_pairs", "n_docs", "mean_jaccard")
+        .foreach(c => assert(pairs.get(0).has(c), s"missing pairs column $c"))
+    } finally server.stop(0)
+  }
+
   test("a malformed dashboard day answers 400; without a dataset the route is absent") {
     val server = QueryService.start(spark, _ => spark.emptyDataFrame,
       dataset = Some(sf))
