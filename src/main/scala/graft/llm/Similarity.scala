@@ -1311,22 +1311,15 @@ object Similarity {
     val powExpr =
       if (alpha == 0.5) "sqrt(cast(n_tokens as double))"
       else s"pow(cast(n_tokens as double), ${alpha}d)"
-    // Full-outer so a partial embeddings table can't silently skew the
-    // rebalance: documents without an assignment (and assigned vec_ids
-    // without a document row) surface as a diagnostic topic = -1 group
-    // instead of vanishing. With one assignment per doc the output is
-    // identical to the inner-join form.
-    val byTopic = assign.join(docs, assign("vec_id") === docs("doc_id"),
-        "full_outer")
-      .groupBy(coalesce(col("cid"), lit(-1)).as("topic"))
-      .agg(count(lit(1)).as("n_docs"),
-        coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+    val byTopic = assign.join(docs, assign("vec_id") === docs("doc_id"))
+      .groupBy(col("cid").as("topic"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
       .withColumn("pow",
         expr(s"cast(round($powExpr, 6) as decimal(38,6))"))
     val tot = byTopic.agg(
       sum("n_tokens").as("tot_tokens"),
       sum("pow").as("tot_pow"))
-    byTopic.crossJoin(broadcast(tot))
+    val mixed = byTopic.crossJoin(broadcast(tot))
       .withColumn("share",
         r4(col("n_tokens").cast("double") / col("tot_tokens")))
       .withColumn("target_share",
@@ -1334,7 +1327,22 @@ object Similarity {
       .select(col("topic"), col("n_docs"), col("n_tokens"),
         col("share"), col("target_share"),
         r4(col("target_share") / col("share")).as("sample_ratio"))
-      .orderBy("topic")
+    // Surface unassigned mass so a PARTIAL embeddings/assignment table
+    // can't silently skew the rebalance (docs outside the assignment used
+    // to vanish): one diagnostic topic = -1 row carrying the uncovered
+    // doc/token mass, with NULL shares — it is an alarm, not a topic, so
+    // the rebalance math over the assigned corpus is untouched. Absent
+    // when coverage is complete.
+    val unassigned = docs
+      .join(assign.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum("n_tok"), lit(0L)).as("n_tokens"))
+      .filter(col("n_docs") > 0)
+      .select(lit(-1L).as("topic"), col("n_docs"), col("n_tokens"),
+        lit(null).cast("double").as("share"),
+        lit(null).cast("double").as("target_share"),
+        lit(null).cast("double").as("sample_ratio"))
+    mixed.unionByName(unassigned).orderBy("topic")
   }
 
   val queries: Map[String, Q] = Map(
@@ -1689,10 +1697,22 @@ object Similarity {
                              round(CAST(n_tokens AS DOUBLE) / tot_tokens, 4) AS share,
                              round(CAST(pow AS DOUBLE) / CAST(tot_pow AS DOUBLE), 4)
                                AS target_share
-                      FROM btp CROSS JOIN tot)
-         SELECT topic, n_docs, n_tokens, share, target_share,
-                round(target_share / share, 4) AS sample_ratio
-         FROM shares ORDER BY topic""",
+                      FROM btp CROSS JOIN tot),
+           unassigned AS (SELECT CAST(-1 AS BIGINT) AS topic,
+                                 count(*) AS n_docs,
+                                 CAST(coalesce(sum(d.n_tok), 0) AS BIGINT) AS n_tokens,
+                                 CAST(NULL AS DOUBLE) AS share,
+                                 CAST(NULL AS DOUBLE) AS target_share,
+                                 CAST(NULL AS DOUBLE) AS sample_ratio
+                          FROM dt d
+                          WHERE d.doc_id NOT IN (SELECT vec_id FROM assign)
+                          HAVING count(*) > 0)
+         SELECT * FROM (
+           SELECT topic, n_docs, n_tokens, share, target_share,
+                  round(target_share / share, 4) AS sample_ratio
+           FROM shares
+           UNION ALL SELECT * FROM unassigned)
+         ORDER BY topic""",
     // full PQ replay: subspace slices → per-subspace 2-iteration Lloyd
     // (decimal-exact means, argmin tie-broken by cid) → codes → ADC table
     // → m-ordered fold. Rounds BEFORE ranking, same as the Spark side.
