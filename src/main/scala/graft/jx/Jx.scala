@@ -356,6 +356,23 @@ object Jx {
           graft.llm.Multimodal.queries("mm_dedup")(spark, dataset.get)
         else graft.llm.Multimodal.dedupPairsOf(docs)
       case "source_kl" => graft.llm.TextOps.sourceKlOf(docs)
+      case "mix_schedule" => graft.llm.TextOps.mixScheduleOf(docs,
+        opt(c, "budget_pct").map(_.asLong()).getOrElse(200L),
+        opt(c, "max_epochs").map(_.asLong()).getOrElse(4L))
+      case "novelty" => graft.llm.TextOps.ngramNoveltyOf(docs)
+      case "fertility" =>
+        // standard corpus + dataset → probe the stored BPE vocabulary
+        // (the same artifact text_fertility reads); otherwise train the
+        // vocab in-plan from the corpus subquery itself
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.TextOps.queries("text_fertility")(spark, dataset.get)
+        else graft.llm.TextOps.fertilityOf(docs,
+          graft.llm.TextOps.fertilityVocabOf(docs))
+      case "knn_join" => storeDir match {
+        case Some(dd) => graft.llm.Similarity.queries("sim_knn_join")(spark, dd)
+        case None => graft.llm.Similarity.knnJoinOf(docs,
+          opt(c, "nlist").map(_.asInt()).getOrElse(16))
+      }
       case "token_budget" => graft.llm.TextOps.tokenBudgetOf(docs,
         opt(c, "quota").map(_.asLong()).getOrElse(300L),
         opt(c, "shards").map(_.asLong()).getOrElse(4L))

@@ -273,6 +273,18 @@ object JxQueries {
   private val sourceKlJson = """{
     "corpus_op": {"op": "source_kl", "corpus": {"from": "documents"}}}"""
 
+  private val mixScheduleJson = """{
+    "corpus_op": {"op": "mix_schedule", "corpus": {"from": "documents"}}}"""
+
+  private val noveltyJson = """{
+    "corpus_op": {"op": "novelty", "corpus": {"from": "documents"}}}"""
+
+  private val fertilityJson = """{
+    "corpus_op": {"op": "fertility", "corpus": {"from": "documents"}}}"""
+
+  private val knnJoinJson = """{
+    "corpus_op": {"op": "knn_join", "corpus": {"from": "embeddings"}}}"""
+
   private val payloadQualityJson = """{
     "corpus_op": {"op": "payload_quality", "corpus": {"from": "documents"}}}"""
 
@@ -388,6 +400,13 @@ object JxQueries {
     "jx_payload_dedup" ->
       ((s, d) => Jx.run(s, payloadDedupJson, name => t(s, d, name), Some(d))),
     "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
+    "jx_mix_schedule" ->
+      ((s, d) => Jx.run(s, mixScheduleJson, name => t(s, d, name))),
+    "jx_novelty" -> ((s, d) => Jx.run(s, noveltyJson, name => t(s, d, name))),
+    "jx_fertility" ->
+      ((s, d) => Jx.run(s, fertilityJson, name => t(s, d, name), Some(d))),
+    "jx_knn_join" ->
+      ((s, d) => Jx.run(s, knnJoinJson, name => t(s, d, name), Some(d))),
     "jx_semantic_dedup" ->
       ((s, d) => Jx.run(s, semanticDedupJson, name => t(s, d, name), Some(d))),
     "jx_overlap" -> ((s, d) => Jx.run(s, overlapJson, name => t(s, d, name))),
@@ -435,6 +454,10 @@ object JxQueries {
     "jx_payload_quality" -> graft.llm.Multimodal.oracle("mm_quality"),
     "jx_payload_dedup" -> graft.llm.Multimodal.oracle("mm_dedup"),
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
+    "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
+    "jx_novelty" -> graft.llm.TextOps.oracle("text_ngram_novelty"),
+    "jx_fertility" -> graft.llm.TextOps.oracle("text_fertility"),
+    "jx_knn_join" -> graft.llm.Similarity.oracle("sim_knn_join"),
     "jx_semantic_dedup" -> graft.llm.Similarity.oracle("sim_semantic_dedup"),
     "jx_overlap" -> graft.llm.Dedup.oracle("dedup_corpus_overlap"),
     "jx_dsir" -> graft.llm.TextOps.oracle("text_dsir"),

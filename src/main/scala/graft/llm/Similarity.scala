@@ -235,6 +235,59 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** X3i: cross-set ANN kNN JOIN — every query-set vector finds its
+    * top-k nearest CORPUS-set vectors through the IVF quantizer (probe
+    * the nprobe nearest lists, exact cosine inside them). This is the
+    * batch shape of "route each incoming document to its nearest
+    * existing corpus entries" (cluster routing, retrieval-augmented
+    * curation, train/eval split attribution): BOTH sides are tables,
+    * which the 1-query [[simTopk]] shape cannot express without an
+    * all-pairs join. The driver key splits the embeddings table
+    * deterministically (vec_id % 10 → 1/10 queries vs 9/10 corpus) and
+    * probes the STORED quantizer. Plan at 100 TB: the probe is an
+    * equi-join on cid touching nprobe/nlist of the corpus, queries ship
+    * broadcast, round-then-rank keeps tie order engine-identical — no
+    * cartesian anywhere (PlanAuditSpec pins it). */
+  val simKnnJoin: Q = (s, d) => {
+    val (vecs, _, scored, assign) = ivfIndex(s, d, 16)
+    knnJoinFrom(vecs, scored, assign, col("vec_id") % 10 === 0)
+  }
+
+  /** The same join over ANY (vec_id, embedding) frame with an in-plan
+    * quantizer (jx `corpus_op` entry point). */
+  def knnJoinOf(vecsIn: DataFrame, nlist: Int = 16): DataFrame = {
+    val (vecs, _, scored, assign) = ivfIndexOf(vecsIn, nlist)
+    knnJoinFrom(vecs, scored, assign, col("vec_id") % 10 === 0)
+  }
+
+  /** Shared back half: queries = rows matching `isQuery`, corpus = the
+    * rest; nprobe=2 lists per query, exact top-3 inside them. */
+  private def knnJoinFrom(vecs: DataFrame, scored: DataFrame, assign: DataFrame,
+      isQuery: org.apache.spark.sql.Column): DataFrame = {
+    val nprobe = 2
+    val k = 3
+    val inv = assign.join(vecs, Seq("vec_id"))
+      .filter(!isQuery)
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("norm2").as("nn"))
+    val probes = scored.filter(isQuery)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val q = vecs.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"), col("norm2").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+    probes.join(inv, Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .withColumn("cosine",
+        r4(DotProduct(col("qv"), col("nv")) / (sqrt(col("qn")) * sqrt(col("nn")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "rnk", "nid", "cosine")
+      .orderBy("qid", "rnk")
+  }
+
   /** X3d: the ONLINE ANN gate — "which corpus vectors is this incoming
     * embedding near?", the ingestion-time twin of
     * [[graft.llm.Dedup.dedupAgainstCorpus]] for the embedding space.
@@ -1358,6 +1411,7 @@ object Similarity {
     "sim_knn_diverse" -> simKnnDiverse,
     "sim_knn_stats" -> simKnnStats,
     "sim_topk" -> simTopk,
+    "sim_knn_join" -> simKnnJoin,
     "sim_semantic_dedup" -> simSemanticDedup,
     "sim_ivf" -> simIvf,
     "sim_ivfpq" -> simIvfPq,
@@ -1868,6 +1922,30 @@ object Similarity {
                   CAST(row_number() OVER (PARTITION BY qid
                                           ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
            FROM cand) WHERE rnk <= 5
+         ORDER BY qid, rnk""",
+    // cross-set kNN join: the sim_ivf recipe with a %10 query/corpus
+    // split, nprobe=2, k=3, and no self-exclusion (sides are disjoint)
+    "sim_knn_join" ->
+      s"""WITH $ivfOracleCte,
+           inv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
+                   FROM assign a JOIN vn v USING (vec_id)
+                   WHERE v.vec_id % 10 <> 0),
+           probes AS (SELECT vec_id AS qid, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+             FROM scored WHERE vec_id % 10 = 0) WHERE rk <= 2),
+           q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn FROM vn
+                 WHERE vec_id % 10 = 0),
+           cand AS (
+             SELECT p.qid, i.nid,
+                    round(list_reduce([q.qv[k] * i.nv[k] for k in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(q.qn) * sqrt(i.nn)), 4) + 0.0 AS cosine
+             FROM probes p JOIN inv i USING (cid) JOIN q ON q.qid = p.qid)
+         SELECT qid, rnk, nid, cosine FROM (
+           SELECT qid, nid, cosine,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
+           FROM cand) WHERE rnk <= 3
          ORDER BY qid, rnk""",
     // kNN graph: same quantizer replay through `assign`, per-src top-k
     // within the cluster; rank over the ROUNDED cosine like the Spark

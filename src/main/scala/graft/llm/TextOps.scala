@@ -268,6 +268,90 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** X4p: data-constrained mixture SCHEDULE — per-source repeat factors
+    * under a token budget (the planning step BEFORE [[textMixSources]]'s
+    * doc-level expansion: how many epochs of each source to run). The
+    * budget (2× the corpus) is split by the source weights; a source may
+    * repeat up to `maxEpochs` passes (repeating data up to ~4 epochs
+    * retains most of its value — Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"), and unmet demand is reported as
+    * `deficit_tok` so the pipeline can re-weight the remaining sources.
+    * Cross-engine exactness: weights are ×100 integers and the target is
+    * an INTEGER floor-division — no double sum ever crosses rows, so the
+    * schedule replays bit-identically under any partitioning. Plan at
+    * 100 TB: one groupBy on the (bounded) source key over a pruned
+    * (source, text) scan, then a broadcast 1-row totals frame — the
+    * readout is KB-scale. */
+  val textMixSchedule: Q = (s, d) => mixScheduleOf(t(s, d, "documents"))
+
+  /** The same scheduler over ANY (source, text) frame (jx `corpus_op`
+    * entry point). budgetPct is the budget as a percentage of the corpus
+    * token count (200 = 2 epochs' worth of tokens overall). */
+  def mixScheduleOf(docs: org.apache.spark.sql.DataFrame, budgetPct: Long = 200L,
+      maxEpochs: Long = 4L): org.apache.spark.sql.DataFrame = {
+    val src = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("n_tok"))
+      .withColumn("weight_pct", expr(
+        """CAST(CASE CAST(substr(source, 4) AS INT) % 3
+             WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40 END AS BIGINT)"""))
+      // the ONE corpus-sized pass, materialized at |sources| rows — the
+      // totals frame below re-reads this KB table instead of running a
+      // second corpus scan
+      .localCheckpoint()
+    val tot = src.agg(
+      sum("n_tok").as("tot_tok"), sum("weight_pct").as("tot_w"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("target_tok",
+        // single integer floor-division — no intermediate truncation, no
+        // doubles; budget×tokens×weight stays < 2⁶³ through ~10¹⁶ tokens
+        expr(s"($budgetPct * tot_tok * weight_pct) div (100 * tot_w)"))
+      .withColumn("scheduled_tok",
+        least(col("target_tok"), col("n_tok") * maxEpochs))
+      .select(col("source"), col("n_tok"), col("weight_pct"),
+        col("target_tok"), col("scheduled_tok"),
+        r4(col("scheduled_tok").cast("double") / col("n_tok")).as("epochs"),
+        (col("target_tok") - col("scheduled_tok")).as("deficit_tok"))
+      .orderBy("source")
+  }
+
+  /** X4q: n-gram NOVELTY score — per document, the fraction of its
+    * distinct word trigrams that FIRST appear in this document (first =
+    * lowest doc_id, the corpus's deterministic arrival order). The
+    * curation read: low novelty means the doc re-treads earlier content
+    * (boilerplate, near-dup residue below the pair-graph threshold);
+    * ordering candidate docs by novelty is the greedy facility-location
+    * heuristic over n-gram coverage. Plan at 100 TB: the gram table is
+    * NEVER joined at gram granularity — both sides reduce to DOC-level
+    * aggregates first (per-doc distinct-gram count; per-gram min doc
+    * re-aggregated by first doc), and the only join is doc×doc-level
+    * (corpus-row-sized, equi-keyed). Nothing is all-pairs, no window,
+    * no skew (trigram keys are near-unique). */
+  val textNgramNovelty: Q = (s, d) => ngramNoveltyOf(t(s, d, "documents"))
+
+  /** The same scorer over ANY (doc_id, text) frame (jx `corpus_op`
+    * entry point). */
+  def ngramNoveltyOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val occ = docs
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+                            element_at(toks, i + 2)))""")).as("g"))
+    val perDoc = occ.groupBy("doc_id").agg(countDistinct("g").as("n_grams"))
+    val novel = occ.groupBy("g").agg(min("doc_id").as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        r4(coalesce(col("n_novel"), lit(0L)).cast("double") / col("n_grams"))
+          .as("novelty"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   /** X4g: unigram-logprob quality score — the perplexity PROXY used to
     * rank documents when no LM is at hand (CCNet-style: docs whose
     * tokens are globally rare score high / read as noise, boilerplate of
@@ -805,18 +889,23 @@ object TextOps {
     * segmentation. At 100 TB: the vocabulary is one side of a hash join
     * (broadcast at real-world vocab sizes); documents never leave their
     * partitions until the per-doc aggregate. */
-  val textBpeEncode: Q = (s, d) => {
-    // train-once/encode-many: the first call in a session trains the 3
-    // merges and stores the encoded vocabulary; every later call — the
-    // bench's warm reps, production's per-batch tokenization — reads the
-    // stored vocab and pays only the join (same [[Artifacts]] contract
-    // as sim_ivf_persist; results identical, so the oracle replays
-    // training regardless)
+  /** The stored encoded vocabulary as a (w, sy) frame —
+    * train-once/encode-many: the first call in a session trains the 3
+    * merges and stores the encoded vocabulary; every later call — the
+    * bench's warm reps, production's per-batch tokenization — reads the
+    * stored vocab and pays only the join (same [[Artifacts]] contract
+    * as sim_ivf_persist; results identical, so the oracles replay
+    * training regardless). Shared by encode and fertility. */
+  private def bpeVocab(s: org.apache.spark.sql.SparkSession, d: String):
+      org.apache.spark.sql.DataFrame = {
     val dir = Artifacts.buildOnce(s, "bpe", d) { dd =>
       bpeChain(s, d)._1.write.mode("overwrite").parquet(s"$dd/vocab")
     }
-    val vf = s.read.parquet(s"$dir/vocab")
-      .select(col("w"), bpeSyms("enc").as("sy"))
+    s.read.parquet(s"$dir/vocab").select(col("w"), bpeSyms("enc").as("sy"))
+  }
+
+  val textBpeEncode: Q = (s, d) => {
+    val vf = bpeVocab(s, d)
     t(s, d, "documents").filter(col("doc_id") < 20)
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0)
@@ -830,6 +919,42 @@ object TextOps {
           p => p.getField("sy"))))).as("bpe_md5"))
       .orderBy("doc_id")
   }
+
+  /** X4o: tokenizer FERTILITY by language — BPE tokens per word and
+    * chars per BPE token for each lang bucket, the standard
+    * tokenizer-evaluation readout (a language whose fertility is 2× the
+    * corpus mean pays 2× the context budget per word — the number that
+    * drives per-language token accounting and tokenizer retraining
+    * decisions). Probes the same stored vocabulary [[textBpeEncode]]
+    * trains. Plan at 100 TB: word explode → one hash join against the
+    * (broadcastable at real vocab sizes) vocabulary → a groupBy on the
+    * bounded lang key with map-side partials; no window, no skew. */
+  val textFertility: Q = (s, d) => fertilityOf(t(s, d, "documents"), bpeVocab(s, d))
+
+  /** The same readout over ANY (lang, text) frame and any (w, sy)
+    * encoded vocabulary (jx `corpus_op` entry point trains the vocab
+    * in-plan from the frame itself). */
+  def fertilityOf(docs: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(vocab, Seq("w"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size(col("sy"))).as("n_bpe"),
+        sum(length(col("w")).cast("long")).as("n_wchars"))
+      .select(col("lang"), col("n_words"), col("n_bpe"), col("n_wchars"),
+        r4(col("n_bpe").cast("double") / col("n_words")).as("fertility"),
+        r4(col("n_wchars").cast("double") / col("n_bpe")).as("chars_per_tok"))
+      .orderBy("lang")
+
+  /** The in-plan vocab for the jx fertility route: [[bpeChainOf]] over
+    * the frame itself (no artifact — an arbitrary corpus subquery has no
+    * dataset-keyed store). */
+  def fertilityVocabOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bpeChainOf(docs)._1.select(col("w"), bpeSyms("enc").as("sy"))
 
   /** X4n (forward idea h): deterministic training-shard export manifest —
     * the write-side contract a trainer consumes before reading a corpus
@@ -1076,6 +1201,9 @@ object TextOps {
     "text_pack_manifest" -> textPackManifest,
     "text_repetition" -> textRepetition,
     "text_mix_sources" -> textMixSources,
+    "text_mix_schedule" -> textMixSchedule,
+    "text_ngram_novelty" -> textNgramNovelty,
+    "text_fertility" -> textFertility,
     "text_logfreq" -> textLogfreq,
     "text_bigram_nll" -> textBigramNll,
     "text_fingerprint" -> textFingerprint,
@@ -1308,6 +1436,20 @@ object TextOps {
                 CAST(sum(len(syms)) AS BIGINT) AS n_bpe,
                 md5(array_to_string(flatten(list(syms ORDER BY pos)), ' ')) AS bpe_md5
          FROM jt GROUP BY doc_id ORDER BY doc_id""",
+    "text_fertility" ->
+      s"""WITH $bpeOracleCte,
+           ftv AS (SELECT w, list_filter(string_split(enc, chr(31)), x -> x <> '') AS syms
+                   FROM e4),
+           ftw AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+           ftj AS (SELECT f.lang, f.w, v.syms
+                   FROM (SELECT * FROM ftw WHERE length(w) > 0) f
+                   JOIN ftv v USING (w))
+         SELECT lang, count(*) AS n_words,
+                CAST(sum(len(syms)) AS BIGINT) AS n_bpe,
+                CAST(sum(length(w)) AS BIGINT) AS n_wchars,
+                round(sum(len(syms)) * 1.0 / count(*), 4) AS fertility,
+                round(sum(length(w)) * 1.0 / sum(len(syms)), 4) AS chars_per_tok
+         FROM ftj GROUP BY lang ORDER BY lang""",
     "text_source_kl" ->
       """WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
                        FROM documents),
@@ -1507,6 +1649,43 @@ object TextOps {
          SELECT source, count(*) AS n_in, CAST(sum(n_copies) AS BIGINT) AS n_out,
                 CAST(round(CAST(any_value(w) AS DOUBLE), 4) AS DOUBLE) AS w
          FROM c GROUP BY source ORDER BY source""",
+    "text_mix_schedule" ->
+      """WITH mss AS (SELECT source,
+                             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+                      FROM documents GROUP BY 1),
+           msw AS (SELECT source, n_tok,
+                          CAST(CASE CAST(substr(source, 4) AS INT) % 3
+                                 WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40
+                               END AS BIGINT) AS weight_pct
+                   FROM mss),
+           mst AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+                          CAST(sum(weight_pct) AS BIGINT) AS tot_w
+                   FROM msw),
+           msr AS (SELECT source, n_tok, weight_pct,
+                          CAST((200 * tot_tok * weight_pct) // (100 * tot_w) AS BIGINT)
+                            AS target_tok
+                   FROM msw CROSS JOIN mst),
+           msf AS (SELECT source, n_tok, weight_pct, target_tok,
+                          least(target_tok, 4 * n_tok) AS scheduled_tok
+                   FROM msr)
+         SELECT source, n_tok, weight_pct, target_tok, scheduled_tok,
+                round(scheduled_tok * 1.0 / n_tok, 4) AS epochs,
+                CAST(target_tok - scheduled_tok AS BIGINT) AS deficit_tok
+         FROM msf ORDER BY source""",
+    "text_ngram_novelty" ->
+      """WITH nv0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           nvg AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+                   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                         FROM nv0 WHERE len(t) >= 3)),
+           nvf AS (SELECT g, min(doc_id) AS first_doc FROM nvg GROUP BY 1)
+         SELECT doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_novel,
+                round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+                        / count(*), 4) AS novelty
+         FROM nvg JOIN nvf USING (g)
+         GROUP BY doc_id ORDER BY doc_id LIMIT 300""",
     "text_pack_segments" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 AS shard,
                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

@@ -792,4 +792,99 @@ class CorpusOpsSpec extends graft.SparkSpec {
       assert(r.getAs[Double]("sample_ratio") === 1.0, r)
     }
   }
+
+  // ---- text_mix_schedule ----
+
+  test("mix schedule caps every source at maxEpochs and meets the budget " +
+      "exactly when uncapped") {
+    val rows = run("text_mix_schedule").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, target, sched) = (r.getAs[Long]("n_tok"),
+        r.getAs[Long]("target_tok"), r.getAs[Long]("scheduled_tok"))
+      assert(sched === math.min(target, 4L * n), s"cap rule broken: $r")
+      assert(r.getAs[Long]("deficit_tok") === target - sched, r)
+      assert(r.getAs[Double]("epochs") <= 4.0 + 1e-9, r)
+    }
+    // the integer floor-split under-allocates less than one token per
+    // source vs the exact 2x budget — the schedule is budget-true
+    val totTok = rows.map(_.getAs[Long]("n_tok")).sum
+    val totTarget = rows.map(_.getAs[Long]("target_tok")).sum
+    assert(totTarget <= 2L * totTok && totTarget > 2L * totTok - rows.length,
+      s"targets $totTarget vs budget ${2L * totTok}")
+    // with the cap lifted the schedule IS the target split (deficit-free)
+    val uncapped = TextOps.mixScheduleOf(
+      graft.Tables.t(spark, sf, "documents"), maxEpochs = 1000000L).collect()
+    uncapped.foreach(r => assert(r.getAs[Long]("deficit_tok") === 0L, r))
+  }
+
+  // ---- text_ngram_novelty ----
+
+  test("novelty is a [0,1] fraction, first doc is fully novel, and novel " +
+      "counts partition the distinct-gram space") {
+    val rows = run("text_ngram_novelty").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nv = r.getAs[Double]("novelty")
+      assert(nv >= 0.0 && nv <= 1.0, r)
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"), r)
+    }
+    // the earliest doc (min doc_id with >= 3 tokens) can only introduce
+    assert(rows.minBy(_.getAs[Long]("doc_id")).getAs[Double]("novelty") === 1.0)
+    // every distinct trigram is novel in exactly one doc: sum(n_novel)
+    // over the returned docs equals the count of distinct trigrams FIRST
+    // seen in that doc range (independent recount — the key's limit 300
+    // truncates the 500-doc table, so scope the recount the same way)
+    val maxDoc = rows.map(_.getAs[Long]("doc_id")).max
+    val distinctGrams = graft.Tables.t(spark, sf, "documents")
+      .selectExpr("doc_id", "split(text, ' ') AS t")
+      .where("size(t) >= 3")
+      .selectExpr("doc_id", """explode(transform(sequence(1, size(t) - 2),
+           i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1),
+                          element_at(t, i + 2)))) AS g""")
+      .groupBy("g").agg(min("doc_id").as("first_doc"))
+      .where(col("first_doc") <= maxDoc)
+      .count()
+    assert(rows.map(_.getAs[Long]("n_novel")).sum === distinctGrams)
+  }
+
+  // ---- text_fertility ----
+
+  test("fertility >= 1 symbol per word and the word-char mass matches the " +
+      "corpus") {
+    val rows = run("text_fertility").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bpe") >= r.getAs[Long]("n_words"), r)
+      assert(r.getAs[Double]("fertility") >= 1.0, r)
+      assert(r.getAs[Double]("chars_per_tok") > 0.0, r)
+    }
+    // every non-empty word lands in the vocabulary join (no silent drop)
+    val wordMass = graft.Tables.t(spark, sf, "documents")
+      .selectExpr("size(filter(split(text, ' '), w -> length(w) > 0)) AS n")
+      .agg(sum("n")).collect()(0).getLong(0)
+    assert(rows.map(_.getAs[Long]("n_words")).sum === wordMass)
+  }
+
+  // ---- sim_knn_join ----
+
+  test("cross-set kNN join keeps sides disjoint and ranks consecutively") {
+    val rows = run("sim_knn_join").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("qid") % 10 === 0L, s"non-query qid: $r")
+      assert(r.getAs[Long]("nid") % 10 !== 0L, s"query on corpus side: $r")
+    }
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      val rks = rs.map(_.getAs[Int]("rnk")).sorted
+      assert(rks.sameElements(1 to rks.length), s"ranks not consecutive for $qid")
+      assert(rks.length <= 3, s"more than k results for $qid")
+      // within a query, cosine is non-increasing in rank
+      val byRank = rs.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("cosine"))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"cosine rose with rank for $qid")
+        case _ =>
+      }
+    }
+  }
 }

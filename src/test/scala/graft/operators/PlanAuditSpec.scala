@@ -65,6 +65,15 @@ class PlanAuditSpec extends graft.SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("sim_knn_join: cross-set probe is equi-joined on cid — no cartesian") {
+    val p = plan("sim_knn_join")
+    // the only nested-loop allowed is the deliberate nlist-row centroid
+    // broadcast; the probe→inverted-list→query joins are equi-joins
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("dedup_simhash_mjs: bucket self-join is equi-keyed, never cartesian") {
     val p = plan("dedup_simhash_mjs")
     assert(!p.contains("CartesianProduct"), p)
