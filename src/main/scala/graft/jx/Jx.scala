@@ -356,9 +356,20 @@ object Jx {
           graft.llm.Multimodal.queries("mm_dedup")(spark, dataset.get)
         else graft.llm.Multimodal.dedupPairsOf(docs)
       case "source_kl" => graft.llm.TextOps.sourceKlOf(docs)
-      case "mix_schedule" => graft.llm.TextOps.mixScheduleOf(docs,
-        opt(c, "budget_pct").map(_.asLong()).getOrElse(200L),
-        opt(c, "max_epochs").map(_.asLong()).getOrElse(4L))
+      case "mix_schedule" =>
+        val budget = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L)
+        val epochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L)
+        // standard corpus + dataset → plan off the streamed quality
+        // monitor's EXACT per-source token sums (no corpus scan: the
+        // monitor maintains what the planner needs); any other corpus
+        // aggregates in-plan
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.TextOps.mixScheduleFromTok(
+            graft.streaming.Streams.queries("stream_quality_store")(
+              spark, dataset.get)
+              .select(col("source"), col("n_tokens").as("n_tok")),
+            budget, epochs)
+        else graft.llm.TextOps.mixScheduleOf(docs, budget, epochs)
       case "novelty" => graft.llm.TextOps.ngramNoveltyOf(docs)
       case "fertility" =>
         // standard corpus + dataset → probe the stored BPE vocabulary

@@ -288,17 +288,27 @@ object TextOps {
     * entry point). budgetPct is the budget as a percentage of the corpus
     * token count (200 = 2 epochs' worth of tokens overall). */
   def mixScheduleOf(docs: org.apache.spark.sql.DataFrame, budgetPct: Long = 200L,
+      maxEpochs: Long = 4L): org.apache.spark.sql.DataFrame =
+    mixScheduleFromTok(
+      docs
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(sum("n_tok").as("n_tok")),
+      budgetPct, maxEpochs)
+
+  /** The scheduler over a pre-aggregated (source, n_tok) frame — the
+    * store-probing entry: the streamed quality monitor's merged
+    * `n_tokens` sums are the SAME exact longs this scan derives, so a
+    * dataset-backed jx route plans the mixture off the maintained store
+    * without any corpus scan (monitor → planner, closed loop). */
+  def mixScheduleFromTok(srcTok: org.apache.spark.sql.DataFrame, budgetPct: Long = 200L,
       maxEpochs: Long = 4L): org.apache.spark.sql.DataFrame = {
-    val src = docs
-      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .groupBy("source")
-      .agg(sum("n_tok").as("n_tok"))
+    val src = srcTok
       .withColumn("weight_pct", expr(
         """CAST(CASE CAST(substr(source, 4) AS INT) % 3
              WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40 END AS BIGINT)"""))
-      // the ONE corpus-sized pass, materialized at |sources| rows — the
-      // totals frame below re-reads this KB table instead of running a
-      // second corpus scan
+      // materialized at |sources| rows — the totals frame below re-reads
+      // this KB table instead of re-running the upstream aggregate
       .localCheckpoint()
     val tot = src.agg(
       sum("n_tok").as("tot_tok"), sum("weight_pct").as("tot_w"))
@@ -333,15 +343,34 @@ object TextOps {
   /** The same scorer over ANY (doc_id, text) frame (jx `corpus_op`
     * entry point). */
   def ngramNoveltyOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val occ = docs
+    val occ = gramOccurrencesOf(docs)
+    noveltyFromParts(
+      occ.groupBy("g").agg(min("doc_id").as("first_doc")),
+      occ.groupBy("doc_id").agg(countDistinct("g").as("n_grams")))
+  }
+
+  /** Word-trigram occurrences (doc_id, g) of a (doc_id, text) frame —
+    * the one corpus-sized pass both the batch scorer and the streamed
+    * novelty store's per-batch partials start from. */
+  def gramOccurrencesOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
         """transform(sequence(1, size(toks) - 2),
              i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
                             element_at(toks, i + 2)))""")).as("g"))
-    val perDoc = occ.groupBy("doc_id").agg(countDistinct("g").as("n_grams"))
-    val novel = occ.groupBy("g").agg(min("doc_id").as("first_doc"))
+
+  /** The novelty readout over pre-aggregated parts: `gramMins` may carry
+    * SEVERAL (g, first_doc) rows per gram (one per streamed batch) — the
+    * re-min collapses them, and because min is monotone-distributive the
+    * result is exactly the whole-corpus first-seen table under ANY batch
+    * split or redelivery order (the same algebra as the CC label store).
+    * `perDoc` is doc-local (each doc lives in exactly one batch), so its
+    * rows need no merge. */
+  def noveltyFromParts(gramMins: org.apache.spark.sql.DataFrame,
+      perDoc: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val novel = gramMins.groupBy("g").agg(min("first_doc").as("first_doc"))
       .groupBy("first_doc").agg(count(lit(1)).as("n_novel"))
     perDoc.join(novel, col("doc_id") === col("first_doc"), "left")
       .select(col("doc_id"), col("n_grams"),

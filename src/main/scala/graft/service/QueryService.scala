@@ -125,6 +125,21 @@ object QueryService {
         s""""pairs":${graft.jx.Jx.listJson(
           graft.llm.Multimodal.queries("mm_dedup_stats")(spark, dataset))}}"""
     }
+    // {"view": "plan"}: the MIXTURE-PLANNING PANEL — `schedule` is the
+    // data-constrained repeat-factor schedule planned off the streamed
+    // quality monitor's exact token sums (text_mix_schedule's frame),
+    // `fertility` the per-language tokenizer cost off the stored BPE
+    // vocab (text_fertility's frame), `drift` the per-source KL audit;
+    // all three byte-identical to their driver keys, so the panel
+    // inherits their oracles.
+    if (Option(q.get("view")).exists(_.asText() == "plan")) {
+      return s"""{"schedule":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_mix_schedule")(spark, dataset))},""" +
+        s""""fertility":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_fertility")(spark, dataset))},""" +
+        s""""drift":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_source_kl")(spark, dataset))}}"""
+    }
     if (Option(q.get("view")).exists(_.asText() == "quality")) {
       return s"""{"sources":${graft.jx.Jx.listJson(
           graft.streaming.Streams.queries("stream_quality_store")(spark, dataset))},""" +

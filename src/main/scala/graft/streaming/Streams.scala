@@ -255,6 +255,38 @@ object Streams {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
+  /** ST13: stream-maintained n-gram NOVELTY store — the streamed form is
+    * the NATURAL one: novelty is defined by arrival order (what fraction
+    * of this doc's trigrams has the corpus never seen before?), so a
+    * continuously ingesting pipeline wants it answered per batch without
+    * re-scanning history. Each micro-batch writes two doc-bounded
+    * partials under its own partition (dynamic idempotent overwrite):
+    * its grams' batch-local first-seen table (g, first_doc = min doc_id
+    * within the batch) and its docs' distinct-gram counts. The readout
+    * re-mins the first-seen rows across batches — min is
+    * monotone-distributive, so the merged table equals the whole-corpus
+    * recompute EXACTLY under any batch split or redelivery order (the
+    * label store's algebra). At 100 TB: an arriving batch pays one
+    * explode over itself; history is never re-read. */
+  def noveltyStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    val occ = graft.llm.TextOps.gramOccurrencesOf(batch).localCheckpoint()
+    occ.groupBy("g").agg(min("doc_id").as("first_doc"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/grams")
+    occ.groupBy("doc_id").agg(countDistinct("g").as("n_grams"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/docs")
+  }
+
+  /** The accumulated novelty readout: re-min the per-batch first-seen
+    * partials, then the shared doc-level join. */
+  def noveltyStoreReadout(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextOps.noveltyFromParts(
+      s.read.parquet(s"$dir/grams").select("g", "first_doc"),
+      s.read.parquet(s"$dir/docs").select("doc_id", "n_grams"))
+
   /** ST12: stream-maintained NEAR-DUP PAIR-GRAPH delta — the dedup twin
     * of ST10, with a stronger contract: MinHash needs no training, so
     * the accumulated store IS the full-corpus pair set exactly (not
@@ -579,7 +611,27 @@ object Streams {
       labelStoreReadout(s, s"$dir/p"), t(s, d, "documents"))
   }
 
+  /** ST13 batch twin / driver gate: three deterministic micro-batches
+    * (doc_id mod-3 split) sunk through [[noveltyStoreSink]], batch 1
+    * REDELIVERED out of order, then the merged readout — gated by
+    * `text_ngram_novelty`'s oracle VERBATIM: the maintained store must
+    * be indistinguishable from a one-shot whole-corpus recompute. */
+  val streamNoveltyStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "novelty_store_stream", d) { dd =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val n = s"$dd/n"
+      noveltyStoreSink(docs.filter(col("doc_id") % 3 === 0), 0L, n)
+      noveltyStoreSink(docs.filter(col("doc_id") % 3 === 1), 1L, n)
+      noveltyStoreSink(docs.filter(col("doc_id") % 3 === 2), 2L, n)
+      // at-least-once redelivery of batch 1 AFTER batch 2: min-merge
+      // makes the rewrite a no-op, the store must not drift
+      noveltyStoreSink(docs.filter(col("doc_id") % 3 === 1), 1L, n)
+    }
+    noveltyStoreReadout(s, s"$dir/n")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_novelty_store" -> streamNoveltyStore,
     "stream_tumbling" -> streamTumbling,
     "stream_sessions" -> streamSessions,
     "stream_join" -> streamJoin,
@@ -592,6 +644,9 @@ object Streams {
     // the maintained-label canonical readout must equal a full-corpus
     // rebuild: dedup_canonical's oracle verbatim
     "stream_canonical_store" -> graft.llm.Dedup.oracle("dedup_canonical"),
+    // the maintained first-seen store must equal the one-shot recompute:
+    // text_ngram_novelty's oracle verbatim
+    "stream_novelty_store" -> graft.llm.TextOps.oracle("text_ngram_novelty"),
     // the streamed store must read back identical to the batch rollup:
     // sketch_dashboard's oracle verbatim
     "stream_sketch_store" ->

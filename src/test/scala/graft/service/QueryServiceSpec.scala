@@ -358,6 +358,36 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the dashboard plan view serves the mixture schedule, fertility, " +
+    "and drift from the stores") {
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = postPath(HttpClient.newHttpClient(), server.getAddress.getPort,
+        "/dashboard", """{"view": "plan"}""")
+      assert(r.statusCode() === 200)
+      val panel = mapper.readTree(r.body())
+      Seq("schedule", "fertility", "drift").foreach(s =>
+        assert(panel.has(s), s"missing panel section $s"))
+      // each section is its driver key's frame byte-for-byte
+      val sched = panel.get("schedule").get("data")
+      val direct = graft.llm.TextOps
+        .queries("text_mix_schedule")(spark, sf).collect()
+      assert(sched.size() === direct.length)
+      assert(sched.get(0).get("scheduled_tok").asLong() ===
+        direct.head.getAs[Long]("scheduled_tok"))
+      Seq("source", "n_tok", "weight_pct", "target_tok", "epochs",
+        "deficit_tok").foreach(c =>
+        assert(sched.get(0).has(c), s"missing schedule column $c"))
+      val fert = panel.get("fertility").get("data")
+      assert(fert.size() ===
+        graft.llm.TextOps.queries("text_fertility")(spark, sf).count())
+      Seq("lang", "fertility", "chars_per_tok")
+        .foreach(c => assert(fert.get(0).has(c), s"missing fertility column $c"))
+    } finally server.stop(0)
+  }
+
   test("a malformed dashboard day answers 400; without a dataset the route is absent") {
     val server = QueryService.start(spark, _ => spark.emptyDataFrame,
       dataset = Some(sf))

@@ -205,6 +205,42 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "post-hoc redelivery drifted the label store")
   }
 
+  test("ST13: the streamed novelty store equals the one-shot recompute; " +
+    "out-of-order redelivery never drifts the first-seen table") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmp("graft-st13")
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select("doc_id", "text")
+    // the exactness target: the batch scorer over the whole corpus
+    val full = graft.llm.TextOps.ngramNoveltyOf(docs)
+      .collect().map(_.toString).toSeq
+
+    val liveRows = docs.collect().map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.noveltyStoreSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(liveRows.take(liveRows.length / 2): _*)
+      q.processAllAvailable()
+      in.addData(liveRows.drop(liveRows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.noveltyStoreReadout(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(readout === full,
+      "maintained novelty store must equal the whole-corpus recompute")
+    // redeliver batch 0 AFTER batch 1: min-merge is idempotent, the
+    // store must read back unchanged
+    Streams.noveltyStoreSink(
+      liveRows.take(liveRows.length / 2).toSeq.toDF("doc_id", "text"), 0L, dir)
+    assert(readout === full, "post-hoc redelivery drifted the novelty store")
+  }
+
   test("ST11: the streamed quality monitor merges to the one-shot " +
     "whole-corpus readout and redelivery never double-counts") {
     val dir = tmp("graft-st11")
