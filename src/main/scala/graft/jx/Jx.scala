@@ -371,6 +371,8 @@ object Jx {
             budget, epochs)
         else graft.llm.TextOps.mixScheduleOf(docs, budget, epochs)
       case "novelty" => graft.llm.TextOps.ngramNoveltyOf(docs)
+      case "novelty_curve" => graft.llm.TextOps.noveltyCurveOf(docs)
+      case "quality_classifier" => graft.llm.TextOps.qualityClassifierOf(docs)
       case "fertility" =>
         // standard corpus + dataset → probe the stored BPE vocabulary
         // (the same artifact text_fertility reads); otherwise train the

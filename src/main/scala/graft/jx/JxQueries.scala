@@ -279,6 +279,12 @@ object JxQueries {
   private val noveltyJson = """{
     "corpus_op": {"op": "novelty", "corpus": {"from": "documents"}}}"""
 
+  private val noveltyCurveJson = """{
+    "corpus_op": {"op": "novelty_curve", "corpus": {"from": "documents"}}}"""
+
+  private val qualityClassifierJson = """{
+    "corpus_op": {"op": "quality_classifier", "corpus": {"from": "documents"}}}"""
+
   private val fertilityJson = """{
     "corpus_op": {"op": "fertility", "corpus": {"from": "documents"}}}"""
 
@@ -403,6 +409,10 @@ object JxQueries {
     "jx_mix_schedule" ->
       ((s, d) => Jx.run(s, mixScheduleJson, name => t(s, d, name))),
     "jx_novelty" -> ((s, d) => Jx.run(s, noveltyJson, name => t(s, d, name))),
+    "jx_novelty_curve" ->
+      ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
+    "jx_quality_classifier" ->
+      ((s, d) => Jx.run(s, qualityClassifierJson, name => t(s, d, name))),
     "jx_fertility" ->
       ((s, d) => Jx.run(s, fertilityJson, name => t(s, d, name), Some(d))),
     "jx_knn_join" ->
@@ -456,6 +466,9 @@ object JxQueries {
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
     "jx_novelty" -> graft.llm.TextOps.oracle("text_ngram_novelty"),
+    "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
+    "jx_quality_classifier" ->
+      graft.llm.TextOps.oracle("text_quality_classifier"),
     "jx_fertility" -> graft.llm.TextOps.oracle("text_fertility"),
     "jx_knn_join" -> graft.llm.Similarity.oracle("sim_knn_join"),
     "jx_semantic_dedup" -> graft.llm.Similarity.oracle("sim_semantic_dedup"),

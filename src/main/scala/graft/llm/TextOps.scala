@@ -381,6 +381,86 @@ object TextOps {
       .limit(300)
   }
 
+  /** X4r: curated-vs-crawl QUALITY CLASSIFIER — the GPT-3/WebText data
+    * recipe: train a classifier to tell curated sources from the raw
+    * crawl, score EVERY document, and keep what scores curated-like.
+    * Here the classifier is word-level Naive Bayes with add-1 smoothing
+    * (the classifier-free analogue of the fastText gate; DSIR is the
+    * hashed-bigram cousin — this one keeps an interpretable per-word
+    * log-odds table). "Curated" = the mix's high-weight sources (source
+    * idx % 3 == 0 — the same convention [[textMixSchedule]]'s weights
+    * encode). Scale: the model is a VOCABULARY-bounded log-odds table
+    * (broadcast at real vocab sizes); scoring is one word join + a
+    * per-doc mean whose addends sum through exact DECIMAL — the DSIR
+    * determinism recipe, because `selected` is a decision fed by the
+    * rounded score. */
+  val textQualityClassifier: Q = (s, d) => qualityClassifierOf(t(s, d, "documents"))
+
+  /** The same gate over ANY (doc_id, source, text) frame (jx `corpus_op`
+    * entry point). */
+  def qualityClassifierOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        expr("CAST(substr(source, 4) AS INT) % 3 = 0").as("curated"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+    val counts = toks.groupBy("w").agg(
+      count(when(col("curated"), lit(1))).as("cc"),
+      count(when(!col("curated"), lit(1))).as("rc"))
+    val totals = toks.agg(
+      count(when(col("curated"), lit(1))).as("c_n"),
+      count(when(!col("curated"), lit(1))).as("r_n"),
+      countDistinct("w").as("v"))
+    val model = counts.crossJoin(broadcast(totals))
+      .withColumn("lo",
+        log((col("cc") + lit(1.0)) / (col("c_n") + col("v"))) -
+          log((col("rc") + lit(1.0)) / (col("r_n") + col("v"))))
+      .select("w", "lo")
+    toks.join(broadcast(model), Seq("w"))
+      .groupBy("doc_id", "curated")
+      .agg(count(lit(1)).as("n_tok"),
+        r4(sum(col("lo").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("score"))
+      .withColumn("selected", col("score") > 0)
+      .select("doc_id", "curated", "n_tok", "score", "selected")
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** X4s: NOVELTY CURVE — Heaps-law readout of marginal novelty: how
+    * many new distinct trigrams each successive tenth of the corpus
+    * (by arrival order) still contributes. The flattening tail is the
+    * data-acquisition signal: when a decile's `n_first` approaches
+    * zero, more of the same source buys volume, not coverage. Scale:
+    * one gram pass → per-gram min doc → a 10-key aggregate; the running
+    * sum runs over TEN rows (the one global window that is genuinely
+    * bounded). */
+  val textNoveltyCurve: Q = (s, d) => noveltyCurveOf(t(s, d, "documents"))
+
+  /** The same readout over ANY (doc_id, text) frame (jx `corpus_op`
+    * entry point). Requires contiguous 0-based doc ids (the generated
+    * corpus convention) for the decile split. */
+  def noveltyCurveOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perDecile = gramOccurrencesOf(docs)
+      .groupBy("g").agg(min("doc_id").as("first_doc"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("decile", least(lit(9L), expr("first_doc * 10 div n_docs")))
+      .groupBy("decile").agg(count(lit(1)).as("n_first"))
+      // 10 rows — materialized so the totals below re-read them instead
+      // of re-running the gram pass
+      .localCheckpoint()
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perDecile.agg(sum("n_first").as("n_grams"))
+    perDecile
+      .withColumn("cum_grams", sum("n_first").over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("decile"), col("n_first"), col("cum_grams"),
+        r4(col("cum_grams").cast("double") / col("n_grams")).as("cum_share"))
+      .orderBy("decile")
+  }
+
   /** X4g: unigram-logprob quality score — the perplexity PROXY used to
     * rank documents when no LM is at hand (CCNet-style: docs whose
     * tokens are globally rare score high / read as noise, boilerplate of
@@ -1232,6 +1312,8 @@ object TextOps {
     "text_mix_sources" -> textMixSources,
     "text_mix_schedule" -> textMixSchedule,
     "text_ngram_novelty" -> textNgramNovelty,
+    "text_novelty_curve" -> textNoveltyCurve,
+    "text_quality_classifier" -> textQualityClassifier,
     "text_fertility" -> textFertility,
     "text_logfreq" -> textLogfreq,
     "text_bigram_nll" -> textBigramNll,
@@ -1715,6 +1797,51 @@ object TextOps {
                         / count(*), 4) AS novelty
          FROM nvg JOIN nvf USING (g)
          GROUP BY doc_id ORDER BY doc_id LIMIT 300""",
+    "text_novelty_curve" ->
+      """WITH ncf AS (SELECT g, min(doc_id) AS first_doc FROM (
+                        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+                        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                                    FROM documents)
+                              WHERE len(t) >= 3))
+                      GROUP BY 1),
+           ncn AS (SELECT count(*) AS n_docs FROM documents),
+           ncd AS (SELECT least(9, first_doc * 10 // n_docs) AS decile,
+                          count(*) AS n_first
+                   FROM ncf CROSS JOIN ncn GROUP BY 1),
+           ncc AS (SELECT decile, n_first,
+                          CAST(sum(n_first) OVER (ORDER BY decile
+                                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND CURRENT ROW) AS BIGINT) AS cum_grams,
+                          CAST(sum(n_first) OVER () AS BIGINT) AS n_grams
+                   FROM ncd)
+         SELECT decile, n_first, cum_grams,
+                round(cum_grams * 1.0 / n_grams, 4) AS cum_share
+         FROM ncc ORDER BY decile""",
+    "text_quality_classifier" ->
+      """WITH qcf AS (SELECT doc_id, curated, w FROM (
+                        SELECT doc_id,
+                               CAST(substr(source, 4) AS INT) % 3 = 0 AS curated,
+                               unnest(string_split(text, ' ')) AS w
+                        FROM documents)
+                      WHERE length(w) > 0),
+           qcc AS (SELECT w, count(*) FILTER (WHERE curated) AS cc,
+                          count(*) FILTER (WHERE NOT curated) AS rc
+                   FROM qcf GROUP BY 1),
+           qcn AS (SELECT count(*) FILTER (WHERE curated) AS c_n,
+                          count(*) FILTER (WHERE NOT curated) AS r_n,
+                          count(DISTINCT w) AS v
+                   FROM qcf),
+           qcm AS (SELECT w, ln((cc + 1.0) / (c_n + v))
+                             - ln((rc + 1.0) / (r_n + v)) AS lo
+                   FROM qcc CROSS JOIN qcn)
+         SELECT f.doc_id, f.curated, count(*) AS n_tok,
+                round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*), 4) + 0.0 AS score,
+                round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*), 4) > 0 AS selected
+         FROM qcf f JOIN qcm m USING (w)
+         GROUP BY f.doc_id, f.curated ORDER BY f.doc_id LIMIT 300""",
     "text_pack_segments" ->
       """WITH base AS (SELECT doc_id, doc_id % 8 AS shard,
                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok

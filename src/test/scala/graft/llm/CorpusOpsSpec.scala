@@ -866,6 +866,51 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(rows.map(_.getAs[Long]("n_words")).sum === wordMass)
   }
 
+  // ---- text_quality_classifier ----
+
+  test("quality classifier separates a constructed curated/crawl corpus " +
+      "with correct signs") {
+    import spark.implicits._
+    // curated sources (idx % 3 == 0) speak one vocabulary, crawl another;
+    // the NB gate must select exactly the curated docs
+    val docs = (0L until 30L).map { i =>
+      val src = s"src${i % 6}"
+      val text = if (i % 6 % 3 == 0) "clean prose reads well " * 5
+                 else "junk spam noise click " * 5
+      (i, src, text.trim)
+    }.toDF("doc_id", "source", "text")
+    val rows = TextOps.qualityClassifierOf(docs).collect()
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val curated = r.getAs[Boolean]("curated")
+      assert(r.getAs[Boolean]("selected") === curated, r)
+      assert((r.getAs[Double]("score") > 0) === curated, r)
+    }
+    // on the standard corpus: every non-empty word is in the model (the
+    // vocabulary is trained on the same corpus), so no doc drops out
+    val std = run("text_quality_classifier").collect()
+    assert(std.length === 300)
+    std.foreach(r => assert(r.getAs[Long]("n_tok") > 0L, r))
+  }
+
+  // ---- text_novelty_curve ----
+
+  test("novelty curve is a monotone partition of the distinct-gram space " +
+      "ending at share 1.0") {
+    val rows = run("text_novelty_curve").collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach(r => assert((0L to 9L).contains(r.getAs[Long]("decile")), r))
+    // cumulative count is the running sum of per-decile first-seen counts
+    val running = rows.scanLeft(0L)(_ + _.getAs[Long]("n_first")).drop(1)
+    assert(rows.map(_.getAs[Long]("cum_grams")).sameElements(running))
+    assert(rows.last.getAs[Double]("cum_share") === 1.0)
+    // the curve's total is the corpus-wide distinct trigram count
+    val distinctGrams = TextOps
+      .gramOccurrencesOf(graft.Tables.t(spark, sf, "documents"))
+      .select("g").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_first")).sum === distinctGrams)
+  }
+
   // ---- sim_knn_join ----
 
   test("cross-set kNN join keeps sides disjoint and ranks consecutively") {
