@@ -372,6 +372,13 @@ object Jx {
         else graft.llm.TextOps.mixScheduleOf(docs, budget, epochs)
       case "novelty" => graft.llm.TextOps.ngramNoveltyOf(docs)
       case "novelty_curve" => graft.llm.TextOps.noveltyCurveOf(docs)
+      case "novelty_sources" => graft.llm.TextOps.noveltySourcesOf(docs)
+      case "split_leakfree" =>
+        // plain standard corpus + dataset → hash the STORED pair-graph
+        // labels; anything else rebuilds the pair chain in-plan
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Dedup.queries("dedup_split_leakfree")(spark, dataset.get)
+        else graft.llm.Dedup.splitLeakfreeOf(docs)
       case "quality_classifier" => graft.llm.TextOps.qualityClassifierOf(docs)
       case "fertility" =>
         // standard corpus + dataset → probe the stored BPE vocabulary

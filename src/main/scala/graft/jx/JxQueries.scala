@@ -285,6 +285,12 @@ object JxQueries {
   private val qualityClassifierJson = """{
     "corpus_op": {"op": "quality_classifier", "corpus": {"from": "documents"}}}"""
 
+  private val noveltySourcesJson = """{
+    "corpus_op": {"op": "novelty_sources", "corpus": {"from": "documents"}}}"""
+
+  private val splitLeakfreeJson = """{
+    "corpus_op": {"op": "split_leakfree", "corpus": {"from": "documents"}}}"""
+
   private val fertilityJson = """{
     "corpus_op": {"op": "fertility", "corpus": {"from": "documents"}}}"""
 
@@ -413,6 +419,10 @@ object JxQueries {
       ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
     "jx_quality_classifier" ->
       ((s, d) => Jx.run(s, qualityClassifierJson, name => t(s, d, name))),
+    "jx_novelty_sources" ->
+      ((s, d) => Jx.run(s, noveltySourcesJson, name => t(s, d, name))),
+    "jx_split_leakfree" ->
+      ((s, d) => Jx.run(s, splitLeakfreeJson, name => t(s, d, name), Some(d))),
     "jx_fertility" ->
       ((s, d) => Jx.run(s, fertilityJson, name => t(s, d, name), Some(d))),
     "jx_knn_join" ->
@@ -469,6 +479,8 @@ object JxQueries {
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->
       graft.llm.TextOps.oracle("text_quality_classifier"),
+    "jx_novelty_sources" -> graft.llm.TextOps.oracle("text_novelty_sources"),
+    "jx_split_leakfree" -> graft.llm.Dedup.oracle("dedup_split_leakfree"),
     "jx_fertility" -> graft.llm.TextOps.oracle("text_fertility"),
     "jx_knn_join" -> graft.llm.Similarity.oracle("sim_knn_join"),
     "jx_semantic_dedup" -> graft.llm.Similarity.oracle("sim_semantic_dedup"),

@@ -976,6 +976,37 @@ object Dedup {
   val dedupCanonical: Q = (s, d) =>
     canonicalFromLabels(clusterLabels(s, d), t(s, d, "documents"))
 
+  /** X1g: LEAKAGE-FREE train/val split — the published dedup-leakage
+    * concern (a validation doc's near-duplicate sitting in train makes
+    * the eval number a memorization readout, Lee et al. 2022) made
+    * STRUCTURAL: the split hashes the doc's near-dup CLUSTER LABEL, not
+    * its id, so every member of a cluster lands on the same side by
+    * construction. Singletons label themselves (label = doc_id). The
+    * hash is the repo's stable md5 key recipe — membership survives
+    * engines, runs, and repartitioning. Probes the stored pair-graph
+    * labels (`minhash_pairs`); one doc-level left join + an in-row
+    * hash — no new corpus pass. */
+  val dedupSplitLeakfree: Q = (s, d) =>
+    splitLeakfreeFrom(clusterLabels(s, d), t(s, d, "documents"))
+
+  /** The same split over any labels + documents pair (jx `corpus_op`
+    * in-plan fallback and the StreamsSpec maintained-label path). */
+  private[graft] def splitLeakfreeFrom(labels: DataFrame, docsIn: DataFrame): DataFrame =
+    docsIn.select("doc_id")
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("split", when(expr(
+        "CAST(conv(substr(md5(CAST(cluster_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10")
+        < 9, "train").otherwise("val"))
+      .orderBy("doc_id")
+      .limit(300)
+
+  /** X1g in-plan fallback over any documents-shaped frame. */
+  private[graft] def splitLeakfreeOf(docsIn: DataFrame): DataFrame =
+    splitLeakfreeFrom(clusterLabelsFrom(
+      minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5)),
+      docsIn)
+
   /** [[dedupCanonical]] over any documents-shaped frame — the jx
     * `corpus_op` front end's IN-PLAN fallback (same contract as
     * [[graft.llm.TextOps.qualityFilterOf]]); the standard-corpus route
@@ -1355,6 +1386,7 @@ object Dedup {
     "dedup_clusters" -> dedupClusters,
     "dedup_drop_list" -> dedupDropList,
     "dedup_canonical" -> dedupCanonical,
+    "dedup_split_leakfree" -> dedupSplitLeakfree,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_trim" -> dedupSubstringTrim,
     "dedup_online_gate" -> dedupOnlineGate,
@@ -1625,6 +1657,23 @@ object Dedup {
          SELECT cluster_id, doc_id AS canonical, quality AS canon_quality,
                 n_chars AS canon_chars, n_docs, n_docs - 1 AS n_dropped
          FROM m WHERE rn = 1 ORDER BY cluster_id""",
+    "dedup_split_leakfree" ->
+      s"""WITH RECURSIVE $minhashCte,
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+           sl AS (SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster_id
+                  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id)
+         SELECT doc_id, cluster_id,
+                CASE WHEN CAST('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 10 < 9
+                     THEN 'train' ELSE 'val' END AS split
+         FROM sl ORDER BY doc_id LIMIT 300""",
     "dedup_embed_lsh" ->
       s"""WITH ${Similarity.lshOracleCte},
            cand AS (SELECT DISTINCT x.vec_id AS da, y.vec_id AS db

@@ -461,6 +461,37 @@ object TextOps {
       .orderBy("decile")
   }
 
+  /** X4t: per-source NOVELTY contribution — the vendor-comparison twin
+    * of [[textNoveltyCurve]]: how many distinct trigrams each SOURCE was
+    * first to contribute (by arrival order). A source whose docs mostly
+    * re-tread earlier grams adds volume, not coverage — the per-vendor
+    * read of the same acquisition signal. Scale: gram pass → per-gram
+    * min doc → doc-level left join onto a pruned (doc_id, source) scan →
+    * a bounded-source aggregate; the share denominators come from the
+    * localCheckpoint'd |sources|-row table, never a second corpus
+    * scan. */
+  val textNoveltySources: Q = (s, d) => noveltySourcesOf(t(s, d, "documents"))
+
+  /** The same readout over ANY (doc_id, source, text) frame (jx
+    * `corpus_op` entry point). */
+  def noveltySourcesOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val firsts = gramOccurrencesOf(docs)
+      .groupBy("g").agg(min("doc_id").as("first_doc"))
+      .groupBy("first_doc").agg(count(lit(1)).as("n_first"))
+    val perSource = docs.select(col("doc_id"), col("source"))
+      .join(firsts, col("doc_id") === col("first_doc"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_first"), lit(0L))).as("n_first"))
+      .localCheckpoint()
+    val tot = perSource.agg(sum("n_first").as("n_grams"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_first"),
+        r4(col("n_first").cast("double") / col("n_docs")).as("first_per_doc"),
+        r4(col("n_first").cast("double") / col("n_grams")).as("coverage_share"))
+      .orderBy("source")
+  }
+
   /** X4g: unigram-logprob quality score — the perplexity PROXY used to
     * rank documents when no LM is at hand (CCNet-style: docs whose
     * tokens are globally rare score high / read as noise, boilerplate of
@@ -1313,6 +1344,7 @@ object TextOps {
     "text_mix_schedule" -> textMixSchedule,
     "text_ngram_novelty" -> textNgramNovelty,
     "text_novelty_curve" -> textNoveltyCurve,
+    "text_novelty_sources" -> textNoveltySources,
     "text_quality_classifier" -> textQualityClassifier,
     "text_fertility" -> textFertility,
     "text_logfreq" -> textLogfreq,
@@ -1818,6 +1850,24 @@ object TextOps {
          SELECT decile, n_first, cum_grams,
                 round(cum_grams * 1.0 / n_grams, 4) AS cum_share
          FROM ncc ORDER BY decile""",
+    "text_novelty_sources" ->
+      """WITH nsf AS (SELECT g, min(doc_id) AS first_doc FROM (
+                        SELECT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+                        FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                              FROM (SELECT doc_id, string_split(text, ' ') AS t
+                                    FROM documents)
+                              WHERE len(t) >= 3))
+                      GROUP BY 1),
+           nsd AS (SELECT first_doc, count(*) AS n_first FROM nsf GROUP BY 1),
+           nss AS (SELECT d.source, count(*) AS n_docs,
+                          CAST(sum(COALESCE(n.n_first, 0)) AS BIGINT) AS n_first
+                   FROM documents d LEFT JOIN nsd n ON n.first_doc = d.doc_id
+                   GROUP BY 1),
+           nst AS (SELECT CAST(sum(n_first) AS BIGINT) AS n_grams FROM nss)
+         SELECT source, n_docs, n_first,
+                round(n_first * 1.0 / n_docs, 4) AS first_per_doc,
+                round(n_first * 1.0 / n_grams, 4) AS coverage_share
+         FROM nss CROSS JOIN nst ORDER BY source""",
     "text_quality_classifier" ->
       """WITH qcf AS (SELECT doc_id, curated, w FROM (
                         SELECT doc_id,

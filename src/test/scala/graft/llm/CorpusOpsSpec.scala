@@ -911,6 +911,43 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(rows.map(_.getAs[Long]("n_first")).sum === distinctGrams)
   }
 
+  // ---- dedup_split_leakfree ----
+
+  test("leakage-free split keeps every near-dup pair on one side and " +
+      "holds out a sane validation share") {
+    val rows = run("dedup_split_leakfree").collect()
+    assert(rows.nonEmpty)
+    val side = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("cluster_id"), r.getAs[String]("split"))).toMap
+    // every stored near-dup pair whose endpoints are both in the window
+    // shares a cluster AND a side — the structural no-leakage claim
+    val pairs = run("dedup_minhash").collect()
+      .map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")))
+    val covered = pairs.filter { case (a, b) =>
+      side.contains(a) && side.contains(b) }
+    assert(covered.nonEmpty, "no pair landed in the tested window")
+    covered.foreach { case (a, b) =>
+      assert(side(a) === side(b), s"pair ($a,$b) split across sides")
+    }
+    // the 1-in-10 label hash holds out roughly a tenth
+    val valShare = rows.count(_.getAs[String]("split") == "val").toDouble / rows.length
+    assert(valShare > 0.02 && valShare < 0.3, s"val share $valShare")
+  }
+
+  // ---- text_novelty_sources ----
+
+  test("per-source novelty contributions partition the gram space and " +
+      "the shares form a distribution") {
+    val rows = run("text_novelty_sources").collect()
+    assert(rows.nonEmpty)
+    val distinctGrams = TextOps
+      .gramOccurrencesOf(graft.Tables.t(spark, sf, "documents"))
+      .select("g").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_first")).sum === distinctGrams)
+    val shareSum = rows.map(_.getAs[Double]("coverage_share")).sum
+    assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
+  }
+
   // ---- sim_knn_join ----
 
   test("cross-set kNN join keeps sides disjoint and ranks consecutively") {
