@@ -241,7 +241,49 @@ object Pipeline {
       .limit(300)
   }
 
+  /** X9+X4r+X1g+X4n: the CORPUS RELEASE — the artifact a training run
+    * actually consumes: hygiene survivors → the curated-vs-crawl NB
+    * classifier gate (trained on the surviving corpus itself, original
+    * source labels) → train/val side assignment → a per-(split, shard)
+    * manifest rollup (docs, tokens, bytes, id range, xor fingerprint).
+    * Side assignment uses the SAME md5 key recipe as
+    * `dedup_split_leakfree`; on the post-dedup survivor set every
+    * near-dup cluster has exactly one member left, so hashing the doc
+    * id IS hashing the cluster label — the structural no-leakage
+    * guarantee is inherited from the dedup stage rather than re-proved
+    * (a non-deduped corpus routes through `dedup_split_leakfree`'s
+    * label hash instead). Plan: pipeline_corpus's shared shingle pass
+    * up to survivors, one vocabulary-bounded classifier join, then a
+    * ≤2×16-row rollup — the release readout costs one extra broadcast
+    * join over the survivor set. */
+  val pipelineCorpusRelease: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val survivors = corpusSurvivors(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+    val keptIds = TextOps.classifierScoresOf(
+        survivors.join(docs.select("doc_id", "source"), Seq("doc_id")))
+      .filter(col("selected")).select("doc_id")
+    survivors.join(keptIds, Seq("doc_id"))
+      .withColumn("split", when(expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10")
+        < 9, "train").otherwise("val"))
+      .withColumn("shard", TextOps.shardCol(16))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("content_h", expr(
+        "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("split", "shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("n_tokens"),
+        sum(col("n_chars")).as("n_bytes"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"),
+        expr("bit_xor(content_h)").as("content_fp"))
+      .orderBy("split", "shard")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_corpus_release" -> pipelineCorpusRelease,
     "pipeline_corpus" -> pipelineCorpus,
     "pipeline_corpus_trim" -> pipelineCorpusTrim,
     "pipeline_corpus_quality" -> pipelineCorpusQuality,
@@ -407,6 +449,48 @@ object Pipeline {
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc,
                 bit_xor(content_h) AS content_fp
          FROM md GROUP BY shard ORDER BY shard""",
+    // the release: survivors → NB classifier gate (trained on the
+    // surviving corpus, rl-prefixed CTEs) → split/shard rollup
+    "pipeline_corpus_release" ->
+      s"""$hygienePrefix,
+           rsc AS (SELECT s.doc_id, d.source, s.text
+                   FROM survivors s JOIN documents d USING (doc_id)),
+           rqf AS (SELECT doc_id, curated, w FROM (
+                     SELECT doc_id,
+                            CAST(substr(source, 4) AS INT) % 3 = 0 AS curated,
+                            unnest(string_split(text, ' ')) AS w
+                     FROM rsc)
+                   WHERE length(w) > 0),
+           rcc AS (SELECT w, count(*) FILTER (WHERE curated) AS cc,
+                          count(*) FILTER (WHERE NOT curated) AS rc
+                   FROM rqf GROUP BY 1),
+           rcn AS (SELECT count(*) FILTER (WHERE curated) AS c_n,
+                          count(*) FILTER (WHERE NOT curated) AS r_n,
+                          count(DISTINCT w) AS v
+                   FROM rqf),
+           rcm AS (SELECT w, ln((cc + 1.0) / (c_n + v))
+                            - ln((rc + 1.0) / (r_n + v)) AS lo
+                   FROM rcc CROSS JOIN rcn),
+           rsel AS (SELECT f.doc_id FROM rqf f JOIN rcm m USING (w)
+                    GROUP BY f.doc_id
+                    HAVING round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                 / count(*), 4) > 0),
+           rrel AS (SELECT s.doc_id, s.text,
+                           CASE WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)),
+                                          1, 15) AS BIGINT) % 10 < 9
+                                THEN 'train' ELSE 'val' END AS split,
+                           CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15)
+                                AS BIGINT) % 16 AS shard,
+                           CAST('0x' || substr(md5(s.text), 1, 15) AS BIGINT) AS content_h,
+                           len(string_split(s.text, ' ')) AS n_toks,
+                           CAST(length(s.text) AS BIGINT) AS n_chars
+                    FROM survivors s JOIN rsel USING (doc_id))
+         SELECT split, shard, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                bit_xor(content_h) AS content_fp
+         FROM rrel GROUP BY 1, 2 ORDER BY split, shard""",
     // the trim stage replayed over the survivor set (same construction as
     // dedup_substring_trim, t-prefixed names to avoid CTE collisions)
     "pipeline_corpus_trim" ->

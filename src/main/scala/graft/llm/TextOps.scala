@@ -398,7 +398,12 @@ object TextOps {
 
   /** The same gate over ANY (doc_id, source, text) frame (jx `corpus_op`
     * entry point). */
-  def qualityClassifierOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def qualityClassifierOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    classifierScoresOf(docs).orderBy("doc_id").limit(300)
+
+  /** The un-windowed score frame — the composable form
+    * ([[graft.llm.Pipeline]]'s release gate consumes the full set). */
+  def classifierScoresOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = docs
       .select(col("doc_id"),
         expr("CAST(substr(source, 4) AS INT) % 3 = 0").as("curated"),
@@ -423,8 +428,6 @@ object TextOps {
           / count(lit(1))).as("score"))
       .withColumn("selected", col("score") > 0)
       .select("doc_id", "curated", "n_tok", "score", "selected")
-      .orderBy("doc_id")
-      .limit(300)
   }
 
   /** X4s: NOVELTY CURVE — Heaps-law readout of marginal novelty: how

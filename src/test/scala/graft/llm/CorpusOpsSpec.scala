@@ -911,6 +911,32 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(rows.map(_.getAs[Long]("n_first")).sum === distinctGrams)
   }
 
+  // ---- pipeline_corpus_release ----
+
+  test("corpus release rolls up exactly the classifier-kept survivors " +
+      "with composable fingerprints") {
+    val rows = run("pipeline_corpus_release").collect()
+    assert(rows.nonEmpty)
+    // recompute the kept set independently through the public halves
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val survivors = Pipeline.corpusSurvivors(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+    val kept = TextOps.classifierScoresOf(
+        survivors.join(docs.select("doc_id", "source"), Seq("doc_id")))
+      .filter(col("selected"))
+    val nKept = kept.count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nKept)
+    assert(nKept > 0 && nKept < docs.filter(col("doc_id") >= 10).count(),
+      "the classifier gate must cut something and keep something")
+    // both splits present, and the id ranges are consistent per row
+    assert(rows.map(_.getAs[String]("split")).distinct.sorted
+      .sameElements(Seq("train", "val")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_doc") <= r.getAs[Long]("max_doc"), r)
+      assert(r.getAs[Long]("n_tokens") > 0L && r.getAs[Long]("n_bytes") > 0L, r)
+    }
+  }
+
   // ---- dedup_split_leakfree ----
 
   test("leakage-free split keeps every near-dup pair on one side and " +
