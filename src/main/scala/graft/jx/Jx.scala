@@ -289,7 +289,16 @@ object Jx {
   private def runPipeline(spark: SparkSession, p: JsonNode,
       tables: String => DataFrame,
       dataset: Option[String] = None): DataFrame =
-    graft.llm.Pipeline.corpusHygiene(
+    // `"release": true` switches the output from the packed survivor
+    // layout to the trainer-facing RELEASE manifest (survivors →
+    // classifier gate → split/shard rollup, Pipeline.corpusRelease) —
+    // the corpus query must then also carry `source`
+    if (opt(p, "release").exists(_.asBoolean()))
+      graft.llm.Pipeline.corpusRelease(
+        runNode(spark, req(p, "corpus"), tables, dataset),
+        runNode(spark, req(p, "benchmark"), tables, dataset),
+        nShards = opt(p, "shards").map(_.asInt()).getOrElse(16))
+    else graft.llm.Pipeline.corpusHygiene(
       runNode(spark, req(p, "corpus"), tables, dataset),
       runNode(spark, req(p, "benchmark"), tables, dataset),
       jaccardThreshold = opt(p, "jaccard_threshold").map(_.asDouble()).getOrElse(0.5),
@@ -402,6 +411,13 @@ object Jx {
         case Some(d) => graft.llm.Similarity.semanticDedupStored(spark, d,
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
         case None => graft.llm.Similarity.semanticDedupOf(docs,
+          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
+      }
+      case "semantic_decon" => storeDir match {
+        case Some(d) => graft.llm.Similarity.semanticDeconStored(spark, d,
+          opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
+        case None => graft.llm.Similarity.semanticDeconOf(docs,
           opt(c, "nlist").map(_.asInt()).getOrElse(16),
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
       }

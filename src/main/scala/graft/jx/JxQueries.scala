@@ -267,6 +267,12 @@ object JxQueries {
     "sort": ["doc_id"],
     "limit": 300}"""
 
+  private val releaseJson = """{
+    "pipeline": {
+      "release": true,
+      "corpus": {"from": "documents", "where": {"gte": ["doc_id", 10]}},
+      "benchmark": {"from": "documents", "where": {"lt": ["doc_id", 10]}}}}"""
+
   private val qualityGateJson = """{
     "corpus_op": {"op": "quality_gate", "corpus": {"from": "documents"}}}"""
 
@@ -305,6 +311,9 @@ object JxQueries {
 
   private val semanticDedupJson = """{
     "corpus_op": {"op": "semantic_dedup", "corpus": {"from": "embeddings"}}}"""
+
+  private val semanticDeconJson = """{
+    "corpus_op": {"op": "semantic_decon", "corpus": {"from": "embeddings"}}}"""
 
   private val overlapJson = """{
     "corpus_op": {"op": "overlap", "corpus": {"from": "documents"}}}"""
@@ -406,6 +415,7 @@ object JxQueries {
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))),
     "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))),
     "jx_pipeline" -> ((s, d) => Jx.run(s, pipelineJson, name => t(s, d, name))),
+    "jx_release" -> ((s, d) => Jx.run(s, releaseJson, name => t(s, d, name))),
     "jx_quality_gate" -> ((s, d) => Jx.run(s, qualityGateJson, name => t(s, d, name))),
     "jx_payload_quality" ->
       ((s, d) => Jx.run(s, payloadQualityJson, name => t(s, d, name))),
@@ -429,6 +439,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, knnJoinJson, name => t(s, d, name), Some(d))),
     "jx_semantic_dedup" ->
       ((s, d) => Jx.run(s, semanticDedupJson, name => t(s, d, name), Some(d))),
+    "jx_semantic_decon" ->
+      ((s, d) => Jx.run(s, semanticDeconJson, name => t(s, d, name), Some(d))),
     "jx_overlap" -> ((s, d) => Jx.run(s, overlapJson, name => t(s, d, name))),
     "jx_dsir" -> ((s, d) => Jx.run(s, dsirJson, name => t(s, d, name))),
     "jx_shard_manifest" ->
@@ -468,6 +480,7 @@ object JxQueries {
     // the jx front end must land on the Column API's exact decision set,
     // so the oracle is pipeline_corpus's full-replay SQL verbatim
     "jx_pipeline" -> graft.llm.Pipeline.oracle("pipeline_corpus"),
+    "jx_release" -> graft.llm.Pipeline.oracle("pipeline_corpus_release"),
     // same single-surface contract for the corpus ops: the jx front end
     // must land on the Column API's exact decision set
     "jx_quality_gate" -> graft.llm.TextOps.oracle("text_quality_filter"),
@@ -484,6 +497,7 @@ object JxQueries {
     "jx_fertility" -> graft.llm.TextOps.oracle("text_fertility"),
     "jx_knn_join" -> graft.llm.Similarity.oracle("sim_knn_join"),
     "jx_semantic_dedup" -> graft.llm.Similarity.oracle("sim_semantic_dedup"),
+    "jx_semantic_decon" -> graft.llm.Similarity.oracle("sim_semantic_decon"),
     "jx_overlap" -> graft.llm.Dedup.oracle("dedup_corpus_overlap"),
     "jx_dsir" -> graft.llm.TextOps.oracle("text_dsir"),
     "jx_shard_manifest" -> graft.llm.TextOps.oracle("text_shard_manifest"),

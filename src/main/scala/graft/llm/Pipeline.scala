@@ -255,19 +255,23 @@ object Pipeline {
     * label hash instead). Plan: pipeline_corpus's shared shingle pass
     * up to survivors, one vocabulary-bounded classifier join, then a
     * ≤2×16-row rollup — the release readout costs one extra broadcast
-    * join over the survivor set. */
-  val pipelineCorpusRelease: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    val survivors = corpusSurvivors(
-      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+    * join over the survivor set.
+    *
+    * Library surface: `corpus` must carry (doc_id, source, text);
+    * `bench` is the held-out benchmark frame (doc_id, text). `nShards`
+    * sizes the shard key; the 90/10 train/val rule is the
+    * `dedup_split_leakfree` convention. */
+  def corpusRelease(corpus: DataFrame, bench: DataFrame,
+      nShards: Int = 16): DataFrame = {
+    val survivors = corpusSurvivors(corpus, bench)
     val keptIds = TextOps.classifierScoresOf(
-        survivors.join(docs.select("doc_id", "source"), Seq("doc_id")))
+        survivors.join(corpus.select("doc_id", "source"), Seq("doc_id")))
       .filter(col("selected")).select("doc_id")
     survivors.join(keptIds, Seq("doc_id"))
       .withColumn("split", when(expr(
         "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10")
         < 9, "train").otherwise("val"))
-      .withColumn("shard", TextOps.shardCol(16))
+      .withColumn("shard", TextOps.shardCol(nShards))
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("content_h", expr(
         "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"))
@@ -280,6 +284,11 @@ object Pipeline {
         max("doc_id").as("max_doc"),
         expr("bit_xor(content_h)").as("content_fp"))
       .orderBy("split", "shard")
+  }
+
+  val pipelineCorpusRelease: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    corpusRelease(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
   }
 
   val queries: Map[String, Q] = Map(

@@ -288,6 +288,75 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** X3j: semantic DECONTAMINATION — the embedding-space twin of
+    * [[graft.llm.Dedup.decontaminate]]: an n-gram decontamination pass
+    * only catches near-verbatim benchmark copies, while a paraphrased
+    * test item shares almost no shingles yet sits next to the benchmark
+    * in embedding space. Benchmark vectors (the held-out eval set) probe
+    * their nprobe nearest IVF lists; any CORPUS vector in a probed list
+    * with rounded cosine ≥ τ is flagged, with the worst-offending bench
+    * item (max cosine, ties to the smaller bench id) attached for audit.
+    *
+    * Plan at 100 TB: the bench set is the SMALL side (an eval suite, not
+    * the corpus) — it broadcasts; candidates come from the cid equi-join
+    * against the stored inverted lists, touching nprobe/nlist of the
+    * corpus per bench vector, never all-pairs. The per-vector readout is
+    * a corpus-keyed partial aggregate (map-side combinable). Same
+    * approximation contract as [[simSemanticDedup]]: candidates are
+    * quantizer-local, the published SemDeDup/contamination-audit shape. */
+  val simSemanticDecon: Q = (s, d) => semanticDeconStored(s, d)
+
+  /** Store-backed decontamination for the standard embeddings table —
+    * probes the shared stored quantizer ([[quantizerStore]]) like
+    * [[semanticDedupStored]]. */
+  def semanticDeconStored(s: SparkSession, d: String,
+      tau: Double = 0.35): DataFrame = {
+    val (vecs, _, scored, assign) = ivfIndex(s, d, 16)
+    semanticDeconFrom(vecs, scored, assign, col("vec_id") % 10 === 0, tau)
+  }
+
+  /** [[simSemanticDecon]] over any (vec_id, embedding) frame with an
+    * in-plan quantizer (jx `corpus_op` fallback for non-standard
+    * corpora; the plain standard table routes to the stored quantizer
+    * via [[simSemanticDecon]]'s path). */
+  def semanticDeconOf(embs: DataFrame, nlist: Int = 16,
+      tau: Double = 0.35): DataFrame = {
+    val (vecs, _, scored, assign) = ivfIndexOf(embs, nlist)
+    semanticDeconFrom(vecs, scored, assign, col("vec_id") % 10 === 0, tau)
+  }
+
+  private def semanticDeconFrom(vecs: DataFrame, scored: DataFrame,
+      assign: DataFrame, isBench: org.apache.spark.sql.Column,
+      tau: Double): DataFrame = {
+    val nprobe = 2
+    val inv = assign.join(vecs, Seq("vec_id"))
+      .filter(!isBench)
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("norm2").as("nn"))
+    val probes = scored.filter(isBench)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("bid"), col("cid"))
+    val b = vecs.filter(isBench)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"), col("norm2").as("bn"))
+    // (bid, nid) pairs are unique by construction: a bench vector's probe
+    // cids are distinct and each corpus vector lives in exactly one list,
+    // so no pre-aggregate dedup is needed
+    probes.join(inv, Seq("cid"))
+      .join(broadcast(b), Seq("bid"))
+      .withColumn("cosine",
+        r4(DotProduct(col("bv"), col("nv")) / (sqrt(col("bn")) * sqrt(col("nn")))))
+      .filter(col("cosine") >= tau)
+      .groupBy("nid")
+      .agg(
+        count(lit(1)).cast("int").as("n_hits"),
+        max(struct(col("cosine"), (-col("bid")).as("neg_bid"))).as("mx"))
+      .select(col("nid").as("vec_id"), (-col("mx.neg_bid")).as("bench_id"),
+        col("mx.cosine").as("cosine"), col("n_hits"))
+      .orderBy("vec_id")
+  }
+
   /** X3d: the ONLINE ANN gate — "which corpus vectors is this incoming
     * embedding near?", the ingestion-time twin of
     * [[graft.llm.Dedup.dedupAgainstCorpus]] for the embedding space.
@@ -1413,6 +1482,7 @@ object Similarity {
     "sim_topk" -> simTopk,
     "sim_knn_join" -> simKnnJoin,
     "sim_semantic_dedup" -> simSemanticDedup,
+    "sim_semantic_decon" -> simSemanticDecon,
     "sim_ivf" -> simIvf,
     "sim_ivfpq" -> simIvfPq,
     "sim_ivfpq_rerank" -> simIvfPqRerank,
@@ -1925,6 +1995,33 @@ object Similarity {
          ORDER BY qid, rnk""",
     // cross-set kNN join: the sim_ivf recipe with a %10 query/corpus
     // split, nprobe=2, k=3, and no self-exclusion (sides are disjoint)
+    // semantic decontamination: the knn_join probe replay with a τ
+    // threshold instead of top-k, rolled up per corpus vector (max
+    // rounded cosine, ties to the smaller bench id)
+    "sim_semantic_decon" ->
+      s"""WITH $ivfOracleCte,
+           sdinv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
+                     FROM assign a JOIN vn v USING (vec_id)
+                     WHERE v.vec_id % 10 <> 0),
+           sdpr AS (SELECT vec_id AS bid, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+             FROM scored WHERE vec_id % 10 = 0) WHERE rk <= 2),
+           sdb AS (SELECT vec_id AS bid, v AS bv, norm2 AS bn FROM vn
+                   WHERE vec_id % 10 = 0),
+           sdcand AS (
+             SELECT p.bid, i.nid,
+                    round(list_reduce([b.bv[k] * i.nv[k] for k in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(b.bn) * sqrt(i.nn)), 4) + 0.0 AS cosine
+             FROM sdpr p JOIN sdinv i USING (cid) JOIN sdb b ON b.bid = p.bid),
+           sdhit AS (SELECT * FROM sdcand WHERE cosine >= 0.35),
+           sdagg AS (SELECT nid, bid, cosine,
+                            row_number() OVER (PARTITION BY nid
+                                               ORDER BY cosine DESC, bid ASC) AS rn,
+                            count(*) OVER (PARTITION BY nid) AS nh
+                     FROM sdhit)
+         SELECT nid AS vec_id, bid AS bench_id, cosine, CAST(nh AS INT) AS n_hits
+         FROM sdagg WHERE rn = 1 ORDER BY vec_id""",
     "sim_knn_join" ->
       s"""WITH $ivfOracleCte,
            inv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn

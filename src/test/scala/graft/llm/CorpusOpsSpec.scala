@@ -937,6 +937,12 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("jx release route is byte-identical to the driver release key") {
+    val jx = run("jx_release").collect().map(_.toString).sorted
+    val drv = run("pipeline_corpus_release").collect().map(_.toString).sorted
+    assert(jx.nonEmpty && (jx sameElements drv))
+  }
+
   // ---- dedup_split_leakfree ----
 
   test("leakage-free split keeps every near-dup pair on one side and " +
@@ -972,6 +978,34 @@ class CorpusOpsSpec extends graft.SparkSpec {
     assert(rows.map(_.getAs[Long]("n_first")).sum === distinctGrams)
     val shareSum = rows.map(_.getAs[Double]("coverage_share")).sum
     assert(math.abs(shareSum - 1.0) < 0.01, s"shares sum to $shareSum")
+  }
+
+  // ---- sim_semantic_decon ----
+
+  test("semantic decontamination flags only corpus vectors against bench " +
+      "vectors, at or above the threshold") {
+    val rows = run("sim_semantic_decon").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 10 !== 0L, s"bench vec flagged: $r")
+      assert(r.getAs[Long]("bench_id") % 10 === 0L, s"non-bench offender: $r")
+      assert(r.getAs[Double]("cosine") >= 0.35, r)
+      assert(r.getAs[Int]("n_hits") >= 1, r)
+    }
+    // the attached cosine really is the max over that vector's bench hits:
+    // recompute each flagged pair's exact cosine from the raw vectors
+    val embs = graft.Tables.t(spark, sf, "embeddings").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    rows.foreach { r =>
+      val v = embs(r.getAs[Long]("vec_id"))
+      val b = embs(r.getAs[Long]("bench_id"))
+      val dot = v.zip(b).map { case (x, y) => x * y }.sum
+      val cos = dot / (math.sqrt(v.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      assert(math.abs(cos - r.getAs[Double]("cosine")) < 5e-4,
+        s"reported cosine drifts from the raw-vector recompute: $r vs $cos")
+    }
   }
 
   // ---- sim_knn_join ----

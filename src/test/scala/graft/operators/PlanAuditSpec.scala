@@ -74,6 +74,16 @@ class PlanAuditSpec extends graft.SparkSpec {
       || p.contains("ShuffledHashJoin"), p)
   }
 
+  test("sim_semantic_decon: bench probe is equi-joined on cid — no cartesian") {
+    val p = plan("sim_semantic_decon")
+    // same contract as sim_knn_join: the only nested-loop allowed is the
+    // nlist-row centroid broadcast; probe→inverted-list→bench joins are
+    // equi-joins with the bench side broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("dedup_simhash_mjs: bucket self-join is equi-keyed, never cartesian") {
     val p = plan("dedup_simhash_mjs")
     assert(!p.contains("CartesianProduct"), p)
