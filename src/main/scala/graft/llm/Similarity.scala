@@ -328,33 +328,100 @@ object Similarity {
   private def semanticDeconFrom(vecs: DataFrame, scored: DataFrame,
       assign: DataFrame, isBench: org.apache.spark.sql.Column,
       tau: Double): DataFrame = {
-    val nprobe = 2
     val inv = assign.join(vecs, Seq("vec_id"))
       .filter(!isBench)
       .select(col("cid"), col("vec_id").as("nid"),
         col("embedding").as("nv"), col("norm2").as("nn"))
+    val b = vecs.filter(isBench)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"), col("norm2").as("bn"))
     val probes = scored.filter(isBench)
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
-      .filter(col("rk") <= nprobe)
+      .filter(col("rk") <= 2)
       .select(col("vec_id").as("bid"), col("cid"))
-    val b = vecs.filter(isBench)
-      .select(col("vec_id").as("bid"), col("embedding").as("bv"), col("norm2").as("bn"))
-    // (bid, nid) pairs are unique by construction: a bench vector's probe
-    // cids are distinct and each corpus vector lives in exactly one list,
-    // so no pre-aggregate dedup is needed
+    deconRollup(deconHits(probes, b, inv, tau))
+  }
+
+  /** The shared threshold pass: probed (bid, cid) × inverted lists →
+    * exact rounded cosine ≥ τ hits as (bid, nid, cosine). Pairs are
+    * unique by construction: a bench vector's probe cids are distinct
+    * and each corpus vector lives in exactly one list. */
+  private def deconHits(probes: DataFrame, b: DataFrame, inv: DataFrame,
+      tau: Double): DataFrame =
     probes.join(inv, Seq("cid"))
       .join(broadcast(b), Seq("bid"))
       .withColumn("cosine",
         r4(DotProduct(col("bv"), col("nv")) / (sqrt(col("bn")) * sqrt(col("nn")))))
       .filter(col("cosine") >= tau)
-      .groupBy("nid")
+      .select("bid", "nid", "cosine")
+
+  /** The per-corpus-vector rollup over a (bid, nid, cosine) hit frame —
+    * shared by the in-plan decon and [[deconStoreReadout]]'s merged
+    * store (count and struct-max are distributive, so the streamed
+    * store's merge is exact, not approximate). */
+  private[graft] def deconRollup(hits: DataFrame): DataFrame =
+    hits.groupBy("nid")
       .agg(
         count(lit(1)).cast("int").as("n_hits"),
         max(struct(col("cosine"), (-col("bid")).as("neg_bid"))).as("mx"))
       .select(col("nid").as("vec_id"), (-col("mx.neg_bid")).as("bench_id"),
         col("mx.cosine").as("cosine"), col("n_hits"))
       .orderBy("vec_id")
+
+  /** Hits of a NEW bench batch against the FIXED stored decon index
+    * (centroids + corpus inverted lists) — the ingestion-time
+    * maintenance primitive behind the streamed decon store (ST14).
+    * Probe selection depends only on the fixed centroids and hits only
+    * on the fixed lists, so per-batch hit partials merged across
+    * batches are BIT-IDENTICAL to the one-shot whole-bench pass. */
+  def deconHitsAgainstIndex(bench: DataFrame, cents: DataFrame,
+      inv: DataFrame, tau: Double = 0.35): DataFrame = {
+    val b = bench.select(col("vec_id").as("bid"), col("embedding").as("bv"))
+      .withColumn("bn", DotProduct(col("bv"), col("bv")))
+    val probes = b.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        DotProduct(col("bv"), col("cv")) / (sqrt(col("bn")) * sqrt(col("cn"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("bid").orderBy(desc("cos"), asc("cid"))))
+      .filter(col("rk") <= 2)
+      .select("bid", "cid")
+    deconHits(probes, b, inv, tau)
+  }
+
+  /** X3j-audit: the per-BENCH-ITEM contamination report — the question
+    * flipped around: not "which corpus docs must go" but "which eval
+    * items are already compromised, and how badly". EVERY bench vector
+    * gets a row (n_contaminated = 0 means the item is clean — absence
+    * is the answer that matters most), with the worst-offending corpus
+    * vector attached for triage. Same candidate pass as
+    * [[simSemanticDecon]], rolled up per bench id with a left join back
+    * onto the bench set. */
+  val simDeconReport: Q = (s, d) => {
+    val (vecs, _, scored, assign) = ivfIndex(s, d, 16)
+    val isBench = col("vec_id") % 10 === 0
+    val inv = assign.join(vecs, Seq("vec_id"))
+      .filter(!isBench)
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("norm2").as("nn"))
+    val b = vecs.filter(isBench)
+      .select(col("vec_id").as("bid"), col("embedding").as("bv"), col("norm2").as("bn"))
+    val probes = scored.filter(isBench)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id").as("bid"), col("cid"))
+    val agg = deconHits(probes, b, inv, 0.35)
+      .groupBy("bid")
+      .agg(
+        count(lit(1)).cast("int").as("nc"),
+        max(struct(col("cosine"), (-col("nid")).as("neg_nid"))).as("mx"))
+    b.select(col("bid").as("bench_id"))
+      .join(agg.withColumnRenamed("bid", "bench_id"), Seq("bench_id"), "left")
+      .select(col("bench_id"),
+        coalesce(col("nc"), lit(0)).as("n_contaminated"),
+        coalesce(-col("mx.neg_nid"), lit(-1L)).as("worst_vec"),
+        coalesce(col("mx.cosine"), lit(0.0)).as("max_cosine"))
+      .orderBy("bench_id")
   }
 
   /** X3d: the ONLINE ANN gate — "which corpus vectors is this incoming
@@ -1483,6 +1550,7 @@ object Similarity {
     "sim_knn_join" -> simKnnJoin,
     "sim_semantic_dedup" -> simSemanticDedup,
     "sim_semantic_decon" -> simSemanticDecon,
+    "sim_decon_report" -> simDeconReport,
     "sim_ivf" -> simIvf,
     "sim_ivfpq" -> simIvfPq,
     "sim_ivfpq_rerank" -> simIvfPqRerank,
@@ -1549,6 +1617,27 @@ object Similarity {
                   CAST(row_number() OVER (PARTITION BY src
                                           ORDER BY cosine DESC, dst ASC) AS INT) AS rnk
            FROM knncand) WHERE rnk <= 3)"""
+
+  /** Shared decon replay (composes after `ivfOracleCte`): corpus
+    * inverted lists, bench probes (top-2 lists), exact rounded-cosine
+    * hits at τ = 0.35. sd-prefixed to stay clear of the ivf chain's CTE
+    * names. */
+  private val deconOracleCtes: String =
+    """sdinv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
+                     FROM assign a JOIN vn v USING (vec_id)
+                     WHERE v.vec_id % 10 <> 0),
+           sdpr AS (SELECT vec_id AS bid, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+             FROM scored WHERE vec_id % 10 = 0) WHERE rk <= 2),
+           sdb AS (SELECT vec_id AS bid, v AS bv, norm2 AS bn FROM vn
+                   WHERE vec_id % 10 = 0),
+           sdcand AS (
+             SELECT p.bid, i.nid,
+                    round(list_reduce([b.bv[k] * i.nv[k] for k in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(b.bn) * sqrt(i.nn)), 4) + 0.0 AS cosine
+             FROM sdpr p JOIN sdinv i USING (cid) JOIN sdb b ON b.bid = p.bid),
+           sdhit AS (SELECT * FROM sdcand WHERE cosine >= 0.35)"""
 
   private val ivfOracleCte: String =
     """raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
@@ -2000,21 +2089,7 @@ object Similarity {
     // rounded cosine, ties to the smaller bench id)
     "sim_semantic_decon" ->
       s"""WITH $ivfOracleCte,
-           sdinv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
-                     FROM assign a JOIN vn v USING (vec_id)
-                     WHERE v.vec_id % 10 <> 0),
-           sdpr AS (SELECT vec_id AS bid, cid FROM (
-             SELECT vec_id, cid,
-                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
-             FROM scored WHERE vec_id % 10 = 0) WHERE rk <= 2),
-           sdb AS (SELECT vec_id AS bid, v AS bv, norm2 AS bn FROM vn
-                   WHERE vec_id % 10 = 0),
-           sdcand AS (
-             SELECT p.bid, i.nid,
-                    round(list_reduce([b.bv[k] * i.nv[k] for k in generate_series(1, 64)],
-                                      (x, y) -> x + y) / (sqrt(b.bn) * sqrt(i.nn)), 4) + 0.0 AS cosine
-             FROM sdpr p JOIN sdinv i USING (cid) JOIN sdb b ON b.bid = p.bid),
-           sdhit AS (SELECT * FROM sdcand WHERE cosine >= 0.35),
+           $deconOracleCtes,
            sdagg AS (SELECT nid, bid, cosine,
                             row_number() OVER (PARTITION BY nid
                                                ORDER BY cosine DESC, bid ASC) AS rn,
@@ -2022,6 +2097,22 @@ object Similarity {
                      FROM sdhit)
          SELECT nid AS vec_id, bid AS bench_id, cosine, CAST(nh AS INT) AS n_hits
          FROM sdagg WHERE rn = 1 ORDER BY vec_id""",
+    // per-bench-item contamination report: every bench vector rowed,
+    // zero-hit items visible, worst corpus offender attached
+    "sim_decon_report" ->
+      s"""WITH $ivfOracleCte,
+           $deconOracleCtes,
+           sdrep AS (SELECT bid, nid, cosine,
+                            row_number() OVER (PARTITION BY bid
+                                               ORDER BY cosine DESC, nid ASC) AS rn,
+                            count(*) OVER (PARTITION BY bid) AS nh
+                     FROM sdhit)
+         SELECT b.bid AS bench_id,
+                CAST(coalesce(r.nh, 0) AS INT) AS n_contaminated,
+                coalesce(r.nid, -1) AS worst_vec,
+                coalesce(r.cosine, 0.0) AS max_cosine
+         FROM sdb b LEFT JOIN (SELECT * FROM sdrep WHERE rn = 1) r ON r.bid = b.bid
+         ORDER BY bench_id""",
     "sim_knn_join" ->
       s"""WITH $ivfOracleCte,
            inv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn

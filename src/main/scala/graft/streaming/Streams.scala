@@ -287,6 +287,43 @@ object Streams {
       s.read.parquet(s"$dir/grams").select("g", "first_doc"),
       s.read.parquet(s"$dir/docs").select("doc_id", "n_grams"))
 
+  /** ST14: stream-maintained semantic-DECONTAMINATION store — the
+    * benchmark side is the one that CHANGES over time (a new eval suite
+    * lands; the corpus snapshot under audit is fixed), so the streamed
+    * form answers "what does this new benchmark contaminate?" without
+    * re-running the whole-bench pass. Init persists the decon index
+    * (stored-quantizer centroids + corpus inverted lists); each arriving
+    * bench batch probes the FIXED index
+    * ([[graft.llm.Similarity.deconHitsAgainstIndex]]: probe selection
+    * depends only on the fixed centroids, hits only on the fixed lists)
+    * and writes its (bid, nid, cosine) hit partials under its own batch
+    * partition — dynamic idempotent overwrite, so a redelivered batch
+    * replaces exactly itself. The readout re-rolls count + struct-max
+    * across batches — both distributive, so the merged store equals the
+    * one-shot whole-bench decon BIT-identically under any batch split
+    * or redelivery order. At 100 TB: a new eval suite costs one probe
+    * pass over ITS OWN vectors; the corpus is never re-scanned. */
+  def deconStoreInit(s: SparkSession, d: String, dir: String): Unit = {
+    val (cents, inv) = graft.llm.Similarity.ivfArtifacts(s, d, 16)
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    inv.filter(col("nid") % 10 =!= 0).write.mode("overwrite").parquet(s"$dir/inv")
+  }
+
+  def deconDeltaSink(batch: DataFrame, batchId: Long, dir: String,
+      tau: Double = 0.35): Unit = {
+    val s = batch.sparkSession
+    graft.llm.Similarity.deconHitsAgainstIndex(batch,
+        s.read.parquet(s"$dir/cents"), s.read.parquet(s"$dir/inv"), tau)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/hits")
+  }
+
+  /** The accumulated readout in `sim_semantic_decon`'s output shape. */
+  def deconStoreReadout(s: SparkSession, dir: String): DataFrame =
+    graft.llm.Similarity.deconRollup(
+      s.read.parquet(s"$dir/hits").select("bid", "nid", "cosine"))
+
   /** ST12: stream-maintained NEAR-DUP PAIR-GRAPH delta — the dedup twin
     * of ST10, with a stronger contract: MinHash needs no training, so
     * the accumulated store IS the full-corpus pair set exactly (not
@@ -630,7 +667,28 @@ object Streams {
     noveltyStoreReadout(s, s"$dir/n")
   }
 
+  /** ST14 batch twin / driver gate: index init + three bench deliveries
+    * (vec_id mod-3 split of the bench tenth) + an out-of-order
+    * redelivery, then the merged readout — gated by
+    * `sim_semantic_decon`'s oracle VERBATIM: the maintained store must
+    * equal the one-shot whole-bench decon exactly. */
+  val streamDeconStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "decon_store_stream", d) { dd =>
+      val x = s"$dd/x"
+      deconStoreInit(s, d, x)
+      val bench = t(s, d, "embeddings").filter(col("vec_id") % 10 === 0)
+      deconDeltaSink(bench.filter(col("vec_id") % 3 === 0), 0L, x)
+      deconDeltaSink(bench.filter(col("vec_id") % 3 === 1), 1L, x)
+      deconDeltaSink(bench.filter(col("vec_id") % 3 === 2), 2L, x)
+      // at-least-once redelivery of batch 1 AFTER batch 2: the overwrite
+      // replaces identical partials, the store must not drift
+      deconDeltaSink(bench.filter(col("vec_id") % 3 === 1), 1L, x)
+    }
+    deconStoreReadout(s, s"$dir/x")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_decon_store" -> streamDeconStore,
     "stream_novelty_store" -> streamNoveltyStore,
     "stream_tumbling" -> streamTumbling,
     "stream_sessions" -> streamSessions,
@@ -647,6 +705,9 @@ object Streams {
     // the maintained first-seen store must equal the one-shot recompute:
     // text_ngram_novelty's oracle verbatim
     "stream_novelty_store" -> graft.llm.TextOps.oracle("text_ngram_novelty"),
+    // the maintained hit store must equal the one-shot whole-bench
+    // decon: sim_semantic_decon's oracle verbatim
+    "stream_decon_store" -> graft.llm.Similarity.oracle("sim_semantic_decon"),
     // the streamed store must read back identical to the batch rollup:
     // sketch_dashboard's oracle verbatim
     "stream_sketch_store" ->

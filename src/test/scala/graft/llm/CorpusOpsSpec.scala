@@ -1008,6 +1008,27 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("decon report covers every bench vector and conserves hit mass " +
+      "against the corpus-side decon") {
+    val rep = run("sim_decon_report").collect()
+    val decon = run("sim_semantic_decon").collect()
+    val nBench = graft.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(rep.length === nBench, "one report row per bench vector")
+    // the same (bench, corpus) hit pairs counted from either side
+    assert(rep.map(_.getAs[Int]("n_contaminated").toLong).sum ===
+      decon.map(_.getAs[Int]("n_hits").toLong).sum)
+    rep.foreach { r =>
+      if (r.getAs[Int]("n_contaminated") == 0) {
+        assert(r.getAs[Long]("worst_vec") === -1L, r)
+        assert(r.getAs[Double]("max_cosine") === 0.0, r)
+      } else {
+        assert(r.getAs[Long]("worst_vec") % 10 !== 0L, r)
+        assert(r.getAs[Double]("max_cosine") >= 0.35, r)
+      }
+    }
+  }
+
   // ---- sim_knn_join ----
 
   test("cross-set kNN join keeps sides disjoint and ranks consecutively") {

@@ -241,6 +241,44 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "post-hoc redelivery drifted the novelty store")
   }
 
+  test("ST14: the streamed decon store equals the one-shot whole-bench " +
+    "decon; out-of-order redelivery never drifts the hit store") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmp("graft-st14")
+    // the exactness target: the one-shot decon over the full bench set
+    val full = graft.SparkEntry.queries("sim_semantic_decon")(spark, sf)
+      .collect().map(_.toString).toSeq
+    Streams.deconStoreInit(spark, sf, dir)
+
+    val bench = graft.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 10 === 0)
+    val liveRows = bench.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val in = MemoryStream[(Long, Seq[Float])](spark)
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.deconDeltaSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(liveRows.take(liveRows.length / 2): _*)
+      q.processAllAvailable()
+      in.addData(liveRows.drop(liveRows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.deconStoreReadout(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(readout === full,
+      "maintained decon store must equal the one-shot whole-bench pass")
+    // redeliver batch 0 AFTER batch 1: identical partials overwrite
+    // their own partition, the store must read back unchanged
+    Streams.deconDeltaSink(
+      liveRows.take(liveRows.length / 2).toSeq.toDF("vec_id", "embedding"), 0L, dir)
+    assert(readout === full, "post-hoc redelivery drifted the decon store")
+  }
+
   test("ST11: the streamed quality monitor merges to the one-shot " +
     "whole-corpus readout and redelivery never double-counts") {
     val dir = tmp("graft-st11")
