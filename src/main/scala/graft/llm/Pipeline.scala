@@ -291,8 +291,35 @@ object Pipeline {
     corpusRelease(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
   }
 
+  /** X9+X3j: the hygiene chain with SEMANTIC decontamination composed
+    * after the n-gram stage — the two decon passes catch different
+    * leaks (shingle overlap catches near-verbatim copies; embedding
+    * cosine catches paraphrases that share no shingles), so a corpus
+    * released for training runs BOTH. The held-out set is the SAME ids
+    * (< 10) for both stages: their documents gate the text side, their
+    * embeddings gate the semantic side (vec_id aligns with doc_id in
+    * the standard tables). The semantic stage probes the STORED
+    * quantizer and anti-joins a KB-scale flagged-id list — at 100 TB it
+    * adds one bench-sized probe pass, never a corpus re-scan. */
+  val pipelineCorpusSemdecon: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val survivors = corpusSurvivors(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+    val flagged = graft.llm.Similarity
+      .semanticDeconStoredOn(s, d, col("vec_id") < 10)
+      .select(col("vec_id").as("doc_id"))
+    val kept = survivors.join(flagged, Seq("doc_id"), "left_anti")
+    TextOps.packChunks(kept, 2048L, 8L)
+      .join(kept.select(col("doc_id"), md5(col("text")).as("final_md5")),
+        Seq("doc_id"))
+      .select("doc_id", "shard", "n_tok", "chunk_id", "chunk_offset", "final_md5")
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_corpus_release" -> pipelineCorpusRelease,
+    "pipeline_corpus_semdecon" -> pipelineCorpusSemdecon,
     "pipeline_corpus" -> pipelineCorpus,
     "pipeline_corpus_trim" -> pipelineCorpusTrim,
     "pipeline_corpus_quality" -> pipelineCorpusQuality,
@@ -433,6 +460,16 @@ object Pipeline {
     "pipeline_corpus" ->
       s"""$hygienePrefix,
            ${packTail("survivors")}""",
+    // hygiene + the semantic-decon stage: the ivf/decon replay composes
+    // after the hygiene prefix (disjoint CTE namespaces), flagged ids
+    // anti-joined out of the survivor set before packing
+    "pipeline_corpus_semdecon" ->
+      s"""$hygienePrefix,
+           ${graft.llm.Similarity.ivfOracleCte},
+           ${graft.llm.Similarity.deconOracleCtesOn(c => s"$c < 10")},
+           sdsurv AS (SELECT s.doc_id, s.text FROM survivors s
+                      WHERE s.doc_id NOT IN (SELECT DISTINCT nid FROM sdhit)),
+           ${packTail("sdsurv")}""",
     "pipeline_corpus_quality" ->
       s"""${hygienePrefixFrom("corpq", qualityGateCtes)},
            ${packTail("survivors")}""",

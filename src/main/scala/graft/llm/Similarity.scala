@@ -310,9 +310,16 @@ object Similarity {
     * probes the shared stored quantizer ([[quantizerStore]]) like
     * [[semanticDedupStored]]. */
   def semanticDeconStored(s: SparkSession, d: String,
-      tau: Double = 0.35): DataFrame = {
+      tau: Double = 0.35): DataFrame =
+    semanticDeconStoredOn(s, d, col("vec_id") % 10 === 0, tau)
+
+  /** The stored-quantizer decon with a caller-chosen bench predicate —
+    * the composition point for [[graft.llm.Pipeline]]'s semdecon stage,
+    * where the bench set is the hygiene chain's held-out ids. */
+  def semanticDeconStoredOn(s: SparkSession, d: String,
+      isBench: org.apache.spark.sql.Column, tau: Double = 0.35): DataFrame = {
     val (vecs, _, scored, assign) = ivfIndex(s, d, 16)
-    semanticDeconFrom(vecs, scored, assign, col("vec_id") % 10 === 0, tau)
+    semanticDeconFrom(vecs, scored, assign, isBench, tau)
   }
 
   /** [[simSemanticDecon]] over any (vec_id, embedding) frame with an
@@ -1621,17 +1628,19 @@ object Similarity {
   /** Shared decon replay (composes after `ivfOracleCte`): corpus
     * inverted lists, bench probes (top-2 lists), exact rounded-cosine
     * hits at τ = 0.35. sd-prefixed to stay clear of the ivf chain's CTE
-    * names. */
-  private val deconOracleCtes: String =
-    """sdinv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
+    * names. `p` renders the bench predicate over a given column
+    * reference (the pipeline composition uses the hygiene chain's
+    * held-out-id split instead of the %10 default). */
+  private[llm] def deconOracleCtesOn(p: String => String): String =
+    s"""sdinv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
                      FROM assign a JOIN vn v USING (vec_id)
-                     WHERE v.vec_id % 10 <> 0),
+                     WHERE NOT (${p("v.vec_id")})),
            sdpr AS (SELECT vec_id AS bid, cid FROM (
              SELECT vec_id, cid,
                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
-             FROM scored WHERE vec_id % 10 = 0) WHERE rk <= 2),
+             FROM scored WHERE ${p("vec_id")}) WHERE rk <= 2),
            sdb AS (SELECT vec_id AS bid, v AS bv, norm2 AS bn FROM vn
-                   WHERE vec_id % 10 = 0),
+                   WHERE ${p("vec_id")}),
            sdcand AS (
              SELECT p.bid, i.nid,
                     round(list_reduce([b.bv[k] * i.nv[k] for k in generate_series(1, 64)],
@@ -1639,7 +1648,10 @@ object Similarity {
              FROM sdpr p JOIN sdinv i USING (cid) JOIN sdb b ON b.bid = p.bid),
            sdhit AS (SELECT * FROM sdcand WHERE cosine >= 0.35)"""
 
-  private val ivfOracleCte: String =
+  private val deconOracleCtes: String =
+    deconOracleCtesOn(c => s"$c % 10 = 0")
+
+  private[llm] val ivfOracleCte: String =
     """raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
                       FROM embeddings),
            fl AS (SELECT vec_id, embedding AS f FROM embeddings),

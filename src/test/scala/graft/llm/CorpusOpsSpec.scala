@@ -937,6 +937,23 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("semdecon pipeline drops exactly the semantically-flagged " +
+      "survivors and nothing else") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val survivors = Pipeline.corpusSurvivors(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val flagged = graft.llm.Similarity
+      .semanticDeconStoredOn(spark, sf, col("vec_id") < 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept = run("pipeline_corpus_semdecon")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // the driver key truncates to the first 300 ids — compare against
+    // the same prefix of the expected survivor-minus-flagged set
+    assert(kept === (survivors -- flagged).toSeq.sorted.take(300).toSet)
+    assert(kept.subsetOf(survivors) && (kept & flagged).isEmpty)
+  }
+
   test("jx release route is byte-identical to the driver release key") {
     val jx = run("jx_release").collect().map(_.toString).sorted
     val drv = run("pipeline_corpus_release").collect().map(_.toString).sorted
