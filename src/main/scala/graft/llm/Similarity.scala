@@ -403,9 +403,26 @@ object Similarity {
     * vector attached for triage. Same candidate pass as
     * [[simSemanticDecon]], rolled up per bench id with a left join back
     * onto the bench set. */
-  val simDeconReport: Q = (s, d) => {
+  val simDeconReport: Q = (s, d) => deconReportStored(s, d)
+
+  /** Store-backed [[simDeconReport]] for the standard embeddings table. */
+  def deconReportStored(s: SparkSession, d: String,
+      tau: Double = 0.35): DataFrame = {
     val (vecs, _, scored, assign) = ivfIndex(s, d, 16)
-    val isBench = col("vec_id") % 10 === 0
+    deconReportFrom(vecs, scored, assign, col("vec_id") % 10 === 0, tau)
+  }
+
+  /** [[simDeconReport]] over any (vec_id, embedding) frame with an
+    * in-plan quantizer (jx `corpus_op` fallback). */
+  def deconReportOf(embs: DataFrame, nlist: Int = 16,
+      tau: Double = 0.35): DataFrame = {
+    val (vecs, _, scored, assign) = ivfIndexOf(embs, nlist)
+    deconReportFrom(vecs, scored, assign, col("vec_id") % 10 === 0, tau)
+  }
+
+  private def deconReportFrom(vecs: DataFrame, scored: DataFrame,
+      assign: DataFrame, isBench: org.apache.spark.sql.Column,
+      tau: Double): DataFrame = {
     val inv = assign.join(vecs, Seq("vec_id"))
       .filter(!isBench)
       .select(col("cid"), col("vec_id").as("nid"),
@@ -417,7 +434,7 @@ object Similarity {
         Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
       .filter(col("rk") <= 2)
       .select(col("vec_id").as("bid"), col("cid"))
-    val agg = deconHits(probes, b, inv, 0.35)
+    val agg = deconHits(probes, b, inv, tau)
       .groupBy("bid")
       .agg(
         count(lit(1)).cast("int").as("nc"),

@@ -140,6 +140,18 @@ object QueryService {
         s""""drift":${graft.jx.Jx.listJson(
           graft.llm.TextOps.queries("text_source_kl")(spark, dataset))}}"""
     }
+    // {"view": "decon"}: the EVAL-INTEGRITY PANEL — `items` is the
+    // per-bench-item contamination triage (every eval item rowed,
+    // zero-hit items visible; sim_decon_report's frame), `flagged` the
+    // corpus-side drop list (sim_semantic_decon's frame); both probe the
+    // stored quantizer + lists and are byte-identical to their driver
+    // keys, so the panel inherits their oracles.
+    if (Option(q.get("view")).exists(_.asText() == "decon")) {
+      return s"""{"items":${graft.jx.Jx.listJson(
+          graft.llm.Similarity.queries("sim_decon_report")(spark, dataset))},""" +
+        s""""flagged":${graft.jx.Jx.listJson(
+          graft.llm.Similarity.queries("sim_semantic_decon")(spark, dataset))}}"""
+    }
     if (Option(q.get("view")).exists(_.asText() == "quality")) {
       return s"""{"sources":${graft.jx.Jx.listJson(
           graft.streaming.Streams.queries("stream_quality_store")(spark, dataset))},""" +

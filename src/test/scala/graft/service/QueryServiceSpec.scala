@@ -388,6 +388,33 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the dashboard decon view serves the per-eval-item triage and the " +
+    "corpus drop list") {
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = postPath(HttpClient.newHttpClient(), server.getAddress.getPort,
+        "/dashboard", """{"view": "decon"}""")
+      assert(r.statusCode() === 200)
+      val panel = mapper.readTree(r.body())
+      Seq("items", "flagged").foreach(s =>
+        assert(panel.has(s), s"missing panel section $s"))
+      // each section is its driver key's frame byte-for-byte
+      val items = panel.get("items").get("data")
+      val direct = graft.llm.Similarity
+        .queries("sim_decon_report")(spark, sf).collect()
+      assert(items.size() === direct.length)
+      assert(items.get(0).get("n_contaminated").asInt() ===
+        direct.head.getAs[Int]("n_contaminated"))
+      Seq("bench_id", "n_contaminated", "worst_vec", "max_cosine").foreach(c =>
+        assert(items.get(0).has(c), s"missing items column $c"))
+      val flagged = panel.get("flagged").get("data")
+      assert(flagged.size() ===
+        graft.llm.Similarity.queries("sim_semantic_decon")(spark, sf).count())
+    } finally server.stop(0)
+  }
+
   test("a malformed dashboard day answers 400; without a dataset the route is absent") {
     val server = QueryService.start(spark, _ => spark.emptyDataFrame,
       dataset = Some(sf))
