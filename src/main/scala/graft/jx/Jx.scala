@@ -504,6 +504,12 @@ object Jx {
           case None => throw new IllegalArgumentException(
             "curation_report needs a dataset-backed service (stored decision sets)")
         }
+      case "dedup_profile" =>
+        // cluster-size histogram: stored pair-graph labels for the
+        // standard corpus, in-plan pair chain otherwise
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Dedup.queries("dedup_profile")(spark, dataset.get)
+        else graft.llm.Dedup.dedupProfileOf(docs)
       case "pair_centrality" =>
         // doc-graph PageRank: stored pair graph for the standard corpus,
         // in-plan pair chain otherwise

@@ -820,6 +820,32 @@ object Dedup {
     docCentralityOfPairs(
       minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5))
 
+  /** X1h: the corpus DUPLICATION PROFILE — the cluster-size histogram of
+    * the near-dup graph: how much of the corpus is duplicated, and in
+    * what shape. A long tail of pairs is crawl noise; a few mega-clusters
+    * are boilerplate (and the thing that blows up Σcᵢ² joins downstream);
+    * `n_redundant` sums to exactly the docs dedup will remove. The
+    * standard corpus probes the STORED pair-graph labels (a KB-scale
+    * artifact even at 100 TB — dup-rate × n rows, never n) and the
+    * histogram is two bounded aggregates on top; nothing touches the
+    * corpus itself. */
+  val dedupProfile: Q = (s, d) => profileFromLabels(clusterLabels(s, d))
+
+  /** The same profile over ANY (doc_id, text) frame via the in-plan pair
+    * chain (jx `corpus_op` fallback). */
+  def dedupProfileOf(docsIn: DataFrame): DataFrame =
+    profileFromLabels(clusterLabelsFrom(
+      minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5)))
+
+  private def profileFromLabels(labels: DataFrame): DataFrame =
+    labels.groupBy("lbl")
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum("sz").as("n_docs"),
+        (sum("sz") - count(lit(1))).as("n_redundant"))
+      .orderBy("cluster_size")
+
   /** Driver gate: even-id base, odd-id delta — the incremental union
     * must reproduce `dedup_minhash`'s full-corpus pair set exactly. */
   val dedupPairsDelta: Q = (s, d) => {
@@ -1384,6 +1410,7 @@ object Dedup {
     "dedup_embed" -> dedupEmbed,
     "dedup_embed_lsh" -> dedupEmbedLsh,
     "dedup_clusters" -> dedupClusters,
+    "dedup_profile" -> dedupProfile,
     "dedup_drop_list" -> dedupDropList,
     "dedup_canonical" -> dedupCanonical,
     "dedup_split_leakfree" -> dedupSplitLeakfree,
@@ -1620,6 +1647,23 @@ object Dedup {
          SELECT cluster_id, count(*) AS n_docs,
                 array_to_string(list(CAST(id AS VARCHAR) ORDER BY id), ',') AS members
          FROM labels GROUP BY cluster_id ORDER BY cluster_id""",
+    // the duplication profile: cluster-size histogram over the same
+    // recursive-CC labels
+    "dedup_profile" ->
+      s"""WITH RECURSIVE $minhashCte,
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           cs AS (SELECT cluster_id, count(*) AS sz FROM labels GROUP BY 1)
+         SELECT sz AS cluster_size, count(*) AS n_clusters,
+                CAST(sum(sz) AS BIGINT) AS n_docs,
+                CAST(sum(sz) - count(*) AS BIGINT) AS n_redundant
+         FROM cs GROUP BY sz ORDER BY cluster_size""",
     "dedup_drop_list" ->
       s"""WITH RECURSIVE $minhashCte,
            pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),

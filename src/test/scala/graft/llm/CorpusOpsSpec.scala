@@ -937,6 +937,19 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("duplication profile partitions the clustered docs and its " +
+      "redundancy equals the drop list") {
+    val prof = run("dedup_profile").collect()
+    val clusters = run("dedup_clusters").collect()
+    val drops = run("dedup_drop_list").count()
+    assert(prof.nonEmpty)
+    assert(prof.map(_.getAs[Long]("n_docs")).sum ===
+      clusters.map(_.getAs[Long]("n_docs")).sum)
+    assert(prof.map(_.getAs[Long]("n_clusters")).sum === clusters.length.toLong)
+    assert(prof.map(_.getAs[Long]("n_redundant")).sum === drops)
+    prof.foreach(r => assert(r.getAs[Long]("cluster_size") >= 2L, r))
+  }
+
   test("semdecon pipeline drops exactly the semantically-flagged " +
       "survivors and nothing else") {
     val docs = graft.Tables.t(spark, sf, "documents")
