@@ -217,12 +217,30 @@ object Pipeline {
     * manifest must describe the bytes a trainer will read, not the raw
     * crawl's. Same plan as pipeline_corpus up to the survivor set, then
     * the 16-row manifest aggregate replaces packing. */
-  val pipelineCorpusManifest: Q = (s, d) => {
-    val docs = t(s, d, "documents")
+  val pipelineCorpusManifest: Q = (s, d) =>
     TextOps.shardManifest(
+      survivorStore(s, d).withColumn("n_chars", length(col("text"))))
+
+  /** The PLAIN hygiene survivor set materialized ONCE per dataset (the
+    * [[graft.llm.Artifacts]] build-once recipe) and probed by every
+    * readout that sits ON TOP of the curated corpus — the release, the
+    * export manifest, the semantic-decon extension. At 100 TB this IS
+    * the production shape: the hygiene chain is one scheduled job whose
+    * survivor table every downstream consumer reads; recomputing the
+    * chain per readout would re-shingle the corpus each time. The chain
+    * keys (`pipeline_corpus` and its gated variants) still run the full
+    * plan — the chain remains gated end-to-end; only the derived
+    * readouts probe the store, and their oracles replay the WHOLE chain
+    * regardless, so store == recompute stays proven per-key. */
+  private def survivorStore(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val dir = graft.llm.Artifacts.buildOnce(s, "hygiene_survivors", d) { dd =>
+      val docs = t(s, d, "documents")
       corpusSurvivors(docs.filter(col("doc_id") >= 10),
           docs.filter(col("doc_id") < 10))
-        .withColumn("n_chars", length(col("text"))))
+        .write.mode("overwrite").parquet(s"$dd/survivors")
+    }
+    s.read.parquet(s"$dir/survivors")
   }
 
   /** The chain with the MULTIMODAL payload gate composed in front (X5e
@@ -262,10 +280,14 @@ object Pipeline {
     * sizes the shard key; the 90/10 train/val rule is the
     * `dedup_split_leakfree` convention. */
   def corpusRelease(corpus: DataFrame, bench: DataFrame,
-      nShards: Int = 16): DataFrame = {
-    val survivors = corpusSurvivors(corpus, bench)
+      nShards: Int = 16): DataFrame =
+    releaseFromSurvivors(corpusSurvivors(corpus, bench),
+      corpus.select("doc_id", "source"), nShards)
+
+  private def releaseFromSurvivors(survivors: DataFrame, sources: DataFrame,
+      nShards: Int): DataFrame = {
     val keptIds = TextOps.classifierScoresOf(
-        survivors.join(corpus.select("doc_id", "source"), Seq("doc_id")))
+        survivors.join(sources, Seq("doc_id")))
       .filter(col("selected")).select("doc_id")
     survivors.join(keptIds, Seq("doc_id"))
       .withColumn("split", when(expr(
@@ -286,10 +308,9 @@ object Pipeline {
       .orderBy("split", "shard")
   }
 
-  val pipelineCorpusRelease: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    corpusRelease(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
-  }
+  val pipelineCorpusRelease: Q = (s, d) =>
+    releaseFromSurvivors(survivorStore(s, d),
+      t(s, d, "documents").select("doc_id", "source"), 16)
 
   /** X9+X3j: the hygiene chain with SEMANTIC decontamination composed
     * after the n-gram stage — the two decon passes catch different
@@ -302,9 +323,7 @@ object Pipeline {
     * quantizer and anti-joins a KB-scale flagged-id list — at 100 TB it
     * adds one bench-sized probe pass, never a corpus re-scan. */
   val pipelineCorpusSemdecon: Q = (s, d) => {
-    val docs = t(s, d, "documents")
-    val survivors = corpusSurvivors(
-      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+    val survivors = survivorStore(s, d)
     val flagged = graft.llm.Similarity
       .semanticDeconStoredOn(s, d, col("vec_id") < 10)
       .select(col("vec_id").as("doc_id"))
