@@ -318,8 +318,8 @@ object Similarity {
     * where the bench set is the hygiene chain's held-out ids. */
   def semanticDeconStoredOn(s: SparkSession, d: String,
       isBench: org.apache.spark.sql.Column, tau: Double = 0.35): DataFrame = {
-    val (vecs, _, scored, assign) = ivfIndex(s, d, 16)
-    semanticDeconFrom(vecs, scored, assign, isBench, tau)
+    val (vecs, _, scored, _) = ivfIndex(s, d, 16)
+    semanticDeconFrom(vecs, scored, isBench, tau)
   }
 
   /** [[simSemanticDecon]] over any (vec_id, embedding) frame with an
@@ -328,25 +328,94 @@ object Similarity {
     * via [[simSemanticDecon]]'s path). */
   def semanticDeconOf(embs: DataFrame, nlist: Int = 16,
       tau: Double = 0.35): DataFrame = {
-    val (vecs, _, scored, assign) = ivfIndexOf(embs, nlist)
-    semanticDeconFrom(vecs, scored, assign, col("vec_id") % 10 === 0, tau)
+    val (vecs, _, scored, _) = ivfIndexOf(embs, nlist)
+    semanticDeconFrom(vecs, scored, col("vec_id") % 10 === 0, tau)
   }
 
   private def semanticDeconFrom(vecs: DataFrame, scored: DataFrame,
-      assign: DataFrame, isBench: org.apache.spark.sql.Column,
-      tau: Double): DataFrame = {
-    val inv = assign.join(vecs, Seq("vec_id"))
-      .filter(!isBench)
-      .select(col("cid"), col("vec_id").as("nid"),
-        col("embedding").as("nv"), col("norm2").as("nn"))
+      isBench: org.apache.spark.sql.Column, tau: Double): DataFrame = {
+    val (inv, b, probes) = deconParts(vecs, scored, isBench)
+    deconRollup(deconHits(probes, b, inv, tau))
+  }
+
+  /** The three decon inputs shared by the corpus rollup, the bench
+    * report, and the recall census: multi-assigned corpus inverted
+    * lists, bench vectors, and each bench vector's top-4 probe lists.
+    *
+    * Recall tuning (census-driven, the r12 kNN-graph lesson replayed):
+    * single-assignment lists at nprobe=2 measured 0.46 recall — too
+    * porous for a release gate; nprobe=4 alone reached 0.59 (the bench
+    * vector's own top lists don't reliably contain its neighbors'
+    * single list). Replicating the CORPUS side into its top-2 lists —
+    * cluster replication, the published cluster-pruning recipe and
+    * exactly [[knnGraphOf]]'s p-multi-assignment — is what closes it
+    * (see sim_decon_recall for the shipped number). Cost at 100 TB: the
+    * decon index is 2× corpus rows (an inverted file is replicated
+    * storage by design) and the candidate set stays bench-sized. */
+  private def deconParts(vecs: DataFrame, scored: DataFrame,
+      isBench: org.apache.spark.sql.Column):
+      (DataFrame, DataFrame, DataFrame) = {
+    val inv = deconInvFrom(vecs, scored, isBench)
     val b = vecs.filter(isBench)
       .select(col("vec_id").as("bid"), col("embedding").as("bv"), col("norm2").as("bn"))
     val probes = scored.filter(isBench)
       .withColumn("rk", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
-      .filter(col("rk") <= 2)
+      .filter(col("rk") <= 4)
       .select(col("vec_id").as("bid"), col("cid"))
-    deconRollup(deconHits(probes, b, inv, tau))
+    (inv, b, probes)
+  }
+
+  /** The decon index artifacts for the standard split: stored-quantizer
+    * centroids + the multi-assigned corpus inverted lists — what the
+    * streamed decon store persists ([[graft.streaming.Streams
+    * .deconStoreInit]]). */
+  def deconIndexArtifacts(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val (vecs, cents, scored, _) = ivfIndex(s, d, 16)
+    (cents, deconInvFrom(vecs, scored, col("vec_id") % 10 === 0))
+  }
+
+  /** The decon index's corpus side: every non-bench vector in its top-2
+    * coarse lists (p-multi-assignment). */
+  private def deconInvFrom(vecs: DataFrame, scored: DataFrame,
+      isBench: org.apache.spark.sql.Column): DataFrame =
+    scored.filter(!isBench)
+      .withColumn("ark", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
+      .filter(col("ark") <= 2)
+      .select(col("vec_id"), col("cid"))
+      .join(vecs, Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("norm2").as("nn"))
+
+  /** X3j-census: the decon RECALL readout — the quality alarm for the
+    * probed decontamination's approximation contract (the decon twin of
+    * [[simKnnRecall]]): what fraction of the TRUE τ-pairs (brute-force
+    * cosine over bench × corpus) does the nprobe=2 quantizer probe
+    * catch? Run on the full bench set here (bench is the small side); a
+    * 100 TB deployment censuses a bench sample exactly like the kNN
+    * recall census samples sources. A falling recall means benchmark
+    * items drifted off their corpus neighbors' lists — the signal to
+    * raise nprobe or refresh the quantizer before trusting a release. */
+  val simDeconRecall: Q = (s, d) => {
+    val (vecs, _, scored, _) = ivfIndex(s, d, 16)
+    val (inv, b, probes) = deconParts(vecs, scored, col("vec_id") % 10 === 0)
+    val hits = deconHits(probes, b, inv, 0.35).select("bid", "nid")
+    val brute = vecs.filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("norm2").as("nn"))
+      .crossJoin(broadcast(b))
+      .withColumn("cosine",
+        r4(DotProduct(col("bv"), col("nv")) / (sqrt(col("bn")) * sqrt(col("nn")))))
+      .filter(col("cosine") >= 0.35)
+      .select("bid", "nid")
+    brute
+      .join(hits.withColumn("found", lit(1L)), Seq("bid", "nid"), "left")
+      .agg(
+        countDistinct(col("bid")).as("n_bench_hit"),
+        count(lit(1)).as("n_true_pairs"),
+        coalesce(sum("found"), lit(0L)).as("n_found"),
+        r4(coalesce(sum("found"), lit(0L)).cast("double") / count(lit(1)))
+          .as("recall"))
   }
 
   /** The shared threshold pass: probed (bid, cid) × inverted lists →
@@ -361,6 +430,9 @@ object Similarity {
         r4(DotProduct(col("bv"), col("nv")) / (sqrt(col("bn")) * sqrt(col("nn")))))
       .filter(col("cosine") >= tau)
       .select("bid", "nid", "cosine")
+      // a pair sighted through several shared lists is the SAME pair
+      // (identical rounded cosine) — collapse exactly
+      .distinct()
 
   /** The per-corpus-vector rollup over a (bid, nid, cosine) hit frame —
     * shared by the in-plan decon and [[deconStoreReadout]]'s merged
@@ -390,7 +462,7 @@ object Similarity {
         DotProduct(col("bv"), col("cv")) / (sqrt(col("bn")) * sqrt(col("cn"))))
       .withColumn("rk", row_number().over(
         Window.partitionBy("bid").orderBy(desc("cos"), asc("cid"))))
-      .filter(col("rk") <= 2)
+      .filter(col("rk") <= 4)
       .select("bid", "cid")
     deconHits(probes, b, inv, tau)
   }
@@ -408,32 +480,22 @@ object Similarity {
   /** Store-backed [[simDeconReport]] for the standard embeddings table. */
   def deconReportStored(s: SparkSession, d: String,
       tau: Double = 0.35): DataFrame = {
-    val (vecs, _, scored, assign) = ivfIndex(s, d, 16)
-    deconReportFrom(vecs, scored, assign, col("vec_id") % 10 === 0, tau)
+    val (vecs, _, scored, _) = ivfIndex(s, d, 16)
+    deconReportFrom(vecs, scored, col("vec_id") % 10 === 0, tau)
   }
 
   /** [[simDeconReport]] over any (vec_id, embedding) frame with an
     * in-plan quantizer (jx `corpus_op` fallback). */
   def deconReportOf(embs: DataFrame, nlist: Int = 16,
       tau: Double = 0.35): DataFrame = {
-    val (vecs, _, scored, assign) = ivfIndexOf(embs, nlist)
-    deconReportFrom(vecs, scored, assign, col("vec_id") % 10 === 0, tau)
+    val (vecs, _, scored, _) = ivfIndexOf(embs, nlist)
+    deconReportFrom(vecs, scored, col("vec_id") % 10 === 0, tau)
   }
 
   private def deconReportFrom(vecs: DataFrame, scored: DataFrame,
-      assign: DataFrame, isBench: org.apache.spark.sql.Column,
+      isBench: org.apache.spark.sql.Column,
       tau: Double): DataFrame = {
-    val inv = assign.join(vecs, Seq("vec_id"))
-      .filter(!isBench)
-      .select(col("cid"), col("vec_id").as("nid"),
-        col("embedding").as("nv"), col("norm2").as("nn"))
-    val b = vecs.filter(isBench)
-      .select(col("vec_id").as("bid"), col("embedding").as("bv"), col("norm2").as("bn"))
-    val probes = scored.filter(isBench)
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
-      .filter(col("rk") <= 2)
-      .select(col("vec_id").as("bid"), col("cid"))
+    val (inv, b, probes) = deconParts(vecs, scored, isBench)
     val agg = deconHits(probes, b, inv, tau)
       .groupBy("bid")
       .agg(
@@ -1575,6 +1637,7 @@ object Similarity {
     "sim_semantic_dedup" -> simSemanticDedup,
     "sim_semantic_decon" -> simSemanticDecon,
     "sim_decon_report" -> simDeconReport,
+    "sim_decon_recall" -> simDeconRecall,
     "sim_ivf" -> simIvf,
     "sim_ivfpq" -> simIvfPq,
     "sim_ivfpq_rerank" -> simIvfPqRerank,
@@ -1649,17 +1712,20 @@ object Similarity {
     * reference (the pipeline composition uses the hygiene chain's
     * held-out-id split instead of the %10 default). */
   private[llm] def deconOracleCtesOn(p: String => String): String =
-    s"""sdinv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
-                     FROM assign a JOIN vn v USING (vec_id)
-                     WHERE NOT (${p("v.vec_id")})),
+    s"""sdinv AS (SELECT cid, vec_id AS nid, nv, nn FROM (
+             SELECT s.cid, s.vec_id, v.v AS nv, v.norm2 AS nn,
+                    row_number() OVER (PARTITION BY s.vec_id
+                                       ORDER BY s.cos DESC, s.cid ASC) AS ark
+             FROM scored s JOIN vn v USING (vec_id)
+             WHERE NOT (${p("s.vec_id")})) WHERE ark <= 2),
            sdpr AS (SELECT vec_id AS bid, cid FROM (
              SELECT vec_id, cid,
                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
-             FROM scored WHERE ${p("vec_id")}) WHERE rk <= 2),
+             FROM scored WHERE ${p("vec_id")}) WHERE rk <= 4),
            sdb AS (SELECT vec_id AS bid, v AS bv, norm2 AS bn FROM vn
                    WHERE ${p("vec_id")}),
            sdcand AS (
-             SELECT p.bid, i.nid,
+             SELECT DISTINCT p.bid, i.nid,
                     round(list_reduce([b.bv[k] * i.nv[k] for k in generate_series(1, 64)],
                                       (x, y) -> x + y) / (sqrt(b.bn) * sqrt(i.nn)), 4) + 0.0 AS cosine
              FROM sdpr p JOIN sdinv i USING (cid) JOIN sdb b ON b.bid = p.bid),
@@ -2126,6 +2192,24 @@ object Similarity {
                      FROM sdhit)
          SELECT nid AS vec_id, bid AS bench_id, cosine, CAST(nh AS INT) AS n_hits
          FROM sdagg WHERE rn = 1 ORDER BY vec_id""",
+    // decon recall census: brute-force τ-pairs over bench × corpus,
+    // left-joined against the probed hit set
+    "sim_decon_recall" ->
+      s"""WITH $ivfOracleCte,
+           $deconOracleCtes,
+           drb AS (SELECT b.bid, v.vec_id AS nid,
+                          round(list_reduce([b.bv[k] * v.v[k] for k in generate_series(1, 64)],
+                                            (x, y) -> x + y) / (sqrt(b.bn) * sqrt(v.norm2)), 4) + 0.0 AS cosine
+                   FROM vn v CROSS JOIN sdb b WHERE v.vec_id % 10 <> 0),
+           drt AS (SELECT bid, nid FROM drb WHERE cosine >= 0.35),
+           drj AS (SELECT t.bid, t.nid,
+                          CASE WHEN h.bid IS NULL THEN NULL ELSE 1 END AS found
+                   FROM drt t LEFT JOIN sdhit h ON h.bid = t.bid AND h.nid = t.nid)
+         SELECT count(DISTINCT bid) AS n_bench_hit,
+                count(*) AS n_true_pairs,
+                CAST(coalesce(sum(found), 0) AS BIGINT) AS n_found,
+                round(CAST(coalesce(sum(found), 0) AS DOUBLE) / count(*), 4) + 0.0 AS recall
+         FROM drj""",
     // per-bench-item contamination report: every bench vector rowed,
     // zero-hit items visible, worst corpus offender attached
     "sim_decon_report" ->

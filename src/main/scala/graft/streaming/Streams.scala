@@ -304,9 +304,9 @@ object Streams {
     * or redelivery order. At 100 TB: a new eval suite costs one probe
     * pass over ITS OWN vectors; the corpus is never re-scanned. */
   def deconStoreInit(s: SparkSession, d: String, dir: String): Unit = {
-    val (cents, inv) = graft.llm.Similarity.ivfArtifacts(s, d, 16)
+    val (cents, inv) = graft.llm.Similarity.deconIndexArtifacts(s, d)
     cents.write.mode("overwrite").parquet(s"$dir/cents")
-    inv.filter(col("nid") % 10 =!= 0).write.mode("overwrite").parquet(s"$dir/inv")
+    inv.write.mode("overwrite").parquet(s"$dir/inv")
   }
 
   def deconDeltaSink(batch: DataFrame, batchId: Long, dir: String,

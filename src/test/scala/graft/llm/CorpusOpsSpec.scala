@@ -1038,6 +1038,16 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  test("decon recall census: the probed pass catches most true tau-pairs " +
+      "(>= 0.6 gate) and never overcounts") {
+    val r = run("sim_decon_recall").collect().head
+    assert(r.getAs[Long]("n_true_pairs") > 0L, "census degenerate: no true pairs")
+    assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_true_pairs"), r)
+    // same bound as the kNN-graph recall gate: multi-assignment (p=2) +
+    // nprobe=4 measured 0.84/0.76 at sf0.001-0.1; 0.6 is the alarm line
+    assert(r.getAs[Double]("recall") >= 0.6, r)
+  }
+
   test("decon report covers every bench vector and conserves hit mass " +
       "against the corpus-side decon") {
     val rep = run("sim_decon_report").collect()
