@@ -414,6 +414,13 @@ object Jx {
           opt(c, "nlist").map(_.asInt()).getOrElse(16),
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
       }
+      case "decon_recall" => storeDir match {
+        case Some(d) => graft.llm.Similarity.deconRecallStored(spark, d,
+          opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
+        case None => graft.llm.Similarity.deconRecallOf(docs,
+          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
+      }
       case "decon_report" => storeDir match {
         case Some(d) => graft.llm.Similarity.deconReportStored(spark, d,
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))

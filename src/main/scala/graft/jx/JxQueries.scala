@@ -318,6 +318,9 @@ object JxQueries {
   private val deconReportJson = """{
     "corpus_op": {"op": "decon_report", "corpus": {"from": "embeddings"}}}"""
 
+  private val deconRecallJson = """{
+    "corpus_op": {"op": "decon_recall", "corpus": {"from": "embeddings"}}}"""
+
   private val dedupProfileJson = """{
     "corpus_op": {"op": "dedup_profile", "corpus": {"from": "documents"}}}"""
 
@@ -451,6 +454,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, deconReportJson, name => t(s, d, name), Some(d))),
     "jx_dedup_profile" ->
       ((s, d) => Jx.run(s, dedupProfileJson, name => t(s, d, name), Some(d))),
+    "jx_decon_recall" ->
+      ((s, d) => Jx.run(s, deconRecallJson, name => t(s, d, name), Some(d))),
     "jx_overlap" -> ((s, d) => Jx.run(s, overlapJson, name => t(s, d, name))),
     "jx_dsir" -> ((s, d) => Jx.run(s, dsirJson, name => t(s, d, name))),
     "jx_shard_manifest" ->
@@ -510,6 +515,7 @@ object JxQueries {
     "jx_semantic_decon" -> graft.llm.Similarity.oracle("sim_semantic_decon"),
     "jx_decon_report" -> graft.llm.Similarity.oracle("sim_decon_report"),
     "jx_dedup_profile" -> graft.llm.Dedup.oracle("dedup_profile"),
+    "jx_decon_recall" -> graft.llm.Similarity.oracle("sim_decon_recall"),
     "jx_overlap" -> graft.llm.Dedup.oracle("dedup_corpus_overlap"),
     "jx_dsir" -> graft.llm.TextOps.oracle("text_dsir"),
     "jx_shard_manifest" -> graft.llm.TextOps.oracle("text_shard_manifest"),

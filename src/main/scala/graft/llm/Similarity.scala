@@ -397,16 +397,33 @@ object Similarity {
     * recall census samples sources. A falling recall means benchmark
     * items drifted off their corpus neighbors' lists — the signal to
     * raise nprobe or refresh the quantizer before trusting a release. */
-  val simDeconRecall: Q = (s, d) => {
+  val simDeconRecall: Q = (s, d) => deconRecallStored(s, d)
+
+  /** Store-backed census for the standard embeddings table. */
+  def deconRecallStored(s: SparkSession, d: String,
+      tau: Double = 0.35): DataFrame = {
     val (vecs, _, scored, _) = ivfIndex(s, d, 16)
-    val (inv, b, probes) = deconParts(vecs, scored, col("vec_id") % 10 === 0)
-    val hits = deconHits(probes, b, inv, 0.35).select("bid", "nid")
-    val brute = vecs.filter(col("vec_id") % 10 =!= 0)
+    deconRecallFrom(vecs, scored, col("vec_id") % 10 === 0, tau)
+  }
+
+  /** [[simDeconRecall]] over any (vec_id, embedding) frame with an
+    * in-plan quantizer (jx `corpus_op` fallback). */
+  def deconRecallOf(embs: DataFrame, nlist: Int = 16,
+      tau: Double = 0.35): DataFrame = {
+    val (vecs, _, scored, _) = ivfIndexOf(embs, nlist)
+    deconRecallFrom(vecs, scored, col("vec_id") % 10 === 0, tau)
+  }
+
+  private def deconRecallFrom(vecs: DataFrame, scored: DataFrame,
+      isBench: org.apache.spark.sql.Column, tau: Double): DataFrame = {
+    val (inv, b, probes) = deconParts(vecs, scored, isBench)
+    val hits = deconHits(probes, b, inv, tau).select("bid", "nid")
+    val brute = vecs.filter(!isBench)
       .select(col("vec_id").as("nid"), col("embedding").as("nv"), col("norm2").as("nn"))
       .crossJoin(broadcast(b))
       .withColumn("cosine",
         r4(DotProduct(col("bv"), col("nv")) / (sqrt(col("bn")) * sqrt(col("nn")))))
-      .filter(col("cosine") >= 0.35)
+      .filter(col("cosine") >= tau)
       .select("bid", "nid")
     brute
       .join(hits.withColumn("found", lit(1L)), Seq("bid", "nid"), "left")

@@ -150,7 +150,9 @@ object QueryService {
       return s"""{"items":${graft.jx.Jx.listJson(
           graft.llm.Similarity.queries("sim_decon_report")(spark, dataset))},""" +
         s""""flagged":${graft.jx.Jx.listJson(
-          graft.llm.Similarity.queries("sim_semantic_decon")(spark, dataset))}}"""
+          graft.llm.Similarity.queries("sim_semantic_decon")(spark, dataset))},""" +
+        s""""recall":${graft.jx.Jx.listJson(
+          graft.llm.Similarity.queries("sim_decon_recall")(spark, dataset))}}"""
     }
     if (Option(q.get("view")).exists(_.asText() == "quality")) {
       return s"""{"sources":${graft.jx.Jx.listJson(

@@ -398,8 +398,9 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "decon"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("items", "flagged").foreach(s =>
+      Seq("items", "flagged", "recall").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      assert(panel.get("recall").get("data").get(0).get("recall").asDouble() >= 0.6)
       // each section is its driver key's frame byte-for-byte
       val items = panel.get("items").get("data")
       val direct = graft.llm.Similarity
