@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Common._
 
@@ -336,7 +337,43 @@ object Pipeline {
       .limit(300)
   }
 
+  /** X9-audit: the curation FUNNEL — one row per stage of the full
+    * chain (raw crawl → hygiene survivors → semantic decon → classifier
+    * gate) with the doc count surviving each and the drop it cost. The
+    * number a curation review actually reads: where did the corpus go?
+    * Every count is a probe of work other keys already gate (the
+    * survivor store, the decon flag set, the classifier scores over the
+    * semdecon set) — the funnel itself adds only four KB-scale
+    * aggregates, and its oracle replays the whole chain so the counts
+    * are pinned end-to-end, not trusted. */
+  val pipelineFunnel: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val raw = docs.filter(col("doc_id") >= 10)
+    val surv = survivorStore(s, d)
+    val flagged = graft.llm.Similarity
+      .semanticDeconStoredOn(s, d, col("vec_id") < 10)
+      .select(col("vec_id").as("doc_id"))
+    val sem = surv.join(flagged, Seq("doc_id"), "left_anti")
+    val kept = sem.join(
+      TextOps.classifierScoresOf(
+          sem.join(docs.select("doc_id", "source"), Seq("doc_id")))
+        .filter(col("selected")).select("doc_id"),
+      Seq("doc_id"))
+    def st(i: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(i).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+    val w = Window.orderBy("stage")
+    st(0, "raw", raw)
+      .unionByName(st(1, "hygiene_survivors", surv))
+      .unionByName(st(2, "semantic_decon", sem))
+      .unionByName(st(3, "classifier_kept", kept))
+      .withColumn("n_dropped",
+        coalesce(lag("n_docs", 1).over(w) - col("n_docs"), lit(0L)))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, Q] = Map(
+    "pipeline_funnel" -> pipelineFunnel,
     "pipeline_corpus_release" -> pipelineCorpusRelease,
     "pipeline_corpus_semdecon" -> pipelineCorpusSemdecon,
     "pipeline_corpus" -> pipelineCorpus,
@@ -514,6 +551,46 @@ object Pipeline {
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc,
                 bit_xor(content_h) AS content_fp
          FROM md GROUP BY shard ORDER BY shard""",
+    // the funnel: stage counts replayed end-to-end — hygiene prefix,
+    // ivf/decon replay, then the classifier chain over the semdecon
+    // survivors (f-prefixed CTEs)
+    "pipeline_funnel" ->
+      s"""$hygienePrefix,
+           ${graft.llm.Similarity.ivfOracleCte},
+           ${graft.llm.Similarity.deconOracleCtesOn(c => s"$c < 10")},
+           sdsurv AS (SELECT s.doc_id, s.text FROM survivors s
+                      WHERE s.doc_id NOT IN (SELECT DISTINCT nid FROM sdhit)),
+           fsc AS (SELECT s.doc_id, d.source, s.text
+                   FROM sdsurv s JOIN documents d USING (doc_id)),
+           fqf AS (SELECT doc_id, curated, w FROM (
+                     SELECT doc_id,
+                            CAST(substr(source, 4) AS INT) % 3 = 0 AS curated,
+                            unnest(string_split(text, ' ')) AS w
+                     FROM fsc)
+                   WHERE length(w) > 0),
+           fcc AS (SELECT w, count(*) FILTER (WHERE curated) AS cc,
+                          count(*) FILTER (WHERE NOT curated) AS rc
+                   FROM fqf GROUP BY 1),
+           fcn AS (SELECT count(*) FILTER (WHERE curated) AS c_n,
+                          count(*) FILTER (WHERE NOT curated) AS r_n,
+                          count(DISTINCT w) AS v
+                   FROM fqf),
+           fcm AS (SELECT w, ln((cc + 1.0) / (c_n + v))
+                            - ln((rc + 1.0) / (r_n + v)) AS lo
+                   FROM fcc CROSS JOIN fcn),
+           fsel AS (SELECT f.doc_id FROM fqf f JOIN fcm m USING (w)
+                    GROUP BY f.doc_id
+                    HAVING round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                 / count(*), 4) > 0),
+           fst AS (
+             SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs
+             FROM documents WHERE doc_id >= 10
+             UNION ALL SELECT 1, 'hygiene_survivors', count(*) FROM survivors
+             UNION ALL SELECT 2, 'semantic_decon', count(*) FROM sdsurv
+             UNION ALL SELECT 3, 'classifier_kept', count(*) FROM fsel)
+         SELECT stage, stage_name, n_docs,
+                coalesce(lag(n_docs) OVER (ORDER BY stage) - n_docs, 0) AS n_dropped
+         FROM fst ORDER BY stage""",
     // the release: survivors → NB classifier gate (trained on the
     // surviving corpus, rl-prefixed CTEs) → split/shard rollup
     "pipeline_corpus_release" ->

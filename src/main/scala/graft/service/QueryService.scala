@@ -160,7 +160,9 @@ object QueryService {
         s""""mix":${graft.jx.Jx.listJson(
           graft.llm.Similarity.queries("text_topic_mix")(spark, dataset))},""" +
         s""""report":${graft.jx.Jx.listJson(
-          graft.llm.TextOps.queries("text_curation_report")(spark, dataset))}}"""
+          graft.llm.TextOps.queries("text_curation_report")(spark, dataset))},""" +
+        s""""funnel":${graft.jx.Jx.listJson(
+          graft.llm.Pipeline.queries("pipeline_funnel")(spark, dataset))}}"""
     }
     def day(field: String, dflt: String): String = {
       val v = Option(q.get(field)).map(_.asText()).getOrElse(dflt)

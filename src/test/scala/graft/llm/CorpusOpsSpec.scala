@@ -950,6 +950,29 @@ class CorpusOpsSpec extends graft.SparkSpec {
     prof.foreach(r => assert(r.getAs[Long]("cluster_size") >= 2L, r))
   }
 
+  test("curation funnel counts are monotone, internally consistent, and " +
+      "agree with the stage keys") {
+    val rows = run("pipeline_funnel").collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[Int]("stage")).sameElements(0 to 3))
+    // monotone decreasing, and each drop is exactly the stage delta
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_docs") <= a.getAs[Long]("n_docs"), b)
+        assert(b.getAs[Long]("n_dropped") ===
+          a.getAs[Long]("n_docs") - b.getAs[Long]("n_docs"), b)
+      case _ =>
+    }
+    assert(rows.head.getAs[Long]("n_dropped") === 0L)
+    // stage anchors: raw count and the hygiene survivor set
+    val docs = graft.Tables.t(spark, sf, "documents")
+    assert(rows(0).getAs[Long]("n_docs") ===
+      docs.filter(col("doc_id") >= 10).count())
+    assert(rows(1).getAs[Long]("n_docs") ===
+      Pipeline.corpusSurvivors(docs.filter(col("doc_id") >= 10),
+        docs.filter(col("doc_id") < 10)).count())
+  }
+
   test("semdecon pipeline drops exactly the semantically-flagged " +
       "survivors and nothing else") {
     val docs = graft.Tables.t(spark, sf, "documents")

@@ -311,8 +311,12 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "quality"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("sources", "mix", "report").foreach(s =>
+      Seq("sources", "mix", "report", "funnel").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the funnel section carries the 4-stage curation audit
+      val fun = panel.get("funnel").get("data")
+      assert(fun.size() === 4)
+      assert(fun.get(0).get("stage_name").asText() === "raw")
       // the report section names the dup burden alongside quality
       val rep0 = panel.get("report").get("data").get(0)
       Seq("source", "n_near_dup", "dup_rate", "mean_quality")
