@@ -379,6 +379,11 @@ object Jx {
               .select(col("source"), col("n_tokens").as("n_tok")),
             budget, epochs)
         else graft.llm.TextOps.mixScheduleOf(docs, budget, epochs)
+      case "anneal_schedule" =>
+        graft.llm.TextOps.annealScheduleOf(docs,
+          opt(c, "bulk_pct").map(_.asLong()).getOrElse(160L),
+          opt(c, "anneal_pct").map(_.asLong()).getOrElse(40L),
+          opt(c, "max_epochs").map(_.asLong()).getOrElse(4L))
       case "novelty" => graft.llm.TextOps.ngramNoveltyOf(docs)
       case "novelty_curve" => graft.llm.TextOps.noveltyCurveOf(docs)
       case "novelty_sources" => graft.llm.TextOps.noveltySourcesOf(docs)

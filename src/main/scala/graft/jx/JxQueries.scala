@@ -282,6 +282,9 @@ object JxQueries {
   private val mixScheduleJson = """{
     "corpus_op": {"op": "mix_schedule", "corpus": {"from": "documents"}}}"""
 
+  private val annealJson = """{
+    "corpus_op": {"op": "anneal_schedule", "corpus": {"from": "documents"}}}"""
+
   private val noveltyJson = """{
     "corpus_op": {"op": "novelty", "corpus": {"from": "documents"}}}"""
 
@@ -433,6 +436,7 @@ object JxQueries {
     "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
     "jx_mix_schedule" ->
       ((s, d) => Jx.run(s, mixScheduleJson, name => t(s, d, name))),
+    "jx_anneal" -> ((s, d) => Jx.run(s, annealJson, name => t(s, d, name))),
     "jx_novelty" -> ((s, d) => Jx.run(s, noveltyJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
       ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
@@ -503,6 +507,7 @@ object JxQueries {
     "jx_payload_dedup" -> graft.llm.Multimodal.oracle("mm_dedup"),
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
+    "jx_anneal" -> graft.llm.TextOps.oracle("text_anneal_schedule"),
     "jx_novelty" -> graft.llm.TextOps.oracle("text_ngram_novelty"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->

@@ -326,6 +326,63 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** X4u: two-phase ANNEAL schedule — the "finish training on your best
+    * data" plan (the published end-of-run recipe: a long bulk phase at
+    * the standard mixture, then a short anneal phase re-weighted toward
+    * the sources the quality classifier likes). Phase-1 weights are
+    * [[textMixSchedule]]'s standard ×100 integers; phase-2 weights are
+    * each source's classifier pass rate as an integer PER-MILLE
+    * ((1000 · n_selected) div n_docs — [[classifierScoresOf]]'s decision
+    * bit, so the anneal mixture is exactly the gate the release pipeline
+    * already enforces). Both quotas are single integer floor-divisions
+    * of the shared token total (no double crosses a row boundary), each
+    * capped at `maxEpochs` passes of the source. Plan at 100 TB: the
+    * classifier model is a vocabulary-bounded broadcast table, the
+    * per-source frame is |sources| rows (localCheckpoint'd), and the
+    * totals re-read those KB rows — after the scoring scan nothing grows
+    * with the corpus. */
+  val textAnnealSchedule: Q = (s, d) => annealScheduleOf(t(s, d, "documents"))
+
+  /** The same scheduler over ANY (doc_id, source, text) frame (jx
+    * `corpus_op` entry point). bulkPct/annealPct are each phase's token
+    * budget as a percentage of the corpus token count. */
+  def annealScheduleOf(docs: org.apache.spark.sql.DataFrame, bulkPct: Long = 160L,
+      annealPct: Long = 40L, maxEpochs: Long = 4L): org.apache.spark.sql.DataFrame = {
+    val perSrc = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("n_tok"), count(lit(1)).as("n_docs"))
+    val selBySrc = classifierScoresOf(docs).filter(col("selected"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_sel"))
+    val src = perSrc.join(selBySrc, Seq("source"), "left")
+      .withColumn("n_sel", coalesce(col("n_sel"), lit(0L)))
+      .withColumn("w_bulk", expr(
+        """CAST(CASE CAST(substr(source, 4) AS INT) % 3
+             WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40 END AS BIGINT)"""))
+      .withColumn("sel_permille", expr("(1000 * n_sel) div n_docs"))
+      // |sources| rows — the totals frame below re-reads this KB table
+      // instead of re-running the scoring scan
+      .localCheckpoint()
+    val tot = src.agg(
+      sum("n_tok").as("tot_tok"), sum("w_bulk").as("tot_wb"),
+      sum("sel_permille").as("tot_wa"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("bulk_tok", least(
+        expr(s"($bulkPct * tot_tok * w_bulk) div (100 * tot_wb)"),
+        col("n_tok") * maxEpochs))
+      .withColumn("anneal_tok", when(col("tot_wa") > 0, least(
+        expr(s"($annealPct * tot_tok * sel_permille) div (100 * tot_wa)"),
+        col("n_tok") * maxEpochs)).otherwise(lit(0L)))
+      .withColumn("total_tok", col("bulk_tok") + col("anneal_tok"))
+      .select(col("source"), col("n_tok"), col("n_docs"), col("n_sel"),
+        col("sel_permille"), col("bulk_tok"), col("anneal_tok"), col("total_tok"),
+        when(col("total_tok") > 0,
+          r4(col("anneal_tok").cast("double") / col("total_tok")))
+          .otherwise(lit(0.0)).as("anneal_share"))
+      .orderBy("source")
+  }
+
   /** X4q: n-gram NOVELTY score — per document, the fraction of its
     * distinct word trigrams that FIRST appear in this document (first =
     * lowest doc_id, the corpus's deterministic arrival order). The
@@ -1345,6 +1402,7 @@ object TextOps {
     "text_repetition" -> textRepetition,
     "text_mix_sources" -> textMixSources,
     "text_mix_schedule" -> textMixSchedule,
+    "text_anneal_schedule" -> textAnnealSchedule,
     "text_ngram_novelty" -> textNgramNovelty,
     "text_novelty_curve" -> textNoveltyCurve,
     "text_novelty_sources" -> textNoveltySources,
@@ -1354,6 +1412,28 @@ object TextOps {
     "text_bigram_nll" -> textBigramNll,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
+
+  /** Shared NB-classifier oracle CTE chain (qcf/qcc/qcn/qcm): curated
+    * flag → per-word class counts → smoothed log-odds model — the exact
+    * twin of [[classifierScoresOf]]'s model half, reused by the
+    * classifier, anneal-schedule, and release oracles. */
+  private val nbOracleCte: String =
+    """qcf AS (SELECT doc_id, curated, w FROM (
+                        SELECT doc_id,
+                               CAST(substr(source, 4) AS INT) % 3 = 0 AS curated,
+                               unnest(string_split(text, ' ')) AS w
+                        FROM documents)
+                      WHERE length(w) > 0),
+           qcc AS (SELECT w, count(*) FILTER (WHERE curated) AS cc,
+                          count(*) FILTER (WHERE NOT curated) AS rc
+                   FROM qcf GROUP BY 1),
+           qcn AS (SELECT count(*) FILTER (WHERE curated) AS c_n,
+                          count(*) FILTER (WHERE NOT curated) AS r_n,
+                          count(DISTINCT w) AS v
+                   FROM qcf),
+           qcm AS (SELECT w, ln((cc + 1.0) / (c_n + v))
+                             - ln((rc + 1.0) / (r_n + v)) AS lo
+                   FROM qcc CROSS JOIN qcn)"""
 
   /** Shared BPE oracle CTE chain: word-frequency table → 3 rounds of
     * (weighted pair counts → argmax merge → double-replace application),
@@ -1818,6 +1898,45 @@ object TextOps {
                 round(scheduled_tok * 1.0 / n_tok, 4) AS epochs,
                 CAST(target_tok - scheduled_tok AS BIGINT) AS deficit_tok
          FROM msf ORDER BY source""",
+    "text_anneal_schedule" ->
+      s"""WITH $nbOracleCte,
+           anps AS (SELECT source,
+                           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+                           count(*) AS n_docs
+                    FROM documents GROUP BY 1),
+           ansc AS (SELECT f.doc_id,
+                           round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                 / count(*), 4) > 0 AS selected
+                    FROM qcf f JOIN qcm m USING (w) GROUP BY f.doc_id),
+           ansel AS (SELECT d.source, count(*) AS n_sel
+                     FROM ansc sc JOIN documents d ON sc.doc_id = d.doc_id
+                     WHERE sc.selected GROUP BY 1),
+           anw AS (SELECT p.source, p.n_tok, p.n_docs,
+                          coalesce(n_sel, 0) AS n_sel,
+                          CAST(CASE CAST(substr(p.source, 4) AS INT) % 3
+                                 WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40
+                               END AS BIGINT) AS w_bulk,
+                          CAST((1000 * coalesce(n_sel, 0)) // p.n_docs AS BIGINT)
+                            AS sel_permille
+                   FROM anps p LEFT JOIN ansel USING (source)),
+           ant AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+                          CAST(sum(w_bulk) AS BIGINT) AS tot_wb,
+                          CAST(sum(sel_permille) AS BIGINT) AS tot_wa
+                   FROM anw),
+           anr AS (SELECT source, n_tok, n_docs, n_sel, sel_permille,
+                          least(CAST((160 * tot_tok * w_bulk) // (100 * tot_wb)
+                                     AS BIGINT), 4 * n_tok) AS bulk_tok,
+                          CASE WHEN tot_wa > 0 THEN
+                            least(CAST((40 * tot_tok * sel_permille) // (100 * tot_wa)
+                                       AS BIGINT), 4 * n_tok)
+                          ELSE CAST(0 AS BIGINT) END AS anneal_tok
+                   FROM anw CROSS JOIN ant)
+         SELECT source, n_tok, n_docs, n_sel, sel_permille, bulk_tok, anneal_tok,
+                CAST(bulk_tok + anneal_tok AS BIGINT) AS total_tok,
+                CASE WHEN bulk_tok + anneal_tok > 0 THEN
+                  round(CAST(anneal_tok AS DOUBLE) / (bulk_tok + anneal_tok), 4)
+                ELSE 0.0 END AS anneal_share
+         FROM anr ORDER BY source""",
     "text_ngram_novelty" ->
       """WITH nv0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            nvg AS (SELECT DISTINCT doc_id,
@@ -1872,22 +1991,7 @@ object TextOps {
                 round(n_first * 1.0 / n_grams, 4) AS coverage_share
          FROM nss CROSS JOIN nst ORDER BY source""",
     "text_quality_classifier" ->
-      """WITH qcf AS (SELECT doc_id, curated, w FROM (
-                        SELECT doc_id,
-                               CAST(substr(source, 4) AS INT) % 3 = 0 AS curated,
-                               unnest(string_split(text, ' ')) AS w
-                        FROM documents)
-                      WHERE length(w) > 0),
-           qcc AS (SELECT w, count(*) FILTER (WHERE curated) AS cc,
-                          count(*) FILTER (WHERE NOT curated) AS rc
-                   FROM qcf GROUP BY 1),
-           qcn AS (SELECT count(*) FILTER (WHERE curated) AS c_n,
-                          count(*) FILTER (WHERE NOT curated) AS r_n,
-                          count(DISTINCT w) AS v
-                   FROM qcf),
-           qcm AS (SELECT w, ln((cc + 1.0) / (c_n + v))
-                             - ln((rc + 1.0) / (r_n + v)) AS lo
-                   FROM qcc CROSS JOIN qcn)
+      s"""WITH $nbOracleCte
          SELECT f.doc_id, f.curated, count(*) AS n_tok,
                 round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
                       / count(*), 4) + 0.0 AS score,

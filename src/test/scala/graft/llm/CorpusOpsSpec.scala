@@ -818,6 +818,36 @@ class CorpusOpsSpec extends graft.SparkSpec {
     uncapped.foreach(r => assert(r.getAs[Long]("deficit_tok") === 0L, r))
   }
 
+  // ---- text_anneal_schedule ----
+
+  test("anneal schedule: phases cap at maxEpochs, totals add up, and the " +
+      "anneal phase weighs sources by their classifier pass rate") {
+    val rows = run("text_anneal_schedule").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tok")
+      assert(r.getAs[Long]("bulk_tok") <= 4L * n, r)
+      assert(r.getAs[Long]("anneal_tok") <= 4L * n, r)
+      assert(r.getAs[Long]("total_tok") ===
+        r.getAs[Long]("bulk_tok") + r.getAs[Long]("anneal_tok"), r)
+      val pm = r.getAs[Long]("sel_permille")
+      assert(pm >= 0L && pm <= 1000L, r)
+      assert(pm === 1000L * r.getAs[Long]("n_sel") / r.getAs[Long]("n_docs"), r)
+      val share = r.getAs[Double]("anneal_share")
+      assert(share >= 0.0 && share <= 1.0, r)
+    }
+    // a source the classifier rejects outright gets no anneal tokens;
+    // anneal mass concentrates where pass rates are highest
+    rows.filter(_.getAs[Long]("n_sel") == 0L)
+      .foreach(r => assert(r.getAs[Long]("anneal_tok") === 0L, r))
+    // the integer floor-split is budget-true: each phase under-allocates
+    // less than one token per source vs its exact share (when uncapped)
+    val totTok = rows.map(_.getAs[Long]("n_tok")).sum
+    val annealSum = rows.map(_.getAs[Long]("anneal_tok")).sum
+    assert(annealSum <= 2L * totTok * 40L / 100L,
+      s"anneal $annealSum over double budget of ${totTok * 40L / 100L}")
+  }
+
   // ---- text_ngram_novelty ----
 
   test("novelty is a [0,1] fraction, first doc is fully novel, and novel " +
