@@ -379,6 +379,13 @@ object Jx {
               .select(col("source"), col("n_tokens").as("n_tok")),
             budget, epochs)
         else graft.llm.TextOps.mixScheduleOf(docs, budget, epochs)
+      case "dataset_card" =>
+        // the card is only defined over the standard dataset (its dup and
+        // decon columns need the stored pair-graph/bench conventions)
+        if (!plainDocuments || dataset.isEmpty)
+          throw new IllegalArgumentException(
+            "dataset_card requires the plain dataset-backed documents corpus")
+        graft.llm.TextOps.queries("text_dataset_card")(spark, dataset.get)
       case "anneal_schedule" =>
         graft.llm.TextOps.annealScheduleOf(docs,
           opt(c, "bulk_pct").map(_.asLong()).getOrElse(160L),

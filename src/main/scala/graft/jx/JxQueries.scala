@@ -285,6 +285,9 @@ object JxQueries {
   private val annealJson = """{
     "corpus_op": {"op": "anneal_schedule", "corpus": {"from": "documents"}}}"""
 
+  private val datasetCardJson = """{
+    "corpus_op": {"op": "dataset_card", "corpus": {"from": "documents"}}}"""
+
   private val noveltyJson = """{
     "corpus_op": {"op": "novelty", "corpus": {"from": "documents"}}}"""
 
@@ -437,6 +440,8 @@ object JxQueries {
     "jx_mix_schedule" ->
       ((s, d) => Jx.run(s, mixScheduleJson, name => t(s, d, name))),
     "jx_anneal" -> ((s, d) => Jx.run(s, annealJson, name => t(s, d, name))),
+    "jx_dataset_card" ->
+      ((s, d) => Jx.run(s, datasetCardJson, name => t(s, d, name), Some(d))),
     "jx_novelty" -> ((s, d) => Jx.run(s, noveltyJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
       ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
@@ -508,6 +513,7 @@ object JxQueries {
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
     "jx_anneal" -> graft.llm.TextOps.oracle("text_anneal_schedule"),
+    "jx_dataset_card" -> graft.llm.TextOps.oracle("text_dataset_card"),
     "jx_novelty" -> graft.llm.TextOps.oracle("text_ngram_novelty"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->

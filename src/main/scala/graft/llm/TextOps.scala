@@ -1288,6 +1288,63 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** X4v: per-source DATASET CARD — the governance readout every corpus
+    * release ships (Datasheets-for-Datasets shape): one row per source
+    * with volume (docs/tokens), quality (mean heuristic score +
+    * classifier pass per-mille), duplication (near-dup rate off the
+    * MinHash pair graph), language (majority predicted language and its
+    * share), and eval contamination (n-gram decon hits). Every column is
+    * an existing audited chain — the card is their per-source join, so
+    * its oracle replays the full pipeline and the plan inherits each
+    * piece's scale shape: after the scans, everything joined here is a
+    * |sources|-row frame. */
+  val textDatasetCard: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val base = qualityMergeFrom(qualityPartialsOf(docs))
+    val dupBySrc = docs
+      .join(Dedup.queries("dedup_drop_list")(s, d).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      .groupBy("source").agg(count(lit(1)).as("n_near_dup"))
+    val preds = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("hits_en", size(expr("filter(toks, w -> w IN ('the', 'a', 'of'))")))
+      .withColumn("hits_es", size(expr("filter(toks, w -> w IN ('el', 'la', 'de'))")))
+      .withColumn("hits_de", size(expr("filter(toks, w -> w IN ('der', 'die', 'das'))")))
+      .withColumn("predicted",
+        when(col("hits_en") >= col("hits_es") && col("hits_en") >= col("hits_de") &&
+          col("hits_en") > 0, "en")
+          .when(col("hits_es") >= col("hits_de") && col("hits_es") > 0, "es")
+          .when(col("hits_de") > 0, "de")
+          .otherwise("und"))
+      .groupBy("source", "predicted").agg(count(lit(1)).as("n"))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("n").desc, col("predicted").asc)
+    val topLang = preds.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("predicted").as("top_lang"), col("n").as("n_top"))
+    val contam = Dedup.decontaminate(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_contam"))
+    val sel = classifierScoresOf(docs).filter(col("selected"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_sel"))
+    base.join(dupBySrc, Seq("source"), "left")
+      .join(topLang, Seq("source"), "left")
+      .join(contam, Seq("source"), "left")
+      .join(sel, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("mean_quality"),
+        coalesce(col("n_near_dup"), lit(0L)).as("n_near_dup"),
+        r4(coalesce(col("n_near_dup"), lit(0L)).cast("double") / col("n_docs"))
+          .as("dup_rate"),
+        col("top_lang"),
+        r4(col("n_top").cast("double") / col("n_docs")).as("top_lang_share"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        expr("(1000 * coalesce(n_sel, CAST(0 AS BIGINT))) div n_docs")
+          .as("sel_permille"))
+      .orderBy("source")
+  }
+
   /** The monitor READOUT over any union of [[qualityPartialsOf]] rows:
     * re-merge by the same distributive algebra, then surface the mean.
     * Exact over any number of partials in any order — a redelivered or
@@ -1384,6 +1441,7 @@ object TextOps {
     "text_shard_diff" -> textShardDiff,
     "text_quality_filter" -> textQualityFilter,
     "text_curation_report" -> textCurationReport,
+    "text_dataset_card" -> textDatasetCard,
     "text_token_budget" -> textTokenBudget,
     "text_source_kl" -> textSourceKl,
     "text_dsir" -> textDsir,
@@ -1603,6 +1661,85 @@ object TextOps {
                 round(CAST(COALESCE(dr.n_near_dup, 0) AS DOUBLE) / b.n_docs, 4)
                   AS dup_rate
          FROM base b LEFT JOIN dr ON dr.source = b.source
+         ORDER BY b.source""",
+    "text_dataset_card" ->
+      s"""WITH RECURSIVE ${Dedup.minhashCteFrom("documents")},
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           dropl AS (SELECT id AS doc_id FROM (
+             SELECT id, min(lbl) AS canonical FROM reach GROUP BY id)
+             WHERE id <> canonical),
+           q AS (SELECT doc_id, source, n_chars,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                        (CASE WHEN n_chars < 100 THEN 0.2 ELSE 1.0 END) *
+                        (CASE WHEN n_stop = 0 THEN 0.5 ELSE 1.0 END) AS qv
+                 FROM (SELECT doc_id, source, n_chars, text,
+                              len(list_filter(string_split(text, ' '),
+                                w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+                       FROM documents)),
+           base AS (SELECT source, count(*) AS n_docs,
+                           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                           round(CAST(sum(CAST(qv AS DECIMAL(28,12))) AS DOUBLE)
+                                 / count(*), 4) AS mean_quality
+                    FROM q GROUP BY source),
+           dr AS (SELECT d.source, count(*) AS n_near_dup
+                  FROM documents d JOIN dropl USING (doc_id)
+                  GROUP BY d.source),
+           lpr AS (SELECT source,
+                          CASE WHEN hits_en >= hits_es AND hits_en >= hits_de
+                                    AND hits_en > 0 THEN 'en'
+                               WHEN hits_es >= hits_de AND hits_es > 0 THEN 'es'
+                               WHEN hits_de > 0 THEN 'de'
+                               ELSE 'und' END AS predicted
+                   FROM (SELECT source,
+                                len(list_filter(string_split(text, ' '),
+                                  w -> w IN ('the', 'a', 'of'))) AS hits_en,
+                                len(list_filter(string_split(text, ' '),
+                                  w -> w IN ('el', 'la', 'de'))) AS hits_es,
+                                len(list_filter(string_split(text, ' '),
+                                  w -> w IN ('der', 'die', 'das'))) AS hits_de
+                         FROM documents)),
+           lpc AS (SELECT source, predicted, count(*) AS n
+                   FROM lpr GROUP BY 1, 2),
+           ltop AS (SELECT source, predicted AS top_lang, n AS n_top FROM (
+                      SELECT source, predicted, n,
+                             row_number() OVER (PARTITION BY source
+                               ORDER BY n DESC, predicted ASC) AS rn
+                      FROM lpc) WHERE rn = 1),
+           bench AS (SELECT DISTINCT h FROM sh WHERE doc_id < 10),
+           ovc AS (SELECT sh.doc_id, count(*) AS n_overlap
+                   FROM sh JOIN bench USING (h)
+                   WHERE sh.doc_id >= 10 GROUP BY 1),
+           ct AS (SELECT d.source, count(*) AS n_contam
+                  FROM ovc o JOIN documents d USING (doc_id)
+                  WHERE o.n_overlap >= 3 GROUP BY 1),
+           $nbOracleCte,
+           dcsc AS (SELECT f.doc_id,
+                           round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                 / count(*), 4) > 0 AS selected
+                    FROM qcf f JOIN qcm m USING (w) GROUP BY f.doc_id),
+           dcsel AS (SELECT d.source, count(*) AS n_sel
+                     FROM dcsc sc JOIN documents d ON sc.doc_id = d.doc_id
+                     WHERE sc.selected GROUP BY 1)
+         SELECT b.source, b.n_docs, b.n_tokens, b.mean_quality,
+                COALESCE(dr.n_near_dup, 0) AS n_near_dup,
+                round(CAST(COALESCE(dr.n_near_dup, 0) AS DOUBLE) / b.n_docs, 4)
+                  AS dup_rate,
+                lt.top_lang,
+                round(CAST(lt.n_top AS DOUBLE) / b.n_docs, 4) AS top_lang_share,
+                COALESCE(ct.n_contam, 0) AS n_contam,
+                CAST((1000 * COALESCE(se.n_sel, 0)) // b.n_docs AS BIGINT)
+                  AS sel_permille
+         FROM base b
+         LEFT JOIN dr ON dr.source = b.source
+         LEFT JOIN ltop lt ON lt.source = b.source
+         LEFT JOIN ct ON ct.source = b.source
+         LEFT JOIN dcsel se ON se.source = b.source
          ORDER BY b.source""",
     "text_quality_filter" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w

@@ -848,6 +848,32 @@ class CorpusOpsSpec extends graft.SparkSpec {
       s"anneal $annealSum over double budget of ${totTok * 40L / 100L}")
   }
 
+  // ---- text_dataset_card ----
+
+  test("dataset card agrees with the curation report on the shared columns " +
+      "and its shares are consistent fractions") {
+    val card = run("text_dataset_card").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val report = run("text_curation_report").collect()
+    assert(card.nonEmpty)
+    // volume/quality/dup columns are the SAME chain — byte-equal per source
+    report.foreach { r =>
+      val c = card(r.getAs[String]("source"))
+      assert(c.getAs[Long]("n_docs") === r.getAs[Long]("n_docs"))
+      assert(c.getAs[Long]("n_tokens") === r.getAs[Long]("n_tokens"))
+      assert(c.getAs[Double]("mean_quality") === r.getAs[Double]("mean_quality"))
+      assert(c.getAs[Long]("n_near_dup") === r.getAs[Long]("n_near_dup"))
+    }
+    card.values.foreach { c =>
+      val share = c.getAs[Double]("top_lang_share")
+      assert(share > 0.0 && share <= 1.0, c)
+      assert(Set("en", "es", "de", "und").contains(c.getAs[String]("top_lang")), c)
+      val pm = c.getAs[Long]("sel_permille")
+      assert(pm >= 0L && pm <= 1000L, c)
+      assert(c.getAs[Long]("n_contam") <= c.getAs[Long]("n_docs"), c)
+    }
+  }
+
   // ---- text_ngram_novelty ----
 
   test("novelty is a [0,1] fraction, first doc is fully novel, and novel " +
