@@ -154,6 +154,18 @@ object QueryService {
         s""""recall":${graft.jx.Jx.listJson(
           graft.llm.Similarity.queries("sim_decon_recall")(spark, dataset))}}"""
     }
+    // {"view": "card"}: the DATASET CARD — the Datasheets-for-Datasets
+    // release readout (volume, quality, dup rate, language, decon hits,
+    // classifier pass per-mille per source), plus the two-phase anneal
+    // plan built on the same pass rates; both sections byte-identical to
+    // their driver keys (text_dataset_card / text_anneal_schedule), so
+    // the panel inherits their full-replay oracles.
+    if (Option(q.get("view")).exists(_.asText() == "card")) {
+      return s"""{"sources":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_dataset_card")(spark, dataset))},""" +
+        s""""anneal":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_anneal_schedule")(spark, dataset))}}"""
+    }
     if (Option(q.get("view")).exists(_.asText() == "quality")) {
       return s"""{"sources":${graft.jx.Jx.listJson(
           graft.streaming.Streams.queries("stream_quality_store")(spark, dataset))},""" +

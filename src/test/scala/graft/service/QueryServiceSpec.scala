@@ -420,6 +420,37 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the dashboard card view serves the per-source dataset card and the " +
+    "anneal plan") {
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = postPath(HttpClient.newHttpClient(), server.getAddress.getPort,
+        "/dashboard", """{"view": "card"}""")
+      assert(r.statusCode() === 200)
+      val panel = mapper.readTree(r.body())
+      Seq("sources", "anneal").foreach(s =>
+        assert(panel.has(s), s"missing panel section $s"))
+      // each section is its driver key's frame byte-for-byte
+      val card = panel.get("sources").get("data")
+      val direct = graft.llm.TextOps
+        .queries("text_dataset_card")(spark, sf).collect()
+      assert(card.size() === direct.length)
+      assert(card.get(0).get("n_tokens").asLong() ===
+        direct.head.getAs[Long]("n_tokens"))
+      Seq("source", "n_docs", "n_tokens", "mean_quality", "dup_rate",
+        "top_lang", "top_lang_share", "n_contam", "sel_permille").foreach(c =>
+        assert(card.get(0).has(c), s"missing card column $c"))
+      val anneal = panel.get("anneal").get("data")
+      assert(anneal.size() ===
+        graft.llm.TextOps.queries("text_anneal_schedule")(spark, sf).count())
+      assert(anneal.get(0).get("bulk_tok").asLong() ===
+        graft.llm.TextOps.queries("text_anneal_schedule")(spark, sf)
+          .collect().head.getAs[Long]("bulk_tok"))
+    } finally server.stop(0)
+  }
+
   test("a malformed dashboard day answers 400; without a dataset the route is absent") {
     val server = QueryService.start(spark, _ => spark.emptyDataFrame,
       dataset = Some(sf))
