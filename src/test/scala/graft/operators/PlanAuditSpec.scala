@@ -280,4 +280,28 @@ class PlanAuditSpec extends graft.SparkSpec {
     // the cross step's candidates come from the band equi-join
     assert(p.contains("bh"), p)
   }
+
+  test("text_anneal_schedule: the readout runs off the checkpointed " +
+    "|sources|-row frame, and the NB scoring join underneath is hash-keyed") {
+    // the schedule itself: scan of the KB checkpoint + broadcast totals —
+    // the only nested-loop is the crossJoin(broadcast(totals)) pattern
+    val p = plan("text_anneal_schedule")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+    // the scoring half (materialized by the localCheckpoint): the
+    // vocabulary-bounded model joins on w via BroadcastHashJoin
+    val score = graft.llm.TextOps.classifierScoresOf(
+      graft.Tables.t(spark, sf, "documents"))
+      .queryExecution.executedPlan.toString
+    assert(score.contains("BroadcastHashJoin"), score)
+    assert(!score.contains("CartesianProduct"), score)
+  }
+
+  test("text_dataset_card: shingle/model/source joins are all hash-keyed; " +
+    "the only nested-loop is the broadcast totals frame") {
+    val p = plan("text_dataset_card")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
+  }
 }
