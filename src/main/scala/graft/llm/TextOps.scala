@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.operators.Common._
@@ -461,24 +462,8 @@ object TextOps {
   /** The un-windowed score frame — the composable form
     * ([[graft.llm.Pipeline]]'s release gate consumes the full set). */
   def classifierScoresOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val toks = docs
-      .select(col("doc_id"),
-        expr("CAST(substr(source, 4) AS INT) % 3 = 0").as("curated"),
-        explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-    val counts = toks.groupBy("w").agg(
-      count(when(col("curated"), lit(1))).as("cc"),
-      count(when(!col("curated"), lit(1))).as("rc"))
-    val totals = toks.agg(
-      count(when(col("curated"), lit(1))).as("c_n"),
-      count(when(!col("curated"), lit(1))).as("r_n"),
-      countDistinct("w").as("v"))
-    val model = counts.crossJoin(broadcast(totals))
-      .withColumn("lo",
-        log((col("cc") + lit(1.0)) / (col("c_n") + col("v"))) -
-          log((col("rc") + lit(1.0)) / (col("r_n") + col("v"))))
-      .select("w", "lo")
-    toks.join(broadcast(model), Seq("w"))
+    val toks = nbToks(docs)
+    toks.join(broadcast(nbModelFromToks(toks)), Seq("w"))
       .groupBy("doc_id", "curated")
       .agg(count(lit(1)).as("n_tok"),
         r4(sum(col("lo").cast("decimal(28,12)")).cast("double")
@@ -486,6 +471,78 @@ object TextOps {
       .withColumn("selected", col("score") > 0)
       .select("doc_id", "curated", "n_tok", "score", "selected")
   }
+
+  private def nbToks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("CAST(substr(source, 4) AS INT) % 3 = 0").as("curated"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+
+  private def nbModelFromToks(toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val counts = toks.groupBy("w").agg(
+      count(when(col("curated"), lit(1))).as("cc"),
+      count(when(!col("curated"), lit(1))).as("rc"))
+    val totals = toks.agg(
+      count(when(col("curated"), lit(1))).as("c_n"),
+      count(when(!col("curated"), lit(1))).as("r_n"),
+      countDistinct("w").as("v"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("lo",
+        log((col("cc") + lit(1.0)) / (col("c_n") + col("v"))) -
+          log((col("rc") + lit(1.0)) / (col("r_n") + col("v"))))
+      .select("w", "lo")
+  }
+
+  /** The TRAIN half alone: the vocabulary-bounded (w, lo) log-odds
+    * table from a (doc_id, source, text) corpus. */
+  def nbModelOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    nbModelFromToks(nbToks(docs))
+
+  /** The stored NB model — [[nbModelOf]] trained on the FULL standard
+    * corpus, persisted once per (session, dataset) under the
+    * [[Artifacts]] discipline. The online gate and the streamed
+    * pass-rate monitor probe this SAME frozen table, so their
+    * decisions are exactly the release gate's. */
+  def nbModelStored(s: SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dir = Artifacts.buildOnce(s, "nb_model", d) { dd =>
+      nbModelOf(t(s, d, "documents")).write.mode("overwrite")
+        .parquet(s"$dd/model")
+    }
+    s.read.parquet(s"$dir/model")
+  }
+
+  /** The SCORE half: per-doc mean log-odds of `docs` against a frozen
+    * (w, lo) model (broadcast — vocabulary-bounded), with the same
+    * DECIMAL-sum determinism and rounded-decision recipe as
+    * [[classifierScoresOf]]. In-vocab tokens only (the inner join), so
+    * scoring a batch against the stored full-corpus model reproduces
+    * the full-corpus scores bit-for-bit. */
+  def scoreAgainstModel(docs: org.apache.spark.sql.DataFrame,
+      model: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(model), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        r4(sum(col("lo").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("score"))
+      .withColumn("selected", col("score") > 0)
+      .select("doc_id", "n_tok", "score", "selected")
+
+  /** X4r-gate: ONLINE classifier gate — an arriving slice scored
+    * against the STORED model ([[nbModelStored]]): the production shape
+    * where the gate is a broadcast hash join per batch and training is
+    * a separate, periodic job. Gated by the full-replay oracle (train
+    * on the corpus, score the slice) — store == retrain, proven
+    * per-row. */
+  val textClassifierGate: Q = (s, d) =>
+    scoreAgainstModel(
+      t(s, d, "documents").filter(col("doc_id") % 7 === 3),
+      nbModelStored(s, d))
+      .orderBy("doc_id")
+      .limit(300)
 
   /** X4s: NOVELTY CURVE — Heaps-law readout of marginal novelty: how
     * many new distinct trigrams each successive tenth of the corpus
@@ -1465,6 +1522,7 @@ object TextOps {
     "text_novelty_curve" -> textNoveltyCurve,
     "text_novelty_sources" -> textNoveltySources,
     "text_quality_classifier" -> textQualityClassifier,
+    "text_classifier_gate" -> textClassifierGate,
     "text_fertility" -> textFertility,
     "text_logfreq" -> textLogfreq,
     "text_bigram_nll" -> textBigramNll,
@@ -1475,7 +1533,7 @@ object TextOps {
     * flag → per-word class counts → smoothed log-odds model — the exact
     * twin of [[classifierScoresOf]]'s model half, reused by the
     * classifier, anneal-schedule, and release oracles. */
-  private val nbOracleCte: String =
+  private[graft] val nbOracleCte: String =
     """qcf AS (SELECT doc_id, curated, w FROM (
                         SELECT doc_id,
                                CAST(substr(source, 4) AS INT) % 3 = 0 AS curated,
@@ -2127,6 +2185,16 @@ object TextOps {
                 round(n_first * 1.0 / n_docs, 4) AS first_per_doc,
                 round(n_first * 1.0 / n_grams, 4) AS coverage_share
          FROM nss CROSS JOIN nst ORDER BY source""",
+    "text_classifier_gate" ->
+      s"""WITH $nbOracleCte
+         SELECT f.doc_id, count(*) AS n_tok,
+                round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*), 4) + 0.0 AS score,
+                round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*), 4) > 0 AS selected
+         FROM qcf f JOIN qcm m USING (w)
+         WHERE f.doc_id % 7 = 3
+         GROUP BY f.doc_id ORDER BY f.doc_id LIMIT 300""",
     "text_quality_classifier" ->
       s"""WITH $nbOracleCte
          SELECT f.doc_id, f.curated, count(*) AS n_tok,

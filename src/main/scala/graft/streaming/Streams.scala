@@ -255,6 +255,63 @@ object Streams {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
+  /** ST15: stream-maintained CLASSIFIER pass-rate monitor — the quality
+    * monitor's decision-level twin: "what fraction of each source is the
+    * release gate keeping, and is that drifting?" answered per batch
+    * against the STORED NB model ([[graft.llm.TextOps.nbModelStored]] —
+    * training is a separate periodic job; the stream only probes). Each
+    * micro-batch scores ITSELF (per-doc score is batch-local: one
+    * broadcast hash join + a per-doc mean) and writes per-source
+    * partials — doc/pass counts plus a DECIMAL score sum, all
+    * distributive — under its own batch partition (dynamic idempotent
+    * overwrite). Because the frozen model makes every doc's score
+    * independent of its batch, the merged store equals the full-corpus
+    * scoring pass BIT-identically under any split or redelivery. */
+  def classifierStoreSink(batch: DataFrame, batchId: Long, dir: String,
+      model: DataFrame): Unit =
+    graft.llm.TextOps.scoreAgainstModel(batch, model)
+      .join(batch.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("selected"), lit(1))).as("n_sel"),
+        sum(col("score").cast("decimal(28,12)")).as("sum_score"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** The accumulated pass-rate readout: re-sum the per-batch partials
+    * (counts and the decimal score sum are distributive), then derive
+    * the integer per-mille pass rate and the rounded mean score. */
+  def classifierStoreReadout(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .groupBy("source")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("n_sel").as("n_sel"),
+        sum("sum_score").as("sum_score"))
+      .select(col("source"), col("n_docs"), col("n_sel"),
+        expr("(1000 * n_sel) div n_docs").as("sel_permille"),
+        r4(col("sum_score").cast("double") / col("n_docs")).as("mean_score"))
+      .orderBy("source")
+
+  /** ST15 batch twin: two disjoint batches scored against the stored
+    * model + an at-least-once redelivery, then the merged readout —
+    * gated by the FULL-corpus scoring oracle verbatim (exactness under
+    * batching, not mere consistency). */
+  val streamClassifierStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "classifier_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val model = graft.llm.TextOps.nbModelStored(s, d)
+      val c = s"$dd/c"
+      classifierStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c, model)
+      classifierStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, c, model)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      classifierStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c, model)
+    }
+    classifierStoreReadout(s, s"$dir/c")
+  }
+
   /** ST13: stream-maintained n-gram NOVELTY store — the streamed form is
     * the NATURAL one: novelty is defined by arrival order (what fraction
     * of this doc's trigrams has the corpus never seen before?), so a
@@ -696,12 +753,28 @@ object Streams {
     "stream_join_lo" -> streamJoinLo,
     "stream_sketch_store" -> streamSketchStore,
     "stream_quality_store" -> streamQualityStore,
+    "stream_classifier_store" -> streamClassifierStore,
     "stream_canonical_store" -> streamCanonicalStore)
 
   val oracle: Map[String, String] = Map(
     // the maintained-label canonical readout must equal a full-corpus
     // rebuild: dedup_canonical's oracle verbatim
     "stream_canonical_store" -> graft.llm.Dedup.oracle("dedup_canonical"),
+    "stream_classifier_store" ->
+      s"""WITH ${graft.llm.TextOps.nbOracleCte},
+           csc AS (SELECT f.doc_id,
+                          round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                / count(*), 4) AS score
+                   FROM qcf f JOIN qcm m USING (w) GROUP BY f.doc_id),
+           cpj AS (SELECT d.source, csc.score, csc.score > 0 AS selected
+                   FROM csc JOIN documents d USING (doc_id))
+         SELECT source, count(*) AS n_docs,
+                count(*) FILTER (WHERE selected) AS n_sel,
+                CAST((1000 * count(*) FILTER (WHERE selected)) // count(*)
+                     AS BIGINT) AS sel_permille,
+                round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
+                      / count(*), 4) + 0.0 AS mean_score
+         FROM cpj GROUP BY source ORDER BY source""",
     // the maintained first-seen store must equal the one-shot recompute:
     // text_ngram_novelty's oracle verbatim
     "stream_novelty_store" -> graft.llm.TextOps.oracle("text_ngram_novelty"),

@@ -324,6 +324,58 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "redelivered batch double-counted")
   }
 
+  test("ST15: the streamed classifier monitor scored against a frozen " +
+    "model merges to the full-corpus pass rates and survives redelivery") {
+    val dir = tmp("graft-st15")
+    // curated src0 shares vocabulary with itself; crawl src1 is junk —
+    // the NB gate should pass src0 and reject src1
+    val docs = (0L until 20L).map { i =>
+      if (i % 2 == 0) (i, "the fine curated words of record", "en", "src0", 100L)
+      else (i, s"zz$i qq$i junk spam", "en", "src1", 20L)
+    }
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the frozen model: trained ONCE on the whole corpus (the periodic
+    // train job); every batch probes this same table
+    val model = graft.llm.TextOps.nbModelOf(df(docs)).localCheckpoint()
+    def fullReadout(frame: org.apache.spark.sql.DataFrame) =
+      graft.llm.TextOps.scoreAgainstModel(frame, model)
+        .join(frame.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("selected"), lit(1))).as("n_sel"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    val full = fullReadout(df(docs))
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.classifierStoreSink(batch, id, dir, model)
+      }
+      .start()
+    try {
+      in.addData(docs.take(8): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(8): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.classifierStoreReadout(spark, dir)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_sel"))).sortBy(_._1).toSeq
+    assert(readout === full, "merged partials must equal the one-shot scoring")
+    // the gate separates the sources
+    val pm = Streams.classifierStoreReadout(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("sel_permille")).toMap
+    assert(pm("src0") === 1000L, s"curated source must fully pass: $pm")
+    assert(pm("src1") === 0L, s"junk source must fully fail: $pm")
+    // at-least-once redelivery of batch 0 overwrites its own partition
+    Streams.classifierStoreSink(df(docs.take(8)), 0L, dir, model)
+    assert(readout === full, "redelivered batch double-counted")
+  }
+
   test("ST9: stream-maintained manifest store merges to the exact " +
     "whole-corpus manifest and redelivery never double-counts") {
     val dir = tmp("graft-st9")
