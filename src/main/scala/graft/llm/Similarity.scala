@@ -816,6 +816,62 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** X3k: SCALAR 8-bit quantization ANN (SQ8) — the third compression
+    * family beside IVF (compute-bound pruning) and PQ (subspace
+    * codebooks): each DIMENSION maps linearly to an 8-bit code against
+    * per-dimension corpus min/max (the FAISS SQ8 recipe) — a flat 4×
+    * footprint cut with trivial decode, the format production indexes
+    * default to before PQ's accuracy trade is warranted. Encode:
+    * c = clamp₀₂₅₅(⌊(x − mn)·255/Δ + ½⌋), one in-row map — no shuffle.
+    * Queries score candidates asymmetrically against the DEQUANTIZED
+    * values (q · (mn + c·Δ/255)) in one in-row ordered fold; the stats
+    * ride along as two broadcast 64-element arrays, and the only join
+    * is the broadcast 20-query cross. At 100 TB the scan IS the cost —
+    * flat SQ8 by design; composing with IVF's list pruning is
+    * [[simIvfPq]]'s job. Correctness gate is EXACT (the sim_pq policy):
+    * the oracle replays stats, codes, the dim-ordered fold, and the
+    * round-then-rank top-k bit-for-bit. */
+  val simSq8: Q = (s, d) => {
+    val vecs = t(s, d, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val stats = vecs.select(posexplode(col("v")))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .groupBy().agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), x -> x.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mn, mx))), x -> x.mx - x.mn)")
+          .as("dts"))
+    val codes = vecs.crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        """transform(sequence(0, 63), i ->
+             CAST(least(255D, greatest(0D,
+               floor(CASE WHEN element_at(dts, i + 1) > 0D
+                     THEN (element_at(v, i + 1) - element_at(mns, i + 1)) * 255D
+                          / element_at(dts, i + 1) + 0.5D
+                     ELSE 0D END))) AS INT))"""))
+      .select("vec_id", "codes", "mns", "dts")
+    val queries = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    codes.crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("vec_id"))
+      // dim-ordered fold over the dequantized values — bit-identical to
+      // the oracle's list_reduce in the same index order
+      .withColumn("adot", expr(
+        """aggregate(sequence(0, 63), 0D, (a, i) ->
+             a + element_at(qv, i + 1) *
+                 (element_at(mns, i + 1) +
+                  CAST(element_at(codes, i + 1) AS DOUBLE)
+                    * element_at(dts, i + 1) / 255D))"""))
+      .withColumn("adot", r4(col("adot")))
+      .select(col("qid"), col("vec_id").as("nid"), col("adot"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "nid", "adot")
+      .orderBy("qid", "rnk")
+  }
+
   /** X3g: IVF-PQ with RESIDUAL quantization — the composition of the two
     * scale paths (Jégou et al., "Product Quantization for Nearest
     * Neighbor Search", IEEE TPAMI 2011, §IV): the coarse IVF quantizer
@@ -1661,6 +1717,7 @@ object Similarity {
     "sim_ivf_persist" -> simIvfPersist,
     "sim_ivf_census" -> simIvfCensus,
     "sim_pq" -> simPq,
+    "sim_sq8" -> simSq8,
     "sim_online_gate" -> simOnlineGate,
     "sim_lsh_candidates" -> simLshCandidates)
 
@@ -2041,6 +2098,37 @@ object Similarity {
     // full PQ replay: subspace slices → per-subspace 2-iteration Lloyd
     // (decimal-exact means, argmin tie-broken by cid) → codes → ADC table
     // → m-ordered fold. Rounds BEFORE ranking, same as the Spark side.
+    "sim_sq8" ->
+      """WITH sqraw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+                        FROM embeddings),
+           sqst AS (SELECT t.i AS pos, min(v[t.i]) AS mn, max(v[t.i]) AS mx
+                    FROM sqraw CROSS JOIN generate_series(1, 64) t(i)
+                    GROUP BY t.i),
+           sqarr AS (SELECT list(mn ORDER BY pos) AS mns,
+                            list(mx - mn ORDER BY pos) AS dts
+                     FROM sqst),
+           sqcodes AS (SELECT vec_id,
+                              [CAST(least(255.0, greatest(0.0,
+                                 floor(CASE WHEN dts[i] > 0
+                                       THEN (v[i] - mns[i]) * 255.0 / dts[i] + 0.5
+                                       ELSE 0.0 END))) AS INT)
+                               for i in generate_series(1, 64)] AS codes
+                       FROM sqraw CROSS JOIN sqarr),
+           sqq AS (SELECT vec_id AS qid, v AS qv FROM sqraw WHERE vec_id < 20),
+           sqscore AS (SELECT q.qid, c.vec_id AS nid,
+                              round(list_reduce(
+                                [q.qv[i] * (a.mns[i]
+                                   + CAST(c.codes[i] AS DOUBLE) * a.dts[i] / 255.0)
+                                 for i in generate_series(1, 64)],
+                                (x, y) -> x + y), 4) + 0.0 AS adot
+                       FROM sqq q CROSS JOIN sqcodes c CROSS JOIN sqarr a
+                       WHERE q.qid <> c.vec_id)
+         SELECT qid, CAST(rnk AS INT) AS rnk, nid, adot
+         FROM (SELECT qid, nid, adot,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY adot DESC, nid ASC) AS rnk
+               FROM sqscore)
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
     "sim_pq" ->
       """WITH raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
                       FROM embeddings),
