@@ -831,7 +831,11 @@ object Similarity {
     * [[simIvfPq]]'s job. Correctness gate is EXACT (the sim_pq policy):
     * the oracle replays stats, codes, the dim-ordered fold, and the
     * round-then-rank top-k bit-for-bit. */
-  val simSq8: Q = (s, d) => {
+  /** The SQ8 approximate scorer shared by [[simSq8]] (rank the ADC
+    * metric directly) and [[simSq8Rerank]] (shortlist → exact re-rank):
+    * (qid, nid, adot) for every query × candidate pair, adot already
+    * rounded (round-then-rank, same as the oracle). */
+  private def sq8Scores(s: SparkSession, d: String): DataFrame = {
     val vecs = t(s, d, "embeddings")
       .select(col("vec_id"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
@@ -853,7 +857,6 @@ object Similarity {
       .select("vec_id", "codes", "mns", "dts")
     val queries = vecs.filter(col("vec_id") < 20)
       .select(col("vec_id").as("qid"), col("v").as("qv"))
-    val w = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
     codes.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("vec_id"))
       // dim-ordered fold over the dequantized values — bit-identical to
@@ -866,9 +869,39 @@ object Similarity {
                     * element_at(dts, i + 1) / 255D))"""))
       .withColumn("adot", r4(col("adot")))
       .select(col("qid"), col("vec_id").as("nid"), col("adot"))
+  }
+
+  val simSq8: Q = (s, d) => {
+    val w = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    sq8Scores(s, d)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 5)
       .select("qid", "rnk", "nid", "adot")
+      .orderBy("qid", "rnk")
+  }
+
+  /** X3k-rerank: the standard two-stage retrieval over the SQ8 index —
+    * a wide approximate shortlist (top-20 by ADC) re-ranked by the
+    * EXACT dot over the raw vectors (only 20×20 exact dots per query
+    * set; the compressed scan does the winnowing). Same shape as
+    * [[simIvfPqRerank]]. */
+  val simSq8Rerank: Q = (s, d) => {
+    val wA = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    val shortlist = sq8Scores(s, d)
+      .withColumn("ark", row_number().over(wA))
+      .filter(col("ark") <= 20)
+      .select("qid", "nid")
+    val vecs = t(s, d, "embeddings")
+    val corpus = vecs.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+    val qv = vecs.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val wE = Window.partitionBy("qid").orderBy(desc("dot"), asc("nid"))
+    shortlist.join(corpus, Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .withColumn("dot", r4(DotProduct(col("qe"), col("nv"))))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "nid", "dot")
       .orderBy("qid", "rnk")
   }
 
@@ -1718,6 +1751,7 @@ object Similarity {
     "sim_ivf_census" -> simIvfCensus,
     "sim_pq" -> simPq,
     "sim_sq8" -> simSq8,
+    "sim_sq8_rerank" -> simSq8Rerank,
     "sim_online_gate" -> simOnlineGate,
     "sim_lsh_candidates" -> simLshCandidates)
 
@@ -1933,6 +1967,35 @@ object Similarity {
     * the coarse IVF CTEs, residuals, residual codebooks (p-prefixed),
     * ADC + coarse-dot tables, probed-list candidates, per-candidate
     * rounded adot set `ap`. */
+  /** Shared SQ8 oracle CTE chain: per-dim stats → clamped linear codes →
+    * the dim-ordered dequantized-dot fold per (query, candidate) pair —
+    * reused by the flat ranking and the exact-rerank twin. */
+  private val sq8OracleCte: String =
+    """sqraw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+                        FROM embeddings),
+           sqst AS (SELECT t.i AS pos, min(v[t.i]) AS mn, max(v[t.i]) AS mx
+                    FROM sqraw CROSS JOIN generate_series(1, 64) t(i)
+                    GROUP BY t.i),
+           sqarr AS (SELECT list(mn ORDER BY pos) AS mns,
+                            list(mx - mn ORDER BY pos) AS dts
+                     FROM sqst),
+           sqcodes AS (SELECT vec_id,
+                              [CAST(least(255.0, greatest(0.0,
+                                 floor(CASE WHEN dts[i] > 0
+                                       THEN (v[i] - mns[i]) * 255.0 / dts[i] + 0.5
+                                       ELSE 0.0 END))) AS INT)
+                               for i in generate_series(1, 64)] AS codes
+                       FROM sqraw CROSS JOIN sqarr),
+           sqq AS (SELECT vec_id AS qid, v AS qv FROM sqraw WHERE vec_id < 20),
+           sqscore AS (SELECT q.qid, c.vec_id AS nid,
+                              round(list_reduce(
+                                [q.qv[i] * (a.mns[i]
+                                   + CAST(c.codes[i] AS DOUBLE) * a.dts[i] / 255.0)
+                                 for i in generate_series(1, 64)],
+                                (x, y) -> x + y), 4) + 0.0 AS adot
+                       FROM sqq q CROSS JOIN sqcodes c CROSS JOIN sqarr a
+                       WHERE q.qid <> c.vec_id)"""
+
   private val ivfPqOracleCte: String =
     s"""$ivfOracleCte,
            resid AS (SELECT a.vec_id,
@@ -2099,36 +2162,33 @@ object Similarity {
     // (decimal-exact means, argmin tie-broken by cid) → codes → ADC table
     // → m-ordered fold. Rounds BEFORE ranking, same as the Spark side.
     "sim_sq8" ->
-      """WITH sqraw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
-                        FROM embeddings),
-           sqst AS (SELECT t.i AS pos, min(v[t.i]) AS mn, max(v[t.i]) AS mx
-                    FROM sqraw CROSS JOIN generate_series(1, 64) t(i)
-                    GROUP BY t.i),
-           sqarr AS (SELECT list(mn ORDER BY pos) AS mns,
-                            list(mx - mn ORDER BY pos) AS dts
-                     FROM sqst),
-           sqcodes AS (SELECT vec_id,
-                              [CAST(least(255.0, greatest(0.0,
-                                 floor(CASE WHEN dts[i] > 0
-                                       THEN (v[i] - mns[i]) * 255.0 / dts[i] + 0.5
-                                       ELSE 0.0 END))) AS INT)
-                               for i in generate_series(1, 64)] AS codes
-                       FROM sqraw CROSS JOIN sqarr),
-           sqq AS (SELECT vec_id AS qid, v AS qv FROM sqraw WHERE vec_id < 20),
-           sqscore AS (SELECT q.qid, c.vec_id AS nid,
-                              round(list_reduce(
-                                [q.qv[i] * (a.mns[i]
-                                   + CAST(c.codes[i] AS DOUBLE) * a.dts[i] / 255.0)
-                                 for i in generate_series(1, 64)],
-                                (x, y) -> x + y), 4) + 0.0 AS adot
-                       FROM sqq q CROSS JOIN sqcodes c CROSS JOIN sqarr a
-                       WHERE q.qid <> c.vec_id)
+      s"""WITH $sq8OracleCte
          SELECT qid, CAST(rnk AS INT) AS rnk, nid, adot
          FROM (SELECT qid, nid, adot,
                       row_number() OVER (PARTITION BY qid
                                          ORDER BY adot DESC, nid ASC) AS rnk
                FROM sqscore)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "sim_sq8_rerank" ->
+      s"""WITH $sq8OracleCte,
+           sqtopr AS (SELECT qid, nid FROM (
+                        SELECT qid, nid,
+                               row_number() OVER (PARTITION BY qid
+                                                  ORDER BY adot DESC, nid ASC) AS ark
+                        FROM sqscore) WHERE ark <= 20),
+           sqex AS (SELECT t.qid, t.nid,
+                           round(list_reduce([q.v[i] * n.v[i]
+                                              for i in generate_series(1, 64)],
+                                             (x, y) -> x + y), 4) + 0.0 AS dot
+                    FROM sqtopr t
+                    JOIN sqraw q ON q.vec_id = t.qid
+                    JOIN sqraw n ON n.vec_id = t.nid)
+         SELECT qid, rnk, nid, dot FROM (
+           SELECT qid, nid, dot,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY dot DESC, nid ASC) AS INT) AS rnk
+           FROM sqex) WHERE rnk <= 5
+         ORDER BY qid, rnk""",
     "sim_pq" ->
       """WITH raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
                       FROM embeddings),
