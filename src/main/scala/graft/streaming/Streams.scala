@@ -267,8 +267,9 @@ object Streams {
     * overwrite). Because the frozen model makes every doc's score
     * independent of its batch, the merged store equals the full-corpus
     * scoring pass BIT-identically under any split or redelivery. */
-  def classifierStoreSink(batch: DataFrame, batchId: Long, dir: String,
-      model: DataFrame): Unit =
+  /** One batch's per-source partials against the frozen model: doc and
+    * pass counts plus a DECIMAL score sum — every column distributive. */
+  def classifierPartialsOf(batch: DataFrame, model: DataFrame): DataFrame =
     graft.llm.TextOps.scoreAgainstModel(batch, model)
       .join(batch.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source")
@@ -276,15 +277,19 @@ object Streams {
         count(lit(1)).as("n_docs"),
         count(when(col("selected"), lit(1))).as("n_sel"),
         sum(col("score").cast("decimal(28,12)")).as("sum_score"))
+
+  def classifierStoreSink(batch: DataFrame, batchId: Long, dir: String,
+      model: DataFrame): Unit =
+    classifierPartialsOf(batch, model)
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
-  /** The accumulated pass-rate readout: re-sum the per-batch partials
-    * (counts and the decimal score sum are distributive), then derive
-    * the integer per-mille pass rate and the rounded mean score. */
-  def classifierStoreReadout(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(dir)
+  /** The pass-rate readout over ANY union of [[classifierPartialsOf]]
+    * rows: re-sum the distributive partials, then derive the integer
+    * per-mille pass rate and the rounded mean score. */
+  def classifierMergeFrom(parts: DataFrame): DataFrame =
+    parts
       .groupBy("source")
       .agg(
         sum("n_docs").as("n_docs"),
@@ -294,6 +299,11 @@ object Streams {
         expr("(1000 * n_sel) div n_docs").as("sel_permille"),
         r4(col("sum_score").cast("double") / col("n_docs")).as("mean_score"))
       .orderBy("source")
+
+  /** The accumulated store readout: [[classifierMergeFrom]] over the
+    * per-batch partitions. */
+  def classifierStoreReadout(s: SparkSession, dir: String): DataFrame =
+    classifierMergeFrom(s.read.parquet(dir))
 
   /** ST15 batch twin: two disjoint batches scored against the stored
     * model + an at-least-once redelivery, then the merged readout —

@@ -70,6 +70,32 @@ class MergeAlgebraSpec extends graft.SparkSpec {
     }
   }
 
+  test("property: classifier pass-rate partials against a frozen model " +
+    "merge to the one-shot scoring over any random split") {
+    for ((seed, b) <- Seq((31L, 2), (32L, 4))) {
+      val docs = corpus(150, seed)
+      // the frozen model: trained once on the WHOLE generated corpus —
+      // what makes per-doc scores batch-independent
+      val model = TextOps.nbModelOf(docs).localCheckpoint()
+      val whole = graft.streaming.Streams.classifierMergeFrom(
+          graft.streaming.Streams.classifierPartialsOf(docs, model))
+        .collect().map(_.toString).toSeq
+      val merged = graft.streaming.Streams.classifierMergeFrom(
+          parts(docs, b)
+            .map(graft.streaming.Streams.classifierPartialsOf(_, model))
+            .reduce(_ unionByName _))
+        .collect().map(_.toString).toSeq
+      assert(merged === whole, s"seed=$seed b=$b")
+      // reversed merge order changes nothing (decimal sums, counts)
+      val reversed = graft.streaming.Streams.classifierMergeFrom(
+          parts(docs, b).reverse
+            .map(graft.streaming.Streams.classifierPartialsOf(_, model))
+            .reduce(_ unionByName _))
+        .collect().map(_.toString).toSeq
+      assert(reversed === whole, s"order-dependence at seed=$seed b=$b")
+    }
+  }
+
   test("property: incremental pair-graph growth equals the one-shot " +
     "full-corpus pair set on corpora with injected near-dups") {
     // docs long enough to shingle, with deliberate duplicate TEXTS so
