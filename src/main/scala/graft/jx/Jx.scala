@@ -401,6 +401,7 @@ object Jx {
           graft.llm.Dedup.queries("dedup_split_leakfree")(spark, dataset.get)
         else graft.llm.Dedup.splitLeakfreeOf(docs)
       case "quality_classifier" => graft.llm.TextOps.qualityClassifierOf(docs)
+      case "quality_ensemble" => graft.llm.TextOps.qualityEnsembleOf(docs)
       case "fertility" =>
         // standard corpus + dataset → probe the stored BPE vocabulary
         // (the same artifact text_fertility reads); otherwise train the

@@ -288,6 +288,9 @@ object JxQueries {
   private val datasetCardJson = """{
     "corpus_op": {"op": "dataset_card", "corpus": {"from": "documents"}}}"""
 
+  private val qualityEnsembleJson = """{
+    "corpus_op": {"op": "quality_ensemble", "corpus": {"from": "documents"}}}"""
+
   private val noveltyJson = """{
     "corpus_op": {"op": "novelty", "corpus": {"from": "documents"}}}"""
 
@@ -442,6 +445,8 @@ object JxQueries {
     "jx_anneal" -> ((s, d) => Jx.run(s, annealJson, name => t(s, d, name))),
     "jx_dataset_card" ->
       ((s, d) => Jx.run(s, datasetCardJson, name => t(s, d, name), Some(d))),
+    "jx_quality_ensemble" ->
+      ((s, d) => Jx.run(s, qualityEnsembleJson, name => t(s, d, name))),
     "jx_novelty" -> ((s, d) => Jx.run(s, noveltyJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
       ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
@@ -514,6 +519,7 @@ object JxQueries {
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
     "jx_anneal" -> graft.llm.TextOps.oracle("text_anneal_schedule"),
     "jx_dataset_card" -> graft.llm.TextOps.oracle("text_dataset_card"),
+    "jx_quality_ensemble" -> graft.llm.TextOps.oracle("text_quality_ensemble"),
     "jx_novelty" -> graft.llm.TextOps.oracle("text_ngram_novelty"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->

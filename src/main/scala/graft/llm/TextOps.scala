@@ -221,8 +221,15 @@ object TextOps {
     * top-bigram fraction (share of all bigram occurrences held by the
     * most frequent bigram — explode → per-doc count → max/sum, one
     * shuffle keyed by doc_id so skew is bounded by document length). */
-  val textRepetition: Q = (s, d) => {
-    val base = t(s, d, "documents")
+  val textRepetition: Q = (s, d) =>
+    repetitionScoresOf(t(s, d, "documents")).orderBy("doc_id").limit(300)
+
+  /** The un-windowed repetition frame over ANY (doc_id, text) corpus —
+    * the composable form ([[textQualityEnsemble]] votes on it). Docs
+    * with fewer than 2 tokens have no bigram row and drop (the Gopher
+    * convention: too short to score). */
+  def repetitionScoresOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val base = docs
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tok"),
@@ -240,6 +247,45 @@ object TextOps {
         r4(lit(1.0) - col("n_dist").cast("double") / col("n_tok")).as("dup_tok_frac"),
         col("top_bg_n"),
         r4(col("top_bg_n").cast("double") / col("n_bg")).as("top_bg_frac"))
+  }
+
+  /** X4w: multi-filter QUALITY ENSEMBLE — the FineWeb/RefinedWeb lesson
+    * that no single filter is trustworthy alone: three INDEPENDENT
+    * gates vote per document — the NB curated-vs-crawl classifier
+    * ([[classifierScoresOf]]'s decision bit), the Gopher repetition
+    * rules ([[repetitionScoresOf]] at dup ≤ 0.5, top-bigram ≤ 0.05),
+    * and the per-source NLL fluency percentile ([[qualityFilterOf]]'s
+    * kept half) — and a document needs 2 of 3 to stay. Every vote is a
+    * decision on an ALREADY-rounded score (the determinism recipe), so
+    * the keep set replays exactly. Plan: three document-bounded frames
+    * left-joined on doc_id — each gate's own scale story applies
+    * unchanged; a doc too short to have bigrams fails the repetition
+    * vote by convention (never silently passes). */
+  val textQualityEnsemble: Q = (s, d) => qualityEnsembleOf(t(s, d, "documents"))
+
+  /** The same 2-of-3 vote over ANY (doc_id, source, text) frame (jx
+    * `corpus_op` entry point). */
+  def qualityEnsembleOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val nb = classifierScoresOf(docs)
+      .select(col("doc_id"), col("selected").as("pass_nb"))
+    val rep = repetitionScoresOf(docs)
+      .select(col("doc_id"),
+        (col("dup_tok_frac") <= 0.5 && col("top_bg_frac") <= 0.05).as("pass_rep"))
+    val nll = qualityFilterOf(docs).select("doc_id")
+      .withColumn("pass_nll", lit(true))
+    docs.select("doc_id", "source")
+      .join(nb, Seq("doc_id"), "left")
+      .join(rep, Seq("doc_id"), "left")
+      .join(nll, Seq("doc_id"), "left")
+      .withColumn("pass_nb", coalesce(col("pass_nb"), lit(false)))
+      .withColumn("pass_rep", coalesce(col("pass_rep"), lit(false)))
+      .withColumn("pass_nll", coalesce(col("pass_nll"), lit(false)))
+      .withColumn("n_pass",
+        col("pass_nb").cast("int") + col("pass_rep").cast("int") +
+          col("pass_nll").cast("int"))
+      .withColumn("keep", col("n_pass") >= 2)
+      .select("doc_id", "source", "pass_nb", "pass_rep", "pass_nll",
+        "n_pass", "keep")
       .orderBy("doc_id")
       .limit(300)
   }
@@ -1497,6 +1543,7 @@ object TextOps {
     "text_shard_delta" -> textShardDelta,
     "text_shard_diff" -> textShardDiff,
     "text_quality_filter" -> textQualityFilter,
+    "text_quality_ensemble" -> textQualityEnsemble,
     "text_curation_report" -> textCurationReport,
     "text_dataset_card" -> textDatasetCard,
     "text_token_budget" -> textTokenBudget,
@@ -1817,6 +1864,59 @@ object TextOps {
                  FROM nll)
          SELECT source, doc_id, nll FROM r
          WHERE rn * 2 <= n_src ORDER BY source, doc_id""",
+    "text_quality_ensemble" ->
+      s"""WITH $nbOracleCte,
+           nbsel AS (SELECT f.doc_id,
+                            round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                  / count(*), 4) > 0 AS pass_nb
+                     FROM qcf f JOIN qcm m USING (w) GROUP BY f.doc_id),
+           rpb AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           rpt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                          CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+                   FROM rpb),
+           rpg AS (SELECT doc_id,
+                          unnest([toks[i] || ' ' || toks[i+1]
+                                  for i in generate_series(1, len(toks) - 1)]) AS g
+                   FROM rpb WHERE len(toks) >= 2),
+           rpgc AS (SELECT doc_id, g, count(*) AS c FROM rpg GROUP BY 1, 2),
+           rpagg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg_n,
+                            CAST(sum(c) AS BIGINT) AS n_bg
+                     FROM rpgc GROUP BY 1),
+           rppass AS (SELECT rpt.doc_id,
+                             round(1.0 - n_dist * 1.0 / n_tok, 4) <= 0.5
+                             AND round(top_bg_n * 1.0 / n_bg, 4) <= 0.05 AS pass_rep
+                      FROM rpt JOIN rpagg ON rpt.doc_id = rpagg.doc_id),
+           qtk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+           qt2 AS (SELECT doc_id, w FROM qtk WHERE length(w) > 0),
+           qtot AS (SELECT count(*) AS n FROM qt2),
+           qfreq AS (SELECT w, count(*) AS wc FROM qt2 GROUP BY 1),
+           qnll AS (SELECT qt2.doc_id, d.source,
+                           round(-avg(ln(wc * 1.0 / (SELECT n FROM qtot))), 4) AS nll
+                    FROM qt2 JOIN qfreq USING (w)
+                    JOIN documents d ON d.doc_id = qt2.doc_id
+                    GROUP BY 1, 2),
+           qr AS (SELECT *,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY nll ASC, doc_id ASC) AS rn,
+                         count(*) OVER (PARTITION BY source) AS n_src
+                  FROM qnll),
+           qkeep AS (SELECT doc_id FROM qr WHERE rn * 2 <= n_src)
+         SELECT d.doc_id, d.source,
+                COALESCE(nb.pass_nb, false) AS pass_nb,
+                COALESCE(rp.pass_rep, false) AS pass_rep,
+                (qk.doc_id IS NOT NULL) AS pass_nll,
+                CAST(CAST(COALESCE(nb.pass_nb, false) AS INT)
+                     + CAST(COALESCE(rp.pass_rep, false) AS INT)
+                     + CAST(qk.doc_id IS NOT NULL AS INT) AS INT) AS n_pass,
+                (CAST(COALESCE(nb.pass_nb, false) AS INT)
+                 + CAST(COALESCE(rp.pass_rep, false) AS INT)
+                 + CAST(qk.doc_id IS NOT NULL AS INT)) >= 2 AS keep
+         FROM documents d
+         LEFT JOIN nbsel nb ON nb.doc_id = d.doc_id
+         LEFT JOIN rppass rp ON rp.doc_id = d.doc_id
+         LEFT JOIN qkeep qk ON qk.doc_id = d.doc_id
+         ORDER BY d.doc_id LIMIT 300""",
     "text_token_budget" ->
       """WITH base AS (SELECT doc_id, source, doc_id % 4 AS shard,
                               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

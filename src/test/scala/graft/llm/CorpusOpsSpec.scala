@@ -874,6 +874,29 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  // ---- text_quality_ensemble ----
+
+  test("quality ensemble: keep is exactly the 2-of-3 vote and each gate " +
+      "agrees with its standalone key") {
+    val rows = run("text_quality_ensemble").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = Seq("pass_nb", "pass_rep", "pass_nll")
+        .count(c => r.getAs[Boolean](c))
+      assert(r.getAs[Int]("n_pass") === n, r)
+      assert(r.getAs[Boolean]("keep") === (n >= 2), r)
+    }
+    // the NB vote is the classifier key's decision bit, row for row
+    val nb = run("text_quality_classifier").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("selected")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Boolean]("pass_nb") === nb(r.getAs[Long]("doc_id")), r))
+    // the ensemble is stricter than any single gate being universally true
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length,
+      s"degenerate ensemble: $kept of ${rows.length}")
+  }
+
   // ---- text_ngram_novelty ----
 
   test("novelty is a [0,1] fraction, first doc is fully novel, and novel " +
