@@ -45,7 +45,7 @@ object Pipeline {
     * corpus both are no-ops byte-for-byte (the synthetic docs are already
     * clean) — the oracle REPLAYS the chain rather than assuming identity,
     * so the pin stays honest on any corpus. */
-  private def hygienicText(text: org.apache.spark.sql.Column) =
+  private[llm] def hygienicText(text: org.apache.spark.sql.Column) =
     regexp_replace(regexp_replace(regexp_replace(
       trim(regexp_replace(text, WsRe, " ")),
       TextOps.EmailRe, "<EMAIL>"), TextOps.UrlRe, "<URL>"),
@@ -62,9 +62,11 @@ object Pipeline {
       trimSpans: Boolean = false,
       qualitySources: Option[DataFrame] = None,
       canonicalQuality: Option[DataFrame] = None,
-      payloadGate: Boolean = false): DataFrame = {
+      payloadGate: Boolean = false,
+      ensembleSources: Option[DataFrame] = None): DataFrame = {
     val survivors = corpusSurvivors(corpus, bench, jaccardThreshold,
-      minOverlap, trimSpans, qualitySources, canonicalQuality, payloadGate)
+      minOverlap, trimSpans, qualitySources, canonicalQuality, payloadGate,
+      ensembleSources)
     TextOps.packChunks(survivors, ctx, nShards)
       .join(survivors.select(col("doc_id"), md5(col("text")).as("final_md5")),
         Seq("doc_id"))
@@ -79,7 +81,8 @@ object Pipeline {
       trimSpans: Boolean = false,
       qualitySources: Option[DataFrame] = None,
       canonicalQuality: Option[DataFrame] = None,
-      payloadGate: Boolean = false): DataFrame = {
+      payloadGate: Boolean = false,
+      ensembleSources: Option[DataFrame] = None): DataFrame = {
     // optional X5e stage, FIRST and on the RAW rows (payload integrity is
     // a property of the stored bytes, not the hygienic text): decode the
     // payload via the mapPartitions codec plumbing and keep only rows
@@ -96,11 +99,18 @@ object Pipeline {
     // optional X4i stage, FIRST (cheap filters before expensive dedup —
     // the standard pipeline order): per-source NLL percentile gate over
     // the hygienic corpus; `qualitySources` supplies (doc_id, source)
-    val hygCorpus = qualitySources match {
-      case Some(srcs) =>
+    // optional X4w stage at the same slot: the 2-of-3 multi-filter vote
+    // (NB classifier + Gopher repetition + NLL percentile) over the
+    // hygienic corpus — the FineWeb-style front gate
+    val hygCorpus = (qualitySources, ensembleSources) match {
+      case (Some(srcs), _) =>
         TextOps.qualityFilterOf(hygCorpus0.join(srcs, Seq("doc_id")))
           .select("doc_id").join(hygCorpus0, Seq("doc_id"))
-      case None => hygCorpus0
+      case (None, Some(srcs)) =>
+        TextOps.ensembleVotesOf(hygCorpus0.join(srcs, Seq("doc_id")))
+          .filter(col("keep")).select("doc_id")
+          .join(hygCorpus0, Seq("doc_id"))
+      case (None, None) => hygCorpus0
     }
     // the one shingle pass over corpus ∪ bench, materialized and shared
     // (see object doc); bench rows ride along so decontamination reuses it
@@ -195,6 +205,20 @@ object Pipeline {
     val docs = t(s, d, "documents")
     corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
         qualitySources = Some(docs.select("doc_id", "source")))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** The chain with the X4w quality ENSEMBLE composed in front: only
+    * docs passing 2 of the 3 independent gates (NB classifier, Gopher
+    * repetition, NLL percentile) reach the shingle pass — the
+    * FineWeb-style front gate, strictly harder to fool than any single
+    * filter and at 100 TB the same halve-everything-downstream win as
+    * the percentile gate. */
+  val pipelineCorpusEnsemble: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        ensembleSources = Some(docs.select("doc_id", "source")))
       .orderBy("doc_id")
       .limit(300)
   }
@@ -379,6 +403,7 @@ object Pipeline {
     "pipeline_corpus" -> pipelineCorpus,
     "pipeline_corpus_trim" -> pipelineCorpusTrim,
     "pipeline_corpus_quality" -> pipelineCorpusQuality,
+    "pipeline_corpus_ensemble" -> pipelineCorpusEnsemble,
     "pipeline_corpus_canonical" -> pipelineCorpusCanonical,
     "pipeline_corpus_manifest" -> pipelineCorpusManifest,
     "pipeline_corpus_mm" -> pipelineCorpusMm)
@@ -468,6 +493,75 @@ object Pipeline {
                      FROM corp c JOIN qr ON qr.doc_id = c.doc_id
                      WHERE qr.rn * 2 <= qr.n_src),"""
 
+  /** The X4w gate as oracle CTEs: the 2-of-3 vote (NB classifier +
+    * Gopher repetition + NLL percentile, each replayed over the
+    * hygienic corpus slice) → `corpe`, the kept slice the shingle pass
+    * reads. */
+  private val ensembleGateCtes: String =
+    """esrc AS (SELECT c.doc_id, d.source, c.text
+                FROM corp c JOIN documents d USING (doc_id)),
+           eqcf AS (SELECT doc_id, curated, w FROM (
+                      SELECT doc_id,
+                             CAST(substr(source, 4) AS INT) % 3 = 0 AS curated,
+                             unnest(string_split(text, ' ')) AS w
+                      FROM esrc)
+                    WHERE length(w) > 0),
+           eqcc AS (SELECT w, count(*) FILTER (WHERE curated) AS cc,
+                           count(*) FILTER (WHERE NOT curated) AS rc
+                    FROM eqcf GROUP BY 1),
+           eqcn AS (SELECT count(*) FILTER (WHERE curated) AS c_n,
+                           count(*) FILTER (WHERE NOT curated) AS r_n,
+                           count(DISTINCT w) AS v
+                    FROM eqcf),
+           eqcm AS (SELECT w, ln((cc + 1.0) / (c_n + v))
+                             - ln((rc + 1.0) / (r_n + v)) AS lo
+                    FROM eqcc CROSS JOIN eqcn),
+           enb AS (SELECT f.doc_id,
+                          round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                / count(*), 4) > 0 AS pass_nb
+                   FROM eqcf f JOIN eqcm m USING (w) GROUP BY f.doc_id),
+           erpb AS (SELECT doc_id, string_split(text, ' ') AS toks FROM esrc),
+           erpt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+                           CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist
+                    FROM erpb),
+           erpg AS (SELECT doc_id,
+                           unnest([toks[i] || ' ' || toks[i+1]
+                                   for i in generate_series(1, len(toks) - 1)]) AS g
+                    FROM erpb WHERE len(toks) >= 2),
+           erpgc AS (SELECT doc_id, g, count(*) AS c FROM erpg GROUP BY 1, 2),
+           erpagg AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bg_n,
+                             CAST(sum(c) AS BIGINT) AS n_bg
+                      FROM erpgc GROUP BY 1),
+           erp AS (SELECT erpt.doc_id,
+                          round(1.0 - n_dist * 1.0 / n_tok, 4) <= 0.5
+                          AND round(top_bg_n * 1.0 / n_bg, 4) <= 0.05 AS pass_rep
+                   FROM erpt JOIN erpagg ON erpt.doc_id = erpagg.doc_id),
+           eqt AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS w
+                   FROM esrc),
+           eqt2 AS (SELECT doc_id, source, w FROM eqt WHERE length(w) > 0),
+           eqtot AS (SELECT count(*) AS n FROM eqt2),
+           eqfreq AS (SELECT w, count(*) AS wc FROM eqt2 GROUP BY 1),
+           eqnll AS (SELECT doc_id, source,
+                            round(-avg(ln(wc * 1.0 / (SELECT n FROM eqtot))), 4) AS nll
+                     FROM eqt2 JOIN eqfreq USING (w) GROUP BY 1, 2),
+           eqr AS (SELECT *,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY nll ASC, doc_id ASC) AS rn,
+                          count(*) OVER (PARTITION BY source) AS n_src
+                   FROM eqnll),
+           evote AS (SELECT s.doc_id,
+                            CAST(COALESCE(nb.pass_nb, false) AS INT)
+                            + CAST(COALESCE(rp.pass_rep, false) AS INT)
+                            + CAST(k.doc_id IS NOT NULL AS INT) AS n_pass
+                     FROM esrc s
+                     LEFT JOIN enb nb ON nb.doc_id = s.doc_id
+                     LEFT JOIN erp rp ON rp.doc_id = s.doc_id
+                     LEFT JOIN (SELECT doc_id FROM eqr WHERE rn * 2 <= n_src) k
+                       ON k.doc_id = s.doc_id),
+           corpe AS (SELECT c.doc_id, c.text
+                     FROM corp c JOIN evote v ON v.doc_id = c.doc_id
+                     WHERE v.n_pass >= 2),"""
+
   /** The X5e gate as oracle CTEs: byte-moment quality over the RAW
     * payload bytes (mm_quality's construction) → `corpmm`, the kept
     * corpus slice the shingle pass reads. */
@@ -531,6 +625,9 @@ object Pipeline {
            ${packTail("survivors")}""",
     "pipeline_corpus_mm" ->
       s"""${hygienePrefixFrom("corpmm", mmGateCtes)},
+           ${packTail("survivors")}""",
+    "pipeline_corpus_ensemble" ->
+      s"""${hygienePrefixFrom("corpe", ensembleGateCtes)},
            ${packTail("survivors")}""",
     "pipeline_corpus_canonical" ->
       s"""${hygienePrefixFrom("corp", canonicalDroplist = true)},

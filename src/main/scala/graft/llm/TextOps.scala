@@ -265,7 +265,13 @@ object TextOps {
 
   /** The same 2-of-3 vote over ANY (doc_id, source, text) frame (jx
     * `corpus_op` entry point). */
-  def qualityEnsembleOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def qualityEnsembleOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ensembleVotesOf(docs).orderBy("doc_id").limit(300)
+
+  /** The un-windowed vote frame — the composable form
+    * ([[graft.llm.Pipeline]]'s ensemble-gated chain consumes the full
+    * set). */
+  def ensembleVotesOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val nb = classifierScoresOf(docs)
       .select(col("doc_id"), col("selected").as("pass_nb"))
     val rep = repetitionScoresOf(docs)
@@ -286,8 +292,6 @@ object TextOps {
       .withColumn("keep", col("n_pass") >= 2)
       .select("doc_id", "source", "pass_nb", "pass_rep", "pass_nll",
         "n_pass", "keep")
-      .orderBy("doc_id")
-      .limit(300)
   }
 
   /** X4f: corpus mixture sampling — assemble a training mix by weighting
