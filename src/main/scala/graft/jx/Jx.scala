@@ -298,14 +298,23 @@ object Jx {
         runNode(spark, req(p, "corpus"), tables, dataset),
         runNode(spark, req(p, "benchmark"), tables, dataset),
         nShards = opt(p, "shards").map(_.asInt()).getOrElse(16))
-    else graft.llm.Pipeline.corpusHygiene(
-      runNode(spark, req(p, "corpus"), tables, dataset),
-      runNode(spark, req(p, "benchmark"), tables, dataset),
-      jaccardThreshold = opt(p, "jaccard_threshold").map(_.asDouble()).getOrElse(0.5),
-      minOverlap = opt(p, "min_overlap").map(_.asInt()).getOrElse(3),
-      ctx = opt(p, "context").map(_.asLong()).getOrElse(2048L),
-      nShards = opt(p, "shards").map(_.asLong()).getOrElse(8L),
-      trimSpans = opt(p, "trim_spans").exists(_.asBoolean()))
+    else {
+      val corpus = runNode(spark, req(p, "corpus"), tables, dataset)
+      // `"ensemble": true` composes the X4w 2-of-3 multi-filter vote in
+      // front of the chain — the corpus query must then carry `source`
+      graft.llm.Pipeline.corpusHygiene(
+        corpus,
+        runNode(spark, req(p, "benchmark"), tables, dataset),
+        jaccardThreshold = opt(p, "jaccard_threshold").map(_.asDouble()).getOrElse(0.5),
+        minOverlap = opt(p, "min_overlap").map(_.asInt()).getOrElse(3),
+        ctx = opt(p, "context").map(_.asLong()).getOrElse(2048L),
+        nShards = opt(p, "shards").map(_.asLong()).getOrElse(8L),
+        trimSpans = opt(p, "trim_spans").exists(_.asBoolean()),
+        ensembleSources =
+          if (opt(p, "ensemble").exists(_.asBoolean()))
+            Some(corpus.select("doc_id", "source"))
+          else None)
+    }
 
   /** Compile a {"corpus_op": {...}} node — the corpus-level
     * training-data operators (SURVEY §2.9 X4i–X4l) reached through jx,

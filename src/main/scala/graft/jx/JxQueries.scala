@@ -267,6 +267,14 @@ object JxQueries {
     "sort": ["doc_id"],
     "limit": 300}"""
 
+  private val pipelineEnsembleJson = """{
+    "pipeline": {
+      "ensemble": true,
+      "corpus": {"from": "documents", "where": {"gte": ["doc_id", 10]}},
+      "benchmark": {"from": "documents", "where": {"lt": ["doc_id", 10]}}},
+    "sort": ["doc_id"],
+    "limit": 300}"""
+
   private val releaseJson = """{
     "pipeline": {
       "release": true,
@@ -434,6 +442,8 @@ object JxQueries {
     "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))),
     "jx_pipeline" -> ((s, d) => Jx.run(s, pipelineJson, name => t(s, d, name))),
     "jx_release" -> ((s, d) => Jx.run(s, releaseJson, name => t(s, d, name))),
+    "jx_pipeline_ensemble" ->
+      ((s, d) => Jx.run(s, pipelineEnsembleJson, name => t(s, d, name))),
     "jx_quality_gate" -> ((s, d) => Jx.run(s, qualityGateJson, name => t(s, d, name))),
     "jx_payload_quality" ->
       ((s, d) => Jx.run(s, payloadQualityJson, name => t(s, d, name))),
@@ -509,6 +519,8 @@ object JxQueries {
     // the jx front end must land on the Column API's exact decision set,
     // so the oracle is pipeline_corpus's full-replay SQL verbatim
     "jx_pipeline" -> graft.llm.Pipeline.oracle("pipeline_corpus"),
+    "jx_pipeline_ensemble" ->
+      graft.llm.Pipeline.oracle("pipeline_corpus_ensemble"),
     "jx_release" -> graft.llm.Pipeline.oracle("pipeline_corpus_release"),
     // same single-surface contract for the corpus ops: the jx front end
     // must land on the Column API's exact decision set

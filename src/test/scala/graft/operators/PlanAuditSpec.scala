@@ -203,6 +203,15 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(p.contains("md5"), p)
   }
 
+  test("pipeline_corpus_ensemble: the gated chain keeps the shared shingle " +
+    "pass and adds no cartesian blowup") {
+    val p = plan("pipeline_corpus_ensemble")
+    assert(!p.contains("conv("), s"shingle recompute in the gated plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the NB vote's vocabulary-bounded model join stays a hash join
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("etl_pipeline composes without collapsing: dim broadcast, no global window") {
     val p = plan("etl_pipeline")
     assert(p.contains("BroadcastHashJoin"), p)
