@@ -272,12 +272,39 @@ object TextOps {
     * ([[graft.llm.Pipeline]]'s ensemble-gated chain consumes the full
     * set). */
   def ensembleVotesOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val nb = classifierScoresOf(docs)
-      .select(col("doc_id"), col("selected").as("pass_nb"))
+    // ONE word explode shared by the NB and NLL gates (the repetition
+    // gate needs ordered bigrams — its own pass): at 100 TB this is the
+    // difference between 3 and 2 corpus scans for the whole vote.
+    // Materialized so neither consumer recomputes the explode; the
+    // per-gate expressions are verbatim classifierScoresOf /
+    // qualityFilterOf, so the votes are bit-identical to the standalone
+    // keys (CorpusOpsSpec pins the NB agreement row for row).
+    val toks = docs
+      .select(col("doc_id"), col("source"),
+        expr("CAST(substr(source, 4) AS INT) % 3 = 0").as("curated"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .localCheckpoint()
+    val nb = toks.join(broadcast(nbModelFromToks(toks)), Seq("w"))
+      .groupBy("doc_id")
+      .agg(r4(sum(col("lo").cast("decimal(28,12)")).cast("double")
+        / count(lit(1))).as("score"))
+      .select(col("doc_id"), (col("score") > 0).as("pass_nb"))
     val rep = repetitionScoresOf(docs)
       .select(col("doc_id"),
         (col("dup_tok_frac") <= 0.5 && col("top_bg_frac") <= 0.05).as("pass_rep"))
-    val nll = qualityFilterOf(docs).select("doc_id")
+    val total = toks.agg(count(lit(1)).as("n_total"))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("wc"))
+    val nllScores = toks.join(freq, Seq("w"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "source")
+      .agg(r4(-avg(log(col("wc").cast("double") / col("n_total")))).as("nll"))
+    val wR = Window.partitionBy("source").orderBy(col("nll").asc, col("doc_id").asc)
+    val wC = Window.partitionBy("source")
+    val nll = nllScores.withColumn("rn", row_number().over(wR))
+      .withColumn("n_src", count(lit(1)).over(wC))
+      .filter(col("rn") * 2 <= col("n_src"))
+      .select("doc_id")
       .withColumn("pass_nll", lit(true))
     docs.select("doc_id", "source")
       .join(nb, Seq("doc_id"), "left")
