@@ -836,27 +836,39 @@ object Similarity {
     * (qid, nid, adot) for every query × candidate pair, adot already
     * rounded (round-then-rank, same as the oracle). */
   private def sq8Scores(s: SparkSession, d: String): DataFrame = {
-    val vecs = t(s, d, "embeddings")
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-    val stats = vecs.select(posexplode(col("v")))
-      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
-      .groupBy().agg(
-        expr("transform(array_sort(collect_list(struct(pos, mn))), x -> x.mn)")
-          .as("mns"),
-        expr("transform(array_sort(collect_list(struct(pos, mn, mx))), x -> x.mx - x.mn)")
-          .as("dts"))
-    val codes = vecs.crossJoin(broadcast(stats))
-      .withColumn("codes", expr(
-        """transform(sequence(0, 63), i ->
-             CAST(least(255D, greatest(0D,
-               floor(CASE WHEN element_at(dts, i + 1) > 0D
-                     THEN (element_at(v, i + 1) - element_at(mns, i + 1)) * 255D
-                          / element_at(dts, i + 1) + 0.5D
-                     ELSE 0D END))) AS INT))"""))
-      .select("vec_id", "codes", "mns", "dts")
-    val queries = vecs.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    // Build-once/probe-many ([[Artifacts]], same policy as sim_pq /
+    // sim_ivf_persist): the per-dim stats and the 8-bit codes ARE the
+    // storable index (the 4×-smaller table a 100 TB deployment keeps in
+    // place of the raw vectors); warm calls pay only the compressed
+    // scan. Deterministic stats → the oracle replay is unchanged.
+    val dir = Artifacts.buildOnce(s, "sq8", d) { dd =>
+      val vecsB = t(s, d, "embeddings")
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+      val statsB = vecsB.select(posexplode(col("v")))
+        .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+        .groupBy().agg(
+          expr("transform(array_sort(collect_list(struct(pos, mn))), x -> x.mn)")
+            .as("mns"),
+          expr("transform(array_sort(collect_list(struct(pos, mn, mx))), x -> x.mx - x.mn)")
+            .as("dts"))
+      statsB.write.mode("overwrite").parquet(s"$dd/stats")
+      vecsB.crossJoin(broadcast(s.read.parquet(s"$dd/stats")))
+        .withColumn("codes", expr(
+          """transform(sequence(0, 63), i ->
+               CAST(least(255D, greatest(0D,
+                 floor(CASE WHEN element_at(dts, i + 1) > 0D
+                       THEN (element_at(v, i + 1) - element_at(mns, i + 1)) * 255D
+                            / element_at(dts, i + 1) + 0.5D
+                       ELSE 0D END))) AS INT))"""))
+        .select("vec_id", "codes")
+        .write.mode("overwrite").parquet(s"$dd/codes")
+    }
+    val codes = s.read.parquet(s"$dir/codes")
+      .crossJoin(broadcast(s.read.parquet(s"$dir/stats")))
+    val queries = t(s, d, "embeddings").filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
     codes.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("vec_id"))
       // dim-ordered fold over the dequantized values — bit-identical to
