@@ -322,6 +322,46 @@ object Streams {
     classifierStoreReadout(s, s"$dir/c")
   }
 
+  /** ST16: stream-maintained SQ8 RANGE monitor — the scalar quantizer's
+    * drift alarm: SQ8 codes are only as good as the per-dimension
+    * [mn, mx] ranges they were trained on, and arriving data OUTSIDE the
+    * stored range silently clamps to 0/255. Each batch folds its vectors
+    * into per-dim (mn, mx) partials under its own partition (dynamic
+    * idempotent overwrite); min/max are MONOTONE-distributive, so the
+    * merged store equals the full-corpus stats EXACTLY under any batch
+    * split or redelivery — comparing it against the frozen `sq8` stats
+    * artifact is the re-encode trigger. (Unlike the IVF delta, an SQ8
+    * re-encode is corpus-proportional — which is exactly why production
+    * freezes stats per index generation and watches this monitor.) */
+  def sq8StatsSink(batch: DataFrame, batchId: Long, dir: String): Unit =
+    batch
+      .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** The accumulated range readout: re-min/max the per-batch partials. */
+  def sq8StatsReadout(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .groupBy("pos").agg(min("mn").as("mn"), max("mx").as("mx"))
+      .orderBy("pos")
+
+  /** ST16 batch twin: two disjoint batches + an at-least-once
+    * redelivery, then the merged readout — gated by the one-shot
+    * full-corpus per-dim stats oracle (exactness, not consistency). */
+  val streamSq8Stats: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "sq8_stats_stream", d) { dd =>
+      val vecs = t(s, d, "embeddings")
+      val p = s"$dd/p"
+      sq8StatsSink(vecs.filter(col("vec_id") % 2 === 0), 0L, p)
+      sq8StatsSink(vecs.filter(col("vec_id") % 2 === 1), 1L, p)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      sq8StatsSink(vecs.filter(col("vec_id") % 2 === 0), 0L, p)
+    }
+    sq8StatsReadout(s, s"$dir/p")
+  }
+
   /** ST13: stream-maintained n-gram NOVELTY store — the streamed form is
     * the NATURAL one: novelty is defined by arrival order (what fraction
     * of this doc's trigrams has the corpus never seen before?), so a
@@ -764,12 +804,18 @@ object Streams {
     "stream_sketch_store" -> streamSketchStore,
     "stream_quality_store" -> streamQualityStore,
     "stream_classifier_store" -> streamClassifierStore,
+    "stream_sq8_stats" -> streamSq8Stats,
     "stream_canonical_store" -> streamCanonicalStore)
 
   val oracle: Map[String, String] = Map(
     // the maintained-label canonical readout must equal a full-corpus
     // rebuild: dedup_canonical's oracle verbatim
     "stream_canonical_store" -> graft.llm.Dedup.oracle("dedup_canonical"),
+    "stream_sq8_stats" ->
+      """SELECT CAST(t.i - 1 AS INT) AS pos, min(v[t.i]) AS mn, max(v[t.i]) AS mx
+         FROM (SELECT [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)
+         CROSS JOIN generate_series(1, 64) t(i)
+         GROUP BY t.i ORDER BY pos""",
     "stream_classifier_store" ->
       s"""WITH ${graft.llm.TextOps.nbOracleCte},
            csc AS (SELECT f.doc_id,

@@ -376,6 +376,50 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "redelivered batch double-counted")
   }
 
+  test("ST16: the streamed SQ8 range monitor merges to the exact " +
+    "per-dim stats and an out-of-range batch expands the range") {
+    val dir = tmp("graft-st16")
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+    def df(rows: Seq[(Long, Array[Float])]) =
+      rows.toDF("vec_id", "embedding")
+    def stats(frame: org.apache.spark.sql.DataFrame) = frame
+      .select(posexplode(expr("transform(embedding, x -> CAST(x AS DOUBLE))")))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val full = stats(df(vecs))
+
+    val in = MemoryStream[(Long, Array[Float])](spark)
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.sq8StatsSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(vecs.take(12): _*)
+      q.processAllAvailable()
+      in.addData(vecs.drop(12): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.sq8StatsReadout(spark, dir)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(readout === full, "merged range partials must equal one-shot stats")
+    // redelivery of batch 0 overwrites its own partition — no drift
+    Streams.sq8StatsSink(df(vecs.take(12)), 0L, dir)
+    assert(readout === full, "redelivered batch drifted the range store")
+    // the drift alarm: a batch outside the trained range EXPANDS it
+    Streams.sq8StatsSink(df(Seq((99L, Array.fill(8)(5f)))), 2L, dir)
+    val expanded = readout
+    assert(expanded.forall(_._3 === 5.0),
+      s"out-of-range batch must widen every max: ${expanded.take(3)}")
+    assert(expanded.map(x => (x._1, x._2)) === full.map(x => (x._1, x._2)),
+      "mins must be untouched by the high-value batch")
+  }
+
   test("ST9: stream-maintained manifest store merges to the exact " +
     "whole-corpus manifest and redelivery never double-counts") {
     val dir = tmp("graft-st9")
