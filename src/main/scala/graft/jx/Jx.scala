@@ -424,6 +424,12 @@ object Jx {
         case None => graft.llm.Similarity.knnJoinOf(docs,
           opt(c, "nlist").map(_.asInt()).getOrElse(16))
       }
+      case "sq8" =>
+        // plain standard embeddings + dataset → probe the stored SQ8
+        // stats/codes artifact; any other corpus builds in-plan
+        if (plainEmbeddings && dataset.isDefined)
+          graft.llm.Similarity.queries("sim_sq8")(spark, dataset.get)
+        else graft.llm.Similarity.sq8TopkOf(docs)
       case "token_budget" => graft.llm.TextOps.tokenBudgetOf(docs,
         opt(c, "quota").map(_.asLong()).getOrElse(300L),
         opt(c, "shards").map(_.asLong()).getOrElse(4L))

@@ -296,6 +296,9 @@ object JxQueries {
   private val datasetCardJson = """{
     "corpus_op": {"op": "dataset_card", "corpus": {"from": "documents"}}}"""
 
+  private val sq8Json = """{
+    "corpus_op": {"op": "sq8", "corpus": {"from": "embeddings"}}}"""
+
   private val qualityEnsembleJson = """{
     "corpus_op": {"op": "quality_ensemble", "corpus": {"from": "documents"}}}"""
 
@@ -457,6 +460,7 @@ object JxQueries {
       ((s, d) => Jx.run(s, datasetCardJson, name => t(s, d, name), Some(d))),
     "jx_quality_ensemble" ->
       ((s, d) => Jx.run(s, qualityEnsembleJson, name => t(s, d, name))),
+    "jx_sq8" -> ((s, d) => Jx.run(s, sq8Json, name => t(s, d, name), Some(d))),
     "jx_novelty" -> ((s, d) => Jx.run(s, noveltyJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
       ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
@@ -532,6 +536,7 @@ object JxQueries {
     "jx_anneal" -> graft.llm.TextOps.oracle("text_anneal_schedule"),
     "jx_dataset_card" -> graft.llm.TextOps.oracle("text_dataset_card"),
     "jx_quality_ensemble" -> graft.llm.TextOps.oracle("text_quality_ensemble"),
+    "jx_sq8" -> graft.llm.Similarity.oracle("sim_sq8"),
     "jx_novelty" -> graft.llm.TextOps.oracle("text_ngram_novelty"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->

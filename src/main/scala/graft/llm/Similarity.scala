@@ -835,44 +835,36 @@ object Similarity {
     * metric directly) and [[simSq8Rerank]] (shortlist → exact re-rank):
     * (qid, nid, adot) for every query × candidate pair, adot already
     * rounded (round-then-rank, same as the oracle). */
-  private def sq8Scores(s: SparkSession, d: String): DataFrame = {
-    // Build-once/probe-many ([[Artifacts]], same policy as sim_pq /
-    // sim_ivf_persist): the per-dim stats and the 8-bit codes ARE the
-    // storable index (the 4×-smaller table a 100 TB deployment keeps in
-    // place of the raw vectors); warm calls pay only the compressed
-    // scan. Deterministic stats → the oracle replay is unchanged.
-    val dir = Artifacts.buildOnce(s, "sq8", d) { dd =>
-      val vecsB = t(s, d, "embeddings")
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
-      val statsB = vecsB.select(posexplode(col("v")))
-        .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
-        .groupBy().agg(
-          expr("transform(array_sort(collect_list(struct(pos, mn))), x -> x.mn)")
-            .as("mns"),
-          expr("transform(array_sort(collect_list(struct(pos, mn, mx))), x -> x.mx - x.mn)")
-            .as("dts"))
-      statsB.write.mode("overwrite").parquet(s"$dd/stats")
-      vecsB.crossJoin(broadcast(s.read.parquet(s"$dd/stats")))
-        .withColumn("codes", expr(
-          """transform(sequence(0, 63), i ->
-               CAST(least(255D, greatest(0D,
-                 floor(CASE WHEN element_at(dts, i + 1) > 0D
-                       THEN (element_at(v, i + 1) - element_at(mns, i + 1)) * 255D
-                            / element_at(dts, i + 1) + 0.5D
-                       ELSE 0D END))) AS INT))"""))
-        .select("vec_id", "codes")
-        .write.mode("overwrite").parquet(s"$dd/codes")
-    }
-    val codes = s.read.parquet(s"$dir/codes")
-      .crossJoin(broadcast(s.read.parquet(s"$dir/stats")))
-    val queries = t(s, d, "embeddings").filter(col("vec_id") < 20)
-      .select(col("vec_id").as("qid"),
-        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
-    codes.crossJoin(broadcast(queries))
+  private def sq8Doubles(embs: DataFrame): DataFrame =
+    embs.select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  private def sq8StatsOf(vecs: DataFrame): DataFrame =
+    vecs.select(posexplode(col("v")))
+      .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
+      .groupBy().agg(
+        expr("transform(array_sort(collect_list(struct(pos, mn))), x -> x.mn)")
+          .as("mns"),
+        expr("transform(array_sort(collect_list(struct(pos, mn, mx))), x -> x.mx - x.mn)")
+          .as("dts"))
+
+  private def sq8Encode(vecs: DataFrame, stats: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(stats))
+      .withColumn("codes", expr(
+        """transform(sequence(0, 63), i ->
+             CAST(least(255D, greatest(0D,
+               floor(CASE WHEN element_at(dts, i + 1) > 0D
+                     THEN (element_at(v, i + 1) - element_at(mns, i + 1)) * 255D
+                          / element_at(dts, i + 1) + 0.5D
+                     ELSE 0D END))) AS INT))"""))
+      .select("vec_id", "codes")
+
+  /** The ADC scoring core: every (query, candidate) pair's dequantized
+    * dot in one dim-ordered in-row fold — bit-identical to the oracle's
+    * list_reduce in the same index order. */
+  private def sq8ScoresFrom(codesWithStats: DataFrame, queries: DataFrame): DataFrame =
+    codesWithStats.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("vec_id"))
-      // dim-ordered fold over the dequantized values — bit-identical to
-      // the oracle's list_reduce in the same index order
       .withColumn("adot", expr(
         """aggregate(sequence(0, 63), 0D, (a, i) ->
              a + element_at(qv, i + 1) *
@@ -881,6 +873,44 @@ object Similarity {
                     * element_at(dts, i + 1) / 255D))"""))
       .withColumn("adot", r4(col("adot")))
       .select(col("qid"), col("vec_id").as("nid"), col("adot"))
+
+  private def sq8Queries(embs: DataFrame): DataFrame =
+    sq8Doubles(embs.filter(col("vec_id") < 20))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+
+  private def sq8Scores(s: SparkSession, d: String): DataFrame = {
+    // Build-once/probe-many ([[Artifacts]], same policy as sim_pq /
+    // sim_ivf_persist): the per-dim stats and the 8-bit codes ARE the
+    // storable index (the 4×-smaller table a 100 TB deployment keeps in
+    // place of the raw vectors); warm calls pay only the compressed
+    // scan. Deterministic stats → the oracle replay is unchanged.
+    val dir = Artifacts.buildOnce(s, "sq8", d) { dd =>
+      val vecsB = sq8Doubles(t(s, d, "embeddings"))
+      sq8StatsOf(vecsB).write.mode("overwrite").parquet(s"$dd/stats")
+      sq8Encode(vecsB, s.read.parquet(s"$dd/stats"))
+        .write.mode("overwrite").parquet(s"$dd/codes")
+    }
+    sq8ScoresFrom(
+      s.read.parquet(s"$dir/codes")
+        .crossJoin(broadcast(s.read.parquet(s"$dir/stats"))),
+      sq8Queries(t(s, d, "embeddings")))
+  }
+
+  /** The whole SQ8 top-k over ANY (vec_id, embedding) frame, built
+    * in-plan (no stored artifact) — the jx `corpus_op` fallback for
+    * non-standard corpora. */
+  def sq8TopkOf(embs: DataFrame): DataFrame = {
+    val vecs = sq8Doubles(embs)
+    val scored = sq8ScoresFrom(
+      sq8Encode(vecs, sq8StatsOf(vecs))
+        .crossJoin(broadcast(sq8StatsOf(vecs))),
+      sq8Queries(embs))
+    val w = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "rnk", "nid", "adot")
+      .orderBy("qid", "rnk")
   }
 
   val simSq8: Q = (s, d) => {

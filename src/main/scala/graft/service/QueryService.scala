@@ -103,9 +103,14 @@ object QueryService {
     if (Option(q.get("view")).exists(_.asText() == "ann")) {
       def section(key: String): String =
         graft.jx.Jx.listJson(graft.llm.Similarity.queries(key)(spark, dataset))
+      // `range` is the SQ8 scalar quantizer's per-dim [mn,mx] monitor
+      // (stream_sq8_stats' merged store — clamp pressure shows up here
+      // before it degrades recall)
       return s"""{"recall":${section("sim_knn_recall")},""" +
         s""""balance":${section("sim_ivf_census")},""" +
-        s""""drift":${section("sim_quantizer_refresh")}}"""
+        s""""drift":${section("sim_quantizer_refresh")},""" +
+        s""""range":${graft.jx.Jx.listJson(
+          graft.streaming.Streams.queries("stream_sq8_stats")(spark, dataset))}}"""
     }
     // {"view": "quality"}: the CURATION HEALTH PANEL — `sources` is the
     // per-source quality monitor read from the streamed partial store

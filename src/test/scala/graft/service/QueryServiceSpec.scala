@@ -283,8 +283,10 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "ann"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("recall", "balance", "drift").foreach(s =>
+      Seq("recall", "balance", "drift", "range").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the range section is the SQ8 per-dim monitor, 64 rows
+      assert(panel.get("range").get("data").size() === 64)
       // each section is its driver key's frame byte-for-byte
       val recall = panel.get("recall").get("data").get(0)
       val direct = graft.llm.Similarity.queries("sim_knn_recall")(spark, sf)
