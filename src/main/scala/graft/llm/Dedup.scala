@@ -1519,7 +1519,65 @@ object Dedup {
          WHERE c * 1.0 / least(x.n, y.n) >= 0.8
          ORDER BY containment DESC, da ASC, db ASC"""
 
+  /** 2^0..2^63 as a DuckDB list literal (the last entries exceed BIGINT
+    * and parse as HUGEINT) — the bit-extraction table for the FNV/SimHash
+    * replay below. */
+  private val pow2List: String =
+    (0 until 64).map(b => BigInt(1) << b).mkString("[", ", ", "]")
+
+  /** The FNV-1a-64 + SimHash replay: DuckDB has no wraparound 64-bit
+    * arithmetic, but HUGEINT modular arithmetic expresses it exactly —
+    * the fold keeps the hash as an UNSIGNED value in [0, 2^64): the
+    * xor touches only the low byte (h ^ b == h - h%256 + (h%256 XOR b)
+    * for b < 256), the multiply stays under 2^104 (HUGEINT-safe), and
+    * `% 2^64` is the wraparound. Verified bit-identical to
+    * [[graft.functions.PolyHash64]]/[[graft.functions.SimHash64]]
+    * including empty tokens (fold = seed) and multi-byte UTF-8. */
   val oracle: Map[String, String] = Map(
+    "dedup_simhash" ->
+      s"""WITH shd AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents),
+           shtok AS (SELECT doc_id, unnest(toks) AS w FROM shd),
+           shh AS (SELECT doc_id,
+                          list_reduce(
+                            list_prepend(CAST('14695981039346656037' AS HUGEINT),
+                              [CAST(CAST('0x' || substr(hex(encode(w)), 2*i-1, 2) AS INT) AS HUGEINT)
+                               for i in generate_series(1, octet_length(encode(w)))]),
+                            (h, b) -> ((h // 256) * 256
+                                       + CAST(xor(CAST(h % 256 AS BIGINT),
+                                                  CAST(b AS BIGINT)) AS HUGEINT))
+                                      * 1099511628211
+                                      % CAST('18446744073709551616' AS HUGEINT)) AS hu
+                   FROM shtok),
+           shbit AS (SELECT doc_id, t.i - 1 AS bit,
+                            sum(CASE WHEN CAST(hu // ($pow2List)[t.i] % 2 AS INT) = 1
+                                     THEN 1 ELSE -1 END) AS v
+                     FROM shh CROSS JOIN generate_series(1, 64) t(i)
+                     GROUP BY 1, 2),
+           shsig AS (SELECT doc_id,
+                            CAST(sum(CASE WHEN v > 0
+                                          THEN CAST(($pow2List)[bit + 1] AS HUGEINT)
+                                          ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS ug
+                     FROM shbit GROUP BY doc_id),
+           sigs AS (SELECT doc_id,
+                           CASE WHEN ug >= CAST('9223372036854775808' AS HUGEINT)
+                                THEN CAST(ug - CAST('18446744073709551616' AS HUGEINT) AS BIGINT)
+                                ELSE CAST(ug AS BIGINT) END AS sig,
+                           ug
+                    FROM shsig),
+           bands AS (SELECT s.doc_id, s.sig, CAST(t.b AS INT) AS band,
+                            CAST(s.ug // ([1, 65536, 4294967296, 281474976710656])[t.b + 1]
+                                 % 65536 AS BIGINT) AS bh
+                     FROM sigs s CROSS JOIN generate_series(0, 3) t(b)),
+           capped AS (SELECT doc_id, sig, band, bh FROM (
+                        SELECT *, count(*) OVER (PARTITION BY band, bh) AS bn
+                        FROM bands) WHERE bn <= 500),
+           cand AS (SELECT DISTINCT x.doc_id AS da, y.doc_id AS db,
+                           CAST(bit_count(xor(x.sig, y.sig)) AS INT) AS hamming
+                    FROM capped x JOIN capped y
+                      ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id)
+         SELECT da, db, hamming FROM cand WHERE hamming <= 3
+         ORDER BY hamming ASC, da ASC, db ASC LIMIT 200""",
     "dedup_corpus_overlap" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            sh AS (SELECT DISTINCT doc_id,
