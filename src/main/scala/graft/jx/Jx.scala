@@ -396,10 +396,25 @@ object Jx {
             "dataset_card requires the plain dataset-backed documents corpus")
         graft.llm.TextOps.queries("text_dataset_card")(spark, dataset.get)
       case "anneal_schedule" =>
-        graft.llm.TextOps.annealScheduleOf(docs,
-          opt(c, "bulk_pct").map(_.asLong()).getOrElse(160L),
-          opt(c, "anneal_pct").map(_.asLong()).getOrElse(40L),
-          opt(c, "max_epochs").map(_.asLong()).getOrElse(4L))
+        val bulkPct = opt(c, "bulk_pct").map(_.asLong()).getOrElse(160L)
+        val annealPct = opt(c, "anneal_pct").map(_.asLong()).getOrElse(40L)
+        val epochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L)
+        // standard corpus + dataset → plan BOTH phases off maintained
+        // stores: the quality monitor's exact token sums and the
+        // classifier monitor's exact pass counts (two monitors → one
+        // planner; mix_schedule's closed loop extended to quality)
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.TextOps.annealScheduleFromParts(
+            graft.streaming.Streams.queries("stream_quality_store")(
+              spark, dataset.get)
+              .select(col("source"), col("n_tokens").as("n_tok"), col("n_docs"))
+              .join(
+                graft.streaming.Streams.queries("stream_classifier_store")(
+                  spark, dataset.get)
+                  .select(col("source"), col("n_sel")),
+                Seq("source")),
+            bulkPct, annealPct, epochs)
+        else graft.llm.TextOps.annealScheduleOf(docs, bulkPct, annealPct, epochs)
       case "novelty" => graft.llm.TextOps.ngramNoveltyOf(docs)
       case "novelty_curve" => graft.llm.TextOps.noveltyCurveOf(docs)
       case "novelty_sources" => graft.llm.TextOps.noveltySourcesOf(docs)

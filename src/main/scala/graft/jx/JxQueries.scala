@@ -455,7 +455,11 @@ object JxQueries {
     "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
     "jx_mix_schedule" ->
       ((s, d) => Jx.run(s, mixScheduleJson, name => t(s, d, name))),
-    "jx_anneal" -> ((s, d) => Jx.run(s, annealJson, name => t(s, d, name))),
+    // dataset-backed: the anneal plan probes the quality + classifier
+    // monitors (no corpus scan) — gated by the full corpus-scan oracle,
+    // so store == recompute is proven per-row
+    "jx_anneal" ->
+      ((s, d) => Jx.run(s, annealJson, name => t(s, d, name), Some(d))),
     "jx_dataset_card" ->
       ((s, d) => Jx.run(s, datasetCardJson, name => t(s, d, name), Some(d))),
     "jx_quality_ensemble" ->

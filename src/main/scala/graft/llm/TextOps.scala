@@ -433,8 +433,23 @@ object TextOps {
     val selBySrc = classifierScoresOf(docs).filter(col("selected"))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source").agg(count(lit(1)).as("n_sel"))
-    val src = perSrc.join(selBySrc, Seq("source"), "left")
-      .withColumn("n_sel", coalesce(col("n_sel"), lit(0L)))
+    annealScheduleFromParts(
+      perSrc.join(selBySrc, Seq("source"), "left")
+        .withColumn("n_sel", coalesce(col("n_sel"), lit(0L))),
+      bulkPct, annealPct, maxEpochs)
+  }
+
+  /** The scheduler over a pre-aggregated (source, n_tok, n_docs, n_sel)
+    * frame — the store-probing entry: the streamed quality monitor's
+    * exact token sums plus the streamed classifier monitor's exact pass
+    * counts are the SAME longs the corpus scan derives, so a
+    * dataset-backed jx route plans BOTH anneal phases off maintained
+    * stores without any corpus scan (two monitors → one planner, the
+    * mix_schedule closed loop extended to the quality axis). */
+  def annealScheduleFromParts(srcStats: org.apache.spark.sql.DataFrame,
+      bulkPct: Long = 160L, annealPct: Long = 40L,
+      maxEpochs: Long = 4L): org.apache.spark.sql.DataFrame = {
+    val src = srcStats
       .withColumn("w_bulk", expr(
         """CAST(CASE CAST(substr(source, 4) AS INT) % 3
              WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40 END AS BIGINT)"""))
