@@ -878,22 +878,44 @@ object Similarity {
     sq8Doubles(embs.filter(col("vec_id") < 20))
       .select(col("vec_id").as("qid"), col("v").as("qv"))
 
-  private def sq8Scores(s: SparkSession, d: String): DataFrame = {
-    // Build-once/probe-many ([[Artifacts]], same policy as sim_pq /
-    // sim_ivf_persist): the per-dim stats and the 8-bit codes ARE the
-    // storable index (the 4×-smaller table a 100 TB deployment keeps in
-    // place of the raw vectors); warm calls pay only the compressed
-    // scan. Deterministic stats → the oracle replay is unchanged.
+  /** The stored SQ8 index (codes ⋈ broadcast stats) — build-once/
+    * probe-many ([[Artifacts]], same policy as sim_pq /
+    * sim_ivf_persist): the per-dim stats and the 8-bit codes ARE the
+    * storable index (the 4×-smaller table a 100 TB deployment keeps in
+    * place of the raw vectors); warm calls pay only the compressed
+    * scan. Deterministic stats → the oracle replay is unchanged. */
+  private def sq8Stored(s: SparkSession, d: String): DataFrame = {
     val dir = Artifacts.buildOnce(s, "sq8", d) { dd =>
       val vecsB = sq8Doubles(t(s, d, "embeddings"))
       sq8StatsOf(vecsB).write.mode("overwrite").parquet(s"$dd/stats")
       sq8Encode(vecsB, s.read.parquet(s"$dd/stats"))
         .write.mode("overwrite").parquet(s"$dd/codes")
     }
-    sq8ScoresFrom(
-      s.read.parquet(s"$dir/codes")
-        .crossJoin(broadcast(s.read.parquet(s"$dir/stats"))),
-      sq8Queries(t(s, d, "embeddings")))
+    s.read.parquet(s"$dir/codes")
+      .crossJoin(broadcast(s.read.parquet(s"$dir/stats")))
+  }
+
+  private def sq8Scores(s: SparkSession, d: String): DataFrame =
+    sq8ScoresFrom(sq8Stored(s, d), sq8Queries(t(s, d, "embeddings")))
+
+  /** X3k-gate: ONLINE SQ8 admission gate — an arriving slice probes the
+    * STORED compressed index asymmetrically (raw query against
+    * dequantized codes — the probe encodes nothing, so clamp error only
+    * enters on the indexed side): top-1 match per probe, flagged at
+    * adot ≥ 0.42 as near-dup pressure. The streaming shape is a
+    * stream-static broadcast join per batch; gated by the full
+    * stats → codes → fold replay, so store == recompute per row. */
+  val simSq8Gate: Q = (s, d) => {
+    val w = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    sq8ScoresFrom(sq8Stored(s, d),
+        sq8Doubles(t(s, d, "embeddings").filter(col("vec_id") % 5 === 2))
+          .select(col("vec_id").as("qid"), col("v").as("qv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .withColumn("flagged", col("adot") >= 0.42)
+      .select("qid", "nid", "adot", "flagged")
+      .orderBy("qid")
+      .limit(300)
   }
 
   /** The whole SQ8 top-k over ANY (vec_id, embedding) frame, built
@@ -1794,6 +1816,7 @@ object Similarity {
     "sim_pq" -> simPq,
     "sim_sq8" -> simSq8,
     "sim_sq8_rerank" -> simSq8Rerank,
+    "sim_sq8_gate" -> simSq8Gate,
     "sim_online_gate" -> simOnlineGate,
     "sim_lsh_candidates" -> simLshCandidates)
 
@@ -2011,9 +2034,10 @@ object Similarity {
     * rounded adot set `ap`. */
   /** Shared SQ8 oracle CTE chain: per-dim stats → clamped linear codes →
     * the dim-ordered dequantized-dot fold per (query, candidate) pair —
-    * reused by the flat ranking and the exact-rerank twin. */
-  private val sq8OracleCte: String =
-    """sqraw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+    * reused by the flat ranking, the exact-rerank twin, and (with the
+    * probe-slice predicate) the online gate. */
+  private def sq8OracleCteFrom(queryPred: String): String =
+    s"""sqraw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
                         FROM embeddings),
            sqst AS (SELECT t.i AS pos, min(v[t.i]) AS mn, max(v[t.i]) AS mx
                     FROM sqraw CROSS JOIN generate_series(1, 64) t(i)
@@ -2028,7 +2052,7 @@ object Similarity {
                                        ELSE 0.0 END))) AS INT)
                                for i in generate_series(1, 64)] AS codes
                        FROM sqraw CROSS JOIN sqarr),
-           sqq AS (SELECT vec_id AS qid, v AS qv FROM sqraw WHERE vec_id < 20),
+           sqq AS (SELECT vec_id AS qid, v AS qv FROM sqraw WHERE $queryPred),
            sqscore AS (SELECT q.qid, c.vec_id AS nid,
                               round(list_reduce(
                                 [q.qv[i] * (a.mns[i]
@@ -2037,6 +2061,8 @@ object Similarity {
                                 (x, y) -> x + y), 4) + 0.0 AS adot
                        FROM sqq q CROSS JOIN sqcodes c CROSS JOIN sqarr a
                        WHERE q.qid <> c.vec_id)"""
+
+  private val sq8OracleCte: String = sq8OracleCteFrom("vec_id < 20")
 
   private val ivfPqOracleCte: String =
     s"""$ivfOracleCte,
@@ -2211,6 +2237,14 @@ object Similarity {
                                          ORDER BY adot DESC, nid ASC) AS rnk
                FROM sqscore)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "sim_sq8_gate" ->
+      s"""WITH ${sq8OracleCteFrom("vec_id % 5 = 2")}
+         SELECT qid, nid, adot, adot >= 0.42 AS flagged
+         FROM (SELECT qid, nid, adot,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY adot DESC, nid ASC) AS rn
+               FROM sqscore)
+         WHERE rn = 1 ORDER BY qid LIMIT 300""",
     "sim_sq8_rerank" ->
       s"""WITH $sq8OracleCte,
            sqtopr AS (SELECT qid, nid FROM (
