@@ -366,6 +366,10 @@ object Jx {
       // X5 through the query surface: the payload wrap + decode +
       // gate/dedup chains over the documents-shaped corpus node
       case "payload_quality" => graft.llm.Multimodal.qualityReport(docs)
+      case "payload_pack" => graft.llm.Multimodal.mmPackOf(docs,
+        ctx = opt(c, "ctx").map(_.asLong()).getOrElse(2048L),
+        nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
+        .orderBy("doc_id").limit(300)
       case "payload_dedup" =>
         // plain standard corpus + dataset dir → probe the stored payload
         // pair graph (the same table mm_dedup reads); otherwise rebuild
@@ -388,6 +392,10 @@ object Jx {
               .select(col("source"), col("n_tokens").as("n_tok")),
             budget, epochs)
         else graft.llm.TextOps.mixScheduleOf(docs, budget, epochs)
+      case "train_order" => graft.llm.TextOps.trainOrderOf(docs,
+        budgetPct = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L),
+        maxEpochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L),
+        nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
       case "dataset_card" =>
         // the card is only defined over the standard dataset (its dup and
         // decon columns need the stored pair-graph/bench conventions)

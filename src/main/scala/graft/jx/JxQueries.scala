@@ -290,6 +290,12 @@ object JxQueries {
   private val mixScheduleJson = """{
     "corpus_op": {"op": "mix_schedule", "corpus": {"from": "documents"}}}"""
 
+  private val trainOrderJson = """{
+    "corpus_op": {"op": "train_order", "corpus": {"from": "documents"}}}"""
+
+  private val payloadPackJson = """{
+    "corpus_op": {"op": "payload_pack", "corpus": {"from": "documents"}}}"""
+
   private val annealJson = """{
     "corpus_op": {"op": "anneal_schedule", "corpus": {"from": "documents"}}}"""
 
@@ -455,6 +461,10 @@ object JxQueries {
     "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
     "jx_mix_schedule" ->
       ((s, d) => Jx.run(s, mixScheduleJson, name => t(s, d, name))),
+    "jx_train_order" ->
+      ((s, d) => Jx.run(s, trainOrderJson, name => t(s, d, name))),
+    "jx_payload_pack" ->
+      ((s, d) => Jx.run(s, payloadPackJson, name => t(s, d, name))),
     // dataset-backed: the anneal plan probes the quality + classifier
     // monitors (no corpus scan) — gated by the full corpus-scan oracle,
     // so store == recompute is proven per-row
@@ -537,6 +547,8 @@ object JxQueries {
     "jx_payload_dedup" -> graft.llm.Multimodal.oracle("mm_dedup"),
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
+    "jx_train_order" -> graft.llm.TextOps.oracle("text_train_order"),
+    "jx_payload_pack" -> graft.llm.Multimodal.oracle("mm_pack"),
     "jx_anneal" -> graft.llm.TextOps.oracle("text_anneal_schedule"),
     "jx_dataset_card" -> graft.llm.TextOps.oracle("text_dataset_card"),
     "jx_quality_ensemble" -> graft.llm.TextOps.oracle("text_quality_ensemble"),

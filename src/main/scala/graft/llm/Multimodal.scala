@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.operators.Common._
@@ -121,6 +122,41 @@ object Multimodal {
       .orderBy("doc_id")
       .limit(300)
   }
+
+  /** X5f: INTERLEAVED multimodal sequence packing — the batch-assembly
+    * step for an image+text trainer: each doc's cost in the packed
+    * stream is its text tokens PLUS the patch tokens its payload decodes
+    * to (ceil(n_bytes / patchBytes) — the ViT patch-grid arithmetic over
+    * the stand-in payload) plus 2 modality sentinels (begin/end media
+    * markers, the interleaved-corpus convention). The coordinates reuse
+    * [[TextOps.packChunks]]'s per-shard concat-and-chunk recipe verbatim
+    * — cumulative cost per hash shard, chunk = cum div ctx — so the
+    * trainer's reader is the SAME for text-only and interleaved shards;
+    * only the cost column differs. Metadata-only arithmetic: the payload
+    * bytes are never read (column pruning drops them — the n_bytes field
+    * rides in the typed metadata struct), which is the point at 100 TB:
+    * packing plans over petabytes of media from the KB-scale metadata.
+    * Pure integer arithmetic → oracle-exact. */
+  def mmPackOf(docs: DataFrame, ctx: Long = 2048L, nShards: Long = 8L,
+      patchBytes: Long = 64L): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withPayload(docs)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_text_tok"),
+        ((col("media.n_bytes") + patchBytes - 1L) / patchBytes).cast("long")
+          .as("n_patches"))
+      .withColumn("mm_tok", col("n_text_tok") + col("n_patches") + lit(2L))
+      .withColumn("cum_before", coalesce(sum("mm_tok").over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_text_tok"), col("n_patches"),
+        col("mm_tok"),
+        (col("cum_before") / ctx).cast("long").as("chunk_id"),
+        (col("cum_before") % ctx).as("chunk_offset"))
+  }
+
+  val mmPack: Q = (s, d) =>
+    mmPackOf(t(s, d, "documents")).orderBy("doc_id").limit(300)
 
   /** Byte shingles of the payload — the multimodal twin of
     * [[Dedup.shinglesOf]]'s word shingles: every 4-byte window of the raw
@@ -319,6 +355,7 @@ object Multimodal {
     "mm_meta" -> mmMeta,
     "mm_frames" -> mmFrames,
     "mm_features" -> mmFeatures,
+    "mm_pack" -> mmPack,
     "mm_dedup" -> mmDedup,
     "mm_quality" -> mmQuality,
     "mm_online_gate" -> mmOnlineGate,
@@ -344,6 +381,26 @@ object Multimodal {
                 CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                 CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes
          FROM documents GROUP BY source ORDER BY source""",
+    "mm_pack" ->
+      """WITH mpb AS (SELECT doc_id, doc_id % 8 AS shard,
+                             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_text_tok,
+                             CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT)
+                               AS n_patches
+                      FROM documents),
+           mpc AS (SELECT doc_id, shard, n_text_tok, n_patches,
+                          n_text_tok + n_patches + 2 AS mm_tok
+                   FROM mpb),
+           mpp AS (SELECT doc_id, shard, n_text_tok, n_patches, mm_tok,
+                          CAST(coalesce(sum(mm_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                                          AND 1 PRECEDING), 0)
+                               AS BIGINT) AS cum_before
+                   FROM mpc)
+         SELECT doc_id, shard, n_text_tok, n_patches,
+                CAST(mm_tok AS BIGINT) AS mm_tok,
+                CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
+                cum_before % 2048 AS chunk_offset
+         FROM mpp ORDER BY doc_id LIMIT 300""",
     // BYTE-exact, not character-exact: the Spark side hashes UTF-8 BYTES
     // of the payload, so the oracle enumerates encode(text)'s bytes (hex
     // the blob once, slice 2-char chunks) rather than ascii() code points

@@ -404,6 +404,66 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** X4x: deterministic TRAINING-ORDER manifest — the mix schedule
+    * turned into the actual (epoch, shard, position) coordinates a
+    * trainer consumes, closing the planner→trainer loop the way
+    * [[packManifest]] closes the packer's. Each source's `scheduled_tok`
+    * quota becomes `scheduled div total` FULL passes over the source
+    * plus one PARTIAL pass covering the remainder; membership in the
+    * partial pass is the DSIR threshold-gate shape ([[dsirOf]]): docs in
+    * deterministic md5 order, cumulative tokens, in while
+    * `cum_before < remainder` — no sampling state, no RNG, bit-stable
+    * under re-runs. Every (doc, epoch) instance is then placed at a
+    * per-(epoch, shard) position: shard = md5(doc#epoch) so consecutive
+    * epochs see DIFFERENT doc→shard assignments (the reshuffle-between-
+    * epochs a trainer expects), position = rank of the md5 key within
+    * the shard. Epoch indices are per-source (a 225-weight source cycles
+    * more often than a 40-weight one — the repeat-factor recipe).
+    *
+    * Plan shape at 100 TB: the schedule is |sources| rows broadcast; the
+    * gate window partitions BY SOURCE (bounded per-source scans, same as
+    * DSIR); placement is row_number per (epoch, shard) — parallelism =
+    * epochs × shards with no global sort anywhere. Pure integer + md5
+    * arithmetic → oracle-exact. */
+  val textTrainOrder: Q = (s, d) => trainOrderOf(t(s, d, "documents"))
+
+  /** The same ordering over ANY (doc_id, source, text) frame (jx
+    * `corpus_op` entry point). */
+  def trainOrderOf(docs: org.apache.spark.sql.DataFrame, budgetPct: Long = 200L,
+      maxEpochs: Long = 4L, nShards: Long = 8L): org.apache.spark.sql.DataFrame =
+    trainOrderFullOf(docs, budgetPct, maxEpochs, nShards)
+      .orderBy("epoch", "shard", "pos")
+      .limit(300)
+
+  /** The full (un-limited) instance frame — what the export sink would
+    * actually write, one row per (doc, epoch) instance. */
+  def trainOrderFullOf(docs: org.apache.spark.sql.DataFrame, budgetPct: Long = 200L,
+      maxEpochs: Long = 4L, nShards: Long = 8L): org.apache.spark.sql.DataFrame = {
+    val sched = mixScheduleOf(docs, budgetPct, maxEpochs)
+      .select(col("source"), col("n_tok").as("src_tok"), col("scheduled_tok"))
+    val gate = Window.partitionBy("source").orderBy("hk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val place = Window.partitionBy("epoch", "shard").orderBy("hk", "doc_id")
+    docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .withColumn("hk", expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .join(broadcast(sched), Seq("source"))
+      .withColumn("full_epochs", expr("scheduled_tok div src_tok"))
+      .withColumn("rem_tok", col("scheduled_tok") % col("src_tok"))
+      .withColumn("cum_before", coalesce(sum("n_tok").over(gate), lit(0L)))
+      .withColumn("n_rep", col("full_epochs") +
+        when(col("cum_before") < col("rem_tok"), 1L).otherwise(0L))
+      .filter(col("n_rep") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("n_rep") - 1)))
+      .withColumn("shard", expr(
+        s"""CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '#',
+              CAST(epoch AS STRING))), 1, 15), 16, 10) AS BIGINT)""") % nShards)
+      .withColumn("pos", row_number().over(place))
+      .select("doc_id", "source", "epoch", "shard", "pos", "n_tok")
+  }
+
   /** X4u: two-phase ANNEAL schedule — the "finish training on your best
     * data" plan (the published end-of-run recipe: a long bulk phase at
     * the standard mixture, then a short anneal phase re-weighted toward
@@ -1610,6 +1670,7 @@ object TextOps {
     "text_repetition" -> textRepetition,
     "text_mix_sources" -> textMixSources,
     "text_mix_schedule" -> textMixSchedule,
+    "text_train_order" -> textTrainOrder,
     "text_anneal_schedule" -> textAnnealSchedule,
     "text_ngram_novelty" -> textNgramNovelty,
     "text_novelty_curve" -> textNoveltyCurve,
@@ -2239,6 +2300,52 @@ object TextOps {
                 round(scheduled_tok * 1.0 / n_tok, 4) AS epochs,
                 CAST(target_tok - scheduled_tok AS BIGINT) AS deficit_tok
          FROM msf ORDER BY source""",
+    "text_train_order" ->
+      """WITH tros AS (SELECT source,
+                              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tok
+                       FROM documents GROUP BY 1),
+           trow AS (SELECT source, src_tok,
+                           CAST(CASE CAST(substr(source, 4) AS INT) % 3
+                                  WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40
+                                END AS BIGINT) AS weight_pct
+                    FROM tros),
+           trot AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot_tok,
+                           CAST(sum(weight_pct) AS BIGINT) AS tot_w
+                    FROM trow),
+           trosch AS (SELECT source, src_tok,
+                             least(CAST((200 * tot_tok * weight_pct) // (100 * tot_w)
+                                        AS BIGINT), 4 * src_tok) AS scheduled_tok
+                      FROM trow CROSS JOIN trot),
+           trob AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                AS BIGINT) AS hk
+                    FROM documents),
+           troc AS (SELECT b.doc_id, b.source, b.n_tok, b.hk,
+                           CAST(s.scheduled_tok // s.src_tok AS BIGINT) AS full_epochs,
+                           s.scheduled_tok % s.src_tok AS rem_tok,
+                           CAST(coalesce(sum(b.n_tok) OVER (
+                                  PARTITION BY b.source ORDER BY b.hk, b.doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                                AS BIGINT) AS cum_before
+                    FROM trob b JOIN trosch s USING (source)),
+           troe AS (SELECT doc_id, source, n_tok, hk,
+                           full_epochs + CASE WHEN cum_before < rem_tok
+                                              THEN 1 ELSE 0 END AS n_rep
+                    FROM troc),
+           troi AS (SELECT doc_id, source, n_tok, hk,
+                           CAST(unnest(range(n_rep)) AS BIGINT) AS epoch
+                    FROM troe WHERE n_rep > 0),
+           troh AS (SELECT doc_id, source, n_tok, hk, epoch,
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                  || CAST(epoch AS VARCHAR)), 1, 15) AS BIGINT) % 8
+                             AS shard
+                    FROM troi)
+         SELECT doc_id, source, epoch, CAST(shard AS BIGINT) AS shard,
+                CAST(row_number() OVER (PARTITION BY epoch, shard
+                                        ORDER BY hk, doc_id) AS INT) AS pos,
+                n_tok
+         FROM troh ORDER BY epoch, shard, pos LIMIT 300""",
     "text_anneal_schedule" ->
       s"""WITH $nbOracleCte,
            anps AS (SELECT source,

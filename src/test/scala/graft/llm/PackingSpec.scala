@@ -56,4 +56,75 @@ class PackingSpec extends graft.SparkSpec {
     // and no chunk ever overflows
     assert(chunks.filter(col("fill") > ctx).isEmpty)
   }
+
+  // docs with the standard srcN source convention the scheduler parses
+  private lazy val srcDocs = {
+    val rnd = new scala.util.Random(13)
+    (0 until 300).map { i =>
+      (i.toLong, s"src${i % 5}",
+        Seq.fill(1 + rnd.nextInt(120))("w").mkString(" "))
+    }.toDF("doc_id", "source", "text")
+  }
+
+  test("train order: positions are contiguous 1..n per (epoch, shard)") {
+    val ord = TextOps.trainOrderFullOf(srcDocs, nShards = 4L)
+    val bad = ord.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("nd"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("nd") =!= col("n"))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+  }
+
+  test("train order: instance token mass hits each source's scheduled quota") {
+    val ord = TextOps.trainOrderFullOf(srcDocs, nShards = 4L)
+    val got = ord.groupBy("source").agg(sum("n_tok").as("inst_tok"))
+    val sched = TextOps.mixScheduleOf(srcDocs)
+      .select(col("source"), col("scheduled_tok"))
+    val maxTok = srcDocs.select(max(size(split(col("text"), " ")))).head.getInt(0).toLong
+    // threshold-gate slack: quota <= delivered < quota + one max doc
+    val bad = got.join(sched, Seq("source"))
+      .filter(col("inst_tok") < col("scheduled_tok") ||
+        col("inst_tok") >= col("scheduled_tok") + maxTok)
+    assert(bad.isEmpty, bad.collect().mkString(","))
+  }
+
+  test("train order: every doc repeats full_epochs or full_epochs + 1 times") {
+    val ord = TextOps.trainOrderFullOf(srcDocs, nShards = 4L)
+    val reps = ord.groupBy("doc_id", "source").agg(count(lit(1)).as("n_rep"))
+    val sched = TextOps.mixScheduleOf(srcDocs)
+      .withColumn("full_epochs", expr("scheduled_tok div n_tok"))
+      .select("source", "full_epochs")
+    val bad = reps.join(sched, Seq("source"))
+      .filter(col("n_rep") < col("full_epochs") ||
+        col("n_rep") > col("full_epochs") + 1)
+    assert(bad.isEmpty, bad.collect().mkString(","))
+    // and epochs reshuffle: consecutive epochs must not share the same
+    // doc->shard assignment for every doc (the md5(doc#epoch) point)
+    val sameShard = ord.filter(col("epoch") === 0).select(col("doc_id"), col("shard").as("s0"))
+      .join(ord.filter(col("epoch") === 1).select(col("doc_id"), col("shard").as("s1")),
+        Seq("doc_id"))
+    assert(sameShard.filter(col("s0") =!= col("s1")).count() > 0)
+  }
+
+  test("mm pack: interleaved cost arithmetic and chunk bounds") {
+    val mm = Multimodal.mmPackOf(docs.withColumn("lang", lit("en")),
+      ctx = ctx, nShards = shards, patchBytes = 16L)
+    // cost = text tokens + ceil(bytes/16) + 2 sentinels, recomputed in-row
+    val base = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("tt"),
+      ((octet_length(col("text")) + 15L) / lit(16L)).cast("long").as("np"))
+    val bad = mm.join(base, Seq("doc_id"))
+      .filter(col("mm_tok") =!= col("tt") + col("np") + 2L ||
+        col("n_text_tok") =!= col("tt") || col("n_patches") =!= col("np"))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+    assert(mm.filter(col("chunk_offset") >= ctx || col("chunk_offset") < 0).isEmpty)
+    // chunk coordinates replay the per-shard running sum exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val re = mm.withColumn("cum", coalesce(sum("mm_tok").over(w), lit(0L)))
+      .filter(col("chunk_id") =!= (col("cum") / ctx).cast("long") ||
+        col("chunk_offset") =!= col("cum") % ctx)
+    assert(re.isEmpty, re.collect().take(3).mkString(","))
+  }
 }
