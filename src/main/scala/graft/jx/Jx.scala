@@ -392,6 +392,11 @@ object Jx {
               .select(col("source"), col("n_tokens").as("n_tok")),
             budget, epochs)
         else graft.llm.TextOps.mixScheduleOf(docs, budget, epochs)
+      case "anneal_order" => graft.llm.TextOps.annealOrderOf(docs,
+        bulkPct = opt(c, "bulk_pct").map(_.asLong()).getOrElse(160L),
+        annealPct = opt(c, "anneal_pct").map(_.asLong()).getOrElse(40L),
+        maxEpochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L),
+        nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
       case "train_order" => graft.llm.TextOps.trainOrderOf(docs,
         budgetPct = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L),
         maxEpochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L),

@@ -293,6 +293,9 @@ object JxQueries {
   private val trainOrderJson = """{
     "corpus_op": {"op": "train_order", "corpus": {"from": "documents"}}}"""
 
+  private val annealOrderJson = """{
+    "corpus_op": {"op": "anneal_order", "corpus": {"from": "documents"}}}"""
+
   private val payloadPackJson = """{
     "corpus_op": {"op": "payload_pack", "corpus": {"from": "documents"}}}"""
 
@@ -463,6 +466,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, mixScheduleJson, name => t(s, d, name))),
     "jx_train_order" ->
       ((s, d) => Jx.run(s, trainOrderJson, name => t(s, d, name))),
+    "jx_anneal_order" ->
+      ((s, d) => Jx.run(s, annealOrderJson, name => t(s, d, name))),
     "jx_payload_pack" ->
       ((s, d) => Jx.run(s, payloadPackJson, name => t(s, d, name))),
     // dataset-backed: the anneal plan probes the quality + classifier
@@ -548,6 +553,7 @@ object JxQueries {
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
     "jx_train_order" -> graft.llm.TextOps.oracle("text_train_order"),
+    "jx_anneal_order" -> graft.llm.TextOps.oracle("text_anneal_order"),
     "jx_payload_pack" -> graft.llm.Multimodal.oracle("mm_pack"),
     "jx_anneal" -> graft.llm.TextOps.oracle("text_anneal_schedule"),
     "jx_dataset_card" -> graft.llm.TextOps.oracle("text_dataset_card"),

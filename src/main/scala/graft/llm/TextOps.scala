@@ -438,20 +438,40 @@ object TextOps {
   /** The full (un-limited) instance frame — what the export sink would
     * actually write, one row per (doc, epoch) instance. */
   def trainOrderFullOf(docs: org.apache.spark.sql.DataFrame, budgetPct: Long = 200L,
-      maxEpochs: Long = 4L, nShards: Long = 8L): org.apache.spark.sql.DataFrame = {
-    val sched = mixScheduleOf(docs, budgetPct, maxEpochs)
-      .select(col("source"), col("n_tok").as("src_tok"), col("scheduled_tok"))
+      maxEpochs: Long = 4L, nShards: Long = 8L): org.apache.spark.sql.DataFrame =
+    placeInstances(
+      docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      mixScheduleOf(docs, budgetPct, maxEpochs)
+        .select(col("source"), col("scheduled_tok").as("quota_tok")),
+      maxEpochs, nShards, shardSalt = "")
+
+  /** The shared placement core behind [[trainOrderFullOf]] and
+    * [[annealOrderOf]]: given ONE phase's doc set (doc_id, source,
+    * n_tok) and a per-source token quota, emit one row per (doc, epoch)
+    * instance. `quota div set_tok` full passes (capped at maxEpochs) +
+    * a threshold-gated partial pass over the remainder; `shardSalt`
+    * (appended inside the md5 shard key) keeps different phases'
+    * epoch-reshuffles independent. The quota join is |sources| rows —
+    * always broadcast; the gate window partitions by source; placement
+    * is per (epoch, shard) — no global sort. */
+  private def placeInstances(base: org.apache.spark.sql.DataFrame,
+      quota: org.apache.spark.sql.DataFrame, maxEpochs: Long, nShards: Long,
+      shardSalt: String): org.apache.spark.sql.DataFrame = {
+    val setTok = base.groupBy("source").agg(sum("n_tok").as("set_tok"))
     val gate = Window.partitionBy("source").orderBy("hk", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     val place = Window.partitionBy("epoch", "shard").orderBy("hk", "doc_id")
-    docs
-      .select(col("doc_id"), col("source"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val saltSql = if (shardSalt.isEmpty) "" else s", '$shardSalt'"
+    base
       .withColumn("hk", expr(
         "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
-      .join(broadcast(sched), Seq("source"))
-      .withColumn("full_epochs", expr("scheduled_tok div src_tok"))
-      .withColumn("rem_tok", col("scheduled_tok") % col("src_tok"))
+      .join(broadcast(quota.join(setTok, Seq("source"))), Seq("source"))
+      .withColumn("raw_epochs", expr("quota_tok div set_tok"))
+      .withColumn("full_epochs", least(col("raw_epochs"), lit(maxEpochs)))
+      .withColumn("rem_tok",
+        when(col("raw_epochs") < maxEpochs, col("quota_tok") % col("set_tok"))
+          .otherwise(lit(0L)))
       .withColumn("cum_before", coalesce(sum("n_tok").over(gate), lit(0L)))
       .withColumn("n_rep", col("full_epochs") +
         when(col("cum_before") < col("rem_tok"), 1L).otherwise(0L))
@@ -459,9 +479,57 @@ object TextOps {
       .withColumn("epoch", explode(sequence(lit(0L), col("n_rep") - 1)))
       .withColumn("shard", expr(
         s"""CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), '#',
-              CAST(epoch AS STRING))), 1, 15), 16, 10) AS BIGINT)""") % nShards)
+              CAST(epoch AS STRING)$saltSql)), 1, 15), 16, 10) AS BIGINT)""") % nShards)
       .withColumn("pos", row_number().over(place))
       .select("doc_id", "source", "epoch", "shard", "pos", "n_tok")
+  }
+
+  /** X4y: the ANNEAL plan as executable coordinates — [[annealScheduleOf]]'s
+    * two-phase token quotas turned into (phase, epoch, shard, position)
+    * rows the way [[trainOrderFullOf]] executes the mix schedule: phase 0
+    * (bulk) places ALL docs against the bulk quotas; phase 1 (anneal)
+    * places only the classifier-SELECTED docs ([[classifierScoresOf]]'s
+    * decision bit — the same gate the release pipeline enforces) against
+    * the anneal quotas, so "finish on your best data" becomes literal
+    * reading order. Each phase reshuffles independently (salted shard
+    * key); anneal full passes cap at maxEpochs of the SELECTED set.
+    * Plan shape at 100 TB: one classifier scoring scan (vocabulary-
+    * bounded broadcast model), then two [[placeInstances]] passes —
+    * per-source gate windows, per-(phase, epoch, shard) placement, the
+    * schedule and quota frames all |sources|-row broadcasts. */
+  val textAnnealOrder: Q = (s, d) => annealOrderOf(t(s, d, "documents"))
+
+  /** The same two-phase ordering over ANY (doc_id, source, text) frame
+    * (jx `corpus_op` entry point). */
+  def annealOrderOf(docs: org.apache.spark.sql.DataFrame, bulkPct: Long = 160L,
+      annealPct: Long = 40L, maxEpochs: Long = 4L,
+      nShards: Long = 8L): org.apache.spark.sql.DataFrame =
+    annealOrderFullOf(docs, bulkPct, annealPct, maxEpochs, nShards)
+      .orderBy("phase", "epoch", "shard", "pos")
+      .limit(300)
+
+  /** The full (un-limited) two-phase instance frame. */
+  def annealOrderFullOf(docs: org.apache.spark.sql.DataFrame, bulkPct: Long = 160L,
+      annealPct: Long = 40L, maxEpochs: Long = 4L,
+      nShards: Long = 8L): org.apache.spark.sql.DataFrame = {
+    // |sources| rows, probed once per phase — materialize so the quota
+    // tail (totals broadcast) doesn't re-plan under each branch
+    val sched = annealScheduleOf(docs, bulkPct, annealPct, maxEpochs)
+      .localCheckpoint()
+    val base = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    val bulk = placeInstances(base,
+      sched.select(col("source"), col("bulk_tok").as("quota_tok")),
+      maxEpochs, nShards, shardSalt = "")
+      .withColumn("phase", lit(0))
+    val anneal = placeInstances(
+      base.join(classifierScoresOf(docs).filter(col("selected"))
+        .select("doc_id"), Seq("doc_id")),
+      sched.select(col("source"), col("anneal_tok").as("quota_tok")),
+      maxEpochs, nShards, shardSalt = "#a")
+      .withColumn("phase", lit(1))
+    bulk.unionByName(anneal)
+      .select("phase", "doc_id", "source", "epoch", "shard", "pos", "n_tok")
   }
 
   /** X4u: two-phase ANNEAL schedule — the "finish training on your best
@@ -1672,6 +1740,7 @@ object TextOps {
     "text_mix_schedule" -> textMixSchedule,
     "text_train_order" -> textTrainOrder,
     "text_anneal_schedule" -> textAnnealSchedule,
+    "text_anneal_order" -> textAnnealOrder,
     "text_ngram_novelty" -> textNgramNovelty,
     "text_novelty_curve" -> textNoveltyCurve,
     "text_novelty_sources" -> textNoveltySources,
@@ -1704,6 +1773,44 @@ object TextOps {
            qcm AS (SELECT w, ln((cc + 1.0) / (c_n + v))
                              - ln((rc + 1.0) / (r_n + v)) AS lo
                    FROM qcc CROSS JOIN qcn)"""
+
+  /** Shared anneal-schedule oracle CTE chain (anps…anr, needs
+    * [[nbOracleCte]] ahead of it): per-source token/doc counts →
+    * classifier decisions → pass counts → two-phase quotas at the
+    * default 160/40/4 knobs — the exact twin of [[annealScheduleOf]],
+    * reused by the anneal-schedule and anneal-order oracles. */
+  private[graft] val annealOracleCte: String =
+    """anps AS (SELECT source,
+                           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
+                           count(*) AS n_docs
+                    FROM documents GROUP BY 1),
+           ansc AS (SELECT f.doc_id,
+                           round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                 / count(*), 4) > 0 AS selected
+                    FROM qcf f JOIN qcm m USING (w) GROUP BY f.doc_id),
+           ansel AS (SELECT d.source, count(*) AS n_sel
+                     FROM ansc sc JOIN documents d ON sc.doc_id = d.doc_id
+                     WHERE sc.selected GROUP BY 1),
+           anw AS (SELECT p.source, p.n_tok, p.n_docs,
+                          coalesce(n_sel, 0) AS n_sel,
+                          CAST(CASE CAST(substr(p.source, 4) AS INT) % 3
+                                 WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40
+                               END AS BIGINT) AS w_bulk,
+                          CAST((1000 * coalesce(n_sel, 0)) // p.n_docs AS BIGINT)
+                            AS sel_permille
+                   FROM anps p LEFT JOIN ansel USING (source)),
+           ant AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
+                          CAST(sum(w_bulk) AS BIGINT) AS tot_wb,
+                          CAST(sum(sel_permille) AS BIGINT) AS tot_wa
+                   FROM anw),
+           anr AS (SELECT source, n_tok, n_docs, n_sel, sel_permille,
+                          least(CAST((160 * tot_tok * w_bulk) // (100 * tot_wb)
+                                     AS BIGINT), 4 * n_tok) AS bulk_tok,
+                          CASE WHEN tot_wa > 0 THEN
+                            least(CAST((40 * tot_tok * sel_permille) // (100 * tot_wa)
+                                       AS BIGINT), 4 * n_tok)
+                          ELSE CAST(0 AS BIGINT) END AS anneal_tok
+                   FROM anw CROSS JOIN ant)"""
 
   /** Shared BPE oracle CTE chain: word-frequency table → 3 rounds of
     * (weighted pair counts → argmax merge → double-replace application),
@@ -2348,43 +2455,82 @@ object TextOps {
          FROM troh ORDER BY epoch, shard, pos LIMIT 300""",
     "text_anneal_schedule" ->
       s"""WITH $nbOracleCte,
-           anps AS (SELECT source,
-                           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok,
-                           count(*) AS n_docs
-                    FROM documents GROUP BY 1),
-           ansc AS (SELECT f.doc_id,
-                           round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
-                                 / count(*), 4) > 0 AS selected
-                    FROM qcf f JOIN qcm m USING (w) GROUP BY f.doc_id),
-           ansel AS (SELECT d.source, count(*) AS n_sel
-                     FROM ansc sc JOIN documents d ON sc.doc_id = d.doc_id
-                     WHERE sc.selected GROUP BY 1),
-           anw AS (SELECT p.source, p.n_tok, p.n_docs,
-                          coalesce(n_sel, 0) AS n_sel,
-                          CAST(CASE CAST(substr(p.source, 4) AS INT) % 3
-                                 WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40
-                               END AS BIGINT) AS w_bulk,
-                          CAST((1000 * coalesce(n_sel, 0)) // p.n_docs AS BIGINT)
-                            AS sel_permille
-                   FROM anps p LEFT JOIN ansel USING (source)),
-           ant AS (SELECT CAST(sum(n_tok) AS BIGINT) AS tot_tok,
-                          CAST(sum(w_bulk) AS BIGINT) AS tot_wb,
-                          CAST(sum(sel_permille) AS BIGINT) AS tot_wa
-                   FROM anw),
-           anr AS (SELECT source, n_tok, n_docs, n_sel, sel_permille,
-                          least(CAST((160 * tot_tok * w_bulk) // (100 * tot_wb)
-                                     AS BIGINT), 4 * n_tok) AS bulk_tok,
-                          CASE WHEN tot_wa > 0 THEN
-                            least(CAST((40 * tot_tok * sel_permille) // (100 * tot_wa)
-                                       AS BIGINT), 4 * n_tok)
-                          ELSE CAST(0 AS BIGINT) END AS anneal_tok
-                   FROM anw CROSS JOIN ant)
+           $annealOracleCte
          SELECT source, n_tok, n_docs, n_sel, sel_permille, bulk_tok, anneal_tok,
                 CAST(bulk_tok + anneal_tok AS BIGINT) AS total_tok,
                 CASE WHEN bulk_tok + anneal_tok > 0 THEN
                   round(CAST(anneal_tok AS DOUBLE) / (bulk_tok + anneal_tok), 4)
                 ELSE 0.0 END AS anneal_share
          FROM anr ORDER BY source""",
+    "text_anneal_order" ->
+      s"""WITH $nbOracleCte,
+           $annealOracleCte,
+           aob AS (SELECT doc_id, source,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) AS hk
+                   FROM documents),
+           aobq AS (SELECT b.doc_id, b.source, b.n_tok, b.hk,
+                           r.bulk_tok AS quota_tok, r.n_tok AS set_tok
+                    FROM aob b JOIN anr r USING (source)),
+           aobr AS (SELECT doc_id, source, n_tok, hk, quota_tok, set_tok,
+                           CAST(quota_tok // set_tok AS BIGINT) AS raw_epochs,
+                           CAST(coalesce(sum(n_tok) OVER (
+                                  PARTITION BY source ORDER BY hk, doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                                AS BIGINT) AS cum_before
+                    FROM aobq),
+           aobe AS (SELECT doc_id, source, n_tok, hk,
+                           least(raw_epochs, 4)
+                             + CASE WHEN cum_before <
+                                 (CASE WHEN raw_epochs < 4
+                                       THEN quota_tok % set_tok ELSE 0 END)
+                               THEN 1 ELSE 0 END AS n_rep
+                    FROM aobr),
+           aobi AS (SELECT doc_id, source, n_tok, hk,
+                           CAST(unnest(range(n_rep)) AS BIGINT) AS epoch
+                    FROM aobe WHERE n_rep > 0),
+           aobp AS (SELECT CAST(0 AS INT) AS phase, doc_id, source, n_tok, hk, epoch,
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                  || CAST(epoch AS VARCHAR)), 1, 15) AS BIGINT) % 8
+                             AS shard
+                    FROM aobi),
+           aab AS (SELECT b.doc_id, b.source, b.n_tok, b.hk
+                   FROM aob b JOIN ansc sc ON b.doc_id = sc.doc_id
+                   WHERE sc.selected),
+           aast AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS set_tok
+                    FROM aab GROUP BY 1),
+           aaq AS (SELECT b.doc_id, b.source, b.n_tok, b.hk,
+                          r.anneal_tok AS quota_tok, t.set_tok
+                   FROM aab b JOIN anr r USING (source) JOIN aast t USING (source)),
+           aar AS (SELECT doc_id, source, n_tok, hk, quota_tok, set_tok,
+                          CAST(quota_tok // set_tok AS BIGINT) AS raw_epochs,
+                          CAST(coalesce(sum(n_tok) OVER (
+                                 PARTITION BY source ORDER BY hk, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                               AS BIGINT) AS cum_before
+                   FROM aaq),
+           aae AS (SELECT doc_id, source, n_tok, hk,
+                          least(raw_epochs, 4)
+                            + CASE WHEN cum_before <
+                                (CASE WHEN raw_epochs < 4
+                                      THEN quota_tok % set_tok ELSE 0 END)
+                              THEN 1 ELSE 0 END AS n_rep
+                   FROM aar),
+           aai AS (SELECT doc_id, source, n_tok, hk,
+                          CAST(unnest(range(n_rep)) AS BIGINT) AS epoch
+                   FROM aae WHERE n_rep > 0),
+           aap AS (SELECT CAST(1 AS INT) AS phase, doc_id, source, n_tok, hk, epoch,
+                          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                 || CAST(epoch AS VARCHAR) || '#a'), 1, 15) AS BIGINT) % 8
+                            AS shard
+                   FROM aai),
+           aall AS (SELECT * FROM aobp UNION ALL SELECT * FROM aap)
+         SELECT phase, doc_id, source, epoch, CAST(shard AS BIGINT) AS shard,
+                CAST(row_number() OVER (PARTITION BY phase, epoch, shard
+                                        ORDER BY hk, doc_id) AS INT) AS pos,
+                n_tok
+         FROM aall ORDER BY phase, epoch, shard, pos LIMIT 300""",
     "text_ngram_novelty" ->
       """WITH nv0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
            nvg AS (SELECT DISTINCT doc_id,

@@ -62,7 +62,7 @@ class PackingSpec extends graft.SparkSpec {
     val rnd = new scala.util.Random(13)
     (0 until 300).map { i =>
       (i.toLong, s"src${i % 5}",
-        Seq.fill(1 + rnd.nextInt(120))("w").mkString(" "))
+        Seq.fill(1 + rnd.nextInt(120))("w" + rnd.nextInt(50)).mkString(" "))
     }.toDF("doc_id", "source", "text")
   }
 
@@ -104,6 +104,29 @@ class PackingSpec extends graft.SparkSpec {
       .join(ord.filter(col("epoch") === 1).select(col("doc_id"), col("shard").as("s1")),
         Seq("doc_id"))
     assert(sameShard.filter(col("s0") =!= col("s1")).count() > 0)
+  }
+
+  test("anneal order: anneal phase draws only classifier-selected docs, " +
+    "positions contiguous per (phase, epoch, shard)") {
+    val ord = TextOps.annealOrderFullOf(srcDocs, nShards = 4L)
+    val sel = TextOps.classifierScoresOf(srcDocs)
+      .filter(col("selected")).select("doc_id")
+    // anneal instances ⊆ selected set
+    val leak = ord.filter(col("phase") === 1)
+      .join(sel, Seq("doc_id"), "left_anti")
+    assert(leak.isEmpty, leak.collect().take(3).mkString(","))
+    val bad = ord.groupBy("phase", "epoch", "shard")
+      .agg(count(lit(1)).as("n"), min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("nd"))
+      .filter(col("lo") =!= 1 || col("hi") =!= col("n") || col("nd") =!= col("n"))
+    assert(bad.isEmpty, bad.collect().mkString(","))
+    // the two phases reshuffle independently: same doc, same epoch,
+    // different salt → shard assignments must not all coincide
+    val cross = ord.filter(col("phase") === 0 && col("epoch") === 0)
+      .select(col("doc_id"), col("shard").as("s0"))
+      .join(ord.filter(col("phase") === 1 && col("epoch") === 0)
+        .select(col("doc_id"), col("shard").as("s1")), Seq("doc_id"))
+    assert(cross.count() === 0 || cross.filter(col("s0") =!= col("s1")).count() > 0)
   }
 
   test("mm pack: interleaved cost arithmetic and chunk bounds") {

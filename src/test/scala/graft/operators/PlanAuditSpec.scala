@@ -313,4 +313,44 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1, p)
   }
+
+  test("text_train_order: the schedule join is broadcast and every window " +
+    "is partitioned (no single-partition global sort before the limit)") {
+    val p = plan("text_train_order")
+    // |sources|-row quota frame must come in as a broadcast join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-source gate and the per-(epoch, shard) placement windows
+    // both carry partition keys — an empty partitionBy would serialize
+    // the corpus through one task
+    p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(!l.contains("partitionBy=[]") && !l.contains("[], ["), l)
+    }
+    // the driver-key cap plans as top-K, not a full global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("text_anneal_order: two placement passes, both broadcast-joined; " +
+    "the classifier model join stays hash-keyed") {
+    val p = plan("text_anneal_order")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // anneal quota arithmetic rides the same broadcast pattern as the
+    // schedule readout: at most the one blessed nested-loop (totals)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("mm_pack plans from metadata only: no payload bytes in flight, " +
+    "per-shard window, top-K cap") {
+    val p = plan("mm_pack")
+    // the packed coordinates derive from token counts + byte length —
+    // the parquet scan must not carry any other wide column
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!read.contains("lang") && !read.contains("source"), read)
+    p.linesIterator.filter(_.contains("Window ")).foreach { l =>
+      assert(!l.contains("partitionBy=[]"), l)
+    }
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
