@@ -213,6 +213,46 @@ object TextOps {
   val textPackManifest: Q = (s, d) =>
     packManifest(t(s, d, "documents"), ctx = 2048L, nShards = 8L)
 
+  /** One micro-batch's per-packing-shard partials: doc/token sums plus
+    * the xor content fingerprint — every column distributive, so any
+    * batch split merges exactly ([[packMergeFrom]]). The chunk geometry
+    * is deliberately NOT in the partial: it re-derives from the merged
+    * totals. */
+  def packPartialsOf(docs: org.apache.spark.sql.DataFrame,
+      nShards: Long = 8L): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)").as("content_h"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        expr("bit_xor(content_h)").as("content_fp"))
+
+  /** Merge any number of [[packPartialsOf]] rows back into the
+    * trainer-facing manifest. Exactness argument: gap-free concat
+    * packing forces n_chunks == ceil(n_tokens / ctx) (the invariant
+    * [[packManifest]]'s coordinate-derived value asserts), so the
+    * geometry columns re-derive from the merged token totals alone —
+    * the streamed store is gated by `text_pack_manifest`'s oracle
+    * VERBATIM, not a weaker consistency check. Every doc has ≥ 1 token
+    * (split of an empty string is one element), so n_tokens ≥ 1 and the
+    * (n−1) div ctx form is safe. */
+  def packMergeFrom(parts: org.apache.spark.sql.DataFrame,
+      ctx: Long = 2048L): org.apache.spark.sql.DataFrame =
+    parts
+      .groupBy("shard")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        expr("bit_xor(content_fp)").as("content_fp"))
+      .withColumn("n_chunks", expr(s"(n_tokens - 1) div $ctx") + 1L)
+      .withColumn("last_fill", col("n_tokens") - (col("n_chunks") - 1L) * ctx)
+      .select("shard", "n_docs", "n_tokens", "n_chunks", "last_fill", "content_fp")
+      .orderBy("shard")
+
   /** X4e: intra-document repetition signals (the Gopher/MassiveText
     * quality-filter family — Rae et al. 2021, public recipe): documents
     * dominated by a few repeated n-grams are boilerplate/spam and get

@@ -238,6 +238,40 @@ object Streams {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
+  /** ST16: stream-maintained PACKING-manifest store — the batch-assembly
+    * twin of [[manifestStoreSink]]: a continuously-ingesting exporter
+    * keeps the trainer-facing chunk geometry fresh without re-reading
+    * packed shards. Each micro-batch writes per-packing-shard partials
+    * ([[graft.llm.TextOps.packPartialsOf]]: doc/token sums + xor
+    * fingerprint, all distributive) under its own batch partition
+    * (dynamic idempotent overwrite); the readout
+    * ([[graft.llm.TextOps.packMergeFrom]]) re-derives n_chunks/last_fill
+    * from the merged totals — exact, because gap-free concat packing
+    * pins n_chunks to ceil(n_tokens/ctx). */
+  def packStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit =
+    graft.llm.TextOps.packPartialsOf(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** ST16 batch twin / driver gate: two deterministic micro-batches
+    * (doc_id parity split) sunk through [[packStoreSink]], batch 0
+    * REDELIVERED to prove the idempotent overwrite, then the merged
+    * readout — gated by `text_pack_manifest`'s oracle VERBATIM (the
+    * maintained store must be indistinguishable from packing the whole
+    * corpus in one shot). */
+  val streamPackStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "pack_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val p = s"$dd/p"
+      packStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, p)
+      packStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, p)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      packStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, p)
+    }
+    graft.llm.TextOps.packMergeFrom(s.read.parquet(s"$dir/p"))
+  }
+
   /** ST11: stream-maintained per-source QUALITY monitor store — the
     * ingest-health companion to the manifest store: a continuously
     * ingesting pipeline needs "did source X's quality just crater?"
@@ -803,6 +837,7 @@ object Streams {
     "stream_join_lo" -> streamJoinLo,
     "stream_sketch_store" -> streamSketchStore,
     "stream_quality_store" -> streamQualityStore,
+    "stream_pack_store" -> streamPackStore,
     "stream_classifier_store" -> streamClassifierStore,
     "stream_sq8_stats" -> streamSq8Stats,
     "stream_canonical_store" -> streamCanonicalStore)
@@ -811,6 +846,9 @@ object Streams {
     // the maintained-label canonical readout must equal a full-corpus
     // rebuild: dedup_canonical's oracle verbatim
     "stream_canonical_store" -> graft.llm.Dedup.oracle("dedup_canonical"),
+    // the maintained packing manifest must equal the one-shot packing
+    // pass: text_pack_manifest's oracle verbatim
+    "stream_pack_store" -> graft.llm.TextOps.oracle("text_pack_manifest"),
     "stream_sq8_stats" ->
       """SELECT CAST(t.i - 1 AS INT) AS pos, min(v[t.i]) AS mn, max(v[t.i]) AS mx
          FROM (SELECT [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)

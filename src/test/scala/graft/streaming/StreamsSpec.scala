@@ -324,6 +324,42 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "redelivered batch double-counted")
   }
 
+  test("ST16: the streamed packing manifest merges to the one-shot " +
+    "packing pass and redelivery never double-counts") {
+    val dir = tmp("graft-st16")
+    val docs = (0L until 24L).map { i =>
+      (i, Seq.fill(1 + (i % 7).toInt * 3)(s"w$i").mkString(" "),
+        "en", s"src${i % 3}", 50L + i)
+    }
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = graft.llm.TextOps.packManifest(df(docs), ctx = 2048L, nShards = 8L)
+      .collect().map(_.toString).toSeq
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.packStoreSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(docs.take(10): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(10): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = graft.llm.TextOps.packMergeFrom(
+      spark.read.parquet(dir).drop("batch_id"))
+      .collect().map(_.toString).toSeq
+    assert(readout === full,
+      "merged pack partials must equal the one-shot manifest")
+    // at-least-once redelivery of batch 0 overwrites its own partition
+    Streams.packStoreSink(df(docs.take(10)), 0L, dir)
+    assert(readout === full, "redelivered batch double-counted")
+  }
+
   test("ST15: the streamed classifier monitor scored against a frozen " +
     "model merges to the full-corpus pass rates and survives redelivery") {
     val dir = tmp("graft-st15")
