@@ -143,7 +143,15 @@ object QueryService {
         s""""fertility":${graft.jx.Jx.listJson(
           graft.llm.TextOps.queries("text_fertility")(spark, dataset))},""" +
         s""""drift":${graft.jx.Jx.listJson(
-          graft.llm.TextOps.queries("text_source_kl")(spark, dataset))}}"""
+          graft.llm.TextOps.queries("text_source_kl")(spark, dataset))},""" +
+        // the schedule made executable: the first page of the
+        // deterministic (epoch, shard, position) reading order plus the
+        // trainer-facing chunk geometry — text_train_order's and
+        // text_pack_manifest's frames verbatim, oracles inherited
+        s""""order_head":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_train_order")(spark, dataset))},""" +
+        s""""packing":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_pack_manifest")(spark, dataset))}}"""
     }
     // {"view": "decon"}: the EVAL-INTEGRITY PANEL — `items` is the
     // per-bench-item contamination triage (every eval item rowed,

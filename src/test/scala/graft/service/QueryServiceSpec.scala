@@ -374,8 +374,22 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "plan"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("schedule", "fertility", "drift").foreach(s =>
+      Seq("schedule", "fertility", "drift", "order_head", "packing").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the executable-order page mirrors text_train_order's head
+      val ord = panel.get("order_head").get("data")
+      val ordDirect = graft.llm.TextOps
+        .queries("text_train_order")(spark, sf).collect()
+      assert(ord.size() === ordDirect.length)
+      assert(ord.get(0).get("pos").asInt() ===
+        ordDirect.head.getAs[Int]("pos"))
+      Seq("doc_id", "epoch", "shard", "pos").foreach(c =>
+        assert(ord.get(0).has(c), s"missing order column $c"))
+      val packing = panel.get("packing").get("data")
+      assert(packing.size() ===
+        graft.llm.TextOps.queries("text_pack_manifest")(spark, sf).count())
+      Seq("shard", "n_chunks", "last_fill", "content_fp").foreach(c =>
+        assert(packing.get(0).has(c), s"missing packing column $c"))
       // each section is its driver key's frame byte-for-byte
       val sched = panel.get("schedule").get("data")
       val direct = graft.llm.TextOps
