@@ -337,6 +337,20 @@ object Pipeline {
     releaseFromSurvivors(survivorStore(s, d),
       t(s, d, "documents").select("doc_id", "source"), 16)
 
+  /** X9 order capstone: the curated corpus handed to the trainer as a
+    * deterministic READING ORDER — [[graft.llm.TextOps.trainOrderOf]]'s
+    * (epoch, shard, position) coordinates computed over the hygiene
+    * SURVIVOR set (the stored `hygiene_survivors` artifact; source
+    * rides back in from the raw table). The last gap between "what to
+    * train on" (release manifest) and "in what order" closes inside the
+    * same pipeline surface. The oracle replays the whole hygiene chain
+    * and the placement twin end-to-end, so store == recompute stays
+    * proven on this key too. */
+  val pipelineCorpusOrder: Q = (s, d) =>
+    graft.llm.TextOps.trainOrderOf(
+      survivorStore(s, d)
+        .join(t(s, d, "documents").select("doc_id", "source"), Seq("doc_id")))
+
   /** X9+X3j: the hygiene chain with SEMANTIC decontamination composed
     * after the n-gram stage — the two decon passes catch different
     * leaks (shingle overlap catches near-verbatim copies; embedding
@@ -399,6 +413,7 @@ object Pipeline {
   val queries: Map[String, Q] = Map(
     "pipeline_funnel" -> pipelineFunnel,
     "pipeline_corpus_release" -> pipelineCorpusRelease,
+    "pipeline_corpus_order" -> pipelineCorpusOrder,
     "pipeline_corpus_semdecon" -> pipelineCorpusSemdecon,
     "pipeline_corpus" -> pipelineCorpus,
     "pipeline_corpus_trim" -> pipelineCorpusTrim,
@@ -634,6 +649,11 @@ object Pipeline {
            ${packTail("survivors")}""",
     // the export loop: the shard-manifest aggregation over the hygiene
     // survivors, byte counts from the HYGIENIC text
+    "pipeline_corpus_order" ->
+      s"""$hygienePrefix,
+           posrc AS (SELECT s.doc_id, d.source, s.text
+                     FROM survivors s JOIN documents d USING (doc_id)),
+           ${graft.llm.TextOps.trainOrderOracleFrom("posrc")}""",
     "pipeline_corpus_manifest" ->
       s"""$hygienePrefix,
            md AS (SELECT doc_id, length(text) AS n_chars,

@@ -1814,6 +1814,58 @@ object TextOps {
                              - ln((rc + 1.0) / (r_n + v)) AS lo
                    FROM qcc CROSS JOIN qcn)"""
 
+  /** The train-order oracle chain (tro*) parameterized on its corpus
+    * source — `from` is a table or CTE with (doc_id, source, text) —
+    * so the same placement twin gates both the raw-corpus key and the
+    * hygiene-survivor composition ([[graft.llm.Pipeline]]). Returns
+    * CTE list + final SELECT, without the leading WITH. */
+  private[graft] def trainOrderOracleFrom(from: String): String =
+    s"""tros AS (SELECT source,
+                              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tok
+                       FROM $from GROUP BY 1),
+           trow AS (SELECT source, src_tok,
+                           CAST(CASE CAST(substr(source, 4) AS INT) % 3
+                                  WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40
+                                END AS BIGINT) AS weight_pct
+                    FROM tros),
+           trot AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot_tok,
+                           CAST(sum(weight_pct) AS BIGINT) AS tot_w
+                    FROM trow),
+           trosch AS (SELECT source, src_tok,
+                             least(CAST((200 * tot_tok * weight_pct) // (100 * tot_w)
+                                        AS BIGINT), 4 * src_tok) AS scheduled_tok
+                      FROM trow CROSS JOIN trot),
+           trob AS (SELECT doc_id, source,
+                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                AS BIGINT) AS hk
+                    FROM $from),
+           troc AS (SELECT b.doc_id, b.source, b.n_tok, b.hk,
+                           CAST(s.scheduled_tok // s.src_tok AS BIGINT) AS full_epochs,
+                           s.scheduled_tok % s.src_tok AS rem_tok,
+                           CAST(coalesce(sum(b.n_tok) OVER (
+                                  PARTITION BY b.source ORDER BY b.hk, b.doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                                AS BIGINT) AS cum_before
+                    FROM trob b JOIN trosch s USING (source)),
+           troe AS (SELECT doc_id, source, n_tok, hk,
+                           full_epochs + CASE WHEN cum_before < rem_tok
+                                              THEN 1 ELSE 0 END AS n_rep
+                    FROM troc),
+           troi AS (SELECT doc_id, source, n_tok, hk,
+                           CAST(unnest(range(n_rep)) AS BIGINT) AS epoch
+                    FROM troe WHERE n_rep > 0),
+           troh AS (SELECT doc_id, source, n_tok, hk, epoch,
+                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                  || CAST(epoch AS VARCHAR)), 1, 15) AS BIGINT) % 8
+                             AS shard
+                    FROM troi)
+         SELECT doc_id, source, epoch, CAST(shard AS BIGINT) AS shard,
+                CAST(row_number() OVER (PARTITION BY epoch, shard
+                                        ORDER BY hk, doc_id) AS INT) AS pos,
+                n_tok
+         FROM troh ORDER BY epoch, shard, pos LIMIT 300"""
+
   /** Shared anneal-schedule oracle CTE chain (anps…anr, needs
     * [[nbOracleCte]] ahead of it): per-source token/doc counts →
     * classifier decisions → pass counts → two-phase quotas at the
@@ -2447,52 +2499,7 @@ object TextOps {
                 round(scheduled_tok * 1.0 / n_tok, 4) AS epochs,
                 CAST(target_tok - scheduled_tok AS BIGINT) AS deficit_tok
          FROM msf ORDER BY source""",
-    "text_train_order" ->
-      """WITH tros AS (SELECT source,
-                              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tok
-                       FROM documents GROUP BY 1),
-           trow AS (SELECT source, src_tok,
-                           CAST(CASE CAST(substr(source, 4) AS INT) % 3
-                                  WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40
-                                END AS BIGINT) AS weight_pct
-                    FROM tros),
-           trot AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot_tok,
-                           CAST(sum(weight_pct) AS BIGINT) AS tot_w
-                    FROM trow),
-           trosch AS (SELECT source, src_tok,
-                             least(CAST((200 * tot_tok * weight_pct) // (100 * tot_w)
-                                        AS BIGINT), 4 * src_tok) AS scheduled_tok
-                      FROM trow CROSS JOIN trot),
-           trob AS (SELECT doc_id, source,
-                           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
-                                AS BIGINT) AS hk
-                    FROM documents),
-           troc AS (SELECT b.doc_id, b.source, b.n_tok, b.hk,
-                           CAST(s.scheduled_tok // s.src_tok AS BIGINT) AS full_epochs,
-                           s.scheduled_tok % s.src_tok AS rem_tok,
-                           CAST(coalesce(sum(b.n_tok) OVER (
-                                  PARTITION BY b.source ORDER BY b.hk, b.doc_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                                AS BIGINT) AS cum_before
-                    FROM trob b JOIN trosch s USING (source)),
-           troe AS (SELECT doc_id, source, n_tok, hk,
-                           full_epochs + CASE WHEN cum_before < rem_tok
-                                              THEN 1 ELSE 0 END AS n_rep
-                    FROM troc),
-           troi AS (SELECT doc_id, source, n_tok, hk,
-                           CAST(unnest(range(n_rep)) AS BIGINT) AS epoch
-                    FROM troe WHERE n_rep > 0),
-           troh AS (SELECT doc_id, source, n_tok, hk, epoch,
-                           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
-                                  || CAST(epoch AS VARCHAR)), 1, 15) AS BIGINT) % 8
-                             AS shard
-                    FROM troi)
-         SELECT doc_id, source, epoch, CAST(shard AS BIGINT) AS shard,
-                CAST(row_number() OVER (PARTITION BY epoch, shard
-                                        ORDER BY hk, doc_id) AS INT) AS pos,
-                n_tok
-         FROM troh ORDER BY epoch, shard, pos LIMIT 300""",
+    "text_train_order" -> s"WITH ${trainOrderOracleFrom("documents")}",
     "text_anneal_schedule" ->
       s"""WITH $nbOracleCte,
            $annealOracleCte
