@@ -298,6 +298,12 @@ object Jx {
         runNode(spark, req(p, "corpus"), tables, dataset),
         runNode(spark, req(p, "benchmark"), tables, dataset),
         nShards = opt(p, "shards").map(_.asInt()).getOrElse(16))
+    // `"order": true` → the trainer-facing READING ORDER over the
+    // hygiene survivors (corpus must carry `source`)
+    else if (opt(p, "order").exists(_.asBoolean()))
+      graft.llm.Pipeline.corpusOrder(
+        runNode(spark, req(p, "corpus"), tables, dataset),
+        runNode(spark, req(p, "benchmark"), tables, dataset))
     else {
       val corpus = runNode(spark, req(p, "corpus"), tables, dataset)
       // `"ensemble": true` composes the X4w 2-of-3 multi-filter vote in

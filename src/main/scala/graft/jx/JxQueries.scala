@@ -281,6 +281,12 @@ object JxQueries {
       "corpus": {"from": "documents", "where": {"gte": ["doc_id", 10]}},
       "benchmark": {"from": "documents", "where": {"lt": ["doc_id", 10]}}}}"""
 
+  private val orderJson = """{
+    "pipeline": {
+      "order": true,
+      "corpus": {"from": "documents", "where": {"gte": ["doc_id", 10]}},
+      "benchmark": {"from": "documents", "where": {"lt": ["doc_id", 10]}}}}"""
+
   private val qualityGateJson = """{
     "corpus_op": {"op": "quality_gate", "corpus": {"from": "documents"}}}"""
 
@@ -454,6 +460,7 @@ object JxQueries {
     "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))),
     "jx_pipeline" -> ((s, d) => Jx.run(s, pipelineJson, name => t(s, d, name))),
     "jx_release" -> ((s, d) => Jx.run(s, releaseJson, name => t(s, d, name))),
+    "jx_order" -> ((s, d) => Jx.run(s, orderJson, name => t(s, d, name))),
     "jx_pipeline_ensemble" ->
       ((s, d) => Jx.run(s, pipelineEnsembleJson, name => t(s, d, name))),
     "jx_quality_gate" -> ((s, d) => Jx.run(s, qualityGateJson, name => t(s, d, name))),
@@ -545,6 +552,7 @@ object JxQueries {
     "jx_pipeline_ensemble" ->
       graft.llm.Pipeline.oracle("pipeline_corpus_ensemble"),
     "jx_release" -> graft.llm.Pipeline.oracle("pipeline_corpus_release"),
+    "jx_order" -> graft.llm.Pipeline.oracle("pipeline_corpus_order"),
     // same single-surface contract for the corpus ops: the jx front end
     // must land on the Column API's exact decision set
     "jx_quality_gate" -> graft.llm.TextOps.oracle("text_quality_filter"),

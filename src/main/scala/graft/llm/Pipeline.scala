@@ -309,6 +309,14 @@ object Pipeline {
     releaseFromSurvivors(corpusSurvivors(corpus, bench),
       corpus.select("doc_id", "source"), nShards)
 
+  /** The order capstone over ARBITRARY corpus/benchmark frames (jx
+    * `pipeline` entry point — [[pipelineCorpusOrder]]'s store-probing
+    * twin recomputes the same thing over the standard corpus). */
+  def corpusOrder(corpus: DataFrame, bench: DataFrame): DataFrame =
+    graft.llm.TextOps.trainOrderOf(
+      corpusSurvivors(corpus, bench)
+        .join(corpus.select("doc_id", "source"), Seq("doc_id")))
+
   private def releaseFromSurvivors(survivors: DataFrame, sources: DataFrame,
       nShards: Int): DataFrame = {
     val keptIds = TextOps.classifierScoresOf(
