@@ -372,6 +372,11 @@ object Jx {
       // X5 through the query surface: the payload wrap + decode +
       // gate/dedup chains over the documents-shaped corpus node
       case "payload_quality" => graft.llm.Multimodal.qualityReport(docs)
+      case "payload_pack_manifest" =>
+        graft.llm.TextOps.packMergeFrom(
+          graft.llm.Multimodal.mmPackPartialsOf(docs,
+            nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L)),
+          ctx = opt(c, "ctx").map(_.asLong()).getOrElse(2048L))
       case "payload_pack" => graft.llm.Multimodal.mmPackOf(docs,
         ctx = opt(c, "ctx").map(_.asLong()).getOrElse(2048L),
         nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))

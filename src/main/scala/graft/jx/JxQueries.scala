@@ -305,6 +305,9 @@ object JxQueries {
   private val payloadPackJson = """{
     "corpus_op": {"op": "payload_pack", "corpus": {"from": "documents"}}}"""
 
+  private val payloadManifestJson = """{
+    "corpus_op": {"op": "payload_pack_manifest", "corpus": {"from": "documents"}}}"""
+
   private val annealJson = """{
     "corpus_op": {"op": "anneal_schedule", "corpus": {"from": "documents"}}}"""
 
@@ -477,6 +480,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, annealOrderJson, name => t(s, d, name))),
     "jx_payload_pack" ->
       ((s, d) => Jx.run(s, payloadPackJson, name => t(s, d, name))),
+    "jx_payload_manifest" ->
+      ((s, d) => Jx.run(s, payloadManifestJson, name => t(s, d, name))),
     // dataset-backed: the anneal plan probes the quality + classifier
     // monitors (no corpus scan) — gated by the full corpus-scan oracle,
     // so store == recompute is proven per-row
@@ -563,6 +568,7 @@ object JxQueries {
     "jx_train_order" -> graft.llm.TextOps.oracle("text_train_order"),
     "jx_anneal_order" -> graft.llm.TextOps.oracle("text_anneal_order"),
     "jx_payload_pack" -> graft.llm.Multimodal.oracle("mm_pack"),
+    "jx_payload_manifest" -> graft.llm.Multimodal.oracle("mm_pack_manifest"),
     "jx_anneal" -> graft.llm.TextOps.oracle("text_anneal_schedule"),
     "jx_dataset_card" -> graft.llm.TextOps.oracle("text_dataset_card"),
     "jx_quality_ensemble" -> graft.llm.TextOps.oracle("text_quality_ensemble"),

@@ -158,6 +158,37 @@ object Multimodal {
   val mmPack: Q = (s, d) =>
     mmPackOf(t(s, d, "documents")).orderBy("doc_id").limit(300)
 
+  /** One micro-batch's per-shard partials of the INTERLEAVED packing —
+    * [[graft.llm.TextOps.packPartialsOf]]'s recipe with the multimodal
+    * cost column ([[mmPackOf]]'s text+patches+sentinels arithmetic):
+    * doc/token sums + xor fingerprint, all distributive, merged by the
+    * SAME [[graft.llm.TextOps.packMergeFrom]] (the column contract is
+    * the point — one merge algebra serves text-only and interleaved
+    * shards). */
+  def mmPackPartialsOf(docs: DataFrame, nShards: Long = 8L,
+      patchBytes: Long = 64L): DataFrame =
+    withPayload(docs)
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
+        (size(split(col("text"), " ")).cast("long")
+          + ((col("media.n_bytes") + patchBytes - 1L) / patchBytes).cast("long")
+          + 2L).as("n_tok"),
+        expr("CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)").as("content_h"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        expr("bit_xor(content_h)").as("content_fp"))
+
+  /** X5g: the trainer-facing manifest of the INTERLEAVED shards — chunk
+    * geometry over the multimodal token cost. The oracle derives
+    * n_chunks from the packed COORDINATES (max last-token chunk + 1,
+    * [[graft.llm.TextOps.packManifest]]'s invariant form), so the
+    * merge-side ceil(n_tokens/ctx) derivation stays pinned to the
+    * gap-free packing arithmetic, not merely to itself. */
+  val mmPackManifest: Q = (s, d) =>
+    graft.llm.TextOps.packMergeFrom(mmPackPartialsOf(t(s, d, "documents")))
+
   /** Byte shingles of the payload — the multimodal twin of
     * [[Dedup.shinglesOf]]'s word shingles: every 4-byte window of the raw
     * payload, hashed into the same md5-derived 60-bit space, emitted as
@@ -356,6 +387,7 @@ object Multimodal {
     "mm_frames" -> mmFrames,
     "mm_features" -> mmFeatures,
     "mm_pack" -> mmPack,
+    "mm_pack_manifest" -> mmPackManifest,
     "mm_dedup" -> mmDedup,
     "mm_quality" -> mmQuality,
     "mm_online_gate" -> mmOnlineGate,
@@ -401,6 +433,28 @@ object Multimodal {
                 CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
                 cum_before % 2048 AS chunk_offset
          FROM mpp ORDER BY doc_id LIMIT 300""",
+    "mm_pack_manifest" ->
+      """WITH mmb AS (SELECT doc_id, doc_id % 8 AS shard,
+                             CAST(len(string_split(text, ' '))
+                                  + (octet_length(encode(text)) + 63) // 64 + 2
+                                  AS BIGINT) AS n_tok,
+                             CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+                               AS content_h
+                      FROM documents),
+           mmp AS (SELECT doc_id, shard, n_tok, content_h,
+                          CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                         AND 1 PRECEDING), 0)
+                               AS BIGINT) AS cum_before
+                   FROM mmb)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                CAST(max((cum_before + n_tok - 1) // 2048) + 1 AS BIGINT) AS n_chunks,
+                CAST(CAST(sum(n_tok) AS BIGINT)
+                     - (max((cum_before + n_tok - 1) // 2048)) * 2048 AS BIGINT)
+                  AS last_fill,
+                bit_xor(content_h) AS content_fp
+         FROM mmp GROUP BY shard ORDER BY shard""",
     // BYTE-exact, not character-exact: the Spark side hashes UTF-8 BYTES
     // of the payload, so the oracle enumerates encode(text)'s bytes (hex
     // the blob once, slice 2-char chunks) rather than ascii() code points

@@ -128,7 +128,11 @@ object QueryService {
       return s"""{"sources":${graft.jx.Jx.listJson(
           graft.llm.Multimodal.queries("mm_quality_by_source")(spark, dataset))},""" +
         s""""pairs":${graft.jx.Jx.listJson(
-          graft.llm.Multimodal.queries("mm_dedup_stats")(spark, dataset))}}"""
+          graft.llm.Multimodal.queries("mm_dedup_stats")(spark, dataset))},""" +
+        // the interleaved-shard chunk geometry (mm_pack_manifest's frame
+        // verbatim — oracle inherited)
+        s""""packing":${graft.jx.Jx.listJson(
+          graft.llm.Multimodal.queries("mm_pack_manifest")(spark, dataset))}}"""
     }
     // {"view": "plan"}: the MIXTURE-PLANNING PANEL — `schedule` is the
     // data-constrained repeat-factor schedule planned off the streamed

@@ -272,6 +272,30 @@ object Streams {
     graft.llm.TextOps.packMergeFrom(s.read.parquet(s"$dir/p"))
   }
 
+  /** ST16b: the INTERLEAVED twin of [[packStoreSink]] — the same store
+    * layout and merge algebra over the multimodal token cost
+    * ([[graft.llm.Multimodal.mmPackPartialsOf]]), so one maintenance
+    * recipe serves text-only and interleaved exporters. */
+  def mmPackStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit =
+    graft.llm.Multimodal.mmPackPartialsOf(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** ST16b batch twin / driver gate: gated by `mm_pack_manifest`'s
+    * coordinate-derived oracle VERBATIM. */
+  val streamMmPackStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "mm_pack_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val p = s"$dd/p"
+      mmPackStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, p)
+      mmPackStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, p)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      mmPackStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, p)
+    }
+    graft.llm.TextOps.packMergeFrom(s.read.parquet(s"$dir/p"))
+  }
+
   /** ST11: stream-maintained per-source QUALITY monitor store — the
     * ingest-health companion to the manifest store: a continuously
     * ingesting pipeline needs "did source X's quality just crater?"
@@ -838,6 +862,7 @@ object Streams {
     "stream_sketch_store" -> streamSketchStore,
     "stream_quality_store" -> streamQualityStore,
     "stream_pack_store" -> streamPackStore,
+    "stream_mm_pack_store" -> streamMmPackStore,
     "stream_classifier_store" -> streamClassifierStore,
     "stream_sq8_stats" -> streamSq8Stats,
     "stream_canonical_store" -> streamCanonicalStore)
@@ -849,6 +874,7 @@ object Streams {
     // the maintained packing manifest must equal the one-shot packing
     // pass: text_pack_manifest's oracle verbatim
     "stream_pack_store" -> graft.llm.TextOps.oracle("text_pack_manifest"),
+    "stream_mm_pack_store" -> graft.llm.Multimodal.oracle("mm_pack_manifest"),
     "stream_sq8_stats" ->
       """SELECT CAST(t.i - 1 AS INT) AS pos, min(v[t.i]) AS mn, max(v[t.i]) AS mx
          FROM (SELECT [CAST(x AS DOUBLE) for x in embedding] AS v FROM embeddings)

@@ -348,8 +348,15 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "payload"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("sources", "pairs").foreach(s =>
+      Seq("sources", "pairs", "packing").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the interleaved-shard geometry mirrors mm_pack_manifest
+      val geom = panel.get("packing").get("data")
+      val geomDirect = graft.llm.Multimodal
+        .queries("mm_pack_manifest")(spark, sf).collect()
+      assert(geom.size() === geomDirect.length)
+      assert(geom.get(0).get("n_chunks").asLong() ===
+        geomDirect.head.getAs[Long]("n_chunks"))
       // each section is its driver key's frame byte-for-byte
       val sources = panel.get("sources").get("data")
       val direct = graft.llm.Multimodal
