@@ -408,6 +408,10 @@ object Jx {
         annealPct = opt(c, "anneal_pct").map(_.asLong()).getOrElse(40L),
         maxEpochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L),
         nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
+      case "curriculum_order" => graft.llm.TextOps.curriculumOrderOf(docs,
+        budgetPct = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L),
+        maxEpochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L),
+        nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
       case "train_order" => graft.llm.TextOps.trainOrderOf(docs,
         budgetPct = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L),
         maxEpochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L),

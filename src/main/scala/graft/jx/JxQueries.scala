@@ -299,6 +299,9 @@ object JxQueries {
   private val trainOrderJson = """{
     "corpus_op": {"op": "train_order", "corpus": {"from": "documents"}}}"""
 
+  private val curriculumOrderJson = """{
+    "corpus_op": {"op": "curriculum_order", "corpus": {"from": "documents"}}}"""
+
   private val annealOrderJson = """{
     "corpus_op": {"op": "anneal_order", "corpus": {"from": "documents"}}}"""
 
@@ -478,6 +481,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, trainOrderJson, name => t(s, d, name))),
     "jx_anneal_order" ->
       ((s, d) => Jx.run(s, annealOrderJson, name => t(s, d, name))),
+    "jx_curriculum_order" ->
+      ((s, d) => Jx.run(s, curriculumOrderJson, name => t(s, d, name))),
     "jx_payload_pack" ->
       ((s, d) => Jx.run(s, payloadPackJson, name => t(s, d, name))),
     "jx_payload_manifest" ->
@@ -567,6 +572,7 @@ object JxQueries {
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
     "jx_train_order" -> graft.llm.TextOps.oracle("text_train_order"),
     "jx_anneal_order" -> graft.llm.TextOps.oracle("text_anneal_order"),
+    "jx_curriculum_order" -> graft.llm.TextOps.oracle("text_curriculum_order"),
     "jx_payload_pack" -> graft.llm.Multimodal.oracle("mm_pack"),
     "jx_payload_manifest" -> graft.llm.Multimodal.oracle("mm_pack_manifest"),
     "jx_anneal" -> graft.llm.TextOps.oracle("text_anneal_schedule"),

@@ -497,11 +497,17 @@ object TextOps {
     * is per (epoch, shard) — no global sort. */
   private def placeInstances(base: org.apache.spark.sql.DataFrame,
       quota: org.apache.spark.sql.DataFrame, maxEpochs: Long, nShards: Long,
-      shardSalt: String): org.apache.spark.sql.DataFrame = {
+      shardSalt: String,
+      // in-shard reading order; the default is the hash key (uniform
+      // shuffle). The GATE below always stays hk-ordered — what's
+      // included is the schedule's decision, placement only decides
+      // the order it's read in.
+      placeOrder: Seq[org.apache.spark.sql.Column] =
+        Seq(col("hk"), col("doc_id"))): org.apache.spark.sql.DataFrame = {
     val setTok = base.groupBy("source").agg(sum("n_tok").as("set_tok"))
     val gate = Window.partitionBy("source").orderBy("hk", "doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val place = Window.partitionBy("epoch", "shard").orderBy("hk", "doc_id")
+    val place = Window.partitionBy("epoch", "shard").orderBy(placeOrder: _*)
     val saltSql = if (shardSalt.isEmpty) "" else s", '$shardSalt'"
     base
       .withColumn("hk", expr(
@@ -523,6 +529,42 @@ object TextOps {
       .withColumn("pos", row_number().over(place))
       .select("doc_id", "source", "epoch", "shard", "pos", "n_tok")
   }
+
+  /** X4z: CURRICULUM reading order — [[trainOrderFullOf]]'s schedule and
+    * shard placement with the IN-SHARD order switched from the uniform
+    * hash shuffle to quality-first: within each (epoch, shard) a worker
+    * reads its docs in descending classifier score (the published
+    * easy/clean-first curriculum recipe, applied per shard so ordering
+    * never needs a global sort). Crucially WHAT is read is unchanged —
+    * the threshold gate stays hash-ordered, so curriculum ordering
+    * cannot bias the mixture, only sequence it; a doc the model cannot
+    * score (no scorable tokens) reads last at score 0, never silently
+    * drops. Scores are the r4'd decimal-exact NB means
+    * ([[classifierScoresOf]]) with doc_id tiebreak → bit-stable order
+    * on both engines. */
+  val textCurriculumOrder: Q = (s, d) => curriculumOrderOf(t(s, d, "documents"))
+
+  /** The same curriculum over ANY (doc_id, source, text) frame (jx
+    * `corpus_op` entry point). */
+  def curriculumOrderOf(docs: org.apache.spark.sql.DataFrame, budgetPct: Long = 200L,
+      maxEpochs: Long = 4L, nShards: Long = 8L): org.apache.spark.sql.DataFrame =
+    curriculumOrderFullOf(docs, budgetPct, maxEpochs, nShards)
+      .orderBy("epoch", "shard", "pos")
+      .limit(300)
+
+  /** The full (un-limited) curriculum instance frame. */
+  def curriculumOrderFullOf(docs: org.apache.spark.sql.DataFrame, budgetPct: Long = 200L,
+      maxEpochs: Long = 4L, nShards: Long = 8L): org.apache.spark.sql.DataFrame =
+    placeInstances(
+      docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(classifierScoresOf(docs).select("doc_id", "score"),
+          Seq("doc_id"), "left")
+        .withColumn("score", coalesce(col("score"), lit(0.0))),
+      mixScheduleOf(docs, budgetPct, maxEpochs)
+        .select(col("source"), col("scheduled_tok").as("quota_tok")),
+      maxEpochs, nShards, shardSalt = "",
+      placeOrder = Seq(col("score").desc, col("doc_id")))
 
   /** X4y: the ANNEAL plan as executable coordinates — [[annealScheduleOf]]'s
     * two-phase token quotas turned into (phase, epoch, shard, position)
@@ -1779,6 +1821,7 @@ object TextOps {
     "text_mix_sources" -> textMixSources,
     "text_mix_schedule" -> textMixSchedule,
     "text_train_order" -> textTrainOrder,
+    "text_curriculum_order" -> textCurriculumOrder,
     "text_anneal_schedule" -> textAnnealSchedule,
     "text_anneal_order" -> textAnnealOrder,
     "text_ngram_novelty" -> textNgramNovelty,
@@ -2500,6 +2543,58 @@ object TextOps {
                 CAST(target_tok - scheduled_tok AS BIGINT) AS deficit_tok
          FROM msf ORDER BY source""",
     "text_train_order" -> s"WITH ${trainOrderOracleFrom("documents")}",
+    "text_curriculum_order" ->
+      s"""WITH $nbOracleCte,
+           cusc AS (SELECT f.doc_id,
+                           round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                 / count(*), 4) AS score
+                    FROM qcf f JOIN qcm m USING (w) GROUP BY f.doc_id),
+           cus AS (SELECT source,
+                          CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tok
+                   FROM documents GROUP BY 1),
+           cuw AS (SELECT source, src_tok,
+                          CAST(CASE CAST(substr(source, 4) AS INT) % 3
+                                 WHEN 0 THEN 225 WHEN 1 THEN 100 ELSE 40
+                               END AS BIGINT) AS weight_pct
+                   FROM cus),
+           cut AS (SELECT CAST(sum(src_tok) AS BIGINT) AS tot_tok,
+                          CAST(sum(weight_pct) AS BIGINT) AS tot_w
+                   FROM cuw),
+           cusch AS (SELECT source, src_tok,
+                            least(CAST((200 * tot_tok * weight_pct) // (100 * tot_w)
+                                       AS BIGINT), 4 * src_tok) AS scheduled_tok
+                     FROM cuw CROSS JOIN cut),
+           cub AS (SELECT d.doc_id, d.source,
+                          CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+                          CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) AS hk,
+                          coalesce(sc.score, 0.0) AS score
+                   FROM documents d LEFT JOIN cusc sc ON d.doc_id = sc.doc_id),
+           cuc AS (SELECT b.doc_id, b.source, b.n_tok, b.hk, b.score,
+                          CAST(s.scheduled_tok // s.src_tok AS BIGINT) AS full_epochs,
+                          s.scheduled_tok % s.src_tok AS rem_tok,
+                          CAST(coalesce(sum(b.n_tok) OVER (
+                                 PARTITION BY b.source ORDER BY b.hk, b.doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                               AS BIGINT) AS cum_before
+                   FROM cub b JOIN cusch s USING (source)),
+           cue AS (SELECT doc_id, source, n_tok, hk, score,
+                          full_epochs + CASE WHEN cum_before < rem_tok
+                                             THEN 1 ELSE 0 END AS n_rep
+                   FROM cuc),
+           cui AS (SELECT doc_id, source, n_tok, hk, score,
+                          CAST(unnest(range(n_rep)) AS BIGINT) AS epoch
+                   FROM cue WHERE n_rep > 0),
+           cuh AS (SELECT doc_id, source, n_tok, hk, score, epoch,
+                          CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
+                                 || CAST(epoch AS VARCHAR)), 1, 15) AS BIGINT) % 8
+                            AS shard
+                   FROM cui)
+         SELECT doc_id, source, epoch, CAST(shard AS BIGINT) AS shard,
+                CAST(row_number() OVER (PARTITION BY epoch, shard
+                                        ORDER BY score DESC, doc_id) AS INT) AS pos,
+                n_tok
+         FROM cuh ORDER BY epoch, shard, pos LIMIT 300""",
     "text_anneal_schedule" ->
       s"""WITH $nbOracleCte,
            $annealOracleCte

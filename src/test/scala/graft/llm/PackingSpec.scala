@@ -129,6 +129,26 @@ class PackingSpec extends graft.SparkSpec {
     assert(cross.count() === 0 || cross.filter(col("s0") =!= col("s1")).count() > 0)
   }
 
+  test("curriculum order: same instances as the uniform order, sequenced " +
+    "quality-first within each shard") {
+    val uni = TextOps.trainOrderFullOf(srcDocs, nShards = 4L)
+    val cur = TextOps.curriculumOrderFullOf(srcDocs, nShards = 4L)
+    // the gate is untouched: identical (doc, epoch, shard) instance sets
+    val a = uni.select("doc_id", "epoch", "shard")
+    val b = cur.select("doc_id", "epoch", "shard")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "curriculum must re-order, not re-select")
+    // within each (epoch, shard), scores are non-increasing along pos
+    val scores = TextOps.classifierScoresOf(srcDocs).select("doc_id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("epoch", "shard").orderBy("pos")
+    val bad = cur.join(scores, Seq("doc_id"), "left")
+      .withColumn("score", coalesce(col("score"), lit(0.0)))
+      .withColumn("prev", lag("score", 1).over(w))
+      .filter(col("prev").isNotNull && col("score") > col("prev"))
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+  }
+
   test("mm pack: interleaved cost arithmetic and chunk bounds") {
     val mm = Multimodal.mmPackOf(docs.withColumn("lang", lit("en")),
       ctx = ctx, nShards = shards, patchBytes = 16L)
