@@ -907,8 +907,13 @@ object Similarity {
     * stats → codes → fold replay, so store == recompute per row. */
   val simSq8Gate: Q = (s, d) => {
     val w = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    // the arriving batch is the % 50 slice (2% of the corpus): a gate
+    // prices per ARRIVING vector — batch × corpus-codes ADC work — so
+    // the demo batch stays a batch, not a fifth of the table; a corpus
+    // big enough to make even that linear scan hurt composes the same
+    // fold behind the IVF prune ([[simIvfPq]]) instead
     sq8ScoresFrom(sq8Stored(s, d),
-        sq8Doubles(t(s, d, "embeddings").filter(col("vec_id") % 5 === 2))
+        sq8Doubles(t(s, d, "embeddings").filter(col("vec_id") % 50 === 2))
           .select(col("vec_id").as("qid"), col("v").as("qv")))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
@@ -2238,7 +2243,7 @@ object Similarity {
                FROM sqscore)
          WHERE rnk <= 5 ORDER BY qid, rnk""",
     "sim_sq8_gate" ->
-      s"""WITH ${sq8OracleCteFrom("vec_id % 5 = 2")}
+      s"""WITH ${sq8OracleCteFrom("vec_id % 50 = 2")}
          SELECT qid, nid, adot, adot >= 0.42 AS flagged
          FROM (SELECT qid, nid, adot,
                       row_number() OVER (PARTITION BY qid
