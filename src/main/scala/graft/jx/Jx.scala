@@ -416,6 +416,11 @@ object Jx {
         budgetPct = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L),
         maxEpochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L),
         nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
+      case "order_audit" => graft.llm.TextOps.orderAuditOf(docs,
+        budgetPct = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L),
+        maxEpochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L),
+        nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
+      case "ppl_buckets" => graft.llm.TextOps.pplBucketsOf(docs)
       case "dataset_card" =>
         // the card is only defined over the standard dataset (its dup and
         // decon columns need the stored pair-graph/bench conventions)

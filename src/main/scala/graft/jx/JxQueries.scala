@@ -299,6 +299,12 @@ object JxQueries {
   private val trainOrderJson = """{
     "corpus_op": {"op": "train_order", "corpus": {"from": "documents"}}}"""
 
+  private val orderAuditJson = """{
+    "corpus_op": {"op": "order_audit", "corpus": {"from": "documents"}}}"""
+
+  private val pplBucketsJson = """{
+    "corpus_op": {"op": "ppl_buckets", "corpus": {"from": "documents"}}}"""
+
   private val curriculumOrderJson = """{
     "corpus_op": {"op": "curriculum_order", "corpus": {"from": "documents"}}}"""
 
@@ -479,6 +485,10 @@ object JxQueries {
       ((s, d) => Jx.run(s, mixScheduleJson, name => t(s, d, name))),
     "jx_train_order" ->
       ((s, d) => Jx.run(s, trainOrderJson, name => t(s, d, name))),
+    "jx_order_audit" ->
+      ((s, d) => Jx.run(s, orderAuditJson, name => t(s, d, name))),
+    "jx_ppl_buckets" ->
+      ((s, d) => Jx.run(s, pplBucketsJson, name => t(s, d, name))),
     "jx_anneal_order" ->
       ((s, d) => Jx.run(s, annealOrderJson, name => t(s, d, name))),
     "jx_curriculum_order" ->
@@ -571,6 +581,8 @@ object JxQueries {
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
     "jx_train_order" -> graft.llm.TextOps.oracle("text_train_order"),
+    "jx_order_audit" -> graft.llm.TextOps.oracle("text_order_audit"),
+    "jx_ppl_buckets" -> graft.llm.TextOps.oracle("text_ppl_buckets"),
     "jx_anneal_order" -> graft.llm.TextOps.oracle("text_anneal_order"),
     "jx_curriculum_order" -> graft.llm.TextOps.oracle("text_curriculum_order"),
     "jx_payload_pack" -> graft.llm.Multimodal.oracle("mm_pack"),

@@ -486,6 +486,57 @@ object TextOps {
         .select(col("source"), col("scheduled_tok").as("quota_tok")),
       maxEpochs, nShards, shardSalt = "")
 
+  /** X4w: TRAINING-ORDER MIX AUDIT — the trainer-side validation of
+    * [[textTrainOrder]]'s interleave: per (epoch, shard), is the shard's
+    * source mixture the epoch's mixture? A worker reads one shard
+    * sequentially, so a badly-mixed shard IS a curriculum the planner
+    * never chose. Metric: total-variation distance between the shard's
+    * per-source token shares and the epoch's global shares (0 = perfectly
+    * mixed, 1 = single-source shard); a source absent from the shard
+    * contributes its full epoch share. Readout: one row per (epoch,
+    * shard) with doc/token mass, sources present, and tv_mix.
+    *
+    * Scale shape: the audit aggregates the instance frame once on the
+    * BOUNDED (epoch, shard, source) key (map-side partials; epochs ×
+    * shards × sources cells, never corpus-scale rows past the shuffle)
+    * and never references `pos` — Catalyst's column pruning drops the
+    * placement window, so auditing costs the gate pass only. Cross-engine
+    * exactness: shares are single double divisions of exact integers;
+    * each |p − q| term is rounded to a 12-dp DECIMAL before the exact
+    * cross-source sum (the PageRank-contribution rule), then one ×0.5
+    * (exact scaling) and r4. */
+  val textOrderAudit: Q = (s, d) => orderAuditOf(t(s, d, "documents"))
+
+  /** The same audit over ANY (doc_id, source, text) frame (jx `corpus_op`
+    * entry point). */
+  def orderAuditOf(docs: org.apache.spark.sql.DataFrame, budgetPct: Long = 200L,
+      maxEpochs: Long = 4L, nShards: Long = 8L): org.apache.spark.sql.DataFrame = {
+    val inst = trainOrderFullOf(docs, budgetPct, maxEpochs, nShards)
+      .select("epoch", "shard", "source", "n_tok")
+    val cell = inst.groupBy("epoch", "shard", "source")
+      .agg(count(lit(1)).as("c_docs"), sum("n_tok").as("c_tok"))
+    val shardTot = cell.groupBy("epoch", "shard")
+      .agg(sum("c_docs").as("n_docs"), sum("c_tok").as("n_tokens"),
+        count(lit(1)).as("n_sources"))
+    val epochSrc = cell.groupBy("epoch", "source")
+      .agg(sum("c_tok").as("e_src_tok"))
+    val epochTot = epochSrc.groupBy("epoch").agg(sum("e_src_tok").as("e_tok"))
+    // (epoch, shard) × (sources active in the epoch) grid, so a source
+    // missing from a shard still contributes |0 − q| — all frames here are
+    // epochs×shards×sources cells, driver-safe at any corpus size
+    shardTot.join(epochSrc, Seq("epoch")).join(epochTot, Seq("epoch"))
+      .join(cell, Seq("epoch", "shard", "source"), "left")
+      .withColumn("term", expr(
+        """CAST(round(abs(CAST(coalesce(c_tok, 0) AS DOUBLE) / n_tokens
+                        - CAST(e_src_tok AS DOUBLE) / e_tok), 12)
+                AS DECIMAL(38,12))"""))
+      .groupBy(col("epoch"), col("shard"), col("n_docs"), col("n_tokens"),
+        col("n_sources"))
+      .agg(r4(sum(col("term")).cast("double") * lit(0.5)).as("tv_mix"))
+      .select("epoch", "shard", "n_docs", "n_tokens", "n_sources", "tv_mix")
+      .orderBy("epoch", "shard")
+  }
+
   /** The shared placement core behind [[trainOrderFullOf]] and
     * [[annealOrderOf]]: given ONE phase's doc set (doc_id, source,
     * n_tok) and a per-source token quota, emit one row per (doc, epoch)
@@ -947,8 +998,17 @@ object TextOps {
     * Cross-engine exactness: counts are integers, the smoothed ratio is
     * the same rational in both engines, and round(avg(−ln r), 4)
     * tolerates summation-order ULP (the proven textLogfreq pattern). */
-  val textBigramNll: Q = (s, d) => {
-    val docs = t(s, d, "documents")
+  val textBigramNll: Q = (s, d) =>
+    bigramNllOf(t(s, d, "documents")).orderBy("doc_id").limit(300)
+
+  /** The full per-doc bigram-NLL frame (doc_id, n_bigrams, nll) over ANY
+    * (doc_id, text) corpus — [[textBigramNll]]'s un-limited core, shared
+    * with the perplexity-bucket assignment ([[pplBucketsOf]]). Docs with
+    * fewer than 2 tokens have no bigram and are absent here; callers that
+    * must cover every doc left-join and default (the curriculum rule:
+    * unscorable never silently drops). */
+  private[graft] def bigramNllOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val big = docs
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
@@ -967,8 +1027,50 @@ object TextOps {
       .withColumn("nll", -log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), r4(avg("nll")).as("nll"))
-      .orderBy("doc_id")
-      .limit(300)
+  }
+
+  /** X4q: PERPLEXITY BUCKETS — the published head/middle/tail recipe: rank
+    * every doc by its LM score WITHIN its source and cut each source into
+    * three equal tiers (head = most corpus-like), so per-source tier quotas
+    * ("keep head+middle of low-resource sources, head only of crawl") can
+    * be expressed without cross-source score calibration. The LM is
+    * [[bigramNllOf]]'s add-1-smoothed bigram model (the same self-trained
+    * proxy the quality gates use); a doc the model cannot score (<2
+    * tokens) buckets at nll 0 — covered, never silently dropped. Readout:
+    * one row per (source, bucket) with doc/bigram mass and the tier's nll
+    * range + decimal-exact mean.
+    *
+    * Scale shape: the ntile window runs over the per-DOC score table (one
+    * row per doc — KB-scale beside the corpus), partitioned by source, so
+    * the sort is per-source and never global; the bucket aggregate is a
+    * bounded |sources|×3-key groupBy with map-side partials. Cross-engine
+    * exactness: ntile over (r4'd nll, doc_id) is a total order, both
+    * engines place the +1-sized buckets first (SQL standard); the mean
+    * sums 4-dp DECIMALs exactly before one double division. */
+  val textPplBuckets: Q = (s, d) => pplBucketsOf(t(s, d, "documents"))
+
+  /** The same bucket readout over ANY (doc_id, source, text) frame (jx
+    * `corpus_op` entry point). */
+  def pplBucketsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val all = docs.select(col("doc_id"), col("source"))
+      .join(bigramNllOf(docs), Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("nll", coalesce(col("nll"), lit(0.0)))
+    val tier = Window.partitionBy("source").orderBy(col("nll"), col("doc_id"))
+    all.withColumn("bucket", ntile(3).over(tier))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("n_bigrams"),
+        min("nll").as("min_nll"),
+        max("nll").as("max_nll"),
+        r4(sum(col("nll").cast("decimal(28,4)")).cast("double") /
+          count(lit(1))).as("mean_nll"))
+      .withColumn("label", expr(
+        "CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END"))
+      .select("source", "bucket", "label", "n_docs", "n_bigrams",
+        "min_nll", "max_nll", "mean_nll")
+      .orderBy("source", "bucket")
   }
 
   /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
@@ -1821,6 +1923,7 @@ object TextOps {
     "text_mix_sources" -> textMixSources,
     "text_mix_schedule" -> textMixSchedule,
     "text_train_order" -> textTrainOrder,
+    "text_order_audit" -> textOrderAudit,
     "text_curriculum_order" -> textCurriculumOrder,
     "text_anneal_schedule" -> textAnnealSchedule,
     "text_anneal_order" -> textAnnealOrder,
@@ -1832,6 +1935,7 @@ object TextOps {
     "text_fertility" -> textFertility,
     "text_logfreq" -> textLogfreq,
     "text_bigram_nll" -> textBigramNll,
+    "text_ppl_buckets" -> textPplBuckets,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
 
@@ -1863,6 +1967,17 @@ object TextOps {
     * hygiene-survivor composition ([[graft.llm.Pipeline]]). Returns
     * CTE list + final SELECT, without the leading WITH. */
   private[graft] def trainOrderOracleFrom(from: String): String =
+    s"""${trainOrderCtesFrom(from)}
+         SELECT doc_id, source, epoch, CAST(shard AS BIGINT) AS shard,
+                CAST(row_number() OVER (PARTITION BY epoch, shard
+                                        ORDER BY hk, doc_id) AS INT) AS pos,
+                n_tok
+         FROM troh ORDER BY epoch, shard, pos LIMIT 300"""
+
+  /** Just the tro* CTE chain (through `troh`, the full placed-instance
+    * frame without positions) — shared by [[trainOrderOracleFrom]] and the
+    * order-audit oracle, which aggregates troh instead of ranking it. */
+  private[graft] def trainOrderCtesFrom(from: String): String =
     s"""tros AS (SELECT source,
                               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS src_tok
                        FROM $from GROUP BY 1),
@@ -1902,12 +2017,7 @@ object TextOps {
                            CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#'
                                   || CAST(epoch AS VARCHAR)), 1, 15) AS BIGINT) % 8
                              AS shard
-                    FROM troi)
-         SELECT doc_id, source, epoch, CAST(shard AS BIGINT) AS shard,
-                CAST(row_number() OVER (PARTITION BY epoch, shard
-                                        ORDER BY hk, doc_id) AS INT) AS pos,
-                n_tok
-         FROM troh ORDER BY epoch, shard, pos LIMIT 300"""
+                    FROM troi)"""
 
   /** Shared anneal-schedule oracle CTE chain (anps…anr, needs
     * [[nbOracleCte]] ahead of it): per-source token/doc counts →
@@ -2477,6 +2587,39 @@ object TextOps {
                 round(avg(-ln((bc.c_ab + 1.0) / (cc.c_a + vv.v))), 4) AS nll
          FROM big g JOIN bc USING (a, b) JOIN cc USING (a) CROSS JOIN vv
          GROUP BY g.doc_id ORDER BY g.doc_id LIMIT 300""",
+    "text_ppl_buckets" ->
+      """WITH pplt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           pplb AS (SELECT doc_id, t[i] AS a, t[i+1] AS b
+                    FROM (SELECT doc_id, t,
+                                 unnest(generate_series(1, len(t) - 1)) AS i
+                          FROM pplt WHERE len(t) >= 2)),
+           pplbc AS (SELECT a, b, count(*) AS c_ab FROM pplb GROUP BY 1, 2),
+           pplcc AS (SELECT a, count(*) AS c_a FROM pplb GROUP BY 1),
+           pplv AS (SELECT count(DISTINCT w) AS v
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                    WHERE length(w) > 0),
+           ppls AS (SELECT g.doc_id, count(*) AS n_bigrams,
+                           round(avg(-ln((bc.c_ab + 1.0) / (cc.c_a + pplv.v))), 4) AS nll
+                    FROM pplb g JOIN pplbc bc USING (a, b) JOIN pplcc cc USING (a)
+                         CROSS JOIN pplv
+                    GROUP BY g.doc_id),
+           pplall AS (SELECT d.doc_id, d.source,
+                             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                             coalesce(s.nll, 0.0) AS nll
+                      FROM documents d LEFT JOIN ppls s USING (doc_id)),
+           pplbk AS (SELECT *, CAST(ntile(3) OVER (
+                              PARTITION BY source ORDER BY nll, doc_id) AS INT)
+                              AS bucket
+                     FROM pplall)
+         SELECT source, bucket,
+                CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                            ELSE 'tail' END AS label,
+                count(*) AS n_docs,
+                CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+                min(nll) AS min_nll, max(nll) AS max_nll,
+                round(CAST(sum(CAST(nll AS DECIMAL(28,4))) AS DOUBLE)
+                      / count(*), 4) AS mean_nll
+         FROM pplbk GROUP BY 1, 2, 3 ORDER BY source, bucket""",
     "text_logfreq" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
            t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),
@@ -2543,6 +2686,34 @@ object TextOps {
                 CAST(target_tok - scheduled_tok AS BIGINT) AS deficit_tok
          FROM msf ORDER BY source""",
     "text_train_order" -> s"WITH ${trainOrderOracleFrom("documents")}",
+    "text_order_audit" -> s"""WITH ${trainOrderCtesFrom("documents")},
+           audc AS (SELECT epoch, shard, source, count(*) AS c_docs,
+                           CAST(sum(n_tok) AS BIGINT) AS c_tok
+                    FROM troh GROUP BY 1, 2, 3),
+           auds AS (SELECT epoch, shard,
+                           CAST(sum(c_docs) AS BIGINT) AS n_docs,
+                           CAST(sum(c_tok) AS BIGINT) AS n_tokens,
+                           count(*) AS n_sources
+                    FROM audc GROUP BY 1, 2),
+           aude AS (SELECT epoch, source,
+                           CAST(sum(c_tok) AS BIGINT) AS e_src_tok
+                    FROM audc GROUP BY 1, 2),
+           audt AS (SELECT epoch, CAST(sum(e_src_tok) AS BIGINT) AS e_tok
+                    FROM aude GROUP BY 1),
+           audg AS (SELECT s.epoch, s.shard, s.n_docs, s.n_tokens, s.n_sources,
+                           CAST(round(abs(
+                                  CAST(coalesce(c.c_tok, 0) AS DOUBLE) / s.n_tokens
+                                - CAST(e.e_src_tok AS DOUBLE) / t.e_tok), 12)
+                                AS DECIMAL(38,12)) AS term
+                    FROM auds s
+                    JOIN aude e ON s.epoch = e.epoch
+                    JOIN audt t ON s.epoch = t.epoch
+                    LEFT JOIN audc c ON c.epoch = s.epoch AND c.shard = s.shard
+                                    AND c.source = e.source)
+         SELECT epoch, CAST(shard AS BIGINT) AS shard, n_docs, n_tokens,
+                n_sources,
+                round(CAST(sum(term) AS DOUBLE) * 0.5, 4) AS tv_mix
+         FROM audg GROUP BY 1, 2, 3, 4, 5 ORDER BY epoch, shard""",
     "text_curriculum_order" ->
       s"""WITH $nbOracleCte,
            cusc AS (SELECT f.doc_id,

@@ -1216,4 +1216,39 @@ class CorpusOpsSpec extends graft.SparkSpec {
       }
     }
   }
+
+  // ---- text_ppl_buckets ----
+
+  test("ppl buckets: tiers partition each source, sizes within 1, nll " +
+    "ranges ordered, unscorable docs covered at nll 0") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 31).map { i =>
+      (i.toLong, s"src${i % 3}",
+        Seq.fill(3 + rnd.nextInt(40))("w" + rnd.nextInt(20)).mkString(" "))
+    } :+ ((31L, "src1", "solo")) // one token: no bigram, must not drop
+    val docs = base.toDF("doc_id", "source", "text")
+    val out = TextOps.pplBucketsOf(docs).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == 32L,
+      "a doc dropped from the tiers")
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val r = rows.sortBy(_.getAs[Int]("bucket"))
+      assert(r.map(_.getAs[Int]("bucket")).toSeq == (1 to r.length),
+        s"$src tiers not dense")
+      val sizes = r.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$src tier sizes ${sizes.toSeq}")
+      assert(sizes.sameElements(sizes.sortBy(x => -x)),
+        s"$src +1-sized tiers must come first: ${sizes.toSeq}")
+      r.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("max_nll") <= b.getAs[Double]("min_nll"),
+            s"$src tier nll ranges out of order")
+        case _ =>
+      }
+    }
+    val head1 = out.find(r => r.getAs[String]("source") == "src1" &&
+      r.getAs[Int]("bucket") == 1).get
+    assert(head1.getAs[Double]("min_nll") == 0.0,
+      "the unscorable doc must tier at nll 0, not vanish")
+  }
 }

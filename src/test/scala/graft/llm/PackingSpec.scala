@@ -149,6 +149,33 @@ class PackingSpec extends graft.SparkSpec {
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
   }
 
+  test("order audit: covers every (epoch, shard), masses match the " +
+    "instance frame, tv_mix in [0,1]") {
+    val ord = TextOps.trainOrderFullOf(srcDocs, nShards = 4L)
+    val audit = TextOps.orderAuditOf(srcDocs, nShards = 4L)
+    val direct = ord.groupBy("epoch", "shard")
+      .agg(count(lit(1)).as("d_docs"), sum("n_tok").as("d_tok"))
+    val bad = audit.join(direct, Seq("epoch", "shard"), "full")
+      .filter(col("n_docs").isNull || col("d_docs").isNull ||
+        col("n_docs") =!= col("d_docs") || col("n_tokens") =!= col("d_tok") ||
+        col("tv_mix") < 0.0 || col("tv_mix") > 1.0)
+    assert(bad.isEmpty, bad.collect().take(3).mkString(","))
+  }
+
+  test("order audit: a single-source corpus reads tv_mix = 0 everywhere; " +
+    "the placement rank is pruned from the audit plan") {
+    val one = srcDocs.withColumn("source", lit("src0"))
+    val flat = TextOps.orderAuditOf(one, nShards = 4L)
+    assert(flat.filter(col("tv_mix") =!= 0.0).isEmpty,
+      "single-source shards must match the epoch mix exactly")
+    // the audit never reads `pos`, so Catalyst must drop the per-(epoch,
+    // shard) row_number window — auditing costs the gate pass only
+    val plan = TextOps.orderAuditOf(srcDocs, nShards = 4L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("row_number"),
+      "placement window survived column pruning")
+  }
+
   test("mm pack: interleaved cost arithmetic and chunk bounds") {
     val mm = Multimodal.mmPackOf(docs.withColumn("lang", lit("en")),
       ctx = ctx, nShards = shards, patchBytes = 16L)
