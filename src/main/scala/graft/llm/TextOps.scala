@@ -1009,24 +1009,83 @@ object TextOps {
     * unscorable never silently drops). */
   private[graft] def bigramNllOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val big = docs
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(toks) - 1),
-             i -> struct(element_at(toks, i) AS a,
-                         element_at(toks, i + 1) AS b))""")).as("bg"))
-      .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
-    val bigramCounts = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
-    val contextCounts = big.groupBy("a").agg(count(lit(1)).as("c_a"))
-    val vocab = docs.select(explode(split(col("text"), " ")).as("w"))
-      .filter(length(col("w")) > 0)
-      .agg(countDistinct(col("w")).as("v"))
-    big.join(bigramCounts, Seq("a", "b")).join(contextCounts, Seq("a"))
-      .crossJoin(broadcast(vocab))
+    val (ab, ctx, v) = bigramLmOf(docs)
+    bigramsOf(docs).join(ab, Seq("a", "b")).join(ctx, Seq("a"))
+      .crossJoin(broadcast(v))
       .withColumn("nll", -log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v"))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), r4(avg("nll")).as("nll"))
+  }
+
+  /** The per-doc (doc_id, a, b) bigram explode shared by the LM trainer
+    * and the scorer. */
+  private def bigramsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = docs
+    .withColumn("toks", split(col("text"), " "))
+    .filter(size(col("toks")) >= 2)
+    .select(col("doc_id"), explode(expr(
+      """transform(sequence(1, size(toks) - 1),
+           i -> struct(element_at(toks, i) AS a,
+                       element_at(toks, i + 1) AS b))""")).as("bg"))
+    .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+
+  /** The add-1-smoothed bigram LM tables over a corpus — (bigram counts,
+    * context counts, vocab size), all vocabulary-bounded aggregates —
+    * [[bigramNllOf]]'s model half, persisted by [[bigramLmStored]] so a
+    * stream can score arriving batches against a frozen generation
+    * (training is a separate periodic job, the [[nbModelStored]] split). */
+  private[graft] def bigramLmOf(docs: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val big = bigramsOf(docs)
+    (big.groupBy("a", "b").agg(count(lit(1)).as("c_ab")),
+      big.groupBy("a").agg(count(lit(1)).as("c_a")),
+      docs.select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .agg(countDistinct(col("w")).as("v")))
+  }
+
+  /** The frozen-LM artifact: [[bigramLmOf]] trained once per
+    * session/dataset on the standard corpus and persisted — probed by the
+    * streamed score store (ST17) the way [[nbModelStored]] is probed by
+    * the classifier monitor. */
+  def bigramLmStored(s: SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    val dir = Artifacts.buildOnce(s, "bigram_lm", d) { dd =>
+      val (ab, ctx, v) = bigramLmOf(t(s, d, "documents"))
+      ab.write.mode("overwrite").parquet(s"$dd/ab")
+      ctx.write.mode("overwrite").parquet(s"$dd/ctx")
+      v.write.mode("overwrite").parquet(s"$dd/v")
+    }
+    (s.read.parquet(s"$dir/ab"), s.read.parquet(s"$dir/ctx"),
+      s.read.parquet(s"$dir/v"))
+  }
+
+  /** Score ANY (doc_id, source, text) batch against a (possibly frozen)
+    * bigram LM: one row per batch doc — (doc_id, source, n_bigrams, nll),
+    * unscorable docs at nll 0 (the ppl-bucket coverage rule). Left joins
+    * + add-1 smoothing price UNSEEN grams honestly ((0+1)/(c_a+v), or
+    * (0+1)/(0+v) for an unseen context), so the same code is exact on the
+    * training corpus and well-defined on genuinely new data. Given a
+    * frozen LM every doc's score is batch-INDEPENDENT — the property the
+    * streamed store's exactness rests on. */
+  private[graft] def bigramNllAgainstLm(batch: org.apache.spark.sql.DataFrame,
+      ab: org.apache.spark.sql.DataFrame, ctx: org.apache.spark.sql.DataFrame,
+      v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val scored = bigramsOf(batch)
+      .join(ab, Seq("a", "b"), "left")
+      .join(ctx, Seq("a"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("nll", -log((coalesce(col("c_ab"), lit(0L)) + lit(1.0)) /
+        (coalesce(col("c_a"), lit(0L)) + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), r4(avg("nll")).as("nll"))
+    batch.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("nll", coalesce(col("nll"), lit(0.0)))
+      .select("doc_id", "source", "n_bigrams", "nll")
   }
 
   /** X4q: PERPLEXITY BUCKETS — the published head/middle/tail recipe: rank
@@ -1053,10 +1112,16 @@ object TextOps {
     * `corpus_op` entry point). */
   def pplBucketsOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val all = docs.select(col("doc_id"), col("source"))
-      .join(bigramNllOf(docs), Seq("doc_id"), "left")
-      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
-      .withColumn("nll", coalesce(col("nll"), lit(0.0)))
+    val (ab, ctx, v) = bigramLmOf(docs)
+    pplTiersFrom(bigramNllAgainstLm(docs, ab, ctx, v))
+  }
+
+  /** The tier readout over ANY (doc_id, source, n_bigrams, nll) score
+    * frame — shared by the in-plan key (scores trained+ranked in one
+    * plan) and the streamed score store's readout (scores maintained per
+    * batch against the frozen LM, ranked here). */
+  private[graft] def pplTiersFrom(all: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val tier = Window.partitionBy("source").orderBy(col("nll"), col("doc_id"))
     all.withColumn("bucket", ntile(3).over(tier))
       .groupBy(col("source"), col("bucket"))

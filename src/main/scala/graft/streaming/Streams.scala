@@ -420,6 +420,46 @@ object Streams {
     sq8StatsReadout(s, s"$dir/p")
   }
 
+  /** ST17: stream-maintained LM-SCORE store — the perplexity-tier twin of
+    * the classifier monitor (ST15): tier CUTS are rank statistics (not
+    * distributive), but per-doc LM scores against a FROZEN bigram LM
+    * ([[graft.llm.TextOps.bigramLmStored]] — training is a separate
+    * periodic job) are batch-independent, so the stream maintains the
+    * per-doc SCORE table (one row per doc — KB-scale beside the corpus)
+    * under per-batch dynamic idempotent overwrite, and the readout
+    * re-RANKS the merged scores into head/middle/tail. Score being a pure
+    * per-doc function of the frozen model makes the merged store equal
+    * the one-shot full-corpus pass BIT-identically under any batch split
+    * or redelivery; the readout's ntile runs over the score table, never
+    * the corpus. */
+  def pplStoreSink(batch: DataFrame, batchId: Long, dir: String,
+      ab: DataFrame, ctx: DataFrame, v: DataFrame): Unit =
+    graft.llm.TextOps.bigramNllAgainstLm(batch, ab, ctx, v)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** The accumulated tier readout: rank the merged per-doc scores. */
+  def pplStoreReadout(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextOps.pplTiersFrom(
+      s.read.parquet(dir).select("doc_id", "source", "n_bigrams", "nll"))
+
+  /** ST17 batch twin: two disjoint batches scored against the frozen LM
+    * + an at-least-once redelivery, then the ranked readout — gated by
+    * `text_ppl_buckets`' full-corpus oracle verbatim. */
+  val streamPplStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "ppl_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val (ab, ctx, v) = graft.llm.TextOps.bigramLmStored(s, d)
+      val c = s"$dd/c"
+      pplStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c, ab, ctx, v)
+      pplStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, c, ab, ctx, v)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      pplStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c, ab, ctx, v)
+    }
+    pplStoreReadout(s, s"$dir/c")
+  }
+
   /** ST13: stream-maintained n-gram NOVELTY store — the streamed form is
     * the NATURAL one: novelty is defined by arrival order (what fraction
     * of this doc's trigrams has the corpus never seen before?), so a
@@ -865,6 +905,7 @@ object Streams {
     "stream_mm_pack_store" -> streamMmPackStore,
     "stream_classifier_store" -> streamClassifierStore,
     "stream_sq8_stats" -> streamSq8Stats,
+    "stream_ppl_store" -> streamPplStore,
     "stream_canonical_store" -> streamCanonicalStore)
 
   val oracle: Map[String, String] = Map(
@@ -895,6 +936,9 @@ object Streams {
                 round(CAST(sum(CAST(score AS DECIMAL(28,12))) AS DOUBLE)
                       / count(*), 4) + 0.0 AS mean_score
          FROM cpj GROUP BY source ORDER BY source""",
+    // the maintained per-doc LM-score store, re-ranked at readout, must
+    // equal the one-shot train+rank pass: text_ppl_buckets' oracle verbatim
+    "stream_ppl_store" -> graft.llm.TextOps.oracle("text_ppl_buckets"),
     // the maintained first-seen store must equal the one-shot recompute:
     // text_ngram_novelty's oracle verbatim
     "stream_novelty_store" -> graft.llm.TextOps.oracle("text_ngram_novelty"),

@@ -412,6 +412,61 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "redelivered batch double-counted")
   }
 
+  test("ST17: the streamed LM-score store re-ranks to the one-shot " +
+    "perplexity tiers and prices unseen grams by smoothing") {
+    val dir = tmp("graft-st17")
+    val rnd = new scala.util.Random(23)
+    val docs = (0L until 24L).map { i =>
+      (i, Seq.fill(4 + rnd.nextInt(20))("w" + rnd.nextInt(12)).mkString(" "),
+        "en", s"src${i % 2}", 50L)
+    }
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // the frozen LM: trained ONCE on the whole corpus (the periodic train
+    // job); every batch scores against these same tables
+    val (ab0, ctx0, v0) = graft.llm.TextOps.bigramLmOf(df(docs))
+    val (ab, ctx, v) =
+      (ab0.localCheckpoint(), ctx0.localCheckpoint(), v0.localCheckpoint())
+    def rows(frame: org.apache.spark.sql.DataFrame) = frame.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("bucket"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("min_nll"), r.getAs[Double]("max_nll"),
+        r.getAs[Double]("mean_nll"))).toSeq
+    val full = rows(graft.llm.TextOps.pplBucketsOf(df(docs)))
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.pplStoreSink(batch, id, dir, ab, ctx, v)
+      }
+      .start()
+    try {
+      in.addData(docs.take(10): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(10): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = rows(Streams.pplStoreReadout(spark, dir))
+    assert(readout === full,
+      "re-ranked score store must equal the one-shot train+rank pass")
+    // at-least-once redelivery of batch 0 overwrites its own partition
+    Streams.pplStoreSink(df(docs.take(10)), 0L, dir, ab, ctx, v)
+    assert(readout === full, "redelivered batch drifted the score store")
+    // genuinely new data: every gram unseen — smoothing must price it
+    // finitely at the unseen-context rate -ln((0+1)/(0+v)) = ln(v), not
+    // crash or drop it
+    val novel = graft.llm.TextOps
+      .bigramNllAgainstLm(df(Seq((99L, "qq zz qq", "en", "srcN", 8L))), ab, ctx, v)
+      .collect()
+    assert(novel.length === 1)
+    val nll = novel.head.getAs[Double]("nll")
+    val vSize = v.collect().head.getLong(0).toDouble
+    assert(math.abs(nll - math.log(vSize)) < 1e-3,
+      s"unseen grams must score ln(v)=${math.log(vSize)}, got $nll")
+  }
+
   test("ST16: the streamed SQ8 range monitor merges to the exact " +
     "per-dim stats and an out-of-range batch expands the range") {
     val dir = tmp("graft-st16")
