@@ -420,7 +420,15 @@ object Jx {
         budgetPct = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L),
         maxEpochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L),
         nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
-      case "ppl_buckets" => graft.llm.TextOps.pplBucketsOf(docs)
+      case "ppl_buckets" =>
+        // standard corpus + dataset → score against the frozen bigram-LM
+        // artifact (the same tables the streamed score store probes);
+        // any other corpus trains the LM in-plan from the subquery
+        if (plainDocuments && dataset.isDefined) {
+          val (ab, ctx, v) = graft.llm.TextOps.bigramLmStored(spark, dataset.get)
+          graft.llm.TextOps.pplTiersFrom(
+            graft.llm.TextOps.bigramNllAgainstLm(docs, ab, ctx, v))
+        } else graft.llm.TextOps.pplBucketsOf(docs)
       case "dataset_card" =>
         // the card is only defined over the standard dataset (its dup and
         // decon columns need the stored pair-graph/bench conventions)

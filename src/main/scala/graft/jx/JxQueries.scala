@@ -488,7 +488,7 @@ object JxQueries {
     "jx_order_audit" ->
       ((s, d) => Jx.run(s, orderAuditJson, name => t(s, d, name))),
     "jx_ppl_buckets" ->
-      ((s, d) => Jx.run(s, pplBucketsJson, name => t(s, d, name))),
+      ((s, d) => Jx.run(s, pplBucketsJson, name => t(s, d, name), Some(d))),
     "jx_anneal_order" ->
       ((s, d) => Jx.run(s, annealOrderJson, name => t(s, d, name))),
     "jx_curriculum_order" ->

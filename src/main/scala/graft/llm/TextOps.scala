@@ -1138,6 +1138,39 @@ object TextOps {
       .orderBy("source", "bucket")
   }
 
+  /** X4q-gate: the tier DECISION list — perplexity buckets turned into
+    * the per-doc keep/drop a pipeline anti-joins against (the published
+    * recipe's actual use: keep more tiers of trusted sources, head-only
+    * of crawl). Policy follows the repo's curated convention
+    * (srcN, N%3==0 = curated): curated keeps head+middle, crawl keeps
+    * head only. Emitted per doc with its tier so downstream can re-cut
+    * the policy without re-scoring; the 300-doc readout slice is the
+    * driver key, the full frame is the pipeline input. Scale shape
+    * inherits [[pplBucketsOf]]: the rank runs over the per-doc score
+    * table, the decision is a stateless in-row CASE. */
+  val textPplGate: Q = (s, d) => pplGateOf(t(s, d, "documents"))
+    .orderBy("doc_id").limit(300)
+
+  /** The full decision frame over ANY (doc_id, source, text) corpus (jx
+    * `corpus_op` entry point). */
+  def pplGateOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val (ab, ctx, v) = bigramLmOf(docs)
+    pplGateFrom(bigramNllAgainstLm(docs, ab, ctx, v))
+  }
+
+  /** The decision half over ANY (doc_id, source, n_bigrams, nll) score
+    * frame — tier assignment + the per-source tier policy. */
+  private[graft] def pplGateFrom(all: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tier = Window.partitionBy("source").orderBy(col("nll"), col("doc_id"))
+    all.withColumn("bucket", ntile(3).over(tier))
+      .withColumn("curated", expr("CAST(substr(source, 4) AS INT) % 3 = 0"))
+      .withColumn("keep",
+        when(col("curated"), col("bucket") <= 2).otherwise(col("bucket") === 1))
+      .select("doc_id", "source", "bucket", "nll", "keep")
+  }
+
   /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
     * md5). Identical fingerprints ⇒ same bag of words — the cheap exact
     * near-dup key; groupBy(fingerprint) at scale shuffles only the 16-byte
@@ -2001,6 +2034,7 @@ object TextOps {
     "text_logfreq" -> textLogfreq,
     "text_bigram_nll" -> textBigramNll,
     "text_ppl_buckets" -> textPplBuckets,
+    "text_ppl_gate" -> textPplGate,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
 
@@ -2025,6 +2059,36 @@ object TextOps {
            qcm AS (SELECT w, ln((cc + 1.0) / (c_n + v))
                              - ln((rc + 1.0) / (r_n + v)) AS lo
                    FROM qcc CROSS JOIN qcn)"""
+
+  /** Shared perplexity-tier oracle chain (ppl*): bigram LM → per-doc nll
+    * (unscorable at 0) → per-source ntile(3) tiers at the doc level
+    * (`pplbk`) — the exact twin of [[bigramNllAgainstLm]] +
+    * [[pplTiersFrom]]'s rank half, reused by the bucket readout, the tier
+    * gate, and the streamed score store's verbatim gate. */
+  private[graft] val pplOracleCte: String =
+    """pplt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           pplb AS (SELECT doc_id, t[i] AS a, t[i+1] AS b
+                    FROM (SELECT doc_id, t,
+                                 unnest(generate_series(1, len(t) - 1)) AS i
+                          FROM pplt WHERE len(t) >= 2)),
+           pplbc AS (SELECT a, b, count(*) AS c_ab FROM pplb GROUP BY 1, 2),
+           pplcc AS (SELECT a, count(*) AS c_a FROM pplb GROUP BY 1),
+           pplv AS (SELECT count(DISTINCT w) AS v
+                    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+                    WHERE length(w) > 0),
+           ppls AS (SELECT g.doc_id, count(*) AS n_bigrams,
+                           round(avg(-ln((bc.c_ab + 1.0) / (cc.c_a + pplv.v))), 4) AS nll
+                    FROM pplb g JOIN pplbc bc USING (a, b) JOIN pplcc cc USING (a)
+                         CROSS JOIN pplv
+                    GROUP BY g.doc_id),
+           pplall AS (SELECT d.doc_id, d.source,
+                             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                             coalesce(s.nll, 0.0) AS nll
+                      FROM documents d LEFT JOIN ppls s USING (doc_id)),
+           pplbk AS (SELECT *, CAST(ntile(3) OVER (
+                              PARTITION BY source ORDER BY nll, doc_id) AS INT)
+                              AS bucket
+                     FROM pplall)"""
 
   /** The train-order oracle chain (tro*) parameterized on its corpus
     * source — `from` is a table or CTE with (doc_id, source, text) —
@@ -2653,29 +2717,7 @@ object TextOps {
          FROM big g JOIN bc USING (a, b) JOIN cc USING (a) CROSS JOIN vv
          GROUP BY g.doc_id ORDER BY g.doc_id LIMIT 300""",
     "text_ppl_buckets" ->
-      """WITH pplt AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-           pplb AS (SELECT doc_id, t[i] AS a, t[i+1] AS b
-                    FROM (SELECT doc_id, t,
-                                 unnest(generate_series(1, len(t) - 1)) AS i
-                          FROM pplt WHERE len(t) >= 2)),
-           pplbc AS (SELECT a, b, count(*) AS c_ab FROM pplb GROUP BY 1, 2),
-           pplcc AS (SELECT a, count(*) AS c_a FROM pplb GROUP BY 1),
-           pplv AS (SELECT count(DISTINCT w) AS v
-                    FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-                    WHERE length(w) > 0),
-           ppls AS (SELECT g.doc_id, count(*) AS n_bigrams,
-                           round(avg(-ln((bc.c_ab + 1.0) / (cc.c_a + pplv.v))), 4) AS nll
-                    FROM pplb g JOIN pplbc bc USING (a, b) JOIN pplcc cc USING (a)
-                         CROSS JOIN pplv
-                    GROUP BY g.doc_id),
-           pplall AS (SELECT d.doc_id, d.source,
-                             CAST(coalesce(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
-                             coalesce(s.nll, 0.0) AS nll
-                      FROM documents d LEFT JOIN ppls s USING (doc_id)),
-           pplbk AS (SELECT *, CAST(ntile(3) OVER (
-                              PARTITION BY source ORDER BY nll, doc_id) AS INT)
-                              AS bucket
-                     FROM pplall)
+      s"""WITH $pplOracleCte
          SELECT source, bucket,
                 CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                             ELSE 'tail' END AS label,
@@ -2685,6 +2727,12 @@ object TextOps {
                 round(CAST(sum(CAST(nll AS DECIMAL(28,4))) AS DOUBLE)
                       / count(*), 4) AS mean_nll
          FROM pplbk GROUP BY 1, 2, 3 ORDER BY source, bucket""",
+    "text_ppl_gate" ->
+      s"""WITH $pplOracleCte
+         SELECT doc_id, source, bucket, nll,
+                CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
+                     THEN bucket <= 2 ELSE bucket = 1 END AS keep
+         FROM pplbk ORDER BY doc_id LIMIT 300""",
     "text_logfreq" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
            t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),

@@ -154,6 +154,11 @@ object QueryService {
         // text_pack_manifest's frames verbatim, oracles inherited
         s""""order_head":${graft.jx.Jx.listJson(
           graft.llm.TextOps.queries("text_train_order")(spark, dataset))},""" +
+        // the trainer-side proof the emitted order is well-mixed: per
+        // (epoch, shard) total-variation distance vs the epoch mix —
+        // text_order_audit's frame verbatim, oracle inherited
+        s""""mix_audit":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_order_audit")(spark, dataset))},""" +
         s""""packing":${graft.jx.Jx.listJson(
           graft.llm.TextOps.queries("text_pack_manifest")(spark, dataset))}}"""
     }
@@ -190,6 +195,11 @@ object QueryService {
           graft.llm.Similarity.queries("text_topic_mix")(spark, dataset))},""" +
         s""""report":${graft.jx.Jx.listJson(
           graft.llm.TextOps.queries("text_curation_report")(spark, dataset))},""" +
+        // per-source perplexity tiers re-ranked from the streamed
+        // LM-score store (stream_ppl_store's frame verbatim — the panel
+        // inherits text_ppl_buckets' oracle through it)
+        s""""tiers":${graft.jx.Jx.listJson(
+          graft.streaming.Streams.queries("stream_ppl_store")(spark, dataset))},""" +
         s""""funnel":${graft.jx.Jx.listJson(
           graft.llm.Pipeline.queries("pipeline_funnel")(spark, dataset))}}"""
     }

@@ -313,8 +313,18 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "quality"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("sources", "mix", "report", "funnel").foreach(s =>
+      Seq("sources", "mix", "report", "tiers", "funnel").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the tiers section re-ranks the streamed LM-score store and is
+      // byte-identical to the stream_ppl_store driver key
+      val tiers = panel.get("tiers").get("data")
+      val tiersDirect = graft.streaming.Streams
+        .queries("stream_ppl_store")(spark, sf).collect()
+      assert(tiers.size() === tiersDirect.length)
+      assert(tiers.get(0).get("mean_nll").asDouble() ===
+        tiersDirect.head.getAs[Double]("mean_nll"))
+      Seq("source", "bucket", "label", "n_docs", "mean_nll").foreach(c =>
+        assert(tiers.get(0).has(c), s"missing tiers column $c"))
       // the funnel section carries the 4-stage curation audit
       val fun = panel.get("funnel").get("data")
       assert(fun.size() === 4)
@@ -381,8 +391,19 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "plan"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("schedule", "fertility", "drift", "order_head", "packing").foreach(s =>
+      Seq("schedule", "fertility", "drift", "order_head", "mix_audit",
+        "packing").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the mix audit mirrors text_order_audit: per (epoch, shard) TV
+      // distance vs the epoch mix, byte-identical to the driver key
+      val aud = panel.get("mix_audit").get("data")
+      val audDirect = graft.llm.TextOps
+        .queries("text_order_audit")(spark, sf).collect()
+      assert(aud.size() === audDirect.length)
+      assert(aud.get(0).get("tv_mix").asDouble() ===
+        audDirect.head.getAs[Double]("tv_mix"))
+      Seq("epoch", "shard", "n_docs", "n_tokens", "n_sources", "tv_mix")
+        .foreach(c => assert(aud.get(0).has(c), s"missing audit column $c"))
       // the executable-order page mirrors text_train_order's head
       val ord = panel.get("order_head").get("data")
       val ordDirect = graft.llm.TextOps
