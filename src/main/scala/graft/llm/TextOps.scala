@@ -1171,6 +1171,46 @@ object TextOps {
       .select("doc_id", "source", "bucket", "nll", "keep")
   }
 
+  /** X4s: QUALITY CALIBRATION — the governance readout that answers "is
+    * the learned gate aligned with the heuristics it will replace?": the
+    * NB classifier score binned into fixed 0.01-wide bins (a stateless
+    * in-row floor — deliberately NOT deciles, whose global ntile would
+    * need a corpus-wide sort; 0.01 because a mean per-token log-odds
+    * concentrates near 0), each bin carrying its doc count, pass
+    * count, share of heuristically-clean docs, and the decimal-exact
+    * heuristic-quality mean. A calibrated gate shows clean share and
+    * mean quality rising monotonically with the score bin; an inversion
+    * is the retrain alarm. Scale shape: one join of two per-doc score
+    * frames on doc_id, then a bounded-key groupBy with map-side
+    * partials. */
+  val textQualityCalibration: Q = (s, d) =>
+    qualityCalibrationOf(t(s, d, "documents"))
+
+  /** The same calibration over any (doc_id, text, n_chars) corpus. */
+  def qualityCalibrationOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val heur = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_stop",
+        size(expr("filter(toks, w -> w IN ('the', 'a', 'of', 'and', 'to'))")))
+      .select(col("doc_id"),
+        r4(when(col("n_chars") < 100, 0.2).otherwise(1.0) *
+          when(col("n_stop") === 0, 0.5).otherwise(1.0)).as("quality"))
+    classifierScoresOf(docs).select(col("doc_id"), col("score"), col("selected"))
+      .join(heur, Seq("doc_id"))
+      .withColumn("score_bin", floor(col("score") * 100).cast("long"))
+      .groupBy("score_bin")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("selected"), lit(1))).as("n_sel"),
+        count(when(col("quality") >= 1.0, lit(1))).as("n_clean"),
+        r4(sum(col("quality").cast("decimal(28,4)")).cast("double") /
+          count(lit(1))).as("mean_quality"))
+      .select(col("score_bin"), col("n_docs"), col("n_sel"),
+        expr("(1000 * n_clean) div n_docs").as("clean_permille"),
+        col("mean_quality"))
+      .orderBy("score_bin")
+  }
+
   /** Document fingerprinting: canonical-form hash (sorted distinct tokens →
     * md5). Identical fingerprints ⇒ same bag of words — the cheap exact
     * near-dup key; groupBy(fingerprint) at scale shuffles only the 16-byte
@@ -2035,6 +2075,7 @@ object TextOps {
     "text_bigram_nll" -> textBigramNll,
     "text_ppl_buckets" -> textPplBuckets,
     "text_ppl_gate" -> textPplGate,
+    "text_quality_calibration" -> textQualityCalibration,
     "text_fingerprint" -> textFingerprint,
     "text_tfidf" -> textTfidf)
 
@@ -2733,6 +2774,29 @@ object TextOps {
                 CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 0
                      THEN bucket <= 2 ELSE bucket = 1 END AS keep
          FROM pplbk ORDER BY doc_id LIMIT 300""",
+    "text_quality_calibration" ->
+      s"""WITH $nbOracleCte,
+           qcalsc AS (SELECT f.doc_id,
+                             round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                   / count(*), 4) AS score
+                      FROM qcf f JOIN qcm m USING (w) GROUP BY f.doc_id),
+           qcalh AS (SELECT doc_id,
+                            round((CASE WHEN n_chars < 100 THEN 0.2 ELSE 1.0 END) *
+                                  (CASE WHEN len(list_filter(string_split(text, ' '),
+                                     w -> w IN ('the', 'a', 'of', 'and', 'to'))) = 0
+                                     THEN 0.5 ELSE 1.0 END), 4) AS quality
+                     FROM documents),
+           qcalj AS (SELECT s.doc_id, s.score, s.score > 0 AS selected,
+                            h.quality,
+                            CAST(floor(s.score * 100) AS BIGINT) AS score_bin
+                     FROM qcalsc s JOIN qcalh h USING (doc_id))
+         SELECT score_bin, count(*) AS n_docs,
+                count(*) FILTER (WHERE selected) AS n_sel,
+                CAST((1000 * count(*) FILTER (WHERE quality >= 1.0))
+                     // count(*) AS BIGINT) AS clean_permille,
+                round(CAST(sum(CAST(quality AS DECIMAL(28,4))) AS DOUBLE)
+                      / count(*), 4) AS mean_quality
+         FROM qcalj GROUP BY 1 ORDER BY score_bin""",
     "text_logfreq" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
            t2 AS (SELECT doc_id, w FROM toks WHERE length(w) > 0),

@@ -1217,6 +1217,26 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  // ---- text_quality_calibration ----
+
+  test("quality calibration: bins partition the corpus and the gate " +
+    "decision splits exactly at the bin boundary") {
+    val out = run("text_quality_calibration").collect()
+    val total = graft.Tables.t(spark, sf, "documents").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum === total,
+      "every doc must land in exactly one score bin")
+    out.foreach { r =>
+      val (bin, n, sel) = (r.getAs[Long]("score_bin"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_sel"))
+      if (bin >= 1) assert(sel === n, s"bin $bin must be fully selected: $r")
+      if (bin <= -1) assert(sel === 0L, s"bin $bin must be fully rejected: $r")
+      val mq = r.getAs[Double]("mean_quality")
+      assert(mq > 0.0 && mq <= 1.0, s"mean quality out of range: $r")
+      val pm = r.getAs[Long]("clean_permille")
+      assert(pm >= 0L && pm <= 1000L, s"permille out of range: $r")
+    }
+  }
+
   // ---- text_ppl_buckets ----
 
   test("ppl buckets: tiers partition each source, sizes within 1, nll " +
