@@ -319,6 +319,12 @@ object Jx {
         ensembleSources =
           if (opt(p, "ensemble").exists(_.asBoolean()))
             Some(corpus.select("doc_id", "source"))
+          else None,
+        // `"tiered": true` composes the X4aa CCNet perplexity-tier gate
+        // in front instead — the corpus query must then carry `source`
+        tieredSources =
+          if (opt(p, "tiered").exists(_.asBoolean()))
+            Some(corpus.select("doc_id", "source"))
           else None)
     }
 
@@ -466,6 +472,8 @@ object Jx {
           graft.llm.Dedup.queries("dedup_split_leakfree")(spark, dataset.get)
         else graft.llm.Dedup.splitLeakfreeOf(docs)
       case "quality_classifier" => graft.llm.TextOps.qualityClassifierOf(docs)
+      case "quality_calibration" =>
+        graft.llm.TextOps.qualityCalibrationOf(docs)
       case "quality_ensemble" => graft.llm.TextOps.qualityEnsembleOf(docs)
       case "fertility" =>
         // standard corpus + dataset → probe the stored BPE vocabulary

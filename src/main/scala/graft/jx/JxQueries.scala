@@ -275,6 +275,14 @@ object JxQueries {
     "sort": ["doc_id"],
     "limit": 300}"""
 
+  private val pipelineTieredJson = """{
+    "pipeline": {
+      "tiered": true,
+      "corpus": {"from": "documents", "where": {"gte": ["doc_id", 10]}},
+      "benchmark": {"from": "documents", "where": {"lt": ["doc_id", 10]}}},
+    "sort": ["doc_id"],
+    "limit": 300}"""
+
   private val releaseJson = """{
     "pipeline": {
       "release": true,
@@ -304,6 +312,9 @@ object JxQueries {
 
   private val pplBucketsJson = """{
     "corpus_op": {"op": "ppl_buckets", "corpus": {"from": "documents"}}}"""
+
+  private val qualityCalibrationJson = """{
+    "corpus_op": {"op": "quality_calibration", "corpus": {"from": "documents"}}}"""
 
   private val curriculumOrderJson = """{
     "corpus_op": {"op": "curriculum_order", "corpus": {"from": "documents"}}}"""
@@ -475,6 +486,8 @@ object JxQueries {
     "jx_order" -> ((s, d) => Jx.run(s, orderJson, name => t(s, d, name))),
     "jx_pipeline_ensemble" ->
       ((s, d) => Jx.run(s, pipelineEnsembleJson, name => t(s, d, name))),
+    "jx_pipeline_tiered" ->
+      ((s, d) => Jx.run(s, pipelineTieredJson, name => t(s, d, name))),
     "jx_quality_gate" -> ((s, d) => Jx.run(s, qualityGateJson, name => t(s, d, name))),
     "jx_payload_quality" ->
       ((s, d) => Jx.run(s, payloadQualityJson, name => t(s, d, name))),
@@ -489,6 +502,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, orderAuditJson, name => t(s, d, name))),
     "jx_ppl_buckets" ->
       ((s, d) => Jx.run(s, pplBucketsJson, name => t(s, d, name), Some(d))),
+    "jx_quality_calibration" ->
+      ((s, d) => Jx.run(s, qualityCalibrationJson, name => t(s, d, name))),
     "jx_anneal_order" ->
       ((s, d) => Jx.run(s, annealOrderJson, name => t(s, d, name))),
     "jx_curriculum_order" ->
@@ -571,6 +586,8 @@ object JxQueries {
     "jx_pipeline" -> graft.llm.Pipeline.oracle("pipeline_corpus"),
     "jx_pipeline_ensemble" ->
       graft.llm.Pipeline.oracle("pipeline_corpus_ensemble"),
+    "jx_pipeline_tiered" ->
+      graft.llm.Pipeline.oracle("pipeline_corpus_tiered"),
     "jx_release" -> graft.llm.Pipeline.oracle("pipeline_corpus_release"),
     "jx_order" -> graft.llm.Pipeline.oracle("pipeline_corpus_order"),
     // same single-surface contract for the corpus ops: the jx front end
@@ -583,6 +600,8 @@ object JxQueries {
     "jx_train_order" -> graft.llm.TextOps.oracle("text_train_order"),
     "jx_order_audit" -> graft.llm.TextOps.oracle("text_order_audit"),
     "jx_ppl_buckets" -> graft.llm.TextOps.oracle("text_ppl_buckets"),
+    "jx_quality_calibration" ->
+      graft.llm.TextOps.oracle("text_quality_calibration"),
     "jx_anneal_order" -> graft.llm.TextOps.oracle("text_anneal_order"),
     "jx_curriculum_order" -> graft.llm.TextOps.oracle("text_curriculum_order"),
     "jx_payload_pack" -> graft.llm.Multimodal.oracle("mm_pack"),

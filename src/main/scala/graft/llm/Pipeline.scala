@@ -63,10 +63,11 @@ object Pipeline {
       qualitySources: Option[DataFrame] = None,
       canonicalQuality: Option[DataFrame] = None,
       payloadGate: Boolean = false,
-      ensembleSources: Option[DataFrame] = None): DataFrame = {
+      ensembleSources: Option[DataFrame] = None,
+      tieredSources: Option[DataFrame] = None): DataFrame = {
     val survivors = corpusSurvivors(corpus, bench, jaccardThreshold,
       minOverlap, trimSpans, qualitySources, canonicalQuality, payloadGate,
-      ensembleSources)
+      ensembleSources, tieredSources)
     TextOps.packChunks(survivors, ctx, nShards)
       .join(survivors.select(col("doc_id"), md5(col("text")).as("final_md5")),
         Seq("doc_id"))
@@ -82,7 +83,8 @@ object Pipeline {
       qualitySources: Option[DataFrame] = None,
       canonicalQuality: Option[DataFrame] = None,
       payloadGate: Boolean = false,
-      ensembleSources: Option[DataFrame] = None): DataFrame = {
+      ensembleSources: Option[DataFrame] = None,
+      tieredSources: Option[DataFrame] = None): DataFrame = {
     // optional X5e stage, FIRST and on the RAW rows (payload integrity is
     // a property of the stored bytes, not the hygienic text): decode the
     // payload via the mapPartitions codec plumbing and keep only rows
@@ -102,15 +104,22 @@ object Pipeline {
     // optional X4w stage at the same slot: the 2-of-3 multi-filter vote
     // (NB classifier + Gopher repetition + NLL percentile) over the
     // hygienic corpus — the FineWeb-style front gate
-    val hygCorpus = (qualitySources, ensembleSources) match {
-      case (Some(srcs), _) =>
+    // optional X4aa stage at the same slot: the CCNet tier gate — each
+    // source's head (curated: head+middle) by self-trained bigram-LM
+    // score reaches the shingle pass
+    val hygCorpus = (qualitySources, ensembleSources, tieredSources) match {
+      case (Some(srcs), _, _) =>
         TextOps.qualityFilterOf(hygCorpus0.join(srcs, Seq("doc_id")))
           .select("doc_id").join(hygCorpus0, Seq("doc_id"))
-      case (None, Some(srcs)) =>
+      case (None, Some(srcs), _) =>
         TextOps.ensembleVotesOf(hygCorpus0.join(srcs, Seq("doc_id")))
           .filter(col("keep")).select("doc_id")
           .join(hygCorpus0, Seq("doc_id"))
-      case (None, None) => hygCorpus0
+      case (None, None, Some(srcs)) =>
+        TextOps.pplGateOf(hygCorpus0.join(srcs, Seq("doc_id")))
+          .filter(col("keep")).select("doc_id")
+          .join(hygCorpus0, Seq("doc_id"))
+      case (None, None, None) => hygCorpus0
     }
     // the one shingle pass over corpus ∪ bench, materialized and shared
     // (see object doc); bench rows ride along so decontamination reuses it
@@ -219,6 +228,20 @@ object Pipeline {
     val docs = t(s, d, "documents")
     corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
         ensembleSources = Some(docs.select("doc_id", "source")))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** The chain with the X4aa CCNet tier gate composed in front: only
+    * each source's most-corpus-like tier (curated sources: head+middle,
+    * crawl: head only) reaches the shingle pass — the published
+    * perplexity-bucket curation order, and at 100 TB the same
+    * halve-everything-downstream win as the percentile gate, with the
+    * policy expressed per source instead of one global cut. */
+  val pipelineCorpusTiered: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        tieredSources = Some(docs.select("doc_id", "source")))
       .orderBy("doc_id")
       .limit(300)
   }
@@ -427,6 +450,7 @@ object Pipeline {
     "pipeline_corpus_trim" -> pipelineCorpusTrim,
     "pipeline_corpus_quality" -> pipelineCorpusQuality,
     "pipeline_corpus_ensemble" -> pipelineCorpusEnsemble,
+    "pipeline_corpus_tiered" -> pipelineCorpusTiered,
     "pipeline_corpus_canonical" -> pipelineCorpusCanonical,
     "pipeline_corpus_manifest" -> pipelineCorpusManifest,
     "pipeline_corpus_mm" -> pipelineCorpusMm)
@@ -585,6 +609,39 @@ object Pipeline {
                      FROM corp c JOIN evote v ON v.doc_id = c.doc_id
                      WHERE v.n_pass >= 2),"""
 
+  /** The X4aa gate as oracle CTEs: the perplexity-tier chain (bigram LM
+    * trained on the hygienic corpus slice, per-source ntile(3), the
+    * curated-keeps-more policy) → `corpt`, the kept slice the shingle
+    * pass reads. Prefix tg*. */
+  private val tieredGateCtes: String =
+    """tgsrc AS (SELECT c.doc_id, d.source, c.text
+                 FROM corp c JOIN documents d USING (doc_id)),
+           tgt AS (SELECT doc_id, string_split(text, ' ') AS t FROM tgsrc),
+           tgb AS (SELECT doc_id, t[i] AS a, t[i+1] AS b
+                   FROM (SELECT doc_id, t,
+                                unnest(generate_series(1, len(t) - 1)) AS i
+                         FROM tgt WHERE len(t) >= 2)),
+           tgbc AS (SELECT a, b, count(*) AS c_ab FROM tgb GROUP BY 1, 2),
+           tgcc AS (SELECT a, count(*) AS c_a FROM tgb GROUP BY 1),
+           tgv AS (SELECT count(DISTINCT w) AS v
+                   FROM (SELECT unnest(string_split(text, ' ')) AS w FROM tgsrc)
+                   WHERE length(w) > 0),
+           tgs AS (SELECT g.doc_id,
+                          round(avg(-ln((bc.c_ab + 1.0) / (cc.c_a + tgv.v))), 4) AS nll
+                   FROM tgb g JOIN tgbc bc USING (a, b) JOIN tgcc cc USING (a)
+                        CROSS JOIN tgv
+                   GROUP BY g.doc_id),
+           tgall AS (SELECT s.doc_id, s.source, coalesce(p.nll, 0.0) AS nll
+                     FROM tgsrc s LEFT JOIN tgs p USING (doc_id)),
+           tgbk AS (SELECT *, CAST(ntile(3) OVER (
+                             PARTITION BY source ORDER BY nll, doc_id) AS INT)
+                             AS bucket
+                    FROM tgall),
+           corpt AS (SELECT c.doc_id, c.text
+                     FROM corp c JOIN tgbk k ON k.doc_id = c.doc_id
+                     WHERE CASE WHEN CAST(substr(k.source, 4) AS INT) % 3 = 0
+                                THEN k.bucket <= 2 ELSE k.bucket = 1 END),"""
+
   /** The X5e gate as oracle CTEs: byte-moment quality over the RAW
     * payload bytes (mm_quality's construction) → `corpmm`, the kept
     * corpus slice the shingle pass reads. */
@@ -651,6 +708,9 @@ object Pipeline {
            ${packTail("survivors")}""",
     "pipeline_corpus_ensemble" ->
       s"""${hygienePrefixFrom("corpe", ensembleGateCtes)},
+           ${packTail("survivors")}""",
+    "pipeline_corpus_tiered" ->
+      s"""${hygienePrefixFrom("corpt", tieredGateCtes)},
            ${packTail("survivors")}""",
     "pipeline_corpus_canonical" ->
       s"""${hygienePrefixFrom("corp", canonicalDroplist = true)},

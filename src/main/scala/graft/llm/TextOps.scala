@@ -486,7 +486,7 @@ object TextOps {
         .select(col("source"), col("scheduled_tok").as("quota_tok")),
       maxEpochs, nShards, shardSalt = "")
 
-  /** X4w: TRAINING-ORDER MIX AUDIT — the trainer-side validation of
+  /** X4ab: TRAINING-ORDER MIX AUDIT — the trainer-side validation of
     * [[textTrainOrder]]'s interleave: per (epoch, shard), is the shard's
     * source mixture the epoch's mixture? A worker reads one shard
     * sequentially, so a badly-mixed shard IS a curriculum the planner
@@ -1088,7 +1088,7 @@ object TextOps {
       .select("doc_id", "source", "n_bigrams", "nll")
   }
 
-  /** X4q: PERPLEXITY BUCKETS — the published head/middle/tail recipe: rank
+  /** X4aa: PERPLEXITY BUCKETS — the published head/middle/tail recipe: rank
     * every doc by its LM score WITHIN its source and cut each source into
     * three equal tiers (head = most corpus-like), so per-source tier quotas
     * ("keep head+middle of low-resource sources, head only of crawl") can
@@ -1138,7 +1138,7 @@ object TextOps {
       .orderBy("source", "bucket")
   }
 
-  /** X4q-gate: the tier DECISION list — perplexity buckets turned into
+  /** X4aa-gate: the tier DECISION list — perplexity buckets turned into
     * the per-doc keep/drop a pipeline anti-joins against (the published
     * recipe's actual use: keep more tiers of trusted sources, head-only
     * of crawl). Policy follows the repo's curated convention
@@ -1171,7 +1171,7 @@ object TextOps {
       .select("doc_id", "source", "bucket", "nll", "keep")
   }
 
-  /** X4s: QUALITY CALIBRATION — the governance readout that answers "is
+  /** X4ac: QUALITY CALIBRATION — the governance readout that answers "is
     * the learned gate aligned with the heuristics it will replace?": the
     * NB classifier score binned into fixed 0.01-wide bins (a stateless
     * in-row floor — deliberately NOT deciles, whose global ntile would

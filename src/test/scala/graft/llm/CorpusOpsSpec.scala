@@ -921,6 +921,31 @@ class CorpusOpsSpec extends graft.SparkSpec {
       s"ensemble gate had no effect: ${survivors.size} vs ${plain.size}")
   }
 
+  // ---- pipeline_corpus_tiered ----
+
+  test("tier-gated chain: every survivor passed the per-source tier " +
+      "policy on the hygienic corpus and the gate actually bites") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val corpus = docs.filter(col("doc_id") >= 10)
+    val hyg = corpus.select(col("doc_id"),
+      Pipeline.hygienicText(col("text")).as("text"))
+    val keep = TextOps.pplGateOf(
+        hyg.join(docs.select("doc_id", "source"), Seq("doc_id")))
+      .filter(col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val survivors = run("pipeline_corpus_tiered").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors.nonEmpty)
+    assert(survivors.subsetOf(keep),
+      s"chain emitted docs the tier gate rejected: ${(survivors -- keep).take(5)}")
+    // the gate drops someone the ungated chain kept (crawl keeps 1 of 3
+    // tiers — it must bite on any multi-source corpus)
+    val plain = run("pipeline_corpus").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors.size < plain.size,
+      s"tier gate had no effect: ${survivors.size} vs ${plain.size}")
+  }
+
   // ---- text_ngram_novelty ----
 
   test("novelty is a [0,1] fraction, first doc is fully novel, and novel " +
