@@ -1111,9 +1111,33 @@ object TextOps {
   /** The same bucket readout over ANY (doc_id, source, text) frame (jx
     * `corpus_op` entry point). */
   def pplBucketsOf(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = pplTiersFrom(bigramNllSelfOf(docs))
+
+  /** Train-on-self scoring with ONE materialized bigram pass shared by
+    * the model build and the scoring join (the hygiene chain's
+    * shingle-pass discipline — without it the upstream text pipeline,
+    * regexes included, re-runs once per model table; at 100 TB the
+    * checkpoint is a parquet bigram table). Same arithmetic as
+    * [[bigramNllAgainstLm]] over [[bigramLmOf]] — scores are identical,
+    * only the plan shape differs. */
+  private[graft] def bigramNllSelfOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val (ab, ctx, v) = bigramLmOf(docs)
-    pplTiersFrom(bigramNllAgainstLm(docs, ab, ctx, v))
+    val big = bigramsOf(docs).localCheckpoint()
+    val ab = big.groupBy("a", "b").agg(count(lit(1)).as("c_ab"))
+    val ctx = big.groupBy("a").agg(count(lit(1)).as("c_a"))
+    val v = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .agg(countDistinct(col("w")).as("v"))
+    val scored = big.join(ab, Seq("a", "b")).join(ctx, Seq("a"))
+      .crossJoin(broadcast(v))
+      .withColumn("nll", -log((col("c_ab") + lit(1.0)) / (col("c_a") + col("v"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), r4(avg("nll")).as("nll"))
+    docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .withColumn("nll", coalesce(col("nll"), lit(0.0)))
+      .select("doc_id", "source", "n_bigrams", "nll")
   }
 
   /** The tier readout over ANY (doc_id, source, n_bigrams, nll) score
@@ -1154,10 +1178,7 @@ object TextOps {
   /** The full decision frame over ANY (doc_id, source, text) corpus (jx
     * `corpus_op` entry point). */
   def pplGateOf(docs: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
-    val (ab, ctx, v) = bigramLmOf(docs)
-    pplGateFrom(bigramNllAgainstLm(docs, ab, ctx, v))
-  }
+      : org.apache.spark.sql.DataFrame = pplGateFrom(bigramNllSelfOf(docs))
 
   /** The decision half over ANY (doc_id, source, n_bigrams, nll) score
     * frame — tier assignment + the per-source tier policy. */
