@@ -488,6 +488,12 @@ object Jx {
         case None => graft.llm.Similarity.knnJoinOf(docs,
           opt(c, "nlist").map(_.asInt()).getOrElse(16))
       }
+      case "probe_tuning" => storeDir match {
+        case Some(dd) =>
+          graft.llm.Similarity.queries("sim_probe_tuning")(spark, dd)
+        case None => graft.llm.Similarity.probeTuningOf(docs,
+          opt(c, "nlist").map(_.asInt()).getOrElse(16))
+      }
       case "sq8" =>
         // plain standard embeddings + dataset → probe the stored SQ8
         // stats/codes artifact; any other corpus builds in-plan

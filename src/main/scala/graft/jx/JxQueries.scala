@@ -361,6 +361,9 @@ object JxQueries {
   private val knnJoinJson = """{
     "corpus_op": {"op": "knn_join", "corpus": {"from": "embeddings"}}}"""
 
+  private val probeTuningJson = """{
+    "corpus_op": {"op": "probe_tuning", "corpus": {"from": "embeddings"}}}"""
+
   private val payloadQualityJson = """{
     "corpus_op": {"op": "payload_quality", "corpus": {"from": "documents"}}}"""
 
@@ -535,6 +538,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, fertilityJson, name => t(s, d, name), Some(d))),
     "jx_knn_join" ->
       ((s, d) => Jx.run(s, knnJoinJson, name => t(s, d, name), Some(d))),
+    "jx_probe_tuning" ->
+      ((s, d) => Jx.run(s, probeTuningJson, name => t(s, d, name), Some(d))),
     "jx_semantic_dedup" ->
       ((s, d) => Jx.run(s, semanticDedupJson, name => t(s, d, name), Some(d))),
     "jx_semantic_decon" ->
@@ -618,6 +623,7 @@ object JxQueries {
     "jx_split_leakfree" -> graft.llm.Dedup.oracle("dedup_split_leakfree"),
     "jx_fertility" -> graft.llm.TextOps.oracle("text_fertility"),
     "jx_knn_join" -> graft.llm.Similarity.oracle("sim_knn_join"),
+    "jx_probe_tuning" -> graft.llm.Similarity.oracle("sim_probe_tuning"),
     "jx_semantic_dedup" -> graft.llm.Similarity.oracle("sim_semantic_dedup"),
     "jx_semantic_decon" -> graft.llm.Similarity.oracle("sim_semantic_decon"),
     "jx_decon_report" -> graft.llm.Similarity.oracle("sim_decon_report"),

@@ -288,6 +288,86 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** X3l: PROBE-DEPTH TUNING census — "measure, don't guess" applied to
+    * the nprobe knob itself: one readout row per probe depth 1..4 with
+    * the EXACT scan cost (candidate rows the probe touches) and the
+    * recall against brute-force truth for a fixed query sample. The
+    * knee of this curve is where an operator sets nprobe; the r12 kNN
+    * and r14 decon recall incidents were both found by exactly this
+    * census run at ONE depth — this key makes the whole curve a single
+    * query. Scale shape: candidates are sample × (nprobe/nlist)·n rows,
+    * brute truth is sample × n exact dots — both bounded by the sample,
+    * never n²; each depth's top-k is a window over the SHARED candidate
+    * table annotated with the minimum depth that reaches it (the probe
+    * runs once at depth 4, shallower depths are filters — no rescan per
+    * depth). Determinism: rounded cosine + id tie-break on both the
+    * probe and truth sides, the graph family's recipe. */
+  val simProbeTuning: Q = (s, d) => {
+    val (vecs, _, scored, assign) = ivfIndex(s, d, 16)
+    probeTuningFrom(vecs, scored, assign)
+  }
+
+  /** The same census over ANY (vec_id, embedding) frame with an in-plan
+    * quantizer (jx `corpus_op` entry point). */
+  def probeTuningOf(embs: DataFrame, nlist: Int = 16): DataFrame = {
+    val (vecs, _, scored, assign) = ivfIndexOf(embs, nlist)
+    probeTuningFrom(vecs, scored, assign)
+  }
+
+  private def probeTuningFrom(vecs: DataFrame, scored: DataFrame,
+      assign: DataFrame, sampleMax: Long = 20L, maxProbe: Int = 4,
+      k: Int = 3): DataFrame = {
+    val inv = assign.join(vecs, Seq("vec_id"))
+      .select(col("cid"), col("vec_id").as("nid"),
+        col("embedding").as("nv"), col("norm2").as("nn"))
+    val probes = scored.filter(col("vec_id") < sampleMax)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
+      .filter(col("rk") <= maxProbe)
+      .select(col("vec_id").as("qid"), col("cid"), col("rk"))
+    val q = vecs.filter(col("vec_id") < sampleMax)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("norm2").as("qn"))
+    // every candidate annotated with the MINIMUM depth that reaches it
+    val cand = probes.join(inv, Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        r4(DotProduct(col("qv"), col("nv")) / (sqrt(col("qn")) * sqrt(col("nn")))))
+      .select("qid", "nid", "rk", "cosine")
+    val wb = Window.partitionBy("qid").orderBy(desc("cosine"), asc("nid"))
+    val brute = vecs
+      .select(col("vec_id").as("nid"), col("embedding").as("nv"),
+        col("norm2").as("nn"))
+      .crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cosine",
+        r4(DotProduct(col("qv"), col("nv")) / (sqrt(col("qn")) * sqrt(col("nn")))))
+      .withColumn("rnk", row_number().over(wb))
+      .filter(col("rnk") <= k)
+      .select("qid", "nid")
+    val levels = broadcast(vecs.sparkSession.range(1L, maxProbe + 1L)
+      .select(col("id").cast("int").as("nprobe")))
+    val lc = cand.crossJoin(levels).filter(col("rk") <= col("nprobe"))
+    val wl = Window.partitionBy("nprobe", "qid").orderBy(desc("cosine"), asc("nid"))
+    val topk = lc.withColumn("rnk", row_number().over(wl))
+      .filter(col("rnk") <= k)
+      .select("nprobe", "qid", "nid")
+    val found = topk.join(brute, Seq("qid", "nid"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_found"))
+    val nTrue = brute.agg(count(lit(1)).as("n_true"))
+    lc.groupBy("nprobe")
+      .agg(countDistinct(col("qid")).as("n_sampled"),
+        count(lit(1)).as("n_cand"))
+      .crossJoin(broadcast(nTrue))
+      .join(found, Seq("nprobe"), "left")
+      .withColumn("n_found", coalesce(col("n_found"), lit(0L)))
+      .select(col("nprobe"), col("n_sampled"), col("n_cand"), col("n_true"),
+        col("n_found"),
+        r4(col("n_found").cast("double") / col("n_true")).as("recall"))
+      .orderBy("nprobe")
+  }
+
   /** X3j: semantic DECONTAMINATION — the embedding-space twin of
     * [[graft.llm.Dedup.decontaminate]]: an n-gram decontamination pass
     * only catches near-verbatim benchmark copies, while a paraphrased
@@ -1800,6 +1880,7 @@ object Similarity {
     "sim_knn_centrality" -> simKnnCentrality,
     "sim_knn_coreset" -> simKnnCoreset,
     "sim_knn_recall" -> simKnnRecall,
+    "sim_probe_tuning" -> simProbeTuning,
     "sim_quantizer_refresh" -> simQuantizerRefresh,
     "sim_ivf_delta" -> simIvfDelta,
     "sim_knn_graph" -> simKnnGraph,
@@ -2423,6 +2504,56 @@ object Similarity {
                                           ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
            FROM cand) WHERE rnk <= 5
          ORDER BY qid, rnk""",
+    // probe-depth tuning census: the sim_ivf probe replay annotated with
+    // each candidate's minimum reaching depth, one top-k + truth
+    // intersection per depth 1..4 (pt-prefixed CTEs)
+    "sim_probe_tuning" ->
+      s"""WITH $ivfOracleCte,
+           ptq AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn
+                   FROM vn WHERE vec_id < 20),
+           ptpr AS (SELECT qid, cid, rk FROM (
+             SELECT vec_id AS qid, cid,
+                    CAST(row_number() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cid ASC) AS INT) AS rk
+             FROM scored WHERE vec_id < 20) WHERE rk <= 4),
+           ptinv AS (SELECT a.cid, n.vec_id AS nid, n.v AS nv, n.norm2 AS nn
+                     FROM assign a JOIN vn n USING (vec_id)),
+           ptcand AS (
+             SELECT p.qid, i.nid, p.rk,
+                    round(list_reduce([q.qv[x] * i.nv[x]
+                                       for x in generate_series(1, 64)],
+                                      (a, b) -> a + b)
+                          / (sqrt(q.qn) * sqrt(i.nn)), 4) AS cosine
+             FROM ptpr p JOIN ptinv i USING (cid) JOIN ptq q ON q.qid = p.qid
+             WHERE p.qid <> i.nid),
+           ptbr AS (SELECT qid, nid FROM (
+             SELECT q.qid, n.vec_id AS nid,
+                    row_number() OVER (PARTITION BY q.qid ORDER BY
+                      round(list_reduce([q.qv[x] * n.v[x]
+                                         for x in generate_series(1, 64)],
+                                        (a, b) -> a + b)
+                            / (sqrt(q.qn) * sqrt(n.norm2)), 4) DESC,
+                      n.vec_id ASC) AS rnk
+             FROM ptq q CROSS JOIN vn n WHERE q.qid <> n.vec_id)
+             WHERE rnk <= 3),
+           ptlv AS (SELECT CAST(unnest(generate_series(1, 4)) AS INT) AS nprobe),
+           ptlc AS (SELECT l.nprobe, c.qid, c.nid, c.cosine,
+                           row_number() OVER (PARTITION BY l.nprobe, c.qid
+                                ORDER BY c.cosine DESC, c.nid ASC) AS rnk
+                    FROM ptlv l JOIN ptcand c ON c.rk <= l.nprobe),
+           ptfn AS (SELECT t.nprobe, count(*) AS n_found
+                    FROM (SELECT nprobe, qid, nid FROM ptlc WHERE rnk <= 3) t
+                    JOIN ptbr b ON b.qid = t.qid AND b.nid = t.nid
+                    GROUP BY 1),
+           ptnc AS (SELECT l.nprobe, count(DISTINCT c.qid) AS n_sampled,
+                           count(*) AS n_cand
+                    FROM ptlv l JOIN ptcand c ON c.rk <= l.nprobe GROUP BY 1),
+           ptnt AS (SELECT count(*) AS n_true FROM ptbr)
+         SELECT n.nprobe, n.n_sampled, n.n_cand, t.n_true,
+                coalesce(f.n_found, 0) AS n_found,
+                round(coalesce(f.n_found, 0) * 1.0 / t.n_true, 4) AS recall
+         FROM ptnc n CROSS JOIN ptnt t LEFT JOIN ptfn f ON f.nprobe = n.nprobe
+         ORDER BY n.nprobe""",
     // cross-set kNN join: the sim_ivf recipe with a %10 query/corpus
     // split, nprobe=2, k=3, and no self-exclusion (sides are disjoint)
     // semantic decontamination: the knn_join probe replay with a τ

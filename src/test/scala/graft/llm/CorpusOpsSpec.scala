@@ -1242,6 +1242,31 @@ class CorpusOpsSpec extends graft.SparkSpec {
     }
   }
 
+  // ---- sim_probe_tuning ----
+
+  test("probe tuning: cost and recall are monotone in depth, truth mass " +
+    "is k per sampled query, recall bounded") {
+    val rows = run("sim_probe_tuning").collect()
+      .sortBy(_.getAs[Int]("nprobe"))
+    assert(rows.map(_.getAs[Int]("nprobe")).toSeq === (1 to 4),
+      "one row per probe depth")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_true") === 3L * r.getAs[Long]("n_sampled"),
+        s"brute truth must be k rows per sampled query: $r")
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range: $r")
+      assert(r.getAs[Long]("n_found") <= r.getAs[Long]("n_true"), r)
+    }
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n_cand") <= b.getAs[Long]("n_cand"),
+          "scan cost must grow with depth")
+        assert(a.getAs[Double]("recall") <= b.getAs[Double]("recall"),
+          "a deeper probe sees a superset of candidates — recall can't drop")
+      case _ =>
+    }
+  }
+
   // ---- text_quality_calibration ----
 
   test("quality calibration: bins partition the corpus and the gate " +
