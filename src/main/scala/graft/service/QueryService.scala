@@ -109,6 +109,9 @@ object QueryService {
       return s"""{"recall":${section("sim_knn_recall")},""" +
         s""""balance":${section("sim_ivf_census")},""" +
         s""""drift":${section("sim_quantizer_refresh")},""" +
+        // the nprobe cost/recall curve (sim_probe_tuning's frame verbatim
+        // — the panel inherits its oracle): the knob-setting readout
+        s""""tuning":${section("sim_probe_tuning")},""" +
         s""""range":${graft.jx.Jx.listJson(
           graft.streaming.Streams.queries("stream_sq8_stats")(spark, dataset))}}"""
     }

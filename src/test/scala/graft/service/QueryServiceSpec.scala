@@ -283,8 +283,18 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "ann"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("recall", "balance", "drift", "range").foreach(s =>
+      Seq("recall", "balance", "drift", "tuning", "range").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the tuning section mirrors sim_probe_tuning: 4 depths, recall
+      // monotone, byte-identical first row to the driver key
+      val tun = panel.get("tuning").get("data")
+      assert(tun.size() === 4)
+      val tunDirect = graft.llm.Similarity
+        .queries("sim_probe_tuning")(spark, sf).collect()
+      assert(tun.get(0).get("recall").asDouble() ===
+        tunDirect.head.getAs[Double]("recall"))
+      Seq("nprobe", "n_cand", "n_true", "n_found", "recall").foreach(c =>
+        assert(tun.get(0).has(c), s"missing tuning column $c"))
       // the range section is the SQ8 per-dim monitor, 64 rows
       assert(panel.get("range").get("data").size() === 64)
       // each section is its driver key's frame byte-for-byte
