@@ -212,6 +212,19 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("pipeline_corpus_tiered: the tier-gated chain keeps the shared " +
+    "shingle pass and adds no cartesian blowup") {
+    val p = plan("pipeline_corpus_tiered")
+    assert(!p.contains("conv("), s"shingle recompute in the gated plan:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // the tier window must partition by source — a global ntile here
+    // serializes the whole score table through one task
+    val winLine = p.linesIterator.find(l =>
+      l.contains("ntile")).getOrElse("")
+    assert(winLine.isEmpty || winLine.contains("source"),
+      s"tier ntile not source-partitioned:\n$winLine")
+  }
+
   test("etl_pipeline composes without collapsing: dim broadcast, no global window") {
     val p = plan("etl_pipeline")
     assert(p.contains("BroadcastHashJoin"), p)
