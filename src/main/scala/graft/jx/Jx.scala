@@ -337,8 +337,12 @@ object Jx {
     * knn_diverse / knn_clusters / knn_stats / knn_recall /
     * knn_centrality / knn_coreset / quantizer_refresh / ivf_delta /
     * pairs_delta / pair_centrality / canonical / topic_mix /
-    * quality_monitor / curation_report) and `corpus` (a jx query,
-    * required —
+    * quality_monitor / curation_report / train_order / curriculum_order /
+    * anneal_order / order_audit / ppl_buckets / quality_calibration /
+    * probe_tuning / knn_join / sq8 / fertility / mix_schedule /
+    * anneal_schedule / dataset_card / novelty family / payload family /
+    * split_leakfree / quality_classifier / quality_ensemble) and
+    * `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
     * semantic_dedup takes `nlist`/`tau`, overlap takes `k`. The op
