@@ -141,4 +141,59 @@ class MergeAlgebraSpec extends graft.SparkSpec {
       .select(cols.map(col): _*).collect().map(_.toString).toSeq
     assert(diff === direct)
   }
+
+  test("property: the frozen-LM score store merged over any random split " +
+    "re-ranks to the one-shot perplexity tiers (ST17's algebra)") {
+    for ((seed, b) <- Seq((21L, 2), (22L, 3), (23L, 4))) {
+      val docs = corpus(90, seed)
+      val (ab0, ctx0, v0) = TextOps.bigramLmOf(docs)
+      val (ab, ctx, v) =
+        (ab0.localCheckpoint(), ctx0.localCheckpoint(), v0.localCheckpoint())
+      val merged = parts(docs, b)
+        .map(TextOps.bigramNllAgainstLm(_, ab, ctx, v))
+        .reduce(_.unionByName(_))
+      val whole = TextOps.pplBucketsOf(docs).collect().map(_.toString).toSeq
+      val reranked = TextOps.pplTiersFrom(merged)
+        .collect().map(_.toString).toSeq
+      assert(reranked === whole, s"seed=$seed b=$b")
+    }
+  }
+
+  test("property: tier sizes partition each source within 1 (larger " +
+    "first), nll ranges are ordered, and the gate keeps exactly the " +
+    "allowed tiers' mass") {
+    for (seed <- Seq(31L, 32L, 33L)) {
+      val docs = corpus(75, seed)
+      val tiers = TextOps.pplBucketsOf(docs).collect()
+      assert(tiers.map(_.getAs[Long]("n_docs")).sum === 75L, s"seed=$seed")
+      tiers.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+        val r = rows.sortBy(_.getAs[Int]("bucket"))
+        assert(r.map(_.getAs[Int]("bucket")).toSeq === (1 to r.length),
+          s"$src seed=$seed tiers not dense")
+        val sizes = r.map(_.getAs[Long]("n_docs"))
+        assert(sizes.max - sizes.min <= 1, s"$src seed=$seed ${sizes.toSeq}")
+        assert(sizes.sameElements(sizes.sortBy(x => -x)),
+          s"$src seed=$seed ${sizes.toSeq}")
+        r.sliding(2).foreach {
+          case Array(a, c) =>
+            assert(a.getAs[Double]("max_nll") <= c.getAs[Double]("min_nll"),
+              s"$src seed=$seed ranges out of order")
+          case _ =>
+        }
+      }
+      val kept = TextOps.pplGateOf(docs).collect()
+        .filter(_.getAs[Boolean]("keep"))
+        .groupBy(_.getAs[String]("source")).view
+        .mapValues(_.length.toLong).toMap
+      tiers.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+        val curated = src.stripPrefix("src").toInt % 3 == 0
+        val allowed = rows.filter { r =>
+          if (curated) r.getAs[Int]("bucket") <= 2
+          else r.getAs[Int]("bucket") == 1
+        }.map(_.getAs[Long]("n_docs")).sum
+        assert(kept.getOrElse(src, 0L) === allowed,
+          s"$src seed=$seed gate mass != allowed tier mass")
+      }
+    }
+  }
 }
