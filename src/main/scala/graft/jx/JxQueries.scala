@@ -310,6 +310,9 @@ object JxQueries {
   private val orderAuditJson = """{
     "corpus_op": {"op": "order_audit", "corpus": {"from": "documents"}}}"""
 
+  private val epochBudgetJson = """{
+    "corpus_op": {"op": "epoch_budget", "corpus": {"from": "documents"}}}"""
+
   private val pplBucketsJson = """{
     "corpus_op": {"op": "ppl_buckets", "corpus": {"from": "documents"}}}"""
 
@@ -503,6 +506,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, trainOrderJson, name => t(s, d, name))),
     "jx_order_audit" ->
       ((s, d) => Jx.run(s, orderAuditJson, name => t(s, d, name))),
+    "jx_epoch_budget" ->
+      ((s, d) => Jx.run(s, epochBudgetJson, name => t(s, d, name))),
     "jx_ppl_buckets" ->
       ((s, d) => Jx.run(s, pplBucketsJson, name => t(s, d, name), Some(d))),
     "jx_quality_calibration" ->
@@ -604,6 +609,7 @@ object JxQueries {
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
     "jx_train_order" -> graft.llm.TextOps.oracle("text_train_order"),
     "jx_order_audit" -> graft.llm.TextOps.oracle("text_order_audit"),
+    "jx_epoch_budget" -> graft.llm.TextOps.oracle("text_epoch_budget"),
     "jx_ppl_buckets" -> graft.llm.TextOps.oracle("text_ppl_buckets"),
     "jx_quality_calibration" ->
       graft.llm.TextOps.oracle("text_quality_calibration"),

@@ -537,6 +537,36 @@ object TextOps {
       .orderBy("epoch", "shard")
   }
 
+  /** X4ad: per-(source, epoch) TOKEN ACCOUNTING of the training order —
+    * the repeat-factor decomposition a trainer logs: each full pass
+    * carries the source's whole token mass (fill 1000‰), the
+    * threshold-gated final pass carries exactly the schedule's
+    * remainder. This is the step-budget table "what does epoch e of
+    * source s cost", derivable ONLY from the instance frame (the
+    * schedule says how much in total; the order says when). Scale
+    * shape: one bounded-key groupBy over the instance frame (sources ×
+    * epochs cells) plus the |sources|-row totals join; `pos` is never
+    * read, so the placement window prunes away (the order-audit rule).
+    * All-integer output — oracle-exact by construction. */
+  val textEpochBudget: Q = (s, d) => epochBudgetOf(t(s, d, "documents"))
+
+  /** The same accounting over ANY (doc_id, source, text) frame (jx
+    * `corpus_op` entry point). */
+  def epochBudgetOf(docs: org.apache.spark.sql.DataFrame, budgetPct: Long = 200L,
+      maxEpochs: Long = 4L, nShards: Long = 8L): org.apache.spark.sql.DataFrame = {
+    val cell = trainOrderFullOf(docs, budgetPct, maxEpochs, nShards)
+      .select("source", "epoch", "n_tok")
+      .groupBy("source", "epoch")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+    val tot = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum("n_tok").as("src_tok"))
+    cell.join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("epoch"), col("n_docs"), col("n_tokens"),
+        expr("(1000 * n_tokens) div src_tok").as("fill_permille"))
+      .orderBy("source", "epoch")
+  }
+
   /** The shared placement core behind [[trainOrderFullOf]] and
     * [[annealOrderOf]]: given ONE phase's doc set (doc_id, source,
     * n_tok) and a per-source token quota, emit one row per (doc, epoch)
@@ -2083,6 +2113,7 @@ object TextOps {
     "text_mix_schedule" -> textMixSchedule,
     "text_train_order" -> textTrainOrder,
     "text_order_audit" -> textOrderAudit,
+    "text_epoch_budget" -> textEpochBudget,
     "text_curriculum_order" -> textCurriculumOrder,
     "text_anneal_schedule" -> textAnnealSchedule,
     "text_anneal_order" -> textAnnealOrder,
@@ -2912,6 +2943,14 @@ object TextOps {
                 n_sources,
                 round(CAST(sum(term) AS DOUBLE) * 0.5, 4) AS tv_mix
          FROM audg GROUP BY 1, 2, 3, 4, 5 ORDER BY epoch, shard""",
+    "text_epoch_budget" -> s"""WITH ${trainOrderCtesFrom("documents")},
+           ebc AS (SELECT source, epoch, count(*) AS n_docs,
+                          CAST(sum(n_tok) AS BIGINT) AS n_tokens
+                   FROM troh GROUP BY 1, 2)
+         SELECT c.source, c.epoch, c.n_docs, c.n_tokens,
+                CAST((1000 * c.n_tokens) // s.src_tok AS BIGINT) AS fill_permille
+         FROM ebc c JOIN tros s USING (source)
+         ORDER BY source, epoch""",
     "text_curriculum_order" ->
       s"""WITH $nbOracleCte,
            cusc AS (SELECT f.doc_id,

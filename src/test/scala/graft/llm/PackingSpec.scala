@@ -162,6 +162,29 @@ class PackingSpec extends graft.SparkSpec {
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
   }
 
+  test("epoch budget: full passes read exactly 1000 permille, only each " +
+    "source's final epoch is partial, totals match the instance frame") {
+    val budget = TextOps.epochBudgetOf(srcDocs, nShards = 4L).collect()
+    val ord = TextOps.trainOrderFullOf(srcDocs, nShards = 4L)
+      .groupBy("source").agg(sum("n_tok").as("inst_tok"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("inst_tok"))
+      .toMap
+    budget.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val r = rows.sortBy(_.getAs[Long]("epoch"))
+      // epochs are dense from 0
+      assert(r.map(_.getAs[Long]("epoch")).toSeq === (0L until r.length),
+        s"$src epochs not dense")
+      // every epoch but the last is a full pass; the last may be partial
+      r.dropRight(1).foreach(row =>
+        assert(row.getAs[Long]("fill_permille") === 1000L,
+          s"$src non-final epoch not a full pass: $row"))
+      assert(r.last.getAs[Long]("fill_permille") <= 1000L)
+      // token mass re-aggregates the instance frame exactly
+      assert(r.map(_.getAs[Long]("n_tokens")).sum === ord(src),
+        s"$src budget mass != instance mass")
+    }
+  }
+
   test("order audit: a single-source corpus reads tv_mix = 0 everywhere; " +
     "the placement rank is pruned from the audit plan") {
     val one = srcDocs.withColumn("source", lit("src0"))
