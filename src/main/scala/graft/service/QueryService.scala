@@ -162,6 +162,10 @@ object QueryService {
         // text_order_audit's frame verbatim, oracle inherited
         s""""mix_audit":${graft.jx.Jx.listJson(
           graft.llm.TextOps.queries("text_order_audit")(spark, dataset))},""" +
+        // the repeat-factor decomposition: per (source, epoch) token
+        // mass and fill — text_epoch_budget's frame verbatim
+        s""""epoch_budget":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_epoch_budget")(spark, dataset))},""" +
         s""""packing":${graft.jx.Jx.listJson(
           graft.llm.TextOps.queries("text_pack_manifest")(spark, dataset))}}"""
     }

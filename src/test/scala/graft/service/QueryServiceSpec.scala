@@ -402,8 +402,15 @@ class QueryServiceSpec extends graft.SparkSpec {
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
       Seq("schedule", "fertility", "drift", "order_head", "mix_audit",
-        "packing").foreach(s =>
+        "epoch_budget", "packing").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the epoch budget mirrors text_epoch_budget byte-for-byte
+      val eb = panel.get("epoch_budget").get("data")
+      val ebDirect = graft.llm.TextOps
+        .queries("text_epoch_budget")(spark, sf).collect()
+      assert(eb.size() === ebDirect.length)
+      assert(eb.get(0).get("fill_permille").asLong() ===
+        ebDirect.head.getAs[Long]("fill_permille"))
       // the mix audit mirrors text_order_audit: per (epoch, shard) TV
       // distance vs the epoch mix, byte-identical to the driver key
       val aud = panel.get("mix_audit").get("data")
