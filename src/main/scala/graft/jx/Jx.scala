@@ -434,6 +434,8 @@ object Jx {
         budgetPct = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L),
         maxEpochs = opt(c, "max_epochs").map(_.asLong()).getOrElse(4L),
         nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
+      case "pack_tuning" => graft.llm.TextOps.packTuningOf(docs,
+        nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
       case "ppl_buckets" =>
         // standard corpus + dataset → score against the frozen bigram-LM
         // artifact (the same tables the streamed score store probes);

@@ -313,6 +313,9 @@ object JxQueries {
   private val epochBudgetJson = """{
     "corpus_op": {"op": "epoch_budget", "corpus": {"from": "documents"}}}"""
 
+  private val packTuningJson = """{
+    "corpus_op": {"op": "pack_tuning", "corpus": {"from": "documents"}}}"""
+
   private val pplBucketsJson = """{
     "corpus_op": {"op": "ppl_buckets", "corpus": {"from": "documents"}}}"""
 
@@ -508,6 +511,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, orderAuditJson, name => t(s, d, name))),
     "jx_epoch_budget" ->
       ((s, d) => Jx.run(s, epochBudgetJson, name => t(s, d, name))),
+    "jx_pack_tuning" ->
+      ((s, d) => Jx.run(s, packTuningJson, name => t(s, d, name))),
     "jx_ppl_buckets" ->
       ((s, d) => Jx.run(s, pplBucketsJson, name => t(s, d, name), Some(d))),
     "jx_quality_calibration" ->
@@ -610,6 +615,7 @@ object JxQueries {
     "jx_train_order" -> graft.llm.TextOps.oracle("text_train_order"),
     "jx_order_audit" -> graft.llm.TextOps.oracle("text_order_audit"),
     "jx_epoch_budget" -> graft.llm.TextOps.oracle("text_epoch_budget"),
+    "jx_pack_tuning" -> graft.llm.TextOps.oracle("text_pack_tuning"),
     "jx_ppl_buckets" -> graft.llm.TextOps.oracle("text_ppl_buckets"),
     "jx_quality_calibration" ->
       graft.llm.TextOps.oracle("text_quality_calibration"),

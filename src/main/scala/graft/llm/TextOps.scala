@@ -139,6 +139,39 @@ object TextOps {
       .orderBy("doc_id")
       .limit(300)
 
+  /** X4ae: PACKING-CONTEXT TUNING census — the ctx knob's cost curve
+    * without packing once per candidate: gap-free sequential packing
+    * ([[packChunks]]) pins each shard's chunk count to
+    * ceil(shard_tok/ctx) and its waste to the final chunk's underfill,
+    * so the whole (chunks, waste, fill) curve is CLOSED-FORM from the
+    * per-shard token sums — one corpus aggregate, then 4 rows of integer
+    * arithmetic per candidate ctx (the probe-tuning pattern applied to
+    * the packer: measure the knob, don't re-run the job per setting).
+    * All-integer output; a spec cross-checks the closed form against an
+    * actual packChunks run. */
+  val textPackTuning: Q = (s, d) => packTuningOf(t(s, d, "documents"))
+
+  /** The same census over ANY (doc_id, text) frame (jx `corpus_op`
+    * entry point). */
+  def packTuningOf(docs: org.apache.spark.sql.DataFrame, nShards: Long = 8L,
+      ctxs: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L))
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
+    val shard = docs
+      .select(pmod(col("doc_id"), lit(nShards)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy("shard").agg(sum("n_tok").as("shard_tok"))
+    shard.crossJoin(broadcast(ctxs.toDF("ctx")))
+      .withColumn("n_chunks", expr("(shard_tok + ctx - 1) div ctx"))
+      .groupBy("ctx")
+      .agg(sum("n_chunks").as("n_chunks"),
+        sum("shard_tok").as("n_tokens"),
+        sum(col("n_chunks") * col("ctx") - col("shard_tok")).as("waste_tok"))
+      .select(col("ctx"), col("n_chunks"), col("n_tokens"), col("waste_tok"),
+        expr("(1000 * n_tokens) div (n_tokens + waste_tok)").as("fill_permille"))
+      .orderBy("ctx")
+  }
+
   /** The materialized form the trainer actually reads: each doc exploded
     * into its per-chunk SLICES — (chunk, tok_start, tok_end) — so the
     * tokenized corpus can be written chunk-by-chunk with every chunk
@@ -2106,6 +2139,7 @@ object TextOps {
     "text_langid" -> textLangid,
     "text_langid_ngram" -> textLangidNgram,
     "text_pack_chunks" -> textPackChunks,
+    "text_pack_tuning" -> textPackTuning,
     "text_pack_segments" -> textPackSegments,
     "text_pack_manifest" -> textPackManifest,
     "text_repetition" -> textRepetition,
@@ -2943,6 +2977,24 @@ object TextOps {
                 n_sources,
                 round(CAST(sum(term) AS DOUBLE) * 0.5, 4) AS tv_mix
          FROM audg GROUP BY 1, 2, 3, 4, 5 ORDER BY epoch, shard""",
+    "text_pack_tuning" ->
+      """WITH pks AS (SELECT doc_id % 8 AS shard,
+                             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                               AS shard_tok
+                      FROM documents GROUP BY 1),
+           pkc AS (SELECT CAST(unnest([512, 1024, 2048, 4096]) AS BIGINT) AS ctx),
+           pkx AS (SELECT c.ctx, s.shard_tok,
+                          CAST((s.shard_tok + c.ctx - 1) // c.ctx AS BIGINT)
+                            AS n_chunks
+                   FROM pks s CROSS JOIN pkc c)
+         SELECT ctx, CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+                CAST(sum(shard_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chunks * ctx - shard_tok) AS BIGINT) AS waste_tok,
+                CAST((1000 * CAST(sum(shard_tok) AS BIGINT))
+                     // (CAST(sum(shard_tok) AS BIGINT)
+                         + CAST(sum(n_chunks * ctx - shard_tok) AS BIGINT))
+                     AS BIGINT) AS fill_permille
+         FROM pkx GROUP BY 1 ORDER BY ctx""",
     "text_epoch_budget" -> s"""WITH ${trainOrderCtesFrom("documents")},
            ebc AS (SELECT source, epoch, count(*) AS n_docs,
                           CAST(sum(n_tok) AS BIGINT) AS n_tokens

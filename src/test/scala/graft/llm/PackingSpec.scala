@@ -162,6 +162,30 @@ class PackingSpec extends graft.SparkSpec {
     assert(bad.isEmpty, bad.collect().take(3).mkString(","))
   }
 
+  test("pack tuning: the closed-form chunk count matches an actual " +
+    "packChunks run and waste is bounded by one chunk per shard") {
+    val tuning = TextOps.packTuningOf(docs, nShards = shards,
+        ctxs = Seq(32L, ctx, 256L)).collect()
+      .map(r => r.getAs[Long]("ctx") -> r).toMap
+    // the actual packed layout at ctx=64: a doc occupies through its END
+    // token, so chunks per shard = max end-chunk + 1 (the manifest rule)
+    val actual = TextOps.packChunks(docs, ctx, shards)
+      .withColumn("endc",
+        (col("chunk_id") * ctx + col("chunk_offset") + col("n_tok") - 1L) / ctx)
+      .groupBy("shard").agg(max(col("endc").cast("long")).as("mx"))
+      .collect().map(_.getAs[Long]("mx") + 1L).sum
+    assert(tuning(ctx).getAs[Long]("n_chunks") === actual,
+      "closed form disagrees with the packed layout")
+    tuning.values.foreach { r =>
+      val (c, w) = (r.getAs[Long]("ctx"), r.getAs[Long]("waste_tok"))
+      assert(w >= 0L && w < c * shards, s"waste out of bounds: $r")
+      val fill = r.getAs[Long]("fill_permille")
+      assert(fill > 0L && fill <= 1000L, s"fill out of bounds: $r")
+      assert(r.getAs[Long]("n_tokens") + w ===
+        r.getAs[Long]("n_chunks") * c, s"padding identity broken: $r")
+    }
+  }
+
   test("epoch budget: full passes read exactly 1000 permille, only each " +
     "source's final epoch is partial, totals match the instance frame") {
     val budget = TextOps.epochBudgetOf(srcDocs, nShards = 4L).collect()
