@@ -391,6 +391,8 @@ object Jx {
         ctx = opt(c, "ctx").map(_.asLong()).getOrElse(2048L),
         nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
         .orderBy("doc_id").limit(300)
+      case "payload_pack_tuning" => graft.llm.Multimodal.mmPackTuningOf(docs,
+        nShards = opt(c, "n_shards").map(_.asLong()).getOrElse(8L))
       case "payload_dedup" =>
         // plain standard corpus + dataset dir → probe the stored payload
         // pair graph (the same table mm_dedup reads); otherwise rebuild

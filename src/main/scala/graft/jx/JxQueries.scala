@@ -316,6 +316,9 @@ object JxQueries {
   private val packTuningJson = """{
     "corpus_op": {"op": "pack_tuning", "corpus": {"from": "documents"}}}"""
 
+  private val payloadTuningJson = """{
+    "corpus_op": {"op": "payload_pack_tuning", "corpus": {"from": "documents"}}}"""
+
   private val pplBucketsJson = """{
     "corpus_op": {"op": "ppl_buckets", "corpus": {"from": "documents"}}}"""
 
@@ -513,6 +516,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, epochBudgetJson, name => t(s, d, name))),
     "jx_pack_tuning" ->
       ((s, d) => Jx.run(s, packTuningJson, name => t(s, d, name))),
+    "jx_payload_tuning" ->
+      ((s, d) => Jx.run(s, payloadTuningJson, name => t(s, d, name))),
     "jx_ppl_buckets" ->
       ((s, d) => Jx.run(s, pplBucketsJson, name => t(s, d, name), Some(d))),
     "jx_quality_calibration" ->
@@ -616,6 +621,7 @@ object JxQueries {
     "jx_order_audit" -> graft.llm.TextOps.oracle("text_order_audit"),
     "jx_epoch_budget" -> graft.llm.TextOps.oracle("text_epoch_budget"),
     "jx_pack_tuning" -> graft.llm.TextOps.oracle("text_pack_tuning"),
+    "jx_payload_tuning" -> graft.llm.Multimodal.oracle("mm_pack_tuning"),
     "jx_ppl_buckets" -> graft.llm.TextOps.oracle("text_ppl_buckets"),
     "jx_quality_calibration" ->
       graft.llm.TextOps.oracle("text_quality_calibration"),

@@ -158,6 +158,29 @@ object Multimodal {
   val mmPack: Q = (s, d) =>
     mmPackOf(t(s, d, "documents")).orderBy("doc_id").limit(300)
 
+  /** X5i: interleaved PACKING-CONTEXT TUNING — [[graft.llm.TextOps
+    * .packTuningOf]]'s closed-form ctx curve over the MULTIMODAL cost
+    * (text tokens + patch tokens + sentinels): gap-free interleaved
+    * packing pins the same ceil/underfill geometry, so the curve needs
+    * only the per-shard mm_tok sums — no decode, no per-ctx re-pack.
+    * The waste answer differs materially from the text twin because
+    * payload patches fatten documents (fewer docs per chunk → more
+    * underfill at small ctx). */
+  val mmPackTuning: Q = (s, d) => mmPackTuningOf(t(s, d, "documents"))
+
+  /** The same census over ANY documents-shaped frame (jx `corpus_op`
+    * entry point). */
+  def mmPackTuningOf(docs: DataFrame, nShards: Long = 8L,
+      patchBytes: Long = 64L,
+      ctxs: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L)): DataFrame =
+    graft.llm.TextOps.packTuningFrom(
+      withPayload(docs).select(
+        pmod(col("doc_id"), lit(nShards)).as("shard"),
+        (size(split(col("text"), " ")).cast("long")
+          + ((col("media.n_bytes") + patchBytes - 1L) / patchBytes).cast("long")
+          + lit(2L)).as("n_tok")),
+      ctxs)
+
   /** One micro-batch's per-shard partials of the INTERLEAVED packing —
     * [[graft.llm.TextOps.packPartialsOf]]'s recipe with the multimodal
     * cost column ([[mmPackOf]]'s text+patches+sentinels arithmetic):
@@ -387,6 +410,7 @@ object Multimodal {
     "mm_frames" -> mmFrames,
     "mm_features" -> mmFeatures,
     "mm_pack" -> mmPack,
+    "mm_pack_tuning" -> mmPackTuning,
     "mm_pack_manifest" -> mmPackManifest,
     "mm_dedup" -> mmDedup,
     "mm_quality" -> mmQuality,
@@ -433,6 +457,25 @@ object Multimodal {
                 CAST(cum_before // 2048 AS BIGINT) AS chunk_id,
                 cum_before % 2048 AS chunk_offset
          FROM mpp ORDER BY doc_id LIMIT 300""",
+    "mm_pack_tuning" ->
+      """WITH mks AS (SELECT doc_id % 8 AS shard,
+                             CAST(sum(len(string_split(text, ' '))
+                                      + (octet_length(encode(text)) + 63) // 64
+                                      + 2) AS BIGINT) AS shard_tok
+                      FROM documents GROUP BY 1),
+           mkc AS (SELECT CAST(unnest([512, 1024, 2048, 4096]) AS BIGINT) AS ctx),
+           mkx AS (SELECT c.ctx, s.shard_tok,
+                          CAST((s.shard_tok + c.ctx - 1) // c.ctx AS BIGINT)
+                            AS n_chunks
+                   FROM mks s CROSS JOIN mkc c)
+         SELECT ctx, CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+                CAST(sum(shard_tok) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chunks * ctx - shard_tok) AS BIGINT) AS waste_tok,
+                CAST((1000 * CAST(sum(shard_tok) AS BIGINT))
+                     // (CAST(sum(shard_tok) AS BIGINT)
+                         + CAST(sum(n_chunks * ctx - shard_tok) AS BIGINT))
+                     AS BIGINT) AS fill_permille
+         FROM mkx GROUP BY 1 ORDER BY ctx""",
     "mm_pack_manifest" ->
       """WITH mmb AS (SELECT doc_id, doc_id % 8 AS shard,
                              CAST(len(string_split(text, ' '))

@@ -155,13 +155,20 @@ object TextOps {
     * entry point). */
   def packTuningOf(docs: org.apache.spark.sql.DataFrame, nShards: Long = 8L,
       ctxs: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L))
-      : org.apache.spark.sql.DataFrame = {
-    import docs.sparkSession.implicits._
-    val shard = docs
-      .select(pmod(col("doc_id"), lit(nShards)).as("shard"),
-        size(split(col("text"), " ")).cast("long").as("n_tok"))
-      .groupBy("shard").agg(sum("n_tok").as("shard_tok"))
-    shard.crossJoin(broadcast(ctxs.toDF("ctx")))
+      : org.apache.spark.sql.DataFrame =
+    packTuningFrom(
+      docs.select(pmod(col("doc_id"), lit(nShards)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")),
+      ctxs)
+
+  /** The closed-form half over ANY (shard, n_tok) cost frame — shared
+    * with the interleaved multimodal twin (the cost column differs, the
+    * geometry arithmetic does not). */
+  private[graft] def packTuningFrom(costs: org.apache.spark.sql.DataFrame,
+      ctxs: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    import costs.sparkSession.implicits._
+    costs.groupBy("shard").agg(sum("n_tok").as("shard_tok"))
+      .crossJoin(broadcast(ctxs.toDF("ctx")))
       .withColumn("n_chunks", expr("(shard_tok + ctx - 1) div ctx"))
       .groupBy("ctx")
       .agg(sum("n_chunks").as("n_chunks"),

@@ -113,6 +113,26 @@ class MultimodalSpec extends graft.SparkSpec {
     } finally q.stop()
   }
 
+  test("pack tuning: the interleaved ctx curve conserves the packed " +
+    "frame's token mass and obeys the padding identity") {
+    val rnd = new scala.util.Random(41)
+    val corpus = (0L until 40L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(60))("w" + rnd.nextInt(9)).mkString(" "),
+        "en", s"src${i % 3}", 50L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val packedMass = Multimodal.mmPackOf(corpus, nShards = 4L)
+      .agg(sum("mm_tok")).head.getLong(0)
+    val curve = Multimodal.mmPackTuningOf(corpus, nShards = 4L,
+      ctxs = Seq(64L, 128L, 512L)).collect()
+    curve.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") === packedMass,
+        s"curve lost interleaved token mass: $r")
+      assert(r.getAs[Long]("n_tokens") + r.getAs[Long]("waste_tok") ===
+        r.getAs[Long]("n_chunks") * r.getAs[Long]("ctx"),
+        s"padding identity broken: $r")
+    }
+  }
+
   test("metadata-only queries prune the payload column from the parquet scan") {
     val dir = Files.createTempDirectory("graft-mm").toString
     Multimodal.withPayload(docs).write.mode("overwrite").parquet(dir)
