@@ -135,7 +135,10 @@ object QueryService {
         // the interleaved-shard chunk geometry (mm_pack_manifest's frame
         // verbatim — oracle inherited)
         s""""packing":${graft.jx.Jx.listJson(
-          graft.llm.Multimodal.queries("mm_pack_manifest")(spark, dataset))}}"""
+          graft.llm.Multimodal.queries("mm_pack_manifest")(spark, dataset))},""" +
+        // the interleaved ctx cost curve (mm_pack_tuning's frame verbatim)
+        s""""pack_tuning":${graft.jx.Jx.listJson(
+          graft.llm.Multimodal.queries("mm_pack_tuning")(spark, dataset))}}"""
     }
     // {"view": "plan"}: the MIXTURE-PLANNING PANEL — `schedule` is the
     // data-constrained repeat-factor schedule planned off the streamed
@@ -167,7 +170,11 @@ object QueryService {
         s""""epoch_budget":${graft.jx.Jx.listJson(
           graft.llm.TextOps.queries("text_epoch_budget")(spark, dataset))},""" +
         s""""packing":${graft.jx.Jx.listJson(
-          graft.llm.TextOps.queries("text_pack_manifest")(spark, dataset))}}"""
+          graft.llm.TextOps.queries("text_pack_manifest")(spark, dataset))},""" +
+        // the ctx knob's closed-form cost curve (text_pack_tuning's
+        // frame verbatim — oracle inherited)
+        s""""pack_tuning":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_pack_tuning")(spark, dataset))}}"""
     }
     // {"view": "decon"}: the EVAL-INTEGRITY PANEL — `items` is the
     // per-bench-item contamination triage (every eval item rowed,

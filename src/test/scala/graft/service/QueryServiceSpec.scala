@@ -368,8 +368,10 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "payload"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("sources", "pairs", "packing").foreach(s =>
+      Seq("sources", "pairs", "packing", "pack_tuning").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the interleaved ctx curve mirrors mm_pack_tuning
+      assert(panel.get("pack_tuning").get("data").size() === 4)
       // the interleaved-shard geometry mirrors mm_pack_manifest
       val geom = panel.get("packing").get("data")
       val geomDirect = graft.llm.Multimodal
@@ -402,8 +404,10 @@ class QueryServiceSpec extends graft.SparkSpec {
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
       Seq("schedule", "fertility", "drift", "order_head", "mix_audit",
-        "epoch_budget", "packing").foreach(s =>
+        "epoch_budget", "packing", "pack_tuning").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the ctx curve mirrors text_pack_tuning: 4 candidate sizes
+      assert(panel.get("pack_tuning").get("data").size() === 4)
       // the epoch budget mirrors text_epoch_budget byte-for-byte
       val eb = panel.get("epoch_budget").get("data")
       val ebDirect = graft.llm.TextOps
