@@ -691,9 +691,13 @@ object Dedup {
       // length-ratio prune (prefix-filter literature): jaccard >= jt
       // forces min(|A|,|B|) >= jt * max(|A|,|B|) — a necessary condition,
       // so candidates failing it are dropped BEFORE paying the array
-      // intersect; exactness preserved
+      // intersect. The KEEP filter below runs on the r4-ROUNDED jaccard,
+      // which admits true jaccard down to jt - 0.00005 (rounds up to jt);
+      // the prune threshold carries the same slack so no pair the rounded
+      // gate would keep is pruned — exactness vs the prune-free oracle
+      // preserved bit-for-bit
       .filter(least(col("n_sh"), col("corpus_n")) >=
-        lit(jt) * greatest(col("n_sh"), col("corpus_n")))
+        lit(jt - 0.00005) * greatest(col("n_sh"), col("corpus_n")))
       .withColumn("c", graft.functions.SortedIntersectCount(col("hs"), col("corpus_hs")))
       .withColumn("jaccard",
         r4(col("c").cast("double") / (col("n_sh") + col("corpus_n") - col("c"))))

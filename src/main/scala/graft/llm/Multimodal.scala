@@ -550,7 +550,12 @@ object Multimodal {
          FROM fp CROSS JOIN dd GROUP BY dd.n_docs""",
     // mm_features' byte-moment CTE plus the quality factors; LEFT JOIN +
     // coalesce keeps empty payloads (they gate to q=0.05, keep=false,
-    // exactly as fakeDecode's (0,0,0) row does)
+    // exactly as fakeDecode's (0,0,0) row does). `keep` replays the
+    // Spark gate's FULL predicate, including the integrity conjunct
+    // decoded-length == metadata n_bytes (dec_bytes, the ch chain's byte
+    // count, vs octet_length of the payload — the same two quantities
+    // qualityOf compares), so oracle and gate are the same contract, not
+    // merely coincident on corpora where withPayload makes them equal.
     "mm_quality" ->
       """WITH ch AS (
            SELECT doc_id,
@@ -567,6 +572,7 @@ object Multimodal {
          q0 AS (
            SELECT d.doc_id,
                   CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                  coalesce(CAST(n AS BIGINT), 0) AS dec_bytes,
                   coalesce(s / n, 0.0) AS mean0,
                   coalesce(sq / n - (s / n) * (s / n), 0.0) AS var0
            FROM documents d LEFT JOIN agg USING (doc_id))
@@ -576,9 +582,10 @@ object Multimodal {
                 round((CASE WHEN n_bytes < 100 THEN 0.2 ELSE 1.0 END) *
                       (CASE WHEN mean0 BETWEEN 32.0 AND 127.0 THEN 1.0 ELSE 0.5 END) *
                       (CASE WHEN var0 > 100.0 THEN 1.0 ELSE 0.5 END), 4) AS q,
-                round((CASE WHEN n_bytes < 100 THEN 0.2 ELSE 1.0 END) *
+                (round((CASE WHEN n_bytes < 100 THEN 0.2 ELSE 1.0 END) *
                       (CASE WHEN mean0 BETWEEN 32.0 AND 127.0 THEN 1.0 ELSE 0.5 END) *
-                      (CASE WHEN var0 > 100.0 THEN 1.0 ELSE 0.5 END), 4) >= 0.5 AS keep
+                      (CASE WHEN var0 > 100.0 THEN 1.0 ELSE 0.5 END), 4) >= 0.5
+                 AND dec_bytes = n_bytes) AS keep
          FROM q0 ORDER BY doc_id LIMIT 300""",
     // mm_quality's byte-moment chain rolled up per source; means sum
     // through DECIMAL(14,4) (q is 4-dp, the cast is exact)

@@ -665,7 +665,11 @@ object Pipeline {
                                     THEN 1.0 ELSE 0.5 END) *
                               (CASE WHEN coalesce(a.sq / a.n - (a.s / a.n) * (a.s / a.n),
                                                   0.0) > 100.0
-                                    THEN 1.0 ELSE 0.5 END), 4) >= 0.5),
+                                    THEN 1.0 ELSE 0.5 END), 4) >= 0.5
+                        -- the gate's integrity conjunct, replayed: decoded
+                        -- byte count must equal the metadata n_bytes
+                        AND coalesce(CAST(a.n AS BIGINT), 0)
+                            = octet_length(encode(d.text))),
            corpmm AS (SELECT c.doc_id, c.text FROM corp c JOIN mmkeep USING (doc_id)),"""
 
   /** The packing tail, parameterized on the frame being packed. */

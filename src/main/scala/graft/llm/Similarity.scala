@@ -471,7 +471,8 @@ object Similarity {
   /** X3j-census: the decon RECALL readout — the quality alarm for the
     * probed decontamination's approximation contract (the decon twin of
     * [[simKnnRecall]]): what fraction of the TRUE τ-pairs (brute-force
-    * cosine over bench × corpus) does the nprobe=2 quantizer probe
+    * cosine over bench × corpus) does the quantizer probe (nprobe=4
+    * bench lists × 2-multi-assigned corpus lists, [[deconParts]])
     * catch? Run on the full bench set here (bench is the small side); a
     * 100 TB deployment censuses a bench sample exactly like the kNN
     * recall census samples sources. A falling recall means benchmark
@@ -516,9 +517,12 @@ object Similarity {
   }
 
   /** The shared threshold pass: probed (bid, cid) × inverted lists →
-    * exact rounded cosine ≥ τ hits as (bid, nid, cosine). Pairs are
-    * unique by construction: a bench vector's probe cids are distinct
-    * and each corpus vector lives in exactly one list. */
+    * exact rounded cosine ≥ τ hits as (bid, nid, cosine). Pairs are NOT
+    * unique before the final distinct(): [[deconInvFrom]] multi-assigns
+    * each corpus vector to its top-2 lists, so a (bid, nid) pair can be
+    * sighted through up to two shared lists; the sightings carry the
+    * identical rounded cosine, and the distinct() collapses them
+    * exactly. */
   private def deconHits(probes: DataFrame, b: DataFrame, inv: DataFrame,
       tau: Double): DataFrame =
     probes.join(inv, Seq("cid"))
@@ -1008,9 +1012,11 @@ object Similarity {
     * non-standard corpora. */
   def sq8TopkOf(embs: DataFrame): DataFrame = {
     val vecs = sq8Doubles(embs)
+    // one stats aggregate feeds BOTH the encode and the broadcast
+    // decode join — the per-dimension min/max corpus pass runs once
+    val stats = sq8StatsOf(vecs)
     val scored = sq8ScoresFrom(
-      sq8Encode(vecs, sq8StatsOf(vecs))
-        .crossJoin(broadcast(sq8StatsOf(vecs))),
+      sq8Encode(vecs, stats).crossJoin(broadcast(stats)),
       sq8Queries(embs))
     val w = Window.partitionBy("qid").orderBy(desc("adot"), asc("nid"))
     scored
