@@ -21,12 +21,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // per-key wall seconds, captured on every sweep: two sweeps at
+    // different SFs make a measured scale curve (tools/scaling_report.py
+    // joins two timings.json files into SCALING.md) — the empirical
+    // check behind the 100× plan-shape arguments
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
-        catch { case e: Throwable =>
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          timings(name) = (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
       }
@@ -45,6 +53,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/timings.json"),
+      timings.map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+        .mkString("{", ",", "}"))
     spark.stop()
   }
 }
