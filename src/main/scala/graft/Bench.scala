@@ -137,6 +137,48 @@ object Bench {
         f"[bench] GATE ${if (perQ <= 2.0) "PASS" else "FAIL"}: " +
           f"per-query ratio $perQ%.2fx vs $pRev ($pN queries, $pTotal%.1fs)")
     }
+    // FIXED cross-round anchor (round-14 verdict gap #4): the closest-row
+    // gate above ratchets against the most recent comparable record, so a
+    // slow per-round drift could accumulate invisibly across many rounds.
+    // BENCH_ANCHOR.json pins every key's FIRST quiet measurement forever
+    // (append-only — entries are never re-timed); comparing this run's
+    // shared-key subset against it bounds TOTAL drift since each key went
+    // green, not just drift since the previous round.
+    val anchorPath = java.nio.file.Paths.get("BENCH_ANCHOR.json")
+    val anchorRaw: String =
+      try {
+        if (java.nio.file.Files.exists(anchorPath))
+          java.nio.file.Files.readString(anchorPath)
+        else ""
+      } catch { case _: Throwable => "" }
+    val anchor: Map[String, Double] =
+      try {
+        if (anchorRaw.contains(s""""sf": "$sfName"""") ||
+            anchorRaw.contains(s""""sf":"$sfName"""")) {
+          val entry = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+          entry.findAllMatchIn(
+            anchorRaw.substring(anchorRaw.indexOf("\"queries\"").max(0)))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
+    val anchorGate: Option[(Int, Double, Double)] = {
+      val shared = results.keySet.intersect(anchor.keySet)
+      if (shared.isEmpty) None
+      else {
+        val cur = shared.toSeq.map(results).sum
+        val anc = shared.toSeq.map(anchor).sum
+        Some((shared.size, anc, cur))
+      }
+    }
+    val anchorJson = anchorGate.map { case (n, anc, cur) =>
+      f""","anchor":{"n_shared":$n,"anchor_s":$anc%.1f,"now_s":$cur%.1f,"ratio":${cur / anc}%.2f,"pass":${cur / anc <= 2.0}}"""
+    }.getOrElse("")
+    anchorGate.foreach { case (n, anc, cur) =>
+      val r = cur / anc
+      System.err.println(
+        f"[bench] ANCHOR ${if (r <= 2.0) "PASS" else "FAIL"}: $n shared keys " +
+          f"$anc%.1fs at first-green -> $cur%.1fs now ($r%.2fx)")
+    }
     // The driver parses this line out of a BOUNDED tail of stdout: the
     // last 2000 chars, which must also hold sbt's ~75-char [success]
     // trailer — so the line budget is ~1920 chars. Precision degrades
@@ -167,7 +209,7 @@ object Bench {
         else repsUsed.filter(_._2 > reps)
           .map { case (k, v) => "\"" + k + "\":" + v }
           .mkString(""","reps_escalated":{""", ",", "}")
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omitted,"errors":$errJson$repsJson$gateJson,"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$qs$omitted,"errors":$errJson$repsJson$gateJson$anchorJson,"sf":"$sfName"}"""
     }
     // Variance reporting (post-escalation): anything STILL >3× after the
     // extra reps is worth reading as a possible plan regression; big
@@ -187,6 +229,25 @@ object Bench {
       java.nio.file.Paths.get("bench_full.json"),
       line(3, Int.MaxValue, withReps = true) + "\n")
     catch { case _: Throwable => () } // sidecar is best-effort
+    // Anchor maintenance: keys not yet in BENCH_ANCHOR.json get frozen at
+    // this run's time (their first clean measurement); existing entries
+    // are NEVER rewritten. Only runs at the anchor's own sf with zero
+    // errors touch the file, so a local sf0.01 iteration loop or a
+    // failing tree can't pollute the cross-round record.
+    try {
+      if (errors.isEmpty && anchor.nonEmpty &&
+          results.exists { case (k, _) => !anchor.contains(k) }) {
+        val comment = """(?s)"comment":\s*"((?:[^"\\]|\\.)*)"""".r
+          .findFirstMatchIn(anchorRaw).map(_.group(1)).getOrElse("")
+        val merged = anchor ++
+          results.filter { case (k, _) => !anchor.contains(k) }
+        val body = merged.toSeq.sortBy(_._1).map { case (k, v) =>
+          f""""$k": $v%.3f"""
+        }.mkString(",\n")
+        java.nio.file.Files.writeString(anchorPath,
+          s"""{\n"comment": "$comment",\n"sf": "$sfName",\n"queries": {\n$body\n}\n}\n""")
+      }
+    } catch { case _: Throwable => () } // anchor append is best-effort
     // Machine-append the BASELINE.md narrative row (round-11 verdict: the
     // manual record drifted from the artifact). Rows carry an [auto] marker;
     // re-running the same tree at the same sf REPLACES its [auto] row only
