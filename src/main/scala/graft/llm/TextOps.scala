@@ -2123,7 +2123,150 @@ object TextOps {
         expr("bit_xor(content_h)").as("content_fp"))
       .orderBy(asc_nulls_first("shard"), asc_nulls_first("source"))
 
+  // ——— X4af/X4ag: rule-LEVEL heuristic curation (Gopher/C4 rule table) ———
+
+  /** Deterministic rule-corpus decoration (the [[withPii]] house recipe:
+    * the synthetic corpus is bare lowercase words, so each doc is first
+    * decorated with structure derived from its own doc_id — both engines
+    * construct the identical string). Words reflow into 10-word lines;
+    * then, keyed on doc_id residues, a doc gets bullet-prefixed lines
+    * (%11), ellipsis-suffixed lines (%13), a hash-symbol line sized to
+    * ~n/8 words (%7), a 45-char-word line sized to ~n/3 words (%17), or
+    * a digits line sized to ~n/3 words (%19) — one deterministic
+    * violator population per rule, so every rule verdict has both
+    * outcomes in the gated output. Pure per-row string/array built-ins:
+    * whole-stage codegen, no shuffle, linear at any corpus size. */
+  private[llm] def withRuleText(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("words0", split(col("text"), " "))
+      .withColumn("lines0", expr(
+        "transform(sequence(0, (size(words0)-1) div 10), " +
+          "i -> array_join(slice(words0, i*10+1, 10), ' '))"))
+      .withColumn("lines1", expr(
+        "CASE WHEN doc_id % 11 = 0 THEN transform(lines0, l -> '- ' || l) " +
+          "ELSE lines0 END"))
+      .withColumn("lines2", expr(
+        "CASE WHEN doc_id % 13 = 0 THEN transform(lines1, l -> l || ' ...') " +
+          "ELSE lines1 END"))
+      .withColumn("rlines", expr(
+        """concat(lines2,
+             CASE WHEN doc_id % 7 = 0
+                  THEN array(rtrim(repeat('# ', greatest(1, size(words0) div 8))))
+                  ELSE array() END,
+             CASE WHEN doc_id % 17 = 0
+                  THEN array(rtrim(repeat(
+                    'pneumonoultramicroscopicsilicovolcanoconiosis ',
+                    greatest(1, size(words0) div 3))))
+                  ELSE array() END,
+             CASE WHEN doc_id % 19 = 0
+                  THEN array(rtrim(repeat('12345 ', greatest(1, size(words0) div 3))))
+                  ELSE array() END)"""))
+      .withColumn("rtext", array_join(col("rlines"), "\n"))
+      .drop("words0", "lines0", "lines1", "lines2")
+
+  /** The published heuristic rule table (Gopher §A.1.1 / C4), one BOOLEAN
+    * verdict per rule, all-integer arithmetic so both engines compare
+    * bit-identical values (mean-word-length bands as cross-multiplied
+    * integer inequalities, ratios as scaled integer compares — no float
+    * division anywhere):
+    *  - r_wc       word count in [50, 100k]
+    *  - r_mwl      mean word length in [3, 10]   (3·w ≤ chars ≤ 10·w)
+    *  - r_sym      symbol-to-word ratio < 0.1    (10·(# + …) < w)
+    *  - r_bullet   < 90% of lines bullet-started (10·b < 9·lines)
+    *  - r_ellipsis < 30% of lines ellipsis-ended (10·e < 3·lines)
+    *  - r_alpha    ≥ 80% of words contain a letter (5·a ≥ 4·w)
+    *  - r_stop     ≥ 2 distinct stop words
+    * `keep` is the conjunction — the Gopher paper's filter semantics
+    * (every rule must pass). Per-doc map work only. */
+  private[llm] def ruleVerdictsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withRuleText(docs)
+      .withColumn("rwords", split(expr("replace(rtext, chr(10), ' ')"), " "))
+      .withColumn("n_words", size(col("rwords")).cast("long"))
+      .withColumn("n_lines", size(col("rlines")).cast("long"))
+      .withColumn("n_ns",
+        length(expr("replace(replace(rtext, chr(10), ''), ' ', '')")).cast("long"))
+      .withColumn("n_hash",
+        (length(col("rtext")) - length(expr("replace(rtext, '#', '')"))).cast("long"))
+      .withColumn("n_dots", expr(
+        "CAST((length(rtext) - length(replace(rtext, '...', ''))) div 3 AS BIGINT)"))
+      .withColumn("n_bullet",
+        expr("CAST(size(filter(rlines, l -> l like '- %')) AS BIGINT)"))
+      .withColumn("n_eline",
+        expr("CAST(size(filter(rlines, l -> l like '%...')) AS BIGINT)"))
+      .withColumn("n_alpha",
+        expr("CAST(size(filter(rwords, w -> w rlike '[a-z]')) AS BIGINT)"))
+      .withColumn("n_stopd", expr(
+        "CAST(size(array_distinct(filter(rwords, " +
+          "w -> w IN ('the','a','of','and','to')))) AS BIGINT)"))
+      .withColumn("r_wc", col("n_words").between(50, 100000))
+      .withColumn("r_mwl",
+        lit(3) * col("n_words") <= col("n_ns") &&
+          col("n_ns") <= lit(10) * col("n_words"))
+      .withColumn("r_sym", lit(10) * (col("n_hash") + col("n_dots")) < col("n_words"))
+      .withColumn("r_bullet", lit(10) * col("n_bullet") < lit(9) * col("n_lines"))
+      .withColumn("r_ellipsis", lit(10) * col("n_eline") < lit(3) * col("n_lines"))
+      .withColumn("r_alpha", lit(5) * col("n_alpha") >= lit(4) * col("n_words"))
+      .withColumn("r_stop", col("n_stopd") >= 2)
+      .withColumn("keep",
+        col("r_wc") && col("r_mwl") && col("r_sym") && col("r_bullet") &&
+          col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+
+  /** X4af driver gate: the per-doc rule breakdown — what real pipelines
+    * ship for filter ABLATION (which rule fired, not just the composite
+    * verdict). */
+  def ruleFilterOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ruleVerdictsOf(docs)
+      .select("doc_id", "n_words", "n_lines", "r_wc", "r_mwl", "r_sym",
+        "r_bullet", "r_ellipsis", "r_alpha", "r_stop", "keep")
+      .orderBy("doc_id")
+      .limit(300)
+
+  val textRuleFilter: Q = (s, d) => ruleFilterOf(t(s, d, "documents"))
+
+  /** One batch's per-source rule-failure partials — doc count, one
+    * failure count per rule, and the keep count, every column a
+    * DISTRIBUTIVE sum, which is what lets [[graft.streaming.Streams]]
+    * maintain the profile incrementally (merged partials == the
+    * one-shot pass bit-identically under any batch split). */
+  def rulePartialsOf(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ruleVerdictsOf(batch)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("r_wc"), 1L).otherwise(0L)).as("f_wc"),
+        sum(when(!col("r_mwl"), 1L).otherwise(0L)).as("f_mwl"),
+        sum(when(!col("r_sym"), 1L).otherwise(0L)).as("f_sym"),
+        sum(when(!col("r_bullet"), 1L).otherwise(0L)).as("f_bullet"),
+        sum(when(!col("r_ellipsis"), 1L).otherwise(0L)).as("f_ellipsis"),
+        sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("f_alpha"),
+        sum(when(!col("r_stop"), 1L).otherwise(0L)).as("f_stop"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+
+  /** The merged profile readout over ANY union of [[rulePartialsOf]]
+    * rows (re-sum the distributive partials). */
+  def ruleProfileMergeFrom(parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    parts
+      .groupBy("source")
+      .agg(
+        sum("n_docs").as("n_docs"),
+        sum("f_wc").as("f_wc"), sum("f_mwl").as("f_mwl"),
+        sum("f_sym").as("f_sym"), sum("f_bullet").as("f_bullet"),
+        sum("f_ellipsis").as("f_ellipsis"), sum("f_alpha").as("f_alpha"),
+        sum("f_stop").as("f_stop"), sum("n_keep").as("n_keep"))
+      .orderBy("source")
+
+  /** X4ag driver gate: per-source rule-failure profile — the curation
+    * dashboard's "which rule is eating source X" view. At 100 TB this is
+    * a |sources|-row monitor derived in one pass; the streamed twin
+    * ([[graft.streaming.Streams]] ST18) maintains it without rescans. */
+  def ruleProfileOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ruleProfileMergeFrom(rulePartialsOf(docs))
+
+  val textRuleProfile: Q = (s, d) => ruleProfileOf(t(s, d, "documents"))
+
   val queries: Map[String, Q] = Map(
+    "text_rule_filter" -> textRuleFilter,
+    "text_rule_profile" -> textRuleProfile,
     "text_shard_manifest" -> textShardManifest,
     "text_shard_export" -> textShardExport,
     "text_shard_manifest_src" -> textShardManifestSrc,
@@ -2381,7 +2524,104 @@ object TextOps {
            n3 AS (SELECT sum(len(list_filter(string_split(enc, chr(31)), x -> x <> ''))
                              * cnt) AS ns FROM e4)"""
 
+  /** The rule-decoration + rule-table replay as oracle CTEs (ends in `rr`
+    * carrying per-doc verdicts + source) — shared verbatim by the filter
+    * gate, the profile gate, its jx twins, and the ST18 streamed store so
+    * every consumer of the rule layer is held to the identical contract.
+    * Prefix rw/rl/rx/rt/rm/rr. */
+  private[llm] val ruleCtes: String =
+    """rw AS (SELECT doc_id, source, string_split(text, ' ') AS words0
+              FROM documents),
+       rl AS (SELECT doc_id, source, words0,
+                     list_transform(range(0, ((len(words0)-1)//10)+1), i ->
+                       array_to_string(words0[(i*10+1):(i*10+10)], ' ')) AS lines0
+              FROM rw),
+       rl1 AS (SELECT doc_id, source, words0,
+                      CASE WHEN doc_id % 11 = 0
+                           THEN list_transform(lines0, l -> '- ' || l)
+                           ELSE lines0 END AS lines1
+               FROM rl),
+       rl2 AS (SELECT doc_id, source, words0,
+                      CASE WHEN doc_id % 13 = 0
+                           THEN list_transform(lines1, l -> l || ' ...')
+                           ELSE lines1 END AS lines2
+               FROM rl1),
+       rx AS (SELECT doc_id, source,
+                     lines2
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN [rtrim(repeat('# ', greatest(1, len(words0)//8)))]
+                             ELSE [] END
+                     || CASE WHEN doc_id % 17 = 0
+                             THEN [rtrim(repeat(
+                               'pneumonoultramicroscopicsilicovolcanoconiosis ',
+                               greatest(1, len(words0)//3)))]
+                             ELSE [] END
+                     || CASE WHEN doc_id % 19 = 0
+                             THEN [rtrim(repeat('12345 ',
+                               greatest(1, len(words0)//3)))]
+                             ELSE [] END AS rlines
+              FROM rl2),
+       rt AS (SELECT doc_id, source, rlines,
+                     array_to_string(rlines, chr(10)) AS rtext
+              FROM rx),
+       rm AS (SELECT doc_id, source,
+                     CAST(len(string_split(replace(rtext, chr(10), ' '), ' '))
+                          AS BIGINT) AS n_words,
+                     CAST(len(rlines) AS BIGINT) AS n_lines,
+                     CAST(length(replace(replace(rtext, chr(10), ''), ' ', ''))
+                          AS BIGINT) AS n_ns,
+                     CAST(length(rtext) - length(replace(rtext, '#', ''))
+                          AS BIGINT) AS n_hash,
+                     CAST((length(rtext) - length(replace(rtext, '...', ''))) // 3
+                          AS BIGINT) AS n_dots,
+                     CAST(len(list_filter(rlines, l -> l LIKE '- %'))
+                          AS BIGINT) AS n_bullet,
+                     CAST(len(list_filter(rlines, l -> l LIKE '%...'))
+                          AS BIGINT) AS n_eline,
+                     CAST(len(list_filter(
+                       string_split(replace(rtext, chr(10), ' '), ' '),
+                       w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+                     CAST(len(list_distinct(list_filter(
+                       string_split(replace(rtext, chr(10), ' '), ' '),
+                       w -> w IN ('the','a','of','and','to')))) AS BIGINT) AS n_stopd
+              FROM rt),
+       rr AS (SELECT doc_id, source, n_words, n_lines,
+                     (n_words BETWEEN 50 AND 100000) AS r_wc,
+                     (3*n_words <= n_ns AND n_ns <= 10*n_words) AS r_mwl,
+                     (10*(n_hash + n_dots) < n_words) AS r_sym,
+                     (10*n_bullet < 9*n_lines) AS r_bullet,
+                     (10*n_eline < 3*n_lines) AS r_ellipsis,
+                     (5*n_alpha >= 4*n_words) AS r_alpha,
+                     (n_stopd >= 2) AS r_stop
+              FROM rm)"""
+
+  /** The profile aggregation over `rr` — shared by text_rule_profile, its
+    * jx twin, and the ST18 store gate. */
+  private[llm] val ruleProfileSql: String =
+    s"""WITH $ruleCtes
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CAST(NOT r_wc AS INT)) AS BIGINT) AS f_wc,
+               CAST(sum(CAST(NOT r_mwl AS INT)) AS BIGINT) AS f_mwl,
+               CAST(sum(CAST(NOT r_sym AS INT)) AS BIGINT) AS f_sym,
+               CAST(sum(CAST(NOT r_bullet AS INT)) AS BIGINT) AS f_bullet,
+               CAST(sum(CAST(NOT r_ellipsis AS INT)) AS BIGINT) AS f_ellipsis,
+               CAST(sum(CAST(NOT r_alpha AS INT)) AS BIGINT) AS f_alpha,
+               CAST(sum(CAST(NOT r_stop AS INT)) AS BIGINT) AS f_stop,
+               CAST(sum(CAST((r_wc AND r_mwl AND r_sym AND r_bullet
+                              AND r_ellipsis AND r_alpha AND r_stop) AS INT))
+                    AS BIGINT) AS n_keep
+        FROM rr GROUP BY source ORDER BY source"""
+
   val oracle: Map[String, String] = Map(
+    "text_rule_filter" ->
+      s"""WITH $ruleCtes
+          SELECT doc_id, n_words, n_lines, r_wc, r_mwl, r_sym, r_bullet,
+                 r_ellipsis, r_alpha, r_stop,
+                 (r_wc AND r_mwl AND r_sym AND r_bullet AND r_ellipsis
+                  AND r_alpha AND r_stop) AS keep
+          FROM rr ORDER BY doc_id LIMIT 300""",
+    "text_rule_profile" -> ruleProfileSql,
     "text_shard_manifest" ->
       """WITH d AS (SELECT doc_id, n_chars,
                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
