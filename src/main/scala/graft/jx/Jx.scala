@@ -325,6 +325,12 @@ object Jx {
         tieredSources =
           if (opt(p, "tiered").exists(_.asBoolean()))
             Some(corpus.select("doc_id", "source"))
+          else None,
+        // `"rules": true` composes the X4af Gopher/C4 rule-table gate
+        // in front instead — the corpus query must then carry `source`
+        rulesSources =
+          if (opt(p, "rules").exists(_.asBoolean()))
+            Some(corpus.select("doc_id", "source"))
           else None)
     }
 
@@ -475,6 +481,8 @@ object Jx {
             bulkPct, annealPct, epochs)
         else graft.llm.TextOps.annealScheduleOf(docs, bulkPct, annealPct, epochs)
       case "novelty" => graft.llm.TextOps.ngramNoveltyOf(docs)
+      case "rule_filter" => graft.llm.TextOps.ruleFilterOf(docs)
+      case "rule_profile" => graft.llm.TextOps.ruleProfileOf(docs)
       case "novelty_curve" => graft.llm.TextOps.noveltyCurveOf(docs)
       case "novelty_sources" => graft.llm.TextOps.noveltySourcesOf(docs)
       case "split_leakfree" =>

@@ -275,6 +275,14 @@ object JxQueries {
     "sort": ["doc_id"],
     "limit": 300}"""
 
+  private val pipelineRulesJson = """{
+    "pipeline": {
+      "rules": true,
+      "corpus": {"from": "documents", "where": {"gte": ["doc_id", 10]}},
+      "benchmark": {"from": "documents", "where": {"lt": ["doc_id", 10]}}},
+    "sort": ["doc_id"],
+    "limit": 300}"""
+
   private val pipelineTieredJson = """{
     "pipeline": {
       "tiered": true,
@@ -351,6 +359,12 @@ object JxQueries {
 
   private val noveltyJson = """{
     "corpus_op": {"op": "novelty", "corpus": {"from": "documents"}}}"""
+
+  private val ruleFilterJson = """{
+    "corpus_op": {"op": "rule_filter", "corpus": {"from": "documents"}}}"""
+
+  private val ruleProfileJson = """{
+    "corpus_op": {"op": "rule_profile", "corpus": {"from": "documents"}}}"""
 
   private val noveltyCurveJson = """{
     "corpus_op": {"op": "novelty_curve", "corpus": {"from": "documents"}}}"""
@@ -500,6 +514,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, pipelineEnsembleJson, name => t(s, d, name))),
     "jx_pipeline_tiered" ->
       ((s, d) => Jx.run(s, pipelineTieredJson, name => t(s, d, name))),
+    "jx_pipeline_rules" ->
+      ((s, d) => Jx.run(s, pipelineRulesJson, name => t(s, d, name))),
     "jx_quality_gate" -> ((s, d) => Jx.run(s, qualityGateJson, name => t(s, d, name))),
     "jx_payload_quality" ->
       ((s, d) => Jx.run(s, payloadQualityJson, name => t(s, d, name))),
@@ -541,6 +557,10 @@ object JxQueries {
       ((s, d) => Jx.run(s, qualityEnsembleJson, name => t(s, d, name))),
     "jx_sq8" -> ((s, d) => Jx.run(s, sq8Json, name => t(s, d, name), Some(d))),
     "jx_novelty" -> ((s, d) => Jx.run(s, noveltyJson, name => t(s, d, name))),
+    "jx_rule_filter" ->
+      ((s, d) => Jx.run(s, ruleFilterJson, name => t(s, d, name))),
+    "jx_rule_profile" ->
+      ((s, d) => Jx.run(s, ruleProfileJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
       ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
     "jx_quality_classifier" ->
@@ -608,6 +628,8 @@ object JxQueries {
       graft.llm.Pipeline.oracle("pipeline_corpus_ensemble"),
     "jx_pipeline_tiered" ->
       graft.llm.Pipeline.oracle("pipeline_corpus_tiered"),
+    "jx_pipeline_rules" ->
+      graft.llm.Pipeline.oracle("pipeline_corpus_rules"),
     "jx_release" -> graft.llm.Pipeline.oracle("pipeline_corpus_release"),
     "jx_order" -> graft.llm.Pipeline.oracle("pipeline_corpus_order"),
     // same single-surface contract for the corpus ops: the jx front end
@@ -634,6 +656,8 @@ object JxQueries {
     "jx_quality_ensemble" -> graft.llm.TextOps.oracle("text_quality_ensemble"),
     "jx_sq8" -> graft.llm.Similarity.oracle("sim_sq8"),
     "jx_novelty" -> graft.llm.TextOps.oracle("text_ngram_novelty"),
+    "jx_rule_filter" -> graft.llm.TextOps.oracle("text_rule_filter"),
+    "jx_rule_profile" -> graft.llm.TextOps.oracle("text_rule_profile"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->
       graft.llm.TextOps.oracle("text_quality_classifier"),

@@ -64,10 +64,11 @@ object Pipeline {
       canonicalQuality: Option[DataFrame] = None,
       payloadGate: Boolean = false,
       ensembleSources: Option[DataFrame] = None,
-      tieredSources: Option[DataFrame] = None): DataFrame = {
+      tieredSources: Option[DataFrame] = None,
+      rulesSources: Option[DataFrame] = None): DataFrame = {
     val survivors = corpusSurvivors(corpus, bench, jaccardThreshold,
       minOverlap, trimSpans, qualitySources, canonicalQuality, payloadGate,
-      ensembleSources, tieredSources)
+      ensembleSources, tieredSources, rulesSources)
     TextOps.packChunks(survivors, ctx, nShards)
       .join(survivors.select(col("doc_id"), md5(col("text")).as("final_md5")),
         Seq("doc_id"))
@@ -84,7 +85,8 @@ object Pipeline {
       canonicalQuality: Option[DataFrame] = None,
       payloadGate: Boolean = false,
       ensembleSources: Option[DataFrame] = None,
-      tieredSources: Option[DataFrame] = None): DataFrame = {
+      tieredSources: Option[DataFrame] = None,
+      rulesSources: Option[DataFrame] = None): DataFrame = {
     // optional X5e stage, FIRST and on the RAW rows (payload integrity is
     // a property of the stored bytes, not the hygienic text): decode the
     // payload via the mapPartitions codec plumbing and keep only rows
@@ -107,19 +109,28 @@ object Pipeline {
     // optional X4aa stage at the same slot: the CCNet tier gate — each
     // source's head (curated: head+middle) by self-trained bigram-LM
     // score reaches the shingle pass
-    val hygCorpus = (qualitySources, ensembleSources, tieredSources) match {
-      case (Some(srcs), _, _) =>
+    // optional X4af stage at the same slot: the Gopher/C4 rule-table
+    // gate — only docs passing EVERY heuristic rule reach the shingle
+    // pass (the cheapest of the front gates: pure per-row string work,
+    // no corpus-wide model, so at 100 TB it runs first among filters)
+    val hygCorpus =
+      (qualitySources, ensembleSources, tieredSources, rulesSources) match {
+      case (Some(srcs), _, _, _) =>
         TextOps.qualityFilterOf(hygCorpus0.join(srcs, Seq("doc_id")))
           .select("doc_id").join(hygCorpus0, Seq("doc_id"))
-      case (None, Some(srcs), _) =>
+      case (None, Some(srcs), _, _) =>
         TextOps.ensembleVotesOf(hygCorpus0.join(srcs, Seq("doc_id")))
           .filter(col("keep")).select("doc_id")
           .join(hygCorpus0, Seq("doc_id"))
-      case (None, None, Some(srcs)) =>
+      case (None, None, Some(srcs), _) =>
         TextOps.pplGateOf(hygCorpus0.join(srcs, Seq("doc_id")))
           .filter(col("keep")).select("doc_id")
           .join(hygCorpus0, Seq("doc_id"))
-      case (None, None, None) => hygCorpus0
+      case (None, None, None, Some(srcs)) =>
+        TextOps.ruleVerdictsOf(hygCorpus0.join(srcs, Seq("doc_id")))
+          .filter(col("keep")).select("doc_id")
+          .join(hygCorpus0, Seq("doc_id"))
+      case (None, None, None, None) => hygCorpus0
     }
     // the one shingle pass over corpus ∪ bench, materialized and shared
     // (see object doc); bench rows ride along so decontamination reuses it
@@ -242,6 +253,21 @@ object Pipeline {
     val docs = t(s, d, "documents")
     corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
         tieredSources = Some(docs.select("doc_id", "source")))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** The chain with the X4af rule-table gate composed in front: only
+    * docs passing EVERY Gopher/C4 heuristic rule reach the shingle
+    * pass — the cheapest front gate (pure per-row string work, no
+    * corpus-wide model to train or broadcast), which is why production
+    * pipelines run the rule table before anything else. At 100 TB the
+    * same halve-everything-downstream win as the other gates, minus
+    * even the model-build cost. */
+  val pipelineCorpusRules: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    corpusHygiene(docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        rulesSources = Some(docs.select("doc_id", "source")))
       .orderBy("doc_id")
       .limit(300)
   }
@@ -451,6 +477,7 @@ object Pipeline {
     "pipeline_corpus_quality" -> pipelineCorpusQuality,
     "pipeline_corpus_ensemble" -> pipelineCorpusEnsemble,
     "pipeline_corpus_tiered" -> pipelineCorpusTiered,
+    "pipeline_corpus_rules" -> pipelineCorpusRules,
     "pipeline_corpus_canonical" -> pipelineCorpusCanonical,
     "pipeline_corpus_manifest" -> pipelineCorpusManifest,
     "pipeline_corpus_mm" -> pipelineCorpusMm)
@@ -642,6 +669,18 @@ object Pipeline {
                      WHERE CASE WHEN CAST(substr(k.source, 4) AS INT) % 3 = 0
                                 THEN k.bucket <= 2 ELSE k.bucket = 1 END),"""
 
+  /** The X4af gate as oracle CTEs: the rule-table chain replayed on the
+    * HYGIENIC corpus slice (TextOps.ruleCtesOn) → `corpr`, the kept
+    * slice the shingle pass reads. */
+  private val rulesGateCtes: String =
+    s"""${TextOps.ruleCtesOn(
+        "(SELECT c.doc_id, d.source, c.text FROM corp c " +
+          "JOIN documents d USING (doc_id))")},
+           corpr AS (SELECT c.doc_id, c.text
+                     FROM corp c JOIN rr ON rr.doc_id = c.doc_id
+                     WHERE rr.r_wc AND rr.r_mwl AND rr.r_sym AND rr.r_bullet
+                       AND rr.r_ellipsis AND rr.r_alpha AND rr.r_stop),"""
+
   /** The X5e gate as oracle CTEs: byte-moment quality over the RAW
     * payload bytes (mm_quality's construction) → `corpmm`, the kept
     * corpus slice the shingle pass reads. */
@@ -715,6 +754,9 @@ object Pipeline {
            ${packTail("survivors")}""",
     "pipeline_corpus_tiered" ->
       s"""${hygienePrefixFrom("corpt", tieredGateCtes)},
+           ${packTail("survivors")}""",
+    "pipeline_corpus_rules" ->
+      s"""${hygienePrefixFrom("corpr", rulesGateCtes)},
            ${packTail("survivors")}""",
     "pipeline_corpus_canonical" ->
       s"""${hygienePrefixFrom("corp", canonicalDroplist = true)},

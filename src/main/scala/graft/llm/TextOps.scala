@@ -2529,9 +2529,14 @@ object TextOps {
     * gate, the profile gate, its jx twins, and the ST18 streamed store so
     * every consumer of the rule layer is held to the identical contract.
     * Prefix rw/rl/rx/rt/rm/rr. */
-  private[llm] val ruleCtes: String =
-    """rw AS (SELECT doc_id, source, string_split(text, ' ') AS words0
-              FROM documents),
+  private[llm] val ruleCtes: String = ruleCtesOn("documents")
+
+  /** [[ruleCtes]] over ANY (doc_id, source, text) relation — the
+    * pipeline's rule gate replays the chain on the HYGIENIC corpus slice
+    * instead of the raw table. */
+  private[llm] def ruleCtesOn(src: String): String =
+    s"""rw AS (SELECT doc_id, source, string_split(text, ' ') AS words0
+              FROM $src),
        rl AS (SELECT doc_id, source, words0,
                      list_transform(range(0, ((len(words0)-1)//10)+1), i ->
                        array_to_string(words0[(i*10+1):(i*10+10)], ' ')) AS lines0

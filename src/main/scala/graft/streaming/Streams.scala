@@ -892,7 +892,46 @@ object Streams {
     deconStoreReadout(s, s"$dir/x")
   }
 
+  /** ST18: stream-maintained RULE-PROFILE monitor — the heuristic-filter
+    * twin of the classifier pass-rate store: "which Gopher/C4 rule is
+    * eating source X, and is that drifting?" Each micro-batch computes
+    * its own per-doc rule verdicts (stateless in-row string work — a
+    * doc's verdicts depend only on its own bytes, never on the corpus)
+    * and folds them into per-source failure-count partials
+    * ([[graft.llm.TextOps.rulePartialsOf]] — every column a distributive
+    * sum) written under the batch's own partition (dynamic idempotent
+    * overwrite, [[idempotentAppend]]'s recipe). Batch-independent
+    * verdicts make the merged store equal the full-corpus profile
+    * BIT-identically under any split or redelivery — gated here by
+    * text_rule_profile's oracle VERBATIM. At 100 TB/day the monitor
+    * refresh is |sources|×|batches| KB-scale rows, corpus never
+    * rescanned. */
+  def ruleStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit =
+    graft.llm.TextOps.rulePartialsOf(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  def ruleStoreReadout(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextOps.ruleProfileMergeFrom(s.read.parquet(dir))
+
+  /** ST18 batch twin: two disjoint batches + an at-least-once redelivery
+    * of batch 0, then the merged readout — exactness under batching, not
+    * mere consistency. */
+  val streamRuleStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "rule_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val c = s"$dd/c"
+      ruleStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+      ruleStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, c)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      ruleStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+    }
+    ruleStoreReadout(s, s"$dir/c")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_rule_store" -> streamRuleStore,
     "stream_decon_store" -> streamDeconStore,
     "stream_novelty_store" -> streamNoveltyStore,
     "stream_tumbling" -> streamTumbling,
@@ -909,6 +948,9 @@ object Streams {
     "stream_canonical_store" -> streamCanonicalStore)
 
   val oracle: Map[String, String] = Map(
+    // the maintained rule-failure profile must equal the one-shot
+    // full-corpus pass: text_rule_profile's oracle verbatim
+    "stream_rule_store" -> graft.llm.TextOps.oracle("text_rule_profile"),
     // the maintained-label canonical readout must equal a full-corpus
     // rebuild: dedup_canonical's oracle verbatim
     "stream_canonical_store" -> graft.llm.Dedup.oracle("dedup_canonical"),
