@@ -214,6 +214,11 @@ object QueryService {
         // inherits text_ppl_buckets' oracle through it)
         s""""tiers":${graft.jx.Jx.listJson(
           graft.streaming.Streams.queries("stream_ppl_store")(spark, dataset))},""" +
+        // per-source Gopher/C4 rule-failure profile from the streamed
+        // rule store (stream_rule_store's frame verbatim — the panel
+        // inherits text_rule_profile's oracle through it)
+        s""""rules":${graft.jx.Jx.listJson(
+          graft.streaming.Streams.queries("stream_rule_store")(spark, dataset))},""" +
         s""""funnel":${graft.jx.Jx.listJson(
           graft.llm.Pipeline.queries("pipeline_funnel")(spark, dataset))}}"""
     }

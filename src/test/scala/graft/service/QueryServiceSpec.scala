@@ -323,8 +323,18 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "quality"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("sources", "mix", "report", "tiers", "funnel").foreach(s =>
+      Seq("sources", "mix", "report", "tiers", "rules", "funnel").foreach(s =>
         assert(panel.has(s), s"missing panel section $s"))
+      // the rules section re-merges the streamed rule store and is
+      // byte-identical to the stream_rule_store driver key
+      val rules = panel.get("rules").get("data")
+      val rulesDirect = graft.streaming.Streams
+        .queries("stream_rule_store")(spark, sf).collect()
+      assert(rules.size() === rulesDirect.length)
+      assert(rules.get(0).get("n_keep").asLong() ===
+        rulesDirect.head.getAs[Long]("n_keep"))
+      Seq("source", "n_docs", "f_wc", "f_sym", "f_bullet", "n_keep").foreach(c =>
+        assert(rules.get(0).has(c), s"missing rules column $c"))
       // the tiers section re-ranks the streamed LM-score store and is
       // byte-identical to the stream_ppl_store driver key
       val tiers = panel.get("tiers").get("data")

@@ -412,6 +412,56 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "redelivered batch double-counted")
   }
 
+  test("ST18: the streamed rule-profile monitor merges to the one-shot " +
+    "full-corpus profile and survives redelivery") {
+    val dir = tmp("graft-st18")
+    val rnd = new scala.util.Random(31)
+    val vocab = Seq("the", "a", "of", "and", "to",
+      "table", "row", "scan", "value", "fast")
+    // word counts spanning the r_wc boundary; residue-keyed decorations
+    // (%7 hash line, %11 bullets, …) fire for the matching doc_ids
+    val docs = (0L until 30L).map { i =>
+      (i, Seq.fill(20 + rnd.nextInt(80))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        "en", s"src${i % 3}", 100L)
+    }
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = graft.llm.TextOps.ruleProfileOf(df(docs))
+      .collect().map(_.toString).toSeq
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.ruleStoreSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(docs.take(12): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(12): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.ruleStoreReadout(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(readout === full,
+      "merged rule partials must equal the one-shot profile")
+    // at-least-once redelivery of batch 0 overwrites its own partition
+    Streams.ruleStoreSink(df(docs.take(12)), 0L, dir)
+    assert(readout === full, "redelivered batch double-counted")
+    // the residue-keyed violator populations actually fire, and clean
+    // docs actually pass — both verdict outcomes exist in the corpus
+    val verd = graft.llm.TextOps.ruleFilterOf(df(docs)).collect()
+    assert(verd.exists(r => !r.getAs[Boolean]("r_sym")),
+      "the %7 hash-line population must fail the symbol rule")
+    assert(verd.exists(r => !r.getAs[Boolean]("r_bullet")),
+      "the %11 bullet population must fail the bullet rule")
+    assert(verd.exists(r => r.getAs[Boolean]("keep")),
+      "an undecorated mid-length doc must pass every rule")
+  }
+
   test("ST17: the streamed LM-score store re-ranks to the one-shot " +
     "perplexity tiers and prices unseen grams by smoothing") {
     val dir = tmp("graft-st17")
