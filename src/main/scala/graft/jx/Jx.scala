@@ -483,6 +483,8 @@ object Jx {
       case "novelty" => graft.llm.TextOps.ngramNoveltyOf(docs)
       case "rule_filter" => graft.llm.TextOps.ruleFilterOf(docs)
       case "rule_profile" => graft.llm.TextOps.ruleProfileOf(docs)
+      case "line_dedup" => graft.llm.TextOps.lineDedupOf(docs)
+      case "secret_scan" => graft.llm.TextOps.secretScanOf(docs)
       case "novelty_curve" => graft.llm.TextOps.noveltyCurveOf(docs)
       case "novelty_sources" => graft.llm.TextOps.noveltySourcesOf(docs)
       case "split_leakfree" =>

@@ -366,6 +366,12 @@ object JxQueries {
   private val ruleProfileJson = """{
     "corpus_op": {"op": "rule_profile", "corpus": {"from": "documents"}}}"""
 
+  private val lineDedupJson = """{
+    "corpus_op": {"op": "line_dedup", "corpus": {"from": "documents"}}}"""
+
+  private val secretScanJson = """{
+    "corpus_op": {"op": "secret_scan", "corpus": {"from": "documents"}}}"""
+
   private val noveltyCurveJson = """{
     "corpus_op": {"op": "novelty_curve", "corpus": {"from": "documents"}}}"""
 
@@ -561,6 +567,10 @@ object JxQueries {
       ((s, d) => Jx.run(s, ruleFilterJson, name => t(s, d, name))),
     "jx_rule_profile" ->
       ((s, d) => Jx.run(s, ruleProfileJson, name => t(s, d, name))),
+    "jx_line_dedup" ->
+      ((s, d) => Jx.run(s, lineDedupJson, name => t(s, d, name))),
+    "jx_secret_scan" ->
+      ((s, d) => Jx.run(s, secretScanJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
       ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
     "jx_quality_classifier" ->
@@ -658,6 +668,8 @@ object JxQueries {
     "jx_novelty" -> graft.llm.TextOps.oracle("text_ngram_novelty"),
     "jx_rule_filter" -> graft.llm.TextOps.oracle("text_rule_filter"),
     "jx_rule_profile" -> graft.llm.TextOps.oracle("text_rule_profile"),
+    "jx_line_dedup" -> graft.llm.TextOps.oracle("text_line_dedup"),
+    "jx_secret_scan" -> graft.llm.TextOps.oracle("text_secret_scan"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->
       graft.llm.TextOps.oracle("text_quality_classifier"),

@@ -2264,9 +2264,106 @@ object TextOps {
 
   val textRuleProfile: Q = (s, d) => ruleProfileOf(t(s, d, "documents"))
 
+  // ——— X4ai: line-level boilerplate removal (the CCNet/crawl-cleaning
+  // paragraph-hash pass) ———
+
+  /** Deterministic line decoration: words reflow into 10-word lines,
+    * then each doc gains a per-source header line and a global footer
+    * line — the navigation/boilerplate structure a real crawl carries
+    * (both engines construct the identical lines from (doc_id, source)
+    * alone). */
+  private[llm] def withDocLines(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("words0", split(col("text"), " "))
+      .withColumn("body", expr(
+        "transform(sequence(0, (size(words0)-1) div 10), " +
+          "i -> array_join(slice(words0, i*10+1, 10), ' '))"))
+      .withColumn("dlines", expr(
+        "concat(array('subscribe to ' || source || ' newsletter today'), " +
+          "body, array('all rights reserved worldwide'))"))
+      .drop("words0", "body")
+
+  /** X4ai driver gate: corpus-frequency line dedup — hash every line,
+    * count how many DISTINCT docs each hash appears in, and REWRITE each
+    * doc keeping only lines below the boilerplate threshold (≥5 docs ⇒
+    * boilerplate: nav bars, cookie banners, license footers — CCNet's
+    * paragraph-hash pass, the crawl-side complement of the pair-wise
+    * dedup family: frequency-based, needs no pair graph). Returns the
+    * per-doc line counts plus the md5 of the REWRITTEN text (pins every
+    * surviving byte). Scale shape: one shuffle keyed on the 32-hex line
+    * hash (never the line bytes), then one per-doc re-aggregation; the
+    * frequency table is the only corpus-wide state and it shrinks to
+    * |distinct lines ≥ threshold| for the production broadcast. */
+  def lineDedupOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lined = withDocLines(docs)
+    val ex = lined
+      .select(col("doc_id"), posexplode(col("dlines")).as(Seq("pos", "line")))
+      .withColumn("lh", md5(col("line")))
+    val dfreq = ex.groupBy("lh").agg(countDistinct("doc_id").as("ldf"))
+    ex.join(dfreq, Seq("lh"))
+      .filter(col("ldf") < 5)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("pos"), col("line"))).as("kl"))
+      .select(col("doc_id"),
+        size(col("kl")).cast("long").as("n_kept"),
+        md5(array_join(expr("transform(array_sort(kl), x -> x.line)"), "\n"))
+          .as("cleaned_md5"))
+      .join(lined.select(col("doc_id"),
+        size(col("dlines")).cast("long").as("n_lines")), Seq("doc_id"))
+      .select("doc_id", "n_lines", "n_kept", "cleaned_md5")
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  val textLineDedup: Q = (s, d) => lineDedupOf(t(s, d, "documents"))
+
+  // ——— X4aj: secret/credential scanning ———
+
+  /** X4aj driver gate: high-entropy token scrubbing — the
+    * detect-secrets-style pass a pipeline runs so leaked API keys never
+    * reach training shards. A token is flagged when it is long (≥20
+    * chars), charset-diverse (≥12 distinct chars — the entropy proxy,
+    * integer-exact in both engines), and mixes digits with letters;
+    * flagged tokens are replaced by <SECRET> and the scrubbed text md5
+    * pins every byte. The synthetic corpus carries no secrets, so docs
+    * with doc_id % 7 = 3 are first decorated with a deterministic fake
+    * key (token_ + the md5 hex of their own id) and EVERY doc gains a
+    * 32-char single-letter token — a long-but-low-entropy decoy the
+    * scanner must NOT flag (both engines build identical strings).
+    * Pure per-row array work: codegen, no shuffle, linear. */
+  def secretScanOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val flag =
+      "length(tk) >= 20 AND " +
+        "size(array_distinct(transform(sequence(1, length(tk)), " +
+        "i -> substr(tk, i, 1)))) >= 12 AND " +
+        "tk rlike '[0-9]' AND tk rlike '[a-z]'"
+    docs
+      .withColumn("sec_text", concat(col("text"),
+        when(col("doc_id") % 7 === 3,
+          concat(lit(" token_"), md5(col("doc_id").cast("string"))))
+          .otherwise(lit("")),
+        lit(" " + "a".repeat(32))))
+      .withColumn("toks", split(col("sec_text"), " "))
+      .select(
+        col("doc_id"),
+        expr("CAST(size(filter(toks, tk -> length(tk) >= 20)) AS BIGINT)")
+          .as("n_candidates"),
+        expr(s"CAST(size(filter(toks, tk -> $flag)) AS BIGINT)").as("n_secrets"),
+        md5(expr(
+          s"array_join(transform(toks, tk -> CASE WHEN $flag THEN '<SECRET>' " +
+            "ELSE tk END), ' ')")).as("scrub_md5"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  val textSecretScan: Q = (s, d) => secretScanOf(t(s, d, "documents"))
+
   val queries: Map[String, Q] = Map(
     "text_rule_filter" -> textRuleFilter,
     "text_rule_profile" -> textRuleProfile,
+    "text_line_dedup" -> textLineDedup,
+    "text_secret_scan" -> textSecretScan,
     "text_shard_manifest" -> textShardManifest,
     "text_shard_export" -> textShardExport,
     "text_shard_manifest_src" -> textShardManifestSrc,
@@ -2619,6 +2716,59 @@ object TextOps {
         FROM rr GROUP BY source ORDER BY source"""
 
   val oracle: Map[String, String] = Map(
+    "text_line_dedup" ->
+      """WITH lw AS (SELECT doc_id, source, string_split(text, ' ') AS words0
+                     FROM documents),
+           ld AS (SELECT doc_id,
+                         ['subscribe to ' || source || ' newsletter today'] ||
+                         list_transform(range(0, ((len(words0)-1)//10)+1), i ->
+                           array_to_string(words0[(i*10+1):(i*10+10)], ' ')) ||
+                         ['all rights reserved worldwide'] AS dlines
+                  FROM lw),
+           lx AS (SELECT doc_id,
+                         unnest(dlines) AS line,
+                         unnest(range(1, len(dlines)+1)) AS pos
+                  FROM ld),
+           lf AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS ldf
+                  FROM lx GROUP BY 1),
+           lk AS (SELECT x.doc_id, x.pos, x.line
+                  FROM lx x JOIN lf ON lf.lh = md5(x.line)
+                  WHERE lf.ldf < 5),
+           lc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                         md5(string_agg(line, chr(10) ORDER BY pos))
+                           AS cleaned_md5
+                  FROM lk GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.dlines) AS BIGINT) AS n_lines,
+                lc.n_kept, lc.cleaned_md5
+         FROM ld d JOIN lc USING (doc_id)
+         ORDER BY doc_id LIMIT 300""",
+    "text_secret_scan" ->
+      """WITH st AS (SELECT doc_id,
+                  text || CASE WHEN doc_id % 7 = 3
+                               THEN ' token_' || md5(CAST(doc_id AS VARCHAR))
+                               ELSE '' END
+                       || ' ' || repeat('a', 32) AS sec_text
+           FROM documents),
+           sk AS (SELECT doc_id, string_split(sec_text, ' ') AS toks FROM st)
+         SELECT doc_id,
+                CAST(len(list_filter(toks, tk -> length(tk) >= 20))
+                     AS BIGINT) AS n_candidates,
+                CAST(len(list_filter(toks, tk ->
+                  length(tk) >= 20
+                  AND len(list_distinct(list_transform(
+                        range(1, length(tk)+1),
+                        i -> substr(tk, CAST(i AS INT), 1)))) >= 12
+                  AND regexp_matches(tk, '[0-9]')
+                  AND regexp_matches(tk, '[a-z]'))) AS BIGINT) AS n_secrets,
+                md5(array_to_string(list_transform(toks, tk ->
+                  CASE WHEN length(tk) >= 20
+                            AND len(list_distinct(list_transform(
+                                  range(1, length(tk)+1),
+                                  i -> substr(tk, CAST(i AS INT), 1)))) >= 12
+                            AND regexp_matches(tk, '[0-9]')
+                            AND regexp_matches(tk, '[a-z]')
+                       THEN '<SECRET>' ELSE tk END), ' ')) AS scrub_md5
+         FROM sk ORDER BY doc_id LIMIT 300""",
     "text_rule_filter" ->
       s"""WITH $ruleCtes
           SELECT doc_id, n_words, n_lines, r_wc, r_mwl, r_sym, r_bullet,
