@@ -487,6 +487,16 @@ object Jx {
       case "secret_scan" => graft.llm.TextOps.secretScanOf(docs)
       case "novelty_curve" => graft.llm.TextOps.noveltyCurveOf(docs)
       case "novelty_sources" => graft.llm.TextOps.noveltySourcesOf(docs)
+      case "reweight" =>
+        // plain standard corpus + dataset → probe the STORED pair-graph
+        // labels; anything else rebuilds the pair chain in-plan
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Dedup.queries("dedup_reweight")(spark, dataset.get)
+        else graft.llm.Dedup.reweightOf(docs)
+      case "split_stratified" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Dedup.queries("dedup_split_stratified")(spark, dataset.get)
+        else graft.llm.Dedup.splitStratifiedOf(docs)
       case "split_leakfree" =>
         // plain standard corpus + dataset → hash the STORED pair-graph
         // labels; anything else rebuilds the pair chain in-plan

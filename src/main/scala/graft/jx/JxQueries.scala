@@ -372,6 +372,12 @@ object JxQueries {
   private val secretScanJson = """{
     "corpus_op": {"op": "secret_scan", "corpus": {"from": "documents"}}}"""
 
+  private val reweightJson = """{
+    "corpus_op": {"op": "reweight", "corpus": {"from": "documents"}}}"""
+
+  private val splitStratifiedJson = """{
+    "corpus_op": {"op": "split_stratified", "corpus": {"from": "documents"}}}"""
+
   private val noveltyCurveJson = """{
     "corpus_op": {"op": "novelty_curve", "corpus": {"from": "documents"}}}"""
 
@@ -571,6 +577,10 @@ object JxQueries {
       ((s, d) => Jx.run(s, lineDedupJson, name => t(s, d, name))),
     "jx_secret_scan" ->
       ((s, d) => Jx.run(s, secretScanJson, name => t(s, d, name))),
+    "jx_reweight" ->
+      ((s, d) => Jx.run(s, reweightJson, name => t(s, d, name))),
+    "jx_split_stratified" ->
+      ((s, d) => Jx.run(s, splitStratifiedJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
       ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
     "jx_quality_classifier" ->
@@ -670,6 +680,8 @@ object JxQueries {
     "jx_rule_profile" -> graft.llm.TextOps.oracle("text_rule_profile"),
     "jx_line_dedup" -> graft.llm.TextOps.oracle("text_line_dedup"),
     "jx_secret_scan" -> graft.llm.TextOps.oracle("text_secret_scan"),
+    "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
+    "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->
       graft.llm.TextOps.oracle("text_quality_classifier"),

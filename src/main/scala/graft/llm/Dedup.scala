@@ -1037,6 +1037,84 @@ object Dedup {
       minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5)),
       docsIn)
 
+  /** X1i: SOFT dedup — reweighting instead of dropping. Hard dedup
+    * discards information a sampler could still use; the soft policy
+    * keeps every member of a near-dup cluster but assigns it sampling
+    * weight 1/|cluster| (integer per-mille here), so the cluster as a
+    * whole contributes one doc's worth of probability mass and the
+    * "duplicates boost their content's sampling rate" bias vanishes
+    * without deleting a byte. Probes the stored pair-graph labels — one
+    * doc-level join + a KB-scale cluster-size aggregate, no corpus
+    * rescan; the downstream sampler is `sample_weighted`'s machinery. */
+  val dedupReweight: Q = (s, d) =>
+    reweightFrom(clusterLabels(s, d), t(s, d, "documents"))
+
+  private[graft] def reweightFrom(labels: DataFrame, docsIn: DataFrame): DataFrame = {
+    val sl = docsIn.select("doc_id")
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val sizes = sl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    sl.join(sizes, Seq("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"), col("n_members"),
+        expr("1000 div n_members").as("weight_permille"))
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** [[dedupReweight]] in-plan fallback over any documents-shaped frame. */
+  private[graft] def reweightOf(docsIn: DataFrame): DataFrame =
+    reweightFrom(clusterLabelsFrom(
+      minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5)),
+      docsIn)
+
+  /** X1j: STRATIFIED leak-free split — train/val/test with EXACT
+    * per-source quotas at cluster granularity. The hash split (X1g)
+    * only hits its 90/10 in expectation; production eval sets want
+    * exact per-source proportions. Clusters stay atomic (leak-free by
+    * construction); each cluster strata-keys on its canonical (min-id)
+    * member's source, clusters order deterministically by
+    * md5(cluster_id) within the stratum, and a cumulative doc count
+    * cuts exact 90/5/5 boundaries — all-integer compares
+    * (1000·cum < 900·total), no RNG, bit-stable under any
+    * partitioning. Scale: windows run over the KB-scale CLUSTER table
+    * (|clusters| rows partitioned by source), never the corpus; docs
+    * join the verdict by cluster key once. */
+  val dedupSplitStratified: Q = (s, d) =>
+    splitStratifiedFrom(clusterLabels(s, d), t(s, d, "documents"))
+
+  private[graft] def splitStratifiedFrom(labels: DataFrame,
+      docsIn: DataFrame): DataFrame = {
+    val sl = docsIn.select("doc_id", "source")
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val clusters = sl.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        min(struct(col("doc_id"), col("source"))).as("mn"))
+      .select(col("cluster_id"), col("n_members"), col("mn.source").as("stratum"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("stratum")
+      .orderBy(md5(col("cluster_id").cast("string")), col("cluster_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tot = clusters.groupBy("stratum").agg(sum("n_members").as("n_total"))
+    val assigned = clusters
+      .withColumn("cum_before", coalesce(sum("n_members").over(w), lit(0L)))
+      .join(tot, Seq("stratum"))
+      .withColumn("split",
+        when(lit(1000) * col("cum_before") < lit(900) * col("n_total"), "train")
+          .when(lit(1000) * col("cum_before") < lit(950) * col("n_total"), "val")
+          .otherwise("test"))
+    sl.join(assigned.select("cluster_id", "split"), Seq("cluster_id"))
+      .select("doc_id", "source", "cluster_id", "split")
+      .orderBy("doc_id")
+      .limit(300)
+  }
+
+  /** [[dedupSplitStratified]] in-plan fallback. */
+  private[graft] def splitStratifiedOf(docsIn: DataFrame): DataFrame =
+    splitStratifiedFrom(clusterLabelsFrom(
+      minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5)),
+      docsIn)
+
   /** [[dedupCanonical]] over any documents-shaped frame — the jx
     * `corpus_op` front end's IN-PLAN fallback (same contract as
     * [[graft.llm.TextOps.qualityFilterOf]]); the standard-corpus route
@@ -1418,6 +1496,8 @@ object Dedup {
     "dedup_drop_list" -> dedupDropList,
     "dedup_canonical" -> dedupCanonical,
     "dedup_split_leakfree" -> dedupSplitLeakfree,
+    "dedup_reweight" -> dedupReweight,
+    "dedup_split_stratified" -> dedupSplitStratified,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_trim" -> dedupSubstringTrim,
     "dedup_online_gate" -> dedupOnlineGate,
@@ -1780,6 +1860,58 @@ object Dedup {
                           AS BIGINT) % 10 < 9
                      THEN 'train' ELSE 'val' END AS split
          FROM sl ORDER BY doc_id LIMIT 300""",
+    "dedup_reweight" ->
+      s"""WITH RECURSIVE $minhashCte,
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+           rwsl AS (SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster_id
+                    FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+           rwsz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+                    FROM rwsl GROUP BY cluster_id)
+         SELECT s.doc_id, s.cluster_id, z.n_members,
+                CAST(1000 // z.n_members AS BIGINT) AS weight_permille
+         FROM rwsl s JOIN rwsz z USING (cluster_id)
+         ORDER BY doc_id LIMIT 300""",
+    "dedup_split_stratified" ->
+      s"""WITH RECURSIVE $minhashCte,
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+           slx AS (SELECT d.doc_id, d.source, COALESCE(l.lbl, d.doc_id) AS cluster_id
+                   FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+           cl AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+                         min(doc_id) AS min_doc
+                  FROM slx GROUP BY cluster_id),
+           clm AS (SELECT c.cluster_id, c.n_members, s.source AS stratum
+                   FROM cl c JOIN slx s ON s.doc_id = c.min_doc),
+           cw AS (SELECT cluster_id, n_members, stratum,
+                         CAST(COALESCE(SUM(n_members) OVER (
+                           PARTITION BY stratum
+                           ORDER BY md5(CAST(cluster_id AS VARCHAR)), cluster_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                           AS BIGINT) AS cum_before,
+                         CAST(SUM(n_members) OVER (PARTITION BY stratum)
+                           AS BIGINT) AS n_total
+                  FROM clm),
+           ca AS (SELECT cluster_id,
+                         CASE WHEN 1000*cum_before < 900*n_total THEN 'train'
+                              WHEN 1000*cum_before < 950*n_total THEN 'val'
+                              ELSE 'test' END AS split
+                  FROM cw)
+         SELECT s.doc_id, s.source, s.cluster_id, ca.split
+         FROM slx s JOIN ca USING (cluster_id)
+         ORDER BY doc_id LIMIT 300""",
     "dedup_embed_lsh" ->
       s"""WITH ${Similarity.lshOracleCte},
            cand AS (SELECT DISTINCT x.vec_id AS da, y.vec_id AS db
