@@ -40,6 +40,7 @@ object SparkEntry {
   /** One entry per implemented operator key from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      sources.FormatScans.queries ++
       operators.Skew.queries ++
       operators.Expressions.queries ++
       operators.Aggregates.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
     * and ordering as the Spark result — driver hash-compares, SURVEY §7.4). */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
+      sources.FormatScans.oracle ++
       operators.Skew.oracle ++
       operators.Expressions.oracle ++
       operators.Aggregates.oracle ++
