@@ -2295,14 +2295,36 @@ object TextOps {
     * hash (never the line bytes), then one per-doc re-aggregation; the
     * frequency table is the only corpus-wide state and it shrinks to
     * |distinct lines ≥ threshold| for the production broadcast. */
-  def lineDedupOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def lineDedupOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lineDedupAgainst(docs, lineFreqsOf(docs))
+
+  /** One batch's line-frequency partials: (lh, n_docs) with doc counts
+    * DISTINCT within the batch — docs live in exactly one batch, so the
+    * per-line doc counts are DISTRIBUTIVE across a batch split and the
+    * streamed store's merge ([[graft.streaming.Streams]] ST19) re-sums
+    * them into the exact full-corpus table. */
+  def lineFreqsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    withDocLines(docs)
+      .select(col("doc_id"), explode(col("dlines")).as("line"))
+      .select(md5(col("line")).as("lh"), col("doc_id"))
+      .distinct()
+      .groupBy("lh")
+      .agg(count(lit(1)).as("ldf"))
+
+  /** The rewrite pass against ANY (lh, ldf) frequency table — the
+    * production split: the boilerplate table is maintained (batch job or
+    * ST19 stream), and arriving docs are rewritten against it without
+    * rescanning the corpus. */
+  def lineDedupAgainst(docs: org.apache.spark.sql.DataFrame,
+      dfreq: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val lined = withDocLines(docs)
     val ex = lined
       .select(col("doc_id"), posexplode(col("dlines")).as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
-    val dfreq = ex.groupBy("lh").agg(countDistinct("doc_id").as("ldf"))
-    ex.join(dfreq, Seq("lh"))
-      .filter(col("ldf") < 5)
+    // left join: a line the table has never seen (an arriving doc's
+    // fresh content) is by definition not boilerplate — keep it
+    ex.join(dfreq, Seq("lh"), "left")
+      .filter(coalesce(col("ldf"), lit(1L)) < 5)
       .groupBy("doc_id")
       .agg(collect_list(struct(col("pos"), col("line"))).as("kl"))
       .select(col("doc_id"),

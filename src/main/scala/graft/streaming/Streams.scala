@@ -930,8 +930,50 @@ object Streams {
     ruleStoreReadout(s, s"$dir/c")
   }
 
+  /** ST19: stream-maintained BOILERPLATE-LINE table — the incremental
+    * object behind line dedup: at 100 TB the (line-hash → doc count)
+    * frequency table is what a pipeline maintains as batches arrive, and
+    * the rewrite pass is a stateless probe against it. Each micro-batch
+    * folds its docs into per-line partials
+    * ([[graft.llm.TextOps.lineFreqsOf]]: doc counts distinct WITHIN the
+    * batch — docs live in exactly one batch, so the counts are
+    * distributive and the merged store equals the full-corpus frequency
+    * table EXACTLY under any split; redelivery overwrites its own batch
+    * partition). The gate rewrites the corpus against the MERGED store
+    * and must land on text_line_dedup's oracle VERBATIM — store-then-
+    * rewrite equals the one-shot pass bit-for-bit. */
+  def lineStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit =
+    graft.llm.TextOps.lineFreqsOf(batch)
+      .withColumnRenamed("ldf", "n_docs")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** The merged frequency table over the store's batch partitions. */
+  def lineStoreFreqs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .groupBy("lh")
+      .agg(sum("n_docs").as("ldf"))
+
+  /** ST19 batch twin: two disjoint batches + an at-least-once redelivery
+    * build the store; the corpus rewritten against the merged table is
+    * gated by the one-shot oracle verbatim. */
+  val streamLineStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "line_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val c = s"$dd/c"
+      lineStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+      lineStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, c)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      lineStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+    }
+    graft.llm.TextOps.lineDedupAgainst(
+      t(s, d, "documents"), lineStoreFreqs(s, s"$dir/c"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_rule_store" -> streamRuleStore,
+    "stream_line_store" -> streamLineStore,
     "stream_decon_store" -> streamDeconStore,
     "stream_novelty_store" -> streamNoveltyStore,
     "stream_tumbling" -> streamTumbling,
@@ -951,6 +993,9 @@ object Streams {
     // the maintained rule-failure profile must equal the one-shot
     // full-corpus pass: text_rule_profile's oracle verbatim
     "stream_rule_store" -> graft.llm.TextOps.oracle("text_rule_profile"),
+    // the store-then-rewrite pass must equal the one-shot line dedup:
+    // text_line_dedup's oracle verbatim
+    "stream_line_store" -> graft.llm.TextOps.oracle("text_line_dedup"),
     // the maintained-label canonical readout must equal a full-corpus
     // rebuild: dedup_canonical's oracle verbatim
     "stream_canonical_store" -> graft.llm.Dedup.oracle("dedup_canonical"),

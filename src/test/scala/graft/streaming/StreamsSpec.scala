@@ -462,6 +462,57 @@ class StreamsSpec extends graft.SparkSpec {
       "an undecorated mid-length doc must pass every rule")
   }
 
+  test("ST19: the streamed boilerplate-line table merges to the exact " +
+    "full-corpus frequencies and the rewrite matches the one-shot pass") {
+    val dir = tmp("graft-st19")
+    // 12 docs: shared source => shared header/footer boilerplate; doc
+    // bodies unique except one 10-word sentence repeated across 6 docs
+    // (crosses the >=5 threshold => body-level boilerplate too)
+    val shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (0L until 12L).map { i =>
+      val body =
+        if (i < 6) s"$shared unique$i word$i tail$i extra$i more$i"
+        else s"only$i its$i own$i words$i here$i now$i then$i so$i go$i end$i"
+      (i, body, "en", "src0", 100L)
+    }
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = graft.llm.TextOps.lineDedupOf(df(docs))
+      .collect().map(_.toString).toSeq
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.lineStoreSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(docs.take(5): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(5): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def rewrite = graft.llm.TextOps.lineDedupAgainst(
+        df(docs), Streams.lineStoreFreqs(spark, dir))
+      .collect().map(_.toString).toSeq
+    assert(rewrite === full,
+      "rewrite against the merged store must equal the one-shot pass")
+    // at-least-once redelivery of batch 0 overwrites its own partition
+    Streams.lineStoreSink(df(docs.take(5)), 0L, dir)
+    assert(rewrite === full, "redelivered batch double-counted")
+    // the shared sentence (6 docs) and header/footer (12 docs) are
+    // boilerplate; unique body lines survive
+    val out = graft.llm.TextOps.lineDedupOf(df(docs)).collect()
+    val d0 = out.find(_.getAs[Long]("doc_id") == 0L).get
+    assert(d0.getAs[Long]("n_lines") - d0.getAs[Long]("n_kept") === 3L,
+      "doc 0 must lose header, footer, AND the 6-doc shared sentence")
+    val d7 = out.find(_.getAs[Long]("doc_id") == 7L).get
+    assert(d7.getAs[Long]("n_lines") - d7.getAs[Long]("n_kept") === 2L,
+      "doc 7 must lose only header and footer")
+  }
+
   test("ST17: the streamed LM-score store re-ranks to the one-shot " +
     "perplexity tiers and prices unseen grams by smoothing") {
     val dir = tmp("graft-st17")
