@@ -487,6 +487,10 @@ object Jx {
       case "secret_scan" => graft.llm.TextOps.secretScanOf(docs)
       case "novelty_curve" => graft.llm.TextOps.noveltyCurveOf(docs)
       case "novelty_sources" => graft.llm.TextOps.noveltySourcesOf(docs)
+      case "threshold_tuning" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Dedup.queries("dedup_threshold_tuning")(spark, dataset.get)
+        else graft.llm.Dedup.thresholdTuningOf(docs)
       case "reweight" =>
         // plain standard corpus + dataset → probe the STORED pair-graph
         // labels; anything else rebuilds the pair chain in-plan

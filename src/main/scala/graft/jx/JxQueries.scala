@@ -378,6 +378,9 @@ object JxQueries {
   private val splitStratifiedJson = """{
     "corpus_op": {"op": "split_stratified", "corpus": {"from": "documents"}}}"""
 
+  private val thresholdTuningJson = """{
+    "corpus_op": {"op": "threshold_tuning", "corpus": {"from": "documents"}}}"""
+
   private val noveltyCurveJson = """{
     "corpus_op": {"op": "novelty_curve", "corpus": {"from": "documents"}}}"""
 
@@ -581,6 +584,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, reweightJson, name => t(s, d, name))),
     "jx_split_stratified" ->
       ((s, d) => Jx.run(s, splitStratifiedJson, name => t(s, d, name))),
+    "jx_threshold_tuning" ->
+      ((s, d) => Jx.run(s, thresholdTuningJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
       ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
     "jx_quality_classifier" ->
@@ -682,6 +687,7 @@ object JxQueries {
     "jx_secret_scan" -> graft.llm.TextOps.oracle("text_secret_scan"),
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),
+    "jx_threshold_tuning" -> graft.llm.Dedup.oracle("dedup_threshold_tuning"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->
       graft.llm.TextOps.oracle("text_quality_classifier"),

@@ -1115,6 +1115,45 @@ object Dedup {
       minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5)),
       docsIn)
 
+  /** X1k: DEDUP-THRESHOLD TUNING census — "measure, don't guess" (the
+    * X3l/X4ae pattern) applied to the jaccard knob itself: per candidate
+    * τ ∈ {0.5 … 0.9}, the pair count, the distinct docs touched, and the
+    * decimal-exact mean jaccard of surviving pairs — the whole
+    * aggressiveness/coverage curve in 5 rows, so the τ an operator ships
+    * is a read knee, not a default. Probes the STORED pair graph (pairs
+    * are banded-join output, KB–MB at any corpus size); shallower
+    * thresholds are FILTERS over the one stored table — no rescore per
+    * candidate, the probe-tuning trick verbatim. */
+  val dedupThresholdTuning: Q = (s, d) =>
+    thresholdTuningFrom(s.read.parquet(s"${pairStore(s, d)}/pairs"))
+
+  private[graft] def thresholdTuningFrom(pairs: DataFrame): DataFrame = {
+    val taus = array(Seq(500, 700, 900, 950, 975).map(lit(_)): _*)
+    val tp = pairs
+      .select(explode(taus).as("tau_permille"),
+        col("da"), col("db"), col("jaccard"))
+      .filter(col("jaccard") >= col("tau_permille") / 1000.0)
+    val agg = tp.groupBy("tau_permille")
+      .agg(count(lit(1)).as("n_pairs"),
+        r4(sum(col("jaccard").cast("decimal(28,12)")).cast("double") /
+          count(lit(1))).as("mean_jaccard"))
+    val ends = tp
+      .select(col("tau_permille"), explode(array(col("da"), col("db"))).as("id"))
+      .distinct()
+      .groupBy("tau_permille")
+      .agg(count(lit(1)).as("n_docs"))
+    agg.join(ends, Seq("tau_permille"))
+      .select("tau_permille", "n_pairs", "n_docs", "mean_jaccard")
+      .orderBy("tau_permille")
+  }
+
+  /** [[dedupThresholdTuning]] in-plan fallback over any documents frame. */
+  private[graft] def thresholdTuningOf(docsIn: DataFrame): DataFrame =
+    thresholdTuningFrom(
+      minhashScoredPairsFrom(shinglesOf(docsIn))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("da"), col("db"), r4(col("jaccard")).as("jaccard")))
+
   /** [[dedupCanonical]] over any documents-shaped frame — the jx
     * `corpus_op` front end's IN-PLAN fallback (same contract as
     * [[graft.llm.TextOps.qualityFilterOf]]); the standard-corpus route
@@ -1498,6 +1537,7 @@ object Dedup {
     "dedup_split_leakfree" -> dedupSplitLeakfree,
     "dedup_reweight" -> dedupReweight,
     "dedup_split_stratified" -> dedupSplitStratified,
+    "dedup_threshold_tuning" -> dedupThresholdTuning,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_trim" -> dedupSubstringTrim,
     "dedup_online_gate" -> dedupOnlineGate,
@@ -1754,6 +1794,25 @@ object Dedup {
          SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
          FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5
          ORDER BY jaccard DESC, da ASC, db ASC""",
+    "dedup_threshold_tuning" ->
+      s"""WITH $minhashCte,
+           ttp0 AS (SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
+                    FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           tts AS (SELECT unnest([500, 700, 900, 950, 975]) AS tau_permille),
+           ttp AS (SELECT t.tau_permille, p.da, p.db, p.jaccard
+                   FROM tts t JOIN ttp0 p
+                     ON p.jaccard >= t.tau_permille / 1000.0),
+           tta AS (SELECT tau_permille, CAST(count(*) AS BIGINT) AS n_pairs,
+                          round(CAST(sum(CAST(jaccard AS DECIMAL(28,12)))
+                                     AS DOUBLE) / count(*), 4) AS mean_jaccard
+                   FROM ttp GROUP BY 1),
+           tte AS (SELECT DISTINCT tau_permille, id
+                   FROM (SELECT tau_permille, unnest([da, db]) AS id FROM ttp)),
+           ttc AS (SELECT tau_permille, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM tte GROUP BY 1)
+         SELECT a.tau_permille, a.n_pairs, c.n_docs, a.mean_jaccard
+         FROM tta a JOIN ttc c USING (tau_permille)
+         ORDER BY tau_permille""",
     // doc-graph PageRank: the near-dup pairs as pgpairs, then the
     // shared power-iteration chain verbatim
     "dedup_centrality" ->
