@@ -320,6 +320,37 @@ object Relational {
       .limit(300)
   }
 
+  /** J7b: as-of join WITH TOLERANCE (pandas merge_asof's `tolerance` /
+    * kdb wj — the production form: a signup attributed to a purchase a
+    * YEAR later is noise, not attribution). Same join-free union +
+    * running-max plan as J7, then the match is kept only when the gap is
+    * within the bound (24h here) — the tolerance is a post-filter on the
+    * already-matched column, so the plan shape (one window over the
+    * union, no Join node) is unchanged at any scale. Unmatched and
+    * out-of-tolerance purchases both surface with a NULL match and a
+    * NULL gap (left-join semantics, the audit-friendly form). */
+  val joinAsofTol: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val both = ev.filter(col("event_type").isin("purchase", "signup"))
+      .select(
+        when(col("event_type") === "purchase", col("event_id")).as("p_id"),
+        col("user_id"), col("ts"),
+        (col("event_type") === "purchase").cast("int").as("kind"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "kind")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tolS = 86400L
+    both
+      .withColumn("s_ts", max(when(col("kind") === 0, col("ts"))).over(w))
+      .filter(col("kind") === 1)
+      .withColumn("gap_s",
+        unix_timestamp(col("ts")) - unix_timestamp(col("s_ts")))
+      .select(col("p_id"), col("user_id"), col("ts").as("p_ts"),
+        when(col("gap_s") <= tolS, col("s_ts")).as("s_ts"),
+        when(col("gap_s") <= tolS, col("gap_s")).as("gap_s"))
+      .orderBy("p_id")
+      .limit(300)
+  }
+
   /** J8: cross join (the dense-domain primitive under jx edges, §2.4). */
   val joinCross: Q = (s, d) => {
     val r = t(s, d, "region").select("r_name")
@@ -401,6 +432,7 @@ object Relational {
     "join_range" -> joinRange,
     "join_range_banded" -> joinRangeBanded,
     "join_asof" -> joinAsof,
+    "join_asof_tol" -> joinAsofTol,
     "join_cross" -> joinCross)
 
   val oracle: Map[String, String] = Map(
@@ -561,6 +593,22 @@ object Relational {
                LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
                  ON p.user_id = s.user_id AND s.ts <= p.ts)
          WHERE rn = 1 ORDER BY p_id LIMIT 300""",
+    "join_asof_tol" ->
+      """SELECT p_id, user_id, p_ts,
+                CASE WHEN gap_s <= 86400 THEN s_ts END AS s_ts,
+                CASE WHEN gap_s <= 86400 THEN gap_s END AS gap_s
+         FROM (SELECT p_id, user_id, p_ts, s_ts,
+                      CAST(floor(epoch(p_ts)) AS BIGINT)
+                      - CAST(floor(epoch(s_ts)) AS BIGINT) AS gap_s
+               FROM (SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts,
+                            s.ts AS s_ts,
+                            row_number() OVER (PARTITION BY p.event_id
+                                               ORDER BY s.ts DESC NULLS LAST) AS rn
+                     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+                     LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+                       ON p.user_id = s.user_id AND s.ts <= p.ts)
+               WHERE rn = 1)
+         ORDER BY p_id LIMIT 300""",
     "join_cross" ->
       """SELECT r_name, flag
          FROM region CROSS JOIN (SELECT DISTINCT l_returnflag AS flag FROM lineitem)
