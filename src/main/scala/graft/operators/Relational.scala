@@ -290,6 +290,46 @@ object Relational {
       .orderBy("uid")
   }
 
+  /** J11: interval-interval OVERLAP join — UNKEYED: every user session
+    * (per-(user, type) [min ts, max ts]) against every maintenance
+    * window it overlaps in TIME, with no shared key to equi-join on.
+    * The naive form is a cartesian theta-join; the scale form BANDS both
+    * sides into day quanta (an interval explodes to the days it covers —
+    * bounded by its duration), equi-joins on the band, applies the exact
+    * overlap residual (a_start ≤ w_end ∧ w_start ≤ a_end), and dedupes
+    * multi-band sightings. Work is Σ interval-days, never |A|·|B|; skew
+    * = a long interval, which AQE splits like any hot key. Windows are a
+    * deterministic 60×4h grid both engines construct identically;
+    * overlap seconds floor each epoch before differencing (the J7b
+    * truncation rule). */
+  val joinInterval: Q = (s, d) => {
+    val sess = t(s, d, "events")
+      .groupBy("user_id", "event_type")
+      .agg(min("ts").as("a_start"), max("ts").as("a_end"))
+      .withColumn("band", expr(
+        "explode(sequence(unix_timestamp(a_start) div 86400, " +
+          "unix_timestamp(a_end) div 86400))"))
+    val wins = s.range(60).select(
+        col("id").as("win_id"),
+        expr("timestampadd(HOUR, CAST(id * 12 AS INT), " +
+          "timestamp'2024-01-01 00:00:00')").as("w_start"),
+        expr("timestampadd(HOUR, CAST(id * 12 + 4 AS INT), " +
+          "timestamp'2024-01-01 00:00:00')").as("w_end"))
+      .withColumn("band", expr(
+        "explode(sequence(unix_timestamp(w_start) div 86400, " +
+          "unix_timestamp(w_end) div 86400))"))
+    sess.join(wins, Seq("band"))
+      .filter(col("a_start") <= col("w_end") && col("w_start") <= col("a_end"))
+      .select("user_id", "event_type", "win_id", "a_start", "w_start",
+        "a_end", "w_end")
+      .distinct()
+      .select(col("user_id"), col("event_type"), col("win_id"),
+        (expr("unix_timestamp(least(a_end, w_end))") -
+          expr("unix_timestamp(greatest(a_start, w_start))")).as("overlap_s"))
+      .orderBy("user_id", "event_type", "win_id")
+      .limit(500)
+  }
+
   /** J7: as-of join — for each purchase, the latest signup at-or-before it
     * for the same user (reference shape: revision enrichment = latest build
     * ≤ test timestamp, upstream activedata_etl/imports/repos/).
@@ -433,6 +473,7 @@ object Relational {
     "join_range_banded" -> joinRangeBanded,
     "join_asof" -> joinAsof,
     "join_asof_tol" -> joinAsofTol,
+    "join_interval" -> joinInterval,
     "join_cross" -> joinCross)
 
   val oracle: Map[String, String] = Map(
@@ -593,6 +634,36 @@ object Relational {
                LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
                  ON p.user_id = s.user_id AND s.ts <= p.ts)
          WHERE rn = 1 ORDER BY p_id LIMIT 300""",
+    "join_interval" ->
+      """WITH sess AS (SELECT user_id, event_type,
+                             min(ts) AS a_start, max(ts) AS a_end
+                      FROM events GROUP BY 1, 2),
+           sb AS (SELECT user_id, event_type, a_start, a_end,
+                         unnest(range(CAST(floor(epoch(a_start)) AS BIGINT) // 86400,
+                                      CAST(floor(epoch(a_end)) AS BIGINT) // 86400 + 1))
+                           AS band
+                  FROM sess),
+           wins AS (SELECT k AS win_id,
+                           TIMESTAMP '2024-01-01 00:00:00' + to_hours(k * 12)
+                             AS w_start,
+                           TIMESTAMP '2024-01-01 00:00:00' + to_hours(k * 12 + 4)
+                             AS w_end
+                    FROM range(0, 60) t(k)),
+           wb AS (SELECT win_id, w_start, w_end,
+                         unnest(range(CAST(floor(epoch(w_start)) AS BIGINT) // 86400,
+                                      CAST(floor(epoch(w_end)) AS BIGINT) // 86400 + 1))
+                           AS band
+                  FROM wins),
+           hits AS (SELECT DISTINCT user_id, event_type, win_id,
+                           a_start, w_start, a_end, w_end
+                    FROM sb JOIN wb USING (band)
+                    WHERE a_start <= w_end AND w_start <= a_end)
+         SELECT user_id, event_type, win_id,
+                CAST(floor(epoch(least(a_end, w_end))) AS BIGINT)
+                - CAST(floor(epoch(greatest(a_start, w_start))) AS BIGINT)
+                  AS overlap_s
+         FROM hits
+         ORDER BY user_id, event_type, win_id LIMIT 500""",
     "join_asof_tol" ->
       """SELECT p_id, user_id, p_ts,
                 CASE WHEN gap_s <= 86400 THEN s_ts END AS s_ts,

@@ -132,6 +132,20 @@ class PlanAuditSpec extends graft.SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("join_interval: unkeyed interval-overlap join is banded equi-keyed, " +
+    "never nested-loop") {
+    val p = plan("join_interval")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("join_asof_tol keeps the join-free as-of shape (tolerance is a filter)") {
+    val p = plan("join_asof_tol")
+    assert(!p.contains("Join"), p)
+  }
+
   test("etl_normalize broadcasts the 2000-row mapping dim (fact side never shuffles pre-agg)") {
     val p = plan("etl_normalize")
     assert(p.contains("BroadcastHashJoin"), p)
