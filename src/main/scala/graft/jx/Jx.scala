@@ -485,6 +485,7 @@ object Jx {
       case "rule_profile" => graft.llm.TextOps.ruleProfileOf(docs)
       case "line_dedup" => graft.llm.TextOps.lineDedupOf(docs)
       case "secret_scan" => graft.llm.TextOps.secretScanOf(docs)
+      case "hygiene_report" => graft.llm.TextOps.hygieneReportOf(docs)
       case "novelty_curve" => graft.llm.TextOps.noveltyCurveOf(docs)
       case "novelty_sources" => graft.llm.TextOps.noveltySourcesOf(docs)
       case "threshold_tuning" =>

@@ -378,6 +378,9 @@ object JxQueries {
   private val splitStratifiedJson = """{
     "corpus_op": {"op": "split_stratified", "corpus": {"from": "documents"}}}"""
 
+  private val hygieneReportJson = """{
+    "corpus_op": {"op": "hygiene_report", "corpus": {"from": "documents"}}}"""
+
   private val thresholdTuningJson = """{
     "corpus_op": {"op": "threshold_tuning", "corpus": {"from": "documents"}}}"""
 
@@ -586,6 +589,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, splitStratifiedJson, name => t(s, d, name))),
     "jx_threshold_tuning" ->
       ((s, d) => Jx.run(s, thresholdTuningJson, name => t(s, d, name))),
+    "jx_hygiene_report" ->
+      ((s, d) => Jx.run(s, hygieneReportJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
       ((s, d) => Jx.run(s, noveltyCurveJson, name => t(s, d, name))),
     "jx_quality_classifier" ->
@@ -688,6 +693,7 @@ object JxQueries {
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),
     "jx_threshold_tuning" -> graft.llm.Dedup.oracle("dedup_threshold_tuning"),
+    "jx_hygiene_report" -> graft.llm.TextOps.oracle("text_hygiene_report"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->
       graft.llm.TextOps.oracle("text_quality_classifier"),

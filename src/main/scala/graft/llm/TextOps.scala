@@ -2338,6 +2338,23 @@ object TextOps {
       .limit(300)
   }
 
+  /** Per-doc line counts WITHOUT the gate's order/limit tail — the
+    * hygiene report aggregates this corpus-wide. */
+  private[llm] def lineCountsOf(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val lined = withDocLines(docs)
+    val ex = lined
+      .select(col("doc_id"), explode(col("dlines")).as("line"))
+      .withColumn("lh", md5(col("line")))
+    val dfreq = ex.groupBy("lh").agg(countDistinct("doc_id").as("ldf"))
+    ex.join(dfreq, Seq("lh"))
+      .filter(col("ldf") < 5)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"))
+      .join(lined.select(col("doc_id"),
+        size(col("dlines")).cast("long").as("n_lines")), Seq("doc_id"))
+  }
+
   val textLineDedup: Q = (s, d) => lineDedupOf(t(s, d, "documents"))
 
   // ——— X4aj: secret/credential scanning ———
@@ -2354,7 +2371,12 @@ object TextOps {
     * 32-char single-letter token — a long-but-low-entropy decoy the
     * scanner must NOT flag (both engines build identical strings).
     * Pure per-row array work: codegen, no shuffle, linear. */
-  def secretScanOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def secretScanOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    secretCountsOf(docs).orderBy("doc_id").limit(300)
+
+  /** The per-doc scan WITHOUT the gate's order/limit tail — the hygiene
+    * report aggregates this corpus-wide. */
+  private[llm] def secretCountsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val flag =
       "length(tk) >= 20 AND " +
         "size(array_distinct(transform(sequence(1, length(tk)), " +
@@ -2375,17 +2397,46 @@ object TextOps {
         md5(expr(
           s"array_join(transform(toks, tk -> CASE WHEN $flag THEN '<SECRET>' " +
             "ELSE tk END), ' ')")).as("scrub_md5"))
-      .orderBy("doc_id")
-      .limit(300)
   }
 
   val textSecretScan: Q = (s, d) => secretScanOf(t(s, d, "documents"))
+
+  // ——— X4ak: the round's hygiene CAPSTONE readout ———
+
+  /** X4ak driver gate: per-source HYGIENE report — the three rule-15
+    * passes rolled up into the view a curation owner reads: per source,
+    * the rule-table keep rate, the boilerplate-line removal rate, and
+    * the count of docs carrying a flagged secret. All-integer per-mille
+    * arithmetic; each column re-derives from its own pass verbatim, so
+    * the report inherits all three oracles' exactness. |sources| rows —
+    * at 100 TB this is three linear passes feeding a KB-scale join. */
+  def hygieneReportOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rules = rulePartialsOf(docs)
+      .select(col("source"), col("n_docs"),
+        expr("(1000 * n_keep) div n_docs").as("rule_keep_pm"))
+    val lines = lineCountsOf(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum("n_lines").as("nl"), sum("n_kept").as("nk"))
+      .select(col("source"),
+        expr("(1000 * (nl - nk)) div nl").as("boiler_rm_pm"))
+    val secrets = secretCountsOf(docs)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum(when(col("n_secrets") > 0, 1L).otherwise(0L)).as("n_secret_docs"))
+    rules.join(lines, Seq("source")).join(secrets, Seq("source"))
+      .select("source", "n_docs", "rule_keep_pm", "boiler_rm_pm", "n_secret_docs")
+      .orderBy("source")
+  }
+
+  val textHygieneReport: Q = (s, d) => hygieneReportOf(t(s, d, "documents"))
 
   val queries: Map[String, Q] = Map(
     "text_rule_filter" -> textRuleFilter,
     "text_rule_profile" -> textRuleProfile,
     "text_line_dedup" -> textLineDedup,
     "text_secret_scan" -> textSecretScan,
+    "text_hygiene_report" -> textHygieneReport,
     "text_shard_manifest" -> textShardManifest,
     "text_shard_export" -> textShardExport,
     "text_shard_manifest_src" -> textShardManifestSrc,
@@ -2738,6 +2789,65 @@ object TextOps {
         FROM rr GROUP BY source ORDER BY source"""
 
   val oracle: Map[String, String] = Map(
+    "text_hygiene_report" ->
+      s"""WITH $ruleCtes,
+           hrr AS (SELECT source,
+                          CAST(count(*) AS BIGINT) AS n_docs,
+                          CAST(sum(CAST((r_wc AND r_mwl AND r_sym AND r_bullet
+                                         AND r_ellipsis AND r_alpha AND r_stop)
+                                        AS INT)) AS BIGINT) AS n_keep
+                   FROM rr GROUP BY source),
+           hrule AS (SELECT source, n_docs,
+                            CAST((1000 * n_keep) // n_docs AS BIGINT)
+                              AS rule_keep_pm
+                     FROM hrr),
+           hlw AS (SELECT doc_id, source, string_split(text, ' ') AS words0
+                   FROM documents),
+           hld AS (SELECT doc_id, source,
+                          ['subscribe to ' || source || ' newsletter today'] ||
+                          list_transform(range(0, ((len(words0)-1)//10)+1), i ->
+                            array_to_string(words0[(i*10+1):(i*10+10)], ' ')) ||
+                          ['all rights reserved worldwide'] AS dlines
+                   FROM hlw),
+           hlx AS (SELECT doc_id, source, unnest(dlines) AS line FROM hld),
+           hlf AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS ldf
+                   FROM hlx GROUP BY 1),
+           hlk AS (SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_kept
+                   FROM hlx x JOIN hlf ON hlf.lh = md5(x.line)
+                   WHERE hlf.ldf < 5 GROUP BY x.doc_id),
+           hlc AS (SELECT d.source,
+                          CAST(sum(len(d.dlines)) AS BIGINT) AS nl,
+                          CAST(sum(k.n_kept) AS BIGINT) AS nk
+                   FROM hld d JOIN hlk k USING (doc_id) GROUP BY d.source),
+           hline AS (SELECT source,
+                            CAST((1000 * (nl - nk)) // nl AS BIGINT)
+                              AS boiler_rm_pm
+                     FROM hlc),
+           hst AS (SELECT doc_id, source,
+                          text || CASE WHEN doc_id % 7 = 3
+                                       THEN ' token_'
+                                            || md5(CAST(doc_id AS VARCHAR))
+                                       ELSE '' END
+                               || ' ' || repeat('a', 32) AS sec_text
+                   FROM documents),
+           hsk AS (SELECT doc_id, source,
+                          CAST(len(list_filter(string_split(sec_text, ' '), tk ->
+                            length(tk) >= 20
+                            AND len(list_distinct(list_transform(
+                                  range(1, length(tk)+1),
+                                  i -> substr(tk, CAST(i AS INT), 1)))) >= 12
+                            AND regexp_matches(tk, '[0-9]')
+                            AND regexp_matches(tk, '[a-z]'))) AS BIGINT)
+                            AS n_secrets
+                   FROM hst),
+           hsec AS (SELECT source,
+                           CAST(sum(CASE WHEN n_secrets > 0 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_secret_docs
+                    FROM hsk GROUP BY source)
+         SELECT r.source, r.n_docs, r.rule_keep_pm, l.boiler_rm_pm,
+                s.n_secret_docs
+         FROM hrule r JOIN hline l USING (source) JOIN hsec s USING (source)
+         ORDER BY r.source""",
     "text_line_dedup" ->
       """WITH lw AS (SELECT doc_id, source, string_split(text, ' ') AS words0
                      FROM documents),
