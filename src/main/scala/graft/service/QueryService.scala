@@ -219,6 +219,10 @@ object QueryService {
         // inherits text_rule_profile's oracle through it)
         s""""rules":${graft.jx.Jx.listJson(
           graft.streaming.Streams.queries("stream_rule_store")(spark, dataset))},""" +
+        // the per-source hygiene capstone (rule keep rate, boilerplate
+        // removal rate, secret-doc count — text_hygiene_report verbatim)
+        s""""hygiene":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_hygiene_report")(spark, dataset))},""" +
         s""""funnel":${graft.jx.Jx.listJson(
           graft.llm.Pipeline.queries("pipeline_funnel")(spark, dataset))}}"""
     }

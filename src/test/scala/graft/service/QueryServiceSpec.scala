@@ -323,8 +323,17 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "quality"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("sources", "mix", "report", "tiers", "rules", "funnel").foreach(s =>
-        assert(panel.has(s), s"missing panel section $s"))
+      Seq("sources", "mix", "report", "tiers", "rules", "hygiene",
+        "funnel").foreach(s => assert(panel.has(s), s"missing panel section $s"))
+      // the hygiene section is text_hygiene_report's frame byte-for-byte
+      val hyg = panel.get("hygiene").get("data")
+      val hygDirect = graft.llm.TextOps
+        .queries("text_hygiene_report")(spark, sf).collect()
+      assert(hyg.size() === hygDirect.length)
+      assert(hyg.get(0).get("rule_keep_pm").asLong() ===
+        hygDirect.head.getAs[Long]("rule_keep_pm"))
+      Seq("source", "n_docs", "rule_keep_pm", "boiler_rm_pm", "n_secret_docs")
+        .foreach(c => assert(hyg.get(0).has(c), s"missing hygiene column $c"))
       // the rules section re-merges the streamed rule store and is
       // byte-identical to the stream_rule_store driver key
       val rules = panel.get("rules").get("data")
