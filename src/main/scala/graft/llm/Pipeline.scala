@@ -127,8 +127,17 @@ object Pipeline {
           .filter(col("keep")).select("doc_id")
           .join(hygCorpus0, Seq("doc_id"))
       case (None, None, None, Some(srcs)) =>
+        // the keep list materializes ONCE (localCheckpoint, KB-scale —
+        // one row per doc): the rule chain's decoration expressions are
+        // a large codegen tree, and the hygiene plan references the
+        // gated corpus from several consumers (shingle union, survivor
+        // joins, packing) — unmaterialized, each replayed the whole
+        // per-row chain (measured 28.5 s → the one-eval cost is 0.8 s
+        // at sf0.1). Production shape: the gate output IS a decision
+        // list, persisted like the other gate artifacts.
         TextOps.ruleVerdictsOf(hygCorpus0.join(srcs, Seq("doc_id")))
           .filter(col("keep")).select("doc_id")
+          .localCheckpoint()
           .join(hygCorpus0, Seq("doc_id"))
       case (None, None, None, None) => hygCorpus0
     }
