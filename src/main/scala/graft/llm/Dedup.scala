@@ -1061,6 +1061,40 @@ object Dedup {
       .limit(300)
   }
 
+  /** The (doc_id, n_members) frame WITHOUT the gate's order/limit tail —
+    * the soft-dedup sampler consumes this corpus-wide. */
+  private[graft] def reweightCoreFrom(labels: DataFrame,
+      docsIn: DataFrame): DataFrame = {
+    val sl = docsIn.select("doc_id")
+      .join(labels, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    val sizes = sl.groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+    sl.join(sizes, Seq("cluster_id"))
+  }
+
+  /** X1i': the soft-dedup policy EXERCISED — Efraimidis–Spirakis weighted
+    * sampling (the `sample_weighted` machinery verbatim) with weight
+    * 1/|cluster|: a doc's selection probability scales down by its
+    * duplication, so the drawn sample is distributed as if the corpus
+    * were deduped while never deleting a byte. Deterministic md5-uniform
+    * draws; top-k by exponential arrival (TakeOrdered — per-partition
+    * heaps, no global sort). The composition gate for reweight →
+    * sampler. */
+  val sampleSoftDedup: Q = (s, d) => {
+    val k = 100
+    reweightCoreFrom(clusterLabels(s, d), t(s, d, "documents"))
+      .withColumn("u",
+        (expr("CAST(conv(substr(md5(concat('ssamp:', CAST(doc_id AS STRING))), " +
+          "1, 15), 16, 10) AS BIGINT)")
+          .cast("double") + 1.0) / lit(1.152921504606846976e18))
+      .withColumn("wt", lit(1.0) / col("n_members"))
+      .withColumn("pri", -log(col("u")) / col("wt"))
+      .orderBy(asc("pri"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+  }
+
   /** [[dedupReweight]] in-plan fallback over any documents-shaped frame. */
   private[graft] def reweightOf(docsIn: DataFrame): DataFrame =
     reweightFrom(clusterLabelsFrom(
@@ -1538,6 +1572,7 @@ object Dedup {
     "dedup_reweight" -> dedupReweight,
     "dedup_split_stratified" -> dedupSplitStratified,
     "dedup_threshold_tuning" -> dedupThresholdTuning,
+    "sample_soft_dedup" -> sampleSoftDedup,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_trim" -> dedupSubstringTrim,
     "dedup_online_gate" -> dedupOnlineGate,
@@ -1937,6 +1972,31 @@ object Dedup {
                 CAST(1000 // z.n_members AS BIGINT) AS weight_permille
          FROM rwsl s JOIN rwsz z USING (cluster_id)
          ORDER BY doc_id LIMIT 300""",
+    "sample_soft_dedup" ->
+      s"""WITH RECURSIVE $minhashCte,
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+           ssl AS (SELECT d.doc_id, COALESCE(l.lbl, d.doc_id) AS cluster_id
+                   FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+           ssz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+                   FROM ssl GROUP BY cluster_id),
+           ssp AS (SELECT s.doc_id, s.cluster_id, z.n_members,
+                          -ln((CAST('0x' || substr(md5('ssamp:'
+                                || CAST(s.doc_id AS VARCHAR)), 1, 15)
+                               AS BIGINT) + 1.0) / 1152921504606846976.0)
+                          / (1.0 / z.n_members) AS pri
+                   FROM ssl s JOIN ssz z USING (cluster_id))
+         SELECT doc_id, cluster_id, n_members
+         FROM (SELECT *, row_number() OVER (ORDER BY pri ASC, doc_id ASC) AS rn
+               FROM ssp)
+         WHERE rn <= 100
+         ORDER BY doc_id""",
     "dedup_split_stratified" ->
       s"""WITH RECURSIVE $minhashCte,
            pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
