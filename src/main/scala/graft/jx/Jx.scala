@@ -488,6 +488,10 @@ object Jx {
       case "hygiene_report" => graft.llm.TextOps.hygieneReportOf(docs)
       case "novelty_curve" => graft.llm.TextOps.noveltyCurveOf(docs)
       case "novelty_sources" => graft.llm.TextOps.noveltySourcesOf(docs)
+      case "soft_sample" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Dedup.queries("sample_soft_dedup")(spark, dataset.get)
+        else graft.llm.Dedup.sampleSoftOf(docs)
       case "threshold_tuning" =>
         if (plainDocuments && dataset.isDefined)
           graft.llm.Dedup.queries("dedup_threshold_tuning")(spark, dataset.get)

@@ -381,6 +381,9 @@ object JxQueries {
   private val hygieneReportJson = """{
     "corpus_op": {"op": "hygiene_report", "corpus": {"from": "documents"}}}"""
 
+  private val softSampleJson = """{
+    "corpus_op": {"op": "soft_sample", "corpus": {"from": "documents"}}}"""
+
   private val thresholdTuningJson = """{
     "corpus_op": {"op": "threshold_tuning", "corpus": {"from": "documents"}}}"""
 
@@ -589,6 +592,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, splitStratifiedJson, name => t(s, d, name))),
     "jx_threshold_tuning" ->
       ((s, d) => Jx.run(s, thresholdTuningJson, name => t(s, d, name))),
+    "jx_soft_sample" ->
+      ((s, d) => Jx.run(s, softSampleJson, name => t(s, d, name))),
     "jx_hygiene_report" ->
       ((s, d) => Jx.run(s, hygieneReportJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
@@ -693,6 +698,7 @@ object JxQueries {
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),
     "jx_threshold_tuning" -> graft.llm.Dedup.oracle("dedup_threshold_tuning"),
+    "jx_soft_sample" -> graft.llm.Dedup.oracle("sample_soft_dedup"),
     "jx_hygiene_report" -> graft.llm.TextOps.oracle("text_hygiene_report"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->

@@ -1095,6 +1095,22 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[sampleSoftDedup]] in-plan fallback over any documents frame. */
+  private[graft] def sampleSoftOf(docsIn: DataFrame): DataFrame =
+    reweightCoreFrom(clusterLabelsFrom(
+        minhashScoredPairsFrom(shinglesOf(docsIn)).filter(col("jaccard") >= 0.5)),
+        docsIn)
+      .withColumn("u",
+        (expr("CAST(conv(substr(md5(concat('ssamp:', CAST(doc_id AS STRING))), " +
+          "1, 15), 16, 10) AS BIGINT)")
+          .cast("double") + 1.0) / lit(1.152921504606846976e18))
+      .withColumn("wt", lit(1.0) / col("n_members"))
+      .withColumn("pri", -log(col("u")) / col("wt"))
+      .orderBy(asc("pri"), asc("doc_id"))
+      .limit(100)
+      .select(col("doc_id"), col("cluster_id"), col("n_members"))
+      .orderBy("doc_id")
+
   /** [[dedupReweight]] in-plan fallback over any documents-shaped frame. */
   private[graft] def reweightOf(docsIn: DataFrame): DataFrame =
     reweightFrom(clusterLabelsFrom(

@@ -2341,19 +2341,56 @@ object TextOps {
   /** Per-doc line counts WITHOUT the gate's order/limit tail — the
     * hygiene report aggregates this corpus-wide. */
   private[llm] def lineCountsOf(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lineCountsAgainst(docs, lineFreqsOf(docs))
+
+  /** [[lineCountsOf]] against ANY (lh, ldf) frequency table (the ST19
+    * store's merged frame) — unseen lines kept by definition. */
+  private[llm] def lineCountsAgainst(docs: org.apache.spark.sql.DataFrame,
+      dfreq: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val lined = withDocLines(docs)
     val ex = lined
       .select(col("doc_id"), explode(col("dlines")).as("line"))
       .withColumn("lh", md5(col("line")))
-    val dfreq = ex.groupBy("lh").agg(countDistinct("doc_id").as("ldf"))
-    ex.join(dfreq, Seq("lh"))
-      .filter(col("ldf") < 5)
+    ex.join(dfreq, Seq("lh"), "left")
+      .filter(coalesce(col("ldf"), lit(1L)) < 5)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"))
       .join(lined.select(col("doc_id"),
         size(col("dlines")).cast("long").as("n_lines")), Seq("doc_id"))
   }
+
+  /** [[hygieneReportOf]] with the line-frequency table supplied
+    * externally (the ST20 streamed composition probes the maintained
+    * table instead of recomputing it). */
+  def hygieneReportAgainst(docs: org.apache.spark.sql.DataFrame,
+      dfreq: org.apache.spark.sql.DataFrame,
+      ruleParts: org.apache.spark.sql.DataFrame,
+      secretParts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val rules = ruleProfileMergeFrom(ruleParts)
+      .select(col("source"), col("n_docs"),
+        expr("(1000 * n_keep) div n_docs").as("rule_keep_pm"))
+    val lines = lineCountsAgainst(docs, dfreq)
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum("n_lines").as("nl"), sum("n_kept").as("nk"))
+      .select(col("source"),
+        expr("(1000 * (nl - nk)) div nl").as("boiler_rm_pm"))
+    val secrets = secretParts
+      .groupBy("source")
+      .agg(sum("n_secret_docs").as("n_secret_docs"))
+    rules.join(lines, Seq("source")).join(secrets, Seq("source"))
+      .select("source", "n_docs", "rule_keep_pm", "boiler_rm_pm", "n_secret_docs")
+      .orderBy("source")
+  }
+
+  /** One batch's per-source secret partials — distributive (the verdict
+    * is per-doc independent). */
+  def secretPartialsOf(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    secretCountsOf(batch)
+      .join(batch.select("doc_id", "source"), Seq("doc_id"))
+      .groupBy("source")
+      .agg(sum(when(col("n_secrets") > 0, 1L).otherwise(0L)).as("n_secret_docs"))
 
   val textLineDedup: Q = (s, d) => lineDedupOf(t(s, d, "documents"))
 

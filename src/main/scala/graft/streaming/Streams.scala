@@ -971,9 +971,59 @@ object Streams {
       t(s, d, "documents"), lineStoreFreqs(s, s"$dir/c"))
   }
 
+  /** ST20: the streamed HYGIENE composition — the three r15 monitors
+    * (ST18 rule partials, ST19 line frequencies, per-source secret
+    * partials) co-maintained under ONE batch sink, then composed into
+    * the capstone readout. Each store is individually distributive;
+    * the composition proves they stay mutually consistent under the
+    * same batch splits and redeliveries — gated by
+    * text_hygiene_report's oracle VERBATIM (store-probe == one-shot
+    * three-pass report bit-for-bit). At 100 TB: one arriving batch
+    * folds into three KB-scale partial families; the report refresh
+    * re-reads stores plus exactly one corpus pass (the line-count
+    * probe, which needs the docs regardless). */
+  def hygieneStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit = {
+    graft.llm.TextOps.rulePartialsOf(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/rules")
+    graft.llm.TextOps.lineFreqsOf(batch)
+      .withColumnRenamed("ldf", "n_docs")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/lines")
+    graft.llm.TextOps.secretPartialsOf(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/secrets")
+  }
+
+  def hygieneStoreReadout(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame =
+    graft.llm.TextOps.hygieneReportAgainst(
+      docs,
+      s.read.parquet(s"$dir/lines").groupBy("lh").agg(sum("n_docs").as("ldf")),
+      s.read.parquet(s"$dir/rules").drop("batch_id"),
+      s.read.parquet(s"$dir/secrets").drop("batch_id"))
+
+  /** ST20 batch twin: two disjoint batches + an at-least-once redelivery
+    * across all three sub-stores, then the composed readout. */
+  val streamHygieneStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "hygiene_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val c = s"$dd/c"
+      hygieneStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+      hygieneStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, c)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      hygieneStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+    }
+    hygieneStoreReadout(s, s"$dir/c", t(s, d, "documents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_rule_store" -> streamRuleStore,
     "stream_line_store" -> streamLineStore,
+    "stream_hygiene_store" -> streamHygieneStore,
     "stream_decon_store" -> streamDeconStore,
     "stream_novelty_store" -> streamNoveltyStore,
     "stream_tumbling" -> streamTumbling,
@@ -996,6 +1046,9 @@ object Streams {
     // the store-then-rewrite pass must equal the one-shot line dedup:
     // text_line_dedup's oracle verbatim
     "stream_line_store" -> graft.llm.TextOps.oracle("text_line_dedup"),
+    // the three co-maintained hygiene stores composed must equal the
+    // one-shot three-pass report: text_hygiene_report's oracle verbatim
+    "stream_hygiene_store" -> graft.llm.TextOps.oracle("text_hygiene_report"),
     // the maintained-label canonical readout must equal a full-corpus
     // rebuild: dedup_canonical's oracle verbatim
     "stream_canonical_store" -> graft.llm.Dedup.oracle("dedup_canonical"),
