@@ -513,6 +513,45 @@ class StreamsSpec extends graft.SparkSpec {
       "doc 7 must lose only header and footer")
   }
 
+  test("ST20: the three co-maintained hygiene stores compose to the " +
+    "one-shot report and survive redelivery together") {
+    val dir = tmp("graft-st20")
+    val rnd = new scala.util.Random(47)
+    val vocab = Seq("the", "a", "of", "and", "to",
+      "table", "row", "scan", "value", "fast")
+    val docs = (0L until 24L).map { i =>
+      (i, Seq.fill(30 + rnd.nextInt(60))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        "en", s"src${i % 2}", 100L)
+    }
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = graft.llm.TextOps.hygieneReportOf(df(docs))
+      .collect().map(_.toString).toSeq
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.hygieneStoreSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(docs.take(9): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(9): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.hygieneStoreReadout(spark, dir, df(docs))
+      .collect().map(_.toString).toSeq
+    assert(readout === full,
+      "composed store readout must equal the one-shot three-pass report")
+    // at-least-once redelivery of batch 0 overwrites all three sub-stores
+    Streams.hygieneStoreSink(df(docs.take(9)), 0L, dir)
+    assert(readout === full, "redelivered batch double-counted in a sub-store")
+  }
+
   test("ST17: the streamed LM-score store re-ranks to the one-shot " +
     "perplexity tiers and prices unseen grams by smoothing") {
     val dir = tmp("graft-st17")
