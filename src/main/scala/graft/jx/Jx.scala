@@ -758,6 +758,8 @@ object Jx {
       case "percentile" =>
         org.apache.spark.sql.functions.percentile(v, lit(s.percentile.getOrElse(0.5)))
       case "union"       => array_sort(collect_set(v))
+      // deterministic mode: most frequent value, ties to the smallest
+      case "mode"        => call_function("mode", v, lit(true))
       // sketch aggregates — the 100 TB twins of cardinality/percentile,
       // reachable from the query language, not just the Column API. Each
       // compiles to the same mergeable aggregate the operator layer uses;

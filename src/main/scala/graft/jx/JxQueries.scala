@@ -381,6 +381,14 @@ object JxQueries {
   private val hygieneReportJson = """{
     "corpus_op": {"op": "hygiene_report", "corpus": {"from": "documents"}}}"""
 
+  private val modeJson = """{
+    "from": "lineitem",
+    "groupby": ["l_returnflag"],
+    "select": [
+      {"name": "mode_linenumber", "value": "l_linenumber", "aggregate": "mode"},
+      {"name": "n", "value": ".", "aggregate": "count"}],
+    "sort": ["l_returnflag"]}"""
+
   private val softSampleJson = """{
     "corpus_op": {"op": "soft_sample", "corpus": {"from": "documents"}}}"""
 
@@ -594,6 +602,7 @@ object JxQueries {
       ((s, d) => Jx.run(s, thresholdTuningJson, name => t(s, d, name))),
     "jx_soft_sample" ->
       ((s, d) => Jx.run(s, softSampleJson, name => t(s, d, name))),
+    "jx_mode" -> ((s, d) => Jx.run(s, modeJson, name => t(s, d, name))),
     "jx_hygiene_report" ->
       ((s, d) => Jx.run(s, hygieneReportJson, name => t(s, d, name))),
     "jx_novelty_curve" ->
@@ -699,6 +708,19 @@ object JxQueries {
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),
     "jx_threshold_tuning" -> graft.llm.Dedup.oracle("dedup_threshold_tuning"),
     "jx_soft_sample" -> graft.llm.Dedup.oracle("sample_soft_dedup"),
+    "jx_mode" ->
+      """WITH mc AS (SELECT l_returnflag, l_linenumber, count(*) AS c
+                     FROM lineitem GROUP BY 1, 2),
+           mm AS (SELECT l_returnflag, l_linenumber AS mode_linenumber
+                  FROM (SELECT *, row_number() OVER (
+                          PARTITION BY l_returnflag
+                          ORDER BY c DESC, l_linenumber ASC) AS rn FROM mc)
+                  WHERE rn = 1),
+           nn AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+                  FROM lineitem GROUP BY 1)
+         SELECT m.l_returnflag, m.mode_linenumber, n.n
+         FROM mm m JOIN nn n USING (l_returnflag)
+         ORDER BY l_returnflag""",
     "jx_hygiene_report" -> graft.llm.TextOps.oracle("text_hygiene_report"),
     "jx_novelty_curve" -> graft.llm.TextOps.oracle("text_novelty_curve"),
     "jx_quality_classifier" ->

@@ -564,7 +564,24 @@ object Aggregates {
       .orderBy(desc("n_exact"), asc("user_id"))
   }
 
+  /** A17: deterministic MODE — the most frequent value per group, ties
+    * to the SMALLEST value (Spark's mode(expr, true); DuckDB's mode() is
+    * first-encountered on ties, so the oracle replays the deterministic
+    * rule as count-argmax with a min-value tie-break). The single-pass
+    * aggregate form: partial maps combine map-side, one shuffle on the
+    * group key. */
+  val aggMode: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        call_function("mode", col("l_linenumber"), lit(true))
+          .as("mode_linenumber"),
+        call_function("mode", col("l_quantity"), lit(true)).as("mode_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   val queries: Map[String, Q] = Map(
+    "agg_mode" -> aggMode,
     "agg_heavy_hitters" -> aggHeavyHitters,
     "agg_groupby" -> aggGroupby,
     "agg_tdigest" -> aggTdigest,
@@ -587,6 +604,26 @@ object Aggregates {
     "agg_pivot" -> aggPivot)
 
   val oracle: Map[String, String] = Map(
+    "agg_mode" ->
+      """WITH mc AS (SELECT l_returnflag, l_linenumber, count(*) AS c
+                     FROM lineitem GROUP BY 1, 2),
+           mm AS (SELECT l_returnflag, l_linenumber AS mode_linenumber
+                  FROM (SELECT *, row_number() OVER (
+                          PARTITION BY l_returnflag
+                          ORDER BY c DESC, l_linenumber ASC) AS rn FROM mc)
+                  WHERE rn = 1),
+           qc AS (SELECT l_returnflag, l_quantity, count(*) AS c
+                  FROM lineitem GROUP BY 1, 2),
+           qm AS (SELECT l_returnflag, l_quantity AS mode_qty
+                  FROM (SELECT *, row_number() OVER (
+                          PARTITION BY l_returnflag
+                          ORDER BY c DESC, l_quantity ASC) AS rn FROM qc)
+                  WHERE rn = 1),
+           nn AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n
+                  FROM lineitem GROUP BY 1)
+         SELECT m.l_returnflag, m.mode_linenumber, q.mode_qty, n.n
+         FROM mm m JOIN qm q USING (l_returnflag) JOIN nn n USING (l_returnflag)
+         ORDER BY l_returnflag""",
     // The sketch bytes aren't SQL-expressible; the gated contract is the
     // rank-tolerance assertion itself. The oracle pins one TRUE/TRUE row
     // per observed event_type — a broken sketch/merge/quantile flips a

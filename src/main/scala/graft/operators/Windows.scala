@@ -126,7 +126,20 @@ object Windows {
       .orderBy("event_type", "rn")
   }
 
+  /** W9: percent_rank + cume_dist — the normalized rank pair (identical
+    * definitions in both engines: (rank-1)/(n-1) and rows≤current/n). */
+  val winPctRank: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    t(s, d, "events")
+      .select(col("event_id"), col("event_type"), r2(col("value")).as("value"),
+        r4(percent_rank().over(w)).as("pct_rank"),
+        r4(cume_dist().over(w)).as("cume"))
+      .orderBy("event_id")
+      .limit(500)
+  }
+
   val queries: Map[String, Q] = Map(
+    "win_pct_rank" -> winPctRank,
     "win_running_sum" -> winRunningSum,
     "win_sliding" -> winSliding,
     "win_range_frame" -> winRangeFrame,
@@ -140,6 +153,13 @@ object Windows {
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
   val oracle: Map[String, String] = Map(
+    "win_pct_rank" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+                round(percent_rank() OVER (PARTITION BY event_type
+                        ORDER BY value, event_id), 4) AS pct_rank,
+                round(cume_dist() OVER (PARTITION BY event_type
+                        ORDER BY value, event_id), 4) AS cume
+         FROM events ORDER BY event_id LIMIT 500""",
     "win_running_sum" ->
       s"""SELECT event_id, user_id,
                  round(sum(value) $over ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
