@@ -18,6 +18,13 @@ object Bench {
     spark.range(1 << 20).selectExpr("sum(id)").collect()
     Tables.t(spark, sfDir, "region").count()
     val sfName = new java.io.File(sfDir).getName
+    // ALL machine-parsed number formatting goes through Locale.ROOT: the
+    // plain f-interpolator uses the JVM default locale, and under a
+    // comma-decimal locale every JSON fragment / anchor line / BASELINE row
+    // written here would silently corrupt the cross-round record.
+    def d1(v: Double) = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    def d2(v: Double) = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+    def d3(v: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // Prior run's per-query times (same sf only) — loaded BEFORE timing so
     // that variance-flagged queries can escalate reps inline instead of
     // merely being reported after the fact. Round-11 verdict: a single
@@ -44,6 +51,33 @@ object Bench {
           } else Map.empty[String, Double]
         } else Map.empty[String, Double]
       } catch { case _: Throwable => Map.empty[String, Double] }
+    // FIXED cross-round anchor (round-14 verdict gap #4): the closest-row
+    // gate below ratchets against the most recent comparable record, so a
+    // slow per-round drift could accumulate invisibly across many rounds.
+    // BENCH_ANCHOR.json pins every key's FIRST quiet measurement forever
+    // (append-only — entries are never re-timed). Parsed BEFORE timing so
+    // per-key violations can trigger an inline quiet re-measure (below).
+    // Entries keep their VERBATIM number text (anchorTexts) so the append
+    // path can rewrite the file without re-rounding frozen history.
+    val anchorPath = java.nio.file.Paths.get("BENCH_ANCHOR.json")
+    val anchorRaw: String =
+      try {
+        if (java.nio.file.Files.exists(anchorPath))
+          java.nio.file.Files.readString(anchorPath)
+        else ""
+      } catch { case _: Throwable => "" }
+    val anchorTexts: Seq[(String, String)] =
+      try {
+        if (anchorRaw.contains(s""""sf": "$sfName"""") ||
+            anchorRaw.contains(s""""sf":"$sfName"""")) {
+          val entry = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
+          entry.findAllMatchIn(
+            anchorRaw.substring(anchorRaw.indexOf("\"queries\"").max(0)))
+            .map(m => m.group(1) -> m.group(2)).toSeq
+        } else Seq.empty
+      } catch { case _: Throwable => Seq.empty }
+    val anchor: Map[String, Double] =
+      anchorTexts.map { case (k, t) => k -> t.toDouble }.toMap
     // A failing query must fail the bench VISIBLY: record its error, keep
     // timing the rest, and exit non-zero at the end (no -1L masking).
     // Each query is timed `reps` times and reports the MIN: single-shot
@@ -57,7 +91,7 @@ object Bench {
     val extraReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val repsUsed = scala.collection.mutable.LinkedHashMap[String, Int]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results0 = SparkEntry.queries.map { case (name, fn) =>
       var best = Double.MaxValue
       var rep = 0
       def runOnce(): Unit = {
@@ -81,6 +115,30 @@ object Bench {
       repsUsed(name) = rep
       name -> best
     }
+    // PER-KEY anchor gate (round-15 order #2): the aggregate anchor ratio
+    // hides a single 10× key inside a 319-key sum (~3% movement), so every
+    // shared key is also compared against its own frozen first-green time.
+    // Noise threshold: >2× AND >+1 s (sub-second keys jitter past 2× on
+    // this sandbox). Each violator gets ONE quiet re-measure before being
+    // flagged — by this point the fleet has drained, so the retry is the
+    // "standalone re-measure" that exonerated sim_sq8_gate in r14/r15 by
+    // hand; a genuine plan regression survives the retry.
+    def keyViolates(k: String, v: Double): Boolean =
+      anchor.get(k).exists(a => v > 2 * a && v - a > 1.0)
+    val retried = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val results: Map[String, Double] = results0.map { case (k, v) =>
+      if (keyViolates(k, v) && !errors.contains(k)) {
+        val t0 = System.nanoTime()
+        try { SparkEntry.queries(k)(spark, sfDir).count() } catch { case _: Throwable => () }
+        val again = (System.nanoTime() - t0) / 1e9
+        retried(k) = math.min(v, again)
+        k -> math.min(v, again)
+      } else k -> v
+    }
+    val violations: Seq[(String, Double, Double)] = results.toSeq.collect {
+      case (k, v) if keyViolates(k, v) && !errors.contains(k) =>
+        (k, anchor(k), v)
+    }.sortBy { case (_, a, v) => -(v / a) }
     // Compact per-query timings to 3 decimals: the driver parses the JSON
     // line out of a bounded TAIL of stdout (last ~2000 chars) — round 3's
     // full-precision doubles pushed the line past that window and the
@@ -130,37 +188,19 @@ object Bench {
         }
       } catch { case _: Throwable => None }
     val gateJson = gate.map { case (pRev, pN, pTotal, perQ) =>
-      f""","gate":{"vs":"$pRev/${pN}q/$pTotal%.1fs","per_query_ratio":$perQ%.2f,"pass":${perQ <= 2.0}}"""
+      s""","gate":{"vs":"$pRev/${pN}q/${d1(pTotal)}s","per_query_ratio":${d2(perQ)},"pass":${perQ <= 2.0}}"""
     }.getOrElse("")
     gate.foreach { case (pRev, pN, pTotal, perQ) =>
       System.err.println(
         f"[bench] GATE ${if (perQ <= 2.0) "PASS" else "FAIL"}: " +
           f"per-query ratio $perQ%.2fx vs $pRev ($pN queries, $pTotal%.1fs)")
     }
-    // FIXED cross-round anchor (round-14 verdict gap #4): the closest-row
-    // gate above ratchets against the most recent comparable record, so a
-    // slow per-round drift could accumulate invisibly across many rounds.
-    // BENCH_ANCHOR.json pins every key's FIRST quiet measurement forever
-    // (append-only — entries are never re-timed); comparing this run's
-    // shared-key subset against it bounds TOTAL drift since each key went
-    // green, not just drift since the previous round.
-    val anchorPath = java.nio.file.Paths.get("BENCH_ANCHOR.json")
-    val anchorRaw: String =
-      try {
-        if (java.nio.file.Files.exists(anchorPath))
-          java.nio.file.Files.readString(anchorPath)
-        else ""
-      } catch { case _: Throwable => "" }
-    val anchor: Map[String, Double] =
-      try {
-        if (anchorRaw.contains(s""""sf": "$sfName"""") ||
-            anchorRaw.contains(s""""sf":"$sfName"""")) {
-          val entry = """"([a-z0-9_]+)":\s*([0-9.]+)""".r
-          entry.findAllMatchIn(
-            anchorRaw.substring(anchorRaw.indexOf("\"queries\"").max(0)))
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        } else Map.empty
-      } catch { case _: Throwable => Map.empty }
+    // Aggregate anchor gate (parsed up top, before timing) + the per-key
+    // violations list (round-15 order #2). `pass` requires BOTH: aggregate
+    // ratio <= 2 AND zero per-key violations — a single 10× key can no
+    // longer hide inside the sum. Violations ride in the stdout JSON
+    // (capped at 5 for the line budget; the full list is in
+    // bench_full.json via the same fragment) and on stderr.
     val anchorGate: Option[(Int, Double, Double)] = {
       val shared = results.keySet.intersect(anchor.keySet)
       if (shared.isEmpty) None
@@ -170,14 +210,33 @@ object Bench {
         Some((shared.size, anc, cur))
       }
     }
+    val violJson =
+      if (violations.isEmpty) """"violations":[]"""
+      else {
+        val shown = violations.take(5).map { case (k, a, v) =>
+          s"""{"q":"$k","anchor":${d2(a)},"now":${d2(v)},"ratio":${d1(v / a)}}"""
+        }.mkString("[", ",", "]")
+        val more = if (violations.size > 5)
+          s""","violations_omitted":${violations.size - 5}""" else ""
+        s""""violations":$shown$more"""
+      }
     val anchorJson = anchorGate.map { case (n, anc, cur) =>
-      f""","anchor":{"n_shared":$n,"anchor_s":$anc%.1f,"now_s":$cur%.1f,"ratio":${cur / anc}%.2f,"pass":${cur / anc <= 2.0}}"""
+      val pass = cur / anc <= 2.0 && violations.isEmpty
+      s""","anchor":{"n_shared":$n,"anchor_s":${d1(anc)},"now_s":${d1(cur)},"ratio":${d2(cur / anc)},$violJson,"pass":$pass}"""
     }.getOrElse("")
     anchorGate.foreach { case (n, anc, cur) =>
       val r = cur / anc
+      val pass = r <= 2.0 && violations.isEmpty
       System.err.println(
-        f"[bench] ANCHOR ${if (r <= 2.0) "PASS" else "FAIL"}: $n shared keys " +
-          f"$anc%.1fs at first-green -> $cur%.1fs now ($r%.2fx)")
+        f"[bench] ANCHOR ${if (pass) "PASS" else "FAIL"}: $n shared keys " +
+          f"$anc%.1fs at first-green -> $cur%.1fs now ($r%.2fx), " +
+          s"${violations.size} per-key violations (${retried.size} retried quiet)")
+      violations.foreach { case (k, a, v) =>
+        System.err.println(
+          f"[bench] ANCHOR-KEY $k: $a%.2fs at first-green -> $v%.2fs now " +
+            f"(${v / a}%.1fx, survived quiet retry) - plan regression or " +
+            "persistent contention, read the plan")
+      }
     }
     // The driver parses this line out of a BOUNDED tail of stdout: the
     // last 2000 chars, which must also hold sbt's ~75-char [success]
@@ -231,21 +290,35 @@ object Bench {
     catch { case _: Throwable => () } // sidecar is best-effort
     // Anchor maintenance: keys not yet in BENCH_ANCHOR.json get frozen at
     // this run's time (their first clean measurement); existing entries
-    // are NEVER rewritten. Only runs at the anchor's own sf with zero
-    // errors touch the file, so a local sf0.01 iteration loop or a
-    // failing tree can't pollute the cross-round record.
+    // are NEVER rewritten — their VERBATIM number text (anchorTexts) is
+    // carried through, never re-parsed-and-re-rounded. The write ABORTS
+    // if the strict key regex parsed fewer entries than the file's
+    // queries block visibly holds (a corrupted/nonconforming entry must
+    // never be silently dropped from the permanent record). Only runs at
+    // the anchor's own sf with zero errors touch the file, so a local
+    // sf0.01 iteration loop or a failing tree can't pollute it.
     try {
-      if (errors.isEmpty && anchor.nonEmpty &&
+      if (errors.isEmpty && anchorTexts.nonEmpty &&
           results.exists { case (k, _) => !anchor.contains(k) }) {
-        val comment = """(?s)"comment":\s*"((?:[^"\\]|\\.)*)"""".r
-          .findFirstMatchIn(anchorRaw).map(_.group(1)).getOrElse("")
-        val merged = anchor ++
-          results.filter { case (k, _) => !anchor.contains(k) }
-        val body = merged.toSeq.sortBy(_._1).map { case (k, v) =>
-          f""""$k": $v%.3f"""
-        }.mkString(",\n")
-        java.nio.file.Files.writeString(anchorPath,
-          s"""{\n"comment": "$comment",\n"sf": "$sfName",\n"queries": {\n$body\n}\n}\n""")
+        val qBlock = anchorRaw.substring(anchorRaw.indexOf("\"queries\"").max(0))
+        val looseCount = """"[^"\n]+"\s*:""".r.findAllIn(qBlock).size
+        // strict entries + 1 for the "queries" label itself
+        if (looseCount != anchorTexts.size + 1)
+          System.err.println(s"[bench] ANCHOR WRITE ABORTED: strict parse " +
+            s"${anchorTexts.size} entries vs $looseCount key tokens in file " +
+            "- fix BENCH_ANCHOR.json by hand, not by lossy rewrite")
+        else {
+          val comment = """(?s)"comment":\s*"((?:[^"\\]|\\.)*)"""".r
+            .findFirstMatchIn(anchorRaw).map(_.group(1)).getOrElse("")
+          val newKeys = results.toSeq
+            .filter { case (k, _) => !anchor.contains(k) }
+            .map { case (k, v) => k -> d3(v) }
+          val body = (anchorTexts ++ newKeys).sortBy(_._1).map { case (k, t) =>
+            s""""$k": $t"""
+          }.mkString(",\n")
+          java.nio.file.Files.writeString(anchorPath,
+            s"""{\n"comment": "$comment",\n"sf": "$sfName",\n"queries": {\n$body\n}\n}\n""")
+        }
       }
     } catch { case _: Throwable => () } // anchor append is best-effort
     // Machine-append the BASELINE.md narrative row (round-11 verdict: the
@@ -260,12 +333,12 @@ object Bench {
         val rev = gitRev
         val sfNum = sfName.stripPrefix("sf")
         val top = results.toSeq.sortBy(-_._2).take(5)
-          .map { case (k, v) => f"$k $v%.1f" }.mkString(", ")
+          .map { case (k, v) => s"$k ${d1(v)}" }.mkString(", ")
         val escNote =
           if (repsUsed.exists(_._2 > reps))
             s"; escalated: ${repsUsed.filter(_._2 > reps).keys.mkString(",")}"
           else "; 0 escalated"
-        val row = f"| ${java.time.LocalDate.now} | $rev | $sfNum | $total%.1f " +
+        val row = s"| ${java.time.LocalDate.now} | $rev | $sfNum | ${d1(total)} " +
           s"| [auto] ${results.size} queries, min-of-$reps + variance " +
           s"escalation$escNote; top: $top |"
         val lines = java.nio.file.Files.readAllLines(baseline)

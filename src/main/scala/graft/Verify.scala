@@ -54,7 +54,8 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/timings.json"),
-      timings.map { case (k, v) => s"${q(k)}: ${"%.3f".format(v)}" }
+      timings.map { case (k, v) =>
+        s"${q(k)}: ${"%.3f".formatLocal(java.util.Locale.ROOT, v)}" }
         .mkString("{", ",", "}"))
     spark.stop()
   }

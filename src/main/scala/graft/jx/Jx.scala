@@ -406,6 +406,23 @@ object Jx {
         if (plainDocuments && dataset.isDefined)
           graft.llm.Multimodal.queries("mm_dedup")(spark, dataset.get)
         else graft.llm.Multimodal.dedupPairsOf(docs)
+      case "payload_semantic_dedup" =>
+        // embedding-space payload dedup: standard corpus + dataset dir →
+        // the stored mm quantizer path (the same artifact
+        // mm_semantic_dedup probes); otherwise decode + train in-plan
+        if (plainDocuments && dataset.isDefined && defaultKnobs
+            && opt(c, "tau").isEmpty)
+          graft.llm.Multimodal.queries("mm_semantic_dedup")(spark, dataset.get)
+        else graft.llm.Multimodal.semanticDedupOfDocs(docs,
+          nlist = opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          tau = opt(c, "tau").map(_.asDouble()).getOrElse(0.999))
+      case "payload_knn" =>
+        // cross-set semantic routing over payload embeddings, same
+        // store-routing contract
+        if (plainDocuments && dataset.isDefined && defaultKnobs)
+          graft.llm.Multimodal.queries("mm_knn")(spark, dataset.get)
+        else graft.llm.Multimodal.knnOfDocs(docs,
+          nlist = opt(c, "nlist").map(_.asInt()).getOrElse(16))
       case "source_kl" => graft.llm.TextOps.sourceKlOf(docs)
       case "mix_schedule" =>
         val budget = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L)

@@ -422,6 +422,12 @@ object JxQueries {
   private val payloadDedupJson = """{
     "corpus_op": {"op": "payload_dedup", "corpus": {"from": "documents"}}}"""
 
+  private val payloadSemanticDedupJson = """{
+    "corpus_op": {"op": "payload_semantic_dedup", "corpus": {"from": "documents"}}}"""
+
+  private val payloadKnnJson = """{
+    "corpus_op": {"op": "payload_knn", "corpus": {"from": "documents"}}}"""
+
   private val semanticDedupJson = """{
     "corpus_op": {"op": "semantic_dedup", "corpus": {"from": "embeddings"}}}"""
 
@@ -550,6 +556,10 @@ object JxQueries {
       ((s, d) => Jx.run(s, payloadQualityJson, name => t(s, d, name))),
     "jx_payload_dedup" ->
       ((s, d) => Jx.run(s, payloadDedupJson, name => t(s, d, name), Some(d))),
+    "jx_payload_semantic_dedup" ->
+      ((s, d) => Jx.run(s, payloadSemanticDedupJson, name => t(s, d, name), Some(d))),
+    "jx_payload_knn" ->
+      ((s, d) => Jx.run(s, payloadKnnJson, name => t(s, d, name), Some(d))),
     "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
     "jx_mix_schedule" ->
       ((s, d) => Jx.run(s, mixScheduleJson, name => t(s, d, name))),
@@ -681,6 +691,8 @@ object JxQueries {
     "jx_quality_gate" -> graft.llm.TextOps.oracle("text_quality_filter"),
     "jx_payload_quality" -> graft.llm.Multimodal.oracle("mm_quality"),
     "jx_payload_dedup" -> graft.llm.Multimodal.oracle("mm_dedup"),
+    "jx_payload_semantic_dedup" -> graft.llm.Multimodal.oracle("mm_semantic_dedup"),
+    "jx_payload_knn" -> graft.llm.Multimodal.oracle("mm_knn"),
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
     "jx_train_order" -> graft.llm.TextOps.oracle("text_train_order"),

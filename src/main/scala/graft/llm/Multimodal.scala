@@ -123,6 +123,104 @@ object Multimodal {
       .limit(300)
   }
 
+  /** Output schema of the embedding head. */
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(DoubleType))))
+
+  /** X5j: the codec's EMBEDDING head — the second output a real media
+    * decoder produces alongside scalar features: a fixed-dimension
+    * vector that places the payload in a similarity space (CLIP-style
+    * image embedding, audio fingerprint). Same mapPartitions plumbing as
+    * [[decodeFeatures]] (per-partition codec init, no driver collect).
+    *
+    * STUB: `fakeEmbed` stands in for the real bytes→vector model with a
+    * 64-bin NORMALIZED BYTE HISTOGRAM (bucket = byte >> 2, value =
+    * count/len — the "color histogram" of the stand-in payload): it is
+    * deterministic, discriminates real payload structure (unlike the
+    * 3-moment feature vector, whose cosine is degenerate), and both its
+    * counts and the count/len division are exact in double, so a SQL
+    * oracle replays it bit-identically. Swap ONLY this function for a
+    * real embedder; everything downstream (quantizer store, SemDeDup,
+    * kNN routing) is model-agnostic. */
+  def decodeEmbedding(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val rdd = docs.select("doc_id", "payload").rdd.mapPartitions { it =>
+      // Real pipeline: load the embedding model here, once per partition.
+      it.map { r => Row(r.getLong(0), fakeEmbed(r.getAs[Array[Byte]](1))) }
+    }
+    spark.createDataFrame(rdd, embSchema)
+  }
+
+  /** Deterministic stand-in for a media embedding model: 64-bin
+    * normalized byte histogram. Replace with the real embedder. */
+  private def fakeEmbed(bytes: Array[Byte]): Array[Double] = {
+    val cnt = new Array[Long](64)
+    bytes.foreach { b => cnt((b & 0xff) >> 2) += 1L }
+    val n = bytes.length.toDouble
+    cnt.map(c => if (bytes.isEmpty) 0.0 else c.toDouble / n)
+  }
+
+  /** The payload-embedding table the semantic mm ops index: one vector
+    * per non-empty payload, doc_id as vec_id. localCheckpoint pins the
+    * decode pass (an RDD boundary Catalyst cannot dedupe) so the
+    * quantizer training + every downstream probe reads the 64·n-double
+    * table instead of re-running the codec per plan branch — the same
+    * "decode once, index many" shape a real pipeline has, where the
+    * decode pass is the expensive stage and its output is the artifact. */
+  private def mmVecs(s: SparkSession, d: String): DataFrame =
+    decodeEmbedding(
+        withPayload(t(s, d, "documents")).filter(length(col("payload")) > 0))
+      .localCheckpoint()
+
+  /** X5k: SEMANTIC payload dedup — SemDeDup over the codec's embedding
+    * vectors, closing the gap byte-shingle dedup ([[mmDedup]]) cannot:
+    * two re-encodes of the same image share no payload bytes but sit at
+    * cosine ≈ 1 in embedding space. The machinery is
+    * [[Similarity.semanticDedupFromIndex]] verbatim — within-cluster
+    * pairs only, through the STORED mm quantizer (its own artifact,
+    * tag "mm": trained once per (session, dataset), probed by every mm
+    * semantic op). τ=0.999 suits the histogram embedder's compressed
+    * cosine range (the embeddings-table τ=0.35 would keep everything).
+    * Scale shape: identical to sim_semantic_dedup — broadcast-scored
+    * centroids, one shuffle on cid, never all-pairs. */
+  val mmSemanticDedup: Q = (s, d) => {
+    val (vecs, _, _, assign) = Similarity.ivfIndexStored(s, d, 16, "mm")(mmVecs(s, d))
+    Similarity.semanticDedupFromIndex(vecs, assign, tau = 0.999)
+  }
+
+  /** X5l: cross-set semantic kNN routing over payload embeddings — the
+    * [[Similarity.knnJoinFrom]] probe (nprobe=2 lists, exact top-3
+    * inside them) through the same stored mm quantizer: "route each
+    * incoming image to its nearest existing corpus entries" for
+    * curation/retrieval, the multimodal twin of sim_knn_join. Query set
+    * = vec_id % 10 == 0, corpus = the rest, as the sim twin pins. */
+  val mmKnn: Q = (s, d) => {
+    val (vecs, _, scored, assign) = Similarity.ivfIndexStored(s, d, 16, "mm")(mmVecs(s, d))
+    Similarity.knnJoinFrom(vecs, scored, assign, col("vec_id") % 10 === 0)
+  }
+
+  /** [[mmSemanticDedup]] over ANY documents-shaped frame with an in-plan
+    * quantizer (jx `corpus_op` fallback for a non-standard corpus; a
+    * plain `{"from": "documents"}` corpus routes to the stored-quantizer
+    * driver key instead). */
+  def semanticDedupOfDocs(docs: DataFrame, nlist: Int = 16,
+      tau: Double = 0.999): DataFrame = {
+    val vecs = decodeEmbedding(
+      withPayload(docs).filter(length(col("payload")) > 0)).localCheckpoint()
+    val (v, _, _, assign) = Similarity.ivfIndexOf(vecs, nlist)
+    Similarity.semanticDedupFromIndex(v, assign, tau)
+  }
+
+  /** [[mmKnn]] over ANY documents-shaped frame with an in-plan quantizer
+    * (jx `corpus_op` fallback, same store-routing contract). */
+  def knnOfDocs(docs: DataFrame, nlist: Int = 16): DataFrame = {
+    val vecs = decodeEmbedding(
+      withPayload(docs).filter(length(col("payload")) > 0)).localCheckpoint()
+    val (v, _, scored, assign) = Similarity.ivfIndexOf(vecs, nlist)
+    Similarity.knnJoinFrom(v, scored, assign, col("vec_id") % 10 === 0)
+  }
+
   /** X5f: INTERLEAVED multimodal sequence packing — the batch-assembly
     * step for an image+text trainer: each doc's cost in the packed
     * stream is its text tokens PLUS the patch tokens its payload decodes
@@ -416,7 +514,9 @@ object Multimodal {
     "mm_quality" -> mmQuality,
     "mm_online_gate" -> mmOnlineGate,
     "mm_quality_by_source" -> mmQualityBySource,
-    "mm_dedup_stats" -> mmDedupStats)
+    "mm_dedup_stats" -> mmDedupStats,
+    "mm_semantic_dedup" -> mmSemanticDedup,
+    "mm_knn" -> mmKnn)
 
   /** The byte-shingle front CTE (the oracle twin of [[byteShinglesOf]]):
     * 8-hex-char (4-byte) windows of the payload blob, md5-hashed into the
@@ -430,6 +530,35 @@ object Multimodal {
                         if CAST('0x' || substr(hx, CAST(2 * i + 1 AS INT), 8) AS BIGINT) % 1009 < 252])),
                        1, 15) AS BIGINT) AS h
               FROM bx WHERE len(hx) >= 8)"""
+
+  /** Source CTEs for the payload-EMBEDDING replay (the oracle twin of
+    * [[decodeEmbedding]]'s fakeEmbed): enumerate payload bytes (hex the
+    * blob, slice 2-char chunks — byte-exact like mm_features), bucket by
+    * b>>2, densify over the 0..63 grid, normalize by the byte count.
+    * Counts and count/len are exact in double, so `v` is bit-identical
+    * to the Spark side's histogram. Empty payloads drop out (no mch
+    * rows), mirroring the Spark-side length(payload)>0 filter. Produces
+    * the `vn(vec_id, v, norm2)` / `fl(vec_id, f)` contract
+    * [[Similarity.ivfChainCteFor]] trains over. */
+  private val mmEmbCte: String =
+    """mch AS (SELECT doc_id,
+                      CAST('0x' || substr(h, CAST(2 * i - 1 AS INT), 2) AS INT) AS b
+               FROM (SELECT doc_id, hex(encode(text)) AS h,
+                            unnest(generate_series(1, octet_length(encode(text)))) AS i
+                     FROM documents)),
+       mhn AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS n FROM mch GROUP BY doc_id),
+       mhc AS (SELECT doc_id, b // 4 AS bk, count(*) AS c FROM mch GROUP BY 1, 2),
+       vn0 AS (SELECT g.doc_id AS vec_id,
+                      list(CAST(coalesce(h.c, 0) AS DOUBLE) / g.n ORDER BY g.bk) AS v
+               FROM (SELECT m.doc_id, m.n, gs.bk
+                     FROM mhn m CROSS JOIN generate_series(0, 63) gs(bk)) g
+               LEFT JOIN mhc h ON h.doc_id = g.doc_id AND h.bk = g.bk
+               GROUP BY g.doc_id),
+       vn AS (SELECT vec_id, v,
+                     list_reduce([v[i] * v[i] for i in generate_series(1, 64)],
+                                 (x, y) -> x + y) AS norm2
+              FROM vn0),
+       fl AS (SELECT vec_id, v AS f FROM vn)"""
 
   val oracle: Map[String, String] = Map(
     "mm_meta" ->
@@ -631,5 +760,51 @@ object Multimodal {
            FROM f)
          SELECT doc_id, count(*) AS n_sampled, max(frame_id) AS last_frame
          FROM fr WHERE frame_id % 3 = 0
-         GROUP BY doc_id ORDER BY doc_id""")
+         GROUP BY doc_id ORDER BY doc_id""",
+    // semantic payload dedup: the embedding replay + the shared quantizer
+    // chain, then sim_semantic_dedup's back half verbatim at the mm τ —
+    // the filter on the RAW cosine (bit-identical left-fold doubles),
+    // rounding only on the reported pair
+    "mm_semantic_dedup" ->
+      s"""WITH $mmEmbCte,
+           ${graft.llm.Similarity.ivfChainCteFor(64, 16)},
+           mem AS (SELECT a.cid, v.vec_id, v.v, v.norm2
+                   FROM assign a JOIN vn v USING (vec_id)),
+           pairs AS (
+             SELECT a.cid, a.vec_id, b.vec_id AS bid,
+                    list_reduce([a.v[k] * b.v[k] for k in generate_series(1, 64)],
+                                (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(b.norm2)) AS cos
+             FROM mem a JOIN mem b ON a.cid = b.cid AND b.vec_id < a.vec_id),
+           hits AS (SELECT cid, vec_id, bid, cos,
+                           row_number() OVER (PARTITION BY cid, vec_id
+                                              ORDER BY bid ASC) AS rn
+                    FROM pairs WHERE cos >= 0.999)
+         SELECT cid, vec_id, bid AS dup_of, round(cos, 4) AS cosine
+         FROM hits WHERE rn = 1 ORDER BY cid, vec_id""",
+    // cross-set semantic routing: sim_knn_join's probe replay over the
+    // payload-embedding quantizer (nprobe=2, exact top-3, rank over the
+    // ROUNDED cosine with nid tie-break)
+    "mm_knn" ->
+      s"""WITH $mmEmbCte,
+           ${graft.llm.Similarity.ivfChainCteFor(64, 16)},
+           inv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
+                   FROM assign a JOIN vn v USING (vec_id)
+                   WHERE v.vec_id % 10 <> 0),
+           probes AS (SELECT vec_id AS qid, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+             FROM scored WHERE vec_id % 10 = 0) WHERE rk <= 2),
+           q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn FROM vn
+                 WHERE vec_id % 10 = 0),
+           cand AS (
+             SELECT p.qid, i.nid,
+                    round(list_reduce([q.qv[k] * i.nv[k] for k in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(q.qn) * sqrt(i.nn)), 4) + 0.0 AS cosine
+             FROM probes p JOIN inv i USING (cid) JOIN q ON q.qid = p.qid)
+         SELECT qid, rnk, nid, cosine FROM (
+           SELECT qid, nid, cosine,
+                  CAST(row_number() OVER (PARTITION BY qid
+                                          ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
+           FROM cand) WHERE rnk <= 3
+         ORDER BY qid, rnk""")
 }

@@ -174,6 +174,30 @@ object Similarity {
     (vecs, cents, scored, s.read.parquet(s"$dir/assign"))
   }
 
+  /** [[ivfIndex]] for a NON-embeddings vector family (e.g. the
+    * multimodal payload embeddings): same store-the-model/re-derive-the-
+    * scores contract as [[quantizerStore]]+[[ivfIndex]], keyed by `tag`
+    * so each vector family trains and persists its own quantizer once
+    * per (session, dataset). `vecsIn` is by-name: it is only evaluated
+    * on the first (building) call. */
+  private[llm] def ivfIndexStored(s: SparkSession, d: String, nlist: Int,
+      tag: String)(vecsIn: => DataFrame):
+      (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    lazy val vecsEval = vecsIn
+    val dir = Artifacts.buildOnce(s, s"${tag}_quantizer_$nlist", d) { dd =>
+      val (_, cents, _, assign) = ivfIndexOf(vecsEval, nlist)
+      cents.write.mode("overwrite").parquet(s"$dd/cents")
+      assign.write.mode("overwrite").parquet(s"$dd/assign")
+    }
+    val vecs = vecsEval.select(col("vec_id"), col("embedding"))
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
+    val cents = s.read.parquet(s"$dir/cents")
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("cos",
+        DotProduct(col("embedding"), col("cv")) / (sqrt(col("norm2")) * sqrt(col("cn"))))
+    (vecs, cents, scored, s.read.parquet(s"$dir/assign"))
+  }
+
   /** [[ivfIndex]] over any (vec_id, embedding) frame — the
     * frame-parameterized entry the jx `corpus_op` front end reaches
     * (same contract as [[graft.llm.TextOps.qualityFilterOf]]). */
@@ -262,7 +286,7 @@ object Similarity {
 
   /** Shared back half: queries = rows matching `isQuery`, corpus = the
     * rest; nprobe=2 lists per query, exact top-3 inside them. */
-  private def knnJoinFrom(vecs: DataFrame, scored: DataFrame, assign: DataFrame,
+  private[llm] def knnJoinFrom(vecs: DataFrame, scored: DataFrame, assign: DataFrame,
       isQuery: org.apache.spark.sql.Column): DataFrame = {
     val nprobe = 2
     val k = 3
@@ -1253,7 +1277,7 @@ object Similarity {
     semanticDedupFromIndex(vecs, assign, tau)
   }
 
-  private def semanticDedupFromIndex(vecs: DataFrame, assign: DataFrame,
+  private[llm] def semanticDedupFromIndex(vecs: DataFrame, assign: DataFrame,
       tau: Double): DataFrame = {
     val mem = assign.join(vecs, Seq("vec_id"))
       .select(col("cid"), col("vec_id"), col("embedding").as("v"), col("norm2").as("n2"))
@@ -2049,6 +2073,63 @@ object Similarity {
            scored AS (
              SELECT a.vec_id, c.cid,
                     list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, 64)],
+                                (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
+             FROM vn a CROSS JOIN cents c),
+           assign AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+             FROM scored) WHERE rn = 1)"""
+
+  /** The [[ivfOracleCte]] TRAINING CHAIN alone (seed → 2 Lloyd passes →
+    * cents/scored/assign), parameterized by dimension and list count, for
+    * vector families other than the embeddings table (the multimodal
+    * payload embeddings reuse it at dim=64 over their own source CTEs).
+    * Callers must define `vn(vec_id, v DOUBLE[], norm2)` and
+    * `fl(vec_id, f)` CTEs first — the same contract the embeddings
+    * constant satisfies internally. */
+  private[llm] def ivfChainCteFor(dim: Int, nlist: Int): String =
+    s"""seed AS (SELECT vec_id AS cid, v AS cv, norm2 AS cn FROM vn WHERE vec_id < $nlist),
+           sc0 AS (SELECT a.vec_id, c.cid,
+                          list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, $dim)],
+                                      (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
+                   FROM vn a CROSS JOIN seed c),
+           as0 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+             FROM sc0) WHERE rn = 1),
+           m1 AS (SELECT a.cid, t.i,
+                         CAST(sum(CAST(f.f[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS m
+                  FROM as0 a JOIN fl f USING (vec_id)
+                  CROSS JOIN generate_series(1, $dim) t(i)
+                  GROUP BY a.cid, t.i),
+           c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
+           c1n AS (SELECT cid, cv,
+                          list_reduce([cv[i] * cv[i] for i in generate_series(1, $dim)],
+                                      (x, y) -> x + y) AS cn
+                   FROM c1),
+           sc1 AS (SELECT a.vec_id, c.cid,
+                          list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, $dim)],
+                                      (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
+                   FROM vn a CROSS JOIN c1n c),
+           as1 AS (SELECT vec_id, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
+             FROM sc1) WHERE rn = 1),
+           m2 AS (SELECT a.cid, t.i,
+                         CAST(sum(CAST(f.f[t.i] AS DECIMAL(27,10))) AS DOUBLE)
+                           / count(*) AS m
+                  FROM as1 a JOIN fl f USING (vec_id)
+                  CROSS JOIN generate_series(1, $dim) t(i)
+                  GROUP BY a.cid, t.i),
+           c2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),
+           cents AS (SELECT cid, cv,
+                            list_reduce([cv[i] * cv[i] for i in generate_series(1, $dim)],
+                                        (x, y) -> x + y) AS cn
+                     FROM c2),
+           scored AS (
+             SELECT a.vec_id, c.cid,
+                    list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, $dim)],
                                 (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
              FROM vn a CROSS JOIN cents c),
            assign AS (SELECT vec_id, cid FROM (

@@ -152,4 +152,36 @@ class MultimodalSpec extends graft.SparkSpec {
       .select(decode(col("payload"), "UTF-8").as("t")).head()
     assert(full.getString(0) === "hello world")
   }
+
+  test("decodeEmbedding emits a normalized 64-bin byte histogram (deterministic)") {
+    val out = Multimodal.decodeEmbedding(Multimodal.withPayload(docs))
+      .orderBy("vec_id").collect()
+    assert(out.length === 2)
+    val emb = out.head.getSeq[Double](1)
+    assert(emb.length === 64)
+    // sums to 1 (normalized), and matches a hand histogram of the bytes
+    assert(math.abs(emb.sum - 1.0) < 1e-12)
+    val bytes = "hello world".getBytes("UTF-8")
+    val cnt = new Array[Long](64)
+    bytes.foreach(b => cnt((b & 0xff) >> 2) += 1L)
+    cnt.zipWithIndex.foreach { case (c, i) =>
+      assert(emb(i) === c.toDouble / bytes.length, s"bin $i")
+    }
+  }
+
+  test("mm semantic ops stay quantizer-local: pair/probe joins are equi-keyed " +
+      "on cid, never cartesian") {
+    // same contract PlanAuditSpec pins for the sim_* twins: the ONLY
+    // nested-loop allowed is the deliberate nlist-row centroid broadcast
+    // (assignment + scoring passes); the within-cluster pair join and the
+    // probe→inverted-list→query joins must all be equi-joins
+    val sf = "/root/testdata/sf0.001"
+    for (key <- Seq("mm_semantic_dedup", "mm_knn")) {
+      val p = graft.SparkEntry.queries(key)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$key:\n$p")
+      assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+        || p.contains("ShuffledHashJoin"), s"$key:\n$p")
+    }
+  }
 }

@@ -142,8 +142,12 @@ class PlanAuditSpec extends graft.SparkSpec {
   }
 
   test("join_asof_tol keeps the join-free as-of shape (tolerance is a filter)") {
+    // assert on the specific physical join node names, not a bare "Join"
+    // substring (which an alias or unrelated node name could trip)
     val p = plan("join_asof_tol")
-    assert(!p.contains("Join"), p)
+    for (node <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(node), s"$node in:\n$p")
   }
 
   test("etl_normalize broadcasts the 2000-row mapping dim (fact side never shuffles pre-agg)") {
@@ -153,10 +157,13 @@ class PlanAuditSpec extends graft.SparkSpec {
   }
 
   test("join_asof is join-free: one per-user window pass, no pair blowup") {
-    // the as-of must plan as union → shuffle-on-user → Window; any Join
+    // the as-of must plan as union → shuffle-on-user → Window; any join
     // node means the quadratic purchase×earlier-signups expansion is back
+    // (specific node names, same contract as the tolerance twin)
     val p = plan("join_asof")
-    assert(!p.contains("Join"), p)
+    for (node <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin"))
+      assert(!p.contains(node), s"$node in:\n$p")
     assert(!p.contains("CartesianProduct"), p)
     val winLine = p.linesIterator.find(_.contains("Window")).getOrElse("")
     assert(winLine.contains("user_id"), s"window not partitioned by user_id:\n$p")
