@@ -221,7 +221,7 @@ object Multimodal {
     Similarity.knnJoinFrom(v, scored, assign, col("vec_id") % 10 === 0)
   }
 
-  /** X5f: INTERLEAVED multimodal sequence packing — the batch-assembly
+  /** X5m: INTERLEAVED multimodal sequence packing — the batch-assembly
     * step for an image+text trainer: each doc's cost in the packed
     * stream is its text tokens PLUS the patch tokens its payload decodes
     * to (ceil(n_bytes / patchBytes) — the ViT patch-grid arithmetic over
@@ -301,7 +301,7 @@ object Multimodal {
         sum("n_tok").as("n_tokens"),
         expr("bit_xor(content_h)").as("content_fp"))
 
-  /** X5g: the trainer-facing manifest of the INTERLEAVED shards — chunk
+  /** X5n: the trainer-facing manifest of the INTERLEAVED shards — chunk
     * geometry over the multimodal token cost. The oracle derives
     * n_chunks from the packed COORDINATES (max last-token chunk + 1,
     * [[graft.llm.TextOps.packManifest]]'s invariant form), so the

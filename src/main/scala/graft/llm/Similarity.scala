@@ -1238,7 +1238,7 @@ object Similarity {
       .orderBy("cid")
   }
 
-  /** X3g: semantic deduplication (SemDeDup-shaped: cluster-then-prune).
+  /** X3h: semantic deduplication (SemDeDup-shaped: cluster-then-prune).
     * Embedding-space near-dups are found WITHIN coarse k-means clusters
     * only: reuse [[ivfIndex]]'s quantizer (seed + two decimal-exact Lloyd
     * iterations — the same `assign` the ANN paths trust), self-join each
@@ -1294,7 +1294,7 @@ object Similarity {
       .orderBy("cid", "vec_id")
   }
 
-  /** X3g (forward idea j): k-NN GRAPH construction over the IVF lists —
+  /** X3m (forward idea j): k-NN GRAPH construction over the IVF lists —
     * the input artifact for graph-based curation analyses (diversity
     * sampling, community detection, coreset selection). Candidate
     * generation is SYMMETRIC MULTI-ASSIGNMENT (cluster replication):
@@ -1708,7 +1708,7 @@ object Similarity {
 
   val simKnnRecall: Q = (s, d) => knnRecallStored(s, d)
 
-  /** X3i (forward idea ac): INCREMENTAL QUANTIZER REFRESH report — the
+  /** X3n (forward idea ac): INCREMENTAL QUANTIZER REFRESH report — the
     * maintenance readout for a continuously ingesting corpus. One more
     * Lloyd step is taken FROM THE STORED assignment (new centroid =
     * per-dimension mean of each stored list's current members, exact

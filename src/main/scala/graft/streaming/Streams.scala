@@ -238,7 +238,7 @@ object Streams {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
-  /** ST16: stream-maintained PACKING-manifest store — the batch-assembly
+  /** ST21: stream-maintained PACKING-manifest store — the batch-assembly
     * twin of [[manifestStoreSink]]: a continuously-ingesting exporter
     * keeps the trainer-facing chunk geometry fresh without re-reading
     * packed shards. Each micro-batch writes per-packing-shard partials
@@ -254,7 +254,7 @@ object Streams {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
-  /** ST16 batch twin / driver gate: two deterministic micro-batches
+  /** ST21 batch twin / driver gate: two deterministic micro-batches
     * (doc_id parity split) sunk through [[packStoreSink]], batch 0
     * REDELIVERED to prove the idempotent overwrite, then the merged
     * readout — gated by `text_pack_manifest`'s oracle VERBATIM (the
@@ -272,7 +272,7 @@ object Streams {
     graft.llm.TextOps.packMergeFrom(s.read.parquet(s"$dir/p"))
   }
 
-  /** ST16b: the INTERLEAVED twin of [[packStoreSink]] — the same store
+  /** ST21b: the INTERLEAVED twin of [[packStoreSink]] — the same store
     * layout and merge algebra over the multimodal token cost
     * ([[graft.llm.Multimodal.mmPackPartialsOf]]), so one maintenance
     * recipe serves text-only and interleaved exporters. */
@@ -282,7 +282,7 @@ object Streams {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
-  /** ST16b batch twin / driver gate: gated by `mm_pack_manifest`'s
+  /** ST21b batch twin / driver gate: gated by `mm_pack_manifest`'s
     * coordinate-derived oracle VERBATIM. */
   val streamMmPackStore: Q = (s, d) => {
     val dir = graft.llm.Artifacts.buildOnce(s, "mm_pack_store_stream", d) { dd =>
