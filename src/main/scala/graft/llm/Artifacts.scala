@@ -32,21 +32,34 @@ object Artifacts {
       s"${stem}__$app")
   }
 
+  /** Per-artifact JVM locks: two CONCURRENT first-calls for the same
+    * artifact (the query service's executor pool makes this reachable,
+    * r16) must build once, not interleave delete/build/mark on the same
+    * directory. Lock scope is the artifact path, so unrelated builds
+    * still proceed in parallel. */
+  private val buildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Run `build` exactly once per (session, family, dataset): the first
     * call builds and drops a _GRAFT_DONE marker (written AFTER the build
     * completes, so a crashed half-built directory is never trusted);
-    * later calls in the same session skip straight to the probe. Returns
-    * the artifact directory. */
+    * later calls in the same session skip straight to the probe —
+    * concurrent first-calls serialize on a per-artifact lock and the
+    * loser finds the marker. Returns the artifact directory. */
   def buildOnce(s: SparkSession, family: String, datasetDir: String)(
       build: java.io.File => Unit): java.io.File = {
     val d = dir(s, family, datasetDir)
     val marker = new java.io.File(d, "_GRAFT_DONE")
     if (!marker.exists()) {
-      cleanStale(d)
-      deleteRecursively(d)
-      build(d)
-      d.mkdirs()
-      marker.createNewFile()
+      buildLocks.computeIfAbsent(d.getAbsolutePath, _ => new Object).synchronized {
+        if (!marker.exists()) {
+          cleanStale(d)
+          deleteRecursively(d)
+          build(d)
+          d.mkdirs()
+          marker.createNewFile()
+        }
+      }
     }
     d
   }

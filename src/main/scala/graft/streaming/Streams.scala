@@ -971,6 +971,44 @@ object Streams {
       t(s, d, "documents"), lineStoreFreqs(s, s"$dir/c"))
   }
 
+  /** ST22: stream-maintained SECRET-scan monitor — the hygiene trio's
+    * third member as its own standalone store (previously it rode only
+    * inside ST20's composition): each micro-batch folds into per-source
+    * flagged-doc partials ([[graft.llm.TextOps.secretPartialsOf]] — the
+    * verdict is per-doc stateless, so the partials are distributive and
+    * the merged store equals the one-shot corpus scan EXACTLY under any
+    * split/redelivery). At 100 TB the monitor answers "did source X
+    * just start leaking credentials?" from |sources|×|batches| KB-scale
+    * rows — the corpus is never rescanned. */
+  def secretStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit =
+    graft.llm.TextOps.secretPartialsOf(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  /** The merged per-source monitor over the store's batch partitions. */
+  def secretStoreReadout(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .groupBy("source")
+      .agg(sum("n_secret_docs").as("n_secret_docs"))
+      .orderBy("source")
+
+  /** ST22 batch twin / driver gate: two disjoint batches + an
+    * at-least-once redelivery of batch 0, then the merged readout —
+    * gated by the one-shot per-source secret profile (text_secret_scan's
+    * flag arithmetic aggregated per source) VERBATIM. */
+  val streamSecretStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "secret_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val c = s"$dd/c"
+      secretStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+      secretStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, c)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      secretStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+    }
+    secretStoreReadout(s, s"$dir/c")
+  }
+
   /** ST20: the streamed HYGIENE composition — the three r15 monitors
     * (ST18 rule partials, ST19 line frequencies, per-source secret
     * partials) co-maintained under ONE batch sink, then composed into
@@ -1023,6 +1061,7 @@ object Streams {
   val queries: Map[String, Q] = Map(
     "stream_rule_store" -> streamRuleStore,
     "stream_line_store" -> streamLineStore,
+    "stream_secret_store" -> streamSecretStore,
     "stream_hygiene_store" -> streamHygieneStore,
     "stream_decon_store" -> streamDeconStore,
     "stream_novelty_store" -> streamNoveltyStore,
@@ -1046,6 +1085,30 @@ object Streams {
     // the store-then-rewrite pass must equal the one-shot line dedup:
     // text_line_dedup's oracle verbatim
     "stream_line_store" -> graft.llm.TextOps.oracle("text_line_dedup"),
+    // the maintained per-source secret monitor must equal the one-shot
+    // scan: text_secret_scan's flag arithmetic aggregated per source
+    "stream_secret_store" ->
+      """WITH st AS (SELECT doc_id,
+                  text || CASE WHEN doc_id % 7 = 3
+                               THEN ' token_' || md5(CAST(doc_id AS VARCHAR))
+                               ELSE '' END
+                       || ' ' || repeat('a', 32) AS sec_text
+           FROM documents),
+           sk AS (SELECT doc_id, string_split(sec_text, ' ') AS toks FROM st),
+           sc AS (SELECT doc_id,
+                  CAST(len(list_filter(toks, tk ->
+                    length(tk) >= 20
+                    AND len(list_distinct(list_transform(
+                          range(1, length(tk)+1),
+                          i -> substr(tk, CAST(i AS INT), 1)))) >= 12
+                    AND regexp_matches(tk, '[0-9]')
+                    AND regexp_matches(tk, '[a-z]'))) AS BIGINT) AS n_secrets
+           FROM sk)
+         SELECT d.source,
+                CAST(sum(CASE WHEN sc.n_secrets > 0 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_secret_docs
+         FROM documents d JOIN sc USING (doc_id)
+         GROUP BY d.source ORDER BY d.source""",
     // the three co-maintained hygiene stores composed must equal the
     // one-shot three-pass report: text_hygiene_report's oracle verbatim
     "stream_hygiene_store" -> graft.llm.TextOps.oracle("text_hygiene_report"),

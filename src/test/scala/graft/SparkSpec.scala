@@ -19,5 +19,10 @@ object SparkSpec {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // FAIR scheduling so QueryServiceSpec's concurrent-request case runs
+    // under the production scheduler shape (the service tags its handler
+    // threads with a scheduler pool; under the default FIFO that tag is
+    // inert). Sequential suites are unaffected.
+    .config("spark.scheduler.mode", "FAIR")
     .getOrCreate()
 }

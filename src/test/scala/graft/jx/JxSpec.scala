@@ -551,4 +551,92 @@ class JxSpec extends graft.SparkSpec {
     assert(moch.getBoolean(2))               // id 2 is a member
     assert(!moch.getBoolean(3))              // far-off key stays clean
   }
+
+  test("route-table sweep: every corpus_op route, enumerated from the " +
+      "dispatcher source, accepts the standard select/sort/limit tail " +
+      "or rejects with the typed error; unknown op always rejects") {
+    // Enumerate the dispatch table FROM THE CODE (the `case "x" =>`
+    // tokens of Jx.runCorpusOp), not from a hand-maintained list: a
+    // route added to the dispatcher without tail support fails here
+    // automatically; if the dispatcher moves, the boundary lookup fails
+    // loudly.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/jx/Jx.scala")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val start = src.indexOf("private def runCorpusOp")
+    val end = src.indexOf("private def resolveFrom")
+    assert(start >= 0 && end > start, "runCorpusOp boundaries not found")
+    val routes = """case "([a-z0-9_]+)"""".r
+      .findAllMatchIn(src.substring(start, end)).map(_.group(1)).toSeq
+    assert(routes.size >= 60, s"route table shrank? ${routes.size}")
+
+    // two corpus shapes: documents-shaped for the text/payload ops,
+    // (vec_id, embedding)-shaped for the semantic ops; each route must
+    // run under at least one of them (the dispatcher's contract), with
+    // dataset=None so every store route takes its in-plan fallback.
+    val docs = (0L until 12L).map { i =>
+      val words = (0 until 30).map(w => s"tok${(w + i * 7) % 19}").mkString(" ")
+      (i, s"the doc $i says $words and ends", if (i % 3 == 0) "de" else "en",
+        s"src${i % 3}", 40L + i)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    // 64-dim like the standard embeddings table: the quantization ops
+    // (sq8, pq) document that dimension as the table contract
+    val vecs = (0L until 12L).map { i =>
+      (i, Array.tabulate(64)(j => ((i * 31 + j * 17) % 13).toFloat / 13f))
+    }.toDF("vec_id", "embedding")
+    val tables: String => DataFrame = {
+      case "documents" => docs
+      case "embeddings" => vecs
+      case other => fail(s"route asked for unexpected table $other")
+    }
+
+    def attempt(op: String, corpus: String): Either[Throwable, Unit] =
+      try {
+        val q = s"""{"corpus_op": {"op": "$op",
+          "corpus": {"from": "$corpus"}}, "limit": 1}"""
+        val df = Jx.run(spark, q, tables)
+        assert(df.collect().length <= 1, s"$op ignored limit")
+        // the rest of the standard tail: select + sort on the first
+        // output column must compose over the op's frame
+        val c0 = df.columns.head
+        val q2 = s"""{"corpus_op": {"op": "$op",
+          "corpus": {"from": "$corpus"}},
+          "select": ["$c0"], "sort": ["$c0"], "limit": 1}"""
+        val df2 = Jx.run(spark, q2, tables)
+        assert(df2.columns.toSeq === Seq(c0), s"$op ignored select")
+        assert(df2.collect().length <= 1, s"$op ignored limit after sort")
+        Right(())
+      } catch { case e: Throwable => Left(e) }
+
+    val rejected = scala.collection.mutable.Map[String, String]()
+    routes.foreach { op =>
+      attempt(op, "documents") match {
+        case Right(_) => ()
+        case Left(_) =>
+          attempt(op, "embeddings") match {
+            case Right(_) => ()
+            case Left(e2) =>
+              assert(e2.isInstanceOf[IllegalArgumentException],
+                s"route $op failed NON-typed under both corpus shapes: " +
+                  s"${e2.getClass.getName}: ${e2.getMessage}")
+              rejected(op) = e2.getMessage
+          }
+      }
+    }
+    // a trivially-all-rejecting sweep proves nothing: the routes that
+    // can't run on an anonymous in-memory corpus must be EXACTLY the
+    // two that require the dataset-backed STORED decision sets by
+    // design (their typed message says so) — every other route runs
+    // with default knobs
+    assert(rejected.keySet === Set("curation_report", "dataset_card"),
+      s"routes rejecting under both shapes: $rejected")
+    rejected.values.foreach(msg => assert(msg.contains("dataset"), msg))
+    // and the unknown op rejects with the same typed error
+    val unk = intercept[IllegalArgumentException] {
+      Jx.run(spark,
+        """{"corpus_op": {"op": "nope_zz", "corpus": {"from": "documents"}}}""",
+        tables).collect()
+    }
+    assert(unk.getMessage.contains("unknown corpus_op"))
+  }
 }

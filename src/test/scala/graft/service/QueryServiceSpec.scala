@@ -577,4 +577,52 @@ class QueryServiceSpec extends graft.SparkSpec {
     assert(counts.exists(n => n > 0 && n <= 8),
       s"expected 1..8 day partitions read, got $counts")
   }
+
+  test("concurrent mixed /query + /dashboard bursts answer byte-identically " +
+      "to the serial responses (executor pool + FAIR scheduler pool)") {
+    val sf = "/root/testdata/sf0.001"
+    // the spec session runs spark.scheduler.mode=FAIR (SparkSpec), so the
+    // service's per-handler scheduler-pool tag is live, not inert
+    assert(spark.sparkContext.getConf.get("spark.scheduler.mode") === "FAIR")
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val port = server.getAddress.getPort
+      val bodies = Seq(
+        ("/query", """{"from": "documents", "groupby": ["source"],
+          "select": [{"name": "n", "aggregate": "count"}],
+          "sort": ["source"]}"""),
+        ("/query", """{"from": "documents", "where": {"eq": {"lang": "en"}},
+          "select": [{"name": "n", "aggregate": "count"}]}"""),
+        ("/dashboard", """{"view": "payload"}"""),
+        ("/dashboard", """{"from_day": "2024-01-05", "to_day": "2024-01-12"}"""))
+      // serial baselines first (also warms the payload stores, so the
+      // concurrent burst exercises cache + probe paths, not first-build)
+      val c = HttpClient.newHttpClient()
+      val serial = bodies.map { case (p, b) =>
+        val r = postPath(c, port, p, b)
+        assert(r.statusCode() === 200, s"$p: ${r.body()}")
+        r.body()
+      }
+      // 16 concurrent requests (4 client threads × the 4 bodies), each
+      // response must be byte-identical to its serial twin
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futs = (0 until 16).map { i =>
+          val (p, b) = bodies(i % bodies.size)
+          pool.submit(new java.util.concurrent.Callable[(Int, String)] {
+            def call(): (Int, String) = {
+              val r = postPath(HttpClient.newHttpClient(), port, p, b)
+              (i % bodies.size, r.body())
+            }
+          })
+        }
+        futs.foreach { f =>
+          val (idx, body) = f.get(120, java.util.concurrent.TimeUnit.SECONDS)
+          assert(body === serial(idx),
+            s"concurrent response diverged from serial for body $idx")
+        }
+      } finally pool.shutdownNow()
+    } finally server.stop(0)
+  }
 }

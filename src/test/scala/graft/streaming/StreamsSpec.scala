@@ -552,6 +552,49 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "redelivered batch double-counted in a sub-store")
   }
 
+  test("ST22: the streamed secret-scan monitor merges to the one-shot " +
+    "per-source profile and survives redelivery") {
+    val dir = tmp("graft-st22")
+    // doc_id % 7 == 3 rows gain the deterministic fake key inside the
+    // scan itself, so both verdict outcomes exist across the 30 docs
+    val docs = (0L until 30L).map { i =>
+      (i, s"doc $i body word$i tail", "en", s"src${i % 3}", 30L)
+    }
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = graft.llm.TextOps.secretPartialsOf(df(docs))
+      .orderBy("source").collect().map(_.toString).toSeq
+    // the corpus must exercise BOTH outcomes: flagged docs exist (the %7
+    // population) and clean docs exist (everything else incl. the decoy)
+    val perDoc = graft.llm.TextOps.secretScanOf(df(docs)).collect()
+    assert(perDoc.exists(_.getAs[Long]("n_secrets") > 0), "no flagged doc")
+    assert(perDoc.exists(r => r.getAs[Long]("n_secrets") == 0
+      && r.getAs[Long]("n_candidates") > 0),
+      "the 32-char low-entropy decoy must be a candidate yet unflagged")
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.secretStoreSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(docs.take(12): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(12): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.secretStoreReadout(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(readout === full,
+      "merged secret partials must equal the one-shot per-source profile")
+    // at-least-once redelivery of batch 0 overwrites its own partition
+    Streams.secretStoreSink(df(docs.take(12)), 0L, dir)
+    assert(readout === full, "redelivered batch double-counted")
+  }
+
   test("ST17: the streamed LM-score store re-ranks to the one-shot " +
     "perplexity tiers and prices unseen grams by smoothing") {
     val dir = tmp("graft-st17")
