@@ -200,6 +200,25 @@ object Multimodal {
     Similarity.knnJoinFrom(vecs, scored, assign, col("vec_id") % 10 === 0)
   }
 
+  /** X5o: the SEMANTIC online admission gate — the embedding-space twin
+    * of [[mmOnlineGate]] (byte shingles): an arriving payload slice
+    * (vec_id % 100 == 0, the deterministic stand-in for a micro-batch)
+    * is embedded, probes the STORED mm quantizer's nprobe=2 nearest
+    * lists, and is flagged when its nearest corpus payload sits at
+    * cosine ≥ τ — "is this image semantically already in the corpus?"
+    * priced per arriving item, corpus untouched. Same probe plan as
+    * [[mmKnn]] (cid-equi, broadcast queries), readout = top-1 + the
+    * flag, so the stream-side decision set is exactly what the oracle
+    * replays. */
+  val mmSemanticGate: Q = (s, d) => {
+    val (vecs, _, scored, assign) = Similarity.ivfIndexStored(s, d, 16, "mm")(mmVecs(s, d))
+    Similarity.knnJoinFrom(vecs, scored, assign, col("vec_id") % 100 === 0)
+      .filter(col("rnk") === 1)
+      .select(col("qid"), col("nid").as("nearest"), col("cosine"),
+        (col("cosine") >= 0.999).as("flagged"))
+      .orderBy("qid")
+  }
+
   /** [[mmSemanticDedup]] over ANY documents-shaped frame with an in-plan
     * quantizer (jx `corpus_op` fallback for a non-standard corpus; a
     * plain `{"from": "documents"}` corpus routes to the stored-quantizer
@@ -516,7 +535,8 @@ object Multimodal {
     "mm_quality_by_source" -> mmQualityBySource,
     "mm_dedup_stats" -> mmDedupStats,
     "mm_semantic_dedup" -> mmSemanticDedup,
-    "mm_knn" -> mmKnn)
+    "mm_knn" -> mmKnn,
+    "mm_semantic_gate" -> mmSemanticGate)
 
   /** The byte-shingle front CTE (the oracle twin of [[byteShinglesOf]]):
     * 8-hex-char (4-byte) windows of the payload blob, md5-hashed into the
@@ -806,5 +826,31 @@ object Multimodal {
                   CAST(row_number() OVER (PARTITION BY qid
                                           ORDER BY cosine DESC, nid ASC) AS INT) AS rnk
            FROM cand) WHERE rnk <= 3
-         ORDER BY qid, rnk""")
+         ORDER BY qid, rnk""",
+    // the semantic online gate: mm_knn's probe replay restricted to the
+    // arriving slice (%100), top-1 only, plus the τ flag applied to the
+    // ROUNDED cosine exactly as the Spark side filters it
+    "mm_semantic_gate" ->
+      s"""WITH $mmEmbCte,
+           ${graft.llm.Similarity.ivfChainCteFor(64, 16)},
+           inv AS (SELECT a.cid, v.vec_id AS nid, v.v AS nv, v.norm2 AS nn
+                   FROM assign a JOIN vn v USING (vec_id)
+                   WHERE v.vec_id % 100 <> 0),
+           probes AS (SELECT vec_id AS qid, cid FROM (
+             SELECT vec_id, cid,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rk
+             FROM scored WHERE vec_id % 100 = 0) WHERE rk <= 2),
+           q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn FROM vn
+                 WHERE vec_id % 100 = 0),
+           cand AS (
+             SELECT p.qid, i.nid,
+                    round(list_reduce([q.qv[k] * i.nv[k] for k in generate_series(1, 64)],
+                                      (x, y) -> x + y) / (sqrt(q.qn) * sqrt(i.nn)), 4) + 0.0 AS cosine
+             FROM probes p JOIN inv i USING (cid) JOIN q ON q.qid = p.qid)
+         SELECT qid, nid AS nearest, cosine, cosine >= 0.999 AS flagged FROM (
+           SELECT qid, nid, cosine,
+                  row_number() OVER (PARTITION BY qid
+                                     ORDER BY cosine DESC, nid ASC) AS rnk
+           FROM cand) WHERE rnk = 1
+         ORDER BY qid""")
 }

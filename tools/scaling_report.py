@@ -2,6 +2,13 @@
 """Compose SCALING.md from two Verify timing sidecars.
 
 Usage: scaling_report.py <timings_sf0.01.json> <timings_sf0.1.json> [out.md]
+           [--third <timings_sf1.json>]
+
+--third adds the r16 THIRD measured point (a session-local ~10x-of-sf0.1
+corpus from tools/gen_scale.py, timed for the most expensive keys): two
+points define a line, three expose a curve — a key whose second ratio
+step grows materially faster than its first is flagged for a plan read
+even if both steps individually pass the 15x alarm.
 
 Verify.scala writes per-key wall seconds to <outDir>/timings.json on every
 sweep; two sweeps at 10x-different SFs give a measured per-key scale curve
@@ -37,10 +44,45 @@ FLAG_NOTES = {
 }
 
 
+# Curvature annotations for third-point keys whose second step was
+# plan-read (fixed-knob effects the key's doc already names, not defects).
+CURVE_NOTES = {
+    "join_range_banded": (
+        "OUTPUT-BOUND, the r15 finding extended one decade: the matched "
+        "pair set measures 145,604,988 at sf0.1 and 14,560,498,800 at "
+        "sf~1 (DuckDB count of the identical join) — exactly 100x pairs "
+        "for 10x data, quadratic by the query's own semantics (every "
+        "event x every user value-interval containing its value; both "
+        "factors grow 10x). Wall grew 89x for 100x pairs, so the banded "
+        "equi-join plan's per-pair efficiency IMPROVED again at the "
+        "third point. At 100 TB the knob remains interval selectivity / "
+        "band width, not plan shape."),
+    "jx_knn_centrality": (
+        "FIXED-KNOB effect, not a plan defect: the key pins nlist=16 for "
+        "its oracle, so at 10x vectors each IVF list is 10x longer and "
+        "the kNN-graph candidate self-join (sum over lists of "
+        "(p*|list|)^2) does ~100x work — the exact term the X3m row "
+        "documents as bounded by nlist growing with n. Measured on this "
+        "corpus (20k vectors): knnGraphOf at the frozen nlist=16 = "
+        "168.7 s; at the scale-path nlist=160 (nlist proportional to n) "
+        "= 52.4 s for the SAME 60,000 edges — 3.2x back, and the "
+        "remaining growth is the linear scoring term. The 138 s key "
+        "time also includes the one-per-session store build (quantizer "
+        "+ graph + CC + centrality chain) that every other knn_* key "
+        "then probes for free."),
+}
+
+
 def main() -> None:
-    small = json.load(open(sys.argv[1]))
-    big = json.load(open(sys.argv[2]))
-    out = sys.argv[3] if len(sys.argv) > 3 else "SCALING.md"
+    args = list(sys.argv[1:])
+    third = None
+    if "--third" in args:
+        i = args.index("--third")
+        third = json.load(open(args[i + 1]))
+        del args[i:i + 2]
+    small = json.load(open(args[0]))
+    big = json.load(open(args[1]))
+    out = args[2] if len(args) > 2 else "SCALING.md"
     keys = [k for k in big if k in small]
     rows = sorted(
         ((k, small[k], big[k], big[k] / max(small[k], 1e-9)) for k in keys),
@@ -80,6 +122,36 @@ def main() -> None:
                 f.write("| %s | %.2f | %.2f | %.1f |\n" % (k, s, b, r))
         else:
             f.write("*(none)*\n")
+        if third:
+            tkeys = [k for k in third if k in big and k in small]
+            trows = sorted(
+                ((k, small[k], big[k], third[k],
+                  big[k] / max(small[k], 1e-9),
+                  third[k] / max(big[k], 1e-9)) for k in tkeys),
+                key=lambda r: -r[5])
+            steep = [r for r in trows
+                     if r[5] > 1.5 * r[4] and r[3] >= 5.0 and r[5] > FLAG_RATIO]
+            f.write("\n## Third point: sf0.1 → sf~1 (10× again; "
+                    "session-local corpus from tools/gen_scale.py — "
+                    "copies caesar-shifted/rotated so they do NOT near-dup "
+                    "collide; 10× users, not 10× history per user)\n\n")
+            f.write("Timed for the most expensive keys only (timing, no "
+                    "oracle). `step1` = sf0.1/sf0.01, `step2` = sf~1/sf0.1; "
+                    "a steepening curve (step2 ≫ step1) is the super-linear "
+                    "signal two points cannot see.\n\n")
+            f.write("| key | sf0.01 s | sf0.1 s | sf~1 s | step1 | step2 |\n")
+            f.write("|---|---|---|---|---|---|\n")
+            for k, s, b, t, r1, r2 in trows:
+                f.write("| %s | %.2f | %.2f | %.2f | %.1f | %.1f |\n"
+                        % (k, s, b, t, r1, r2))
+            f.write("\n### Steepening keys (step2 > 1.5×step1, > %.0f×, "
+                    "sf~1 ≥ 5 s — plan read required)\n\n" % FLAG_RATIO)
+            if steep:
+                for k, s, b, t, r1, r2 in steep:
+                    note = CURVE_NOTES.get(k, "UNREAD: plan read pending.")
+                    f.write("**%s** (%.1f× → %.1f×) — %s\n\n" % (k, r1, r2, note))
+            else:
+                f.write("*(none)*\n")
         f.write("\n## Full curve (sorted by ratio, descending)\n\n")
         f.write("| key | sf0.01 s | sf0.1 s | ratio |\n|---|---|---|---|\n")
         for k, s, b, r in rows:
