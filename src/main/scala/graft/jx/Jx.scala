@@ -798,10 +798,38 @@ object Jx {
     })
   }
 
+  /** Aggregates whose buffers are OBJECTS (sketch/typed-imperative or
+    * value-buffering): pairing any of these with an exact DISTINCT
+    * aggregate in ONE Aggregate is pathological — Spark's
+    * RewriteDistinctAggregates evaluates the non-distinct aggregates in a
+    * first phase keyed by (group keys, distinct column), i.e. one sketch
+    * buffer PER DISTINCT VALUE. Measured on 1M events × 5 groups with an
+    * 8M-bit bloom + HLL + t-digest: 11.5 s fused vs <1.5 s for the two
+    * aggregations run separately (the buffers are per-group again). */
+  private val bufferAggs = Set(
+    "cardinality_hll", "percentile_tdigest", "bloom",
+    "median", "percentile", "union", "mode")
+
   private def sparseGroup(df: DataFrame, groupby: Seq[String], aggs: Seq[Sel]): DataFrame = {
-    val aggCols = if (aggs.nonEmpty) aggs.map(aggCol)
-      else Seq(count(lit(1)).as("count"))
-    df.groupBy(groupby.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    val (distincts, others) = aggs.partition(_.aggregate.contains("cardinality"))
+    if (distincts.nonEmpty && others.exists(_.aggregate.exists(bufferAggs))) {
+      // split: distinct aggregates in one Aggregate, buffer aggregates in
+      // another, equi-joined back on the group keys (or crossed for a
+      // global aggregate) — same rows and values, linear buffer count.
+      val dCols = distincts.map(aggCol)
+      val oCols = others.map(aggCol)
+      val dPart = df.groupBy(groupby.map(col): _*).agg(dCols.head, dCols.tail: _*)
+      val oPart = df.groupBy(groupby.map(col): _*).agg(oCols.head, oCols.tail: _*)
+      val joined =
+        if (groupby.nonEmpty) dPart.join(oPart, groupby)
+        else dPart.crossJoin(oPart)
+      // restore the query's select order
+      joined.select((groupby.map(col) ++ aggs.map(s => col(s.name))): _*)
+    } else {
+      val aggCols = if (aggs.nonEmpty) aggs.map(aggCol)
+        else Seq(count(lit(1)).as("count"))
+      df.groupBy(groupby.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+    }
   }
 
   /** One edge = the output column name, a `prep` stage that adds the

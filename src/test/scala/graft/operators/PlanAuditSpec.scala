@@ -141,6 +141,21 @@ class PlanAuditSpec extends graft.SparkSpec {
       || p.contains("BroadcastHashJoin"), p)
   }
 
+  test("jx_sketch: sketch buffers are never keyed per distinct value " +
+      "(distinct aggregates split from object-buffer aggregates)") {
+    // Spark's RewriteDistinctAggregates would otherwise evaluate the
+    // sketch aggregates keyed by (event_type, user_id) — one 8M-bit
+    // bloom + HLL + t-digest buffer PER USER (measured 47 s -> 6.7 s at
+    // sf0.1 when split). The jx compiler must plan two aggregations
+    // joined on the group keys instead.
+    val p = plan("jx_sketch")
+    val badKeyed = p.linesIterator.exists(l =>
+      l.contains("Aggregate") && l.contains("bloom_sketch") &&
+        """keys=\[[^\]]*user_id""".r.findFirstIn(l).isDefined)
+    assert(!badKeyed, s"sketch aggregate keyed by the distinct column:\n$p")
+    assert(p.contains("bloom_sketch") && p.contains("count(distinct"), p)
+  }
+
   test("join_asof_tol keeps the join-free as-of shape (tolerance is a filter)") {
     // assert on the specific physical join node names, not a bare "Join"
     // substring (which an alias or unrelated node name could trip)
