@@ -70,6 +70,16 @@ CURVE_NOTES = {
         "time also includes the one-per-session store build (quantizer "
         "+ graph + CC + centrality chain) that every other knn_* key "
         "then probes for free."),
+    "mm_semantic_dedup": (
+        "The SAME fixed-nlist term as jx_knn_centrality, in SemDeDup "
+        "form: the key pins nlist=16, so at 10x payload vectors each "
+        "cluster is 10x larger and the within-cluster pair scan "
+        "(sum of c_i^2) does ~100x work. The X5k/X3h rows document the "
+        "published mitigation — nlist proportional to n keeps cluster "
+        "sizes bounded (the SemDeDup recipe's k ~ n) — and "
+        "semanticDedupOfDocs/semanticDedupOf take nlist as a knob for "
+        "exactly that; the driver key freezes it only so the DuckDB "
+        "oracle replays a fixed chain."),
 }
 
 
