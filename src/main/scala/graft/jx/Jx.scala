@@ -423,6 +423,22 @@ object Jx {
           graft.llm.Multimodal.queries("mm_knn")(spark, dataset.get)
         else graft.llm.Multimodal.knnOfDocs(docs,
           nlist = opt(c, "nlist").map(_.asInt()).getOrElse(16))
+      case "payload_semantic_decon" =>
+        // embedding-space payload eval-integrity pass, same contract
+        if (plainDocuments && dataset.isDefined && defaultKnobs
+            && opt(c, "tau").isEmpty)
+          graft.llm.Multimodal.queries("mm_semantic_decon")(spark, dataset.get)
+        else graft.llm.Multimodal.semanticDeconOfDocs(docs,
+          nlist = opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          tau = opt(c, "tau").map(_.asDouble()).getOrElse(0.999))
+      case "payload_decon_report" =>
+        // the per-eval-item triage twin
+        if (plainDocuments && dataset.isDefined && defaultKnobs
+            && opt(c, "tau").isEmpty)
+          graft.llm.Multimodal.queries("mm_decon_report")(spark, dataset.get)
+        else graft.llm.Multimodal.deconReportOfDocs(docs,
+          nlist = opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          tau = opt(c, "tau").map(_.asDouble()).getOrElse(0.999))
       case "source_kl" => graft.llm.TextOps.sourceKlOf(docs)
       case "mix_schedule" =>
         val budget = opt(c, "budget_pct").map(_.asLong()).getOrElse(200L)

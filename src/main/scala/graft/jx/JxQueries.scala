@@ -428,6 +428,12 @@ object JxQueries {
   private val payloadKnnJson = """{
     "corpus_op": {"op": "payload_knn", "corpus": {"from": "documents"}}}"""
 
+  private val payloadSemanticDeconJson = """{
+    "corpus_op": {"op": "payload_semantic_decon", "corpus": {"from": "documents"}}}"""
+
+  private val payloadDeconReportJson = """{
+    "corpus_op": {"op": "payload_decon_report", "corpus": {"from": "documents"}}}"""
+
   private val semanticDedupJson = """{
     "corpus_op": {"op": "semantic_dedup", "corpus": {"from": "embeddings"}}}"""
 
@@ -560,6 +566,10 @@ object JxQueries {
       ((s, d) => Jx.run(s, payloadSemanticDedupJson, name => t(s, d, name), Some(d))),
     "jx_payload_knn" ->
       ((s, d) => Jx.run(s, payloadKnnJson, name => t(s, d, name), Some(d))),
+    "jx_payload_semantic_decon" ->
+      ((s, d) => Jx.run(s, payloadSemanticDeconJson, name => t(s, d, name), Some(d))),
+    "jx_payload_decon_report" ->
+      ((s, d) => Jx.run(s, payloadDeconReportJson, name => t(s, d, name), Some(d))),
     "jx_source_kl" -> ((s, d) => Jx.run(s, sourceKlJson, name => t(s, d, name))),
     "jx_mix_schedule" ->
       ((s, d) => Jx.run(s, mixScheduleJson, name => t(s, d, name))),
@@ -693,6 +703,8 @@ object JxQueries {
     "jx_payload_dedup" -> graft.llm.Multimodal.oracle("mm_dedup"),
     "jx_payload_semantic_dedup" -> graft.llm.Multimodal.oracle("mm_semantic_dedup"),
     "jx_payload_knn" -> graft.llm.Multimodal.oracle("mm_knn"),
+    "jx_payload_semantic_decon" -> graft.llm.Multimodal.oracle("mm_semantic_decon"),
+    "jx_payload_decon_report" -> graft.llm.Multimodal.oracle("mm_decon_report"),
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),
     "jx_mix_schedule" -> graft.llm.TextOps.oracle("text_mix_schedule"),
     "jx_train_order" -> graft.llm.TextOps.oracle("text_train_order"),

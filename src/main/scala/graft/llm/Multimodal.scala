@@ -219,6 +219,29 @@ object Multimodal {
       .orderBy("qid")
   }
 
+  /** X5p: multimodal SEMANTIC DECONTAMINATION — the embedding-space
+    * eval-integrity pass for payloads: a held-out benchmark slice
+    * (vec_id % 10 == 0, the eval-set stand-in) probes the stored mm
+    * quantizer; any CORPUS payload in a probed list at rounded cosine
+    * ≥ τ is flagged with its worst-offending bench item — "which
+    * training images are near-copies of eval images". Byte-shingle
+    * decon misses a re-encode; this catches it. Same plan as
+    * [[Similarity.simSemanticDecon]]: bench broadcasts, candidates are
+    * cid-equi against the replicated inverted lists, never all-pairs. */
+  val mmSemanticDecon: Q = (s, d) => {
+    val (vecs, _, scored, _) = Similarity.ivfIndexStored(s, d, 16, "mm")(mmVecs(s, d))
+    Similarity.semanticDeconFrom(vecs, scored, col("vec_id") % 10 === 0, tau = 0.999)
+  }
+
+  /** X5p-audit: the per-BENCH-ITEM triage — every eval payload rowed
+    * (n_contaminated = 0 is the answer that matters), worst corpus
+    * offender attached. [[Similarity.deconReportFrom]] verbatim over
+    * the mm index. */
+  val mmDeconReport: Q = (s, d) => {
+    val (vecs, _, scored, _) = Similarity.ivfIndexStored(s, d, 16, "mm")(mmVecs(s, d))
+    Similarity.deconReportFrom(vecs, scored, col("vec_id") % 10 === 0, tau = 0.999)
+  }
+
   /** [[mmSemanticDedup]] over ANY documents-shaped frame with an in-plan
     * quantizer (jx `corpus_op` fallback for a non-standard corpus; a
     * plain `{"from": "documents"}` corpus routes to the stored-quantizer
@@ -238,6 +261,25 @@ object Multimodal {
       withPayload(docs).filter(length(col("payload")) > 0)).localCheckpoint()
     val (v, _, scored, assign) = Similarity.ivfIndexOf(vecs, nlist)
     Similarity.knnJoinFrom(v, scored, assign, col("vec_id") % 10 === 0)
+  }
+
+  /** [[mmSemanticDecon]] over ANY documents-shaped frame with an in-plan
+    * quantizer (jx `corpus_op` fallback, same store-routing contract). */
+  def semanticDeconOfDocs(docs: DataFrame, nlist: Int = 16,
+      tau: Double = 0.999): DataFrame = {
+    val vecs = decodeEmbedding(
+      withPayload(docs).filter(length(col("payload")) > 0)).localCheckpoint()
+    val (v, _, scored, _) = Similarity.ivfIndexOf(vecs, nlist)
+    Similarity.semanticDeconFrom(v, scored, col("vec_id") % 10 === 0, tau)
+  }
+
+  /** [[mmDeconReport]] over ANY documents-shaped frame (jx fallback). */
+  def deconReportOfDocs(docs: DataFrame, nlist: Int = 16,
+      tau: Double = 0.999): DataFrame = {
+    val vecs = decodeEmbedding(
+      withPayload(docs).filter(length(col("payload")) > 0)).localCheckpoint()
+    val (v, _, scored, _) = Similarity.ivfIndexOf(vecs, nlist)
+    Similarity.deconReportFrom(v, scored, col("vec_id") % 10 === 0, tau)
   }
 
   /** X5m: INTERLEAVED multimodal sequence packing — the batch-assembly
@@ -536,7 +578,9 @@ object Multimodal {
     "mm_dedup_stats" -> mmDedupStats,
     "mm_semantic_dedup" -> mmSemanticDedup,
     "mm_knn" -> mmKnn,
-    "mm_semantic_gate" -> mmSemanticGate)
+    "mm_semantic_gate" -> mmSemanticGate,
+    "mm_semantic_decon" -> mmSemanticDecon,
+    "mm_decon_report" -> mmDeconReport)
 
   /** The byte-shingle front CTE (the oracle twin of [[byteShinglesOf]]):
     * 8-hex-char (4-byte) windows of the payload blob, md5-hashed into the
@@ -852,5 +896,36 @@ object Multimodal {
                   row_number() OVER (PARTITION BY qid
                                      ORDER BY cosine DESC, nid ASC) AS rnk
            FROM cand) WHERE rnk = 1
-         ORDER BY qid""")
+         ORDER BY qid""",
+    // semantic payload decontamination: the embedding replay + quantizer
+    // chain + the shared sd-prefixed decon replay at the mm τ, rolled up
+    // per corpus vector exactly as sim_semantic_decon's oracle does
+    "mm_semantic_decon" ->
+      s"""WITH $mmEmbCte,
+           ${graft.llm.Similarity.ivfChainCteFor(64, 16)},
+           ${graft.llm.Similarity.deconOracleCtesOn(c => s"$c % 10 = 0", tau = 0.999)},
+           sdagg AS (SELECT nid, bid, cosine,
+                            row_number() OVER (PARTITION BY nid
+                                               ORDER BY cosine DESC, bid ASC) AS rn,
+                            count(*) OVER (PARTITION BY nid) AS nh
+                     FROM sdhit)
+         SELECT nid AS vec_id, bid AS bench_id, cosine, CAST(nh AS INT) AS n_hits
+         FROM sdagg WHERE rn = 1 ORDER BY vec_id""",
+    // the per-bench-item triage: every eval payload rowed, zero-hit
+    // items visible, worst corpus offender attached
+    "mm_decon_report" ->
+      s"""WITH $mmEmbCte,
+           ${graft.llm.Similarity.ivfChainCteFor(64, 16)},
+           ${graft.llm.Similarity.deconOracleCtesOn(c => s"$c % 10 = 0", tau = 0.999)},
+           sdrep AS (SELECT bid, nid, cosine,
+                            row_number() OVER (PARTITION BY bid
+                                               ORDER BY cosine DESC, nid ASC) AS rn,
+                            count(*) OVER (PARTITION BY bid) AS nh
+                     FROM sdhit)
+         SELECT b.bid AS bench_id,
+                CAST(coalesce(r.nh, 0) AS INT) AS n_contaminated,
+                coalesce(r.nid, -1) AS worst_vec,
+                coalesce(r.cosine, 0.0) AS max_cosine
+         FROM sdb b LEFT JOIN (SELECT * FROM sdrep WHERE rn = 1) r ON r.bid = b.bid
+         ORDER BY bench_id""")
 }

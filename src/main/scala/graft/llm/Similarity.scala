@@ -436,7 +436,7 @@ object Similarity {
     semanticDeconFrom(vecs, scored, col("vec_id") % 10 === 0, tau)
   }
 
-  private def semanticDeconFrom(vecs: DataFrame, scored: DataFrame,
+  private[llm] def semanticDeconFrom(vecs: DataFrame, scored: DataFrame,
       isBench: org.apache.spark.sql.Column, tau: Double): DataFrame = {
     val (inv, b, probes) = deconParts(vecs, scored, isBench)
     deconRollup(deconHits(probes, b, inv, tau))
@@ -617,7 +617,7 @@ object Similarity {
     deconReportFrom(vecs, scored, col("vec_id") % 10 === 0, tau)
   }
 
-  private def deconReportFrom(vecs: DataFrame, scored: DataFrame,
+  private[llm] def deconReportFrom(vecs: DataFrame, scored: DataFrame,
       isBench: org.apache.spark.sql.Column,
       tau: Double): DataFrame = {
     val (inv, b, probes) = deconParts(vecs, scored, isBench)
@@ -2000,7 +2000,8 @@ object Similarity {
     * names. `p` renders the bench predicate over a given column
     * reference (the pipeline composition uses the hygiene chain's
     * held-out-id split instead of the %10 default). */
-  private[llm] def deconOracleCtesOn(p: String => String): String =
+  private[llm] def deconOracleCtesOn(p: String => String,
+      tau: Double = 0.35): String =
     s"""sdinv AS (SELECT cid, vec_id AS nid, nv, nn FROM (
              SELECT s.cid, s.vec_id, v.v AS nv, v.norm2 AS nn,
                     row_number() OVER (PARTITION BY s.vec_id
@@ -2018,7 +2019,7 @@ object Similarity {
                     round(list_reduce([b.bv[k] * i.nv[k] for k in generate_series(1, 64)],
                                       (x, y) -> x + y) / (sqrt(b.bn) * sqrt(i.nn)), 4) + 0.0 AS cosine
              FROM sdpr p JOIN sdinv i USING (cid) JOIN sdb b ON b.bid = p.bid),
-           sdhit AS (SELECT * FROM sdcand WHERE cosine >= 0.35)"""
+           sdhit AS (SELECT * FROM sdcand WHERE cosine >= $tau)"""
 
   private val deconOracleCtes: String =
     deconOracleCtesOn(c => s"$c % 10 = 0")

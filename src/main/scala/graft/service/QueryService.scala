@@ -206,7 +206,11 @@ object QueryService {
           graft.llm.Multimodal.queries("mm_pack_manifest")(spark, dataset))},""" +
         // the interleaved ctx cost curve (mm_pack_tuning's frame verbatim)
         s""""pack_tuning":${graft.jx.Jx.listJson(
-          graft.llm.Multimodal.queries("mm_pack_tuning")(spark, dataset))}}"""
+          graft.llm.Multimodal.queries("mm_pack_tuning")(spark, dataset))},""" +
+        // per-eval-item payload contamination triage (mm_decon_report's
+        // frame verbatim — the panel inherits its oracle)
+        s""""decon":${graft.jx.Jx.listJson(
+          graft.llm.Multimodal.queries("mm_decon_report")(spark, dataset))}}"""
     }
     // {"view": "plan"}: the MIXTURE-PLANNING PANEL — `schedule` is the
     // data-constrained repeat-factor schedule planned off the streamed
