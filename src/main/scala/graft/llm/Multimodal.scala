@@ -173,6 +173,17 @@ object Multimodal {
         withPayload(t(s, d, "documents")).filter(length(col("payload")) > 0))
       .localCheckpoint()
 
+  /** The stored mm IVF index tuple (vecs, cents, scored, assign) — the
+    * composition point for the streamed mm decon store (ST23) and any
+    * other consumer of the payload-embedding index. */
+  private[graft] def mmIndex(s: SparkSession, d: String):
+      (DataFrame, DataFrame, DataFrame, DataFrame) =
+    Similarity.ivfIndexStored(s, d, 16, "mm")(mmVecs(s, d))
+
+  /** The payload-embedding table itself (vec_id = doc_id, non-empty
+    * payloads) — the ST23 batch source. */
+  private[graft] def mmVecsOf(s: SparkSession, d: String): DataFrame = mmVecs(s, d)
+
   /** X5k: SEMANTIC payload dedup — SemDeDup over the codec's embedding
     * vectors, closing the gap byte-shingle dedup ([[mmDedup]]) cannot:
     * two re-encodes of the same image share no payload bytes but sit at

@@ -479,6 +479,15 @@ object Similarity {
     (cents, deconInvFrom(vecs, scored, col("vec_id") % 10 === 0))
   }
 
+  /** [[deconIndexArtifacts]] over ANY built index tuple — the multimodal
+    * streamed decon store (ST23) persists its index through this. */
+  private[graft] def deconIndexArtifactsFrom(
+      idx: (DataFrame, DataFrame, DataFrame, DataFrame),
+      isBench: org.apache.spark.sql.Column): (DataFrame, DataFrame) = {
+    val (vecs, cents, scored, _) = idx
+    (cents, deconInvFrom(vecs, scored, isBench))
+  }
+
   /** The decon index's corpus side: every non-bench vector in its top-2
     * coarse lists (p-multi-assignment). */
   private def deconInvFrom(vecs: DataFrame, scored: DataFrame,

@@ -529,6 +529,40 @@ object Streams {
     graft.llm.Similarity.deconRollup(
       s.read.parquet(s"$dir/hits").select("bid", "nid", "cosine"))
 
+  /** ST23: the MULTIMODAL twin of ST14 — stream-maintained semantic
+    * decon store over PAYLOAD embeddings: a new eval suite's images
+    * arrive in batches, each batch probes the FIXED stored mm index
+    * (same [[graft.llm.Similarity.deconHitsAgainstIndex]] primitive —
+    * probe selection depends only on the frozen centroids, hits only on
+    * the frozen lists), hit partials land under the batch's own
+    * partition. Merged readout == the one-shot mm_semantic_decon pass
+    * BIT-identically under any split/redelivery, at the mm τ. */
+  def mmDeconStoreInit(s: SparkSession, d: String, dir: String): Unit = {
+    val (cents, inv) = graft.llm.Similarity.deconIndexArtifactsFrom(
+      graft.llm.Multimodal.mmIndex(s, d), col("vec_id") % 10 === 0)
+    cents.write.mode("overwrite").parquet(s"$dir/cents")
+    inv.write.mode("overwrite").parquet(s"$dir/inv")
+  }
+
+  /** ST23 batch twin / driver gate: index init + three bench-payload
+    * deliveries + an at-least-once redelivery, readout in
+    * mm_semantic_decon's output shape and gated by its oracle VERBATIM. */
+  val streamMmDeconStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "mm_decon_store_stream", d) { dd =>
+      val x = s"$dd/x"
+      mmDeconStoreInit(s, d, x)
+      val bench = graft.llm.Multimodal.mmVecsOf(s, d)
+        .filter(col("vec_id") % 10 === 0)
+      deconDeltaSink(bench.filter(col("vec_id") % 3 === 0), 0L, x, tau = 0.999)
+      deconDeltaSink(bench.filter(col("vec_id") % 3 === 1), 1L, x, tau = 0.999)
+      deconDeltaSink(bench.filter(col("vec_id") % 3 === 2), 2L, x, tau = 0.999)
+      // at-least-once redelivery of batch 1 AFTER batch 2: the overwrite
+      // replaces identical partials, the store must not drift
+      deconDeltaSink(bench.filter(col("vec_id") % 3 === 1), 1L, x, tau = 0.999)
+    }
+    deconStoreReadout(s, s"$dir/x")
+  }
+
   /** ST12: stream-maintained NEAR-DUP PAIR-GRAPH delta — the dedup twin
     * of ST10, with a stronger contract: MinHash needs no training, so
     * the accumulated store IS the full-corpus pair set exactly (not
@@ -1064,6 +1098,7 @@ object Streams {
     "stream_secret_store" -> streamSecretStore,
     "stream_hygiene_store" -> streamHygieneStore,
     "stream_decon_store" -> streamDeconStore,
+    "stream_mm_decon_store" -> streamMmDeconStore,
     "stream_novelty_store" -> streamNoveltyStore,
     "stream_tumbling" -> streamTumbling,
     "stream_sessions" -> streamSessions,
@@ -1148,6 +1183,8 @@ object Streams {
     // the maintained hit store must equal the one-shot whole-bench
     // decon: sim_semantic_decon's oracle verbatim
     "stream_decon_store" -> graft.llm.Similarity.oracle("sim_semantic_decon"),
+    // the maintained mm decon store must equal the one-shot payload pass
+    "stream_mm_decon_store" -> graft.llm.Multimodal.oracle("mm_semantic_decon"),
     // the streamed store must read back identical to the batch rollup:
     // sketch_dashboard's oracle verbatim
     "stream_sketch_store" ->

@@ -279,6 +279,45 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "post-hoc redelivery drifted the decon store")
   }
 
+  test("ST23: the streamed MULTIMODAL decon store equals the one-shot " +
+    "payload decon; out-of-order redelivery never drifts it") {
+    val sf = "/root/testdata/sf0.001"
+    val dir = tmp("graft-st23")
+    // the exactness target: the one-shot payload decon over the full
+    // bench slice (the mm quantizer store is shared via Artifacts)
+    val full = graft.SparkEntry.queries("mm_semantic_decon")(spark, sf)
+      .collect().map(_.toString).toSeq
+    Streams.mmDeconStoreInit(spark, sf, dir)
+
+    val liveRows = graft.llm.Multimodal.mmVecsOf(spark, sf)
+      .filter(col("vec_id") % 10 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val in = MemoryStream[(Long, Seq[Double])](spark)
+    val q = in.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.deconDeltaSink(batch, id, dir, tau = 0.999)
+      }
+      .start()
+    try {
+      in.addData(liveRows.take(liveRows.length / 2): _*)
+      q.processAllAvailable()
+      in.addData(liveRows.drop(liveRows.length / 2): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.deconStoreReadout(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(readout === full,
+      "maintained mm decon store must equal the one-shot payload pass")
+    // redeliver batch 0 AFTER batch 1 at the same τ: identical partials
+    // overwrite their own partition, the store must read back unchanged
+    Streams.deconDeltaSink(
+      liveRows.take(liveRows.length / 2).toSeq.toDF("vec_id", "embedding"),
+      0L, dir, tau = 0.999)
+    assert(readout === full, "post-hoc redelivery drifted the mm decon store")
+  }
+
   test("ST11: the streamed quality monitor merges to the one-shot " +
     "whole-corpus readout and redelivery never double-counts") {
     val dir = tmp("graft-st11")
