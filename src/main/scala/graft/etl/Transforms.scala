@@ -210,7 +210,91 @@ object Transforms {
       .limit(300)
   }
 
+  /** T8: trailing z-score anomaly detection — the perf-alerting shape over
+    * a raw metric stream (the reference alerts on talos/perfherder series;
+    * upstream consumer: MoDataSubscription's alert queries). Each event is
+    * scored against the PRECEDING 50 events of its type (frame −50..−1, so
+    * the point never smooths itself) and flagged when |z| > 3 with ≥ 20
+    * history rows. Cross-engine determinism: the metric is quantized to
+    * integer cents FIRST, so n/Σx/Σx² are exact integers (order-independent
+    * sums) and μ/σ/z derive from identical operands in both engines — no
+    * stddev_samp() accumulation-order drift. One WindowExec pass per
+    * event_type: at 100 TB this is a shuffle on the series key and a
+    * single sort, no self-join. */
+  val etlAnomaly: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+      .rowsBetween(-50, -1)
+    t(s, d, "events")
+      .withColumn("vi", round(col("value") * 100).cast("long"))
+      .withColumn("n", count("vi").over(w))
+      .withColumn("s1", sum("vi").over(w))
+      .withColumn("s2", sum(col("vi") * col("vi")).over(w))
+      .filter(col("n") >= 20)
+      .withColumn("mu", col("s1") * lit(1.0) / col("n"))
+      .withColumn("sd",
+        sqrt((col("n") * col("s2") - col("s1") * col("s1")) * lit(1.0) /
+          (col("n") * (col("n") - 1))))
+      .filter(col("sd") > 0.0)
+      .withColumn("z", (col("vi") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > 3.0)
+      .select(col("event_id"), col("event_type"), r2(col("value")).as("value"),
+        r4(col("z")).as("z"), col("n").as("window_n"))
+      .orderBy("event_id")
+      .limit(500)
+  }
+
+  /** T9: cohort retention — classic product-analytics matrix (the
+    * reference's ActiveData dashboards slice test activity by landing
+    * week). Cohort = the Monday-truncated week of a user's FIRST event
+    * (a per-user window min — no join back); offset = whole weeks since;
+    * retention = distinct active users / the cohort's week-0 size (itself
+    * a window max over the grouped frame, so the whole thing is one
+    * group-by plus two KB-scale windows). All-integer until the final
+    * ratio. */
+  val etlCohort: Q = (s, d) => {
+    val uw = Window.partitionBy("user_id")
+    val cw = Window.partitionBy("cohort_week")
+    t(s, d, "events")
+      .withColumn("week", date_trunc("week", col("ts")))
+      .withColumn("cohort_week", min("week").over(uw))
+      .withColumn("week_offset",
+        (datediff(col("week").cast("date"), col("cohort_week").cast("date"))
+          / 7).cast("int"))
+      .groupBy(col("cohort_week").cast("date").as("cohort_week"),
+        col("week_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active"))).over(cw))
+      .withColumn("retention", r4(col("n_active") * lit(1.0) / col("cohort_size")))
+      .select("cohort_week", "week_offset", "n_active", "cohort_size", "retention")
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** T10: SCD-2 history construction from a change log — the
+    * slowly-changing-dimension merge every warehouse ETL needs (the
+    * reference re-indexes mutable task records into ES daily; the
+    * versioned-row form is how a columnar store keeps that history
+    * queryable). Each customer's orders are its change events: one window
+    * pass derives [valid_from, valid_to) via lead(), version numbers via
+    * row_number(), and the open-ended current row — one shuffle on the
+    * natural key, no self-join, scale-invariant. */
+  val etlScd2: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t(s, d, "orders")
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col("o_orderdate"))
+      .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("o_custkey"), col("version"), col("valid_from"),
+        col("valid_to"), col("is_current"), r2(col("o_totalprice")).as("price"))
+      .orderBy("o_custkey", "version")
+      .limit(500)
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_anomaly" -> etlAnomaly,
+    "etl_cohort" -> etlCohort,
+    "etl_scd2" -> etlScd2,
     "etl_pipeline" -> etlPipeline,
     "etl_unittest_sessionize" -> etlSessionize,
     "etl_perfherder" -> etlPerfherder,
@@ -221,6 +305,59 @@ object Transforms {
     "etl_dead_letter" -> etlDeadLetter)
 
   val oracle: Map[String, String] = Map(
+    "etl_anomaly" ->
+      """WITH q AS (
+           SELECT event_id, event_type, ts, value,
+                  CAST(round(value * 100) AS BIGINT) AS vi
+           FROM events),
+         st AS (
+           SELECT event_id, event_type, value, vi,
+                  count(vi) OVER w AS n,
+                  sum(vi) OVER w AS s1,
+                  sum(vi * vi) OVER w AS s2
+           FROM q
+           WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)),
+         scored AS (
+           SELECT event_id, event_type, value, n,
+                  sqrt((n * s2 - s1 * s1) * 1.0 / (n * (n - 1))) AS sd,
+                  vi - s1 * 1.0 / n AS dev
+           FROM st WHERE n >= 20)
+         SELECT event_id, event_type, round(value, 2) AS value,
+                round(dev / sd, 4) AS z, n AS window_n
+         FROM scored
+         WHERE sd > 0.0 AND abs(dev / sd) > 3.0
+         ORDER BY event_id LIMIT 500""",
+    "etl_cohort" ->
+      """WITH e AS (
+           SELECT user_id, date_trunc('week', ts) AS week FROM events),
+         c AS (
+           SELECT user_id, week,
+                  min(week) OVER (PARTITION BY user_id) AS cohort_week
+           FROM e),
+         g AS (
+           SELECT CAST(cohort_week AS DATE) AS cohort_week,
+                  CAST(date_diff('day', CAST(cohort_week AS DATE),
+                                 CAST(week AS DATE)) / 7 AS INT) AS week_offset,
+                  count(DISTINCT user_id) AS n_active
+           FROM c GROUP BY 1, 2),
+         sz AS (
+           SELECT *, max(CASE WHEN week_offset = 0 THEN n_active END)
+                       OVER (PARTITION BY cohort_week) AS cohort_size
+           FROM g)
+         SELECT cohort_week, week_offset, n_active, cohort_size,
+                round(n_active * 1.0 / cohort_size, 4) AS retention
+         FROM sz ORDER BY cohort_week, week_offset""",
+    "etl_scd2" ->
+      """SELECT o_custkey,
+                CAST(row_number() OVER w AS INT) AS version,
+                o_orderdate AS valid_from,
+                lead(o_orderdate, 1) OVER w AS valid_to,
+                lead(o_orderdate, 1) OVER w IS NULL AS is_current,
+                round(o_totalprice, 2) AS price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, version LIMIT 500""",
     "etl_pipeline" ->
       """WITH ev AS (SELECT *,
                             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

@@ -423,6 +423,14 @@ object Jx {
           graft.llm.Multimodal.queries("mm_knn")(spark, dataset.get)
         else graft.llm.Multimodal.knnOfDocs(docs,
           nlist = opt(c, "nlist").map(_.asInt()).getOrElse(16))
+      case "payload_align" =>
+        // cross-modal alignment gate: payload tower vs the standard
+        // embeddings table as text tower; standard corpus + dataset →
+        // the stored decode pass, otherwise decode in-plan
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Multimodal.queries("mm_text_align")(spark, dataset.get)
+        else graft.llm.Multimodal.textAlignOfDocs(docs,
+          resolveFrom("embeddings", tables))
       case "payload_semantic_decon" =>
         // embedding-space payload eval-integrity pass, same contract
         if (plainDocuments && dataset.isDefined && defaultKnobs

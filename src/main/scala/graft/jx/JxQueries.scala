@@ -428,6 +428,9 @@ object JxQueries {
   private val payloadKnnJson = """{
     "corpus_op": {"op": "payload_knn", "corpus": {"from": "documents"}}}"""
 
+  private val payloadAlignJson = """{
+    "corpus_op": {"op": "payload_align", "corpus": {"from": "documents"}}}"""
+
   private val payloadSemanticDeconJson = """{
     "corpus_op": {"op": "payload_semantic_decon", "corpus": {"from": "documents"}}}"""
 
@@ -566,6 +569,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, payloadSemanticDedupJson, name => t(s, d, name), Some(d))),
     "jx_payload_knn" ->
       ((s, d) => Jx.run(s, payloadKnnJson, name => t(s, d, name), Some(d))),
+    "jx_payload_align" ->
+      ((s, d) => Jx.run(s, payloadAlignJson, name => t(s, d, name), Some(d))),
     "jx_payload_semantic_decon" ->
       ((s, d) => Jx.run(s, payloadSemanticDeconJson, name => t(s, d, name), Some(d))),
     "jx_payload_decon_report" ->
@@ -703,6 +708,7 @@ object JxQueries {
     "jx_payload_dedup" -> graft.llm.Multimodal.oracle("mm_dedup"),
     "jx_payload_semantic_dedup" -> graft.llm.Multimodal.oracle("mm_semantic_dedup"),
     "jx_payload_knn" -> graft.llm.Multimodal.oracle("mm_knn"),
+    "jx_payload_align" -> graft.llm.Multimodal.oracle("mm_text_align"),
     "jx_payload_semantic_decon" -> graft.llm.Multimodal.oracle("mm_semantic_decon"),
     "jx_payload_decon_report" -> graft.llm.Multimodal.oracle("mm_decon_report"),
     "jx_source_kl" -> graft.llm.TextOps.oracle("text_source_kl"),

@@ -253,6 +253,52 @@ object Multimodal {
     Similarity.deconReportFrom(vecs, scored, col("vec_id") % 10 === 0, tau = 0.999)
   }
 
+  /** X5q: CROSS-MODAL ALIGNMENT gate — the LAION/DataComp "CLIP-score
+    * filter" shape: score every (payload, caption) pair by the cosine
+    * between the media tower's payload embedding and the text tower's
+    * embedding for the SAME item, then keep the best-aligned quartile
+    * PER SOURCE (rank-based, so one source's systematically flat scores
+    * don't starve another — the DataComp lesson). The two towers here
+    * are the container's deterministic stand-ins (the codec's 64-bin
+    * byte histogram, [[decodeEmbedding]], and the embeddings table as
+    * the text tower), but the plumbing is production-true: decode once
+    * (the checkpointed [[mmVecs]] pass), EQUI-join the towers on item
+    * id — never a cross-join; misalignment is a property of the pair,
+    * not a search — one codegen'd dot product per pair, ntile gate per
+    * source. At 100 TB both towers are id-partitioned parquet and this
+    * is a co-partitioned join plus a per-source window over score
+    * scalars. */
+  def textAlignFrom(payloadVecs: DataFrame, textVecs: DataFrame,
+      docs: DataFrame): DataFrame = {
+    val pv = payloadVecs.select(col("vec_id").as("doc_id"),
+        col("embedding").as("pv"))
+      .withColumn("pn", graft.functions.DotProduct(col("pv"), col("pv")))
+    val tv = textVecs.select(col("vec_id").as("doc_id"),
+        transform(col("embedding"), _.cast("double")).as("tv"))
+      .withColumn("tn", graft.functions.DotProduct(col("tv"), col("tv")))
+    val w = Window.partitionBy("source").orderBy(desc("align"), asc("doc_id"))
+    pv.join(tv, Seq("doc_id"))
+      .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      .withColumn("align", r4(
+        graft.functions.DotProduct(col("pv"), col("tv")) /
+          (sqrt(col("pn")) * sqrt(col("tn")))))
+      .withColumn("quartile", ntile(4).over(w))
+      .select(col("doc_id"), col("source"), col("align"), col("quartile"),
+        (col("quartile") === 1).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val mmTextAlign: Q = (s, d) =>
+    textAlignFrom(mmVecs(s, d), t(s, d, "embeddings"), t(s, d, "documents"))
+
+  /** [[mmTextAlign]] over ANY documents-shaped corpus + text-tower frame
+    * (jx `corpus_op` fallback): payload tower decoded in-plan. */
+  def textAlignOfDocs(docs: DataFrame, textVecs: DataFrame): DataFrame =
+    textAlignFrom(
+      decodeEmbedding(
+        withPayload(docs).filter(length(col("payload")) > 0)).localCheckpoint(),
+      textVecs, docs)
+
   /** [[mmSemanticDedup]] over ANY documents-shaped frame with an in-plan
     * quantizer (jx `corpus_op` fallback for a non-standard corpus; a
     * plain `{"from": "documents"}` corpus routes to the stored-quantizer
@@ -588,6 +634,7 @@ object Multimodal {
     "mm_quality_by_source" -> mmQualityBySource,
     "mm_dedup_stats" -> mmDedupStats,
     "mm_semantic_dedup" -> mmSemanticDedup,
+    "mm_text_align" -> mmTextAlign,
     "mm_knn" -> mmKnn,
     "mm_semantic_gate" -> mmSemanticGate,
     "mm_semantic_decon" -> mmSemanticDecon,
@@ -856,6 +903,29 @@ object Multimodal {
                     FROM pairs WHERE cos >= 0.999)
          SELECT cid, vec_id, bid AS dup_of, round(cos, 4) AS cosine
          FROM hits WHERE rn = 1 ORDER BY cid, vec_id""",
+    // cross-modal alignment: the histogram replay joined to the text
+    // tower on item id — one rounded cosine per pair, ntile gate over
+    // the ROUNDED score with doc_id tie-break (both engines rank the
+    // identical r4 doubles)
+    "mm_text_align" ->
+      s"""WITH $mmEmbCte,
+           mtt AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS tv
+                   FROM embeddings),
+           mtn AS (SELECT vec_id, tv,
+                          list_reduce([tv[i] * tv[i] for i in generate_series(1, 64)],
+                                      (x, y) -> x + y) AS tn
+                   FROM mtt),
+           mal AS (SELECT v.vec_id AS doc_id, d.source,
+                          round(list_reduce([v.v[k] * t.tv[k] for k in generate_series(1, 64)],
+                                            (x, y) -> x + y)
+                                / (sqrt(v.norm2) * sqrt(t.tn)), 4) + 0.0 AS align
+                   FROM vn v JOIN mtn t ON t.vec_id = v.vec_id
+                   JOIN documents d ON d.doc_id = v.vec_id),
+           mq AS (SELECT *, CAST(ntile(4) OVER (PARTITION BY source
+                                 ORDER BY align DESC, doc_id ASC) AS INT) AS quartile
+                  FROM mal)
+         SELECT doc_id, source, align, quartile, quartile = 1 AS kept
+         FROM mq ORDER BY doc_id""",
     // cross-set semantic routing: sim_knn_join's probe replay over the
     // payload-embedding quantizer (nprobe=2, exact top-3, rank over the
     // ROUNDED cosine with nid tie-break)

@@ -126,6 +126,40 @@ object Windows {
       .orderBy("event_type", "rn")
   }
 
+  /** W10: exponential moving average, the truncated-kernel form. True EMA
+    * is recursive (ema_i = αx_i + (1-α)ema_{i-1}) — inexpressible as a
+    * frame aggregate and, done naively (exploding (1-α)^(-i) weights),
+    * numerically divergent past a few hundred rows. The scale shape is the
+    * K-term truncated kernel: ema_i = Σ_{k<K} (1-α)^k·x_{i-k} / Σ (1-α)^k
+    * over the rows that exist — with α=0.25, K=12 the dropped tail weight
+    * is 0.75^12 ≈ 3%%, and the whole thing is K lag() calls in ONE
+    * WindowExec pass (no recursion, no state, O(K) per row). The weight
+    * literals are computed once in Scala and embedded VERBATIM in both
+    * engines ((3/4)^k is exactly representable in binary, and both sides
+    * sum the K terms left-to-right), so the doubles match bit-for-bit
+    * before the r4 round. */
+  val winEma: Q = (s, d) => {
+    val terms = (0 until EmaK).map { k =>
+      val x = if (k == 0) col("value") else lag("value", k).over(byUser)
+      (when(x.isNotNull, lit(EmaW(k)) * x).otherwise(lit(0.0)),
+        when(x.isNotNull, lit(EmaW(k))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    t(s, d, "events")
+      .withColumn("ema", r4(num / den))
+      .select("event_id", "user_id", "ema")
+      .orderBy("event_id")
+      .limit(500)
+  }
+
+  /** Truncated-EMA kernel: α=0.25 ⇒ decay 0.75, K=12 taps. The weights are
+    * shared with the oracle SQL so both engines multiply identical double
+    * literals ((3/4)^k = 3^k / 4^k — exact in binary for k ≤ 33). */
+  private val EmaK = 12
+  private val EmaW: IndexedSeq[Double] =
+    (0 until EmaK).map(k => math.pow(0.75, k))
+
   /** W9: percent_rank + cume_dist — the normalized rank pair (identical
     * definitions in both engines: (rank-1)/(n-1) and rows≤current/n). */
   val winPctRank: Q = (s, d) => {
@@ -139,6 +173,7 @@ object Windows {
   }
 
   val queries: Map[String, Q] = Map(
+    "win_ema" -> winEma,
     "win_pct_rank" -> winPctRank,
     "win_running_sum" -> winRunningSum,
     "win_sliding" -> winSliding,
@@ -152,7 +187,26 @@ object Windows {
 
   private val over = "OVER (PARTITION BY user_id ORDER BY ts, event_id"
 
+  /** win_ema oracle: assembled from the SAME EmaW literals the Spark plan
+    * multiplies (Double.toString round-trips exactly), K terms summed in
+    * the same left-to-right order. */
+  private val emaOracle: String = {
+    def lagK(k: Int) =
+      if (k == 0) "value" else s"lag(value, $k) OVER w"
+    val num = (0 until EmaK).map { k =>
+      s"(CASE WHEN ${lagK(k)} IS NULL THEN 0.0 ELSE ${EmaW(k)} * ${lagK(k)} END)"
+    }.mkString(" + ")
+    val den = (0 until EmaK).map { k =>
+      s"(CASE WHEN ${lagK(k)} IS NULL THEN 0.0 ELSE ${EmaW(k)} END)"
+    }.mkString(" + ")
+    s"""SELECT event_id, user_id, round(($num) / ($den), 4) AS ema
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id LIMIT 500"""
+  }
+
   val oracle: Map[String, String] = Map(
+    "win_ema" -> emaOracle,
     "win_pct_rank" ->
       """SELECT event_id, event_type, round(value, 2) AS value,
                 round(percent_rank() OVER (PARTITION BY event_type

@@ -184,4 +184,19 @@ class MultimodalSpec extends graft.SparkSpec {
         || p.contains("ShuffledHashJoin"), s"$key:\n$p")
     }
   }
+
+  test("mm_text_align pairs the towers by item-id equi-join — never a " +
+      "similarity search, never a nested loop") {
+    // misalignment is a property of the (payload, caption) PAIR: the plan
+    // must join the two towers on id (plus the doc source lookup) with
+    // hash joins only — a cartesian/nested-loop here would be the
+    // O(n²)-at-100TB accident the op exists to avoid
+    val p = graft.SparkEntry.queries("mm_text_align")(
+        spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
 }

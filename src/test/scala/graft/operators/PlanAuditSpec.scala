@@ -184,16 +184,35 @@ class PlanAuditSpec extends graft.SparkSpec {
     assert(winLine.contains("user_id"), s"window not partitioned by user_id:\n$p")
   }
 
+  /** Specific physical join node names, not a bare "Join" substring (which
+    * an alias or unrelated node name could trip) — same contract as the
+    * as-of audits above. */
+  private val joinNodes = Seq("SortMergeJoin", "BroadcastHashJoin",
+    "ShuffledHashJoin", "CartesianProduct", "BroadcastNestedLoopJoin")
+
   test("text_redact is a pure scan-stage pipeline: top-k, no join, no pre-agg shuffle") {
     val p = plan("text_redact")
-    assert(!p.contains("Join"), p)
+    for (node <- joinNodes) assert(!p.contains(node), s"$node in:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
   test("dedup_bloom_gate probes as a literal in the scan stage — no join anywhere") {
     val p = plan("dedup_bloom_gate")
-    assert(!p.contains("Join"), p)
+    for (node <- joinNodes) assert(!p.contains(node), s"$node in:\n$p")
     assert(p.contains("bloom_might_contain"), p)
+  }
+
+  test("etl_anomaly + win_ema are single-shuffle window plans: one exchange on the series key, no join") {
+    // Spark may split multi-aggregate windows into stacked Window nodes
+    // (derived-input projections), but they share ONE partitioning: the
+    // scale contract is a single hash exchange + a single sort, no join.
+    for (key <- Seq("etl_anomaly", "win_ema")) {
+      val p = plan(key)
+      for (node <- joinNodes) assert(!p.contains(node), s"$key: $node in:\n$p")
+      val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges == 1, s"$key: expected ONE hash exchange, got $exchanges:\n$p")
+      assert(p.contains("TakeOrderedAndProject"), s"$key: top-k missing:\n$p")
+    }
   }
 
   test("dedup_online_gate probes the STORED band/set index, never re-shingling the corpus") {
