@@ -291,7 +291,143 @@ object Transforms {
       .limit(500)
   }
 
+  /** T11: event FUNNEL — ordered-step conversion (view → click →
+    * purchase), the product-analytics query every event warehouse runs.
+    * Step k's timestamp is the user's first step-k event AT OR AFTER the
+    * step-(k-1) timestamp, so ordering is enforced by semantics, not by
+    * sorting the stream: three user-keyed group-bys + two equi-joins on
+    * user_id (each side already reduced to one row per user — KB-scale at
+    * any corpus size once user partials collapse map-side). All-integer
+    * output: counts and `div`-based per-mille conversions plus the mean
+    * seconds-from-first-view per step, so the oracle compare is exact. */
+  def funnelOf(ev: DataFrame): DataFrame = {
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") >= col("v_ts"))
+      .groupBy("user_id").agg(min("ts").as("c_ts"), min("v_ts").as("v_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") >= col("c_ts"))
+      .groupBy("user_id").agg(min("ts").as("p_ts"), min("v_ts").as("v_ts"))
+    def sec(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      unix_timestamp(a) - unix_timestamp(b)
+    val row = v.agg(count(lit(1)).as("n_view")).crossJoin(
+      c.agg(count(lit(1)).as("n_click"),
+        sum(sec(col("c_ts"), col("v_ts"))).as("s_click"))).crossJoin(
+      p.agg(count(lit(1)).as("n_purchase"),
+        sum(sec(col("p_ts"), col("v_ts"))).as("s_purchase")))
+    row.select(expr(
+      """stack(3,
+           1, 'view',     n_view,     1000L,
+              CAST(1000 * n_view div n_view AS BIGINT), 0L,
+           2, 'click',    n_click,
+              CAST(1000 * n_click div n_view AS BIGINT),
+              CAST(1000 * n_click div n_view AS BIGINT),
+              CAST(s_click div n_click AS BIGINT),
+           3, 'purchase', n_purchase,
+              CAST(1000 * n_purchase div n_click AS BIGINT),
+              CAST(1000 * n_purchase div n_view AS BIGINT),
+              CAST(s_purchase div n_purchase AS BIGINT))
+         AS (step_idx, step, n_users, conv_pm_prev, conv_pm_first, mean_s_from_view)"""))
+      .orderBy("step_idx")
+  }
+
+  val etlFunnel: Q = (s, d) => funnelOf(t(s, d, "events"))
+
+  /** T12: event-type TRANSITION matrix — the first-order Markov view of
+    * the event stream (what follows what, per user): one window `lag`
+    * over (user, time) — a single shuffle on the series key, exactly
+    * etl_anomaly's scale shape — then a bounded |types|² group-by with
+    * integer per-mille transition probabilities (row-normalized by the
+    * `prev` marginal via a window sum over the KB-scale matrix). */
+  def transitionsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("event_type").as("next"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob_pm",
+        expr("CAST(1000 * n div sum(n) OVER (PARTITION BY prev) AS BIGINT)"))
+      .select(col("prev"), col("next"), col("n"), col("prob_pm"))
+      .orderBy("prev", "next")
+  }
+
+  val etlTransitions: Q = (s, d) => transitionsOf(t(s, d, "events"))
+
+  /** T13: right-to-be-FORGOTTEN propagation — GDPR/CCPA tombstone
+    * deletes applied across the raw table AND its derived store in one
+    * report. The delete list is a tiny frame (user_id % 37 == 0 here; a
+    * real one arrives as a compliance feed) anti-joined against each
+    * store — Catalyst broadcasts it, so the purge is one scan per store
+    * with no shuffle at 100 TB, and re-running it is idempotent. The
+    * report carries integer content checksums (sum of surviving ids),
+    * not just counts, so the gate proves WHICH rows survived. */
+  def forgetOf(ev: DataFrame): DataFrame = {
+    val dellist = ev.select("user_id").distinct()
+      .filter(col("user_id") % 37 === 0)
+    val keptEv = ev.join(broadcast(dellist), Seq("user_id"), "left_anti")
+    val sessions = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    val keptSess = sessions.join(broadcast(dellist), Seq("user_id"), "left_anti")
+    val evRow = ev.agg(count(lit(1)).as("n_before")).crossJoin(
+      keptEv.agg(count(lit(1)).as("n_kept"), sum("event_id").as("kept_id_sum")))
+      .select(lit("events").as("store"), col("n_before"), col("n_kept"),
+        (col("n_before") - col("n_kept")).as("n_purged"), col("kept_id_sum"))
+    val sessRow = sessions.agg(count(lit(1)).as("n_before")).crossJoin(
+      keptSess.agg(count(lit(1)).as("n_kept"), sum("user_id").as("kept_id_sum")))
+      .select(lit("sessions").as("store"), col("n_before"), col("n_kept"),
+        (col("n_before") - col("n_kept")).as("n_purged"), col("kept_id_sum"))
+    evRow.unionByName(sessRow).orderBy("store")
+  }
+
+  val etlForget: Q = (s, d) => forgetOf(t(s, d, "events"))
+
+  /** T14: Z-ORDER layout audit — multi-dimensional data clustering for
+    * scan pruning (Delta/Iceberg OPTIMIZE ZORDER's shape): interleave the
+    * bits of (day 0-30 → 5 bits, event-type index 0-4 → 3 bits) into a
+    * Morton key, bucket rows into "files" by its top bits, and report
+    * each file's per-dimension min/max envelope plus the 2-D span —
+    * exactly the footer statistics a reader prunes on. A predicate on
+    * EITHER dimension skips most z-ordered files, where a linear sort
+    * only prunes its leading column (TransformsSpec pins z's mean span
+    * strictly below the linear layout's). Pure integer bit arithmetic,
+    * no shuffle until the 32-row rollup. */
+  def zorderOf(ev: DataFrame): DataFrame = {
+    val tix = (when(col("event_type") === "click", 0)
+      .when(col("event_type") === "error", 1)
+      .when(col("event_type") === "purchase", 2)
+      .when(col("event_type") === "signup", 3)
+      .otherwise(4)).cast("long")
+    val dayBits = 5
+    val typeBits = 3
+    val zExpr = (0 until dayBits).map(i =>
+      s"(shiftleft((shiftright(day, $i) & 1), ${2 * i}))").mkString(" + ") +
+      " + " + (0 until typeBits).map(i =>
+      s"(shiftleft((shiftright(tix, $i) & 1), ${2 * i + 1}))").mkString(" + ")
+    ev
+      .withColumn("day", datediff(col("ts").cast("date"),
+        lit(java.sql.Date.valueOf("2024-01-01"))).cast("long"))
+      .withColumn("tix", tix)
+      .withColumn("z", expr(zExpr))
+      .withColumn("file_id", expr("shiftright(z, 5)"))
+      .groupBy("file_id")
+      .agg(count(lit(1)).as("n"),
+        min("day").as("min_day"), max("day").as("max_day"),
+        min("tix").as("min_tix"), max("tix").as("max_tix"))
+      .withColumn("span",
+        (col("max_day") - col("min_day") + 1) * (col("max_tix") - col("min_tix") + 1))
+      .orderBy("file_id")
+  }
+
+  val etlZorder: Q = (s, d) => zorderOf(t(s, d, "events"))
+
   val queries: Map[String, Q] = Map(
+    "etl_funnel" -> etlFunnel,
+    "etl_transitions" -> etlTransitions,
+    "etl_forget" -> etlForget,
+    "etl_zorder" -> etlZorder,
     "etl_anomaly" -> etlAnomaly,
     "etl_cohort" -> etlCohort,
     "etl_scd2" -> etlScd2,
@@ -305,6 +441,90 @@ object Transforms {
     "etl_dead_letter" -> etlDeadLetter)
 
   val oracle: Map[String, String] = Map(
+    "etl_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+           c AS (SELECT e.user_id, min(e.ts) AS c_ts, min(v.v_ts) AS v_ts
+                 FROM events e JOIN v ON e.user_id = v.user_id
+                 WHERE e.event_type = 'click' AND e.ts >= v.v_ts
+                 GROUP BY 1),
+           p AS (SELECT e.user_id, min(e.ts) AS p_ts, min(c.v_ts) AS v_ts
+                 FROM events e JOIN c ON e.user_id = c.user_id
+                 WHERE e.event_type = 'purchase' AND e.ts >= c.c_ts
+                 GROUP BY 1),
+           va AS (SELECT count(*) AS n_view FROM v),
+           ca AS (SELECT count(*) AS n_click,
+                         sum(CAST(floor(epoch(c_ts)) - floor(epoch(v_ts)) AS BIGINT)) AS s_click
+                  FROM c),
+           pa AS (SELECT count(*) AS n_purchase,
+                         sum(CAST(floor(epoch(p_ts)) - floor(epoch(v_ts)) AS BIGINT)) AS s_purchase
+                  FROM p),
+           allr AS (SELECT * FROM va CROSS JOIN ca CROSS JOIN pa)
+         SELECT 1 AS step_idx, 'view' AS step, n_view AS n_users,
+                CAST(1000 AS BIGINT) AS conv_pm_prev,
+                CAST(1000 * n_view // n_view AS BIGINT) AS conv_pm_first,
+                CAST(0 AS BIGINT) AS mean_s_from_view
+         FROM allr
+         UNION ALL
+         SELECT 2, 'click', n_click,
+                CAST(1000 * n_click // n_view AS BIGINT),
+                CAST(1000 * n_click // n_view AS BIGINT),
+                CAST(s_click // n_click AS BIGINT)
+         FROM allr
+         UNION ALL
+         SELECT 3, 'purchase', n_purchase,
+                CAST(1000 * n_purchase // n_click AS BIGINT),
+                CAST(1000 * n_purchase // n_view AS BIGINT),
+                CAST(s_purchase // n_purchase AS BIGINT)
+         FROM allr
+         ORDER BY step_idx""",
+    "etl_transitions" ->
+      """WITH lg AS (
+           SELECT user_id, event_type,
+                  lag(event_type, 1) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) AS prev
+           FROM events),
+           m AS (SELECT prev, event_type AS next, count(*) AS n
+                 FROM lg WHERE prev IS NOT NULL GROUP BY 1, 2)
+         SELECT prev, next, n,
+                CAST(1000 * n // sum(n) OVER (PARTITION BY prev) AS BIGINT) AS prob_pm
+         FROM m ORDER BY prev, next""",
+    "etl_forget" ->
+      """WITH del AS (SELECT DISTINCT user_id FROM events WHERE user_id % 37 = 0),
+           ke AS (SELECT * FROM events WHERE user_id NOT IN (SELECT user_id FROM del)),
+           sess AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+           ks AS (SELECT * FROM sess WHERE user_id NOT IN (SELECT user_id FROM del))
+         SELECT 'events' AS store,
+                (SELECT count(*) FROM events) AS n_before,
+                (SELECT count(*) FROM ke) AS n_kept,
+                (SELECT count(*) FROM events) - (SELECT count(*) FROM ke) AS n_purged,
+                (SELECT CAST(sum(event_id) AS BIGINT) FROM ke) AS kept_id_sum
+         UNION ALL
+         SELECT 'sessions',
+                (SELECT count(*) FROM sess),
+                (SELECT count(*) FROM ks),
+                (SELECT count(*) FROM sess) - (SELECT count(*) FROM ks),
+                (SELECT CAST(sum(user_id) AS BIGINT) FROM ks)
+         ORDER BY store""",
+    "etl_zorder" ->
+      """WITH q AS (
+           SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+                  CAST(CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+                       WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+                       ELSE 4 END AS BIGINT) AS tix
+           FROM events),
+           z AS (SELECT day, tix,
+                        (((day >> 0) & 1) << 0) + (((day >> 1) & 1) << 2)
+                        + (((day >> 2) & 1) << 4) + (((day >> 3) & 1) << 6)
+                        + (((day >> 4) & 1) << 8)
+                        + (((tix >> 0) & 1) << 1) + (((tix >> 1) & 1) << 3)
+                        + (((tix >> 2) & 1) << 5) AS zv
+                 FROM q)
+         SELECT zv >> 5 AS file_id, count(*) AS n,
+                min(day) AS min_day, max(day) AS max_day,
+                min(tix) AS min_tix, max(tix) AS max_tix,
+                (max(day) - min(day) + 1) * (max(tix) - min(tix) + 1) AS span
+         FROM z GROUP BY 1 ORDER BY file_id""",
     "etl_anomaly" ->
       """WITH q AS (
            SELECT event_id, event_type, ts, value,

@@ -731,6 +731,16 @@ object Jx {
         else graft.llm.Similarity.topicMixOf(docs,
           graft.llm.Similarity.ivfIndexOf(tables("embeddings"),
             opt(c, "nlist").map(_.asInt()).getOrElse(16))._4, alpha)
+      // r16 additions: keyword search + retrieval chunking over the
+      // documents shape; funnel / transition / z-order layout analytics
+      // over the events shape — same library entry points the driver
+      // keys pin, so the jx surface shares their oracles verbatim
+      case "inverted_index" => graft.llm.TextOps.invertedIndexOf(docs)
+      case "bm25" => graft.llm.TextOps.bm25Of(docs)
+      case "chunks" => graft.llm.TextOps.chunkHashesOf(docs)
+      case "funnel" => graft.etl.Transforms.funnelOf(docs)
+      case "transitions" => graft.etl.Transforms.transitionsOf(docs)
+      case "zorder" => graft.etl.Transforms.zorderOf(docs)
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

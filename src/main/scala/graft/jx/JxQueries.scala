@@ -378,6 +378,24 @@ object JxQueries {
   private val splitStratifiedJson = """{
     "corpus_op": {"op": "split_stratified", "corpus": {"from": "documents"}}}"""
 
+  private val invertedIndexJson = """{
+    "corpus_op": {"op": "inverted_index", "corpus": {"from": "documents"}}}"""
+
+  private val bm25Json = """{
+    "corpus_op": {"op": "bm25", "corpus": {"from": "documents"}}}"""
+
+  private val chunksJson = """{
+    "corpus_op": {"op": "chunks", "corpus": {"from": "documents"}}}"""
+
+  private val funnelJson = """{
+    "corpus_op": {"op": "funnel", "corpus": {"from": "events"}}}"""
+
+  private val transitionsJson = """{
+    "corpus_op": {"op": "transitions", "corpus": {"from": "events"}}}"""
+
+  private val zorderJson = """{
+    "corpus_op": {"op": "zorder", "corpus": {"from": "events"}}}"""
+
   private val hygieneReportJson = """{
     "corpus_op": {"op": "hygiene_report", "corpus": {"from": "documents"}}}"""
 
@@ -619,6 +637,18 @@ object JxQueries {
       ((s, d) => Jx.run(s, lineDedupJson, name => t(s, d, name))),
     "jx_secret_scan" ->
       ((s, d) => Jx.run(s, secretScanJson, name => t(s, d, name))),
+    "jx_inverted_index" ->
+      ((s, d) => Jx.run(s, invertedIndexJson, name => t(s, d, name))),
+    "jx_bm25" ->
+      ((s, d) => Jx.run(s, bm25Json, name => t(s, d, name))),
+    "jx_chunks" ->
+      ((s, d) => Jx.run(s, chunksJson, name => t(s, d, name))),
+    "jx_funnel" ->
+      ((s, d) => Jx.run(s, funnelJson, name => t(s, d, name))),
+    "jx_transitions" ->
+      ((s, d) => Jx.run(s, transitionsJson, name => t(s, d, name))),
+    "jx_zorder" ->
+      ((s, d) => Jx.run(s, zorderJson, name => t(s, d, name))),
     "jx_reweight" ->
       ((s, d) => Jx.run(s, reweightJson, name => t(s, d, name))),
     "jx_split_stratified" ->
@@ -734,6 +764,12 @@ object JxQueries {
     "jx_rule_profile" -> graft.llm.TextOps.oracle("text_rule_profile"),
     "jx_line_dedup" -> graft.llm.TextOps.oracle("text_line_dedup"),
     "jx_secret_scan" -> graft.llm.TextOps.oracle("text_secret_scan"),
+    "jx_inverted_index" -> graft.llm.TextOps.oracle("text_inverted_index"),
+    "jx_bm25" -> graft.llm.TextOps.oracle("text_bm25_topk"),
+    "jx_chunks" -> graft.llm.TextOps.oracle("text_chunk_overlap"),
+    "jx_funnel" -> graft.etl.Transforms.oracle("etl_funnel"),
+    "jx_transitions" -> graft.etl.Transforms.oracle("etl_transitions"),
+    "jx_zorder" -> graft.etl.Transforms.oracle("etl_zorder"),
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),
     "jx_threshold_tuning" -> graft.llm.Dedup.oracle("dedup_threshold_tuning"),

@@ -2468,7 +2468,113 @@ object TextOps {
 
   val textHygieneReport: Q = (s, d) => hygieneReportOf(t(s, d, "documents"))
 
+  // ——— X13: inverted-index / BM25 keyword search (r16) ———
+
+  /** X13a: INVERTED-INDEX dictionary build — the term-level statistics a
+    * keyword-search or keyword-curation pass maintains over the corpus:
+    * per term, document frequency (df), collection frequency (cf), the
+    * peak within-document tf, and the argmax document (ties → smallest
+    * doc_id, carried as an integer-exact min over struct(-tf, doc_id)).
+    * One token explode → ONE (term, doc) partial aggregate (map-side
+    * combine collapses each task to its own vocabulary before the only
+    * shuffle) → a vocabulary-bounded term rollup. At 100 TB the output
+    * is |vocabulary| rows — the postings *dictionary* is the KB-scale
+    * artifact every keyword gate probes; full postings stay where they
+    * belong, as the (term, doc, tf) intermediate, partitioned by term. */
+  def invertedIndexOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
+      .groupBy("w")
+      .agg(
+        count(lit(1)).as("df"),
+        sum("tf").as("cf"),
+        max("tf").as("max_tf"),
+        min(struct((-col("tf")).as("ntf"), col("doc_id"))).as("top"))
+      .select(col("w"), col("df"), col("cf"), col("max_tf"),
+        col("top.doc_id").as("top_doc"))
+      .orderBy(col("cf").desc, col("w"))
+      .limit(100)
+
+  val textInvertedIndex: Q = (s, d) => invertedIndexOf(t(s, d, "documents"))
+
+  /** X13b: BM25 top-k keyword search — Robertson/Spärck-Jones BM25
+    * (k1=1.2, b=0.75, the +1-smoothed idf that is always positive) for a
+    * fixed conjunctive-OR query, top-50 by score. The term filter is
+    * applied IN the explode projection, so only query-term hits ever
+    * shuffle — at 100 TB the scored frame is |hits|, not |tokens|, and
+    * the corpus-level scalars (N, avgdl) ride in as a broadcast single
+    * row. Per-term scores are rounded to 6 dp and summed as DECIMAL so
+    * the ≤|terms| additions are order-free and oracle-exact. */
+  def bm25Of(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("spark", "query", "window")
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr("CAST(size(filter(toks, w -> length(w) > 0)) AS BIGINT)").as("dl"),
+        expr(s"filter(toks, w -> w IN $termList)").as("hits"))
+    // corpus scalars: integer sums → exact double division in ONE place
+    val stats = toks.agg(
+      count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("w"))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("idf",
+        expr("ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"))
+      .withColumn("term_score",
+        expr("CAST(round(idf * (tf * 2.2) / " +
+          "(tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6) AS DECIMAL(18,6))"))
+    scored
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        sum("tf").as("n_hits"),
+        round(sum("term_score").cast("double"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val textBm25Topk: Q = (s, d) => bm25Of(t(s, d, "documents"))
+
+  /** X13c: RAG-style CHUNKING with overlap — fixed 32-token windows at
+    * stride 24 (8-token overlap), the retrieval-side twin of the packing
+    * family: packing concatenates docs into training rows, chunking cuts
+    * docs into overlapping retrieval units that each carry a content
+    * hash for downstream dedup/embedding. Starts are an in-row
+    * `sequence(0, n_tok-1, stride)` posexplode — per-document work, no
+    * shuffle until the final order — and each chunk's md5 is computed
+    * over the exact token slice, so chunk identity is content-defined
+    * (two docs sharing a window dedup at the chunk level). */
+  def chunkHashesOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), w -> length(w) > 0)").as("toks"))
+      .withColumn("n_tok", expr("CAST(size(toks) AS BIGINT)"))
+      .filter(col("n_tok") > 0 && col("doc_id") < 100)
+      .select(col("doc_id"), col("n_tok"), col("toks"),
+        posexplode(expr("sequence(0L, n_tok - 1, 24L)")).as(Seq("chunk_idx", "start_tok")))
+      .withColumn("len_tok", least(lit(32L), col("n_tok") - col("start_tok")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok"), col("len_tok"),
+        md5(expr("array_join(slice(toks, CAST(start_tok + 1 AS INT), " +
+          "CAST(len_tok AS INT)), ' ')")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+      .limit(400)
+
+  val textChunkOverlap: Q = (s, d) => chunkHashesOf(t(s, d, "documents"))
+
   val queries: Map[String, Q] = Map(
+    "text_inverted_index" -> textInvertedIndex,
+    "text_bm25_topk" -> textBm25Topk,
+    "text_chunk_overlap" -> textChunkOverlap,
     "text_rule_filter" -> textRuleFilter,
     "text_rule_profile" -> textRuleProfile,
     "text_line_dedup" -> textLineDedup,
@@ -3851,5 +3957,64 @@ object TextOps {
                       CAST(row_number() OVER (PARTITION BY doc_id
                                               ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
                FROM scored WHERE doc_id < 50)
-         WHERE rnk <= 3 ORDER BY doc_id, rnk""")
+         WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "text_inverted_index" ->
+      """WITH iiw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM documents),
+           iif AS (SELECT doc_id, w FROM iiw WHERE length(w) > 0),
+           iitf AS (SELECT w, doc_id, count(*) AS tf FROM iif GROUP BY 1, 2),
+           iirk AS (SELECT w, doc_id, tf,
+                           row_number() OVER (PARTITION BY w
+                                              ORDER BY tf DESC, doc_id) AS rk
+                    FROM iitf)
+         SELECT t.w, count(*) AS df, CAST(sum(t.tf) AS BIGINT) AS cf,
+                CAST(max(t.tf) AS BIGINT) AS max_tf,
+                CAST(min(CASE WHEN r.rk = 1 THEN r.doc_id END) AS BIGINT) AS top_doc
+         FROM iitf t JOIN iirk r ON t.w = r.w AND t.doc_id = r.doc_id
+         GROUP BY t.w ORDER BY cf DESC, t.w LIMIT 100""",
+    "text_bm25_topk" ->
+      """WITH bmt AS (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         w -> length(w) > 0) AS toks
+                      FROM documents),
+           bmd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                          list_filter(toks,
+                            w -> w IN ('spark', 'query', 'window')) AS hits
+                   FROM bmt),
+           bms AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM bmd),
+           bmtf AS (SELECT doc_id, dl, w, count(*) AS tf
+                    FROM (SELECT doc_id, dl, unnest(hits) AS w
+                          FROM bmd WHERE len(hits) > 0)
+                    GROUP BY 1, 2, 3),
+           bmdf AS (SELECT w, count(*) AS df FROM bmtf GROUP BY 1),
+           bmsc AS (SELECT t.doc_id, t.tf,
+                           CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5)
+                                               / (d.df + 0.5))
+                                      * (t.tf * 2.2)
+                                      / (t.tf + 1.2 * (0.25 + 0.75 * t.dl
+                                         / (s.sum_dl * 1.0 / s.n_docs))), 6)
+                                AS DECIMAL(18,6)) AS term_score
+                    FROM bmtf t JOIN bmdf d USING (w) CROSS JOIN bms s)
+         SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS n_hits,
+                round(CAST(sum(term_score) AS DOUBLE), 4) AS score
+         FROM bmsc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50""",
+    "text_chunk_overlap" ->
+      """WITH cht AS (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         w -> length(w) > 0) AS toks
+                      FROM documents),
+           chd AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tok
+                   FROM cht WHERE len(toks) > 0 AND doc_id < 100),
+           chs AS (SELECT doc_id, n_tok, toks,
+                          CAST(unnest(generate_series(0, n_tok - 1, 24)) AS BIGINT) AS start_tok
+                   FROM chd),
+           chx AS (SELECT doc_id, n_tok, toks, start_tok,
+                          start_tok // 24 AS chunk_idx
+                   FROM chs)
+         SELECT doc_id, chunk_idx, start_tok,
+                least(32, n_tok - start_tok) AS len_tok,
+                md5(array_to_string(
+                      toks[start_tok + 1 : start_tok + least(32, n_tok - start_tok)],
+                      ' ')) AS chunk_md5
+         FROM chx ORDER BY doc_id, chunk_idx LIMIT 400""")
 }

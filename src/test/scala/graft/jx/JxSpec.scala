@@ -584,9 +584,18 @@ class JxSpec extends graft.SparkSpec {
     val vecs = (0L until 12L).map { i =>
       (i, Array.tabulate(64)(j => ((i * 31 + j * 17) % 13).toFloat / 13f))
     }.toDF("vec_id", "embedding")
+    // events-shaped for the funnel / transitions / zorder analytics
+    // routes (r16): a tiny stream with every step type present so the
+    // funnel's per-step divisions are non-degenerate
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val events = (0L until 25L).map { i =>
+      (i, java.sql.Timestamp.valueOf(f"2024-01-${(i % 20) + 1}%02d 0${i % 9}:00:00"),
+        i % 4, types((i % 5).toInt), i * 1.5, s"""{"k": $i}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
     val tables: String => DataFrame = {
       case "documents" => docs
       case "embeddings" => vecs
+      case "events" => events
       case other => fail(s"route asked for unexpected table $other")
     }
 
@@ -615,11 +624,15 @@ class JxSpec extends graft.SparkSpec {
         case Left(_) =>
           attempt(op, "embeddings") match {
             case Right(_) => ()
-            case Left(e2) =>
-              assert(e2.isInstanceOf[IllegalArgumentException],
-                s"route $op failed NON-typed under both corpus shapes: " +
-                  s"${e2.getClass.getName}: ${e2.getMessage}")
-              rejected(op) = e2.getMessage
+            case Left(_) =>
+              attempt(op, "events") match {
+                case Right(_) => ()
+                case Left(e3) =>
+                  assert(e3.isInstanceOf[IllegalArgumentException],
+                    s"route $op failed NON-typed under all corpus shapes: " +
+                      s"${e3.getClass.getName}: ${e3.getMessage}")
+                  rejected(op) = e3.getMessage
+              }
           }
       }
     }

@@ -234,7 +234,7 @@ class PlanAuditSpec extends graft.SparkSpec {
 
   test("sample_stratified shuffles once, on the stratum key") {
     val p = plan("sample_stratified")
-    assert(!p.contains("Join"), p)
+    for (node <- joinNodes) assert(!p.contains(node), s"$node in:\n$p")
     assert(p.contains("hashpartitioning(event_type"), p)
   }
 
