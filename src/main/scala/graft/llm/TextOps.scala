@@ -2481,8 +2481,13 @@ object TextOps {
     * is |vocabulary| rows — the postings *dictionary* is the KB-scale
     * artifact every keyword gate probes; full postings stay where they
     * belong, as the (term, doc, tf) intermediate, partitioned by term. */
-  def invertedIndexOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    docs
+  /** The distributive per-batch half of the dictionary: docs live in
+    * exactly one batch, so per-batch (df, cf, max_tf, best-(−tf, doc))
+    * partials merge EXACTLY (sum/sum/max/min-struct) — the algebra
+    * behind the ST24 streamed store AND the one-shot build (which is
+    * just merge(partials(corpus))). */
+  def dfPartialsOf(batch: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    batch
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w", "doc_id").agg(count(lit(1)).as("tf"))
@@ -2493,9 +2498,26 @@ object TextOps {
         max("tf").as("max_tf"),
         min(struct((-col("tf")).as("ntf"), col("doc_id"))).as("top"))
       .select(col("w"), col("df"), col("cf"), col("max_tf"),
+        col("top.ntf").as("ntf"), col("top.doc_id").as("top_doc"))
+
+  /** Merge any batch-partition of [[dfPartialsOf]] partials into the
+    * corpus dictionary (the min-struct carries the argmax-doc tie rule
+    * through the merge unchanged). */
+  def invertedIndexMergeFrom(parts: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    parts
+      .groupBy("w")
+      .agg(
+        sum("df").as("df"),
+        sum("cf").as("cf"),
+        max("max_tf").as("max_tf"),
+        min(struct(col("ntf"), col("top_doc").as("doc_id"))).as("top"))
+      .select(col("w"), col("df"), col("cf"), col("max_tf"),
         col("top.doc_id").as("top_doc"))
       .orderBy(col("cf").desc, col("w"))
       .limit(100)
+
+  def invertedIndexOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    invertedIndexMergeFrom(dfPartialsOf(docs))
 
   val textInvertedIndex: Q = (s, d) => invertedIndexOf(t(s, d, "documents"))
 

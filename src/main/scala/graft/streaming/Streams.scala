@@ -1092,7 +1092,113 @@ object Streams {
     hygieneStoreReadout(s, s"$dir/c", t(s, d, "documents"))
   }
 
+  /** ST24: stream-maintained INVERTED-INDEX dictionary — the keyword
+    * search/curation term-statistics table (X13a) as an incrementally
+    * maintained store: each micro-batch folds its docs into per-term
+    * (df, cf, max_tf, best-(−tf, doc)) partials
+    * ([[graft.llm.TextOps.dfPartialsOf]] — docs live in exactly one
+    * batch, so df/cf sum exactly and the argmax-doc min-struct merges
+    * without drift) written under the batch's own partition (dynamic
+    * idempotent overwrite). The merged readout must equal the one-shot
+    * dictionary BIT-identically under any split or redelivery — gated
+    * by text_inverted_index's oracle VERBATIM. At 100 TB the refresh is
+    * |vocabulary|×|batches| KB-scale rows; the corpus is never
+    * re-tokenized. */
+  def dfStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit =
+    graft.llm.TextOps.dfPartialsOf(batch)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  def dfStoreReadout(s: SparkSession, dir: String): DataFrame =
+    graft.llm.TextOps.invertedIndexMergeFrom(s.read.parquet(dir))
+
+  /** ST24 batch twin: two disjoint batches + an at-least-once
+    * redelivery of batch 0, then the merged dictionary. */
+  val streamDfStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "df_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val c = s"$dd/c"
+      dfStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+      dfStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, c)
+      // at-least-once redelivery of batch 0: must overwrite, not append
+      dfStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+    }
+    dfStoreReadout(s, s"$dir/c")
+  }
+
+  /** ST25: stream-maintained LATE-DATA audit — the watermark
+    * observability every production stream needs: how much data arrives
+    * behind the clock, per source, and is that drifting? Batches are
+    * time-sliced ten-day windows of the stream; a deterministic sliver
+    * (event_id % 97 == 0) is DELIVERED one batch late, simulating the
+    * stragglers a real bus produces. Each sink call reads the
+    * KB-scale bmax column of the PRIOR batches' partials to reconstruct
+    * the watermark (max event time seen so far, minus a 10-minute
+    * tolerance), flags its own rows against it, and writes per-type
+    * (n_total, n_late, bmax) partials under its own partition. The
+    * watermark depends only on EARLIER batch ids, so an out-of-order
+    * redelivery recomputes the identical flags — the store cannot
+    * drift; gated by a one-shot SQL twin that replays the same batch
+    * assignment and prefix-max watermark. */
+  def lateStoreSink(s: SparkSession, batch: DataFrame, batchId: Long,
+      dir: String): Unit = {
+    val wm: Option[java.sql.Timestamp] =
+      if (batchId == 0L) None
+      else {
+        val prior = s.read.parquet(dir).filter(col("batch_id") < batchId)
+        Option(prior.agg(max("bmax")).collect()(0).getTimestamp(0))
+      }
+    val lateFlag = wm match {
+      case Some(w) => col("ts") < lit(w) - expr("INTERVAL 10 MINUTES")
+      case None    => lit(false)
+    }
+    batch
+      .withColumn("late", lateFlag)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+        max("ts").as("bmax"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+  }
+
+  def lateStoreReadout(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(sum("n_total").as("n_total"), sum("n_late").as("n_late"))
+      .withColumn("late_pm",
+        expr("CAST(1000 * n_late div n_total AS BIGINT)"))
+      .orderBy("event_type")
+
+  /** The deterministic batch assignment shared by the sink replay and
+    * the one-shot oracle: ten-day windows, with the %97 sliver shifted
+    * one batch late (capped at the last batch). */
+  private def lateBatchId = expr(
+    """least(2L, (datediff(CAST(ts AS DATE), DATE '2024-01-01') div 10)
+       + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END)""")
+
+  /** ST25 batch twin: three time-sliced deliveries (with the straggler
+    * sliver riding one batch late) + an at-least-once redelivery of
+    * batch 1, then the merged audit. */
+  val streamLateStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "late_store_stream", d) { dd =>
+      val ev = t(s, d, "events").withColumn("bid", lateBatchId)
+      val c = s"$dd/c"
+      lateStoreSink(s, ev.filter(col("bid") === 0L), 0L, c)
+      lateStoreSink(s, ev.filter(col("bid") === 1L), 1L, c)
+      lateStoreSink(s, ev.filter(col("bid") === 2L), 2L, c)
+      // at-least-once redelivery of batch 1 AFTER batch 2: its watermark
+      // reads only batch 0's partials — identical flags, no drift
+      lateStoreSink(s, ev.filter(col("bid") === 1L), 1L, c)
+    }
+    lateStoreReadout(s, s"$dir/c")
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_df_store" -> streamDfStore,
+    "stream_late_store" -> streamLateStore,
     "stream_rule_store" -> streamRuleStore,
     "stream_line_store" -> streamLineStore,
     "stream_secret_store" -> streamSecretStore,
@@ -1114,6 +1220,31 @@ object Streams {
     "stream_canonical_store" -> streamCanonicalStore)
 
   val oracle: Map[String, String] = Map(
+    // the maintained term dictionary must equal the one-shot build:
+    // text_inverted_index's oracle verbatim
+    "stream_df_store" -> graft.llm.TextOps.oracle("text_inverted_index"),
+    // one-shot replay of the same batch assignment + prefix-max
+    // watermark the sink reconstructs from stored partials
+    "stream_late_store" ->
+      """WITH b AS (
+           SELECT event_id, ts, event_type,
+                  least(2, (date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 10)
+                        + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS bid
+           FROM events),
+           bm AS (SELECT bid, max(ts) AS bmax FROM b GROUP BY 1),
+           wm AS (SELECT bid,
+                         max(bmax) OVER (ORDER BY bid
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+                  FROM bm),
+           fl AS (SELECT b.event_type,
+                         CASE WHEN w.wm IS NOT NULL
+                                   AND b.ts < w.wm - INTERVAL 10 MINUTE
+                              THEN 1 ELSE 0 END AS late
+                  FROM b JOIN wm w ON b.bid = w.bid)
+         SELECT event_type, count(*) AS n_total,
+                CAST(sum(late) AS BIGINT) AS n_late,
+                CAST(1000 * sum(late) // count(*) AS BIGINT) AS late_pm
+         FROM fl GROUP BY 1 ORDER BY 1""",
     // the maintained rule-failure profile must equal the one-shot
     // full-corpus pass: text_rule_profile's oracle verbatim
     "stream_rule_store" -> graft.llm.TextOps.oracle("text_rule_profile"),

@@ -634,6 +634,92 @@ class StreamsSpec extends graft.SparkSpec {
     assert(readout === full, "redelivered batch double-counted")
   }
 
+  test("ST24: the streamed inverted-index dictionary merges to the " +
+    "one-shot build, argmax-doc ties included, and survives redelivery") {
+    val dir = tmp("graft-st24")
+    val rnd = new scala.util.Random(59)
+    val vocab = Seq("spark", "query", "window", "table", "row",
+      "scan", "value", "fast", "join", "agg")
+    val docs = (0L until 24L).map { i =>
+      (i, Seq.fill(10 + rnd.nextInt(30))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        "en", s"src${i % 3}", 50L)
+    }
+    def df(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val full = graft.llm.TextOps.invertedIndexOf(df(docs))
+      .collect().map(_.toString).toSeq
+
+    val in = MemoryStream[(Long, String, String, String, Long)](spark)
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        if (!batch.isEmpty) Streams.dfStoreSink(batch, id, dir)
+      }
+      .start()
+    try {
+      in.addData(docs.take(10): _*)
+      q.processAllAvailable()
+      in.addData(docs.drop(10): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readout = Streams.dfStoreReadout(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(readout === full,
+      "merged df partials must equal the one-shot dictionary")
+    // at-least-once redelivery of batch 0 overwrites its own partition
+    Streams.dfStoreSink(df(docs.take(10)), 0L, dir)
+    assert(readout === full, "redelivered batch double-counted")
+    // the argmax-doc tie rule survives the merge: craft a term whose
+    // peak tf occurs in BOTH batches — the merged top_doc must be the
+    // smallest doc_id among the tied peaks (here 1, not 15)
+    val tied = Seq(
+      (1L, "zzz zzz unique1", "en", "src0", 10L),
+      (15L, "zzz zzz unique2", "en", "src0", 10L))
+    val tdir = tmp("graft-st24-tie")
+    Streams.dfStoreSink(df(tied.take(1)), 0L, tdir)
+    Streams.dfStoreSink(df(tied.drop(1)), 1L, tdir)
+    val z = Streams.dfStoreReadout(spark, tdir)
+      .filter(col("w") === "zzz").collect()(0)
+    assert(z.getAs[Long]("df") === 2L && z.getAs[Long]("max_tf") === 2L)
+    assert(z.getAs[Long]("top_doc") === 1L,
+      "cross-batch tf tie must resolve to the smallest doc_id")
+  }
+
+  test("ST25: the streamed late-data audit reconstructs the watermark " +
+    "from stored partials and redelivery cannot shift it") {
+    val dir = tmp("graft-st25")
+    def ev(id: Long, t: String, typ: String) =
+      (id, ts(t), id % 5, typ, 1.0, "{}")
+    // batch 0: on-time traffic up to 11:00
+    val b0 = Seq(ev(1, "2024-01-01 10:00:00", "view"),
+      ev(2, "2024-01-01 11:00:00", "click"))
+    // batch 1: one straggler beyond tolerance (09:00 < 11:00-10min),
+    // one INSIDE tolerance (10:55 ≥ 10:50 — must NOT flag), one on-time
+    val b1 = Seq(ev(3, "2024-01-01 09:00:00", "view"),
+      ev(4, "2024-01-01 10:55:00", "click"),
+      ev(5, "2024-01-02 12:00:00", "view"))
+    // batch 2: a straggler against the RAISED watermark (day-2 12:00)
+    val b2 = Seq(ev(6, "2024-01-02 11:00:00", "purchase"),
+      ev(7, "2024-01-02 13:00:00", "click"))
+    def df(rows: Seq[(Long, Timestamp, Long, String, Double, String)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    Streams.lateStoreSink(spark, df(b0), 0L, dir)
+    Streams.lateStoreSink(spark, df(b1), 1L, dir)
+    Streams.lateStoreSink(spark, df(b2), 2L, dir)
+    def audit = Streams.lateStoreReadout(spark, dir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("n_late"))).toSeq
+    val expected = Seq(("click", 3L, 0L), ("purchase", 1L, 1L), ("view", 3L, 1L))
+    assert(audit === expected,
+      s"beyond-tolerance stragglers flag, within-tolerance must not: $audit")
+    // redelivery of batch 1 AFTER batch 2: its watermark reads only
+    // batch 0's partials — identical flags, the store cannot drift
+    Streams.lateStoreSink(spark, df(b1), 1L, dir)
+    assert(audit === expected, "redelivered batch shifted the watermark")
+  }
+
   test("ST17: the streamed LM-score store re-ranks to the one-shot " +
     "perplexity tiers and prices unseen grams by smoothing") {
     val dir = tmp("graft-st17")
