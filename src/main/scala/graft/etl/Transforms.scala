@@ -423,7 +423,85 @@ object Transforms {
 
   val etlZorder: Q = (s, d) => zorderOf(t(s, d, "events"))
 
+  /** T15: GAP-based sessionizer (batch) — the other canonical session
+    * definition (T1 groups a user's whole history; ST3 streams event-time
+    * windows): a session breaks when the idle gap exceeds 4 h. One window
+    * pass on the series key derives the break flags (lag) and session
+    * ids (running sum of breaks — prefix sums stay inside the same
+    * single partition-and-sort, so the whole derivation is ONE shuffle),
+    * then a per-(user, session) group-agg. Integer seconds throughout. */
+  def sessionsOf(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev
+      .withColumn("prev_ts", lag("ts", 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 14400L,
+          1L).otherwise(0L))
+      .withColumn("sess_idx",
+        sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_idx")
+      .agg(
+        min("ts").as("start_ts"),
+        max("ts").as("end_ts"),
+        count(lit(1)).as("n_events"),
+        r2(sum("value")).as("total_value"))
+      .withColumn("duration_s",
+        (unix_timestamp(col("end_ts")) - unix_timestamp(col("start_ts"))).cast("long"))
+      .orderBy("user_id", "sess_idx")
+      .limit(500)
+  }
+
+  val etlSessions: Q = (s, d) => sessionsOf(t(s, d, "events"))
+
+  /** T16: CDC MERGE apply (upsert) — the warehouse-side half of change
+    * data capture: a change feed of updates / deletes / inserts applied
+    * to the base table in ONE full-outer equi-join on the natural key
+    * (no row-at-a-time MERGE loop; at 100 TB both sides shuffle once on
+    * the key, or the feed broadcasts when it is a day's delta). The
+    * change feed here is derived deterministically from the base so the
+    * oracle replays it: key%10==3 → price+1000 update, %10==7 → delete,
+    * %10==1 → insert under key+10⁷. The readout aggregates the merged
+    * table per status with integer key checksums — content proof, not
+    * just counts. */
+  def mergeCdcOf(base0: DataFrame): DataFrame = {
+    val base = base0.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val changes =
+      base.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit("U").as("op"),
+          (col("o_totalprice") + 1000.0).as("chg_price"))
+        .unionByName(
+          base.filter(col("o_orderkey") % 10 === 7)
+            .select(col("o_orderkey"), lit("D").as("op"),
+              lit(null).cast("double").as("chg_price")))
+        .unionByName(
+          base.filter(col("o_orderkey") % 10 === 1)
+            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+              lit("I").as("op"), col("o_totalprice").as("chg_price")))
+    base.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(
+        col("o_orderkey"),
+        when(col("op") === "I", "I")
+          .when(col("op") === "U", "U")
+          .otherwise(col("o_orderstatus")).as("status"),
+        when(col("op").isin("I", "U"), col("chg_price"))
+          .otherwise(col("o_totalprice")).as("price"))
+      .groupBy("status")
+      .agg(
+        count(lit(1)).as("n"),
+        r2(sum("price")).as("sum_price"),
+        sum("o_orderkey").as("key_sum"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("status")
+  }
+
+  val etlMergeCdc: Q = (s, d) => mergeCdcOf(t(s, d, "orders"))
+
   val queries: Map[String, Q] = Map(
+    "etl_sessions" -> etlSessions,
+    "etl_merge_cdc" -> etlMergeCdc,
     "etl_funnel" -> etlFunnel,
     "etl_transitions" -> etlTransitions,
     "etl_forget" -> etlForget,
@@ -441,6 +519,54 @@ object Transforms {
     "etl_dead_letter" -> etlDeadLetter)
 
   val oracle: Map[String, String] = Map(
+    "etl_sessions" ->
+      """WITH lg AS (
+           SELECT user_id, event_id, ts, value,
+                  lag(ts, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+           br AS (
+           SELECT user_id, event_id, ts, value,
+                  CASE WHEN prev_ts IS NULL
+                            OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 14400
+                       THEN 1 ELSE 0 END AS brk
+           FROM lg),
+           sx AS (
+           SELECT user_id, ts, value,
+                  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS sess_idx
+           FROM br)
+         SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+                min(ts) AS start_ts, max(ts) AS end_ts,
+                count(*) AS n_events, round(sum(value), 2) AS total_value,
+                CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+                  AS duration_s
+         FROM sx GROUP BY 1, 2 ORDER BY user_id, sess_idx LIMIT 500""",
+    "etl_merge_cdc" ->
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+           changes AS (
+             SELECT o_orderkey, 'U' AS op, o_totalprice + 1000.0 AS chg_price
+             FROM base WHERE o_orderkey % 10 = 3
+             UNION ALL
+             SELECT o_orderkey, 'D', NULL FROM base WHERE o_orderkey % 10 = 7
+             UNION ALL
+             SELECT o_orderkey + 10000000, 'I', o_totalprice
+             FROM base WHERE o_orderkey % 10 = 1),
+           merged AS (
+             SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+                    CASE WHEN c.op = 'I' THEN 'I'
+                         WHEN c.op = 'U' THEN 'U'
+                         ELSE b.o_orderstatus END AS status,
+                    CASE WHEN c.op IN ('I', 'U') THEN c.chg_price
+                         ELSE b.o_totalprice END AS price
+             FROM base b FULL OUTER JOIN changes c
+               ON b.o_orderkey = c.o_orderkey
+             WHERE coalesce(c.op, '') <> 'D')
+         SELECT status, count(*) AS n, round(sum(price), 2) AS sum_price,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM merged GROUP BY status ORDER BY status""",
     "etl_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
                     WHERE event_type = 'view' GROUP BY 1),

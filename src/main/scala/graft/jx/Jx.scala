@@ -739,6 +739,7 @@ object Jx {
       case "bm25" => graft.llm.TextOps.bm25Of(docs)
       case "chunks" => graft.llm.TextOps.chunkHashesOf(docs)
       case "funnel" => graft.etl.Transforms.funnelOf(docs)
+      case "sessions" => graft.etl.Transforms.sessionsOf(docs)
       case "transitions" => graft.etl.Transforms.transitionsOf(docs)
       case "zorder" => graft.etl.Transforms.zorderOf(docs)
       case other =>

@@ -390,6 +390,9 @@ object JxQueries {
   private val funnelJson = """{
     "corpus_op": {"op": "funnel", "corpus": {"from": "events"}}}"""
 
+  private val sessionsJson = """{
+    "corpus_op": {"op": "sessions", "corpus": {"from": "events"}}}"""
+
   private val transitionsJson = """{
     "corpus_op": {"op": "transitions", "corpus": {"from": "events"}}}"""
 
@@ -645,6 +648,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, chunksJson, name => t(s, d, name))),
     "jx_funnel" ->
       ((s, d) => Jx.run(s, funnelJson, name => t(s, d, name))),
+    "jx_sessions" ->
+      ((s, d) => Jx.run(s, sessionsJson, name => t(s, d, name))),
     "jx_transitions" ->
       ((s, d) => Jx.run(s, transitionsJson, name => t(s, d, name))),
     "jx_zorder" ->
@@ -768,6 +773,7 @@ object JxQueries {
     "jx_bm25" -> graft.llm.TextOps.oracle("text_bm25_topk"),
     "jx_chunks" -> graft.llm.TextOps.oracle("text_chunk_overlap"),
     "jx_funnel" -> graft.etl.Transforms.oracle("etl_funnel"),
+    "jx_sessions" -> graft.etl.Transforms.oracle("etl_sessions"),
     "jx_transitions" -> graft.etl.Transforms.oracle("etl_transitions"),
     "jx_zorder" -> graft.etl.Transforms.oracle("etl_zorder"),
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),

@@ -296,6 +296,20 @@ object Aggregates {
         col("n"), col("sum_qty"))
       .orderBy("flag", "status")
 
+  /** A14c: CUBE — the trio's last member (r16): every subset of the
+    * grouping keys in ONE pass (rollup's hierarchy PLUS the by-status
+    * slice rollup omits). Same single Expand + aggregate plan shape —
+    * 4× the groups, still one scan and one shuffle. */
+  val aggCube: Q = (s, d) =>
+    t(s, d, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), r2(sum("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
   /** A14b: explicit GROUPING SETS — the general form rollup/cube are
     * shorthand for: an arbitrary list of grouping combinations in ONE
     * pass (here: by flag, by status, and the grand total — note
@@ -610,6 +624,7 @@ object Aggregates {
     "agg_collect_set" -> aggCollectSet,
     "agg_first_last" -> aggFirstLast,
     "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_pivot" -> aggPivot)
 
@@ -809,6 +824,12 @@ object Aggregates {
                 count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
          FROM lineitem
          GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY flag, status""",
+    "agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+                coalesce(l_linestatus, 'ALL') AS status,
+                count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
          ORDER BY flag, status""",
     "agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,

@@ -172,9 +172,24 @@ object Windows {
       .limit(500)
   }
 
+  /** W10: nth_value — the positional frame accessor completing the
+    * first/last/lag family (r16): the 3rd-smallest value per series, as
+    * of each row (running frame), null while the frame is shorter. One
+    * window pass on the series key. */
+  val winNthValue: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "events")
+      .select(col("event_id"), col("event_type"), r2(col("value")).as("value"),
+        r2(nth_value(col("value"), 3).over(w)).as("third_smallest"))
+      .orderBy("event_id")
+      .limit(500)
+  }
+
   val queries: Map[String, Q] = Map(
     "win_ema" -> winEma,
     "win_pct_rank" -> winPctRank,
+    "win_nth_value" -> winNthValue,
     "win_running_sum" -> winRunningSum,
     "win_sliding" -> winSliding,
     "win_range_frame" -> winRangeFrame,
@@ -207,6 +222,13 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "win_ema" -> emaOracle,
+    "win_nth_value" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+                round(nth_value(value, 3) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      2) AS third_smallest
+         FROM events ORDER BY event_id LIMIT 500""",
     "win_pct_rank" ->
       """SELECT event_id, event_type, round(value, 2) AS value,
                 round(percent_rank() OVER (PARTITION BY event_type
