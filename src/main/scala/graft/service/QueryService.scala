@@ -162,7 +162,8 @@ object QueryService {
     * sketch dashboard stays uncached (it is already a KB-scale
     * day-pruned store probe, and its answer varies with the request's
     * day window and format). */
-  private val panelViews = Set("ann", "payload", "plan", "decon", "card", "quality")
+  private val panelViews =
+    Set("ann", "payload", "plan", "decon", "card", "quality", "search")
 
   /** Render one named panel (first request per (dataset, view) only —
     * [[panelCache]] serves every subsequent refresh). */
@@ -297,6 +298,20 @@ object QueryService {
           graft.llm.TextOps.queries("text_hygiene_report")(spark, dataset))},""" +
         s""""funnel":${graft.jx.Jx.listJson(
           graft.llm.Pipeline.queries("pipeline_funnel")(spark, dataset))}}"""
+    }
+    // {"view": "search"}: the KEYWORD-SEARCH PANEL (r16 X13) —
+    // `dictionary` is the stream-maintained inverted-index term table
+    // (stream_df_store's merged frame: the panel inherits
+    // text_inverted_index's oracle THROUGH the store), `topk` the BM25
+    // ranking for the standing query, `chunks` the retrieval-chunk
+    // manifest head; all byte-identical to their driver keys.
+    if (view == "search") {
+      return s"""{"dictionary":${graft.jx.Jx.listJson(
+          graft.streaming.Streams.queries("stream_df_store")(spark, dataset))},""" +
+        s""""topk":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_bm25_topk")(spark, dataset))},""" +
+        s""""chunks":${graft.jx.Jx.listJson(
+          graft.llm.TextOps.queries("text_chunk_overlap")(spark, dataset))}}"""
     }
     throw new IllegalArgumentException(s"unknown view: $view")
   }

@@ -313,6 +313,48 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the dashboard search view serves the streamed dictionary, the " +
+    "BM25 top-k, and the chunk manifest byte-identical to the driver keys") {
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = postPath(HttpClient.newHttpClient(), server.getAddress.getPort,
+        "/dashboard", """{"view": "search"}""")
+      assert(r.statusCode() === 200)
+      val panel = mapper.readTree(r.body())
+      Seq("dictionary", "topk", "chunks")
+        .foreach(s => assert(panel.has(s), s"missing panel section $s"))
+      // the dictionary section is the stream-maintained store's merge —
+      // byte-identical to the stream_df_store driver key (which itself
+      // carries text_inverted_index's oracle)
+      val dict = panel.get("dictionary").get("data")
+      val dictDirect = graft.streaming.Streams
+        .queries("stream_df_store")(spark, sf).collect()
+      assert(dict.size() === dictDirect.length)
+      assert(dict.get(0).get("w").asText() ===
+        dictDirect.head.getAs[String]("w"))
+      assert(dict.get(0).get("cf").asLong() ===
+        dictDirect.head.getAs[Long]("cf"))
+      Seq("w", "df", "cf", "max_tf", "top_doc").foreach(c =>
+        assert(dict.get(0).has(c), s"missing dictionary column $c"))
+      // the topk section is text_bm25_topk's frame byte-for-byte
+      val topk = panel.get("topk").get("data")
+      val topkDirect = graft.llm.TextOps
+        .queries("text_bm25_topk")(spark, sf).collect()
+      assert(topk.size() === topkDirect.length)
+      assert(topk.get(0).get("doc_id").asLong() ===
+        topkDirect.head.getAs[Long]("doc_id"))
+      assert(topk.get(0).get("score").asDouble() ===
+        topkDirect.head.getAs[Double]("score"))
+      // scores arrive rank-ordered (ties broken by doc_id upstream)
+      (1 until topk.size()).foreach { i =>
+        assert(topk.get(i - 1).get("score").asDouble() >=
+          topk.get(i).get("score").asDouble(), "topk not rank-ordered")
+      }
+    } finally server.stop(0)
+  }
+
   test("the dashboard quality view serves the per-source monitor and the " +
     "topic mixture from the stores") {
     val sf = "/root/testdata/sf0.001"
