@@ -742,6 +742,8 @@ object Jx {
       case "sessions" => graft.etl.Transforms.sessionsOf(docs)
       case "transitions" => graft.etl.Transforms.transitionsOf(docs)
       case "zorder" => graft.etl.Transforms.zorderOf(docs)
+      case "hybrid_search" =>
+        graft.llm.Similarity.hybridSearchOf(docs, tables("embeddings"))
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

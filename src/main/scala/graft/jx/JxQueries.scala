@@ -399,6 +399,9 @@ object JxQueries {
   private val zorderJson = """{
     "corpus_op": {"op": "zorder", "corpus": {"from": "events"}}}"""
 
+  private val hybridJson = """{
+    "corpus_op": {"op": "hybrid_search", "corpus": {"from": "documents"}}}"""
+
   private val hygieneReportJson = """{
     "corpus_op": {"op": "hygiene_report", "corpus": {"from": "documents"}}}"""
 
@@ -654,6 +657,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, transitionsJson, name => t(s, d, name))),
     "jx_zorder" ->
       ((s, d) => Jx.run(s, zorderJson, name => t(s, d, name))),
+    "jx_hybrid" ->
+      ((s, d) => Jx.run(s, hybridJson, name => t(s, d, name))),
     "jx_reweight" ->
       ((s, d) => Jx.run(s, reweightJson, name => t(s, d, name))),
     "jx_split_stratified" ->
@@ -776,6 +781,7 @@ object JxQueries {
     "jx_sessions" -> graft.etl.Transforms.oracle("etl_sessions"),
     "jx_transitions" -> graft.etl.Transforms.oracle("etl_transitions"),
     "jx_zorder" -> graft.etl.Transforms.oracle("etl_zorder"),
+    "jx_hybrid" -> graft.llm.Similarity.oracle("sim_hybrid_search"),
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),
     "jx_threshold_tuning" -> graft.llm.Dedup.oracle("dedup_threshold_tuning"),

@@ -1914,7 +1914,80 @@ object Similarity {
     mixed.unionByName(unassigned).orderBy("topic")
   }
 
+  /** X13d shared half: the BM25 top-50 candidates re-scored with
+    * embedding cosine — the frame BOTH fusion styles read. The lexical
+    * half reuses [[graft.llm.TextOps.bm25Of]] (only query-term hits ever
+    * shuffle); the semantic half joins the ≤50 candidates to their
+    * vectors on the shared id (docs and embeddings are row-aligned in
+    * the corpus contract) and scores against ONE query vector — the
+    * top-BM25 doc's embedding, derived in-plan and broadcast. At 100 TB
+    * the cosine work is |candidates|, never |corpus|: the expensive
+    * semantic scoring rides behind the cheap lexical gate — the same
+    * gate-ordering lesson as the rules front gate. */
+  private def hybridCandidatesOf(docs: DataFrame, vecs0: DataFrame): DataFrame = {
+    val cands = graft.llm.TextOps.bm25Of(docs)
+    val vecs = vecs0
+      .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
+    val top1 = cands.orderBy(col("score").desc, col("doc_id")).limit(1)
+      .join(vecs, col("doc_id") === col("vec_id"))
+      .select(col("embedding").as("qv"), col("norm2").as("qn"))
+    cands
+      .join(vecs, col("doc_id") === col("vec_id"))
+      .crossJoin(broadcast(top1))
+      .withColumn("cosine",
+        r4(DotProduct(col("qv"), col("embedding")) /
+          (sqrt(col("qn")) * sqrt(col("norm2")))))
+      .select(col("doc_id"), col("score"), col("cosine"))
+  }
+
+  /** X13d: weighted HYBRID retrieval — the standard RAG ranking: BM25
+    * normalized by the candidate max (a broadcast 1-row agg), fused
+    * 50/50 with cosine. Two r4-rounded terms halved and re-rounded —
+    * exact in both engines. */
+  def hybridSearchOf(docs: DataFrame, vecs: DataFrame): DataFrame = {
+    val base = hybridCandidatesOf(docs, vecs)
+    val maxs = base.agg(max("score").as("max_score"))
+    base
+      .crossJoin(broadcast(maxs))
+      .withColumn("bm25n", r4(col("score") / col("max_score")))
+      // the 50/50 average of two 4-dp terms lands exactly on 5th-digit
+      // halves, where engine tie-rounding differs — so the fused score
+      // is emitted in integer BASIS POINTS ((x+y)·5000 is mathematically
+      // an integer; round() kills the float ulp), exact in both engines
+      .withColumn("hybrid_bp",
+        expr("CAST(round((bm25n + cosine) * 5000, 0) AS BIGINT)"))
+      .select(col("doc_id"), col("score").as("bm25"), col("cosine"),
+        col("hybrid_bp"))
+      .orderBy(col("hybrid_bp").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val simHybridSearch: Q = (s, d) =>
+    hybridSearchOf(t(s, d, "documents"), t(s, d, "embeddings"))
+
+  /** X13d-rrf: Reciprocal Rank Fusion — the scale-free fusion (no score
+    * normalization to tune): each list contributes 1/(60+rank), ranks
+    * are integers from the two candidate orderings, so the fusion is
+    * deterministic to the last bit after one r6 rounding. Windows run
+    * over the ≤50-row candidate frame — KB-scale. */
+  val simRrfFusion: Q = (s, d) => {
+    val base = hybridCandidatesOf(t(s, d, "documents"), t(s, d, "embeddings"))
+    val wBm = Window.orderBy(col("score").desc, col("doc_id"))
+    val wCo = Window.orderBy(col("cosine").desc, col("doc_id"))
+    base
+      .withColumn("r_bm", row_number().over(wBm))
+      .withColumn("r_cos", row_number().over(wCo))
+      .withColumn("rrf",
+        round(lit(1.0) / (lit(60) + col("r_bm")) +
+          lit(1.0) / (lit(60) + col("r_cos")), 6))
+      .select(col("doc_id"), col("r_bm"), col("r_cos"), col("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_hybrid_search" -> simHybridSearch,
+    "sim_rrf_fusion" -> simRrfFusion,
     "text_topic_mix" -> textTopicMix,
     "sim_knn_centrality" -> simKnnCentrality,
     "sim_knn_coreset" -> simKnnCoreset,
@@ -2370,7 +2443,77 @@ object Similarity {
                       + CAST(0.85 AS DOUBLE) * CAST(sum(c) AS DOUBLE), 12) AS r
                     FROM pgc3 GROUP BY id)"""
 
+  /** Shared hybrid-retrieval oracle CTE chain (hb*): the text_bm25_topk
+    * chain verbatim (candidates) + vector norms + the in-plan query
+    * vector (top-BM25 doc) + per-candidate cosine — reused by both
+    * fusion oracles. */
+  private val hybridOracleCte: String =
+    """hbt AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '),
+                                  w -> length(w) > 0) AS toks
+               FROM documents),
+           hbd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                          list_filter(toks,
+                            w -> w IN ('spark', 'query', 'window')) AS hits
+                   FROM hbt),
+           hbs AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM hbd),
+           hbtf AS (SELECT doc_id, dl, w, count(*) AS tf
+                    FROM (SELECT doc_id, dl, unnest(hits) AS w
+                          FROM hbd WHERE len(hits) > 0)
+                    GROUP BY 1, 2, 3),
+           hbdf AS (SELECT w, count(*) AS df FROM hbtf GROUP BY 1),
+           hbsc AS (SELECT t.doc_id, t.tf,
+                           CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5)
+                                               / (d.df + 0.5))
+                                      * (t.tf * 2.2)
+                                      / (t.tf + 1.2 * (0.25 + 0.75 * t.dl
+                                         / (s.sum_dl * 1.0 / s.n_docs))), 6)
+                                AS DECIMAL(18,6)) AS term_score
+                    FROM hbtf t JOIN hbdf d USING (w) CROSS JOIN hbs s),
+           hbk AS (SELECT doc_id,
+                          round(CAST(sum(term_score) AS DOUBLE), 4) AS score
+                   FROM hbsc GROUP BY doc_id
+                   ORDER BY score DESC, doc_id LIMIT 50),
+           hbv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings),
+           hbn AS (SELECT vec_id, v,
+                          list_reduce([v[i] * v[i]
+                            for i in generate_series(1, len(v))],
+                            (x, y) -> x + y) AS norm2
+                   FROM hbv),
+           hbq AS (SELECT n.v AS qv, n.norm2 AS qn
+                   FROM (SELECT doc_id FROM hbk
+                         ORDER BY score DESC, doc_id LIMIT 1) t
+                   JOIN hbn n ON n.vec_id = t.doc_id),
+           hbc AS (SELECT k.doc_id, k.score,
+                          round(list_reduce([q.qv[i] * n.v[i]
+                                  for i in generate_series(1, len(q.qv))],
+                                  (x, y) -> x + y)
+                                / (sqrt(q.qn) * sqrt(n.norm2)), 4) + 0.0
+                            AS cosine
+                   FROM hbk k JOIN hbn n ON n.vec_id = k.doc_id
+                   CROSS JOIN hbq q)"""
+
   val oracle: Map[String, String] = Map(
+    "sim_hybrid_search" ->
+      s"""WITH $hybridOracleCte,
+           hbm AS (SELECT max(score) AS max_score FROM hbk)
+         SELECT doc_id, score AS bm25, cosine,
+                CAST(round((round(score / max_score, 4) + cosine) * 5000, 0)
+                     AS BIGINT) AS hybrid_bp
+         FROM hbc CROSS JOIN hbm
+         ORDER BY hybrid_bp DESC, doc_id LIMIT 20""",
+    "sim_rrf_fusion" ->
+      s"""WITH $hybridOracleCte,
+           hbr AS (SELECT doc_id,
+                          CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                               AS INT) AS r_bm,
+                          CAST(row_number() OVER (ORDER BY cosine DESC, doc_id)
+                               AS INT) AS r_cos
+                   FROM hbc)
+         SELECT doc_id, r_bm, r_cos,
+                round(1.0 / (60 + r_bm) + 1.0 / (60 + r_cos), 6) AS rrf
+         FROM hbr ORDER BY rrf DESC, doc_id LIMIT 20""",
     // topic mixture: quantizer-assign replay + per-list token mass;
     // Σ√tokens goes through a 6-dp DECIMAL per term so the total is
     // exact (order-free); every division is one double op per row.

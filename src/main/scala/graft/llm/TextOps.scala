@@ -2519,6 +2519,31 @@ object TextOps {
   def invertedIndexOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     invertedIndexMergeFrom(dfPartialsOf(docs))
 
+  /** X13f: per-term DF-DRIFT monitor — vocabulary drift detection over
+    * two deliveries (the question the ST24 store exists to answer:
+    * "which terms are trending into the corpus?"). Per term, the
+    * document frequency in each half and the integer per-mille skew;
+    * the most imbalanced terms float to the top. Both halves are
+    * [[dfPartialsOf]] frames — vocabulary-bounded, so the full-outer
+    * join and the ranking run over KB-scale rows at any corpus size. */
+  def dfDriftOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val a = dfPartialsOf(docs.filter(col("doc_id") % 2 === 0))
+      .select(col("w"), col("df").as("df_a"))
+    val b = dfPartialsOf(docs.filter(col("doc_id") % 2 === 1))
+      .select(col("w"), col("df").as("df_b"))
+    a.join(b, Seq("w"), "full_outer")
+      .select(col("w"),
+        coalesce(col("df_a"), lit(0L)).as("df_a"),
+        coalesce(col("df_b"), lit(0L)).as("df_b"))
+      .withColumn("skew_pm",
+        expr("CAST(1000 * df_b div (df_a + df_b) AS BIGINT)"))
+      .withColumn("drift", abs(col("skew_pm") - 500))
+      .orderBy(col("drift").desc, col("w"))
+      .limit(50)
+  }
+
+  val textDfDrift: Q = (s, d) => dfDriftOf(t(s, d, "documents"))
+
   val textInvertedIndex: Q = (s, d) => invertedIndexOf(t(s, d, "documents"))
 
   /** X13b: BM25 top-k keyword search — Robertson/Spärck-Jones BM25
@@ -2595,6 +2620,7 @@ object TextOps {
 
   val queries: Map[String, Q] = Map(
     "text_inverted_index" -> textInvertedIndex,
+    "text_df_drift" -> textDfDrift,
     "text_bm25_topk" -> textBm25Topk,
     "text_chunk_overlap" -> textChunkOverlap,
     "text_rule_filter" -> textRuleFilter,
@@ -3980,6 +4006,23 @@ object TextOps {
                                               ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
                FROM scored WHERE doc_id < 50)
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "text_df_drift" ->
+      """WITH dda AS (SELECT w, count(DISTINCT doc_id) AS df_a
+                      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                            FROM documents WHERE doc_id % 2 = 0)
+                      WHERE length(w) > 0 GROUP BY 1),
+           ddb AS (SELECT w, count(DISTINCT doc_id) AS df_b
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                         FROM documents WHERE doc_id % 2 = 1)
+                   WHERE length(w) > 0 GROUP BY 1),
+           ddj AS (SELECT coalesce(a.w, b.w) AS w,
+                          CAST(coalesce(a.df_a, 0) AS BIGINT) AS df_a,
+                          CAST(coalesce(b.df_b, 0) AS BIGINT) AS df_b
+                   FROM dda a FULL OUTER JOIN ddb b ON a.w = b.w)
+         SELECT w, df_a, df_b,
+                CAST(1000 * df_b // (df_a + df_b) AS BIGINT) AS skew_pm,
+                abs(CAST(1000 * df_b // (df_a + df_b) AS BIGINT) - 500) AS drift
+         FROM ddj ORDER BY drift DESC, w LIMIT 50""",
     "text_inverted_index" ->
       """WITH iiw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                       FROM documents),

@@ -232,6 +232,18 @@ class PlanAuditSpec extends graft.SparkSpec {
       s"documents scanned in the probe plan (index or signatures not reused):\n$p")
   }
 
+  test("sim_hybrid_search: cosine work is |candidates|, not |corpus| — " +
+    "codegen'd dot products behind the lexical gate, no cartesian blowup") {
+    val p = plan("sim_hybrid_search")
+    // the semantic half must ride the custom codegen'd expression
+    assert(p.toLowerCase.contains("dot_product"), s"DotProduct missing:\n$p")
+    // the only nested-loop joins are the broadcast 1-row frames (query
+    // vector + max-score scalar); a CartesianProduct means the candidate
+    // gate leaked
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("sample_stratified shuffles once, on the stratum key") {
     val p = plan("sample_stratified")
     for (node <- joinNodes) assert(!p.contains(node), s"$node in:\n$p")
