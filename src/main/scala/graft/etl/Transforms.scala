@@ -464,20 +464,30 @@ object Transforms {
     * %10==1 → insert under key+10⁷. The readout aggregates the merged
     * table per status with integer key checksums — content proof, not
     * just counts. */
-  def mergeCdcOf(base0: DataFrame): DataFrame = {
+  /** The deterministic change feed derived from the base (key%10
+    * residues → update/delete/insert) — shared by the one-shot apply
+    * and the ST26 streamed store's batch split, so the oracle replays
+    * it exactly. */
+  def cdcChangesOf(base0: DataFrame): DataFrame = {
     val base = base0.select("o_orderkey", "o_orderstatus", "o_totalprice")
-    val changes =
-      base.filter(col("o_orderkey") % 10 === 3)
-        .select(col("o_orderkey"), lit("U").as("op"),
-          (col("o_totalprice") + 1000.0).as("chg_price"))
-        .unionByName(
-          base.filter(col("o_orderkey") % 10 === 7)
-            .select(col("o_orderkey"), lit("D").as("op"),
-              lit(null).cast("double").as("chg_price")))
-        .unionByName(
-          base.filter(col("o_orderkey") % 10 === 1)
-            .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
-              lit("I").as("op"), col("o_totalprice").as("chg_price")))
+    base.filter(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), lit("U").as("op"),
+        (col("o_totalprice") + 1000.0).as("chg_price"))
+      .unionByName(
+        base.filter(col("o_orderkey") % 10 === 7)
+          .select(col("o_orderkey"), lit("D").as("op"),
+            lit(null).cast("double").as("chg_price")))
+      .unionByName(
+        base.filter(col("o_orderkey") % 10 === 1)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            lit("I").as("op"), col("o_totalprice").as("chg_price")))
+  }
+
+  /** The apply half: one full-outer equi-join of base × (per-key latest)
+    * changes + the per-status checksum readout — shared by the one-shot
+    * key and the streamed store's readout. */
+  def cdcApply(base0: DataFrame, changes: DataFrame): DataFrame = {
+    val base = base0.select("o_orderkey", "o_orderstatus", "o_totalprice")
     base.join(changes, Seq("o_orderkey"), "full_outer")
       .filter(coalesce(col("op"), lit("")) =!= "D")
       .select(
@@ -496,6 +506,9 @@ object Transforms {
         max("o_orderkey").as("max_key"))
       .orderBy("status")
   }
+
+  def mergeCdcOf(base: DataFrame): DataFrame =
+    cdcApply(base, cdcChangesOf(base))
 
   val etlMergeCdc: Q = (s, d) => mergeCdcOf(t(s, d, "orders"))
 

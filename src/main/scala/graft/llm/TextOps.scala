@@ -2591,6 +2591,61 @@ object TextOps {
 
   val textBm25Topk: Q = (s, d) => bm25Of(t(s, d, "documents"))
 
+  /** X13g: BM25 KNOB-TUNING census (r16 — the probe_tuning/pack_tuning
+    * pattern applied to retrieval: k1 saturation × b length-norm over a
+    * 3×4 grid, making the ranking knobs measured, not guessed). The
+    * (doc, term, tf, dl, df) frame is built ONCE — the grid rides in as
+    * a 12-row broadcast cross join, so the census never rescans the
+    * corpus per knob. Per knob: the argmax doc (decimal-exact score,
+    * ties to smallest doc_id), its score, and the mean candidate score
+    * (DECIMAL sums, one final division). Integer-encoded knobs
+    * (k1×10, b×100) keep the group keys exact. */
+  def bm25TuningOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val terms = Seq("spark", "query", "window")
+    val termList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    val spark0 = docs.sparkSession
+    import spark0.implicits._
+    val toks = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        expr("CAST(size(filter(toks, w -> length(w) > 0)) AS BIGINT)").as("dl"),
+        expr(s"filter(toks, w -> w IN $termList)").as("hits"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"))
+    val tf = toks
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"), col("dl"), explode(col("hits")).as("w"))
+      .groupBy("doc_id", "dl", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val grid = (for (k1 <- Seq(9L, 12L, 15L); b <- Seq(0L, 50L, 75L, 100L))
+      yield (k1, b)).toDF("k1_x10", "b_x100")
+    val perDoc = tf
+      .join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(grid))
+      .withColumn("avgdl", col("sum_dl").cast("double") / col("n_docs"))
+      .withColumn("term_score",
+        expr("CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))" +
+          " * (tf * (k1_x10 / 10.0 + 1.0))" +
+          " / (tf + (k1_x10 / 10.0) * (1.0 - b_x100 / 100.0" +
+          " + (b_x100 / 100.0) * dl / avgdl)), 6) AS DECIMAL(18,6))"))
+      .groupBy("k1_x10", "b_x100", "doc_id")
+      .agg(sum("term_score").as("score"))
+    perDoc
+      .groupBy("k1_x10", "b_x100")
+      .agg(
+        count(lit(1)).as("n_cand"),
+        max(struct(col("score"), (-col("doc_id")).as("nd"))).as("top"),
+        round(sum("score").cast("double") /
+          count(lit(1)), 4).as("mean_score"))
+      .select(col("k1_x10"), col("b_x100"), col("n_cand"),
+        (-col("top.nd")).as("top_doc"),
+        round(col("top.score").cast("double"), 4).as("top_score"),
+        col("mean_score"))
+      .orderBy("k1_x10", "b_x100")
+  }
+
+  val textBm25Tuning: Q = (s, d) => bm25TuningOf(t(s, d, "documents"))
+
   /** X13c: RAG-style CHUNKING with overlap — fixed 32-token windows at
     * stride 24 (8-token overlap), the retrieval-side twin of the packing
     * family: packing concatenates docs into training rows, chunking cuts
@@ -2621,6 +2676,7 @@ object TextOps {
   val queries: Map[String, Q] = Map(
     "text_inverted_index" -> textInvertedIndex,
     "text_df_drift" -> textDfDrift,
+    "text_bm25_tuning" -> textBm25Tuning,
     "text_bm25_topk" -> textBm25Topk,
     "text_chunk_overlap" -> textChunkOverlap,
     "text_rule_filter" -> textRuleFilter,
@@ -4006,6 +4062,55 @@ object TextOps {
                                               ORDER BY tfidf DESC, term ASC) AS INT) AS rnk
                FROM scored WHERE doc_id < 50)
          WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    "text_bm25_tuning" ->
+      """WITH btt AS (SELECT doc_id,
+                             list_filter(string_split(text, ' '),
+                                         w -> length(w) > 0) AS toks
+                      FROM documents),
+           btd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                          list_filter(toks,
+                            w -> w IN ('spark', 'query', 'window')) AS hits
+                   FROM btt),
+           bts AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM btd),
+           bttf AS (SELECT doc_id, dl, w, count(*) AS tf
+                    FROM (SELECT doc_id, dl, unnest(hits) AS w
+                          FROM btd WHERE len(hits) > 0)
+                    GROUP BY 1, 2, 3),
+           btdf AS (SELECT w, count(*) AS df FROM bttf GROUP BY 1),
+           btg AS (SELECT k1_x10, b_x100
+                   FROM (VALUES (9), (12), (15)) k(k1_x10)
+                   CROSS JOIN (VALUES (0), (50), (75), (100)) b(b_x100)),
+           btsc AS (SELECT g.k1_x10, g.b_x100, t.doc_id,
+                           CAST(round(ln(1.0 + (s.n_docs - d.df + 0.5)
+                                               / (d.df + 0.5))
+                                      * (t.tf * (g.k1_x10 / 10.0 + 1.0))
+                                      / (t.tf + (g.k1_x10 / 10.0)
+                                         * (1.0 - g.b_x100 / 100.0
+                                            + (g.b_x100 / 100.0) * t.dl
+                                              / (s.sum_dl * 1.0 / s.n_docs))),
+                                      6) AS DECIMAL(18,6)) AS term_score
+                    FROM bttf t JOIN btdf d USING (w)
+                    CROSS JOIN bts s CROSS JOIN btg g),
+           btpd AS (SELECT k1_x10, b_x100, doc_id,
+                           sum(term_score) AS score
+                    FROM btsc GROUP BY 1, 2, 3),
+           btrk AS (SELECT k1_x10, b_x100, doc_id, score,
+                           row_number() OVER (PARTITION BY k1_x10, b_x100
+                                              ORDER BY score DESC, doc_id)
+                             AS rk
+                    FROM btpd)
+         SELECT CAST(p.k1_x10 AS BIGINT) AS k1_x10,
+                CAST(p.b_x100 AS BIGINT) AS b_x100, count(*) AS n_cand,
+                CAST(min(CASE WHEN r.rk = 1 THEN r.doc_id END) AS BIGINT)
+                  AS top_doc,
+                round(CAST(min(CASE WHEN r.rk = 1 THEN r.score END)
+                           AS DOUBLE), 4) AS top_score,
+                round(CAST(sum(p.score) AS DOUBLE) / count(*), 4)
+                  AS mean_score
+         FROM btpd p JOIN btrk r
+           ON p.k1_x10 = r.k1_x10 AND p.b_x100 = r.b_x100
+              AND p.doc_id = r.doc_id
+         GROUP BY p.k1_x10, p.b_x100 ORDER BY k1_x10, b_x100""",
     "text_df_drift" ->
       """WITH dda AS (SELECT w, count(DISTINCT doc_id) AS df_a
                       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w

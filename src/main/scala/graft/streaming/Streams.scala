@@ -1196,7 +1196,58 @@ object Streams {
     lateStoreReadout(s, s"$dir/c")
   }
 
+  /** ST26: stream-maintained CDC UPSERT store — the change-data-capture
+    * feed as an incrementally maintained store (the Delta/Iceberg
+    * change-feed shape): each micro-batch of change rows lands under its
+    * own partition (dynamic idempotent overwrite — a redelivered batch
+    * can only rewrite itself), and the readout applies the PER-KEY
+    * LATEST change (last-writer-wins via max over struct(batch_id, …) —
+    * a plain distributive aggregate over the KB-scale feed, no
+    * state-store) to the base table through the same one-join apply as
+    * the one-shot key. Gated by etl_merge_cdc's oracle VERBATIM: one
+    * batch re-issues a subset of earlier changes under a later batch_id,
+    * so the last-writer-wins path is exercised while the merged feed
+    * still equals the one-shot change set; StreamsSpec pins the
+    * DIFFERING-override case (later batch wins, redelivery cannot
+    * regress it). At 100 TB the apply is one equi-join per refresh; the
+    * feed itself is never rescanned, only its per-key argmax. */
+  def cdcStoreSink(changes: DataFrame, batchId: Long, dir: String): Unit =
+    changes
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(dir)
+
+  def cdcStoreApply(s: SparkSession, dir: String, base: DataFrame): DataFrame = {
+    val latest = s.read.parquet(dir)
+      .groupBy("o_orderkey")
+      .agg(max(struct(col("batch_id"), col("op"), col("chg_price"))).as("x"))
+      .select(col("o_orderkey"), col("x.op").as("op"),
+        col("x.chg_price").as("chg_price"))
+    graft.etl.Transforms.cdcApply(base, latest)
+  }
+
+  /** ST26 batch twin: the deterministic change feed split into three
+    * key-disjoint batches, an at-least-once redelivery of batch 1, and
+    * a LATER batch re-issuing a subset of batch-0/1/2 changes verbatim
+    * (the upsert-override path), then the applied readout. */
+  val streamCdcStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "cdc_store_stream", d) { dd =>
+      val changes = graft.etl.Transforms.cdcChangesOf(t(s, d, "orders"))
+      val c = s"$dd/c"
+      cdcStoreSink(changes.filter(col("o_orderkey") % 3 === 0), 0L, c)
+      cdcStoreSink(changes.filter(col("o_orderkey") % 3 === 1), 1L, c)
+      cdcStoreSink(changes.filter(col("o_orderkey") % 3 === 2), 2L, c)
+      // at-least-once redelivery of batch 1: must overwrite, not append
+      cdcStoreSink(changes.filter(col("o_orderkey") % 3 === 1), 1L, c)
+      // upsert override: a later batch re-issues the %30==3 subset —
+      // last-writer-wins must pick batch 3's (identical) rows
+      cdcStoreSink(changes.filter(col("o_orderkey") % 30 === 3), 3L, c)
+    }
+    cdcStoreApply(s, s"$dir/c", t(s, d, "orders"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_cdc_store" -> streamCdcStore,
     "stream_df_store" -> streamDfStore,
     "stream_late_store" -> streamLateStore,
     "stream_rule_store" -> streamRuleStore,
@@ -1220,6 +1271,9 @@ object Streams {
     "stream_canonical_store" -> streamCanonicalStore)
 
   val oracle: Map[String, String] = Map(
+    // the applied upsert store must equal the one-shot CDC merge:
+    // etl_merge_cdc's oracle verbatim
+    "stream_cdc_store" -> graft.etl.Transforms.oracle("etl_merge_cdc"),
     // the maintained term dictionary must equal the one-shot build:
     // text_inverted_index's oracle verbatim
     "stream_df_store" -> graft.llm.TextOps.oracle("text_inverted_index"),

@@ -687,6 +687,29 @@ class StreamsSpec extends graft.SparkSpec {
       "cross-batch tf tie must resolve to the smallest doc_id")
   }
 
+  test("ST26: the streamed CDC store applies the per-key LATEST change — " +
+    "a later batch overrides, redelivery of the older batch cannot regress") {
+    val dir = tmp("graft-st26")
+    def base = Seq((1L, "O", 100.0), (2L, "O", 200.0), (3L, "O", 300.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_totalprice")
+    def chg(rows: (Long, String, java.lang.Double)*) =
+      rows.toDF("o_orderkey", "op", "chg_price")
+    // batch 0 updates key 1 to 110; batch 1 OVERRIDES it to 120 and
+    // deletes key 2
+    Streams.cdcStoreSink(chg((1L, "U", 110.0)), 0L, dir)
+    Streams.cdcStoreSink(chg((1L, "U", 120.0), (2L, "D", null)), 1L, dir)
+    def readout = Streams.cdcStoreApply(spark, dir, base).collect()
+      .map(r => (r.getAs[String]("status"), r.getAs[Long]("n"),
+        r.getAs[Double]("sum_price"))).toSeq
+    val expected = Seq(("O", 1L, 300.0), ("U", 1L, 120.0))
+    assert(readout === expected,
+      s"later batch must win and the delete must land: $readout")
+    // at-least-once redelivery of batch 0 AFTER batch 1: overwrites its
+    // own partition only — batch 1's override still wins
+    Streams.cdcStoreSink(chg((1L, "U", 110.0)), 0L, dir)
+    assert(readout === expected, "redelivered older batch regressed the upsert")
+  }
+
   test("ST25: the streamed late-data audit reconstructs the watermark " +
     "from stored partials and redelivery cannot shift it") {
     val dir = tmp("graft-st25")
