@@ -196,4 +196,27 @@ class MergeAlgebraSpec extends graft.SparkSpec {
       }
     }
   }
+
+  test("property: inverted-index df partials over any random split merge " +
+    "to the one-shot dictionary, argmax-doc ties included") {
+    for ((seed, b) <- Seq((41L, 2), (42L, 3), (43L, 5))) {
+      // the tiny vocab forces heavy term sharing AND cross-part tf ties,
+      // exactly the cases where a wrong merge (sum of max, or a tie rule
+      // that forgets the doc id) diverges
+      val docs = corpus(120, seed)
+      val whole = TextOps.invertedIndexOf(docs)
+        .collect().map(_.toString).toSeq
+      val merged = TextOps.invertedIndexMergeFrom(
+          parts(docs, b).map(TextOps.dfPartialsOf(_))
+            .reduce(_ unionByName _))
+        .collect().map(_.toString).toSeq
+      assert(merged === whole, s"seed=$seed b=$b")
+      // merging the same partials in reversed order changes nothing
+      val reversed = TextOps.invertedIndexMergeFrom(
+          parts(docs, b).reverse.map(TextOps.dfPartialsOf(_))
+            .reduce(_ unionByName _))
+        .collect().map(_.toString).toSeq
+      assert(reversed === whole, s"order-dependence at seed=$seed b=$b")
+    }
+  }
 }
