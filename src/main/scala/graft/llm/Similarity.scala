@@ -1985,7 +1985,43 @@ object Similarity {
       .limit(20)
   }
 
+  /** X13h: fusion-WEIGHT census — the hybrid knob measured (how much
+    * does the ranking move as lexical weight α sweeps 0→100%?): per α,
+    * the argmax doc and the mean fused score over the SAME candidate
+    * frame, built once. The fused score is PURE INTEGER arithmetic —
+    * α·round(bm25n·10⁴) + (100−α)·round(cosine·10⁴) — so the census is
+    * exact to the last bit in both engines, and the α grid rides in as
+    * a 5-row broadcast cross join (never a rescan per knob). */
+  val simHybridTuning: Q = (s, d) => {
+    val base = hybridCandidatesOf(t(s, d, "documents"), t(s, d, "embeddings"))
+    val maxs = base.agg(max("score").as("max_score"))
+    val spark0 = base.sparkSession
+    import spark0.implicits._
+    val alphas = Seq(0L, 25L, 50L, 75L, 100L).toDF("alpha_pct")
+    base
+      .crossJoin(broadcast(maxs))
+      .withColumn("bm25n_i",
+        expr("CAST(round(round(score / max_score, 4) * 10000, 0) AS BIGINT)"))
+      .withColumn("cos_i",
+        expr("CAST(round(cosine * 10000, 0) AS BIGINT)"))
+      .crossJoin(broadcast(alphas))
+      .withColumn("fused_u",
+        col("alpha_pct") * col("bm25n_i") +
+          (lit(100L) - col("alpha_pct")) * col("cos_i"))
+      .groupBy("alpha_pct")
+      .agg(
+        count(lit(1)).as("n_cand"),
+        max(struct(col("fused_u"), (-col("doc_id")).as("nd"))).as("top"),
+        sum("fused_u").as("sum_fused_u"))
+      .select(col("alpha_pct"), col("n_cand"),
+        (-col("top.nd")).as("top_doc"),
+        col("top.fused_u").as("top_fused_u"),
+        col("sum_fused_u"))
+      .orderBy("alpha_pct")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_hybrid_tuning" -> simHybridTuning,
     "sim_hybrid_search" -> simHybridSearch,
     "sim_rrf_fusion" -> simRrfFusion,
     "text_topic_mix" -> textTopicMix,
@@ -2495,6 +2531,34 @@ object Similarity {
                    CROSS JOIN hbq q)"""
 
   val oracle: Map[String, String] = Map(
+    "sim_hybrid_tuning" ->
+      s"""WITH $hybridOracleCte,
+           hbm AS (SELECT max(score) AS max_score FROM hbk),
+           hbi AS (SELECT doc_id,
+                          CAST(round(round(score / max_score, 4) * 10000, 0)
+                               AS BIGINT) AS bm25n_i,
+                          CAST(round(cosine * 10000, 0) AS BIGINT) AS cos_i
+                   FROM hbc CROSS JOIN hbm),
+           hba AS (SELECT CAST(alpha_pct AS BIGINT) AS alpha_pct
+                   FROM (VALUES (0), (25), (50), (75), (100)) a(alpha_pct)),
+           hbf AS (SELECT a.alpha_pct, i.doc_id,
+                          a.alpha_pct * i.bm25n_i
+                          + (100 - a.alpha_pct) * i.cos_i AS fused_u
+                   FROM hbi i CROSS JOIN hba a),
+           hbr AS (SELECT alpha_pct, doc_id, fused_u,
+                          row_number() OVER (PARTITION BY alpha_pct
+                                             ORDER BY fused_u DESC, doc_id)
+                            AS rk
+                   FROM hbf)
+         SELECT f.alpha_pct AS alpha_pct, count(*) AS n_cand,
+                CAST(min(CASE WHEN r.rk = 1 THEN r.doc_id END) AS BIGINT)
+                  AS top_doc,
+                CAST(min(CASE WHEN r.rk = 1 THEN r.fused_u END) AS BIGINT)
+                  AS top_fused_u,
+                CAST(sum(f.fused_u) AS BIGINT) AS sum_fused_u
+         FROM hbf f JOIN hbr r
+           ON f.alpha_pct = r.alpha_pct AND f.doc_id = r.doc_id
+         GROUP BY f.alpha_pct ORDER BY f.alpha_pct""",
     "sim_hybrid_search" ->
       s"""WITH $hybridOracleCte,
            hbm AS (SELECT max(score) AS max_score FROM hbk)
