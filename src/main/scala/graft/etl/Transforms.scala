@@ -400,7 +400,15 @@ object Transforms {
       .when(col("event_type") === "purchase", 2)
       .when(col("event_type") === "signup", 3)
       .otherwise(4)).cast("long")
-    val dayBits = 5
+    // Day-domain bound: 10 bits = 1024 days (~2.8 years) from the corpus
+    // epoch. The original 5 bits aliased distinct days into one Morton key
+    // for any corpus spanning >= 32 days, silently corrupting the per-file
+    // min/max envelopes; on a <= 32-day corpus the widened encoding is
+    // BIT-IDENTICAL (high day bits are zero), so the gate hashes are
+    // unchanged while the layout now survives a multi-year date range.
+    // Beyond 1024 days the same aliasing returns — a production layout
+    // derives the width from the partition's date span at write time.
+    val dayBits = 10
     val typeBits = 3
     val zExpr = (0 until dayBits).map(i =>
       s"(shiftleft((shiftright(day, $i) & 1), ${2 * i}))").mkString(" + ") +
@@ -470,6 +478,17 @@ object Transforms {
     * it exactly. */
   def cdcChangesOf(base0: DataFrame): DataFrame = {
     val base = base0.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    // Insert keys must NEVER collide with base keys, or the full-outer
+    // apply silently turns inserts into overwrites. The offset is derived
+    // from the data — the smallest power of 10 above max(o_orderkey),
+    // computed as 10^len(max as string) (string length, not log10: the
+    // double log10 of a power of 10 can land a hair below the integer) —
+    // instead of a hard-coded 10^7, which TPC-H o_orderkey (6M·SF)
+    // overtakes at SF >= 2. One broadcast scalar row; exact in both
+    // engines (10^len is double-exact far past any BIGINT key width).
+    val off = base.agg(max("o_orderkey").as("mx"))
+      .select(pow(lit(10.0), length(col("mx").cast("string")))
+        .cast("long").as("ins_off"))
     base.filter(col("o_orderkey") % 10 === 3)
       .select(col("o_orderkey"), lit("U").as("op"),
         (col("o_totalprice") + 1000.0).as("chg_price"))
@@ -479,7 +498,8 @@ object Transforms {
             lit(null).cast("double").as("chg_price")))
       .unionByName(
         base.filter(col("o_orderkey") % 10 === 1)
-          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          .crossJoin(broadcast(off))
+          .select((col("o_orderkey") + col("ins_off")).as("o_orderkey"),
             lit("I").as("op"), col("o_totalprice").as("chg_price")))
   }
 
@@ -564,7 +584,9 @@ object Transforms {
              UNION ALL
              SELECT o_orderkey, 'D', NULL FROM base WHERE o_orderkey % 10 = 7
              UNION ALL
-             SELECT o_orderkey + 10000000, 'I', o_totalprice
+             SELECT o_orderkey + (SELECT CAST(power(10,
+                      length(CAST(max(o_orderkey) AS VARCHAR))) AS BIGINT)
+                    FROM base), 'I', o_totalprice
              FROM base WHERE o_orderkey % 10 = 1),
            merged AS (
              SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
@@ -655,7 +677,9 @@ object Transforms {
            z AS (SELECT day, tix,
                         (((day >> 0) & 1) << 0) + (((day >> 1) & 1) << 2)
                         + (((day >> 2) & 1) << 4) + (((day >> 3) & 1) << 6)
-                        + (((day >> 4) & 1) << 8)
+                        + (((day >> 4) & 1) << 8) + (((day >> 5) & 1) << 10)
+                        + (((day >> 6) & 1) << 12) + (((day >> 7) & 1) << 14)
+                        + (((day >> 8) & 1) << 16) + (((day >> 9) & 1) << 18)
                         + (((tix >> 0) & 1) << 1) + (((tix >> 1) & 1) << 3)
                         + (((tix >> 2) & 1) << 5) AS zv
                  FROM q)

@@ -1952,10 +1952,13 @@ object Similarity {
       .withColumn("bm25n", r4(col("score") / col("max_score")))
       // the 50/50 average of two 4-dp terms lands exactly on 5th-digit
       // halves, where engine tie-rounding differs — so the fused score
-      // is emitted in integer BASIS POINTS ((x+y)·5000 is mathematically
-      // an integer; round() kills the float ulp), exact in both engines
+      // is emitted as the integer SUM of the two 4-dp scores in basis
+      // points: (x+y)·10⁴ is mathematically an integer for 4-dp x and y
+      // (·5000 was a half-integer whenever the digit sum is odd, resting
+      // on matching half-away-from-zero ties); round() kills the float
+      // ulp, so the value is exact in both engines
       .withColumn("hybrid_bp",
-        expr("CAST(round((bm25n + cosine) * 5000, 0) AS BIGINT)"))
+        expr("CAST(round((bm25n + cosine) * 10000, 0) AS BIGINT)"))
       .select(col("doc_id"), col("score").as("bm25"), col("cosine"),
         col("hybrid_bp"))
       .orderBy(col("hybrid_bp").desc, col("doc_id"))
@@ -2563,7 +2566,7 @@ object Similarity {
       s"""WITH $hybridOracleCte,
            hbm AS (SELECT max(score) AS max_score FROM hbk)
          SELECT doc_id, score AS bm25, cosine,
-                CAST(round((round(score / max_score, 4) + cosine) * 5000, 0)
+                CAST(round((round(score / max_score, 4) + cosine) * 10000, 0)
                      AS BIGINT) AS hybrid_bp
          FROM hbc CROSS JOIN hbm
          ORDER BY hybrid_bp DESC, doc_id LIMIT 20""",

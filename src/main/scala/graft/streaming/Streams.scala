@@ -1143,8 +1143,12 @@ object Streams {
     * assignment and prefix-max watermark. */
   def lateStoreSink(s: SparkSession, batch: DataFrame, batchId: Long,
       dir: String): Unit = {
+    // Guard the prior-partials read: if the FIRST-ever delivery arrives
+    // out of order (batch 1 lands before batch 0 was ever written) the
+    // store directory doesn't exist yet — treat the watermark as unset,
+    // exactly the batchId == 0 branch, instead of throwing on the path.
     val wm: Option[java.sql.Timestamp] =
-      if (batchId == 0L) None
+      if (batchId == 0L || !new java.io.File(dir).exists()) None
       else {
         val prior = s.read.parquet(dir).filter(col("batch_id") < batchId)
         Option(prior.agg(max("bmax")).collect()(0).getTimestamp(0))
