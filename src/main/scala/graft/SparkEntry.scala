@@ -50,6 +50,7 @@ object SparkEntry {
       llm.Dedup.queries ++
       llm.Pipeline.queries ++
       llm.Similarity.queries ++
+      llm.Forget.queries ++
       llm.Multimodal.queries ++
       streaming.Streams.queries ++
       jx.JxQueries.queries
@@ -68,6 +69,7 @@ object SparkEntry {
       llm.Dedup.oracle ++
       llm.Pipeline.oracle ++
       llm.Similarity.oracle ++
+      llm.Forget.oracle ++
       llm.Multimodal.oracle ++
       streaming.Streams.oracle ++
       jx.JxQueries.oracle

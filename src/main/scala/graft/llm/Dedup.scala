@@ -440,7 +440,7 @@ object Dedup {
     * parquet bit-exactly, so stored == in-plan under every oracle.
     * The composed pipeline keys deliberately DON'T probe this store —
     * their gate is that the stages compose in one plan. */
-  private def pairStore(s: SparkSession, d: String): java.io.File =
+  private[llm] def pairStore(s: SparkSession, d: String): java.io.File =
     Artifacts.buildOnce(s, "minhash_pairs", d) { dd =>
       minhashScoredPairsFrom(shingles(s, d))
         .filter(col("jaccard") >= 0.5)

@@ -151,7 +151,7 @@ object Similarity {
     * the model, re-derive the cheap map-side product. Doubles
     * round-trip parquet bit-exactly, so stored == in-plan under every
     * oracle. */
-  private def quantizerStore(s: SparkSession, d: String, nlist: Int): java.io.File =
+  private[llm] def quantizerStore(s: SparkSession, d: String, nlist: Int): java.io.File =
     Artifacts.buildOnce(s, s"quantizer_$nlist", d) { dd =>
       val (_, cents, _, assign) = ivfIndexOf(t(s, d, "embeddings"), nlist)
       cents.write.mode("overwrite").parquet(s"$dd/cents")

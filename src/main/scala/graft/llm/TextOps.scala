@@ -2519,6 +2519,24 @@ object TextOps {
   def invertedIndexOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     invertedIndexMergeFrom(dfPartialsOf(docs))
 
+  /** The X13a dictionary oracle over ANY (doc_id, text) relation — shared
+    * by `text_inverted_index` ("documents"), the ST24 store twin, and the
+    * forget-propagation gate (the purged-corpus rebuild). */
+  private[llm] def invertedIndexOracleFrom(src: String): String =
+    s"""WITH iiw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                      FROM $src),
+           iif AS (SELECT doc_id, w FROM iiw WHERE length(w) > 0),
+           iitf AS (SELECT w, doc_id, count(*) AS tf FROM iif GROUP BY 1, 2),
+           iirk AS (SELECT w, doc_id, tf,
+                           row_number() OVER (PARTITION BY w
+                                              ORDER BY tf DESC, doc_id) AS rk
+                    FROM iitf)
+         SELECT t.w, count(*) AS df, CAST(sum(t.tf) AS BIGINT) AS cf,
+                CAST(max(t.tf) AS BIGINT) AS max_tf,
+                CAST(min(CASE WHEN r.rk = 1 THEN r.doc_id END) AS BIGINT) AS top_doc
+         FROM iitf t JOIN iirk r ON t.w = r.w AND t.doc_id = r.doc_id
+         GROUP BY t.w ORDER BY cf DESC, t.w LIMIT 100"""
+
   /** X13f: per-term DF-DRIFT monitor — vocabulary drift detection over
     * two deliveries (the question the ST24 store exists to answer:
     * "which terms are trending into the corpus?"). Per term, the
@@ -4128,20 +4146,7 @@ object TextOps {
                 CAST(1000 * df_b // (df_a + df_b) AS BIGINT) AS skew_pm,
                 abs(CAST(1000 * df_b // (df_a + df_b) AS BIGINT) - 500) AS drift
          FROM ddj ORDER BY drift DESC, w LIMIT 50""",
-    "text_inverted_index" ->
-      """WITH iiw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                      FROM documents),
-           iif AS (SELECT doc_id, w FROM iiw WHERE length(w) > 0),
-           iitf AS (SELECT w, doc_id, count(*) AS tf FROM iif GROUP BY 1, 2),
-           iirk AS (SELECT w, doc_id, tf,
-                           row_number() OVER (PARTITION BY w
-                                              ORDER BY tf DESC, doc_id) AS rk
-                    FROM iitf)
-         SELECT t.w, count(*) AS df, CAST(sum(t.tf) AS BIGINT) AS cf,
-                CAST(max(t.tf) AS BIGINT) AS max_tf,
-                CAST(min(CASE WHEN r.rk = 1 THEN r.doc_id END) AS BIGINT) AS top_doc
-         FROM iitf t JOIN iirk r ON t.w = r.w AND t.doc_id = r.doc_id
-         GROUP BY t.w ORDER BY cf DESC, t.w LIMIT 100""",
+    "text_inverted_index" -> invertedIndexOracleFrom("documents"),
     "text_bm25_topk" ->
       """WITH bmt AS (SELECT doc_id,
                              list_filter(string_split(text, ' '),

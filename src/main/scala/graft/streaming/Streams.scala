@@ -1113,10 +1113,12 @@ object Streams {
   def dfStoreReadout(s: SparkSession, dir: String): DataFrame =
     graft.llm.TextOps.invertedIndexMergeFrom(s.read.parquet(dir))
 
-  /** ST24 batch twin: two disjoint batches + an at-least-once
-    * redelivery of batch 0, then the merged dictionary. */
-  val streamDfStore: Q = (s, d) => {
-    val dir = graft.llm.Artifacts.buildOnce(s, "df_store_stream", d) { dd =>
+  /** The ST24 store directory, built once per (session, dataset) — shared
+    * by the batch twin below and the forget-propagation pass
+    * ([[graft.llm.Forget]]), which re-processes affected batch partitions
+    * in place of a corpus rebuild. Batch rule: doc_id % 2. */
+  private[graft] def dfStoreDir(s: SparkSession, d: String): java.io.File =
+    graft.llm.Artifacts.buildOnce(s, "df_store_stream", d) { dd =>
       val docs = t(s, d, "documents")
       val c = s"$dd/c"
       dfStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
@@ -1124,8 +1126,11 @@ object Streams {
       // at-least-once redelivery of batch 0: must overwrite, not append
       dfStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
     }
-    dfStoreReadout(s, s"$dir/c")
-  }
+
+  /** ST24 batch twin: two disjoint batches + an at-least-once
+    * redelivery of batch 0, then the merged dictionary. */
+  val streamDfStore: Q = (s, d) =>
+    dfStoreReadout(s, s"${dfStoreDir(s, d)}/c")
 
   /** ST25: stream-maintained LATE-DATA audit — the watermark
     * observability every production stream needs: how much data arrives

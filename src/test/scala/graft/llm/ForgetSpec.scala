@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+
+/** Pins for the forget-propagation family (T13b–T13e): the tombstone
+  * delta applied to a stored artifact must (a) equal a rebuild from the
+  * purged corpus and (b) be idempotent — a redelivered compliance feed is
+  * a no-op. The driver's DuckDB oracle re-proves (a) cross-engine at
+  * every gate SF; these pins prove the FRAME ALGEBRA inside Spark,
+  * including the component-split and min-id-rename cases a random corpus
+  * may not exercise. */
+class ForgetSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def pairsOf(rows: Seq[(Long, Long, Double)]) =
+    rows.toDF("da", "db", "jaccard")
+
+  test("forgetPairFrames: component split, min-id rename, untouched " +
+    "component verbatim, and singleton drop-out") {
+    // components: {1,2,3} (2 bridges), {5,6}, {10,11,12} (11 bridges)
+    val pairs = pairsOf(Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.8), (5L, 6L, 0.7),
+      (10L, 11L, 0.95), (11L, 12L, 0.6)))
+    val labels = Dedup.clusterLabelsFrom(pairs)
+    val tomb = Seq(2L, 11L).toDF("doc_id")
+    val (kept, relab) = Forget.forgetPairFrames(pairs, labels, tomb)
+    // both bridged components dissolve to singletons (no surviving edges
+    // -> no label rows, matching a rebuild); {5,6} survives verbatim
+    assert(kept.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((5L, 6L)))
+    assert(relab.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((5L, 5L), (6L, 5L)))
+  }
+
+  test("forgetPairFrames: removing a component's min id renames the " +
+    "surviving component to its new minimum") {
+    val pairs = pairsOf(Seq((1L, 2L, 0.9), (2L, 3L, 0.8), (1L, 3L, 0.7)))
+    val labels = Dedup.clusterLabelsFrom(pairs)
+    val tomb = Seq(1L).toDF("doc_id")
+    val (kept, relab) = Forget.forgetPairFrames(pairs, labels, tomb)
+    assert(kept.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((2L, 3L)))
+    assert(relab.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((2L, 2L), (3L, 2L)))
+  }
+
+  test("forgetPairFrames is idempotent: a redelivered tombstone feed is " +
+    "a no-op on the already-forgotten store") {
+    val pairs = pairsOf(Seq(
+      (1L, 2L, 0.9), (2L, 3L, 0.8), (5L, 6L, 0.7), (10L, 11L, 0.95)))
+    val labels = Dedup.clusterLabelsFrom(pairs)
+    val tomb = Seq(2L, 10L).toDF("doc_id")
+    val (p1, l1) = Forget.forgetPairFrames(pairs, labels, tomb)
+    val (p2, l2) = Forget.forgetPairFrames(p1, l1, tomb)
+    assert(p2.collect().toSet === p1.collect().toSet)
+    assert(l2.collect().toSet === l1.collect().toSet)
+  }
+
+  test("pair-graph forget equals rebuild-from-purged on the real corpus " +
+    "(labels AND pairs, in-engine)") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val tomb = docs.select("doc_id").filter(col("doc_id") % 37 === 0)
+    val fullPairs = Dedup.minhashScoredPairsFrom(Dedup.shinglesOf(docs))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+    val fullLabels = Dedup.clusterLabelsFrom(fullPairs)
+    val (kept, relab) = Forget.forgetPairFrames(fullPairs, fullLabels, tomb)
+    val purged = docs.filter(col("doc_id") % 37 =!= 0)
+    val rebuiltPairs = Dedup.minhashScoredPairsFrom(Dedup.shinglesOf(purged))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard"))
+    assert(kept.collect().toSet === rebuiltPairs.collect().toSet)
+    assert(Dedup.clusterLabelsFrom(rebuiltPairs).collect().toSet
+      === relab.collect().toSet)
+  }
+
+  test("IVF forget equals re-assigning the survivors through the frozen " +
+    "quantizer; dictionary forget equals the one-shot purged build") {
+    // IVF: the anti-joined store vs assignAgainstCentroids on survivors
+    val ivfKey = Forget.simForgetIvf(spark, sf).collect().toSeq
+    assert(ivfKey.nonEmpty)
+    val cents = spark.read.parquet(
+      s"${Similarity.quantizerStore(spark, sf, 16)}/cents")
+    val survivors = graft.Tables.t(spark, sf, "embeddings")
+      .filter(col("vec_id") % 37 =!= 0)
+    val reassigned = Similarity.assignAgainstCentroids(survivors, cents)
+      .select(col("cid"), col("nid").as("vec_id"))
+      .withColumn("member_h",
+        expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"), sum("vec_id").as("key_sum"),
+        min("vec_id").as("min_vec"), max("vec_id").as("max_vec"),
+        expr("bit_xor(member_h)").as("member_fp"))
+      .orderBy("cid")
+    assert(reassigned.collect().toSeq === ivfKey)
+    // dictionary: the partition-reprocessed store vs the one-shot build
+    // over the purged corpus — and a REDELIVERED forget batch is a no-op
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val dictKey = Forget.textForgetDict(spark, sf).collect().toSeq
+    val oneShot = TextOps.invertedIndexOf(
+      docs.filter(col("doc_id") % 37 =!= 0)).collect().toSeq
+    assert(dictKey === oneShot)
+    assert(Forget.textForgetDict(spark, sf).collect().toSeq === dictKey)
+  }
+}
