@@ -530,6 +530,38 @@ object Transforms {
   def mergeCdcOf(base: DataFrame): DataFrame =
     cdcApply(base, cdcChangesOf(base))
 
+  /** The CDC merge oracle over a FILTERED change feed — `changeFilter`
+    * selects which change rows apply ("TRUE" = the full feed, the
+    * one-shot/full-store gate; a batch-prefix predicate = the ST26 as-of
+    * read). The derivation, apply join, and readout stay verbatim. */
+  private[graft] def mergeCdcOracle(changeFilter: String): String =
+    s"""WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+           changes0 AS (
+             SELECT o_orderkey, 'U' AS op, o_totalprice + 1000.0 AS chg_price
+             FROM base WHERE o_orderkey % 10 = 3
+             UNION ALL
+             SELECT o_orderkey, 'D', NULL FROM base WHERE o_orderkey % 10 = 7
+             UNION ALL
+             SELECT o_orderkey + (SELECT CAST(power(10,
+                      length(CAST(max(o_orderkey) AS VARCHAR))) AS BIGINT)
+                    FROM base), 'I', o_totalprice
+             FROM base WHERE o_orderkey % 10 = 1),
+           changes AS (SELECT * FROM changes0 WHERE $changeFilter),
+           merged AS (
+             SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+                    CASE WHEN c.op = 'I' THEN 'I'
+                         WHEN c.op = 'U' THEN 'U'
+                         ELSE b.o_orderstatus END AS status,
+                    CASE WHEN c.op IN ('I', 'U') THEN c.chg_price
+                         ELSE b.o_totalprice END AS price
+             FROM base b FULL OUTER JOIN changes c
+               ON b.o_orderkey = c.o_orderkey
+             WHERE coalesce(c.op, '') <> 'D')
+         SELECT status, count(*) AS n, round(sum(price), 2) AS sum_price,
+                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+         FROM merged GROUP BY status ORDER BY status"""
+
   val etlMergeCdc: Q = (s, d) => mergeCdcOf(t(s, d, "orders"))
 
   val queries: Map[String, Q] = Map(
@@ -576,32 +608,7 @@ object Transforms {
                 CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
                   AS duration_s
          FROM sx GROUP BY 1, 2 ORDER BY user_id, sess_idx LIMIT 500""",
-    "etl_merge_cdc" ->
-      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
-           changes AS (
-             SELECT o_orderkey, 'U' AS op, o_totalprice + 1000.0 AS chg_price
-             FROM base WHERE o_orderkey % 10 = 3
-             UNION ALL
-             SELECT o_orderkey, 'D', NULL FROM base WHERE o_orderkey % 10 = 7
-             UNION ALL
-             SELECT o_orderkey + (SELECT CAST(power(10,
-                      length(CAST(max(o_orderkey) AS VARCHAR))) AS BIGINT)
-                    FROM base), 'I', o_totalprice
-             FROM base WHERE o_orderkey % 10 = 1),
-           merged AS (
-             SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
-                    CASE WHEN c.op = 'I' THEN 'I'
-                         WHEN c.op = 'U' THEN 'U'
-                         ELSE b.o_orderstatus END AS status,
-                    CASE WHEN c.op IN ('I', 'U') THEN c.chg_price
-                         ELSE b.o_totalprice END AS price
-             FROM base b FULL OUTER JOIN changes c
-               ON b.o_orderkey = c.o_orderkey
-             WHERE coalesce(c.op, '') <> 'D')
-         SELECT status, count(*) AS n, round(sum(price), 2) AS sum_price,
-                CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
-                min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
-         FROM merged GROUP BY status ORDER BY status""",
+    "etl_merge_cdc" -> mergeCdcOracle("TRUE"),
     "etl_funnel" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
                     WHERE event_type = 'view' GROUP BY 1),

@@ -331,6 +331,40 @@ object Similarity {
     probeTuningFrom(vecs, scored, assign)
   }
 
+  /** X3p: NLIST-∝-n TUNING census (r17 — the third-scale-point order made
+    * machinery): the driver keys freeze nlist=16 for oracle replay, and at
+    * 10× data the within-list quadratic terms (SemDeDup/kNN/decon Σ|list|²)
+    * go super-linear — the measured mitigation (nlist∝n: 168.7 s → 52.4 s
+    * at the ~10× corpus, identical output) is now a GATED census instead
+    * of narrative. One readout row per nlist ∈ {16, 64, 160}: list count,
+    * the max (skew) list, and Σ|list|² — the exact pair-work term every
+    * within-list operator pays — plus its per-mille ratio to the n² naive
+    * bound. The knee of sum_sq vs nlist is where a 100 TB deployment sets
+    * nlist for its corpus size. Each knob's quantizer is the stored
+    * artifact ([[quantizerStore]] at that nlist — build once, probe
+    * forever); the census itself reads three KB-scale assignment tables.
+    * Oracle: three prefixed [[ivfChainCteFor]] training chains — the
+    * whole census is quantizer-replay EXACT, not approximate. */
+  val simNlistTuning: Q = (s, d) => {
+    val rows = NlistKnobs.map { nl =>
+      s.read.parquet(s"${quantizerStore(s, d, nl)}/assign")
+        .groupBy("cid").agg(count(lit(1)).as("n"))
+        .agg(
+          count(lit(1)).as("n_lists"),
+          sum("n").as("n_vecs"),
+          max("n").as("max_list"),
+          sum(col("n") * col("n")).as("sum_sq"))
+        .select(lit(nl.toLong).as("nlist"), col("n_lists"), col("n_vecs"),
+          col("max_list"), col("sum_sq"))
+    }
+    rows.reduce(_.unionByName(_))
+      .withColumn("pair_work_pm",
+        expr("CAST(1000 * sum_sq div (n_vecs * n_vecs) AS BIGINT)"))
+      .orderBy("nlist")
+  }
+
+  private val NlistKnobs = Seq(16, 64, 160)
+
   /** The same census over ANY (vec_id, embedding) frame with an in-plan
     * quantizer (jx `corpus_op` entry point). */
   def probeTuningOf(embs: DataFrame, nlist: Int = 16): DataFrame = {
@@ -2032,6 +2066,7 @@ object Similarity {
     "sim_knn_coreset" -> simKnnCoreset,
     "sim_knn_recall" -> simKnnRecall,
     "sim_probe_tuning" -> simProbeTuning,
+    "sim_nlist_tuning" -> simNlistTuning,
     "sim_quantizer_refresh" -> simQuantizerRefresh,
     "sim_ivf_delta" -> simIvfDelta,
     "sim_knn_graph" -> simKnnGraph,
@@ -2208,56 +2243,58 @@ object Similarity {
     * payload embeddings reuse it at dim=64 over their own source CTEs).
     * Callers must define `vn(vec_id, v DOUBLE[], norm2)` and
     * `fl(vec_id, f)` CTEs first — the same contract the embeddings
-    * constant satisfies internally. */
-  private[llm] def ivfChainCteFor(dim: Int, nlist: Int): String =
-    s"""seed AS (SELECT vec_id AS cid, v AS cv, norm2 AS cn FROM vn WHERE vec_id < $nlist),
-           sc0 AS (SELECT a.vec_id, c.cid,
+    * constant satisfies internally. `p` prefixes every internal CTE name
+    * so several chains (e.g. the nlist census, one chain per knob) can
+    * coexist in one WITH clause. */
+  private[llm] def ivfChainCteFor(dim: Int, nlist: Int, p: String = ""): String =
+    s"""${p}seed AS (SELECT vec_id AS cid, v AS cv, norm2 AS cn FROM vn WHERE vec_id < $nlist),
+           ${p}sc0 AS (SELECT a.vec_id, c.cid,
                           list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, $dim)],
                                       (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
-                   FROM vn a CROSS JOIN seed c),
-           as0 AS (SELECT vec_id, cid FROM (
+                   FROM vn a CROSS JOIN ${p}seed c),
+           ${p}as0 AS (SELECT vec_id, cid FROM (
              SELECT vec_id, cid,
                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-             FROM sc0) WHERE rn = 1),
-           m1 AS (SELECT a.cid, t.i,
+             FROM ${p}sc0) WHERE rn = 1),
+           ${p}m1 AS (SELECT a.cid, t.i,
                          CAST(sum(CAST(f.f[t.i] AS DECIMAL(27,10))) AS DOUBLE)
                            / count(*) AS m
-                  FROM as0 a JOIN fl f USING (vec_id)
+                  FROM ${p}as0 a JOIN fl f USING (vec_id)
                   CROSS JOIN generate_series(1, $dim) t(i)
                   GROUP BY a.cid, t.i),
-           c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m1 GROUP BY cid),
-           c1n AS (SELECT cid, cv,
+           ${p}c1 AS (SELECT cid, list(m ORDER BY i) AS cv FROM ${p}m1 GROUP BY cid),
+           ${p}c1n AS (SELECT cid, cv,
                           list_reduce([cv[i] * cv[i] for i in generate_series(1, $dim)],
                                       (x, y) -> x + y) AS cn
-                   FROM c1),
-           sc1 AS (SELECT a.vec_id, c.cid,
+                   FROM ${p}c1),
+           ${p}sc1 AS (SELECT a.vec_id, c.cid,
                           list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, $dim)],
                                       (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
-                   FROM vn a CROSS JOIN c1n c),
-           as1 AS (SELECT vec_id, cid FROM (
+                   FROM vn a CROSS JOIN ${p}c1n c),
+           ${p}as1 AS (SELECT vec_id, cid FROM (
              SELECT vec_id, cid,
                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-             FROM sc1) WHERE rn = 1),
-           m2 AS (SELECT a.cid, t.i,
+             FROM ${p}sc1) WHERE rn = 1),
+           ${p}m2 AS (SELECT a.cid, t.i,
                          CAST(sum(CAST(f.f[t.i] AS DECIMAL(27,10))) AS DOUBLE)
                            / count(*) AS m
-                  FROM as1 a JOIN fl f USING (vec_id)
+                  FROM ${p}as1 a JOIN fl f USING (vec_id)
                   CROSS JOIN generate_series(1, $dim) t(i)
                   GROUP BY a.cid, t.i),
-           c2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM m2 GROUP BY cid),
-           cents AS (SELECT cid, cv,
+           ${p}c2 AS (SELECT cid, list(m ORDER BY i) AS cv FROM ${p}m2 GROUP BY cid),
+           ${p}cents AS (SELECT cid, cv,
                             list_reduce([cv[i] * cv[i] for i in generate_series(1, $dim)],
                                         (x, y) -> x + y) AS cn
-                     FROM c2),
-           scored AS (
+                     FROM ${p}c2),
+           ${p}scored AS (
              SELECT a.vec_id, c.cid,
                     list_reduce([a.v[i] * c.cv[i] for i in generate_series(1, $dim)],
                                 (x, y) -> x + y) / (sqrt(a.norm2) * sqrt(c.cn)) AS cos
-             FROM vn a CROSS JOIN cents c),
-           assign AS (SELECT vec_id, cid FROM (
+             FROM vn a CROSS JOIN ${p}cents c),
+           ${p}assign AS (SELECT vec_id, cid FROM (
              SELECT vec_id, cid,
                     row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid ASC) AS rn
-             FROM scored) WHERE rn = 1)"""
+             FROM ${p}scored) WHERE rn = 1)"""
 
   /** The incremental-growth replay: the ivfOracleCte training chain run
     * over the EVEN-id half only (bvn/bfl, seeds even < 32), then the
@@ -2966,6 +3003,33 @@ object Similarity {
     // incremental growth: the oracle REBUILDS the grown index (trains on
     // the even half, assigns everything) — maintained == rebuild is the
     // hash-compared claim
+    // three prefixed training chains, one per nlist knob — the census is
+    // quantizer-replay exact at every knob
+    "sim_nlist_tuning" -> {
+      val head =
+        """raw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
+                      FROM embeddings),
+           fl AS (SELECT vec_id, embedding AS f FROM embeddings),
+           vn AS (SELECT vec_id, v,
+                         list_reduce([v[i] * v[i] for i in generate_series(1, len(v))],
+                                     (x, y) -> x + y) AS norm2
+                  FROM raw)"""
+      val knobs = Seq(16 -> "ka", 64 -> "kb", 160 -> "kc")
+      val chains = knobs.map { case (nl, p) => ivfChainCteFor(64, nl, p) }
+        .mkString(",\n")
+      val selects = knobs.map { case (nl, p) =>
+        s"""SELECT CAST($nl AS BIGINT) AS nlist, count(*) AS n_lists,
+               CAST(sum(n) AS BIGINT) AS n_vecs,
+               CAST(max(n) AS BIGINT) AS max_list,
+               CAST(sum(n * n) AS BIGINT) AS sum_sq
+             FROM (SELECT cid, count(*) AS n FROM ${p}assign GROUP BY cid)"""
+      }.mkString("\n UNION ALL ")
+      s"""WITH $head,
+         $chains
+         SELECT nlist, n_lists, n_vecs, max_list, sum_sq,
+                CAST(1000 * sum_sq // (n_vecs * n_vecs) AS BIGINT) AS pair_work_pm
+         FROM ($selects) ORDER BY nlist"""
+    },
     "sim_ivf_delta" ->
       s"""WITH $ivfDeltaOracleCte
          SELECT a.cid,

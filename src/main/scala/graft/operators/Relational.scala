@@ -290,6 +290,52 @@ object Relational {
       .orderBy("uid")
   }
 
+  /** J6c: BAND-WIDTH TUNING census for the banded interval join (r17 —
+    * the one standing output-bound key's knob, measured): per width ∈
+    * {5, 25, 100, 400} on the value axis, the index replication
+    * (Σ bands per interval) and the exact candidate-pair count the band
+    * equi-join would produce — computed WITHOUT materializing the join:
+    * n_cand = Σ_band points(band) · intervals_covering(band), a product
+    * of two KB-scale band-count frames. Narrow bands replicate intervals
+    * more but admit fewer false candidates; the knee of n_cand vs
+    * replication is where a 100 TB run sets the width. The matched count
+    * (width-INVARIANT — every true pair survives any banding; pinned
+    * per-width in RelationalTuningSpec) is computed once via the
+    * production width-25 join, giving each knob an exact per-mille
+    * precision. */
+  val joinRangeTuning: Q = (s, d) => {
+    val ev = t(s, d, "events").select(col("event_id"), col("value"))
+    val iv = t(s, d, "events").groupBy(col("user_id").as("uid"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val matched = bandedRangeJoin(ev, "value", iv, "lo", "hi", 25.0)
+      .agg(count(lit(1)).as("n_matched"))
+    val nIv = iv.agg(count(lit(1)).as("n_intervals"))
+    val rows = Seq(5L, 25L, 100L, 400L).map { w =>
+      val np = ev
+        .withColumn("band", floor(col("value") / w.toDouble))
+        .groupBy("band").agg(count(lit(1)).as("np"))
+      val ni = iv
+        .withColumn("band", explode(sequence(
+          floor(col("lo") / w.toDouble).cast("long"),
+          floor(col("hi") / w.toDouble).cast("long"))))
+        .groupBy("band").agg(count(lit(1)).as("ni"))
+      np.join(ni, Seq("band"))
+        .agg(sum(col("np") * col("ni")).as("n_cand"))
+        .crossJoin(ni.agg(sum("ni").as("n_index_rows")))
+        .select(lit(w).as("width"), col("n_index_rows"), col("n_cand"))
+    }
+    rows.reduce(_.unionByName(_))
+      .crossJoin(broadcast(nIv))
+      .crossJoin(broadcast(matched))
+      .withColumn("repl_pm",
+        expr("CAST(1000 * n_index_rows div n_intervals AS BIGINT)"))
+      .withColumn("precision_pm",
+        expr("CAST(1000 * n_matched div n_cand AS BIGINT)"))
+      .select("width", "n_intervals", "n_index_rows", "n_cand",
+        "n_matched", "repl_pm", "precision_pm")
+      .orderBy("width")
+  }
+
   /** J11: interval-interval OVERLAP join — UNKEYED: every user session
     * (per-(user, type) [min ts, max ts]) against every maintenance
     * window it overlaps in TIME, with no shared key to equi-join on.
@@ -471,6 +517,7 @@ object Relational {
     "join_anti" -> joinAnti,
     "join_range" -> joinRange,
     "join_range_banded" -> joinRangeBanded,
+    "join_range_tuning" -> joinRangeTuning,
     "join_asof" -> joinAsof,
     "join_asof_tol" -> joinAsofTol,
     "join_interval" -> joinInterval,
@@ -625,6 +672,39 @@ object Relational {
          SELECT uid, count(*) AS n, round(sum(e.value), 2) AS sum_v
          FROM iv JOIN events e ON e.value >= iv.lo AND e.value < iv.hi
          GROUP BY uid ORDER BY uid""",
+    // per-width band-count arithmetic (n_cand = Σ_band np·ni), matched
+    // count via the width-free theta form (each true pair counted once —
+    // identical to any banded materialization)
+    "join_range_tuning" -> {
+      val widths = Seq(5, 25, 100, 400)
+      val per = widths.map { w =>
+        s"""np_$w AS (SELECT CAST(floor(value / $w) AS BIGINT) AS band,
+                            count(*) AS np
+                     FROM events GROUP BY 1),
+           ni_$w AS (SELECT band, count(*) AS ni FROM (
+                       SELECT unnest(generate_series(
+                         CAST(floor(lo / $w) AS BIGINT),
+                         CAST(floor(hi / $w) AS BIGINT))) AS band
+                       FROM iv) GROUP BY 1),
+           s_$w AS (SELECT CAST($w AS BIGINT) AS width,
+                           (SELECT CAST(sum(ni) AS BIGINT) FROM ni_$w)
+                             AS n_index_rows,
+                           (SELECT CAST(sum(np * ni) AS BIGINT)
+                            FROM np_$w JOIN ni_$w USING (band)) AS n_cand)"""
+      }.mkString(",\n")
+      val un = widths.map(w => s"SELECT * FROM s_$w").mkString(" UNION ALL ")
+      s"""WITH iv AS (SELECT user_id AS uid, min(value) AS lo, max(value) AS hi
+                      FROM events GROUP BY 1),
+           nn AS (SELECT count(*) AS n_intervals FROM iv),
+           mm AS (SELECT count(*) AS n_matched
+                  FROM iv JOIN events e ON e.value >= iv.lo AND e.value < iv.hi),
+           $per
+         SELECT width, n_intervals, n_index_rows, n_cand, n_matched,
+                CAST(1000 * n_index_rows // n_intervals AS BIGINT) AS repl_pm,
+                CAST(1000 * n_matched // n_cand AS BIGINT) AS precision_pm
+         FROM ($un) CROSS JOIN nn CROSS JOIN mm
+         ORDER BY width"""
+    },
     "join_asof" ->
       """SELECT p_id, user_id, p_ts, s_ts
          FROM (SELECT p.event_id AS p_id, p.user_id, p.ts AS p_ts, s.ts AS s_ts,

@@ -1226,8 +1226,20 @@ object Streams {
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id").parquet(dir)
 
-  def cdcStoreApply(s: SparkSession, dir: String, base: DataFrame): DataFrame = {
+  def cdcStoreApply(s: SparkSession, dir: String, base: DataFrame): DataFrame =
+    cdcStoreApplyAsOf(s, dir, base, Long.MaxValue)
+
+  /** ST26b: AS-OF (time travel) read over the upsert store — the state
+    * after batch `k` is the store's batch partitions ≤ k run through the
+    * SAME per-key last-writer-wins + one-join apply. Because batches land
+    * under their own partitions, the prefix read is partition-pruned
+    * (`batch_id <= k` hits the parquet partition filter) and nothing is
+    * recomputed — exactly how a Delta/Iceberg VERSION AS OF read serves
+    * history at 100 TB. */
+  def cdcStoreApplyAsOf(s: SparkSession, dir: String, base: DataFrame,
+      k: Long): DataFrame = {
     val latest = s.read.parquet(dir)
+      .filter(col("batch_id") <= k)
       .groupBy("o_orderkey")
       .agg(max(struct(col("batch_id"), col("op"), col("chg_price"))).as("x"))
       .select(col("o_orderkey"), col("x.op").as("op"),
@@ -1239,8 +1251,10 @@ object Streams {
     * key-disjoint batches, an at-least-once redelivery of batch 1, and
     * a LATER batch re-issuing a subset of batch-0/1/2 changes verbatim
     * (the upsert-override path), then the applied readout. */
-  val streamCdcStore: Q = (s, d) => {
-    val dir = graft.llm.Artifacts.buildOnce(s, "cdc_store_stream", d) { dd =>
+  /** The ST26 store directory, built once per (session, dataset) —
+    * shared by the full-store readout and the as-of (time travel) read. */
+  private[graft] def cdcStoreDir(s: SparkSession, d: String): java.io.File =
+    graft.llm.Artifacts.buildOnce(s, "cdc_store_stream", d) { dd =>
       val changes = graft.etl.Transforms.cdcChangesOf(t(s, d, "orders"))
       val c = s"$dd/c"
       cdcStoreSink(changes.filter(col("o_orderkey") % 3 === 0), 0L, c)
@@ -1252,11 +1266,21 @@ object Streams {
       // last-writer-wins must pick batch 3's (identical) rows
       cdcStoreSink(changes.filter(col("o_orderkey") % 30 === 3), 3L, c)
     }
-    cdcStoreApply(s, s"$dir/c", t(s, d, "orders"))
-  }
+
+  val streamCdcStore: Q = (s, d) =>
+    cdcStoreApply(s, s"${cdcStoreDir(s, d)}/c", t(s, d, "orders"))
+
+  /** ST26b driver key: the store AS OF batch 1 — batches {0, 1} hold the
+    * key-disjoint %3 ∈ {0, 1} change slices, so the historical state is
+    * the merge under exactly that change prefix; the oracle replays the
+    * one-shot merge with the same prefix predicate. A later batch's
+    * overrides (batch 3) must NOT leak into the k=1 read. */
+  val streamUpsertAsof: Q = (s, d) =>
+    cdcStoreApplyAsOf(s, s"${cdcStoreDir(s, d)}/c", t(s, d, "orders"), 1L)
 
   val queries: Map[String, Q] = Map(
     "stream_cdc_store" -> streamCdcStore,
+    "stream_upsert_asof" -> streamUpsertAsof,
     "stream_df_store" -> streamDfStore,
     "stream_late_store" -> streamLateStore,
     "stream_rule_store" -> streamRuleStore,
@@ -1283,6 +1307,10 @@ object Streams {
     // the applied upsert store must equal the one-shot CDC merge:
     // etl_merge_cdc's oracle verbatim
     "stream_cdc_store" -> graft.etl.Transforms.oracle("etl_merge_cdc"),
+    // the as-of read: the one-shot merge under the batch-{0,1} change
+    // prefix (batches are key-disjoint %3 slices)
+    "stream_upsert_asof" ->
+      graft.etl.Transforms.mergeCdcOracle("o_orderkey % 3 <= 1"),
     // the maintained term dictionary must equal the one-shot build:
     // text_inverted_index's oracle verbatim
     "stream_df_store" -> graft.llm.TextOps.oracle("text_inverted_index"),
