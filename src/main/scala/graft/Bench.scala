@@ -89,9 +89,17 @@ object Bench {
     // a contaminated official artifact.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val extraReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_EXTRA_REPS", "2").toInt
+    // Key filter for STANDALONE quiet re-measures (the per-key anchor
+    // gate's retry discipline): a filtered run times only the named keys
+    // and SKIPS every permanent record (bench_full.json, anchor append,
+    // BASELINE.md) — partial runs must never masquerade as full ones.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val repsUsed = scala.collection.mutable.LinkedHashMap[String, Int]()
-    val results0 = SparkEntry.queries.map { case (name, fn) =>
+    val results0 = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       var best = Double.MaxValue
       var rep = 0
       def runOnce(): Unit = {
@@ -284,10 +292,11 @@ object Bench {
         }
       }
     }
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_full.json"),
-      line(3, Int.MaxValue, withReps = true) + "\n")
-    catch { case _: Throwable => () } // sidecar is best-effort
+    try {
+      if (only.isEmpty) java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_full.json"),
+        line(3, Int.MaxValue, withReps = true) + "\n")
+    } catch { case _: Throwable => () } // sidecar is best-effort
     // Anchor maintenance: keys not yet in BENCH_ANCHOR.json get frozen at
     // this run's time (their first clean measurement); existing entries
     // are NEVER rewritten — their VERBATIM number text (anchorTexts) is
@@ -298,7 +307,7 @@ object Bench {
     // the anchor's own sf with zero errors touch the file, so a local
     // sf0.01 iteration loop or a failing tree can't pollute it.
     try {
-      if (errors.isEmpty && anchorTexts.nonEmpty &&
+      if (only.isEmpty && errors.isEmpty && anchorTexts.nonEmpty &&
           results.exists { case (k, _) => !anchor.contains(k) }) {
         val qBlock = anchorRaw.substring(anchorRaw.indexOf("\"queries\"").max(0))
         val looseCount = """"[^"\n]+"\s*:""".r.findAllIn(qBlock).size
@@ -310,6 +319,14 @@ object Bench {
         else {
           val comment = """(?s)"comment":\s*"((?:[^"\\]|\\.)*)"""".r
             .findFirstMatchIn(anchorRaw).map(_.group(1)).getOrElse("")
+          // The annotated re-record block (r16 verdict #3): when a stale
+          // anchor is re-frozen by hand, its OLD entry moves into
+          // "superseded" (placed BEFORE "queries" so neither the anchor
+          // parse nor the strict-count audit sees it). Carried through
+          // every rewrite VERBATIM — history is appended, never erased.
+          val superseded = """(?s)"superseded":\s*\{[^{}]*\}""".r
+            .findFirstIn(anchorRaw)
+            .map(b => b + ",\n").getOrElse("")
           val newKeys = results.toSeq
             .filter { case (k, _) => !anchor.contains(k) }
             .map { case (k, v) => k -> d3(v) }
@@ -317,7 +334,7 @@ object Bench {
             s""""$k": $t"""
           }.mkString(",\n")
           java.nio.file.Files.writeString(anchorPath,
-            s"""{\n"comment": "$comment",\n"sf": "$sfName",\n"queries": {\n$body\n}\n}\n""")
+            s"""{\n"comment": "$comment",\n"sf": "$sfName",\n$superseded"queries": {\n$body\n}\n}\n""")
         }
       }
     } catch { case _: Throwable => () } // anchor append is best-effort
@@ -329,7 +346,7 @@ object Bench {
     // quiet record and hand-written narrative rows are never touched.
     try {
       val baseline = java.nio.file.Paths.get("BASELINE.md")
-      if (java.nio.file.Files.exists(baseline) && errors.isEmpty) {
+      if (only.isEmpty && java.nio.file.Files.exists(baseline) && errors.isEmpty) {
         val rev = gitRev
         val sfNum = sfName.stripPrefix("sf")
         val top = results.toSeq.sortBy(-_._2).take(5)
