@@ -41,4 +41,28 @@ class BucketingSpec extends graft.SparkSpec {
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
     }
   }
+
+  test("a DRIVER-SHAPED consumer rides the bucket pre-shuffle end-to-end: " +
+    "the funnel's three user-keyed group-bys + two user joins plan zero " +
+    "hash-partition exchanges over bucketed events") {
+    val sf = "/root/testdata/sf0.001"
+    val events = graft.Tables.t(spark, sf, "events")
+    Bucketing.writeBucketed(events, "b_events", "user_id", 8)
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val funnel = graft.etl.Transforms.funnelOf(spark.table("b_events"))
+      val plan = funnel.queryExecution.executedPlan.toString
+      // every user-keyed stage (groupBy user_id; join on user_id) must
+      // reuse the bucket layout — the only exchanges left are the final
+      // KB-scale single-partition/broadcast collectors of the 3-row readout
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"funnel over bucketed events still hash-shuffles:\n$plan")
+      // and the pre-shuffled path computes the plain path's answer
+      val expected = graft.etl.Transforms.funnelOf(events).collect().toSeq
+      assert(funnel.collect().toSeq === expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS b_events")
+    }
+  }
 }
