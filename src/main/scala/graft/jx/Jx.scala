@@ -744,6 +744,26 @@ object Jx {
       case "zorder" => graft.etl.Transforms.zorderOf(docs)
       case "hybrid_search" =>
         graft.llm.Similarity.hybridSearchOf(docs, tables("embeddings"))
+      // forget-propagation (T13b–T13e): plain standard corpus + dataset →
+      // probe the FORGOTTEN stores (the same tables the driver keys
+      // read); otherwise derive in-plan from the corpus — which is the
+      // rebuild-from-purged the store gate pins equal
+      case "forget_pairs" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Forget.dedupForgetPairs(spark, dataset.get)
+        else graft.llm.Forget.forgetPairsOf(docs)
+      case "forget_clusters" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Forget.dedupForgetClusters(spark, dataset.get)
+        else graft.llm.Forget.forgetClustersOf(docs)
+      case "forget_ivf" => storeDir match {
+        case Some(dd) => graft.llm.Forget.simForgetIvf(spark, dd)
+        case None     => graft.llm.Forget.forgetIvfOf(docs)
+      }
+      case "forget_dict" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Forget.textForgetDict(spark, dataset.get)
+        else graft.llm.Forget.forgetDictOf(docs)
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

@@ -405,6 +405,18 @@ object JxQueries {
   private val hygieneReportJson = """{
     "corpus_op": {"op": "hygiene_report", "corpus": {"from": "documents"}}}"""
 
+  private val forgetPairsJson = """{
+    "corpus_op": {"op": "forget_pairs", "corpus": {"from": "documents"}}}"""
+
+  private val forgetClustersJson = """{
+    "corpus_op": {"op": "forget_clusters", "corpus": {"from": "documents"}}}"""
+
+  private val forgetIvfJson = """{
+    "corpus_op": {"op": "forget_ivf", "corpus": {"from": "embeddings"}}}"""
+
+  private val forgetDictJson = """{
+    "corpus_op": {"op": "forget_dict", "corpus": {"from": "documents"}}}"""
+
   private val modeJson = """{
     "from": "lineitem",
     "groupby": ["l_returnflag"],
@@ -657,6 +669,14 @@ object JxQueries {
       ((s, d) => Jx.run(s, transitionsJson, name => t(s, d, name))),
     "jx_zorder" ->
       ((s, d) => Jx.run(s, zorderJson, name => t(s, d, name))),
+    "jx_forget_pairs" ->
+      ((s, d) => Jx.run(s, forgetPairsJson, name => t(s, d, name), Some(d))),
+    "jx_forget_clusters" ->
+      ((s, d) => Jx.run(s, forgetClustersJson, name => t(s, d, name), Some(d))),
+    "jx_forget_ivf" ->
+      ((s, d) => Jx.run(s, forgetIvfJson, name => t(s, d, name), Some(d))),
+    "jx_forget_dict" ->
+      ((s, d) => Jx.run(s, forgetDictJson, name => t(s, d, name), Some(d))),
     "jx_hybrid" ->
       ((s, d) => Jx.run(s, hybridJson, name => t(s, d, name))),
     "jx_reweight" ->
@@ -781,6 +801,10 @@ object JxQueries {
     "jx_sessions" -> graft.etl.Transforms.oracle("etl_sessions"),
     "jx_transitions" -> graft.etl.Transforms.oracle("etl_transitions"),
     "jx_zorder" -> graft.etl.Transforms.oracle("etl_zorder"),
+    "jx_forget_pairs" -> graft.llm.Forget.oracle("dedup_forget_pairs"),
+    "jx_forget_clusters" -> graft.llm.Forget.oracle("dedup_forget_clusters"),
+    "jx_forget_ivf" -> graft.llm.Forget.oracle("sim_forget_ivf"),
+    "jx_forget_dict" -> graft.llm.Forget.oracle("text_forget_dict"),
     "jx_hybrid" -> graft.llm.Similarity.oracle("sim_hybrid_search"),
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),

@@ -95,18 +95,50 @@ object Forget {
       labels.write.mode("overwrite").parquet(s"$dd/labels")
     }
 
-  val dedupForgetPairs: Q = (s, d) =>
-    s.read.parquet(s"${forgottenPairStore(s, d)}/pairs")
-      .orderBy(desc("jaccard"), asc("da"), asc("db"))
+  private def pairsReadout(pairs: DataFrame): DataFrame =
+    pairs.orderBy(desc("jaccard"), asc("da"), asc("db"))
 
-  val dedupForgetClusters: Q = (s, d) =>
-    s.read.parquet(s"${forgottenPairStore(s, d)}/labels")
+  private def clustersReadout(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_docs"),
         concat_ws(",",
           transform(array_sort(collect_list(col("id"))), _.cast("string")))
           .as("members"))
       .orderBy("cluster_id")
+
+  val dedupForgetPairs: Q = (s, d) =>
+    pairsReadout(s.read.parquet(s"${forgottenPairStore(s, d)}/pairs"))
+
+  val dedupForgetClusters: Q = (s, d) =>
+    clustersReadout(s.read.parquet(s"${forgottenPairStore(s, d)}/labels"))
+
+  // ——— in-plan twins (jx corpus_op fallbacks): the same forget
+  // semantics derived from the corpus frame when no store is available —
+  // which IS the rebuild-from-purged the store gate pins equal ———
+
+  private def forgetFramesOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val tomb = docs.select("doc_id").filter(tombstoned(col("doc_id")))
+    val pairs = Dedup.minhashScoredPairsFrom(Dedup.shinglesOf(docs))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da"), col("db"), r4(col("jaccard")).as("jaccard"))
+    forgetPairFrames(pairs, Dedup.clusterLabelsFrom(pairs), tomb)
+  }
+
+  def forgetPairsOf(docs: DataFrame): DataFrame =
+    pairsReadout(forgetFramesOf(docs)._1)
+
+  def forgetClustersOf(docs: DataFrame): DataFrame =
+    clustersReadout(forgetFramesOf(docs)._2)
+
+  def forgetIvfOf(embs: DataFrame): DataFrame = {
+    val (_, _, _, assign) = Similarity.ivfIndexOf(embs, 16)
+    val tomb = embs.select("vec_id").filter(tombstoned(col("vec_id")))
+    listsReadout(assign.join(broadcast(tomb), Seq("vec_id"), "left_anti"))
+  }
+
+  def forgetDictOf(docs: DataFrame): DataFrame =
+    TextOps.invertedIndexOf(docs.filter(!tombstoned(col("doc_id"))))
 
   // ——— T13d: IVF inverted lists (frozen quantizer) ———
 
@@ -123,8 +155,8 @@ object Forget {
   /** Per-list readout after the forget: member count, key checksum, and
     * an order-free xor membership fingerprint (the ST10 recipe) — content
     * proof of WHICH vectors survived in each list. */
-  val simForgetIvf: Q = (s, d) =>
-    s.read.parquet(s"${forgottenIvfStore(s, d)}/assign")
+  private def listsReadout(assign: DataFrame): DataFrame =
+    assign
       .withColumn("member_h",
         expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 15), 16, 10) AS BIGINT)"))
       .groupBy("cid")
@@ -134,6 +166,9 @@ object Forget {
         max("vec_id").as("max_vec"),
         expr("bit_xor(member_h)").as("member_fp"))
       .orderBy("cid")
+
+  val simForgetIvf: Q = (s, d) =>
+    listsReadout(s.read.parquet(s"${forgottenIvfStore(s, d)}/assign"))
 
   // ——— T13e: ST24 BM25 dictionary ———
 

@@ -160,6 +160,46 @@ object Windows {
   private val EmaW: IndexedSeq[Double] =
     (0 until EmaK).map(k => math.pow(0.75, k))
 
+  /** W12: TRUE recursive EMA (r17 — closes the W10 row's documented gap):
+    * ema_0 = x_0, ema_i = (1-α)·ema_{i-1} + α·x_i with α = 1/4, the
+    * unbounded recursion the truncated kernel approximates to ~3%. A
+    * frame aggregate cannot express it and the rescaled-prefix-sum trick
+    * overflows ((4/3)^i diverges past ~2.5k rows), so this is the ONE
+    * legitimately sequential operator in the window family: repartition
+    * on the series key, sort within partitions by (key, ts, id), then a
+    * single mapPartitions pass carrying O(1) state per series — the
+    * documented last-resort pattern (multimodal codec's), justified here
+    * because the recurrence is genuinely order-dependent. At 100 TB: one
+    * shuffle on the series key, one linear pass; skew bound = one
+    * series' history per task, the floor ANY order-dependent recurrence
+    * has. Exactness: both engines run the identical IEEE fold
+    * acc := 0.75·acc + 0.25·x in the identical (ts, id) order — the
+    * oracle's list_reduce over the per-row prefix list replays it
+    * bit-for-bit before the r4 round. */
+  val winEmaExact: Q = (s, d) => {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val in = t(s, d, "events")
+      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
+      .repartition(col("event_type"))
+      .sortWithinPartitions("event_type", "ts", "event_id")
+    val schema = StructType(in.schema.fields :+ StructField("ema", DoubleType))
+    in.mapPartitions { it =>
+        var key: String = null
+        var acc = 0.0
+        it.map { r =>
+          val k = r.getString(1)
+          val x = r.getDouble(3)
+          acc = if (k != key) { key = k; x } else 0.75 * acc + 0.25 * x
+          Row(r.get(0), r.get(1), r.get(2), r.get(3), acc)
+        }
+      }(Encoders.row(schema))
+      .select(col("event_id"), col("event_type"),
+        r2(col("value")).as("value"), r4(col("ema")).as("ema"))
+      .orderBy("event_id")
+      .limit(500)
+  }
+
   /** W9: percent_rank + cume_dist — the normalized rank pair (identical
     * definitions in both engines: (rank-1)/(n-1) and rows≤current/n). */
   val winPctRank: Q = (s, d) => {
@@ -188,6 +228,7 @@ object Windows {
 
   val queries: Map[String, Q] = Map(
     "win_ema" -> winEma,
+    "win_ema_exact" -> winEmaExact,
     "win_pct_rank" -> winPctRank,
     "win_nth_value" -> winNthValue,
     "win_running_sum" -> winRunningSum,
@@ -222,6 +263,18 @@ object Windows {
 
   val oracle: Map[String, String] = Map(
     "win_ema" -> emaOracle,
+    // the exact recursion replayed as list_reduce over each row's prefix
+    // list (same (ts, id) order, same fold, init = first element = x_0);
+    // O(Σ len²) is fine at the gate SF — the ENGINE side stays linear
+    "win_ema_exact" ->
+      """SELECT event_id, event_type, round(value, 2) AS value,
+                round(list_reduce(pre, (a, x) -> 0.75 * a + 0.25 * x), 4) AS ema
+         FROM (SELECT event_id, event_type, value,
+                      list(value) OVER (PARTITION BY event_type
+                        ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+               FROM events)
+         ORDER BY event_id LIMIT 500""",
     "win_nth_value" ->
       """SELECT event_id, event_type, round(value, 2) AS value,
                 round(nth_value(value, 3) OVER (PARTITION BY event_type
