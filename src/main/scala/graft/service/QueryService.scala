@@ -163,7 +163,8 @@ object QueryService {
     * day-pruned store probe, and its answer varies with the request's
     * day window and format). */
   private val panelViews =
-    Set("ann", "payload", "plan", "decon", "card", "quality", "search")
+    Set("ann", "payload", "plan", "decon", "card", "quality", "search",
+      "compliance")
 
   /** Render one named panel (first request per (dataset, view) only —
     * [[panelCache]] serves every subsequent refresh). */
@@ -312,6 +313,23 @@ object QueryService {
           graft.llm.TextOps.queries("text_bm25_topk")(spark, dataset))},""" +
         s""""chunks":${graft.jx.Jx.listJson(
           graft.llm.TextOps.queries("text_chunk_overlap")(spark, dataset))}}"""
+    }
+    // {"view": "compliance"}: the FORGET/GDPR PANEL (r17 T13) — `raw` is
+    // the raw-table tombstone report (etl_forget's frame), `clusters` /
+    // `lists` / `dictionary` the three STORED artifacts after the forget
+    // pass (dedup_forget_clusters / sim_forget_ivf / text_forget_dict
+    // verbatim — store-after-forget == rebuild-from-purged, so the panel
+    // inherits all four oracles). The page a compliance owner reads to
+    // confirm a delete reached the indexes, not just the tables.
+    if (view == "compliance") {
+      return s"""{"raw":${graft.jx.Jx.listJson(
+          graft.etl.Transforms.queries("etl_forget")(spark, dataset))},""" +
+        s""""clusters":${graft.jx.Jx.listJson(
+          graft.llm.Forget.queries("dedup_forget_clusters")(spark, dataset))},""" +
+        s""""lists":${graft.jx.Jx.listJson(
+          graft.llm.Forget.queries("sim_forget_ivf")(spark, dataset))},""" +
+        s""""dictionary":${graft.jx.Jx.listJson(
+          graft.llm.Forget.queries("text_forget_dict")(spark, dataset))}}"""
     }
     throw new IllegalArgumentException(s"unknown view: $view")
   }

@@ -355,6 +355,39 @@ class QueryServiceSpec extends graft.SparkSpec {
     } finally server.stop(0)
   }
 
+  test("the dashboard compliance view serves the raw forget report and " +
+    "the three forgotten stores byte-identical to the driver keys") {
+    val sf = "/root/testdata/sf0.001"
+    val server = QueryService.start(spark,
+      name => graft.Tables.t(spark, sf, name), dataset = Some(sf))
+    try {
+      val r = postPath(HttpClient.newHttpClient(), server.getAddress.getPort,
+        "/dashboard", """{"view": "compliance"}""")
+      assert(r.statusCode() === 200)
+      val panel = mapper.readTree(r.body())
+      Seq("raw", "clusters", "lists", "dictionary")
+        .foreach(s => assert(panel.has(s), s"missing panel section $s"))
+      // the lists section is sim_forget_ivf's frame byte-for-byte: no
+      // tombstoned vector (vec_id % 37 == 0) may survive in any list
+      val lists = panel.get("lists").get("data")
+      val listsDirect = graft.llm.Forget
+        .queries("sim_forget_ivf")(spark, sf).collect()
+      assert(lists.size() === listsDirect.length)
+      assert(lists.get(0).get("key_sum").asLong() ===
+        listsDirect.head.getAs[Long]("key_sum"))
+      // the dictionary section equals the one-shot purged build — the
+      // store-after-forget == rebuild-from-purged gate, served
+      val dict = panel.get("dictionary").get("data")
+      val purged = graft.llm.TextOps.invertedIndexOf(
+        graft.Tables.t(spark, sf, "documents")
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 37 =!= 0))
+        .collect()
+      assert(dict.size() === purged.length)
+      assert(dict.get(0).get("w").asText() === purged.head.getAs[String]("w"))
+      assert(dict.get(0).get("cf").asLong() === purged.head.getAs[Long]("cf"))
+    } finally server.stop(0)
+  }
+
   test("the dashboard quality view serves the per-source monitor and the " +
     "topic mixture from the stores") {
     val sf = "/root/testdata/sf0.001"
