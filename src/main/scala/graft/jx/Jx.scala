@@ -347,7 +347,8 @@ object Jx {
     * anneal_order / order_audit / ppl_buckets / quality_calibration /
     * probe_tuning / knn_join / sq8 / fertility / mix_schedule /
     * anneal_schedule / dataset_card / novelty family / payload family /
-    * split_leakfree / quality_classifier / quality_ensemble) and
+    * split_leakfree / quality_classifier / quality_ensemble /
+    * forget_pairs / forget_clusters / forget_ivf / forget_dict) and
     * `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,

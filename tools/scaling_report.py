@@ -79,8 +79,87 @@ CURVE_NOTES = {
         "sizes bounded (the SemDeDup recipe's k ~ n) — and "
         "semanticDedupOfDocs/semanticDedupOf take nlist as a knob for "
         "exactly that; the driver key freezes it only so the DuckDB "
-        "oracle replays a fixed chain."),
+        "oracle replays a fixed chain. r17: the mitigation is now a GATED "
+        "census key (sim_nlist_tuning) — at this corpus the within-list "
+        "pair-work term sum(|list|^2) measures 25,018,008 at nlist=16 vs "
+        "2,518,348 at nlist=160, the 10x cut the narrative claimed."),
+    "join_range_tuning": (
+        "r17 census over join_range_banded's knob — it MEASURES the "
+        "output-bound term, so it inherits the quadratic: the dominant "
+        "cost is the single width-25 matched COUNT (the same 14.56B-pair "
+        "set as join_range_banded, counted not materialized: 154.7 s vs "
+        "627.9 s). The census's own per-width arithmetic is band-count "
+        "products over KB-scale frames (n_index_rows <= 722k rows at "
+        "sf~1). Its third-point readout is the payoff: precision_pm "
+        "970-984 at EVERY width — 97%+ of candidates are true matches, "
+        "so the only live knob is index replication (48.1 rows/interval "
+        "at width 5 vs 1.0 at width 400), exactly the r16 plan-read's "
+        "conclusion, now measured."),
+    "dedup_forget_pairs": (
+        "COLD-STORE attribution, not a plan defect: this 7-key third-point "
+        "run builds the shared minhash_pairs base store (shingle -> band "
+        "join -> verify over 50k docs) inside this key's wall time — in "
+        "a full sweep dedup_minhash pays that build and every later key "
+        "probes it. The forget delta itself is broadcast anti-joins + "
+        "affected-component CC over the KB-scale pair store. step1 = 1.1 "
+        "is a sub-second floor, so any real build work reads as a big "
+        "step2."),
+    "text_forget_dict": (
+        "COLD-STORE attribution: builds the ST24 base dictionary store "
+        "(three dfPartialsOf tokenize passes over 50k docs, incl. the "
+        "redelivery case) plus the affected-batch re-process — all "
+        "linear in corpus size; in a full sweep stream_df_store pays the "
+        "base build. Sub-second floors at both small SFs make step2 look "
+        "steep."),
+    "sim_forget_ivf": (
+        "COLD-STORE attribution: trains quantizer_16 (three broadcast "
+        "scoring passes over 20k vectors) inside this key's wall — "
+        "amortized across the whole sim_* family in a full sweep. The "
+        "forget itself is one broadcast anti-join on the assignment "
+        "table. Linear at fixed nlist."),
 }
+
+
+# r17: the two scale-knob censuses READ OUT at the third point (values
+# from the gated keys' own parquet outputs on /tmp/graft_sf1; the same
+# keys are DuckDB-hash-gated at sf0.01). These turn the two standing
+# narratives (nlist-proportional-to-n; band width is the only live range
+# knob) into measured tables.
+CENSUS_APPENDIX = """
+### Scaled-knob census readouts at the third point (r17)
+
+`sim_nlist_tuning` at sf~1 (20,000 vectors) — the within-list pair-work
+term Σ|list|² that every within-list operator (SemDeDup / kNN graph /
+decon) pays, per quantizer size:
+
+| nlist | max list | Σ\\|list\\|² | /n² (pm) |
+|---|---|---|---|
+| 16 | 1,317 | 25,018,008 | 62 |
+| 64 | 350 | 6,266,758 | 15 |
+| 160 | 166 | 2,518,348 | 6 |
+
+Σ|list|² ≈ n²/nlist at every corpus size measured (pair_work_pm is
+scale-invariant per knob: 63/17/7 at 500 vectors, 62/15/6 at 20k), so
+keeping the term LINEAR in n requires nlist ∝ n — the mitigation the
+steepener notes cite, now a measured law of this quantizer rather than
+a narrative. The 10× knob (16→160) cuts the term 9.9×.
+
+`join_range_tuning` at sf~1 (1M events × 15k intervals):
+
+| width | index rows | candidates | matched | repl/interval | precision (pm) |
+|---|---|---|---|---|---|
+| 5 | 721,920 | 14,789,945,100 | 14,560,498,800 | 48.1 | 984 |
+| 25 | 150,660 | 14,831,261,400 | 14,560,498,800 | 10.0 | 981 |
+| 100 | 42,950 | 14,898,822,000 | 14,560,498,800 | 2.9 | 977 |
+| 400 | 15,290 | 14,995,587,000 | 14,560,498,800 | 1.0 | 970 |
+
+The matched count is width-invariant (TuningSpec pins it) and ≥ 97% of
+candidates are TRUE matches at every width on this data: the join is
+output-bound by its own semantics, and the only live knob is index
+replication — width 400 indexes each interval ~once. At 100 TB pick the
+width near the median interval so replication stays O(1) per interval;
+precision_pm tells you when narrowing bands stops buying anything.
+"""
 
 
 def main() -> None:
@@ -162,6 +241,7 @@ def main() -> None:
                     f.write("**%s** (%.1f× → %.1f×) — %s\n\n" % (k, r1, r2, note))
             else:
                 f.write("*(none)*\n")
+            f.write(CENSUS_APPENDIX)
         f.write("\n## Full curve (sorted by ratio, descending)\n\n")
         f.write("| key | sf0.01 s | sf0.1 s | ratio |\n|---|---|---|---|\n")
         for k, s, b, r in rows:
