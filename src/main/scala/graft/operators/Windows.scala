@@ -179,22 +179,26 @@ object Windows {
   val winEmaExact: Q = (s, d) => {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    // series key = user_id, the same key every other win_* uses (and the
+    // key whose per-series history stays bounded as the corpus grows —
+    // which also keeps the oracle's O(len²) prefix-list replay tractable
+    // at any gate SF)
     val in = t(s, d, "events")
-      .select(col("event_id"), col("event_type"), col("ts"), col("value"))
-      .repartition(col("event_type"))
-      .sortWithinPartitions("event_type", "ts", "event_id")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts", "event_id")
     val schema = StructType(in.schema.fields :+ StructField("ema", DoubleType))
     in.mapPartitions { it =>
-        var key: String = null
+        var key = Long.MinValue
         var acc = 0.0
         it.map { r =>
-          val k = r.getString(1)
+          val k = r.getLong(1)
           val x = r.getDouble(3)
           acc = if (k != key) { key = k; x } else 0.75 * acc + 0.25 * x
           Row(r.get(0), r.get(1), r.get(2), r.get(3), acc)
         }
       }(Encoders.row(schema))
-      .select(col("event_id"), col("event_type"),
+      .select(col("event_id"), col("user_id"),
         r2(col("value")).as("value"), r4(col("ema")).as("ema"))
       .orderBy("event_id")
       .limit(500)
@@ -267,10 +271,10 @@ object Windows {
     // list (same (ts, id) order, same fold, init = first element = x_0);
     // O(Σ len²) is fine at the gate SF — the ENGINE side stays linear
     "win_ema_exact" ->
-      """SELECT event_id, event_type, round(value, 2) AS value,
+      """SELECT event_id, user_id, round(value, 2) AS value,
                 round(list_reduce(pre, (a, x) -> 0.75 * a + 0.25 * x), 4) AS ema
-         FROM (SELECT event_id, event_type, value,
-                      list(value) OVER (PARTITION BY event_type
+         FROM (SELECT event_id, user_id, value,
+                      list(value) OVER (PARTITION BY user_id
                         ORDER BY ts, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
                FROM events)
