@@ -170,6 +170,43 @@ object Forget {
   val simForgetIvf: Q = (s, d) =>
     listsReadout(s.read.parquet(s"${forgottenIvfStore(s, d)}/assign"))
 
+  // ——— T13f: kNN-graph edges (the re-rank delta) ———
+
+  /** Forgetting a vector from a kNN GRAPH is more than row deletion: a
+    * surviving query whose top-k contained the deleted vector gets a
+    * vacated slot — the (k+1)-th candidate enters. The exact delta:
+    * drop tombstoned queries' rows; queries that LOST a neighbor (an
+    * edge row with a tombstoned dst — by construction the stored rows
+    * ARE the top-k, so losing one ⇔ rank shift) re-probe against the
+    * purged membership; every other query's stored rows are already the
+    * purged rebuild's rows verbatim (candidates only shrank below rank
+    * k). Delta cost = |affected queries| × their probed lists, not the
+    * corpus; the quantizer stays frozen (the model discipline). */
+  private def forgottenKnnStore(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "knn_graph_forgotten", d) { dd =>
+      val base = Similarity.knnStore(s, d)
+      val tomb = t(s, d, "embeddings").select("vec_id")
+        .filter(tombstoned(col("vec_id")))
+      val edges = s.read.parquet(s"$base/edges")
+      val keptSrc = edges
+        .join(broadcast(tomb.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+      val affected = keptSrc
+        .join(broadcast(tomb.select(col("vec_id").as("dst"))), Seq("dst"), "left_semi")
+        .select("src").distinct()
+      val untouched = keptSrc
+        .join(broadcast(affected), Seq("src"), "left_anti")
+        .select("src", "rnk", "dst", "cosine", "cid")
+      val mem = Similarity.knnMembership(Similarity.ivfIndex(s, d, 16), p = 3)
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+      val reprobed = Similarity.knnEdgesFromMem(mem, k = 3,
+        srcFilter = Some(affected))
+      untouched.unionByName(reprobed)
+        .write.mode("overwrite").parquet(s"$dd/edges")
+    }
+
+  val simForgetKnn: Q = (s, d) =>
+    s.read.parquet(s"${forgottenKnnStore(s, d)}/edges").orderBy("src", "rnk")
+
   // ——— T13e: ST24 BM25 dictionary ———
 
   private def forgottenDictStore(s: SparkSession, d: String): java.io.File =
@@ -203,6 +240,7 @@ object Forget {
     "dedup_forget_pairs" -> dedupForgetPairs,
     "dedup_forget_clusters" -> dedupForgetClusters,
     "sim_forget_ivf" -> simForgetIvf,
+    "sim_forget_knn" -> simForgetKnn,
     "text_forget_dict" -> textForgetDict)
 
   /** The purged corpus as a CTE body — every oracle below is literally
@@ -242,6 +280,25 @@ object Forget {
                              AS BIGINT)) AS member_fp
          FROM assign WHERE vec_id % 37 <> 0
          GROUP BY cid ORDER BY cid""",
+    // the re-rank delta must equal the kNN graph rebuilt over the purged
+    // membership under the frozen quantizer (fmem filters BOTH join
+    // sides; probe ranks are per-vector, unaffected by other vectors)
+    "sim_forget_knn" ->
+      s"""WITH ${Similarity.knnGraphOracleCte},
+           fmem AS (SELECT * FROM mem WHERE vec_id % 37 <> 0),
+           fcand AS (
+             SELECT min(a.cid) AS cid, a.vec_id AS src, b.vec_id AS dst,
+                    min(round(list_reduce([a.v[k] * b.v[k] for k in generate_series(1, 64)],
+                                          (x, y) -> x + y)
+                              / (sqrt(a.norm2) * sqrt(b.norm2)), 4)) + 0.0 AS cosine
+             FROM fmem a JOIN fmem b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+             GROUP BY a.vec_id, b.vec_id),
+           fg AS (SELECT cid, src, dst, cosine, rnk FROM (
+               SELECT cid, src, dst, cosine,
+                      CAST(row_number() OVER (PARTITION BY src
+                                              ORDER BY cosine DESC, dst ASC) AS INT) AS rnk
+               FROM fcand) WHERE rnk <= 3)
+         SELECT src, rnk, dst, cosine, cid FROM fg ORDER BY src, rnk""",
     // the re-processed dictionary must equal the one-shot build over the
     // purged corpus
     "text_forget_dict" -> TextOps.invertedIndexOracleFrom(

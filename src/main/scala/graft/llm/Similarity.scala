@@ -162,7 +162,7 @@ object Similarity {
     * downstream index builds: (vecs+norms, refined centroids, scored,
     * assignment) — centroids and assignment PROBE the stored quantizer;
     * scoring is re-derived in-plan from the broadcast centroids. */
-  private def ivfIndex(s: SparkSession, d: String, nlist: Int):
+  private[llm] def ivfIndex(s: SparkSession, d: String, nlist: Int):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val dir = quantizerStore(s, d, nlist)
     val vecs = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
@@ -1368,21 +1368,35 @@ object Similarity {
 
   private def knnGraphFromIndex(
       idx: (DataFrame, DataFrame, DataFrame, DataFrame),
-      k: Int, p: Int): DataFrame = {
+      k: Int, p: Int): DataFrame =
+    knnEdgesFromMem(knnMembership(idx, p), k).orderBy("src", "rnk")
+
+  /** The p×-replicated list membership (vec_id, cid, embedding, norm2) —
+    * materialized ONCE: both sides of the candidate self-join derive
+    * from it, and without the checkpoint the whole quantizer chain
+    * (2 Lloyd passes + scoring + probe window) is evaluated twice. The
+    * table is p× the vector count — it IS the inverted file a
+    * production IVF build persists anyway. */
+  private[llm] def knnMembership(
+      idx: (DataFrame, DataFrame, DataFrame, DataFrame), p: Int): DataFrame = {
     val (vecs, _, scored, _) = idx
     val probes = scored
       .withColumn("prb", row_number().over(
         Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cid"))))
       .filter(col("prb") <= p)
       .select(col("vec_id"), col("cid"))
-    // materialize the replicated membership ONCE: both sides of the
-    // candidate self-join derive from it, and without the checkpoint the
-    // whole quantizer chain (2 Lloyd passes + scoring + probe window)
-    // is evaluated twice. The materialized table is p× the vector count
-    // — it IS the inverted file a production IVF build persists anyway.
-    val mem = probes.join(vecs, Seq("vec_id")).localCheckpoint()
-    val a = mem.select(col("cid"), col("vec_id").as("src"),
+    probes.join(vecs, Seq("vec_id")).localCheckpoint()
+  }
+
+  /** The edge build over a membership frame, with the QUERY side
+    * optionally restricted — the forget delta re-probes only the queries
+    * that lost a top-k neighbor, against the already-purged membership. */
+  private[llm] def knnEdgesFromMem(mem: DataFrame, k: Int,
+      srcFilter: Option[DataFrame] = None): DataFrame = {
+    val aBase = mem.select(col("cid"), col("vec_id").as("src"),
       col("embedding").as("av"), col("norm2").as("an"))
+    val a = srcFilter.fold(aBase)(f =>
+      aBase.join(broadcast(f), Seq("src"), "left_semi"))
     val b = mem.select(col("cid"), col("vec_id").as("dst"),
       col("embedding").as("bv"), col("norm2").as("bn"))
     val w = Window.partitionBy("src").orderBy(desc("cosine"), asc("dst"))
@@ -1397,7 +1411,6 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("src", "rnk", "dst", "cosine", "cid")
-      .orderBy("src", "rnk")
   }
 
   /** The graph AND everything derived from it are ONE artifact (the
@@ -1415,7 +1428,7 @@ object Similarity {
     * the mutual pairs), `degrees` (id, degree — mutual-edge count).
     * Long/int/double columns round-trip parquet bit-exactly, so the
     * stored tables stay under the same oracles as the in-plan build. */
-  private def knnStore(s: SparkSession, d: String): java.io.File =
+  private[llm] def knnStore(s: SparkSession, d: String): java.io.File =
     Artifacts.buildOnce(s, "knn_graph", d) { dd =>
       // the graph build probes the SHARED stored quantizer instead of
       // re-running the Lloyd passes inside this family's build
@@ -2128,7 +2141,7 @@ object Similarity {
     * [[knnGraphOf]] — candidates are co-members of any shared list,
     * duplicate sightings collapsed to min cid), rounded cosine, per-src
     * rank (rounded value, dst tie-break), kept at rnk <= 3. */
-  private lazy val knnGraphOracleCte: String =
+  private[llm] lazy val knnGraphOracleCte: String =
     s"""$ivfOracleCte,
        probe AS (SELECT vec_id, cid FROM (
            SELECT vec_id, cid,

@@ -76,6 +76,30 @@ class ForgetSpec extends graft.SparkSpec {
       === relab.collect().toSet)
   }
 
+  test("kNN-graph forget: the re-rank delta (re-probe ONLY the queries " +
+    "that lost a neighbor) equals the full rebuild over the purged " +
+    "membership, and the delta is genuinely partial") {
+    val stored = Forget.simForgetKnn(spark, sf).collect().toSeq
+    val tomb = graft.Tables.t(spark, sf, "embeddings")
+      .select("vec_id").filter(col("vec_id") % 37 === 0)
+    val mem = Similarity.knnMembership(Similarity.ivfIndex(spark, sf, 16), p = 3)
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    val rebuilt = Similarity.knnEdgesFromMem(mem, k = 3)
+      .orderBy("src", "rnk").collect().toSeq
+    assert(stored === rebuilt)
+    // partial: some surviving query lost a neighbor (re-probed), some
+    // did not (served verbatim from the stored edges)
+    val edges = Similarity.queries("sim_knn_graph")(spark, sf)
+    val affected = edges
+      .join(broadcast(tomb.select(col("vec_id").as("dst"))), Seq("dst"), "left_semi")
+      .select("src").distinct().count()
+    val survivors = edges
+      .join(broadcast(tomb.select(col("vec_id").as("src"))), Seq("src"), "left_anti")
+      .select("src").distinct().count()
+    assert(affected > 0 && affected < survivors,
+      s"delta not partial: $affected affected of $survivors surviving queries")
+  }
+
   test("IVF forget equals re-assigning the survivors through the frozen " +
     "quantizer; dictionary forget equals the one-shot purged build") {
     // IVF: the anti-joined store vs assignAgainstCentroids on survivors
