@@ -170,6 +170,28 @@ object Forget {
   val simForgetIvf: Q = (s, d) =>
     listsReadout(s.read.parquet(s"${forgottenIvfStore(s, d)}/assign"))
 
+  // ——— T13g: multimodal payload pair graph ———
+
+  /** The text pair-graph argument holds verbatim for the PAYLOAD pair
+    * store (byte-shingle MinHash is the same per-pair-local chain over
+    * the `(doc_id, h)` interface, no bucket cap), so forgetting is the
+    * same two broadcast anti-joins. No label table in this store — the
+    * mm family's clustering rides the text machinery downstream. */
+  private def forgottenMmPairStore(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "mm_pairs_forgotten", d) { dd =>
+      val base = Multimodal.mmPairStore(s, d)
+      val tomb = t(s, d, "documents").select("doc_id")
+        .filter(tombstoned(col("doc_id")))
+      s.read.parquet(s"$base/pairs")
+        .join(broadcast(tomb.select(col("doc_id").as("da"))), Seq("da"), "left_anti")
+        .join(broadcast(tomb.select(col("doc_id").as("db"))), Seq("db"), "left_anti")
+        .select("da", "db", "jaccard")
+        .write.mode("overwrite").parquet(s"$dd/pairs")
+    }
+
+  val mmForgetPairs: Q = (s, d) =>
+    pairsReadout(s.read.parquet(s"${forgottenMmPairStore(s, d)}/pairs"))
+
   // ——— T13f: kNN-graph edges (the re-rank delta) ———
 
   /** Forgetting a vector from a kNN GRAPH is more than row deletion: a
@@ -241,6 +263,7 @@ object Forget {
     "dedup_forget_clusters" -> dedupForgetClusters,
     "sim_forget_ivf" -> simForgetIvf,
     "sim_forget_knn" -> simForgetKnn,
+    "mm_forget_pairs" -> mmForgetPairs,
     "text_forget_dict" -> textForgetDict)
 
   /** The purged corpus as a CTE body — every oracle below is literally
@@ -280,6 +303,14 @@ object Forget {
                              AS BIGINT)) AS member_fp
          FROM assign WHERE vec_id % 37 <> 0
          GROUP BY cid ORDER BY cid""",
+    // the surviving payload pair graph must equal the purged corpus's
+    // byte-shingle pair graph (mm_dedup's chain over pdocs)
+    "mm_forget_pairs" ->
+      s"""WITH $purgedDocs, ${Dedup.minhashCteFromShingles(
+             Multimodal.byteShCteFrom("pdocs"))}
+         SELECT da, db, round(cc * 1.0 / (na + nb - cc), 4) AS jaccard
+         FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5
+         ORDER BY jaccard DESC, da ASC, db ASC""",
     // the re-rank delta must equal the kNN graph rebuilt over the purged
     // membership under the frozen quantizer (fmem filters BOTH join
     // sides; probe ranks are per-vector, unaffected by other vectors)

@@ -489,14 +489,15 @@ object Multimodal {
     * every readout — driver key and jx route — is a KB-scale probe.
     * r4'd doubles round-trip parquet bit-exactly, so stored ≡ in-plan
     * under the oracle. */
-  val mmDedup: Q = (s, d) => {
-    val dir = Artifacts.buildOnce(s, "mm_pairs", d) { dd =>
+  private[llm] def mmPairStore(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "mm_pairs", d) { dd =>
       dedupPairsOf(t(s, d, "documents"))
         .write.mode("overwrite").parquet(s"$dd/pairs")
     }
-    s.read.parquet(s"$dir/pairs")
+
+  val mmDedup: Q = (s, d) =>
+    s.read.parquet(s"${mmPairStore(s, d)}/pairs")
       .orderBy(desc("jaccard"), asc("da"), asc("db"))
-  }
 
   /** [[mmDedup]]'s chain over ANY documents-shaped frame — the jx
     * `corpus_op` front end's IN-PLAN fallback (same contract as
@@ -643,8 +644,10 @@ object Multimodal {
   /** The byte-shingle front CTE (the oracle twin of [[byteShinglesOf]]):
     * 8-hex-char (4-byte) windows of the payload blob, md5-hashed into the
     * same 60-bit space as the Spark side. */
-  private val byteShCte: String =
-    """bx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+  /** The byte-shingle CTE over ANY (doc_id, text) relation — `documents`
+    * for the standard keys, the purged corpus for the forget gate. */
+  private[llm] def byteShCteFrom(src: String): String =
+    s"""bx AS (SELECT doc_id, hex(encode(text)) AS hx FROM $src),
        sh AS (SELECT DISTINCT doc_id,
                      CAST('0x' || substr(md5(unnest(
                        [substr(hx, CAST(2 * i + 1 AS INT), 8)
@@ -652,6 +655,8 @@ object Multimodal {
                         if CAST('0x' || substr(hx, CAST(2 * i + 1 AS INT), 8) AS BIGINT) % 1009 < 252])),
                        1, 15) AS BIGINT) AS h
               FROM bx WHERE len(hx) >= 8)"""
+
+  private val byteShCte: String = byteShCteFrom("documents")
 
   /** Source CTEs for the payload-EMBEDDING replay (the oracle twin of
     * [[decodeEmbedding]]'s fakeEmbed): enumerate payload bytes (hex the
