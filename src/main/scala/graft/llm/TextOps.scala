@@ -2522,7 +2522,7 @@ object TextOps {
   /** The X13a dictionary oracle over ANY (doc_id, text) relation — shared
     * by `text_inverted_index` ("documents"), the ST24 store twin, and the
     * forget-propagation gate (the purged-corpus rebuild). */
-  private[llm] def invertedIndexOracleFrom(src: String): String =
+  private[graft] def invertedIndexOracleFrom(src: String): String =
     s"""WITH iiw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
                       FROM $src),
            iif AS (SELECT doc_id, w FROM iiw WHERE length(w) > 0),

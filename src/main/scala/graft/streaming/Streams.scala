@@ -1132,6 +1132,59 @@ object Streams {
   val streamDfStore: Q = (s, d) =>
     dfStoreReadout(s, s"${dfStoreDir(s, d)}/c")
 
+  /** ST27: streamed FORGET maintenance — the compliance feed as a
+    * STREAM (tombstone batches arriving over time) applied to the ST24
+    * dictionary store, completing T13e's one-shot pass with the form a
+    * real GDPR pipeline takes: deletes trickle in, the index must
+    * converge to the fully-purged state, and a redelivered tombstone
+    * batch must be a no-op. Each sink call (1) records its tombstone
+    * batch under its own partition (dynamic idempotent overwrite), then
+    * (2) re-derives the dictionary partials of ONLY the doc-batches its
+    * tombstones touch, from the raw slice purged by the CUMULATIVE
+    * stored tombstone set — monotone, so any redelivery or reordering
+    * re-derives the same or a more-purged partial and the store can
+    * only converge. At 100 TB each feed batch costs |affected doc
+    * partitions|, never the corpus. */
+  def forgetStoreSink(s: SparkSession, docs: DataFrame, tombBatch: DataFrame,
+      batchId: Long, dir: String): Unit = {
+    tombBatch.select("doc_id")
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(s"$dir/tombs")
+    val allTombs = s.read.parquet(s"$dir/tombs").select("doc_id")
+    val affected: Seq[Long] = tombBatch
+      .select(pmod(col("doc_id"), lit(2L)).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    affected.foreach { bid =>
+      dfStoreSink(
+        docs.filter(col("doc_id") % 2 === bid)
+          .join(broadcast(allTombs), Seq("doc_id"), "left_anti"),
+        bid, s"$dir/c")
+    }
+  }
+
+  /** ST27 batch twin: the full dictionary store, then two tombstone
+    * feed batches (%37 then %41) + an out-of-order REDELIVERY of the
+    * first — the merged readout must equal the one-shot dictionary over
+    * the fully-purged corpus (the oracle IS that build). */
+  val streamForgetStore: Q = (s, d) => {
+    val dir = graft.llm.Artifacts.buildOnce(s, "forget_store_stream", d) { dd =>
+      val docs = t(s, d, "documents")
+      val c = dd.toString
+      dfStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, s"$c/c")
+      dfStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, s"$c/c")
+      val t37 = docs.select("doc_id").filter(col("doc_id") % 37 === 0)
+      val t41 = docs.select("doc_id").filter(col("doc_id") % 41 === 0)
+      forgetStoreSink(s, docs, t37, 0L, c)
+      forgetStoreSink(s, docs, t41, 1L, c)
+      // at-least-once redelivery of tombstone batch 0 AFTER batch 1:
+      // the cumulative set already holds both batches, so the re-derive
+      // is a no-op rewrite of the same partials
+      forgetStoreSink(s, docs, t37, 0L, c)
+    }
+    dfStoreReadout(s, s"$dir/c")
+  }
+
   /** ST25: stream-maintained LATE-DATA audit — the watermark
     * observability every production stream needs: how much data arrives
     * behind the clock, per source, and is that drifting? Batches are
@@ -1281,6 +1334,7 @@ object Streams {
   val queries: Map[String, Q] = Map(
     "stream_cdc_store" -> streamCdcStore,
     "stream_upsert_asof" -> streamUpsertAsof,
+    "stream_forget_store" -> streamForgetStore,
     "stream_df_store" -> streamDfStore,
     "stream_late_store" -> streamLateStore,
     "stream_rule_store" -> streamRuleStore,
@@ -1311,6 +1365,11 @@ object Streams {
     // prefix (batches are key-disjoint %3 slices)
     "stream_upsert_asof" ->
       graft.etl.Transforms.mergeCdcOracle("o_orderkey % 3 <= 1"),
+    // the streamed compliance feed must converge the dictionary to the
+    // fully-purged one-shot build (union of both tombstone batches)
+    "stream_forget_store" -> graft.llm.TextOps.invertedIndexOracleFrom(
+      "(SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 37 <> 0 AND doc_id % 41 <> 0) pd"),
     // the maintained term dictionary must equal the one-shot build:
     // text_inverted_index's oracle verbatim
     "stream_df_store" -> graft.llm.TextOps.oracle("text_inverted_index"),

@@ -100,6 +100,30 @@ class ForgetSpec extends graft.SparkSpec {
       s"delta not partial: $affected affected of $survivors surviving queries")
   }
 
+  test("ST27: the streamed tombstone feed converges the dictionary store " +
+    "under reordering AND redelivery") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val t37 = docs.select("doc_id").filter(col("doc_id") % 37 === 0)
+    val t41 = docs.select("doc_id").filter(col("doc_id") % 41 === 0)
+    def build(order: Seq[(org.apache.spark.sql.DataFrame, Long)]): Seq[org.apache.spark.sql.Row] = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-st27").toString
+      graft.streaming.Streams.dfStoreSink(
+        docs.filter(col("doc_id") % 2 === 0), 0L, s"$dir/c")
+      graft.streaming.Streams.dfStoreSink(
+        docs.filter(col("doc_id") % 2 === 1), 1L, s"$dir/c")
+      order.foreach { case (tb, id) =>
+        graft.streaming.Streams.forgetStoreSink(spark, docs, tb, id, dir) }
+      graft.streaming.Streams.dfStoreReadout(spark, s"$dir/c").collect().toSeq
+    }
+    val ordered = build(Seq((t37, 0L), (t41, 1L)))
+    // batch 1 FIRST, then batch 0, then a redelivery of batch 1: the
+    // cumulative tombstone set is monotone, so the store converges to
+    // the same fully-purged dictionary
+    val shuffled = build(Seq((t41, 1L), (t37, 0L), (t41, 1L)))
+    assert(ordered === shuffled)
+    assert(ordered.nonEmpty)
+  }
+
   test("IVF forget equals re-assigning the survivors through the frozen " +
     "quantizer; dictionary forget equals the one-shot purged build") {
     // IVF: the anti-joined store vs assignAgainstCentroids on survivors
