@@ -765,6 +765,10 @@ object Jx {
         if (plainDocuments && dataset.isDefined)
           graft.llm.Forget.textForgetDict(spark, dataset.get)
         else graft.llm.Forget.forgetDictOf(docs)
+      case "forget_payload" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Forget.mmForgetPairs(spark, dataset.get)
+        else graft.llm.Forget.forgetPayloadPairsOf(docs)
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

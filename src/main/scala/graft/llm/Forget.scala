@@ -192,6 +192,15 @@ object Forget {
   val mmForgetPairs: Q = (s, d) =>
     pairsReadout(s.read.parquet(s"${forgottenMmPairStore(s, d)}/pairs"))
 
+  /** In-plan twin (jx `forget_payload` fallback). */
+  def forgetPayloadPairsOf(docs: DataFrame): DataFrame = {
+    val tomb = docs.select("doc_id").filter(tombstoned(col("doc_id")))
+    pairsReadout(Multimodal.dedupPairsOf(docs)
+      .join(broadcast(tomb.select(col("doc_id").as("da"))), Seq("da"), "left_anti")
+      .join(broadcast(tomb.select(col("doc_id").as("db"))), Seq("db"), "left_anti")
+      .select("da", "db", "jaccard"))
+  }
+
   // ——— T13f: kNN-graph edges (the re-rank delta) ———
 
   /** Forgetting a vector from a kNN GRAPH is more than row deletion: a

@@ -100,6 +100,17 @@ class ForgetSpec extends graft.SparkSpec {
       s"delta not partial: $affected affected of $survivors surviving queries")
   }
 
+  test("the forget delta PLANS as broadcast anti-joins — one scan over " +
+    "the stored artifact, no shuffle for the delete") {
+    val pairs = pairsOf(Seq((1L, 2L, 0.9), (5L, 6L, 0.7)))
+    val labels = Dedup.clusterLabelsFrom(pairs)
+    val tomb = Seq(2L).toDF("doc_id")
+    val (kept, _) = Forget.forgetPairFrames(pairs, labels, tomb)
+    val p = kept.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("ST27: the streamed tombstone feed converges the dictionary store " +
     "under reordering AND redelivery") {
     val docs = graft.Tables.t(spark, sf, "documents")
