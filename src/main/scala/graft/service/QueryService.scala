@@ -329,7 +329,11 @@ object QueryService {
         s""""lists":${graft.jx.Jx.listJson(
           graft.llm.Forget.queries("sim_forget_ivf")(spark, dataset))},""" +
         s""""dictionary":${graft.jx.Jx.listJson(
-          graft.llm.Forget.queries("text_forget_dict")(spark, dataset))}}"""
+          graft.llm.Forget.queries("text_forget_dict")(spark, dataset))},""" +
+        // the STREAMED feed's converged dictionary (ST27 — tombstones
+        // arriving over time must land in the same purged state)
+        s""""feed":${graft.jx.Jx.listJson(
+          graft.streaming.Streams.queries("stream_forget_store")(spark, dataset))}}"""
     }
     throw new IllegalArgumentException(s"unknown view: $view")
   }
