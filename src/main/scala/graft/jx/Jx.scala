@@ -769,6 +769,10 @@ object Jx {
         if (plainDocuments && dataset.isDefined)
           graft.llm.Forget.mmForgetPairs(spark, dataset.get)
         else graft.llm.Forget.forgetPayloadPairsOf(docs)
+      case "forget_knn" => storeDir match {
+        case Some(dd) => graft.llm.Forget.simForgetKnn(spark, dd)
+        case None     => graft.llm.Forget.forgetKnnOf(docs)
+      }
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

@@ -420,6 +420,9 @@ object JxQueries {
   private val forgetPayloadJson = """{
     "corpus_op": {"op": "forget_payload", "corpus": {"from": "documents"}}}"""
 
+  private val forgetKnnJson = """{
+    "corpus_op": {"op": "forget_knn", "corpus": {"from": "embeddings"}}}"""
+
   private val modeJson = """{
     "from": "lineitem",
     "groupby": ["l_returnflag"],
@@ -682,6 +685,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, forgetDictJson, name => t(s, d, name), Some(d))),
     "jx_forget_payload" ->
       ((s, d) => Jx.run(s, forgetPayloadJson, name => t(s, d, name), Some(d))),
+    "jx_forget_knn" ->
+      ((s, d) => Jx.run(s, forgetKnnJson, name => t(s, d, name), Some(d))),
     "jx_hybrid" ->
       ((s, d) => Jx.run(s, hybridJson, name => t(s, d, name))),
     "jx_reweight" ->
@@ -811,6 +816,7 @@ object JxQueries {
     "jx_forget_ivf" -> graft.llm.Forget.oracle("sim_forget_ivf"),
     "jx_forget_dict" -> graft.llm.Forget.oracle("text_forget_dict"),
     "jx_forget_payload" -> graft.llm.Forget.oracle("mm_forget_pairs"),
+    "jx_forget_knn" -> graft.llm.Forget.oracle("sim_forget_knn"),
     "jx_hybrid" -> graft.llm.Similarity.oracle("sim_hybrid_search"),
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),

@@ -192,6 +192,16 @@ object Forget {
   val mmForgetPairs: Q = (s, d) =>
     pairsReadout(s.read.parquet(s"${forgottenMmPairStore(s, d)}/pairs"))
 
+  /** In-plan twin (jx `forget_knn` fallback): full rebuild over the
+    * purged membership — by ForgetSpec's pin, exactly what the store's
+    * re-rank delta equals. */
+  def forgetKnnOf(embs: DataFrame): DataFrame = {
+    val tomb = embs.select("vec_id").filter(tombstoned(col("vec_id")))
+    val mem = Similarity.knnMembership(Similarity.ivfIndexOf(embs, 16), p = 3)
+      .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    Similarity.knnEdgesFromMem(mem, k = 3).orderBy("src", "rnk")
+  }
+
   /** In-plan twin (jx `forget_payload` fallback). */
   def forgetPayloadPairsOf(docs: DataFrame): DataFrame = {
     val tomb = docs.select("doc_id").filter(tombstoned(col("doc_id")))
