@@ -126,13 +126,17 @@ object Bench {
     // PER-KEY anchor gate (round-15 order #2): the aggregate anchor ratio
     // hides a single 10× key inside a 319-key sum (~3% movement), so every
     // shared key is also compared against its own frozen first-green time.
-    // Noise threshold: >2× AND >+1 s (sub-second keys jitter past 2× on
-    // this sandbox). Each violator gets ONE quiet re-measure before being
-    // flagged — by this point the fleet has drained, so the retry is the
-    // "standalone re-measure" that exonerated sim_sq8_gate in r14/r15 by
-    // hand; a genuine plan regression survives the retry.
+    // Two clauses (round-17 verdict #1b): the noise band (>2× AND >+1 s —
+    // sub-second keys jitter past 2× on this sandbox) AND a RATIO-ONLY
+    // escalation (≥3× anchor regardless of absolute delta, anchors ≥50 ms)
+    // — the r17 close let 22 sub-second keys drift past 2× because every
+    // one escaped the delta clause. Each violator gets ONE quiet re-measure
+    // before being flagged — by this point the fleet has drained, so the
+    // retry is the "standalone re-measure" that exonerated sim_sq8_gate in
+    // r14/r15 by hand; a genuine plan regression survives the retry.
     def keyViolates(k: String, v: Double): Boolean =
-      anchor.get(k).exists(a => v > 2 * a && v - a > 1.0)
+      anchor.get(k).exists(a =>
+        (v > 2 * a && v - a > 1.0) || (a >= 0.05 && v >= 3 * a))
     val retried = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results: Map[String, Double] = results0.map { case (k, v) =>
       if (keyViolates(k, v) && !errors.contains(k)) {
@@ -195,9 +199,52 @@ object Bench {
           Some((pRev, pN, pTotal, perQ))
         }
       } catch { case _: Throwable => None }
+    // Gate vs the previous ROUND-CLOSE artifact too (round-17 verdict #1c):
+    // the closest-row gate above can end up comparing against this round's
+    // own worst intermediate run, which flatters the trend. The highest
+    // BENCH_r{N}.json in the repo is the prior round's official close; its
+    // per-query cost is recorded alongside so a round can't look faster by
+    // racing its own contended runs. Informational (stderr + JSON), not a
+    // pass/fail — the anchors are the binding record.
+    val prevClose: Option[(String, Int, Double)] =
+      try {
+        val dir = new java.io.File(".")
+        val rFile = """BENCH_r(\d+)\.json""".r
+        val closes = dir.listFiles.toSeq.flatMap { f =>
+          f.getName match {
+            case rFile(n) => Some((n.toInt, f))
+            case _        => None
+          }
+        }.sortBy(-_._1)
+        closes.view.flatMap { case (n, f) =>
+          // the driver wrapper embeds the bench stdout line as an escaped
+          // JSON string — un-escape before matching
+          val txt = java.nio.file.Files.readString(f.toPath)
+            .replace("\\\"", "\"")
+          val v = """"metric":"total","value":([0-9.]+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          val q = """"n_queries":(\d+)""".r
+            .findFirstMatchIn(txt).map(_.group(1).toInt)
+          val sfOk = txt.contains(s""""sf": ${sfName.stripPrefix("sf")}""") ||
+            txt.contains(s""""sf":"$sfName"""")
+          if (sfOk) v.zip(q).map { case (vv, qq) => (s"r$n", qq, vv) }
+          else None
+        }.headOption
+      } catch { case _: Throwable => None }
+    val prevCloseJson = prevClose.filter(_ => results.nonEmpty)
+      .map { case (r, pN, pTotal) =>
+        val perQ = (total / results.size) / (pTotal / pN)
+        s""","prev_close":{"vs":"$r/${pN}q/${d1(pTotal)}s","per_query_ratio":${d2(perQ)}}"""
+      }.getOrElse("")
+    prevClose.filter(_ => results.nonEmpty).foreach { case (r, pN, pTotal) =>
+      val perQ = (total / results.size) / (pTotal / pN)
+      System.err.println(
+        f"[bench] PREV-CLOSE: per-query ratio $perQ%.2fx vs $r " +
+          f"($pN queries, $pTotal%.1fs)")
+    }
     val gateJson = gate.map { case (pRev, pN, pTotal, perQ) =>
       s""","gate":{"vs":"$pRev/${pN}q/${d1(pTotal)}s","per_query_ratio":${d2(perQ)},"pass":${perQ <= 2.0}}"""
-    }.getOrElse("")
+    }.getOrElse("") + prevCloseJson
     gate.foreach { case (pRev, pN, pTotal, perQ) =>
       System.err.println(
         f"[bench] GATE ${if (perQ <= 2.0) "PASS" else "FAIL"}: " +
@@ -324,17 +371,50 @@ object Bench {
           // "superseded" (placed BEFORE "queries" so neither the anchor
           // parse nor the strict-count audit sees it). Carried through
           // every rewrite VERBATIM — history is appended, never erased.
-          val superseded = """(?s)"superseded":\s*\{[^{}]*\}""".r
-            .findFirstIn(anchorRaw)
-            .map(b => b + ",\n").getOrElse("")
-          val newKeys = results.toSeq
-            .filter { case (k, _) => !anchor.contains(k) }
-            .map { case (k, v) => k -> d3(v) }
-          val body = (anchorTexts ++ newKeys).sortBy(_._1).map { case (k, t) =>
-            s""""$k": $t"""
-          }.mkString(",\n")
-          java.nio.file.Files.writeString(anchorPath,
-            s"""{\n"comment": "$comment",\n"sf": "$sfName",\n$superseded"queries": {\n$body\n}\n}\n""")
+          // Extracted by a brace-balanced, string-aware scan (a regex
+          // cannot match nested braces, and a brace inside a note string
+          // would silently erase the block — round-17 ADVICE); if the
+          // label is present but no balanced block follows, the write
+          // ABORTS loudly like the strict-count check above.
+          val supIdx = anchorRaw.indexOf("\"superseded\"")
+          val superseded: Option[String] =
+            if (supIdx < 0) Some("")
+            else {
+              val open = anchorRaw.indexOf('{', supIdx)
+              var i = open; var depth = 0; var inStr = false; var esc = false
+              var end = -1
+              while (open >= 0 && i < anchorRaw.length && end < 0) {
+                val c = anchorRaw.charAt(i)
+                if (esc) esc = false
+                else if (inStr) {
+                  if (c == '\\') esc = true
+                  else if (c == '"') inStr = false
+                } else c match {
+                  case '"' => inStr = true
+                  case '{' => depth += 1
+                  case '}' => depth -= 1; if (depth == 0) end = i
+                  case _   => ()
+                }
+                i += 1
+              }
+              if (end < 0) None
+              else Some(anchorRaw.substring(supIdx, end + 1) + ",\n")
+            }
+          superseded match {
+            case None =>
+              System.err.println("[bench] ANCHOR WRITE ABORTED: " +
+                "'superseded' present but no brace-balanced block found " +
+                "- fix BENCH_ANCHOR.json by hand, not by lossy rewrite")
+            case Some(sup) =>
+              val newKeys = results.toSeq
+                .filter { case (k, _) => !anchor.contains(k) }
+                .map { case (k, v) => k -> d3(v) }
+              val body = (anchorTexts ++ newKeys).sortBy(_._1).map { case (k, t) =>
+                s""""$k": $t"""
+              }.mkString(",\n")
+              java.nio.file.Files.writeString(anchorPath,
+                s"""{\n"comment": "$comment",\n"sf": "$sfName",\n$sup"queries": {\n$body\n}\n}\n""")
+          }
         }
       }
     } catch { case _: Throwable => () } // anchor append is best-effort

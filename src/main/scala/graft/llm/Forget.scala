@@ -250,28 +250,39 @@ object Forget {
 
   // ——— T13e: ST24 BM25 dictionary ———
 
+  /** The T13e core over an ARBITRARY tombstone frame: affected batches
+    * (by the store's own [[graft.streaming.Streams.dictBatches]] rule)
+    * re-derive from the purged raw slice; untouched batch partitions copy
+    * VERBATIM (partials round-trip parquet bit-exactly) — the re-ETL
+    * contract. Returns the affected batch ids so ForgetSpec can pin the
+    * delta as genuinely partial (|affected| < |batches|, untouched > 0)
+    * with a single-batch tombstone set the %37 gate rule can't produce. */
+  private[llm] def forgottenDictInto(s: SparkSession, docs: DataFrame,
+      tomb: DataFrame, baseC: String, outC: String): Seq[Long] = {
+    val nB = graft.streaming.Streams.dictBatches
+    // which batches must re-process? derived from the tombstones via
+    // the store's own batch rule — a bounded (≤ |batches|) driver list
+    val affected: Seq[Long] = tomb
+      .select(pmod(col("doc_id"), lit(nB)).as("batch_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    s.read.parquet(baseC)
+      .filter(!col("batch_id").isin(affected: _*))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outC)
+    affected.foreach { bid =>
+      graft.streaming.Streams.dfStoreSink(
+        docs.filter(col("doc_id") % nB === bid)
+          .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti"),
+        bid, outC)
+    }
+    affected
+  }
+
   private def forgottenDictStore(s: SparkSession, d: String): java.io.File =
     Artifacts.buildOnce(s, "df_store_forgotten", d) { dd =>
-      val baseDir = graft.streaming.Streams.dfStoreDir(s, d)
       val docs = t(s, d, "documents")
       val tomb = docs.select("doc_id").filter(tombstoned(col("doc_id")))
-      // which batches must re-process? derived from the tombstones via
-      // the store's own batch rule — a bounded (≤ |batches|) driver list
-      val affected: Seq[Long] = tomb
-        .select(pmod(col("doc_id"), lit(2L)).as("batch_id")).distinct()
-        .collect().map(_.getLong(0)).toSeq.sorted
-      val c = s"$dd/c"
-      // untouched batch partitions copy VERBATIM (partials round-trip
-      // parquet bit-exactly); affected ones re-derive from the purged raw
-      // slice — the re-ETL contract
-      val untouched = s.read.parquet(s"$baseDir/c")
-        .filter(!col("batch_id").isin(affected: _*))
-      untouched.write.mode("overwrite").partitionBy("batch_id").parquet(c)
-      affected.foreach { bid =>
-        graft.streaming.Streams.dfStoreSink(
-          docs.filter(col("doc_id") % 2 === bid && !tombstoned(col("doc_id"))),
-          bid, c)
-      }
+      forgottenDictInto(s, docs, tomb,
+        s"${graft.streaming.Streams.dfStoreDir(s, d)}/c", s"$dd/c")
     }
 
   val textForgetDict: Q = (s, d) =>

@@ -1104,6 +1104,23 @@ object Streams {
     * by text_inverted_index's oracle VERBATIM. At 100 TB the refresh is
     * |vocabulary|×|batches| KB-scale rows; the corpus is never
     * re-tokenized. */
+  /** Existence check through the path's OWN Hadoop FileSystem — a plain
+    * java.io.File(dir).exists() only inspects the local disk, so for the
+    * hdfs:// / s3a:// stores a 100 TB deployment actually uses it would
+    * always answer false (r17 ADVICE on the late-store watermark guard). */
+  private[graft] def fsExists(s: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The dictionary store's batch rule: doc_id % dictBatches. ≥8 batches
+    * (r17 verdict #3) so a partial tombstone feed leaves genuinely
+    * UNTOUCHED partitions — the |affected batches| ≪ |batches| cost claim
+    * is exercisable (ForgetSpec pins it), not just narrated. Production
+    * would key batches by ingest day; the modulus is the sandbox stand-in
+    * and every readout is batch-rule-invariant (the merge is exact). */
+  private[graft] val dictBatches = 8L
+
   def dfStoreSink(batch: DataFrame, batchId: Long, dir: String): Unit =
     graft.llm.TextOps.dfPartialsOf(batch)
       .withColumn("batch_id", lit(batchId))
@@ -1116,18 +1133,19 @@ object Streams {
   /** The ST24 store directory, built once per (session, dataset) — shared
     * by the batch twin below and the forget-propagation pass
     * ([[graft.llm.Forget]]), which re-processes affected batch partitions
-    * in place of a corpus rebuild. Batch rule: doc_id % 2. */
+    * in place of a corpus rebuild. Batch rule: doc_id % [[dictBatches]]. */
   private[graft] def dfStoreDir(s: SparkSession, d: String): java.io.File =
     graft.llm.Artifacts.buildOnce(s, "df_store_stream", d) { dd =>
       val docs = t(s, d, "documents")
       val c = s"$dd/c"
-      dfStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
-      dfStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, c)
+      (0L until dictBatches).foreach { b =>
+        dfStoreSink(docs.filter(col("doc_id") % dictBatches === b), b, c)
+      }
       // at-least-once redelivery of batch 0: must overwrite, not append
-      dfStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
+      dfStoreSink(docs.filter(col("doc_id") % dictBatches === 0), 0L, c)
     }
 
-  /** ST24 batch twin: two disjoint batches + an at-least-once
+  /** ST24 batch twin: [[dictBatches]] disjoint batches + an at-least-once
     * redelivery of batch 0, then the merged dictionary. */
   val streamDfStore: Q = (s, d) =>
     dfStoreReadout(s, s"${dfStoreDir(s, d)}/c")
@@ -1147,17 +1165,34 @@ object Streams {
     * partitions|, never the corpus. */
   def forgetStoreSink(s: SparkSession, docs: DataFrame, tombBatch: DataFrame,
       batchId: Long, dir: String): Unit = {
-    tombBatch.select("doc_id")
+    // UNION the incoming batch into its own partition rather than
+    // overwriting it (r17 ADVICE): an at-least-once redelivery carrying a
+    // DIFFERENT payload (payload drift, accidental batch-id reuse) must
+    // not erase the earlier tombstones for this feed batch — a later
+    // re-derive of their doc-batches would resurrect the forgotten docs.
+    // Tombstones are monotone, so per-partition set-union keeps an
+    // identical redelivery a no-op and lets a drifted one only ADD.
+    // KB-scale feed batch → localCheckpoint breaks the read-then-
+    // overwrite cycle on the partition being rewritten.
+    val tombsDir = s"$dir/tombs"
+    val merged = (
+      if (fsExists(s, tombsDir))
+        tombBatch.select("doc_id").unionByName(
+          s.read.parquet(tombsDir).filter(col("batch_id") === batchId)
+            .select("doc_id")).distinct()
+      else tombBatch.select("doc_id")
+    ).localCheckpoint()
+    merged
       .withColumn("batch_id", lit(batchId))
       .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-      .partitionBy("batch_id").parquet(s"$dir/tombs")
-    val allTombs = s.read.parquet(s"$dir/tombs").select("doc_id")
-    val affected: Seq[Long] = tombBatch
-      .select(pmod(col("doc_id"), lit(2L)).as("b")).distinct()
+      .partitionBy("batch_id").parquet(tombsDir)
+    val allTombs = s.read.parquet(tombsDir).select("doc_id")
+    val affected: Seq[Long] = merged
+      .select(pmod(col("doc_id"), lit(dictBatches)).as("b")).distinct()
       .collect().map(_.getLong(0)).toSeq.sorted
     affected.foreach { bid =>
       dfStoreSink(
-        docs.filter(col("doc_id") % 2 === bid)
+        docs.filter(col("doc_id") % dictBatches === bid)
           .join(broadcast(allTombs), Seq("doc_id"), "left_anti"),
         bid, s"$dir/c")
     }
@@ -1171,8 +1206,9 @@ object Streams {
     val dir = graft.llm.Artifacts.buildOnce(s, "forget_store_stream", d) { dd =>
       val docs = t(s, d, "documents")
       val c = dd.toString
-      dfStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, s"$c/c")
-      dfStoreSink(docs.filter(col("doc_id") % 2 === 1), 1L, s"$c/c")
+      (0L until dictBatches).foreach { b =>
+        dfStoreSink(docs.filter(col("doc_id") % dictBatches === b), b, s"$c/c")
+      }
       val t37 = docs.select("doc_id").filter(col("doc_id") % 37 === 0)
       val t41 = docs.select("doc_id").filter(col("doc_id") % 41 === 0)
       forgetStoreSink(s, docs, t37, 0L, c)
@@ -1205,8 +1241,14 @@ object Streams {
     // out of order (batch 1 lands before batch 0 was ever written) the
     // store directory doesn't exist yet — treat the watermark as unset,
     // exactly the batchId == 0 branch, instead of throwing on the path.
+    // The check goes through the path's OWN Hadoop FileSystem (r17
+    // ADVICE: java.io.File only sees the local disk, so on hdfs:///s3a://
+    // every batch would silently compute with an unset watermark). Note
+    // the flags of a first delivery that arrived out of order are
+    // corrected on its redelivery: the watermark then reads the earlier
+    // batches' partials that have landed in the meantime.
     val wm: Option[java.sql.Timestamp] =
-      if (batchId == 0L || !new java.io.File(dir).exists()) None
+      if (batchId == 0L || !fsExists(s, dir)) None
       else {
         val prior = s.read.parquet(dir).filter(col("batch_id") < batchId)
         Option(prior.agg(max("bmax")).collect()(0).getTimestamp(0))

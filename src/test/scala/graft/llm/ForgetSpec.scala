@@ -118,10 +118,11 @@ class ForgetSpec extends graft.SparkSpec {
     val t41 = docs.select("doc_id").filter(col("doc_id") % 41 === 0)
     def build(order: Seq[(org.apache.spark.sql.DataFrame, Long)]): Seq[org.apache.spark.sql.Row] = {
       val dir = java.nio.file.Files.createTempDirectory("graft-st27").toString
-      graft.streaming.Streams.dfStoreSink(
-        docs.filter(col("doc_id") % 2 === 0), 0L, s"$dir/c")
-      graft.streaming.Streams.dfStoreSink(
-        docs.filter(col("doc_id") % 2 === 1), 1L, s"$dir/c")
+      val nB = graft.streaming.Streams.dictBatches
+      (0L until nB).foreach { b =>
+        graft.streaming.Streams.dfStoreSink(
+          docs.filter(col("doc_id") % nB === b), b, s"$dir/c")
+      }
       order.foreach { case (tb, id) =>
         graft.streaming.Streams.forgetStoreSink(spark, docs, tb, id, dir) }
       graft.streaming.Streams.dfStoreReadout(spark, s"$dir/c").collect().toSeq
@@ -133,6 +134,96 @@ class ForgetSpec extends graft.SparkSpec {
     val shuffled = build(Seq((t41, 1L), (t37, 0L), (t41, 1L)))
     assert(ordered === shuffled)
     assert(ordered.nonEmpty)
+  }
+
+  test("T13e delta is genuinely partial: a single-batch tombstone set " +
+    "re-processes ONLY its batch; every other partition is copied " +
+    "verbatim (r17 verdict #3 — the %37 gate rule hits all batches, so " +
+    "this pin exercises the branch the gate cannot)") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val nB = graft.streaming.Streams.dictBatches
+    val base = java.nio.file.Files.createTempDirectory("graft-t13e").toString
+    (0L until nB).foreach { b =>
+      graft.streaming.Streams.dfStoreSink(
+        docs.filter(col("doc_id") % nB === b), b, s"$base/c")
+    }
+    val tomb = docs.select("doc_id")
+      .filter(col("doc_id") % nB === 3 && col("doc_id") % 5 === 0)
+    assert(tomb.count() > 0)
+    val out = java.nio.file.Files.createTempDirectory("graft-t13e-out").toString
+    val affected = Forget.forgottenDictInto(spark, docs, tomb, s"$base/c", s"$out/c")
+    // |affected| < |batches| and the untouched copies are bit-equal
+    assert(affected === Seq(3L))
+    val untouchedBase = spark.read.parquet(s"$base/c")
+      .filter(col("batch_id") =!= 3).collect().toSet
+    val untouchedOut = spark.read.parquet(s"$out/c")
+      .filter(col("batch_id") =!= 3).collect().toSet
+    assert(untouchedOut === untouchedBase && untouchedOut.nonEmpty)
+    // and the merged readout still equals the one-shot purged build
+    val readout = graft.streaming.Streams
+      .dfStoreReadout(spark, s"$out/c").collect().toSeq
+    val oneShot = TextOps.invertedIndexOf(
+      docs.join(broadcast(tomb), Seq("doc_id"), "left_anti")).collect().toSeq
+    assert(readout === oneShot)
+  }
+
+  test("ST27: a single-batch tombstone feed leaves the untouched " +
+    "dictionary partitions' FILES byte-identical (dynamic overwrite " +
+    "rewrites only the affected batch)") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val nB = graft.streaming.Streams.dictBatches
+    val dir = java.nio.file.Files.createTempDirectory("graft-st27p").toString
+    (0L until nB).foreach { b =>
+      graft.streaming.Streams.dfStoreSink(
+        docs.filter(col("doc_id") % nB === b), b, s"$dir/c")
+    }
+    def snap(): Map[String, String] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles.toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/c"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map { f =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+          f.getPath -> md.map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = snap()
+    val tomb = docs.select("doc_id")
+      .filter(col("doc_id") % nB === 5 && col("doc_id") % 3 === 0)
+    assert(tomb.count() > 0)
+    graft.streaming.Streams.forgetStoreSink(spark, docs, tomb, 0L, dir)
+    val after = snap()
+    val (touched, untouched) =
+      before.keySet.partition(_.contains("batch_id=5"))
+    assert(untouched.nonEmpty &&
+      untouched.forall(p => after.get(p).contains(before(p))),
+      "an untouched partition's file was rewritten")
+    // the affected partition WAS rewritten (its old files are gone or
+    // replaced — the purged re-derive produces different partials)
+    assert(touched.nonEmpty && !touched.forall(p => after.get(p).contains(before(p))))
+  }
+
+  test("forgetStoreSink redelivery with a DIFFERENT payload unions, " +
+    "never erases: the store converges to purge-by-(A UNION B)") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val nB = graft.streaming.Streams.dictBatches
+    val dir = java.nio.file.Files.createTempDirectory("graft-st27u").toString
+    (0L until nB).foreach { b =>
+      graft.streaming.Streams.dfStoreSink(
+        docs.filter(col("doc_id") % nB === b), b, s"$dir/c")
+    }
+    val tA = docs.select("doc_id").filter(col("doc_id") % 37 === 0)
+    val tB = docs.select("doc_id").filter(col("doc_id") % 41 === 0)
+    graft.streaming.Streams.forgetStoreSink(spark, docs, tA, 0L, dir)
+    // accidental batch-id reuse: SAME feed batch id, drifted payload —
+    // the union keeps A's tombstones in force
+    graft.streaming.Streams.forgetStoreSink(spark, docs, tB, 0L, dir)
+    val readout = graft.streaming.Streams
+      .dfStoreReadout(spark, s"$dir/c").collect().toSeq
+    val purged = docs
+      .join(broadcast(tA.unionByName(tB)), Seq("doc_id"), "left_anti")
+    assert(readout === TextOps.invertedIndexOf(purged).collect().toSeq)
   }
 
   test("IVF forget equals re-assigning the survivors through the frozen " +
