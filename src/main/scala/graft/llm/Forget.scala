@@ -288,18 +288,259 @@ object Forget {
   val textForgetDict: Q = (s, d) =>
     graft.streaming.Streams.dfStoreReadout(s, s"${forgottenDictStore(s, d)}/c")
 
+  // ——— T13h: trainer-facing MANIFEST stores (shard export / corpus
+  // release) — the pure-algebra forget ———
+
+  /** Forget applied to a MANIFEST by its own merge algebra (upstream:
+    * the accretive S3 key manifests of activedata_etl/etl.py, here the
+    * [[TextOps.mergeManifests]] algebra run in reverse): counts and
+    * token/byte sums SUBTRACT, the xor content fingerprint SELF-CANCELS
+    * (x ^ x = 0), so the purged manifest is base ⊕ tombstone-partial —
+    * KB-scale work, no corpus re-scan. The ONE column pair that does not
+    * subtract is the (min_doc, max_doc) id range: an endpoint is only
+    * wrong when the extreme doc itself was tombstoned (⇔ the group's
+    * tombstone min/max EQUALS the stored endpoint — tombstones are a
+    * subset), and only those groups re-derive their range from their
+    * survivor rows. Groups whose every doc died vanish, matching the
+    * rebuild. Cost at 100 TB: |tombstones| + |survivors of the few
+    * endpoint-affected groups|.
+    *
+    * `base` carries (grp…, n_docs, n_tokens, n_bytes, min_doc, max_doc,
+    * content_fp); `tombDocs`/`survivors` carry (grp…, doc_id, n_toks,
+    * n_bytes, content_h). */
+  private[llm] def manifestForget(base: DataFrame, tombDocs: DataFrame,
+      survivors: DataFrame, grp: Seq[String]): DataFrame = {
+    val neg = tombDocs.groupBy(grp.map(col): _*).agg(
+      count(lit(1)).as("t_docs"),
+      sum("n_toks").as("t_tokens"),
+      sum("n_bytes").as("t_bytes"),
+      expr("bit_xor(content_h)").as("t_fp"),
+      min("doc_id").as("t_min"),
+      max("doc_id").as("t_max"))
+    val patched = base.join(broadcast(neg), grp, "left")
+      .withColumn("n_docs", col("n_docs") - coalesce(col("t_docs"), lit(0L)))
+      .withColumn("n_tokens", col("n_tokens") - coalesce(col("t_tokens"), lit(0L)))
+      .withColumn("n_bytes", col("n_bytes") - coalesce(col("t_bytes"), lit(0L)))
+      .withColumn("content_fp", when(col("t_fp").isNull, col("content_fp"))
+        .otherwise(expr("content_fp ^ t_fp")))
+      .filter(col("n_docs") > 0)
+    val endpointDead =
+      (col("t_min") <=> col("min_doc")) || (col("t_max") <=> col("max_doc"))
+    val outCols = grp.map(col) ++ Seq(col("n_docs"), col("n_tokens"),
+      col("n_bytes"), col("min_doc"), col("max_doc"), col("content_fp"))
+    val untouched = patched.filter(!endpointDead).select(outCols: _*)
+    val affected = patched.filter(endpointDead)
+      .drop("min_doc", "max_doc")
+    val fixedRanges = survivors
+      .join(broadcast(affected.select(grp.map(col): _*)), grp, "left_semi")
+      .groupBy(grp.map(col): _*)
+      .agg(min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+    untouched.unionByName(
+        affected.join(fixedRanges, grp).select(outCols: _*))
+      .orderBy(grp.map(col): _*)
+  }
+
+  /** Per-doc manifest columns over a documents frame, with the stable
+    * md5 shard key — the tombstone/survivor side of [[manifestForget]]. */
+  private def shardedDocCols(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shard", TextOps.shardCol(16))
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_bytes", col("n_chars").cast("long"))
+      .withColumn("content_h", expr(
+        "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+      .select("doc_id", "shard", "n_toks", "n_bytes", "content_h")
+
+  /** T13h: the shard-export MANIFEST forgotten by pure algebra — the
+    * write-side contract a trainer validates, kept honest after a GDPR
+    * delete without re-manifesting the corpus. Base = the STORED
+    * manifest artifact (16 rows, built once); delta = the tombstones'
+    * own manifest partial; ranges re-derive only where an endpoint died
+    * (the survivor scan is the rare branch, id-range-prunable at 100 TB).
+    * Gate: must hash-equal the purged-corpus manifest (the oracle IS
+    * that rebuild). */
+  private def manifestStoreDir(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "shard_manifest_store", d) { dd =>
+      TextOps.shardManifest(t(s, d, "documents"))
+        .write.mode("overwrite").parquet(s"$dd/m")
+    }
+
+  val textForgetManifest: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val base = s.read.parquet(s"${manifestStoreDir(s, d)}/m")
+    val tombDocs = shardedDocCols(docs.filter(tombstoned(col("doc_id"))))
+    val survivors = shardedDocCols(docs.filter(!tombstoned(col("doc_id"))))
+    manifestForget(base, tombDocs, survivors, Seq("shard"))
+  }
+
+  /** T13h-export: the forget applied to the export STORE's bytes — GDPR
+    * requires the doc's bytes gone from disk, not only from the summary.
+    * Affected shard partitions rewrite via broadcast anti-join; untouched
+    * partitions copy verbatim; the readout re-derives the manifest FROM
+    * THE FILES AS WRITTEN, so the gate is a statement about the bytes on
+    * disk. Returns the affected shard list for ForgetSpec's partial-delta
+    * pin. */
+  private[llm] def forgottenExportInto(s: SparkSession, tomb: DataFrame,
+      baseDocs: String, outDocs: String): Seq[Long] = {
+    val affected: Seq[Long] = tomb
+      .select(TextOps.shardCol(16).as("shard")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val base = s.read.parquet(baseDocs)
+      .withColumn("shard", col("shard").cast("long"))
+    base.filter(!col("shard").isin(affected: _*))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDocs)
+    base.filter(col("shard").isin(affected: _*))
+      .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti")
+      .write.mode("append").partitionBy("shard").parquet(outDocs)
+    affected
+  }
+
+  private def forgottenExportStore(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "shard_export_forgotten", d) { dd =>
+      // the base export store is the text_shard_export artifact — probe
+      // its key once so the store exists, then read the written files
+      TextOps.queries("text_shard_export")(s, d).count()
+      val baseDir = Artifacts.dir(s, "shard_export", d)
+      val tomb = t(s, d, "documents").select("doc_id")
+        .filter(tombstoned(col("doc_id")))
+      forgottenExportInto(s, tomb, s"$baseDir/docs", s"$dd/docs")
+    }
+
+  val textForgetExport: Q = (s, d) =>
+    TextOps.shardManifestOf(
+      s.read.parquet(s"${forgottenExportStore(s, d)}/docs")
+        .withColumn("shard", col("shard").cast("long")))
+
+  /** T13h-release: the CORPUS RELEASE manifest forgotten under FROZEN
+    * curation decisions — the artifact a training run consumes. The
+    * hygiene survivors and the classifier gate are STORED decisions
+    * (re-deciding them is the separate scheduled re-curation, exactly
+    * the frozen-quantizer discipline of T13d); the forget purges
+    * tombstoned MEMBERS and patches the manifest by [[manifestForget]]'s
+    * algebra. The oracle replays the whole chain on the full corpus and
+    * purges before the rollup — frozen decisions, purged members,
+    * cross-engine. */
+  val pipelineForgetRelease: Q = (s, d) => {
+    val members = Pipeline.releaseMembers(s, d)
+    val base = Pipeline.releaseManifestFrom(members)
+    val tombM = members.filter(tombstoned(col("doc_id")))
+    val survM = members.filter(!tombstoned(col("doc_id")))
+    manifestForget(base, tombM, survM, Seq("split", "shard"))
+  }
+
+  // ——— T13i: the ST13 novelty store — the one store where deletion is
+  // NOT an anti-join ———
+
+  /** Affected-batch re-process for the NOVELTY store (T13e's contract on
+    * ST13): a tombstoned doc that was a gram's batch-local first-seen
+    * leaves a stale (g, first_doc) partial; re-deriving the affected
+    * batch partitions from the purged raw slice restores every such gram
+    * to its first SURVIVING doc (or drops it if none) — min is
+    * monotone-distributive, so the cross-batch re-min then equals the
+    * whole-purged-corpus recompute exactly. Untouched partitions copy
+    * verbatim. Returns the affected batch ids for the partial-delta pin. */
+  private[llm] def forgottenNoveltyInto(s: SparkSession, docs: DataFrame,
+      tomb: DataFrame, baseN: String, outN: String): Seq[Long] = {
+    val nB = graft.streaming.Streams.dictBatches
+    val affected: Seq[Long] = tomb
+      .select(pmod(col("doc_id"), lit(nB)).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    Seq("grams", "docs").foreach { part =>
+      s.read.parquet(s"$baseN/$part")
+        .filter(!col("batch_id").isin(affected: _*))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(s"$outN/$part")
+    }
+    affected.foreach { bid =>
+      graft.streaming.Streams.noveltyStoreSink(
+        docs.filter(col("doc_id") % nB === bid)
+          .join(broadcast(tomb.select("doc_id")), Seq("doc_id"), "left_anti"),
+        bid, outN)
+    }
+    affected
+  }
+
+  private def forgottenNoveltyStore(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "novelty_store_forgotten", d) { dd =>
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val tomb = docs.select("doc_id").filter(tombstoned(col("doc_id")))
+      forgottenNoveltyInto(s, docs, tomb,
+        s"${graft.streaming.Streams.noveltyStoreDir(s, d)}/n", s"$dd/n")
+    }
+
+  val textForgetNovelty: Q = (s, d) =>
+    graft.streaming.Streams.noveltyStoreReadout(
+      s, s"${forgottenNoveltyStore(s, d)}/n")
+
+  // ——— T13j: the canonical/label store readout over forgotten labels ———
+
+  /** The ST12b-facing canonical readout after the forget: T13b/c already
+    * maintain the purged pair graph + labels; the canonical survivor
+    * table (cluster → argmax-quality member) re-reads from those stored
+    * labels joined with the purged docs — splits and min-id renames
+    * included. Gate: `dedup_canonical`'s oracle over the purged corpus. */
+  val dedupForgetCanonical: Q = (s, d) =>
+    Dedup.canonicalFromLabels(
+      s.read.parquet(s"${forgottenPairStore(s, d)}/labels"),
+      t(s, d, "documents").filter(!tombstoned(col("doc_id"))))
+
+  // ——— T13k: the SQ8 codes store (frozen stats) ———
+
+  /** SQ8 forget: codes are per-vector (encode depends only on the
+    * FROZEN per-dimension stats — the model, same discipline as T13d's
+    * quantizer), so deletion is one broadcast anti-join on the codes
+    * table; the stats artifact stays byte-identical. */
+  private def forgottenSq8Store(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "sq8_forgotten", d) { dd =>
+      val base = Similarity.sq8StoreDir(s, d)
+      val tomb = t(s, d, "embeddings").select("vec_id")
+        .filter(tombstoned(col("vec_id")))
+      s.read.parquet(s"$base/codes")
+        .join(broadcast(tomb), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$dd/codes")
+      s.read.parquet(s"$base/stats")
+        .write.mode("overwrite").parquet(s"$dd/stats")
+    }
+
+  /** The forgotten compressed index probed by the surviving queries:
+    * top-5 ADC matches per query — a tombstoned vector must appear as
+    * neither query nor candidate, and ranks re-close over the survivors. */
+  val simForgetSq8: Q = (s, d) => {
+    val dir = forgottenSq8Store(s, d)
+    val codes = s.read.parquet(s"$dir/codes")
+      .crossJoin(broadcast(s.read.parquet(s"$dir/stats")))
+    val queries = Similarity.sq8Queries(
+      t(s, d, "embeddings").filter(!tombstoned(col("vec_id"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    Similarity.sq8ScoresFrom(codes, queries)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"),
+        col("nid"), col("adot"))
+      .orderBy("qid", "rnk")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_forget_pairs" -> dedupForgetPairs,
     "dedup_forget_clusters" -> dedupForgetClusters,
+    "dedup_forget_canonical" -> dedupForgetCanonical,
     "sim_forget_ivf" -> simForgetIvf,
     "sim_forget_knn" -> simForgetKnn,
+    "sim_forget_sq8" -> simForgetSq8,
     "mm_forget_pairs" -> mmForgetPairs,
-    "text_forget_dict" -> textForgetDict)
+    "text_forget_dict" -> textForgetDict,
+    "text_forget_manifest" -> textForgetManifest,
+    "text_forget_export" -> textForgetExport,
+    "text_forget_novelty" -> textForgetNovelty,
+    "pipeline_forget_release" -> pipelineForgetRelease)
 
   /** The purged corpus as a CTE body — every oracle below is literally
     * "rebuild from this". */
   private val purgedDocs =
-    "pdocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0)"
+    "pdocs AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 37 <> 0)"
+
+  private val purgedRel =
+    "(SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 37 <> 0) pd"
 
   val oracle: Map[String, String] = Map(
     // the surviving pair graph must equal the purged corpus's pair graph
@@ -363,5 +604,55 @@ object Forget {
     // the re-processed dictionary must equal the one-shot build over the
     // purged corpus
     "text_forget_dict" -> TextOps.invertedIndexOracleFrom(
-      "(SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0) pd"))
+      "(SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0) pd"),
+    // the algebra-patched manifest (and the rewritten export store's
+    // files) must equal the purged corpus's manifest
+    "text_forget_manifest" -> TextOps.shardManifestOracleFrom(purgedRel),
+    "text_forget_export" -> TextOps.shardManifestOracleFrom(purgedRel),
+    // the affected-batch-reprocessed novelty store must equal the purged
+    // corpus's first-seen scoring (grams re-min to their first survivor)
+    "text_forget_novelty" -> TextOps.noveltyOracleFrom(purgedRel),
+    // the release manifest under FROZEN curation decisions, members
+    // purged just before the rollup — the oracle replays the whole chain
+    "pipeline_forget_release" ->
+      Pipeline.releaseOracle("s.doc_id % 37 <> 0"),
+    // the canonical table over the forgotten labels must equal
+    // dedup_canonical rebuilt from the purged corpus (splits and min-id
+    // renames included)
+    "dedup_forget_canonical" ->
+      s"""WITH RECURSIVE $purgedDocs, ${Dedup.minhashCteFrom("pdocs")},
+           pairs AS (SELECT da, db FROM mh WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+           edges AS (SELECT da AS src, db AS dst FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(id, lbl) AS (
+             SELECT src, src FROM edges
+             UNION
+             SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+           labels AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+           q AS (SELECT doc_id, n_chars,
+                        round((CASE WHEN n_chars < 100 THEN 0.2 ELSE 1.0 END) *
+                              (CASE WHEN n_stop = 0 THEN 0.5 ELSE 1.0 END), 4) AS quality
+                 FROM (SELECT doc_id, n_chars,
+                              len(list_filter(string_split(text, ' '),
+                                w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+                       FROM pdocs)),
+           m AS (SELECT l.cluster_id, q.doc_id, q.quality, q.n_chars,
+                        row_number() OVER (PARTITION BY l.cluster_id
+                          ORDER BY q.quality DESC, q.n_chars DESC, q.doc_id ASC) AS rn,
+                        count(*) OVER (PARTITION BY l.cluster_id) AS n_docs
+                 FROM labels l JOIN q ON q.doc_id = l.id)
+         SELECT cluster_id, doc_id AS canonical, quality AS canon_quality,
+                n_chars AS canon_chars, n_docs, n_docs - 1 AS n_dropped
+         FROM m WHERE rn = 1 ORDER BY cluster_id""",
+    // the anti-joined codes probed by surviving queries must equal the
+    // ADC replay with FROZEN full-corpus stats and both sides purged
+    "sim_forget_sq8" ->
+      s"""WITH ${Similarity.sq8OracleCteFrom(
+             "vec_id < 20 AND vec_id % 37 <> 0", "c.vec_id % 37 <> 0")}
+         SELECT qid, CAST(rnk AS INT) AS rnk, nid, adot
+         FROM (SELECT qid, nid, adot,
+                      row_number() OVER (PARTITION BY qid
+                                         ORDER BY adot DESC, nid ASC) AS rnk
+               FROM sqscore)
+         WHERE rnk <= 5 ORDER BY qid, rnk""")
 }

@@ -375,8 +375,15 @@ object Pipeline {
       corpusSurvivors(corpus, bench)
         .join(corpus.select("doc_id", "source"), Seq("doc_id")))
 
-  private def releaseFromSurvivors(survivors: DataFrame, sources: DataFrame,
-      nShards: Int): DataFrame = {
+  /** The release MEMBER set (doc + split/shard coordinates + the per-doc
+    * manifest columns) — the frame both the manifest rollup and the
+    * forget-propagation delta ([[graft.llm.Forget]]) read. The member
+    * DECISIONS (hygiene survivors, classifier gate) are computed on the
+    * frame as given — the stored-decision discipline: a GDPR forget
+    * purges members from the release artifact under FROZEN decisions;
+    * re-curation is the separate scheduled rebuild. */
+  private[graft] def releaseMemberFrame(survivors: DataFrame,
+      sources: DataFrame, nShards: Int): DataFrame = {
     val keptIds = TextOps.classifierScoresOf(
         survivors.join(sources, Seq("doc_id")))
       .filter(col("selected")).select("doc_id")
@@ -385,19 +392,36 @@ object Pipeline {
         "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 10")
         < 9, "train").otherwise("val"))
       .withColumn("shard", TextOps.shardCol(nShards))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_bytes", length(col("text")).cast("long"))
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
       .withColumn("content_h", expr(
         "CAST(conv(substr(md5(text), 1, 15), 16, 10) AS BIGINT)"))
+      .select("doc_id", "split", "shard", "n_toks", "n_bytes", "content_h")
+  }
+
+  /** The per-(split, shard) manifest rollup over a member frame. */
+  private[graft] def releaseManifestFrom(members: DataFrame): DataFrame =
+    members
       .groupBy("split", "shard")
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).as("n_tokens"),
-        sum(col("n_chars")).as("n_bytes"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_bytes")).as("n_bytes"),
         min("doc_id").as("min_doc"),
         max("doc_id").as("max_doc"),
         expr("bit_xor(content_h)").as("content_fp"))
       .orderBy("split", "shard")
-  }
+
+  private def releaseFromSurvivors(survivors: DataFrame, sources: DataFrame,
+      nShards: Int): DataFrame =
+    releaseManifestFrom(releaseMemberFrame(survivors, sources, nShards))
+
+  /** The standard-corpus member frame (stored survivor artifact + raw
+    * sources) — [[graft.llm.Forget]]'s entry point. */
+  private[graft] def releaseMembers(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame =
+    releaseMemberFrame(survivorStore(s, d),
+      t(s, d, "documents").select("doc_id", "source"), 16)
 
   val pipelineCorpusRelease: Q = (s, d) =>
     releaseFromSurvivors(survivorStore(s, d),
@@ -553,6 +577,53 @@ object Pipeline {
                AND doc_id NOT IN (SELECT doc_id FROM contaminated))"""
 
   private val hygienePrefix: String = hygienePrefixFrom("corp")
+
+  /** The CORPUS RELEASE oracle (full hygiene chain → NB classifier gate →
+    * split/shard manifest rollup), parameterized on a member PURGE
+    * predicate: the forget gate replays the SAME chain — decisions
+    * frozen on the full corpus — and purges tombstoned members just
+    * before the rollup, exactly [[graft.llm.Forget]]'s semantics. */
+  private[graft] def releaseOracle(purge: String = "TRUE"): String =
+    s"""$hygienePrefix,
+           rsc AS (SELECT s.doc_id, d.source, s.text
+                   FROM survivors s JOIN documents d USING (doc_id)),
+           rqf AS (SELECT doc_id, curated, w FROM (
+                     SELECT doc_id,
+                            CAST(substr(source, 4) AS INT) % 3 = 0 AS curated,
+                            unnest(string_split(text, ' ')) AS w
+                     FROM rsc)
+                   WHERE length(w) > 0),
+           rcc AS (SELECT w, count(*) FILTER (WHERE curated) AS cc,
+                          count(*) FILTER (WHERE NOT curated) AS rc
+                   FROM rqf GROUP BY 1),
+           rcn AS (SELECT count(*) FILTER (WHERE curated) AS c_n,
+                          count(*) FILTER (WHERE NOT curated) AS r_n,
+                          count(DISTINCT w) AS v
+                   FROM rqf),
+           rcm AS (SELECT w, ln((cc + 1.0) / (c_n + v))
+                            - ln((rc + 1.0) / (r_n + v)) AS lo
+                   FROM rcc CROSS JOIN rcn),
+           rsel AS (SELECT f.doc_id FROM rqf f JOIN rcm m USING (w)
+                    GROUP BY f.doc_id
+                    HAVING round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
+                                 / count(*), 4) > 0),
+           rrel AS (SELECT s.doc_id, s.text,
+                           CASE WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)),
+                                          1, 15) AS BIGINT) % 10 < 9
+                                THEN 'train' ELSE 'val' END AS split,
+                           CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15)
+                                AS BIGINT) % 16 AS shard,
+                           CAST('0x' || substr(md5(s.text), 1, 15) AS BIGINT) AS content_h,
+                           len(string_split(s.text, ' ')) AS n_toks,
+                           CAST(length(s.text) AS BIGINT) AS n_chars
+                    FROM survivors s JOIN rsel USING (doc_id)
+                    WHERE ($purge))
+         SELECT split, shard, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                bit_xor(content_h) AS content_fp
+         FROM rrel GROUP BY 1, 2 ORDER BY split, shard"""
 
   /** The X4i gate as oracle CTEs: per-source NLL over the hygienic
     * corpus slice, keep each source's most-fluent half → `corpq`. */
@@ -833,46 +904,7 @@ object Pipeline {
          FROM fst ORDER BY stage""",
     // the release: survivors → NB classifier gate (trained on the
     // surviving corpus, rl-prefixed CTEs) → split/shard rollup
-    "pipeline_corpus_release" ->
-      s"""$hygienePrefix,
-           rsc AS (SELECT s.doc_id, d.source, s.text
-                   FROM survivors s JOIN documents d USING (doc_id)),
-           rqf AS (SELECT doc_id, curated, w FROM (
-                     SELECT doc_id,
-                            CAST(substr(source, 4) AS INT) % 3 = 0 AS curated,
-                            unnest(string_split(text, ' ')) AS w
-                     FROM rsc)
-                   WHERE length(w) > 0),
-           rcc AS (SELECT w, count(*) FILTER (WHERE curated) AS cc,
-                          count(*) FILTER (WHERE NOT curated) AS rc
-                   FROM rqf GROUP BY 1),
-           rcn AS (SELECT count(*) FILTER (WHERE curated) AS c_n,
-                          count(*) FILTER (WHERE NOT curated) AS r_n,
-                          count(DISTINCT w) AS v
-                   FROM rqf),
-           rcm AS (SELECT w, ln((cc + 1.0) / (c_n + v))
-                            - ln((rc + 1.0) / (r_n + v)) AS lo
-                   FROM rcc CROSS JOIN rcn),
-           rsel AS (SELECT f.doc_id FROM rqf f JOIN rcm m USING (w)
-                    GROUP BY f.doc_id
-                    HAVING round(CAST(sum(CAST(m.lo AS DECIMAL(28,12))) AS DOUBLE)
-                                 / count(*), 4) > 0),
-           rrel AS (SELECT s.doc_id, s.text,
-                           CASE WHEN CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)),
-                                          1, 15) AS BIGINT) % 10 < 9
-                                THEN 'train' ELSE 'val' END AS split,
-                           CAST('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 15)
-                                AS BIGINT) % 16 AS shard,
-                           CAST('0x' || substr(md5(s.text), 1, 15) AS BIGINT) AS content_h,
-                           len(string_split(s.text, ' ')) AS n_toks,
-                           CAST(length(s.text) AS BIGINT) AS n_chars
-                    FROM survivors s JOIN rsel USING (doc_id))
-         SELECT split, shard, count(*) AS n_docs,
-                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
-                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
-                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
-                bit_xor(content_h) AS content_fp
-         FROM rrel GROUP BY 1, 2 ORDER BY split, shard""",
+    "pipeline_corpus_release" -> releaseOracle(),
     // the trim stage replayed over the survivor set (same construction as
     // dedup_substring_trim, t-prefixed names to avoid CTE collisions)
     "pipeline_corpus_trim" ->

@@ -1013,7 +1013,7 @@ object Similarity {
   /** The ADC scoring core: every (query, candidate) pair's dequantized
     * dot in one dim-ordered in-row fold — bit-identical to the oracle's
     * list_reduce in the same index order. */
-  private def sq8ScoresFrom(codesWithStats: DataFrame, queries: DataFrame): DataFrame =
+  private[llm] def sq8ScoresFrom(codesWithStats: DataFrame, queries: DataFrame): DataFrame =
     codesWithStats.crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("vec_id"))
       .withColumn("adot", expr(
@@ -1025,7 +1025,7 @@ object Similarity {
       .withColumn("adot", r4(col("adot")))
       .select(col("qid"), col("vec_id").as("nid"), col("adot"))
 
-  private def sq8Queries(embs: DataFrame): DataFrame =
+  private[llm] def sq8Queries(embs: DataFrame): DataFrame =
     sq8Doubles(embs.filter(col("vec_id") < 20))
       .select(col("vec_id").as("qid"), col("v").as("qv"))
 
@@ -1035,13 +1035,16 @@ object Similarity {
     * storable index (the 4×-smaller table a 100 TB deployment keeps in
     * place of the raw vectors); warm calls pay only the compressed
     * scan. Deterministic stats → the oracle replay is unchanged. */
-  private def sq8Stored(s: SparkSession, d: String): DataFrame = {
-    val dir = Artifacts.buildOnce(s, "sq8", d) { dd =>
+  private[llm] def sq8StoreDir(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "sq8", d) { dd =>
       val vecsB = sq8Doubles(t(s, d, "embeddings"))
       sq8StatsOf(vecsB).write.mode("overwrite").parquet(s"$dd/stats")
       sq8Encode(vecsB, s.read.parquet(s"$dd/stats"))
         .write.mode("overwrite").parquet(s"$dd/codes")
     }
+
+  private def sq8Stored(s: SparkSession, d: String): DataFrame = {
+    val dir = sq8StoreDir(s, d)
     s.read.parquet(s"$dir/codes")
       .crossJoin(broadcast(s.read.parquet(s"$dir/stats")))
   }
@@ -2381,7 +2384,8 @@ object Similarity {
     * the dim-ordered dequantized-dot fold per (query, candidate) pair —
     * reused by the flat ranking, the exact-rerank twin, and (with the
     * probe-slice predicate) the online gate. */
-  private def sq8OracleCteFrom(queryPred: String): String =
+  private[llm] def sq8OracleCteFrom(queryPred: String,
+      candPred: String = "TRUE"): String =
     s"""sqraw AS (SELECT vec_id, [CAST(x AS DOUBLE) for x in embedding] AS v
                         FROM embeddings),
            sqst AS (SELECT t.i AS pos, min(v[t.i]) AS mn, max(v[t.i]) AS mx
@@ -2405,7 +2409,7 @@ object Similarity {
                                  for i in generate_series(1, 64)],
                                 (x, y) -> x + y), 4) + 0.0 AS adot
                        FROM sqq q CROSS JOIN sqcodes c CROSS JOIN sqarr a
-                       WHERE q.qid <> c.vec_id)"""
+                       WHERE q.qid <> c.vec_id AND ($candPred))"""
 
   private val sq8OracleCte: String = sq8OracleCteFrom("vec_id < 20")
 

@@ -2537,6 +2537,41 @@ object TextOps {
          FROM iitf t JOIN iirk r ON t.w = r.w AND t.doc_id = r.doc_id
          GROUP BY t.w ORDER BY cf DESC, t.w LIMIT 100"""
 
+  /** The shard-manifest oracle over ANY documents-shaped relation —
+    * the forget-propagation gates point it at the purged corpus
+    * (rebuild-from-purged IS the oracle). */
+  private[graft] def shardManifestOracleFrom(src: String): String =
+    s"""WITH d AS (SELECT doc_id, n_chars,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                       AS BIGINT) % 16 AS shard,
+                  CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS content_h,
+                  len(string_split(text, ' ')) AS n_toks
+           FROM $src)
+         SELECT shard, count(*) AS n_docs,
+                CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+                CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+                bit_xor(content_h) AS content_fp
+         FROM d GROUP BY shard ORDER BY shard"""
+
+  /** The n-gram novelty oracle over ANY documents-shaped relation — the
+    * forget gate's purged-corpus rebuild (a gram whose first-seen doc is
+    * tombstoned re-mins to its first SURVIVING doc). */
+  private[graft] def noveltyOracleFrom(src: String): String =
+    s"""WITH nv0 AS (SELECT doc_id, string_split(text, ' ') AS t FROM $src),
+           nvg AS (SELECT DISTINCT doc_id,
+                          t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+                   FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+                         FROM nv0 WHERE len(t) >= 3)),
+           nvf AS (SELECT g, min(doc_id) AS first_doc FROM nvg GROUP BY 1)
+         SELECT doc_id, count(*) AS n_grams,
+                CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_novel,
+                round(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1.0
+                        / count(*), 4) AS novelty
+         FROM nvg JOIN nvf USING (g)
+         GROUP BY doc_id ORDER BY doc_id LIMIT 300"""
+
   /** X13f: per-term DF-DRIFT monitor — vocabulary drift detection over
     * two deliveries (the question the ST24 store exists to answer:
     * "which terms are trending into the corpus?"). Per term, the

@@ -892,19 +892,25 @@ object Streams {
     * REDELIVERED out of order, then the merged readout — gated by
     * `text_ngram_novelty`'s oracle VERBATIM: the maintained store must
     * be indistinguishable from a one-shot whole-corpus recompute. */
-  val streamNoveltyStore: Q = (s, d) => {
-    val dir = graft.llm.Artifacts.buildOnce(s, "novelty_store_stream", d) { dd =>
+  /** The ST13 store directory, built once per (session, dataset) — shared
+    * by the batch twin and the forget-propagation pass
+    * ([[graft.llm.Forget]]), which re-processes affected batch partitions
+    * the way T13e does for the dictionary. Batch rule: doc_id %
+    * [[dictBatches]] (the store-family rule, readout-invariant). */
+  private[graft] def noveltyStoreDir(s: SparkSession, d: String): java.io.File =
+    graft.llm.Artifacts.buildOnce(s, "novelty_store_stream", d) { dd =>
       val docs = t(s, d, "documents").select("doc_id", "text")
       val n = s"$dd/n"
-      noveltyStoreSink(docs.filter(col("doc_id") % 3 === 0), 0L, n)
-      noveltyStoreSink(docs.filter(col("doc_id") % 3 === 1), 1L, n)
-      noveltyStoreSink(docs.filter(col("doc_id") % 3 === 2), 2L, n)
-      // at-least-once redelivery of batch 1 AFTER batch 2: min-merge
+      (0L until dictBatches).foreach { b =>
+        noveltyStoreSink(docs.filter(col("doc_id") % dictBatches === b), b, n)
+      }
+      // at-least-once redelivery of batch 1 AFTER the rest: min-merge
       // makes the rewrite a no-op, the store must not drift
-      noveltyStoreSink(docs.filter(col("doc_id") % 3 === 1), 1L, n)
+      noveltyStoreSink(docs.filter(col("doc_id") % dictBatches === 1), 1L, n)
     }
-    noveltyStoreReadout(s, s"$dir/n")
-  }
+
+  val streamNoveltyStore: Q = (s, d) =>
+    noveltyStoreReadout(s, s"${noveltyStoreDir(s, d)}/n")
 
   /** ST14 batch twin / driver gate: index init + three bench deliveries
     * (vec_id mod-3 split of the bench tenth) + an out-of-order
@@ -1221,6 +1227,55 @@ object Streams {
     dfStoreReadout(s, s"$dir/c")
   }
 
+  /** ST27b: AS-OF (time travel) read of the FORGET feed — the compliance
+    * counterpart of ST26b's CDC time travel, answering the auditor's
+    * question "what did the dictionary hold BEFORE feed batch k's
+    * tombstones landed?". The per-batch tombstone partitions the ST27
+    * sink already writes ARE the history; an as-of read takes the
+    * partition-pruned `batch_id <= k` tombstone prefix, re-derives ONLY
+    * the doc-batches that prefix touches from the raw slice purged by
+    * the prefix set, and serves every other doc-batch's partials from
+    * the PRE-FORGET base store verbatim. Cost = |prefix-affected doc
+    * batches|, never the corpus; no store state beyond what ST27 keeps
+    * is needed. */
+  def asofDictRead(s: SparkSession, docs: DataFrame, baseC: String,
+      tombsDir: String, k: Long): DataFrame = {
+    val prefix = s.read.parquet(tombsDir)
+      .filter(col("batch_id") <= k).select("doc_id")
+    val affected: Seq[Long] = prefix
+      .select(pmod(col("doc_id"), lit(dictBatches)).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val partCols = Seq("w", "df", "cf", "max_tf", "ntf", "top_doc")
+    val untouched = s.read.parquet(baseC)
+      .filter(!col("batch_id").isin(affected: _*))
+      .select(partCols.map(col): _*)
+    val rederived = affected.map { bid =>
+      graft.llm.TextOps.dfPartialsOf(
+        docs.filter(col("doc_id") % dictBatches === bid)
+          .join(broadcast(prefix), Seq("doc_id"), "left_anti"))
+        .select(partCols.map(col): _*)
+    }
+    graft.llm.TextOps.invertedIndexMergeFrom(
+      (untouched +: rederived).reduce(_ unionByName _))
+  }
+
+  /** ST27b batch twin: THREE tombstone feed batches (%37, %41, %43) land
+    * over time; the as-of read at k=1 must equal the one-shot dictionary
+    * over the corpus purged by the FIRST TWO batches only — batch 2's
+    * tombstones are in the store but outside the read's prefix. */
+  val streamForgetAsof: Q = (s, d) => {
+    val docs = t(s, d, "documents")
+    val dir = graft.llm.Artifacts.buildOnce(s, "forget_asof_stream", d) { dd =>
+      Seq(37L -> 0L, 41L -> 1L, 43L -> 2L).foreach { case (m, bid) =>
+        docs.select("doc_id").filter(col("doc_id") % m === 0)
+          .withColumn("batch_id", lit(bid))
+          .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(s"$dd/tombs")
+      }
+    }
+    asofDictRead(s, docs, s"${dfStoreDir(s, d)}/c", s"$dir/tombs", k = 1L)
+  }
+
   /** ST25: stream-maintained LATE-DATA audit — the watermark
     * observability every production stream needs: how much data arrives
     * behind the clock, per source, and is that drifting? Batches are
@@ -1377,6 +1432,7 @@ object Streams {
     "stream_cdc_store" -> streamCdcStore,
     "stream_upsert_asof" -> streamUpsertAsof,
     "stream_forget_store" -> streamForgetStore,
+    "stream_forget_asof" -> streamForgetAsof,
     "stream_df_store" -> streamDfStore,
     "stream_late_store" -> streamLateStore,
     "stream_rule_store" -> streamRuleStore,
@@ -1410,6 +1466,12 @@ object Streams {
     // the streamed compliance feed must converge the dictionary to the
     // fully-purged one-shot build (union of both tombstone batches)
     "stream_forget_store" -> graft.llm.TextOps.invertedIndexOracleFrom(
+      "(SELECT doc_id, text FROM documents " +
+        "WHERE doc_id % 37 <> 0 AND doc_id % 41 <> 0) pd"),
+    // the as-of read at k=1: the dictionary purged by the first TWO
+    // tombstone batches only — batch 2 (%43) is stored but outside the
+    // read's partition-pruned prefix
+    "stream_forget_asof" -> graft.llm.TextOps.invertedIndexOracleFrom(
       "(SELECT doc_id, text FROM documents " +
         "WHERE doc_id % 37 <> 0 AND doc_id % 41 <> 0) pd"),
     // the maintained term dictionary must equal the one-shot build:

@@ -226,6 +226,138 @@ class ForgetSpec extends graft.SparkSpec {
     assert(readout === TextOps.invertedIndexOf(purged).collect().toSeq)
   }
 
+  test("manifestForget algebra: counts subtract, xor self-cancels, " +
+    "ranges re-derive ONLY for endpoint-dead groups, fully-purged " +
+    "groups vanish, and the delta is idempotent") {
+    // three groups: g=0 loses its min doc (endpoint dead -> range
+    // re-derive), g=1 loses a middle doc (pure algebra), g=2 loses all
+    def docRows(rows: Seq[(Long, Long, Long, Long, Long)]) =
+      rows.toDF("shard", "doc_id", "n_toks", "n_bytes", "content_h")
+    val all = docRows(Seq(
+      (0L, 1L, 10L, 100L, 7L), (0L, 2L, 20L, 200L, 11L), (0L, 3L, 30L, 300L, 13L),
+      (1L, 4L, 40L, 400L, 17L), (1L, 5L, 50L, 500L, 19L), (1L, 6L, 60L, 600L, 23L),
+      (2L, 7L, 70L, 700L, 29L)))
+    val base = all.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+      sum("n_bytes").as("n_bytes"), min("doc_id").as("min_doc"),
+      max("doc_id").as("max_doc"), expr("bit_xor(content_h)").as("content_fp"))
+    val dead = Set(1L, 5L, 7L)
+    val tomb = all.filter(col("doc_id").isin(dead.toSeq: _*))
+    val surv = all.filter(!col("doc_id").isin(dead.toSeq: _*))
+    val got = Forget.manifestForget(base, tomb, surv, Seq("shard"))
+    val want = surv.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"), sum("n_toks").as("n_tokens"),
+      sum("n_bytes").as("n_bytes"), min("doc_id").as("min_doc"),
+      max("doc_id").as("max_doc"), expr("bit_xor(content_h)").as("content_fp"))
+      .orderBy("shard")
+    assert(got.collect().toSeq === want.collect().toSeq)
+    assert(got.count() === 2) // group 2 vanished
+    // idempotent: forgetting the same tombstones from the forgotten
+    // manifest is a no-op (the tomb partial now matches no stored doc —
+    // feed an EMPTY tomb frame, as a redelivered feed resolves to after
+    // its anti-join upstream)
+    val again = Forget.manifestForget(got,
+      tomb.filter(lit(false)), surv, Seq("shard"))
+    assert(again.collect().toSeq === got.collect().toSeq)
+  }
+
+  test("export-store forget rewrites ONLY the affected shard " +
+    "partitions, copies the rest verbatim, and physically removes the " +
+    "tombstoned docs' rows") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val base = java.nio.file.Files.createTempDirectory("graft-exp").toString
+    docs.withColumn("shard", TextOps.shardCol(16))
+      .write.mode("overwrite").partitionBy("shard").parquet(s"$base/docs")
+    // one specific doc -> exactly one affected shard
+    val one = docs.select("doc_id").orderBy("doc_id").limit(1)
+    val out = java.nio.file.Files.createTempDirectory("graft-exp-out").toString
+    val affected = Forget.forgottenExportInto(
+      spark, one, s"$base/docs", s"$out/docs")
+    assert(affected.size === 1)
+    val written = spark.read.parquet(s"$out/docs")
+      .withColumn("shard", col("shard").cast("long"))
+    val tombId = one.collect()(0).getLong(0)
+    assert(written.filter(col("doc_id") === tombId).count() === 0)
+    // untouched shards: row sets identical to the base store
+    val baseDf = spark.read.parquet(s"$base/docs")
+      .withColumn("shard", col("shard").cast("long"))
+    val untouchedWant = baseDf.filter(col("shard") =!= affected.head)
+      .collect().toSet
+    val untouchedGot = written.filter(col("shard") =!= affected.head)
+      .collect().toSet
+    assert(untouchedGot === untouchedWant && untouchedGot.nonEmpty)
+  }
+
+  test("novelty-store forget re-processes ONLY the affected batches and " +
+    "equals the purged-corpus rebuild (grams re-min to their first " +
+    "surviving doc)") {
+    val docs = graft.Tables.t(spark, sf, "documents").select("doc_id", "text")
+    val nB = graft.streaming.Streams.dictBatches
+    val base = java.nio.file.Files.createTempDirectory("graft-nov").toString
+    (0L until nB).foreach { b =>
+      graft.streaming.Streams.noveltyStoreSink(
+        docs.filter(col("doc_id") % nB === b), b, s"$base/n")
+    }
+    val tomb = docs.select("doc_id")
+      .filter(col("doc_id") % nB === 2 && col("doc_id") % 7 === 0)
+    assert(tomb.count() > 0)
+    val out = java.nio.file.Files.createTempDirectory("graft-nov-out").toString
+    val affected = Forget.forgottenNoveltyInto(
+      spark, docs, tomb, s"$base/n", s"$out/n")
+    assert(affected === Seq(2L))
+    // untouched gram partitions equal the base store's
+    val gWant = spark.read.parquet(s"$base/n/grams")
+      .filter(col("batch_id") =!= 2).collect().toSet
+    val gGot = spark.read.parquet(s"$out/n/grams")
+      .filter(col("batch_id") =!= 2).collect().toSet
+    assert(gGot === gWant && gGot.nonEmpty)
+    // readout equals the one-shot purged rebuild
+    val got = graft.streaming.Streams
+      .noveltyStoreReadout(spark, s"$out/n").collect().toSeq
+    val want = TextOps.ngramNoveltyOf(
+      docs.join(broadcast(tomb), Seq("doc_id"), "left_anti")).collect().toSeq
+    assert(got === want)
+  }
+
+  test("SQ8 forget: the stats artifact stays FROZEN (byte-equal) and the " +
+    "codes are exactly the survivors' — the sim_forget_sq8 readout " +
+    "equals the purged recompute under full-corpus stats") {
+    val baseDir = Similarity.sq8StoreDir(spark, sf)
+    Forget.simForgetSq8(spark, sf).count() // build the forgotten store
+    val fDir = Artifacts.dir(spark, "sq8_forgotten", sf)
+    assert(spark.read.parquet(s"$fDir/stats").collect().toSeq ===
+      spark.read.parquet(s"$baseDir/stats").collect().toSeq)
+    val baseCodes = spark.read.parquet(s"$baseDir/codes")
+    val fCodes = spark.read.parquet(s"$fDir/codes")
+    assert(fCodes.filter(col("vec_id") % 37 === 0).count() === 0)
+    assert(fCodes.count() ===
+      baseCodes.filter(col("vec_id") % 37 =!= 0).count())
+  }
+
+  test("ST27b as-of: the full-prefix read equals the fully-purged " +
+    "dictionary; the k=1 prefix genuinely excludes batch 2's tombstones") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val dir = java.nio.file.Files.createTempDirectory("graft-asof").toString
+    Seq(37L -> 0L, 41L -> 1L, 43L -> 2L).foreach { case (m, bid) =>
+      docs.select("doc_id").filter(col("doc_id") % m === 0)
+        .withColumn("batch_id", lit(bid))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(s"$dir/tombs")
+    }
+    val baseC = s"${graft.streaming.Streams.dfStoreDir(spark, sf)}/c"
+    val atK2 = graft.streaming.Streams
+      .asofDictRead(spark, docs, baseC, s"$dir/tombs", 2L).collect().toSeq
+    val fully = TextOps.invertedIndexOf(docs.filter(
+      col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0 &&
+        col("doc_id") % 43 =!= 0)).collect().toSeq
+    assert(atK2 === fully)
+    val atK1 = graft.streaming.Streams
+      .asofDictRead(spark, docs, baseC, s"$dir/tombs", 1L).collect().toSeq
+    val twoOnly = TextOps.invertedIndexOf(docs.filter(
+      col("doc_id") % 37 =!= 0 && col("doc_id") % 41 =!= 0)).collect().toSeq
+    assert(atK1 === twoOnly)
+  }
+
   test("IVF forget equals re-assigning the survivors through the frozen " +
     "quantizer; dictionary forget equals the one-shot purged build") {
     // IVF: the anti-joined store vs assignAgainstCentroids on survivors
