@@ -293,11 +293,19 @@ object Jx {
     // layout to the trainer-facing RELEASE manifest (survivors →
     // classifier gate → split/shard rollup, Pipeline.corpusRelease) —
     // the corpus query must then also carry `source`
-    if (opt(p, "release").exists(_.asBoolean()))
-      graft.llm.Pipeline.corpusRelease(
-        runNode(spark, req(p, "corpus"), tables, dataset),
+    if (opt(p, "release").exists(_.asBoolean())) {
+      // `"forget": true` on the release path → the post-GDPR manifest
+      // (curation decisions frozen, tombstoned members purged before the
+      // rollup) — the in-plan twin the T13h store-side algebra is gated
+      // equal to, same contract as the plain release path
+      val rel =
+        if (opt(p, "forget").exists(_.asBoolean()))
+          graft.llm.Pipeline.corpusReleaseForgotten _
+        else graft.llm.Pipeline.corpusRelease _
+      rel(runNode(spark, req(p, "corpus"), tables, dataset),
         runNode(spark, req(p, "benchmark"), tables, dataset),
-        nShards = opt(p, "shards").map(_.asInt()).getOrElse(16))
+        opt(p, "shards").map(_.asInt()).getOrElse(16))
+    }
     // `"order": true` → the trainer-facing READING ORDER over the
     // hygiene survivors (corpus must carry `source`)
     else if (opt(p, "order").exists(_.asBoolean()))
@@ -348,7 +356,8 @@ object Jx {
     * probe_tuning / knn_join / sq8 / fertility / mix_schedule /
     * anneal_schedule / dataset_card / novelty family / payload family /
     * split_leakfree / quality_classifier / quality_ensemble /
-    * forget_pairs / forget_clusters / forget_ivf / forget_dict) and
+    * forget_pairs / forget_clusters / forget_ivf / forget_dict /
+    * forget_canonical / forget_manifest / forget_novelty / forget_sq8) and
     * `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
@@ -772,6 +781,23 @@ object Jx {
       case "forget_knn" => storeDir match {
         case Some(dd) => graft.llm.Forget.simForgetKnn(spark, dd)
         case None     => graft.llm.Forget.forgetKnnOf(docs)
+      }
+      // T13h–T13k twins: same store-probing contract as the family above
+      case "forget_canonical" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Forget.dedupForgetCanonical(spark, dataset.get)
+        else graft.llm.Forget.forgetCanonicalOf(docs)
+      case "forget_manifest" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Forget.textForgetManifest(spark, dataset.get)
+        else graft.llm.Forget.forgetManifestOf(docs)
+      case "forget_novelty" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Forget.textForgetNovelty(spark, dataset.get)
+        else graft.llm.Forget.forgetNoveltyOf(docs)
+      case "forget_sq8" => storeDir match {
+        case Some(dd) => graft.llm.Forget.simForgetSq8(spark, dd)
+        case None     => graft.llm.Forget.forgetSq8Of(docs)
       }
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")

@@ -423,6 +423,24 @@ object JxQueries {
   private val forgetKnnJson = """{
     "corpus_op": {"op": "forget_knn", "corpus": {"from": "embeddings"}}}"""
 
+  private val forgetCanonicalJson = """{
+    "corpus_op": {"op": "forget_canonical", "corpus": {"from": "documents"}}}"""
+
+  private val forgetManifestJson = """{
+    "corpus_op": {"op": "forget_manifest", "corpus": {"from": "documents"}}}"""
+
+  private val forgetNoveltyJson = """{
+    "corpus_op": {"op": "forget_novelty", "corpus": {"from": "documents"}}}"""
+
+  private val forgetSq8Json = """{
+    "corpus_op": {"op": "forget_sq8", "corpus": {"from": "embeddings"}}}"""
+
+  private val forgetReleaseJson = """{
+    "pipeline": {
+      "release": true, "forget": true,
+      "corpus": {"from": "documents", "where": {"gte": ["doc_id", 10]}},
+      "benchmark": {"from": "documents", "where": {"lt": ["doc_id", 10]}}}}"""
+
   private val modeJson = """{
     "from": "lineitem",
     "groupby": ["l_returnflag"],
@@ -687,6 +705,16 @@ object JxQueries {
       ((s, d) => Jx.run(s, forgetPayloadJson, name => t(s, d, name), Some(d))),
     "jx_forget_knn" ->
       ((s, d) => Jx.run(s, forgetKnnJson, name => t(s, d, name), Some(d))),
+    "jx_forget_canonical" ->
+      ((s, d) => Jx.run(s, forgetCanonicalJson, name => t(s, d, name), Some(d))),
+    "jx_forget_manifest" ->
+      ((s, d) => Jx.run(s, forgetManifestJson, name => t(s, d, name), Some(d))),
+    "jx_forget_novelty" ->
+      ((s, d) => Jx.run(s, forgetNoveltyJson, name => t(s, d, name), Some(d))),
+    "jx_forget_sq8" ->
+      ((s, d) => Jx.run(s, forgetSq8Json, name => t(s, d, name), Some(d))),
+    "jx_forget_release" ->
+      ((s, d) => Jx.run(s, forgetReleaseJson, name => t(s, d, name))),
     "jx_hybrid" ->
       ((s, d) => Jx.run(s, hybridJson, name => t(s, d, name))),
     "jx_reweight" ->
@@ -817,6 +845,11 @@ object JxQueries {
     "jx_forget_dict" -> graft.llm.Forget.oracle("text_forget_dict"),
     "jx_forget_payload" -> graft.llm.Forget.oracle("mm_forget_pairs"),
     "jx_forget_knn" -> graft.llm.Forget.oracle("sim_forget_knn"),
+    "jx_forget_canonical" -> graft.llm.Forget.oracle("dedup_forget_canonical"),
+    "jx_forget_manifest" -> graft.llm.Forget.oracle("text_forget_manifest"),
+    "jx_forget_novelty" -> graft.llm.Forget.oracle("text_forget_novelty"),
+    "jx_forget_sq8" -> graft.llm.Forget.oracle("sim_forget_sq8"),
+    "jx_forget_release" -> graft.llm.Forget.oracle("pipeline_forget_release"),
     "jx_hybrid" -> graft.llm.Similarity.oracle("sim_hybrid_search"),
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),

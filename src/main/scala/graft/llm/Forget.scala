@@ -140,6 +140,39 @@ object Forget {
   def forgetDictOf(docs: DataFrame): DataFrame =
     TextOps.invertedIndexOf(docs.filter(!tombstoned(col("doc_id"))))
 
+  /** In-plan twins of the T13h–T13k stores — the rebuild-from-purged each
+    * store gate pins equal (jx `corpus_op` fallbacks for non-standard
+    * corpora). */
+  def forgetCanonicalOf(docs: DataFrame): DataFrame =
+    Dedup.canonicalFromLabels(forgetFramesOf(docs)._2,
+      docs.filter(!tombstoned(col("doc_id"))))
+
+  def forgetManifestOf(docs: DataFrame): DataFrame =
+    TextOps.shardManifest(docs.filter(!tombstoned(col("doc_id"))))
+
+  def forgetNoveltyOf(docs: DataFrame): DataFrame =
+    TextOps.ngramNoveltyOf(docs.filter(!tombstoned(col("doc_id"))))
+
+  /** SQ8 forget in-plan: per-dim stats stay FROZEN on the full frame
+    * (the model), codes/queries purge — the store path's exact algebra. */
+  def forgetSq8Of(embs: DataFrame): DataFrame = {
+    val vecs = Similarity.sq8Doubles(embs)
+    val stats = Similarity.sq8StatsOf(vecs)
+    val codes = Similarity
+      .sq8Encode(vecs.filter(!tombstoned(col("vec_id"))), stats)
+      .crossJoin(broadcast(stats))
+    val queries = Similarity.sq8Queries(
+      embs.filter(!tombstoned(col("vec_id"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(desc("adot"), asc("nid"))
+    Similarity.sq8ScoresFrom(codes, queries)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"),
+        col("nid"), col("adot"))
+      .orderBy("qid", "rnk")
+  }
+
   // ——— T13d: IVF inverted lists (frozen quantizer) ———
 
   private def forgottenIvfStore(s: SparkSession, d: String): java.io.File =

@@ -367,6 +367,18 @@ object Pipeline {
     releaseFromSurvivors(corpusSurvivors(corpus, bench),
       corpus.select("doc_id", "source"), nShards)
 
+  /** The release manifest AFTER a GDPR forget, over arbitrary frames (jx
+    * `pipeline` entry point, [[graft.llm.Forget]]'s in-plan twin):
+    * curation decisions frozen on the corpus as given, tombstoned MEMBERS
+    * purged before the rollup — the rebuild the store path's manifest
+    * algebra is gated equal to. */
+  def corpusReleaseForgotten(corpus: DataFrame, bench: DataFrame,
+      nShards: Int = 16): DataFrame =
+    releaseManifestFrom(
+      releaseMemberFrame(corpusSurvivors(corpus, bench),
+        corpus.select("doc_id", "source"), nShards)
+        .filter(col("doc_id") % 37 =!= 0))
+
   /** The order capstone over ARBITRARY corpus/benchmark frames (jx
     * `pipeline` entry point — [[pipelineCorpusOrder]]'s store-probing
     * twin recomputes the same thing over the standard corpus). */

@@ -986,11 +986,11 @@ object Similarity {
     * metric directly) and [[simSq8Rerank]] (shortlist → exact re-rank):
     * (qid, nid, adot) for every query × candidate pair, adot already
     * rounded (round-then-rank, same as the oracle). */
-  private def sq8Doubles(embs: DataFrame): DataFrame =
+  private[llm] def sq8Doubles(embs: DataFrame): DataFrame =
     embs.select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
-  private def sq8StatsOf(vecs: DataFrame): DataFrame =
+  private[llm] def sq8StatsOf(vecs: DataFrame): DataFrame =
     vecs.select(posexplode(col("v")))
       .groupBy("pos").agg(min("col").as("mn"), max("col").as("mx"))
       .groupBy().agg(
@@ -999,7 +999,7 @@ object Similarity {
         expr("transform(array_sort(collect_list(struct(pos, mn, mx))), x -> x.mx - x.mn)")
           .as("dts"))
 
-  private def sq8Encode(vecs: DataFrame, stats: DataFrame): DataFrame =
+  private[llm] def sq8Encode(vecs: DataFrame, stats: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(stats))
       .withColumn("codes", expr(
         """transform(sequence(0, 63), i ->
