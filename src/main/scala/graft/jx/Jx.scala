@@ -391,8 +391,18 @@ object Jx {
     val plainDocuments = corpusNode.isObject && corpusNode.size() == 1 &&
       opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
     val defaultKnobs =
-      opt(c, "nlist").forall(_.asInt() == 16) && opt(c, "k").forall(_.asInt() == 3)
+      opt(c, "nlist").forall(n => n.isIntegralNumber && n.asInt() == 16) &&
+        opt(c, "k").forall(_.asInt() == 3)
     val storeDir = if (plainEmbeddings && defaultKnobs) dataset else None
+    // `"nlist": "auto"` selects the size-derived list count (the shipped
+    // library default, [[graft.llm.Similarity.AutoNlist]]); an explicit
+    // integer pins it; absent keeps 16 — the stored-artifact knob every
+    // driver-key oracle replays
+    def nlistKnob(default: Int = 16): Int =
+      opt(c, "nlist").map { n =>
+        if (n.isTextual && n.asText() == "auto") graft.llm.Similarity.AutoNlist
+        else n.asInt()
+      }.getOrElse(default)
     req(c, "op").asText() match {
       case "quality_gate" => graft.llm.TextOps.qualityFilterOf(docs)
       // X5 through the query surface: the payload wrap + decode +
@@ -424,7 +434,7 @@ object Jx {
             && opt(c, "tau").isEmpty)
           graft.llm.Multimodal.queries("mm_semantic_dedup")(spark, dataset.get)
         else graft.llm.Multimodal.semanticDedupOfDocs(docs,
-          nlist = opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlist = nlistKnob(),
           tau = opt(c, "tau").map(_.asDouble()).getOrElse(0.999))
       case "payload_knn" =>
         // cross-set semantic routing over payload embeddings, same
@@ -432,7 +442,7 @@ object Jx {
         if (plainDocuments && dataset.isDefined && defaultKnobs)
           graft.llm.Multimodal.queries("mm_knn")(spark, dataset.get)
         else graft.llm.Multimodal.knnOfDocs(docs,
-          nlist = opt(c, "nlist").map(_.asInt()).getOrElse(16))
+          nlist = nlistKnob())
       case "payload_align" =>
         // cross-modal alignment gate: payload tower vs the standard
         // embeddings table as text tower; standard corpus + dataset →
@@ -447,7 +457,7 @@ object Jx {
             && opt(c, "tau").isEmpty)
           graft.llm.Multimodal.queries("mm_semantic_decon")(spark, dataset.get)
         else graft.llm.Multimodal.semanticDeconOfDocs(docs,
-          nlist = opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlist = nlistKnob(),
           tau = opt(c, "tau").map(_.asDouble()).getOrElse(0.999))
       case "payload_decon_report" =>
         // the per-eval-item triage twin
@@ -455,7 +465,7 @@ object Jx {
             && opt(c, "tau").isEmpty)
           graft.llm.Multimodal.queries("mm_decon_report")(spark, dataset.get)
         else graft.llm.Multimodal.deconReportOfDocs(docs,
-          nlist = opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlist = nlistKnob(),
           tau = opt(c, "tau").map(_.asDouble()).getOrElse(0.999))
       case "source_kl" => graft.llm.TextOps.sourceKlOf(docs)
       case "mix_schedule" =>
@@ -578,13 +588,13 @@ object Jx {
       case "knn_join" => storeDir match {
         case Some(dd) => graft.llm.Similarity.queries("sim_knn_join")(spark, dd)
         case None => graft.llm.Similarity.knnJoinOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16))
+          nlistKnob())
       }
       case "probe_tuning" => storeDir match {
         case Some(dd) =>
           graft.llm.Similarity.queries("sim_probe_tuning")(spark, dd)
         case None => graft.llm.Similarity.probeTuningOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16))
+          nlistKnob())
       }
       case "sq8" =>
         // plain standard embeddings + dataset → probe the stored SQ8
@@ -601,28 +611,28 @@ object Jx {
         case Some(d) => graft.llm.Similarity.semanticDedupStored(spark, d,
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
         case None => graft.llm.Similarity.semanticDedupOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlistKnob(),
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
       }
       case "decon_recall" => storeDir match {
         case Some(d) => graft.llm.Similarity.deconRecallStored(spark, d,
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
         case None => graft.llm.Similarity.deconRecallOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlistKnob(),
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
       }
       case "decon_report" => storeDir match {
         case Some(d) => graft.llm.Similarity.deconReportStored(spark, d,
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
         case None => graft.llm.Similarity.deconReportOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlistKnob(),
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
       }
       case "semantic_decon" => storeDir match {
         case Some(d) => graft.llm.Similarity.semanticDeconStored(spark, d,
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
         case None => graft.llm.Similarity.semanticDeconOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlistKnob(),
           opt(c, "tau").map(_.asDouble()).getOrElse(0.35))
       }
       case "overlap" => graft.llm.Dedup.corpusOverlapOf(docs,
@@ -640,31 +650,31 @@ object Jx {
           opt(c, "m").map(_.asInt()).getOrElse(2))
         case None => graft.llm.Similarity.knnDiverseOf(docs,
           opt(c, "m").map(_.asInt()).getOrElse(2),
-          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlistKnob(),
           opt(c, "k").map(_.asInt()).getOrElse(3))
       }
       case "knn_clusters" => storeDir match {
         case Some(d) => graft.llm.Similarity.knnClustersStored(spark, d)
         case None => graft.llm.Similarity.knnClustersOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlistKnob(),
           opt(c, "k").map(_.asInt()).getOrElse(3))
       }
       case "knn_stats" => storeDir match {
         case Some(d) => graft.llm.Similarity.knnStatsStored(spark, d)
         case None => graft.llm.Similarity.knnStatsOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlistKnob(),
           opt(c, "k").map(_.asInt()).getOrElse(3))
       }
       case "knn_recall" => storeDir match {
         case Some(d) => graft.llm.Similarity.knnRecallStored(spark, d)
         case None => graft.llm.Similarity.knnRecallOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlistKnob(),
           opt(c, "k").map(_.asInt()).getOrElse(3))
       }
       case "knn_centrality" => storeDir match {
         case Some(d) => graft.llm.Similarity.knnCentralityStored(spark, d)
         case None => graft.llm.Similarity.knnCentralityOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlistKnob(),
           opt(c, "k").map(_.asInt()).getOrElse(3))
       }
       case "knn_coreset" => storeDir match {
@@ -672,16 +682,16 @@ object Jx {
           opt(c, "m").map(_.asInt()).getOrElse(2))
         case None => graft.llm.Similarity.knnCoresetOf(docs,
           opt(c, "m").map(_.asInt()).getOrElse(2),
-          opt(c, "nlist").map(_.asInt()).getOrElse(16),
+          nlistKnob(),
           opt(c, "k").map(_.asInt()).getOrElse(3))
       }
       case "quantizer_refresh" => storeDir match {
         case Some(d) => graft.llm.Similarity.quantizerRefreshStored(spark, d)
         case None => graft.llm.Similarity.quantizerRefreshOf(docs,
-          opt(c, "nlist").map(_.asInt()).getOrElse(16))
+          nlistKnob())
       }
       case "ivf_delta" => graft.llm.Similarity.ivfDeltaOf(docs,
-        opt(c, "nlist").map(_.asInt()).getOrElse(32))
+        nlistKnob(32))
       case "pairs_delta" =>
         // incremental pair-graph growth over an even/odd split of the
         // corpus subquery — the same deterministic split the driver
@@ -740,7 +750,7 @@ object Jx {
           graft.llm.Similarity.textTopicMix(spark, dataset.get)
         else graft.llm.Similarity.topicMixOf(docs,
           graft.llm.Similarity.ivfIndexOf(tables("embeddings"),
-            opt(c, "nlist").map(_.asInt()).getOrElse(16))._4, alpha)
+            nlistKnob())._4, alpha)
       // r16 additions: keyword search + retrieval chunking over the
       // documents shape; funnel / transition / z-order layout analytics
       // over the events shape — same library entry points the driver

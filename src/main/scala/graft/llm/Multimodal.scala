@@ -303,7 +303,7 @@ object Multimodal {
     * quantizer (jx `corpus_op` fallback for a non-standard corpus; a
     * plain `{"from": "documents"}` corpus routes to the stored-quantizer
     * driver key instead). */
-  def semanticDedupOfDocs(docs: DataFrame, nlist: Int = 16,
+  def semanticDedupOfDocs(docs: DataFrame, nlist: Int = Similarity.AutoNlist,
       tau: Double = 0.999): DataFrame = {
     val vecs = decodeEmbedding(
       withPayload(docs).filter(length(col("payload")) > 0)).localCheckpoint()
@@ -313,7 +313,7 @@ object Multimodal {
 
   /** [[mmKnn]] over ANY documents-shaped frame with an in-plan quantizer
     * (jx `corpus_op` fallback, same store-routing contract). */
-  def knnOfDocs(docs: DataFrame, nlist: Int = 16): DataFrame = {
+  def knnOfDocs(docs: DataFrame, nlist: Int = Similarity.AutoNlist): DataFrame = {
     val vecs = decodeEmbedding(
       withPayload(docs).filter(length(col("payload")) > 0)).localCheckpoint()
     val (v, _, scored, assign) = Similarity.ivfIndexOf(vecs, nlist)
@@ -322,7 +322,7 @@ object Multimodal {
 
   /** [[mmSemanticDecon]] over ANY documents-shaped frame with an in-plan
     * quantizer (jx `corpus_op` fallback, same store-routing contract). */
-  def semanticDeconOfDocs(docs: DataFrame, nlist: Int = 16,
+  def semanticDeconOfDocs(docs: DataFrame, nlist: Int = Similarity.AutoNlist,
       tau: Double = 0.999): DataFrame = {
     val vecs = decodeEmbedding(
       withPayload(docs).filter(length(col("payload")) > 0)).localCheckpoint()
@@ -331,7 +331,7 @@ object Multimodal {
   }
 
   /** [[mmDeconReport]] over ANY documents-shaped frame (jx fallback). */
-  def deconReportOfDocs(docs: DataFrame, nlist: Int = 16,
+  def deconReportOfDocs(docs: DataFrame, nlist: Int = Similarity.AutoNlist,
       tau: Double = 0.999): DataFrame = {
     val vecs = decodeEmbedding(
       withPayload(docs).filter(length(col("payload")) > 0)).localCheckpoint()

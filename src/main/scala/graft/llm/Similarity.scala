@@ -201,8 +201,34 @@ object Similarity {
   /** [[ivfIndex]] over any (vec_id, embedding) frame — the
     * frame-parameterized entry the jx `corpus_op` front end reaches
     * (same contract as [[graft.llm.TextOps.qualityFilterOf]]). */
-  private[graft] def ivfIndexOf(vecsIn: DataFrame, nlist: Int):
+  /** Sentinel default for `nlist` parameters: resolve to the
+    * SIZE-DERIVED list count ([[autoNlist]]) at build time. The shipped
+    * library default (r17 order #4): `sim_nlist_tuning` measures the
+    * candidate-work law Σ|list|² ≈ n²/nlist, so a frozen nlist=16 that
+    * is right at 10⁴ vectors is ~10× too much probe work at 10⁵. The
+    * DRIVER keys keep an explicit nlist=16 — their DuckDB oracles replay
+    * the quantizer training chain with that literal (the frozen-model
+    * discipline), and re-deriving the SQL per corpus size would gate
+    * nothing new; the census + the third-point measurement in SCALING.md
+    * carry the evidence for the auto default instead. */
+  val AutoNlist: Int = -1
+
+  /** nlist = √n, clamped to [16, 4096]. √n is where this engine's two
+    * nlist-dependent costs balance: the in-plan Lloyd training/assign
+    * passes materialize n·nlist scored rows (the quantizer is trained by
+    * a broadcast crossJoin, not a sampled solver), while every
+    * within-list operator pays Σ|list|² ≈ n²/nlist candidate rows —
+    * equal at nlist = √n. The classical 4·√n rule assumes sampled
+    * training and was MEASURED WORSE here on the training-dominated mm
+    * path (third point: 28→74 s at 4√n vs the √n numbers in SCALING.md);
+    * the broadcast centroid table stays ≤ a few MB under the 4096 cap. */
+  private[graft] def autoNlist(n: Long): Int =
+    math.max(16, math.min(4096, math.sqrt(n.toDouble).toInt))
+
+  private[graft] def ivfIndexOf(vecsIn: DataFrame, nlistIn: Int):
       (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val nlist =
+      if (nlistIn == AutoNlist) autoNlist(vecsIn.count()) else nlistIn
     val vecs = vecsIn.select(col("vec_id"), col("embedding"))
       .withColumn("norm2", DotProduct(col("embedding"), col("embedding")))
     val seed = vecs.filter(col("vec_id") < nlist)
@@ -279,7 +305,7 @@ object Similarity {
 
   /** The same join over ANY (vec_id, embedding) frame with an in-plan
     * quantizer (jx `corpus_op` entry point). */
-  def knnJoinOf(vecsIn: DataFrame, nlist: Int = 16): DataFrame = {
+  def knnJoinOf(vecsIn: DataFrame, nlist: Int = AutoNlist): DataFrame = {
     val (vecs, _, scored, assign) = ivfIndexOf(vecsIn, nlist)
     knnJoinFrom(vecs, scored, assign, col("vec_id") % 10 === 0)
   }
@@ -367,7 +393,7 @@ object Similarity {
 
   /** The same census over ANY (vec_id, embedding) frame with an in-plan
     * quantizer (jx `corpus_op` entry point). */
-  def probeTuningOf(embs: DataFrame, nlist: Int = 16): DataFrame = {
+  def probeTuningOf(embs: DataFrame, nlist: Int = AutoNlist): DataFrame = {
     val (vecs, _, scored, assign) = ivfIndexOf(embs, nlist)
     probeTuningFrom(vecs, scored, assign)
   }
@@ -464,7 +490,7 @@ object Similarity {
     * in-plan quantizer (jx `corpus_op` fallback for non-standard
     * corpora; the plain standard table routes to the stored quantizer
     * via [[simSemanticDecon]]'s path). */
-  def semanticDeconOf(embs: DataFrame, nlist: Int = 16,
+  def semanticDeconOf(embs: DataFrame, nlist: Int = AutoNlist,
       tau: Double = 0.35): DataFrame = {
     val (vecs, _, scored, _) = ivfIndexOf(embs, nlist)
     semanticDeconFrom(vecs, scored, col("vec_id") % 10 === 0, tau)
@@ -556,7 +582,7 @@ object Similarity {
 
   /** [[simDeconRecall]] over any (vec_id, embedding) frame with an
     * in-plan quantizer (jx `corpus_op` fallback). */
-  def deconRecallOf(embs: DataFrame, nlist: Int = 16,
+  def deconRecallOf(embs: DataFrame, nlist: Int = AutoNlist,
       tau: Double = 0.35): DataFrame = {
     val (vecs, _, scored, _) = ivfIndexOf(embs, nlist)
     deconRecallFrom(vecs, scored, col("vec_id") % 10 === 0, tau)
@@ -654,7 +680,7 @@ object Similarity {
 
   /** [[simDeconReport]] over any (vec_id, embedding) frame with an
     * in-plan quantizer (jx `corpus_op` fallback). */
-  def deconReportOf(embs: DataFrame, nlist: Int = 16,
+  def deconReportOf(embs: DataFrame, nlist: Int = AutoNlist,
       tau: Double = 0.35): DataFrame = {
     val (vecs, _, scored, _) = ivfIndexOf(embs, nlist)
     deconReportFrom(vecs, scored, col("vec_id") % 10 === 0, tau)
@@ -1317,7 +1343,7 @@ object Similarity {
     * user prunes the exact same drop set the driver oracle pins. A plain
     * `{"from": "embeddings"}` corpus at default nlist routes to
     * [[semanticDedupStored]] instead. */
-  def semanticDedupOf(embs: DataFrame, nlist: Int = 16,
+  def semanticDedupOf(embs: DataFrame, nlist: Int = AutoNlist,
       tau: Double = 0.35): DataFrame = {
     val (vecs, _, _, assign) = ivfIndexOf(embs, nlist)
     semanticDedupFromIndex(vecs, assign, tau)
@@ -1365,7 +1391,7 @@ object Similarity {
     * one (src,dst) groupBy; cosine is identical across sightings so the
     * merge is exact. Recall/cost is tuned by (nlist, p) exactly as in
     * published cluster-replication kNN-graph practice. */
-  def knnGraphOf(embs: DataFrame, nlist: Int = 16, k: Int = 3,
+  def knnGraphOf(embs: DataFrame, nlist: Int = AutoNlist, k: Int = 3,
       p: Int = 3): DataFrame =
     knnGraphFromIndex(ivfIndexOf(embs, nlist), k, p)
 
@@ -1513,7 +1539,7 @@ object Similarity {
     * `corpus_op` fallback for a non-standard corpus subquery: graph
     * built in-plan. A plain `{"from": "embeddings"}` corpus routes to
     * the stored artifact instead (Jx.runCorpusOp). */
-  def knnClustersOf(embs: DataFrame, nlist: Int = 16, k: Int = 3): DataFrame =
+  def knnClustersOf(embs: DataFrame, nlist: Int = AutoNlist, k: Int = 3): DataFrame =
     clustersFromPairs(mutualOfEdges(knnGraphOf(embs, nlist, k))
       .select(col("src").as("da"), col("dst").as("db")))
 
@@ -1558,7 +1584,7 @@ object Similarity {
     * top-m-by-degree chain, with the sample quota `m` as the jx-facing
     * knob. A plain `{"from": "embeddings"}` corpus routes to
     * [[knnDiverseStored]] instead. */
-  def knnDiverseOf(embs: DataFrame, m: Int = 2, nlist: Int = 16,
+  def knnDiverseOf(embs: DataFrame, m: Int = 2, nlist: Int = AutoNlist,
       k: Int = 3): DataFrame =
     diverseFromPairs(
       mutualOfEdges(knnGraphOf(embs, nlist, k))
@@ -1603,7 +1629,7 @@ object Similarity {
     * `corpus_op` fallback for a non-standard corpus subquery (forward
     * idea w, completing the family: every corpus-level readout is
     * reachable through the reference's own query surface). */
-  def knnStatsOf(embs: DataFrame, nlist: Int = 16, k: Int = 3): DataFrame = {
+  def knnStatsOf(embs: DataFrame, nlist: Int = AutoNlist, k: Int = 3): DataFrame = {
     val mutual = mutualOfEdges(knnGraphOf(embs, nlist, k))
     statsFromStore(mutual,
       Dedup.clusterLabelsFrom(
@@ -1683,7 +1709,7 @@ object Similarity {
 
   /** [[simKnnCoreset]] over ANY (vec_id, embedding) frame — the jx
     * `corpus_op` fallback (quota `m` as the jx-facing knob). */
-  def knnCoresetOf(embs: DataFrame, m: Int = 2, nlist: Int = 16,
+  def knnCoresetOf(embs: DataFrame, m: Int = 2, nlist: Int = AutoNlist,
       k: Int = 3): DataFrame = {
     val mutual = mutualOfEdges(knnGraphOf(embs, nlist, k))
     coresetFromLabels(
@@ -1699,7 +1725,7 @@ object Similarity {
 
   /** [[simKnnCentrality]] over ANY (vec_id, embedding) frame — the jx
     * `corpus_op` fallback (same contract as [[knnStatsOf]]). */
-  def knnCentralityOf(embs: DataFrame, nlist: Int = 16, k: Int = 3): DataFrame =
+  def knnCentralityOf(embs: DataFrame, nlist: Int = AutoNlist, k: Int = 3): DataFrame =
     centralityOfMutual(mutualOfEdges(knnGraphOf(embs, nlist, k)))
 
   /** Store-backed twin for the standard embeddings table. */
@@ -1762,7 +1788,7 @@ object Similarity {
   /** [[knnRecallStored]] over ANY (vec_id, embedding) frame — the jx
     * `corpus_op` fallback for a non-standard corpus subquery: graph
     * built in-plan with the same (nlist, k, p) knobs, then censused. */
-  def knnRecallOf(embs: DataFrame, nlist: Int = 16, k: Int = 3): DataFrame =
+  def knnRecallOf(embs: DataFrame, nlist: Int = AutoNlist, k: Int = 3): DataFrame =
     knnRecallFrom(knnGraphOf(embs, nlist, k), embs)
 
   val simKnnRecall: Q = (s, d) => knnRecallStored(s, d)
@@ -1792,7 +1818,7 @@ object Similarity {
   /** [[quantizerRefreshStored]] over ANY (vec_id, embedding) frame — the
     * jx `corpus_op` fallback for a non-standard corpus subquery: the
     * quantizer is trained in-plan, then the same one-step refresh report. */
-  def quantizerRefreshOf(embs: DataFrame, nlist: Int = 16): DataFrame = {
+  def quantizerRefreshOf(embs: DataFrame, nlist: Int = AutoNlist): DataFrame = {
     val (vecs, cents, _, assign) = ivfIndexOf(embs, nlist)
     quantizerRefreshFrom(vecs, cents, assign)
   }

@@ -333,7 +333,15 @@ object QueryService {
         // the STREAMED feed's converged dictionary (ST27 — tombstones
         // arriving over time must land in the same purged state)
         s""""feed":${graft.jx.Jx.listJson(
-          graft.streaming.Streams.queries("stream_forget_store")(spark, dataset))}}"""
+          graft.streaming.Streams.queries("stream_forget_store")(spark, dataset))},""" +
+        // r18 trainer-facing completions: the release manifest the
+        // trainer consumes (T13h) and the as-of view an auditor asks for
+        // ("what did the index hold before batch k?", ST27b) — both
+        // byte-identical to their driver keys
+        s""""release":${graft.jx.Jx.listJson(
+          graft.llm.Forget.queries("pipeline_forget_release")(spark, dataset))},""" +
+        s""""asof":${graft.jx.Jx.listJson(
+          graft.streaming.Streams.queries("stream_forget_asof")(spark, dataset))}}"""
     }
     throw new IllegalArgumentException(s"unknown view: $view")
   }

@@ -56,4 +56,17 @@ class LedgerSpec extends AnyFunSuite {
     assert(orphans.isEmpty,
       s"oracleSql keys with no queries entry: ${orphans.toSeq.sorted.mkString(", ")}")
   }
+
+  test("every driver key has a SCALING.md row (r17 verdict #5: the " +
+    "close-then-add-a-key race left the 380th key out of the curve)") {
+    val scaling = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SCALING.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val tabled = scaling.linesIterator.flatMap { l =>
+      """^\| ([a-z0-9_]+) \|""".r.findFirstMatchIn(l).map(_.group(1))
+    }.toSet
+    val missing = SparkEntry.queries.keySet.diff(tabled)
+    assert(missing.isEmpty,
+      s"driver keys with no SCALING.md row: ${missing.toSeq.sorted.mkString(", ")}")
+  }
 }

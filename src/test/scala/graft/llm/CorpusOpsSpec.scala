@@ -375,15 +375,15 @@ class CorpusOpsSpec extends graft.SparkSpec {
     // corpus subquery or knobs are non-standard — the fallback must be
     // the same computation, not a drifting twin
     val embs = graft.Tables.t(spark, sf, "embeddings")
-    assert(Similarity.knnStatsOf(embs).collect().map(_.toString).toSeq ===
+    assert(Similarity.knnStatsOf(embs, nlist = 16).collect().map(_.toString).toSeq ===
       run("sim_knn_stats").collect().map(_.toString).toSeq)
-    assert(Similarity.knnClustersOf(embs).collect().map(_.toString).toSeq ===
+    assert(Similarity.knnClustersOf(embs, nlist = 16).collect().map(_.toString).toSeq ===
       run("sim_knn_clusters").collect().map(_.toString).toSeq)
-    assert(Similarity.knnDiverseOf(embs).collect().map(_.toString).toSeq ===
+    assert(Similarity.knnDiverseOf(embs, nlist = 16).collect().map(_.toString).toSeq ===
       run("sim_knn_diverse").collect().map(_.toString).toSeq)
-    assert(Similarity.knnRecallOf(embs).collect().map(_.toString).toSeq ===
+    assert(Similarity.knnRecallOf(embs, nlist = 16).collect().map(_.toString).toSeq ===
       run("sim_knn_recall").collect().map(_.toString).toSeq)
-    assert(Similarity.quantizerRefreshOf(embs).collect().map(_.toString).toSeq ===
+    assert(Similarity.quantizerRefreshOf(embs, nlist = 16).collect().map(_.toString).toSeq ===
       run("sim_quantizer_refresh").collect().map(_.toString).toSeq)
     // topic mix: in-plan quantizer fallback == stored-quantizer probe
     val docs = graft.Tables.t(spark, sf, "documents")
@@ -614,8 +614,31 @@ class CorpusOpsSpec extends graft.SparkSpec {
 
   test("centrality: the in-plan fallback equals the stored-graph probe") {
     val embs = graft.Tables.t(spark, sf, "embeddings")
-    assert(Similarity.knnCentralityOf(embs).collect().map(_.toString).toSeq ===
+    assert(Similarity.knnCentralityOf(embs, nlist = 16).collect().map(_.toString).toSeq ===
       run("sim_knn_centrality").collect().map(_.toString).toSeq)
+  }
+
+  test("AutoNlist: the shipped default resolves to the sqrt(n) law " +
+    "(sqrt-n, clamped), the quantizer trains that many seeds, and the jx " +
+    "'nlist: auto' knob reaches the same resolution") {
+    assert(Similarity.autoNlist(400) === 20)
+    assert(Similarity.autoNlist(100) === 16) // floor: never below 16
+    assert(Similarity.autoNlist(100000000L) === 4096) // broadcast cap
+    val embs = graft.Tables.t(spark, sf, "embeddings")
+    val n = embs.count()
+    val auto = Similarity.autoNlist(n)
+    // resolution happens inside ivfIndexOf: the seed set is vec_id < auto
+    val (_, cents, _, _) = Similarity.ivfIndexOf(embs, Similarity.AutoNlist)
+    val nc = cents.count()
+    assert(nc > 16 && nc <= auto, s"$nc centroids for auto=$auto")
+    // the jx knob: "nlist": "auto" must produce the AutoNlist result
+    // (and a non-16 knob must NOT silently route to the nlist=16 store)
+    val json = """{"corpus_op": {"op": "knn_stats",
+      "corpus": {"from": "embeddings"}, "nlist": "auto"}}"""
+    val viaJx = graft.jx.Jx.run(spark, json,
+      name => graft.Tables.t(spark, sf, name), Some(sf))
+    assert(viaJx.collect().map(_.toString).toSeq ===
+      Similarity.knnStatsOf(embs).collect().map(_.toString).toSeq)
   }
 
   test("doc-graph centrality covers exactly the clustered docs and " +

@@ -365,7 +365,8 @@ class QueryServiceSpec extends graft.SparkSpec {
         "/dashboard", """{"view": "compliance"}""")
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
-      Seq("raw", "clusters", "lists", "dictionary", "feed")
+      Seq("raw", "clusters", "lists", "dictionary", "feed",
+          "release", "asof")
         .foreach(s => assert(panel.has(s), s"missing panel section $s"))
       // the lists section is sim_forget_ivf's frame byte-for-byte: no
       // tombstoned vector (vec_id % 37 == 0) may survive in any list
