@@ -612,8 +612,8 @@ object JxQueries {
     "jx_window" -> ((s, d) => Jx.run(s, windowJson, name => t(s, d, name))),
     "jx_window_edges" -> ((s, d) => Jx.run(s, windowEdgesJson, name => t(s, d, name))),
     "jx_pipeline" -> ((s, d) => Jx.run(s, pipelineJson, name => t(s, d, name))),
-    "jx_release" -> ((s, d) => Jx.run(s, releaseJson, name => t(s, d, name))),
-    "jx_order" -> ((s, d) => Jx.run(s, orderJson, name => t(s, d, name))),
+    "jx_release" -> ((s, d) => Jx.run(s, releaseJson, name => t(s, d, name), Some(d))),
+    "jx_order" -> ((s, d) => Jx.run(s, orderJson, name => t(s, d, name), Some(d))),
     "jx_pipeline_ensemble" ->
       ((s, d) => Jx.run(s, pipelineEnsembleJson, name => t(s, d, name))),
     "jx_pipeline_tiered" ->
@@ -714,7 +714,7 @@ object JxQueries {
     "jx_forget_sq8" ->
       ((s, d) => Jx.run(s, forgetSq8Json, name => t(s, d, name), Some(d))),
     "jx_forget_release" ->
-      ((s, d) => Jx.run(s, forgetReleaseJson, name => t(s, d, name))),
+      ((s, d) => Jx.run(s, forgetReleaseJson, name => t(s, d, name), Some(d))),
     "jx_hybrid" ->
       ((s, d) => Jx.run(s, hybridJson, name => t(s, d, name))),
     "jx_reweight" ->
