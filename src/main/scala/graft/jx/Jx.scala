@@ -391,7 +391,8 @@ object Jx {
     * anneal_schedule / dataset_card / novelty family / payload family /
     * split_leakfree / quality_classifier / quality_ensemble /
     * forget_pairs / forget_clusters / forget_ivf / forget_dict /
-    * forget_canonical / forget_manifest / forget_novelty / forget_sq8) and
+    * forget_canonical / forget_manifest / forget_novelty / forget_sq8 /
+    * forget_lines / forget_sketch) and
     * `corpus` (a jx query, required —
     * documents-shaped for the text ops, (vec_id, embedding)-shaped for
     * semantic_dedup); token_budget also takes `quota` and `shards`,
@@ -424,6 +425,9 @@ object Jx {
     // store-routing cases below
     val plainDocuments = corpusNode.isObject && corpusNode.size() == 1 &&
       opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "documents")
+    // the events-domain twin (T13m forget_sketch routes on the raw table)
+    val plainEvents = corpusNode.isObject && corpusNode.size() == 1 &&
+      opt(corpusNode, "from").exists(f => f.isTextual && f.asText() == "events")
     val defaultKnobs =
       opt(c, "nlist").forall(n => n.isIntegralNumber && n.asInt() == 16) &&
         opt(c, "k").forall(_.asInt() == 3)
@@ -843,6 +847,18 @@ object Jx {
         case Some(dd) => graft.llm.Forget.simForgetSq8(spark, dd)
         case None     => graft.llm.Forget.forgetSq8Of(docs)
       }
+      // T13l/T13m twins: the subtract-patched line store (documents
+      // domain) and the day-reprocessed sketch store (EVENTS domain —
+      // user-keyed tombstones, so the route tests the corpus shape
+      // against the raw events table)
+      case "forget_lines" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Forget.textForgetLines(spark, dataset.get)
+        else graft.llm.Forget.forgetLinesOf(docs)
+      case "forget_sketch" =>
+        if (plainEvents && dataset.isDefined)
+          graft.llm.Forget.aggForgetSketch(spark, dataset.get)
+        else graft.llm.Forget.forgetSketchOf(docs)
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

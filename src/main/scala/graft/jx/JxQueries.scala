@@ -435,6 +435,12 @@ object JxQueries {
   private val forgetSq8Json = """{
     "corpus_op": {"op": "forget_sq8", "corpus": {"from": "embeddings"}}}"""
 
+  private val forgetLinesJson = """{
+    "corpus_op": {"op": "forget_lines", "corpus": {"from": "documents"}}}"""
+
+  private val forgetSketchJson = """{
+    "corpus_op": {"op": "forget_sketch", "corpus": {"from": "events"}}}"""
+
   private val forgetReleaseJson = """{
     "pipeline": {
       "release": true, "forget": true,
@@ -715,6 +721,10 @@ object JxQueries {
       ((s, d) => Jx.run(s, forgetSq8Json, name => t(s, d, name), Some(d))),
     "jx_forget_release" ->
       ((s, d) => Jx.run(s, forgetReleaseJson, name => t(s, d, name), Some(d))),
+    "jx_forget_lines" ->
+      ((s, d) => Jx.run(s, forgetLinesJson, name => t(s, d, name), Some(d))),
+    "jx_forget_sketch" ->
+      ((s, d) => Jx.run(s, forgetSketchJson, name => t(s, d, name), Some(d))),
     "jx_hybrid" ->
       ((s, d) => Jx.run(s, hybridJson, name => t(s, d, name))),
     "jx_reweight" ->
@@ -850,6 +860,8 @@ object JxQueries {
     "jx_forget_novelty" -> graft.llm.Forget.oracle("text_forget_novelty"),
     "jx_forget_sq8" -> graft.llm.Forget.oracle("sim_forget_sq8"),
     "jx_forget_release" -> graft.llm.Forget.oracle("pipeline_forget_release"),
+    "jx_forget_lines" -> graft.llm.Forget.oracle("text_forget_lines"),
+    "jx_forget_sketch" -> graft.llm.Forget.oracle("agg_forget_sketch"),
     "jx_hybrid" -> graft.llm.Similarity.oracle("sim_hybrid_search"),
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),

@@ -553,6 +553,132 @@ object Forget {
       .orderBy("qid", "rnk")
   }
 
+  // ——— T13l: the ST19 line-frequency store — the SUBTRACT delta ———
+
+  /** Line-store forget by PURE SUBTRACTION: the store's per-batch
+    * partials are (lh, n_docs) distinct-doc counts over disjoint doc
+    * batches, and counts SUBTRACT — the only forget in the family whose
+    * delta never reads a surviving row. Each affected batch partition is
+    * patched by left-joining the tombstoned docs' OWN line frequencies
+    * (the negative delta) and dropping rows that reach zero (a line that
+    * lived only in tombstoned docs disappears entirely, exactly as the
+    * purged rebuild demands); untouched partitions copy verbatim. Cost
+    * is ∝ |tombstoned docs| for the delta plus the affected partitions'
+    * KB-scale rewrite — at 100 TB a GDPR batch patches the boilerplate
+    * table without touching the corpus. Returns the affected batch ids
+    * for the partial-delta pin. */
+  private[llm] def forgottenLinesInto(s: SparkSession, docs: DataFrame,
+      tomb: DataFrame, nB: Long, baseC: String, outC: String): Seq[Long] = {
+    val tombDocs = docs.join(broadcast(tomb.select("doc_id")), Seq("doc_id"))
+    val affected: Seq[Long] = tombDocs
+      .select(pmod(col("doc_id"), lit(nB)).as("b")).distinct()
+      .collect().map(_.getLong(0)).toSeq.sorted
+    s.read.parquet(baseC)
+      .filter(!col("batch_id").isin(affected: _*))
+      .write.mode("overwrite").partitionBy("batch_id").parquet(outC)
+    affected.foreach { bid =>
+      val neg = TextOps.lineFreqsOf(tombDocs.filter(col("doc_id") % nB === bid))
+        .withColumnRenamed("ldf", "n_neg")
+      s.read.parquet(baseC).filter(col("batch_id") === bid)
+        .drop("batch_id")
+        .join(neg, Seq("lh"), "left")
+        .withColumn("n_docs", col("n_docs") - coalesce(col("n_neg"), lit(0L)))
+        .filter(col("n_docs") > 0)
+        .select(col("lh"), col("n_docs"), lit(bid).as("batch_id"))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(outC)
+    }
+    affected
+  }
+
+  private def forgottenLineStore(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "line_store_forgotten", d) { dd =>
+      val docs = t(s, d, "documents")
+      val tomb = docs.select("doc_id").filter(tombstoned(col("doc_id")))
+      forgottenLinesInto(s, docs, tomb, 2L,
+        s"${graft.streaming.Streams.lineStoreDir(s, d)}/c", s"$dd/c")
+    }
+
+  /** The purged corpus rewritten against the subtraction-patched
+    * frequency table — gated by the one-shot line-dedup rebuild over the
+    * purged corpus verbatim. */
+  val textForgetLines: Q = (s, d) =>
+    TextOps.lineDedupAgainst(
+      t(s, d, "documents").filter(!tombstoned(col("doc_id"))),
+      graft.streaming.Streams.lineStoreFreqs(s, s"${forgottenLineStore(s, d)}/c"))
+
+  /** The in-plan rebuild-from-purged twin for the jx route. */
+  def forgetLinesOf(docs: DataFrame): DataFrame = {
+    val purged = docs.filter(!tombstoned(col("doc_id")))
+    TextOps.lineDedupAgainst(purged, TextOps.lineFreqsOf(purged))
+  }
+
+  // ——— T13m: the A16b daily sketch store — re-process, the one store
+  // whose partials CANNOT subtract ———
+
+  /** Sketch-store forget: HLL registers, Bloom bits and t-digest
+    * centroids are lossy one-way folds — a user's contribution cannot be
+    * subtracted back out — so the only sound delta is the T13e
+    * re-process applied to the DAY partitions the tombstoned users
+    * touched: rebuild those days' (day, event_type) partials from the
+    * purged raw slice in ONE dynamic-overwrite write, copy every other
+    * day verbatim. Tombstones are USER-keyed (T11 `etl_forget`'s
+    * user_id % 37 rule — GDPR requests name people, not documents), so
+    * the family now spans both id domains. At 100 TB a user's events
+    * live in the days they were active; cost is |affected days|' raw
+    * slice, never the full history. Returns the affected days. */
+  private[llm] def forgottenSketchInto(s: SparkSession, ev: DataFrame,
+      tombUsers: DataFrame, baseDaily: String, outDaily: String): Seq[String] = {
+    val tombEv = ev.join(broadcast(tombUsers), Seq("user_id"))
+    val affected: Seq[String] = tombEv
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("day")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    s.read.parquet(baseDaily)
+      .filter(!col("day").isin(affected: _*))
+      .write.mode("overwrite").partitionBy("day").parquet(outDaily)
+    graft.operators.Aggregates.sketchPartialsOf(
+        ev.join(broadcast(tombUsers), Seq("user_id"), "left_anti")
+          .filter(date_format(col("ts"), "yyyy-MM-dd").isin(affected: _*)))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("day").parquet(outDaily)
+    affected
+  }
+
+  private def eventTombstones(ev: DataFrame): DataFrame =
+    ev.select("user_id").distinct().filter(tombstoned(col("user_id")))
+
+  private def forgottenSketchStore(s: SparkSession, d: String): java.io.File =
+    Artifacts.buildOnce(s, "sketch_store_forgotten", d) { dd =>
+      val ev = t(s, d, "events")
+      forgottenSketchInto(s, ev, eventTombstones(ev),
+        s"${graft.operators.Aggregates.sketchStoreDir(s, d)}/daily",
+        s"$dd/daily")
+    }
+
+  /** The dashboard window re-merged from the FORGOTTEN store, pinned
+    * against the PURGED raw events through the identical band recipe as
+    * `sketch_dashboard` — a tombstoned user must be absent from the
+    * count, the distinct estimate, and the median's input. */
+  val aggForgetSketch: Q = (s, d) => {
+    val ev = t(s, d, "events")
+    val purged = ev.join(broadcast(eventTombstones(ev)), Seq("user_id"), "left_anti")
+    graft.operators.Aggregates.dashboardPinsOver(purged,
+      graft.operators.Aggregates.sketchMergeFrame(
+        s.read.parquet(s"${forgottenSketchStore(s, d)}/daily"),
+        "2024-01-05", "2024-01-12"),
+      "2024-01-05", "2024-01-12")
+  }
+
+  /** The in-plan rebuild-from-purged twin for the jx route. */
+  def forgetSketchOf(ev: DataFrame): DataFrame = {
+    val purged = ev.join(broadcast(eventTombstones(ev)), Seq("user_id"), "left_anti")
+    graft.operators.Aggregates.dashboardPinsOver(purged,
+      graft.operators.Aggregates.sketchMergeFrame(
+        graft.operators.Aggregates.sketchPartialsOf(purged),
+        "2024-01-05", "2024-01-12"),
+      "2024-01-05", "2024-01-12")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_forget_pairs" -> dedupForgetPairs,
     "dedup_forget_clusters" -> dedupForgetClusters,
@@ -565,6 +691,8 @@ object Forget {
     "text_forget_manifest" -> textForgetManifest,
     "text_forget_export" -> textForgetExport,
     "text_forget_novelty" -> textForgetNovelty,
+    "text_forget_lines" -> textForgetLines,
+    "agg_forget_sketch" -> aggForgetSketch,
     "pipeline_forget_release" -> pipelineForgetRelease)
 
   /** The purged corpus as a CTE body — every oracle below is literally
@@ -645,6 +773,19 @@ object Forget {
     // the affected-batch-reprocessed novelty store must equal the purged
     // corpus's first-seen scoring (grams re-min to their first survivor)
     "text_forget_novelty" -> TextOps.noveltyOracleFrom(purgedRel),
+    // the subtraction-patched line-frequency store rewriting the purged
+    // corpus must equal the one-shot line dedup over the purged corpus
+    "text_forget_lines" -> TextOps.lineDedupOracleFrom(
+      "(SELECT doc_id, source, text FROM documents WHERE doc_id % 37 <> 0) pd"),
+    // the day-reprocessed sketch store's dashboard window must pin
+    // against the purged raw events (user-keyed tombstones, T11's rule)
+    "agg_forget_sketch" ->
+      """SELECT event_type, count(*) AS n, TRUE AS range_complete,
+                TRUE AS p50_ok, TRUE AS hll_ok
+         FROM events
+         WHERE user_id % 37 <> 0
+           AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-12'
+         GROUP BY event_type ORDER BY event_type""",
     // the release manifest under FROZEN curation decisions, members
     // purged just before the rollup — the oracle replays the whole chain
     "pipeline_forget_release" ->

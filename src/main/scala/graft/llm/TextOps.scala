@@ -2572,6 +2572,37 @@ object TextOps {
          FROM nvg JOIN nvf USING (g)
          GROUP BY doc_id ORDER BY doc_id LIMIT 300"""
 
+  /** The line-dedup oracle over ANY documents-shaped relation (doc_id,
+    * source, text) — the T13l forget gate rewrites the PURGED corpus
+    * against the subtraction-patched frequency store, which must equal
+    * this one-shot rebuild. */
+  private[graft] def lineDedupOracleFrom(src: String): String =
+    s"""WITH lw AS (SELECT doc_id, source, string_split(text, ' ') AS words0
+                     FROM $src),
+           ld AS (SELECT doc_id,
+                         ['subscribe to ' || source || ' newsletter today'] ||
+                         list_transform(range(0, ((len(words0)-1)//10)+1), i ->
+                           array_to_string(words0[(i*10+1):(i*10+10)], ' ')) ||
+                         ['all rights reserved worldwide'] AS dlines
+                  FROM lw),
+           lx AS (SELECT doc_id,
+                         unnest(dlines) AS line,
+                         unnest(range(1, len(dlines)+1)) AS pos
+                  FROM ld),
+           lf AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS ldf
+                  FROM lx GROUP BY 1),
+           lk AS (SELECT x.doc_id, x.pos, x.line
+                  FROM lx x JOIN lf ON lf.lh = md5(x.line)
+                  WHERE lf.ldf < 5),
+           lc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+                         md5(string_agg(line, chr(10) ORDER BY pos))
+                           AS cleaned_md5
+                  FROM lk GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.dlines) AS BIGINT) AS n_lines,
+                lc.n_kept, lc.cleaned_md5
+         FROM ld d JOIN lc USING (doc_id)
+         ORDER BY doc_id LIMIT 300"""
+
   /** X13f: per-term DF-DRIFT monitor — vocabulary drift detection over
     * two deliveries (the question the ST24 store exists to answer:
     * "which terms are trending into the corpus?"). Per term, the
@@ -3148,32 +3179,7 @@ object TextOps {
                 s.n_secret_docs
          FROM hrule r JOIN hline l USING (source) JOIN hsec s USING (source)
          ORDER BY r.source""",
-    "text_line_dedup" ->
-      """WITH lw AS (SELECT doc_id, source, string_split(text, ' ') AS words0
-                     FROM documents),
-           ld AS (SELECT doc_id,
-                         ['subscribe to ' || source || ' newsletter today'] ||
-                         list_transform(range(0, ((len(words0)-1)//10)+1), i ->
-                           array_to_string(words0[(i*10+1):(i*10+10)], ' ')) ||
-                         ['all rights reserved worldwide'] AS dlines
-                  FROM lw),
-           lx AS (SELECT doc_id,
-                         unnest(dlines) AS line,
-                         unnest(range(1, len(dlines)+1)) AS pos
-                  FROM ld),
-           lf AS (SELECT md5(line) AS lh, count(DISTINCT doc_id) AS ldf
-                  FROM lx GROUP BY 1),
-           lk AS (SELECT x.doc_id, x.pos, x.line
-                  FROM lx x JOIN lf ON lf.lh = md5(x.line)
-                  WHERE lf.ldf < 5),
-           lc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
-                         md5(string_agg(line, chr(10) ORDER BY pos))
-                           AS cleaned_md5
-                  FROM lk GROUP BY doc_id)
-         SELECT d.doc_id, CAST(len(d.dlines) AS BIGINT) AS n_lines,
-                lc.n_kept, lc.cleaned_md5
-         FROM ld d JOIN lc USING (doc_id)
-         ORDER BY doc_id LIMIT 300""",
+    "text_line_dedup" -> lineDedupOracleFrom("documents"),
     "text_secret_scan" ->
       """WITH st AS (SELECT doc_id,
                   text || CASE WHEN doc_id % 7 = 3

@@ -522,8 +522,15 @@ object Aggregates {
     * store's twin ([[graft.streaming.Streams]]): any dashboard readout
     * frame vs the same window computed exact from raw events. */
   private[graft] def dashboardPins(s: SparkSession, d: String,
+      dash: DataFrame, lo: String, hi: String): DataFrame =
+    dashboardPinsOver(t(s, d, "events"), dash, lo, hi)
+
+  /** [[dashboardPins]] with a caller-supplied exact side — the forget
+    * gate (T13m) pins the FORGOTTEN store's readout against the PURGED
+    * raw events through the identical band recipe. */
+  private[graft] def dashboardPinsOver(events: DataFrame,
       dash: DataFrame, lo: String, hi: String): DataFrame = {
-    val ev = t(s, d, "events")
+    val ev = events
       .filter(date_format(col("ts"), "yyyy-MM-dd").between(lo, hi))
     // same split as aggSketchDashboard: distinct agg apart from the
     // percentile buffers (see the comment there)

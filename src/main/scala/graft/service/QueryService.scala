@@ -341,7 +341,12 @@ object QueryService {
         s""""release":${graft.jx.Jx.listJson(
           graft.llm.Forget.queries("pipeline_forget_release")(spark, dataset))},""" +
         s""""asof":${graft.jx.Jx.listJson(
-          graft.streaming.Streams.queries("stream_forget_asof")(spark, dataset))}}"""
+          graft.streaming.Streams.queries("stream_forget_asof")(spark, dataset))},""" +
+        // T13m: the USER-domain forget — the dashboard's own sketch
+        // store after a GDPR user delete (count exact vs purged raw,
+        // p50/HLL in band), byte-identical to `agg_forget_sketch`
+        s""""sketches":${graft.jx.Jx.listJson(
+          graft.llm.Forget.queries("agg_forget_sketch")(spark, dataset))}}"""
     }
     throw new IllegalArgumentException(s"unknown view: $view")
   }

@@ -998,8 +998,8 @@ object Streams {
   /** ST19 batch twin: two disjoint batches + an at-least-once redelivery
     * build the store; the corpus rewritten against the merged table is
     * gated by the one-shot oracle verbatim. */
-  val streamLineStore: Q = (s, d) => {
-    val dir = graft.llm.Artifacts.buildOnce(s, "line_store_stream", d) { dd =>
+  private[graft] def lineStoreDir(s: SparkSession, d: String): java.io.File =
+    graft.llm.Artifacts.buildOnce(s, "line_store_stream", d) { dd =>
       val docs = t(s, d, "documents")
       val c = s"$dd/c"
       lineStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
@@ -1007,9 +1007,10 @@ object Streams {
       // at-least-once redelivery of batch 0: must overwrite, not append
       lineStoreSink(docs.filter(col("doc_id") % 2 === 0), 0L, c)
     }
+
+  val streamLineStore: Q = (s, d) =>
     graft.llm.TextOps.lineDedupAgainst(
-      t(s, d, "documents"), lineStoreFreqs(s, s"$dir/c"))
-  }
+      t(s, d, "documents"), lineStoreFreqs(s, s"${lineStoreDir(s, d)}/c"))
 
   /** ST22: stream-maintained SECRET-scan monitor — the hygiene trio's
     * third member as its own standalone store (previously it rode only

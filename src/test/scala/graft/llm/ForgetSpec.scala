@@ -386,4 +386,94 @@ class ForgetSpec extends graft.SparkSpec {
     assert(dictKey === oneShot)
     assert(Forget.textForgetDict(spark, sf).collect().toSeq === dictKey)
   }
+
+  test("T13l line-store forget SUBTRACTS: a single-batch tombstone set " +
+    "patches only its partition (others bit-equal), the patched merge " +
+    "equals the purged one-shot rebuild, and lines that lived only in " +
+    "tombstoned docs vanish (zero-count drop)") {
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val nB = 4L
+    val base = java.nio.file.Files.createTempDirectory("graft-t13l").toString
+    (0L until nB).foreach { b =>
+      graft.streaming.Streams.lineStoreSink(
+        docs.filter(col("doc_id") % nB === b), b, s"$base/c")
+    }
+    val tomb = docs.select("doc_id")
+      .filter(col("doc_id") % nB === 1 && col("doc_id") % 3 === 0)
+    assert(tomb.count() > 0)
+    val out = java.nio.file.Files.createTempDirectory("graft-t13l-out").toString
+    val affected = Forget.forgottenLinesInto(
+      spark, docs, tomb, nB, s"$base/c", s"$out/c")
+    assert(affected === Seq(1L))
+    val untouchedBase = spark.read.parquet(s"$base/c")
+      .filter(col("batch_id") =!= 1).collect().toSet
+    val untouchedOut = spark.read.parquet(s"$out/c")
+      .filter(col("batch_id") =!= 1).collect().toSet
+    assert(untouchedOut === untouchedBase && untouchedOut.nonEmpty)
+    // the subtraction-patched merge equals the rebuild from the purged
+    // corpus — including the zero-drop (every tombstoned doc contributes
+    // a doc-unique boilerplate-footer line set, so SOME row must vanish)
+    val purged = docs.join(broadcast(tomb), Seq("doc_id"), "left_anti")
+    val got = graft.streaming.Streams.lineStoreFreqs(spark, s"$out/c")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = TextOps.lineFreqsOf(purged)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === want)
+    val baseMerged = graft.streaming.Streams.lineStoreFreqs(spark, s"$base/c")
+      .collect().map(_.getString(0)).toSet
+    assert((baseMerged -- got.map(_._1)).nonEmpty,
+      "no line vanished — the zero-count drop branch was not exercised")
+  }
+
+  test("T13m sketch-store forget RE-PROCESSES (sketches cannot subtract): " +
+    "one user's tombstone rebuilds only the days that user touched, " +
+    "other day partitions stay bit-equal, and the re-merged window pins " +
+    "green against the purged raw events") {
+    val ev = graft.Tables.t(spark, sf, "events")
+    val base = java.nio.file.Files.createTempDirectory("graft-t13m").toString
+    graft.operators.Aggregates.sketchPartialsOf(ev)
+      .write.mode("overwrite").partitionBy("day").parquet(s"$base/daily")
+    val oneUser = ev.agg(min("user_id")).collect()(0).getLong(0)
+    val tombUsers = Seq(oneUser).toDF("user_id")
+    val allDays = spark.read.parquet(s"$base/daily")
+      .select(col("day").cast("string")).distinct().collect()
+      .map(_.getString(0)).toSet
+    val out = java.nio.file.Files.createTempDirectory("graft-t13m-out").toString
+    val affected = Forget.forgottenSketchInto(
+      spark, ev, tombUsers, s"$base/daily", s"$out/daily")
+    assert(affected.nonEmpty && affected.size < allDays.size,
+      s"delta not partial: ${affected.size} of ${allDays.size} days")
+    val untouchedBase = spark.read.parquet(s"$base/daily")
+      .withColumn("day", col("day").cast("string"))
+      .filter(!col("day").isin(affected: _*))
+      .select("day", "event_type", "n").collect().toSet
+    val untouchedOut = spark.read.parquet(s"$out/daily")
+      .withColumn("day", col("day").cast("string"))
+      .filter(!col("day").isin(affected: _*))
+      .select("day", "event_type", "n").collect().toSet
+    assert(untouchedOut === untouchedBase && untouchedOut.nonEmpty)
+    // full-history window re-merged from the forgotten store pins green
+    // against the purged raw events (count exact, p50/HLL in band)
+    val purged = ev.join(broadcast(tombUsers), Seq("user_id"), "left_anti")
+    val (lo, hi) = ("2024-01-01", "2024-12-31")
+    val pins = graft.operators.Aggregates.dashboardPinsOver(purged,
+      graft.operators.Aggregates.sketchMergeFrame(
+        spark.read.parquet(s"$out/daily"), lo, hi), lo, hi).collect()
+    assert(pins.nonEmpty)
+    pins.foreach { r =>
+      assert(r.getBoolean(2) && r.getBoolean(3) && r.getBoolean(4),
+        s"pin failed for ${r.getString(0)}: $r")
+    }
+    // idempotence: re-running the forget against the forgotten store
+    // with the same tombstones is a no-op on the readout
+    val out2 = java.nio.file.Files.createTempDirectory("graft-t13m-2").toString
+    Forget.forgottenSketchInto(spark, purged, tombUsers, s"$out/daily", s"$out2/daily")
+    val m1 = graft.operators.Aggregates.sketchMergeFrame(
+      spark.read.parquet(s"$out/daily"), lo, hi)
+      .select("event_type", "n", "users_est").collect().toSeq
+    val m2 = graft.operators.Aggregates.sketchMergeFrame(
+      spark.read.parquet(s"$out2/daily"), lo, hi)
+      .select("event_type", "n", "users_est").collect().toSeq
+    assert(m1 === m2)
+  }
 }

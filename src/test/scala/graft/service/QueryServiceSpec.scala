@@ -366,8 +366,16 @@ class QueryServiceSpec extends graft.SparkSpec {
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
       Seq("raw", "clusters", "lists", "dictionary", "feed",
-          "release", "asof")
+          "release", "asof", "sketches")
         .foreach(s => assert(panel.has(s), s"missing panel section $s"))
+      // the sketches section is the USER-domain forget (T13m): every
+      // pin column served true, byte-identical to agg_forget_sketch
+      val sk = panel.get("sketches").get("data")
+      val skDirect = graft.llm.Forget
+        .queries("agg_forget_sketch")(spark, sf).collect()
+      assert(sk.size() === skDirect.length && sk.size() > 0)
+      assert(sk.get(0).get("range_complete").asBoolean() &&
+        sk.get(0).get("p50_ok").asBoolean() && sk.get(0).get("hll_ok").asBoolean())
       // the lists section is sim_forget_ivf's frame byte-for-byte: no
       // tombstoned vector (vec_id % 37 == 0) may survive in any list
       val lists = panel.get("lists").get("data")
