@@ -859,6 +859,14 @@ object Jx {
         if (plainEvents && dataset.isDefined)
           graft.llm.Forget.aggForgetSketch(spark, dataset.get)
         else graft.llm.Forget.forgetSketchOf(docs)
+      // T13n: the audit is BY DEFINITION over the dataset-backed stored
+      // artifacts — there is no in-plan fallback to audit
+      case "forget_audit" =>
+        if (plainDocuments && dataset.isDefined)
+          graft.llm.Forget.etlForgetAudit(spark, dataset.get)
+        else throw new IllegalArgumentException(
+          "forget_audit audits the dataset-backed STORED artifacts; " +
+            "run it with a dataset and the plain documents corpus")
       case other =>
         throw new IllegalArgumentException(s"unknown corpus_op: $other")
     }

@@ -441,6 +441,9 @@ object JxQueries {
   private val forgetSketchJson = """{
     "corpus_op": {"op": "forget_sketch", "corpus": {"from": "events"}}}"""
 
+  private val forgetAuditJson = """{
+    "corpus_op": {"op": "forget_audit", "corpus": {"from": "documents"}}}"""
+
   private val forgetReleaseJson = """{
     "pipeline": {
       "release": true, "forget": true,
@@ -725,6 +728,8 @@ object JxQueries {
       ((s, d) => Jx.run(s, forgetLinesJson, name => t(s, d, name), Some(d))),
     "jx_forget_sketch" ->
       ((s, d) => Jx.run(s, forgetSketchJson, name => t(s, d, name), Some(d))),
+    "jx_forget_audit" ->
+      ((s, d) => Jx.run(s, forgetAuditJson, name => t(s, d, name), Some(d))),
     "jx_hybrid" ->
       ((s, d) => Jx.run(s, hybridJson, name => t(s, d, name))),
     "jx_reweight" ->
@@ -862,6 +867,7 @@ object JxQueries {
     "jx_forget_release" -> graft.llm.Forget.oracle("pipeline_forget_release"),
     "jx_forget_lines" -> graft.llm.Forget.oracle("text_forget_lines"),
     "jx_forget_sketch" -> graft.llm.Forget.oracle("agg_forget_sketch"),
+    "jx_forget_audit" -> graft.llm.Forget.oracle("etl_forget_audit"),
     "jx_hybrid" -> graft.llm.Similarity.oracle("sim_hybrid_search"),
     "jx_reweight" -> graft.llm.Dedup.oracle("dedup_reweight"),
     "jx_split_stratified" -> graft.llm.Dedup.oracle("dedup_split_stratified"),

@@ -679,6 +679,45 @@ object Forget {
       "2024-01-05", "2024-01-12")
   }
 
+  // ——— T13n: the COMPLIANCE AUDIT — one table across the family ———
+
+  /** The auditor's summary a compliance owner actually files: one row
+    * per forgotten ID-bearing store with its surviving row count and a
+    * TOMBSTONE-REFERENCE count scanned from the store's own rows — the
+    * independent "is the delete really gone?" check (it reads the
+    * forgotten artifacts, not the delta code that produced them), so a
+    * bug in any per-store delta surfaces here as tomb_refs > 0. The
+    * oracle recomputes each store's surviving cardinality from the
+    * purged corpus from first principles (per-store CTE chains in
+    * isolated subqueries) with tomb_refs pinned to zero. KB-scale: seven
+    * aggregate scans over already-built stores, no raw-corpus pass. */
+  val etlForgetAudit: Q = (s, d) => {
+    def rowOf(store: String, df: DataFrame,
+        refs: org.apache.spark.sql.Column): DataFrame =
+      df.agg(
+          count(lit(1)).as("n_store"),
+          coalesce(sum(when(refs, lit(1L)).otherwise(lit(0L))), lit(0L))
+            .as("tomb_refs"))
+        .select(lit(store).as("store"), col("n_store"), col("tomb_refs"))
+    val pairDir = forgottenPairStore(s, d)
+    Seq(
+      rowOf("dedup_pairs", s.read.parquet(s"$pairDir/pairs"),
+        tombstoned(col("da")) || tombstoned(col("db"))),
+      rowOf("dedup_labels", s.read.parquet(s"$pairDir/labels"),
+        tombstoned(col("id"))),
+      rowOf("ivf_lists", s.read.parquet(s"${forgottenIvfStore(s, d)}/assign"),
+        tombstoned(col("vec_id"))),
+      rowOf("knn_edges", s.read.parquet(s"${forgottenKnnStore(s, d)}/edges"),
+        tombstoned(col("src")) || tombstoned(col("dst"))),
+      rowOf("sq8_codes", s.read.parquet(s"${forgottenSq8Store(s, d)}/codes"),
+        tombstoned(col("vec_id"))),
+      rowOf("payload_pairs", s.read.parquet(s"${forgottenMmPairStore(s, d)}/pairs"),
+        tombstoned(col("da")) || tombstoned(col("db"))),
+      rowOf("export_docs", s.read.parquet(s"${forgottenExportStore(s, d)}/docs"),
+        tombstoned(col("doc_id"))))
+      .reduce(_ unionByName _).orderBy("store")
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_forget_pairs" -> dedupForgetPairs,
     "dedup_forget_clusters" -> dedupForgetClusters,
@@ -693,7 +732,8 @@ object Forget {
     "text_forget_novelty" -> textForgetNovelty,
     "text_forget_lines" -> textForgetLines,
     "agg_forget_sketch" -> aggForgetSketch,
-    "pipeline_forget_release" -> pipelineForgetRelease)
+    "pipeline_forget_release" -> pipelineForgetRelease,
+    "etl_forget_audit" -> etlForgetAudit)
 
   /** The purged corpus as a CTE body — every oracle below is literally
     * "rebuild from this". */
@@ -702,6 +742,26 @@ object Forget {
 
   private val purgedRel =
     "(SELECT doc_id, text, n_chars FROM documents WHERE doc_id % 37 <> 0) pd"
+
+  /** The kNN graph rebuilt over the PURGED membership under the frozen
+    * quantizer, as a reusable CTE chain (fmem filters BOTH join sides;
+    * probe ranks are per-vector, unaffected by other vectors) — shared
+    * by `sim_forget_knn` and the audit's edge count. */
+  private val knnPurgedCtes =
+    s"""${Similarity.knnGraphOracleCte},
+           fmem AS (SELECT * FROM mem WHERE vec_id % 37 <> 0),
+           fcand AS (
+             SELECT min(a.cid) AS cid, a.vec_id AS src, b.vec_id AS dst,
+                    min(round(list_reduce([a.v[k] * b.v[k] for k in generate_series(1, 64)],
+                                          (x, y) -> x + y)
+                              / (sqrt(a.norm2) * sqrt(b.norm2)), 4)) + 0.0 AS cosine
+             FROM fmem a JOIN fmem b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+             GROUP BY a.vec_id, b.vec_id),
+           fg AS (SELECT cid, src, dst, cosine, rnk FROM (
+               SELECT cid, src, dst, cosine,
+                      CAST(row_number() OVER (PARTITION BY src
+                                              ORDER BY cosine DESC, dst ASC) AS INT) AS rnk
+               FROM fcand) WHERE rnk <= 3)"""
 
   val oracle: Map[String, String] = Map(
     // the surviving pair graph must equal the purged corpus's pair graph
@@ -747,20 +807,7 @@ object Forget {
     // membership under the frozen quantizer (fmem filters BOTH join
     // sides; probe ranks are per-vector, unaffected by other vectors)
     "sim_forget_knn" ->
-      s"""WITH ${Similarity.knnGraphOracleCte},
-           fmem AS (SELECT * FROM mem WHERE vec_id % 37 <> 0),
-           fcand AS (
-             SELECT min(a.cid) AS cid, a.vec_id AS src, b.vec_id AS dst,
-                    min(round(list_reduce([a.v[k] * b.v[k] for k in generate_series(1, 64)],
-                                          (x, y) -> x + y)
-                              / (sqrt(a.norm2) * sqrt(b.norm2)), 4)) + 0.0 AS cosine
-             FROM fmem a JOIN fmem b ON a.cid = b.cid AND a.vec_id <> b.vec_id
-             GROUP BY a.vec_id, b.vec_id),
-           fg AS (SELECT cid, src, dst, cosine, rnk FROM (
-               SELECT cid, src, dst, cosine,
-                      CAST(row_number() OVER (PARTITION BY src
-                                              ORDER BY cosine DESC, dst ASC) AS INT) AS rnk
-               FROM fcand) WHERE rnk <= 3)
+      s"""WITH $knnPurgedCtes
          SELECT src, rnk, dst, cosine, cid FROM fg ORDER BY src, rnk""",
     // the re-processed dictionary must equal the one-shot build over the
     // purged corpus
@@ -828,5 +875,46 @@ object Forget {
                       row_number() OVER (PARTITION BY qid
                                          ORDER BY adot DESC, nid ASC) AS rnk
                FROM sqscore)
-         WHERE rnk <= 5 ORDER BY qid, rnk""")
+         WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // the audit: each store's surviving cardinality recomputed from the
+    // purged corpus FROM FIRST PRINCIPLES (per-store CTE chains, each in
+    // its own subquery namespace), tomb_refs pinned to zero — a delta
+    // that left a tombstoned id behind fails on tomb_refs, a delta that
+    // dropped/kept the wrong rows fails on n_store
+    "etl_forget_audit" ->
+      s"""SELECT store, n_store, tomb_refs FROM (
+           SELECT 'dedup_pairs' AS store,
+                  (WITH $purgedDocs, ${Dedup.minhashCteFrom("pdocs")}
+                   SELECT count(*) FROM mh
+                   WHERE cc * 1.0 / (na + nb - cc) >= 0.5) AS n_store,
+                  CAST(0 AS BIGINT) AS tomb_refs
+           UNION ALL
+           SELECT 'dedup_labels',
+                  (WITH $purgedDocs, ${Dedup.minhashCteFrom("pdocs")},
+                     pairs AS (SELECT da, db FROM mh
+                               WHERE cc * 1.0 / (na + nb - cc) >= 0.5)
+                   SELECT count(DISTINCT id) FROM
+                     (SELECT da AS id FROM pairs
+                      UNION ALL SELECT db FROM pairs)),
+                  0
+           UNION ALL
+           SELECT 'ivf_lists',
+                  (SELECT count(*) FROM embeddings WHERE vec_id % 37 <> 0), 0
+           UNION ALL
+           SELECT 'knn_edges',
+                  (WITH $knnPurgedCtes SELECT count(*) FROM fg), 0
+           UNION ALL
+           SELECT 'sq8_codes',
+                  (SELECT count(*) FROM embeddings WHERE vec_id % 37 <> 0), 0
+           UNION ALL
+           SELECT 'payload_pairs',
+                  (WITH $purgedDocs, ${Dedup.minhashCteFromShingles(
+                     Multimodal.byteShCteFrom("pdocs"))}
+                   SELECT count(*) FROM mh
+                   WHERE cc * 1.0 / (na + nb - cc) >= 0.5),
+                  0
+           UNION ALL
+           SELECT 'export_docs',
+                  (SELECT count(*) FROM documents WHERE doc_id % 37 <> 0), 0
+         ) ORDER BY store""")
 }

@@ -346,7 +346,12 @@ object QueryService {
         // store after a GDPR user delete (count exact vs purged raw,
         // p50/HLL in band), byte-identical to `agg_forget_sketch`
         s""""sketches":${graft.jx.Jx.listJson(
-          graft.llm.Forget.queries("agg_forget_sketch")(spark, dataset))}}"""
+          graft.llm.Forget.queries("agg_forget_sketch")(spark, dataset))},""" +
+        // T13n: the per-store AUDIT table the compliance owner files —
+        // surviving row counts + zero tombstone references, scanned
+        // from the forgotten artifacts themselves
+        s""""audit":${graft.jx.Jx.listJson(
+          graft.llm.Forget.queries("etl_forget_audit")(spark, dataset))}}"""
     }
     throw new IllegalArgumentException(s"unknown view: $view")
   }

@@ -638,10 +638,11 @@ class JxSpec extends graft.SparkSpec {
     }
     // a trivially-all-rejecting sweep proves nothing: the routes that
     // can't run on an anonymous in-memory corpus must be EXACTLY the
-    // two that require the dataset-backed STORED decision sets by
-    // design (their typed message says so) — every other route runs
-    // with default knobs
-    assert(rejected.keySet === Set("curation_report", "dataset_card"),
+    // three that require the dataset-backed STORED decision sets /
+    // artifacts by design (their typed message says so) — every other
+    // route runs with default knobs
+    assert(rejected.keySet ===
+        Set("curation_report", "dataset_card", "forget_audit"),
       s"routes rejecting under both shapes: $rejected")
     rejected.values.foreach(msg => assert(msg.contains("dataset"), msg))
     // and the unknown op rejects with the same typed error

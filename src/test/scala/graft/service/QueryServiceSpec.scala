@@ -366,8 +366,16 @@ class QueryServiceSpec extends graft.SparkSpec {
       assert(r.statusCode() === 200)
       val panel = mapper.readTree(r.body())
       Seq("raw", "clusters", "lists", "dictionary", "feed",
-          "release", "asof", "sketches")
+          "release", "asof", "sketches", "audit")
         .foreach(s => assert(panel.has(s), s"missing panel section $s"))
+      // the audit section: every store row served with zero tombstone
+      // references — the panel's bottom line
+      val audit = panel.get("audit").get("data")
+      assert(audit.size() === 7)
+      (0 until audit.size()).foreach { i =>
+        assert(audit.get(i).get("tomb_refs").asLong() === 0L,
+          s"audit row $i has tomb_refs != 0: ${audit.get(i)}")
+      }
       // the sketches section is the USER-domain forget (T13m): every
       // pin column served true, byte-identical to agg_forget_sketch
       val sk = panel.get("sketches").get("data")
