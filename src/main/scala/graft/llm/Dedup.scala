@@ -1304,7 +1304,13 @@ object Dedup {
     * (the trimmed corpus itself). */
   private def substringKeptTokens(docs: DataFrame, k: Int, p: Int):
       (DataFrame, DataFrame) = {
-    val wins = substringFingerprintsPos(docs, k, p)
+    // the selected-window frame is read twice (owner aggregate + the
+    // covered-position join); unmaterialized, the md5-per-window rolling
+    // pass — the expensive linear scan — replayed under each consumer.
+    // 1/p of windows survive selection, so the frame is a fraction of
+    // the token count: materialize once (a parquet window index at
+    // 100 TB — the [[substringIndex]] store shape).
+    val wins = substringFingerprintsPos(docs, k, p).localCheckpoint()
     // canonical owner per shared fingerprint
     val shared = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("n_docs"), min("doc_id").as("owner"))

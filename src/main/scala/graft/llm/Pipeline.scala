@@ -113,18 +113,31 @@ object Pipeline {
     // gate — only docs passing EVERY heuristic rule reach the shingle
     // pass (the cheapest of the front gates: pure per-row string work,
     // no corpus-wide model, so at 100 TB it runs first among filters)
+    // EVERY gate's keep list materializes ONCE (localCheckpoint, KB-scale
+    // — one row per kept doc): the gated corpus is referenced by several
+    // consumers (the shingle union, the survivor joins, canonical's
+    // quality frame), and an unmaterialized gate subtree — a corpus-wide
+    // word explode + frequency join + rank window for quality/tiered,
+    // three such passes for ensemble — replayed under EACH consumer
+    // (r18 plan read: the ensemble chain carried 92 scans / 132
+    // exchanges; the rules branch measured 28.5 s → 0.8 s when its list
+    // was first materialized in r17). Production shape: a gate output IS
+    // a persisted decision list.
     val hygCorpus =
       (qualitySources, ensembleSources, tieredSources, rulesSources) match {
       case (Some(srcs), _, _, _) =>
         TextOps.qualityFilterOf(hygCorpus0.join(srcs, Seq("doc_id")))
-          .select("doc_id").join(hygCorpus0, Seq("doc_id"))
+          .select("doc_id").localCheckpoint()
+          .join(hygCorpus0, Seq("doc_id"))
       case (None, Some(srcs), _, _) =>
         TextOps.ensembleVotesOf(hygCorpus0.join(srcs, Seq("doc_id")))
           .filter(col("keep")).select("doc_id")
+          .localCheckpoint()
           .join(hygCorpus0, Seq("doc_id"))
       case (None, None, Some(srcs), _) =>
         TextOps.pplGateOf(hygCorpus0.join(srcs, Seq("doc_id")))
           .filter(col("keep")).select("doc_id")
+          .localCheckpoint()
           .join(hygCorpus0, Seq("doc_id"))
       case (None, None, None, Some(srcs)) =>
         // the keep list materializes ONCE (localCheckpoint, KB-scale —
@@ -187,15 +200,26 @@ object Pipeline {
     val contaminated = Dedup.decontaminateSh(corpusSh, benchSh, minOverlap)
       .select("doc_id")
 
+    // The survivor set materializes ONCE too: every caller reads it at
+    // least twice (packChunks + the md5 join in [[corpusHygiene]]; the
+    // classifier gate + member join in the release; four token/window
+    // consumers inside the span trim), and each unmaterialized read
+    // replayed the regex chain + gate join + both anti-joins. The frame
+    // is the DECISION-side output (surviving text, KB–MB at gate scale;
+    // the parquet `hygiene_survivors` store is its cross-job twin).
     val survivors0 = hygCorpus
       .join(dropIds, Seq("doc_id"), "left_anti")
       .join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
 
     // optional passage-level pass (the Lee-et-al-style completion):
     // whole-doc near-dups are already gone; this removes REPEATED SPANS
     // surviving inside otherwise-distinct docs, keeping each span's
     // canonical (lowest doc_id) occurrence
-    if (trimSpans) Dedup.substringTrimText(survivors0) else survivors0
+    // the trimmed corpus is a second decision-side frame with the same
+    // read-twice consumers — materialize it as well (trim-path only)
+    if (trimSpans) Dedup.substringTrimText(survivors0).localCheckpoint()
+    else survivors0
   }
 
   /** Driver gate: the documents table split into corpus (doc_id ≥ 10) and

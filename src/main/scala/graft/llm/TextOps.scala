@@ -76,21 +76,24 @@ object TextOps {
     * literals (a real system would broadcast learned profiles, exactly
     * like the T3 mapping table). */
   val textLangidNgram: Q = (s, d) => {
-    // NB Spark's sequence(1, 0) counts DOWN (DuckDB's generate_series is
-    // empty there) — guard short texts explicitly so both engines agree.
-    // The gram array is computed ONCE and reused by every language's
-    // filter (recomputing it per language tripled the per-row work —
-    // measured 5 s → ~1.7 s at sf0.1).
+    // Hit counts via native `replace` instead of materializing the
+    // per-char trigram array (one 3-char string allocation per character
+    // of corpus text — the array build dominated the key at 3.4 s/sf0.1).
+    // Exactness: every profile trigram is border-free (no prefix equals
+    // a suffix), so two occurrences of the same trigram can never
+    // overlap and left-to-right non-overlapping removal counts ALL
+    // occurrences: (length − length(text minus p)) / 3 equals the
+    // gram-array positional filter count, position for position; profile
+    // grams are distinct, so a position matches at most one gram and the
+    // per-gram counts sum to the filter's size(). Short texts need no
+    // guard — a <3-char text contains no trigram and every term is 0.
     def hits(profile: Seq[String]): org.apache.spark.sql.Column = {
-      val set = profile.map(p => s"'${p}'").mkString("(", ", ", ")")
-      size(expr(s"filter(grams, g -> g IN $set)"))
+      val terms = profile
+        .map(p => s"(length(text) - length(replace(text, '$p')))")
+        .mkString(" + ")
+      expr(s"CAST(($terms) / 3 AS INT)")
     }
     t(s, d, "documents")
-      .withColumn("grams", expr(
-        """CASE WHEN length(text) >= 3
-                THEN transform(sequence(1, length(text) - 2),
-                               i -> substring(text, i, 3))
-                ELSE CAST(array() AS ARRAY<STRING>) END"""))
       .withColumn("g_en", hits(Seq("the", "ing", "and", " th")))
       .withColumn("g_es", hits(Seq(" de", "la ", "ión", "os ")))
       .withColumn("g_de", hits(Seq("der", "sch", "ung", "ein")))
@@ -715,9 +718,17 @@ object TextOps {
   def annealOrderFullOf(docs: org.apache.spark.sql.DataFrame, bulkPct: Long = 160L,
       annealPct: Long = 40L, maxEpochs: Long = 4L,
       nShards: Long = 8L): org.apache.spark.sql.DataFrame = {
+    // ONE classifier scoring pass serves both consumers (the schedule's
+    // per-source pass rates and the anneal phase's selected-doc gate):
+    // the per-doc decision bits are a KB-scale frame, materialized so
+    // the corpus-wide NB explode+join never replays under the second
+    // consumer (it ran twice per call before this).
+    val scores = classifierScoresOf(docs).select("doc_id", "selected")
+      .localCheckpoint()
     // |sources| rows, probed once per phase — materialize so the quota
     // tail (totals broadcast) doesn't re-plan under each branch
-    val sched = annealScheduleOf(docs, bulkPct, annealPct, maxEpochs)
+    val sched = annealScheduleFromScores(docs, scores, bulkPct, annealPct,
+        maxEpochs)
       .localCheckpoint()
     val base = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tok"))
@@ -726,7 +737,7 @@ object TextOps {
       maxEpochs, nShards, shardSalt = "")
       .withColumn("phase", lit(0))
     val anneal = placeInstances(
-      base.join(classifierScoresOf(docs).filter(col("selected"))
+      base.join(scores.filter(col("selected"))
         .select("doc_id"), Seq("doc_id")),
       sched.select(col("source"), col("anneal_tok").as("quota_tok")),
       maxEpochs, nShards, shardSalt = "#a")
@@ -756,12 +767,21 @@ object TextOps {
     * `corpus_op` entry point). bulkPct/annealPct are each phase's token
     * budget as a percentage of the corpus token count. */
   def annealScheduleOf(docs: org.apache.spark.sql.DataFrame, bulkPct: Long = 160L,
+      annealPct: Long = 40L, maxEpochs: Long = 4L): org.apache.spark.sql.DataFrame =
+    annealScheduleFromScores(docs, classifierScoresOf(docs),
+      bulkPct, annealPct, maxEpochs)
+
+  /** [[annealScheduleOf]] over a precomputed [[classifierScoresOf]] frame
+    * — lets [[annealOrderFullOf]] run the classifier scoring scan ONCE
+    * for its schedule and its anneal-phase gate instead of twice. */
+  private def annealScheduleFromScores(docs: org.apache.spark.sql.DataFrame,
+      scores: org.apache.spark.sql.DataFrame, bulkPct: Long = 160L,
       annealPct: Long = 40L, maxEpochs: Long = 4L): org.apache.spark.sql.DataFrame = {
     val perSrc = docs
       .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
       .groupBy("source")
       .agg(sum("n_tok").as("n_tok"), count(lit(1)).as("n_docs"))
-    val selBySrc = classifierScoresOf(docs).filter(col("selected"))
+    val selBySrc = scores.filter(col("selected"))
       .join(docs.select("doc_id", "source"), Seq("doc_id"))
       .groupBy("source").agg(count(lit(1)).as("n_sel"))
     annealScheduleFromParts(
@@ -2295,8 +2315,16 @@ object TextOps {
     * hash (never the line bytes), then one per-doc re-aggregation; the
     * frequency table is the only corpus-wide state and it shrinks to
     * |distinct lines ≥ threshold| for the production broadcast. */
-  def lineDedupOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    lineDedupAgainst(docs, lineFreqsOf(docs))
+  def lineDedupOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // ONE line build shared by the frequency table and the rewrite pass
+    // (three evaluations before: freq explode, rewrite explode, per-doc
+    // line counts). The lined frame is corpus-scale, but so is each
+    // replay of the split/slice/join transform it avoids; at 100 TB the
+    // frequency table is the maintained ST19 store and arriving docs are
+    // lined once by construction ([[lineDedupAgainst]]).
+    val lined = withDocLines(docs).localCheckpoint()
+    lineDedupFromLined(lined, lineFreqsFromLined(lined))
+  }
 
   /** One batch's line-frequency partials: (lh, n_docs) with doc counts
     * DISTINCT within the batch — docs live in exactly one batch, so the
@@ -2304,7 +2332,11 @@ object TextOps {
     * streamed store's merge ([[graft.streaming.Streams]] ST19) re-sums
     * them into the exact full-corpus table. */
   def lineFreqsOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    withDocLines(docs)
+    lineFreqsFromLined(withDocLines(docs))
+
+  private def lineFreqsFromLined(lined: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    lined
       .select(col("doc_id"), explode(col("dlines")).as("line"))
       .select(md5(col("line")).as("lh"), col("doc_id"))
       .distinct()
@@ -2316,8 +2348,13 @@ object TextOps {
     * ST19 stream), and arriving docs are rewritten against it without
     * rescanning the corpus. */
   def lineDedupAgainst(docs: org.apache.spark.sql.DataFrame,
+      dfreq: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lineDedupFromLined(withDocLines(docs).localCheckpoint(), dfreq)
+
+  /** The rewrite pass over a PRE-LINED (materialized) frame — the lined
+    * transform is read twice below (rewrite explode + per-doc counts). */
+  private def lineDedupFromLined(lined: org.apache.spark.sql.DataFrame,
       dfreq: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val lined = withDocLines(docs)
     val ex = lined
       .select(col("doc_id"), posexplode(col("dlines")).as(Seq("pos", "line")))
       .withColumn("lh", md5(col("line")))
@@ -2341,14 +2378,20 @@ object TextOps {
   /** Per-doc line counts WITHOUT the gate's order/limit tail — the
     * hygiene report aggregates this corpus-wide. */
   private[llm] def lineCountsOf(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    lineCountsAgainst(docs, lineFreqsOf(docs))
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // same one-line-build sharing as [[lineDedupOf]]
+    val lined = withDocLines(docs).localCheckpoint()
+    lineCountsFromLined(lined, lineFreqsFromLined(lined))
+  }
 
   /** [[lineCountsOf]] against ANY (lh, ldf) frequency table (the ST19
     * store's merged frame) — unseen lines kept by definition. */
   private[llm] def lineCountsAgainst(docs: org.apache.spark.sql.DataFrame,
+      dfreq: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    lineCountsFromLined(withDocLines(docs).localCheckpoint(), dfreq)
+
+  private def lineCountsFromLined(lined: org.apache.spark.sql.DataFrame,
       dfreq: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val lined = withDocLines(docs)
     val ex = lined
       .select(col("doc_id"), explode(col("dlines")).as("line"))
       .withColumn("lh", md5(col("line")))

@@ -275,8 +275,16 @@ class PlanAuditSpec extends graft.SparkSpec {
     val p = plan("pipeline_corpus_ensemble")
     assert(!p.contains("conv("), s"shingle recompute in the gated plan:\n$p")
     assert(!p.contains("CartesianProduct"), p)
-    // the NB vote's vocabulary-bounded model join stays a hash join
-    assert(p.contains("BroadcastHashJoin"), p)
+    // the NB vote's vocabulary-bounded model join stays a hash join —
+    // since r18 the gate's keep list materializes upstream of the chain
+    // (localCheckpoint, so the vote never replays per consumer), so the
+    // pin reads the gate's OWN plan, not the final chain plan
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val gate = graft.llm.TextOps.ensembleVotesOf(
+      docs.filter(col("doc_id") >= 10).select("doc_id", "source", "text"))
+    assert(gate.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      gate.queryExecution.executedPlan.toString)
   }
 
   test("pipeline_corpus_tiered: the tier-gated chain keeps the shared " +
