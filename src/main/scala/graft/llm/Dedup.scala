@@ -49,7 +49,11 @@ object Dedup {
     * pipelines can shingle a second table (e.g. the benchmark set in
     * [[decontaminate]]). */
   def shinglesOf(docs: DataFrame): DataFrame =
-    docs
+    // spread BEFORE the explode: a single-row-group scan fuses the whole
+    // shingle pass (split + explode + md5 per shingle) into one task —
+    // see Common.spread; a no-op whenever the input already carries
+    // ≥ cores partitions (any production-scale scan)
+    graft.operators.Common.spread(docs)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -1263,7 +1267,7 @@ object Dedup {
     * 0-based token position — the span-trim pass needs to know WHICH
     * tokens a repeated fingerprint covers. */
   def substringFingerprintsPos(docs: DataFrame, k: Int = 16, p: Int = 4): DataFrame =
-    docs
+    graft.operators.Common.spread(docs)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(

@@ -84,7 +84,10 @@ object Multimodal {
     * tests are stable; swap ONLY this function for a real codec. */
   def decodeFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    val rdd = docs.select("doc_id", "payload").rdd.mapPartitions { it =>
+    // the decode pass is the expensive per-row stage — spread it across
+    // cores when the scan arrives under-parallel (single row group)
+    val rdd = graft.operators.Common.spread(docs.select("doc_id", "payload"))
+      .rdd.mapPartitions { it =>
       // Real pipeline: initialize codec/native lib here, once per partition.
       it.map { r =>
         val id = r.getLong(0)
@@ -458,7 +461,10 @@ object Multimodal {
          i -> substr(hx, 2 * i + 1, 8))"""
 
   def byteShinglesOf(mm: DataFrame): DataFrame =
-    mm.withColumn("hx", hex(col("payload")))
+    // fan the per-row window/md5 work out of the single-task scan stage
+    // (no-op on production-parallel inputs — see Common.spread)
+    graft.operators.Common.spread(mm)
+      .withColumn("hx", hex(col("payload")))
       .filter(length(col("hx")) >= 8)
       .select(col("doc_id"), explode(expr(SampledWindowsSql)).as("sh"))
       .select(col("doc_id"),

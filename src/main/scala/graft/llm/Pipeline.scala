@@ -91,13 +91,17 @@ object Pipeline {
     // a property of the stored bytes, not the hygienic text): decode the
     // payload via the mapPartitions codec plumbing and keep only rows
     // passing the multimodal quality gate
-    val corpus =
+    val corpus0 =
       if (payloadGate)
         corpusIn.join(
           Multimodal.qualityOf(Multimodal.withPayload(corpusIn))
             .filter(col("keep")).select("doc_id"),
           Seq("doc_id"), "left_semi")
       else corpusIn
+    // fan the per-row hygiene work (4-regex chain, then the gates' string
+    // work and the shingle explode downstream) out of the single-task
+    // scan stage — no-op on production-parallel inputs (Common.spread)
+    val corpus = graft.operators.Common.spread(corpus0)
     val hygCorpus0 = corpus.select(col("doc_id"), hygienicText(col("text")).as("text"))
     val hygBench = bench.select(col("doc_id"), hygienicText(col("text")).as("text"))
     // optional X4i stage, FIRST (cheap filters before expensive dedup —
