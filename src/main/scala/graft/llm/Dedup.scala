@@ -49,11 +49,10 @@ object Dedup {
     * pipelines can shingle a second table (e.g. the benchmark set in
     * [[decontaminate]]). */
   def shinglesOf(docs: DataFrame): DataFrame =
-    // spread BEFORE the explode: a single-row-group scan fuses the whole
-    // shingle pass (split + explode + md5 per shingle) into one task —
-    // see Common.spread; a no-op whenever the input already carries
-    // ≥ cores partitions (any production-scale scan)
-    graft.operators.Common.spread(docs)
+    // repartition an under-parallel RAW SCAN before the heavy shingle
+    // explode (split + explode + md5 per shingle); no-op on composed
+    // frames and on production-parallel scans — see Common.spreadScan
+    graft.operators.Common.spreadScan(docs)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), explode(expr(
@@ -1267,7 +1266,9 @@ object Dedup {
     * 0-based token position — the span-trim pass needs to know WHICH
     * tokens a repeated fingerprint covers. */
   def substringFingerprintsPos(docs: DataFrame, k: Int = 16, p: Int = 4): DataFrame =
-    graft.operators.Common.spread(docs)
+    // rolling md5-per-window pass — same scan-only repartition rationale
+    // as [[shinglesOf]] (Common.spreadScan: no-op on composed frames)
+    graft.operators.Common.spreadScan(docs)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= k)
       .select(col("doc_id"), posexplode(expr(

@@ -84,9 +84,7 @@ object Multimodal {
     * tests are stable; swap ONLY this function for a real codec. */
   def decodeFeatures(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
-    // the decode pass is the expensive per-row stage — spread it across
-    // cores when the scan arrives under-parallel (single row group)
-    val rdd = graft.operators.Common.spread(docs.select("doc_id", "payload"))
+    val rdd = docs.select("doc_id", "payload")
       .rdd.mapPartitions { it =>
       // Real pipeline: initialize codec/native lib here, once per partition.
       it.map { r =>
@@ -461,9 +459,9 @@ object Multimodal {
          i -> substr(hx, 2 * i + 1, 8))"""
 
   def byteShinglesOf(mm: DataFrame): DataFrame =
-    // fan the per-row window/md5 work out of the single-task scan stage
-    // (no-op on production-parallel inputs — see Common.spread)
-    graft.operators.Common.spread(mm)
+    // byte-window md5 pass — same scan-only repartition rationale as
+    // [[Dedup.shinglesOf]] (Common.spreadScan: no-op on composed frames)
+    graft.operators.Common.spreadScan(mm)
       .withColumn("hx", hex(col("payload")))
       .filter(length(col("hx")) >= 8)
       .select(col("doc_id"), explode(expr(SampledWindowsSql)).as("sh"))

@@ -98,11 +98,7 @@ object Pipeline {
             .filter(col("keep")).select("doc_id"),
           Seq("doc_id"), "left_semi")
       else corpusIn
-    // fan the per-row hygiene work (4-regex chain, then the gates' string
-    // work and the shingle explode downstream) out of the single-task
-    // scan stage — no-op on production-parallel inputs (Common.spread)
-    val corpus = graft.operators.Common.spread(corpus0)
-    val hygCorpus0 = corpus.select(col("doc_id"), hygienicText(col("text")).as("text"))
+    val hygCorpus0 = corpus0.select(col("doc_id"), hygienicText(col("text")).as("text"))
     val hygBench = bench.select(col("doc_id"), hygienicText(col("text")).as("text"))
     // optional X4i stage, FIRST (cheap filters before expensive dedup —
     // the standard pipeline order): per-source NLL percentile gate over

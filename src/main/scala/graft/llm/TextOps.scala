@@ -362,7 +362,7 @@ object TextOps {
     // per-gate expressions are verbatim classifierScoresOf /
     // qualityFilterOf, so the votes are bit-identical to the standalone
     // keys (CorpusOpsSpec pins the NB agreement row for row).
-    val toks = graft.operators.Common.spread(docs)
+    val toks = docs
       .select(col("doc_id"), col("source"),
         expr("CAST(substr(source, 4) AS INT) % 3 = 0").as("curated"),
         explode(split(col("text"), " ")).as("w"))
@@ -916,7 +916,7 @@ object TextOps {
   }
 
   private def nbToks(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    graft.operators.Common.spread(docs)
+    docs
       .select(col("doc_id"),
         expr("CAST(substr(source, 4) AS INT) % 3 = 0").as("curated"),
         explode(split(col("text"), " ")).as("w"))
@@ -1111,9 +1111,7 @@ object TextOps {
     * and the scorer. */
   private def bigramsOf(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    // spread before the explode — single-task otherwise on a
-    // single-row-group scan (no-op at production parallelism)
-    graft.operators.Common.spread(docs)
+    docs
     .withColumn("toks", split(col("text"), " "))
     .filter(size(col("toks")) >= 2)
     .select(col("doc_id"), explode(expr(
@@ -1461,7 +1459,7 @@ object TextOps {
     * jx `corpus_op` front end can point it at a jx-derived corpus. */
   def qualityFilterOf(docs: org.apache.spark.sql.DataFrame):
       org.apache.spark.sql.DataFrame = {
-    val toks = graft.operators.Common.spread(docs)
+    val toks = docs
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
     val total = toks.agg(count(lit(1)).as("n_total"))
@@ -2160,11 +2158,7 @@ object TextOps {
     * outcomes in the gated output. Pure per-row string/array built-ins:
     * whole-stage codegen, no shuffle, linear at any corpus size. */
   private[llm] def withRuleText(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    // the rule decoration + verdict chain is the heaviest per-row string
-    // work in the inventory (measured: one 6.5 s single-task job inside
-    // the rules-gated chain at local[32]) — spread it (no-op when the
-    // input is already production-parallel)
-    graft.operators.Common.spread(docs)
+    docs
       .withColumn("words0", split(col("text"), " "))
       .withColumn("lines0", expr(
         "transform(sequence(0, (size(words0)-1) div 10), " +
@@ -2301,7 +2295,7 @@ object TextOps {
     * alone). */
   private[llm] def withDocLines(
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    graft.operators.Common.spread(docs)
+    docs
       .withColumn("words0", split(col("text"), " "))
       .withColumn("body", expr(
         "transform(sequence(0, (size(words0)-1) div 10), " +
@@ -2309,7 +2303,11 @@ object TextOps {
       .withColumn("dlines", expr(
         "concat(array('subscribe to ' || source || ' newsletter today'), " +
           "body, array('all rights reserved worldwide'))"))
-      .drop("words0", "body")
+      // every consumer reads only (doc_id, dlines) — project the original
+      // text (and source) away so the materialized lined frame carries
+      // the derived lines alone, not a second copy of the corpus
+      // (guide §2.3: project before the exchange / materialization)
+      .select(col("doc_id"), col("dlines"))
 
   /** X4ai driver gate: corpus-frequency line dedup — hash every line,
     * count how many DISTINCT docs each hash appears in, and REWRITE each

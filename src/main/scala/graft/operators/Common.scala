@@ -19,25 +19,38 @@ object Common {
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     graft.Tables.t(spark, sfDir, name)
 
-  /** Fan CPU-heavy per-row work out to every core when the input arrives
-    * under-parallel. A parquet scan can never have more tasks than row
-    * groups, and this corpus ships ONE row group per table — so any heavy
-    * per-row chain (regex hygiene, rule decoration, payload decode)
-    * fused into the scan stage runs on a single core no matter how many
-    * the session has (measured: the rule-gate keep list was one 6.5 s
-    * single-task job at local[32]). On a production-scale input the scan
-    * already carries ≥ cores splits and this is a NO-OP — the exchange
-    * only exists where the data layout, not the algorithm, starves the
-    * job of parallelism (guide §2.5 "input skew: one unsplittable file —
-    * repartition immediately after the read"). Hash-partitioned on `key`
-    * (deterministic under retries; no round-robin pre-sort), and every
-    * consumer is partition-order-invariant by the repo's determinism
-    * policy (decimal sums, rounded decisions, total-order tails) — the
-    * driver already benches the same keys at different core counts. */
-  def spread(df: DataFrame, key: String = "doc_id"): DataFrame = {
-    // streaming frames can't be planned eagerly (and micro-batches get
-    // their parallelism from the source) — leave them untouched
+  /** Fan heavy per-row explode work (shingle/window md5 passes) out of an
+    * under-parallel SCAN: a parquet scan can never carry more tasks than
+    * row groups, and this corpus ships ONE row group per table, so the
+    * whole pass fuses into a single task no matter how many cores the
+    * session has (guide §2.5: "input skew — one unsplittable file —
+    * repartition immediately after the read"; measured r19: the exact
+    * containment / ngram Jaccard keys run 1.7× faster with the scan
+    * repartitioned at local[32]).
+    *
+    * Applies ONLY to scan-shaped frames (narrow Project/Filter chains over
+    * a leaf): the r18 sweep's lesson is that probing `df.rdd` on a COMPOSED
+    * frame finalizes the adaptive plan and executes upstream exchanges as
+    * real jobs whose work is then discarded, and that repartitioning cheap
+    * word-explode inputs costs more than the parallelism returns (VERDICT
+    * r18: those families ran 1.6-2.3× slower). On a scan-shaped plan the
+    * probe runs zero jobs (nothing to execute) and the partition count is
+    * the true scan split count. On production-parallel inputs (≥ cores
+    * splits) this is a no-op. Hash-partitioned on `key`: deterministic
+    * under retries, and every consumer is partition-order-invariant by the
+    * repo's determinism policy (decimal sums, rounded decisions,
+    * total-order tails). */
+  def spreadScan(df: DataFrame, key: String = "doc_id"): DataFrame = {
     if (df.isStreaming) return df
+    import org.apache.spark.sql.catalyst.plans.logical._
+    def scanShaped(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode      => true
+      case p: Project       => scanShaped(p.child)
+      case f: Filter        => scanShaped(f.child)
+      case s: SubqueryAlias => scanShaped(s.child)
+      case _                => false
+    }
+    if (!scanShaped(df.queryExecution.analyzed)) return df
     val sc = df.sparkSession.sparkContext
     if (df.rdd.getNumPartitions >= sc.defaultParallelism) df
     else df.repartition(sc.defaultParallelism, col(key))
