@@ -395,7 +395,11 @@ object Dedup {
                   element_at(toks, i + 2), ' ',
                   element_at(toks, i + 3))), 1, 15), 16, 10) AS BIGINT))"""
     minhashInRowFromHashes(
-      docs.withColumn("toks", split(col("text"), " "))
+      // heavy per-row md5 chain over a scan-shaped probe slice — same
+      // scan-only repartition rationale as [[shinglesOf]] (no-op on
+      // streams, composed frames, and production-parallel scans)
+      graft.operators.Common.spreadScan(docs)
+        .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= 3)
         .withColumn("hs", expr(s"array_sort(array_distinct($shArr))")))
       .drop("toks")

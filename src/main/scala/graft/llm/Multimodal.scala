@@ -562,7 +562,10 @@ object Multimodal {
       s"""transform($SampledWindowsSql,
            w -> CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT))"""
     Dedup.minhashInRowFromHashes(
-      mm.withColumn("hx", hex(col("payload")))
+      // heavy per-row hex/md5 chain over a scan-shaped probe slice —
+      // same scan-only repartition rationale as [[byteShinglesOf]]
+      graft.operators.Common.spreadScan(mm)
+        .withColumn("hx", hex(col("payload")))
         .filter(length(col("hx")) >= 8)
         .withColumn("hs", expr(s"array_sort(array_distinct($shArr))"))
         .filter(size(col("hs")) >= 1))

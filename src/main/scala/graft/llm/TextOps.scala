@@ -312,24 +312,37 @@ object TextOps {
     * with fewer than 2 tokens have no bigram row and drop (the Gopher
     * convention: too short to score). */
   def repetitionScoresOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val base = docs
+    // Pure in-row form (guide §1.2 step 2 + §2.4): the old shape exploded
+    // every bigram and shuffled the whole corpus TWICE (groupBy(doc_id,
+    // bg) then groupBy(doc_id)) plus a per-doc join, to compute what is a
+    // doc-local statistic. The top-bigram count is the longest equal run
+    // in the doc's SORTED bigram array (identical multiset ⇒ identical
+    // max count — same concat(' ') key as the old groupBy), and the total
+    // bigram count is size(toks) − 1, so the whole signal is one
+    // codegen'd expression per row: zero exchanges at any corpus size.
+    // Docs with < 2 tokens drop, exactly like the old inner join.
+    docs
       .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("sb", expr(
+        """array_sort(transform(sequence(0, size(toks) - 2),
+             i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))))"""))
+      .withColumn("top_bg_n", expr(
+        """IF(size(sb) = 1, CAST(1 AS BIGINT),
+             aggregate(sequence(2, size(sb)),
+               named_struct('run', CAST(1 AS BIGINT), 'best', CAST(1 AS BIGINT)),
+               (a, i) -> IF(element_at(sb, i) = element_at(sb, i - 1),
+                 named_struct('run', a.run + CAST(1 AS BIGINT),
+                   'best', greatest(a.best, a.run + CAST(1 AS BIGINT))),
+                 named_struct('run', CAST(1 AS BIGINT), 'best', a.best)),
+               a -> a.best))"""))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tok"),
-        size(array_distinct(col("toks"))).cast("long").as("n_dist"),
-        col("toks"))
-    val bigrams = base.filter(col("n_tok") >= 2)
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, size(toks) - 2),
-             i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))""")).as("bg"))
-      .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(max("c").as("top_bg_n"), sum("c").as("n_bg"))
-    base.select("doc_id", "n_tok", "n_dist")
-      .join(bigrams, Seq("doc_id"))
-      .select(col("doc_id"), col("n_tok"),
-        r4(lit(1.0) - col("n_dist").cast("double") / col("n_tok")).as("dup_tok_frac"),
+        r4(lit(1.0) - size(array_distinct(col("toks"))).cast("double")
+          / size(col("toks"))).as("dup_tok_frac"),
         col("top_bg_n"),
-        r4(col("top_bg_n").cast("double") / col("n_bg")).as("top_bg_frac"))
+        r4(col("top_bg_n").cast("double")
+          / (size(col("toks")) - 1)).as("top_bg_frac"))
   }
 
   /** X4w: multi-filter QUALITY ENSEMBLE — the FineWeb/RefinedWeb lesson
@@ -356,43 +369,55 @@ object TextOps {
     * set). */
   def ensembleVotesOf(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     // ONE word explode shared by the NB and NLL gates (the repetition
-    // gate needs ordered bigrams — its own pass): at 100 TB this is the
-    // difference between 3 and 2 corpus scans for the whole vote.
-    // Materialized so neither consumer recomputes the explode; the
-    // per-gate expressions are verbatim classifierScoresOf /
-    // qualityFilterOf, so the votes are bit-identical to the standalone
-    // keys (CorpusOpsSpec pins the NB agreement row for row).
+    // gate is pure in-row work — see [[repetitionScoresOf]]), then ONE
+    // vocabulary aggregate feeding BOTH gates' tables (the NB class
+    // counts AND the NLL frequency wc = cc + rc; class totals, vocab
+    // size and the corpus token total are exact integer sums over it),
+    // then ONE scoring join computing BOTH votes' per-doc statistics.
+    // r18 shape: 6 reads of toks (model counts, model totals, NB join,
+    // freq, corpus total, NLL join); now 2 (vocab aggregate + scoring
+    // join) — guide §2.4. The NB model covers every corpus word (built
+    // from the same toks), so its inner join keeps every row and both
+    // aggregates see exactly the standalone gates' groups: the votes
+    // stay bit-identical to the standalone keys (CorpusOpsSpec pins the
+    // NB agreement row for row; the oracle replays both gates).
     val toks = docs
       .select(col("doc_id"), col("source"),
         expr("CAST(substr(source, 4) AS INT) % 3 = 0").as("curated"),
         explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .localCheckpoint()
-    val nb = toks.join(broadcast(nbModelFromToks(toks)), Seq("w"))
-      .groupBy("doc_id")
-      .agg(r4(sum(col("lo").cast("decimal(28,12)")).cast("double")
-        / count(lit(1))).as("score"))
-      .select(col("doc_id"), (col("score") > 0).as("pass_nb"))
+    val wstats = toks.groupBy("w").agg(
+        count(when(col("curated"), lit(1))).as("cc"),
+        count(when(!col("curated"), lit(1))).as("rc"))
+      .localCheckpoint()
+    val tot = wstats.agg(sum("cc").as("c_n"), sum("rc").as("r_n"),
+      count(lit(1)).as("v"), sum(col("cc") + col("rc")).as("n_total"))
+    val model = wstats.crossJoin(broadcast(tot))
+      .withColumn("lo",
+        log((col("cc") + lit(1.0)) / (col("c_n") + col("v"))) -
+          log((col("rc") + lit(1.0)) / (col("r_n") + col("v"))))
+      .select(col("w"), col("lo"), (col("cc") + col("rc")).as("wc"),
+        col("n_total"))
+    val scored = toks.join(broadcast(model), Seq("w"))
+      .groupBy("doc_id", "source")
+      .agg(
+        r4(sum(col("lo").cast("decimal(28,12)")).cast("double")
+          / count(lit(1))).as("score"),
+        r4(-avg(log(col("wc").cast("double") / col("n_total")))).as("nll"))
+    val wR = Window.partitionBy("source").orderBy(col("nll").asc, col("doc_id").asc)
+    val wC = Window.partitionBy("source")
+    val votes = scored
+      .withColumn("rn", row_number().over(wR))
+      .withColumn("n_src", count(lit(1)).over(wC))
+      .select(col("doc_id"), (col("score") > 0).as("pass_nb"),
+        (col("rn") * 2 <= col("n_src")).as("pass_nll"))
     val rep = repetitionScoresOf(docs)
       .select(col("doc_id"),
         (col("dup_tok_frac") <= 0.5 && col("top_bg_frac") <= 0.05).as("pass_rep"))
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    val freq = toks.groupBy("w").agg(count(lit(1)).as("wc"))
-    val nllScores = toks.join(freq, Seq("w"))
-      .crossJoin(broadcast(total))
-      .groupBy("doc_id", "source")
-      .agg(r4(-avg(log(col("wc").cast("double") / col("n_total")))).as("nll"))
-    val wR = Window.partitionBy("source").orderBy(col("nll").asc, col("doc_id").asc)
-    val wC = Window.partitionBy("source")
-    val nll = nllScores.withColumn("rn", row_number().over(wR))
-      .withColumn("n_src", count(lit(1)).over(wC))
-      .filter(col("rn") * 2 <= col("n_src"))
-      .select("doc_id")
-      .withColumn("pass_nll", lit(true))
     docs.select("doc_id", "source")
-      .join(nb, Seq("doc_id"), "left")
+      .join(votes, Seq("doc_id"), "left")
       .join(rep, Seq("doc_id"), "left")
-      .join(nll, Seq("doc_id"), "left")
       .withColumn("pass_nb", coalesce(col("pass_nb"), lit(false)))
       .withColumn("pass_rep", coalesce(col("pass_rep"), lit(false)))
       .withColumn("pass_nll", coalesce(col("pass_nll"), lit(false)))
@@ -923,13 +948,20 @@ object TextOps {
       .filter(length(col("w")) > 0)
 
   private def nbModelFromToks(toks: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // ONE corpus pass: the per-word class counts. The class totals and
+    // vocabulary size are exact integer sums/counts OVER that table
+    // (c_n = Σ cc, r_n = Σ rc, v = |rows|), so the second corpus-wide
+    // aggregate the old form paid (count + countDistinct over every
+    // token) collapses to a re-aggregation of the vocabulary-bounded
+    // frame — guide §2.4, remove passes outright. The counts table
+    // materializes once (vocabulary-bounded, the persisted-model shape)
+    // so the totals read doesn't replay the token explode.
     val counts = toks.groupBy("w").agg(
       count(when(col("curated"), lit(1))).as("cc"),
       count(when(!col("curated"), lit(1))).as("rc"))
-    val totals = toks.agg(
-      count(when(col("curated"), lit(1))).as("c_n"),
-      count(when(!col("curated"), lit(1))).as("r_n"),
-      countDistinct("w").as("v"))
+      .localCheckpoint()
+    val totals = counts.agg(
+      sum("cc").as("c_n"), sum("rc").as("r_n"), count(lit(1)).as("v"))
     counts.crossJoin(broadcast(totals))
       .withColumn("lo",
         log((col("cc") + lit(1.0)) / (col("c_n") + col("v"))) -
@@ -1462,9 +1494,14 @@ object TextOps {
     val toks = docs
       .select(col("doc_id"), col("source"), explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
-    val total = toks.agg(count(lit(1)).as("n_total"))
-    val freq = toks.groupBy("w").agg(count(lit(1)).as("wc"))
-    val nll = toks.join(freq, Seq("w"))
+    // ONE corpus pass builds the frequency table; the corpus token total
+    // is its exact sum (the old form paid a second full pass for it —
+    // guide §2.4). The table materializes once (vocabulary-bounded, the
+    // persisted-table shape) and BROADCASTS into the scoring join, so
+    // the token stream is never shuffled by word (guide §3.1).
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("wc")).localCheckpoint()
+    val total = freq.agg(sum("wc").as("n_total"))
+    val nll = toks.join(broadcast(freq), Seq("w"))
       .crossJoin(broadcast(total))
       .groupBy("doc_id", "source")
       .agg(r4(-avg(log(col("wc").cast("double") / col("n_total")))).as("nll"))

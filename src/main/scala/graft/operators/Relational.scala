@@ -280,13 +280,66 @@ object Relational {
   /** Driver key for [[bandedRangeJoin]]: each user's [min, max) value
     * range as the interval side, every event as the point side — a
     * genuinely big-big interval join (no broadcastable side at scale). */
-  val joinRangeBanded: Q = (s, d) => {
-    val ev = t(s, d, "events")
+  /** Per-interval COUNT/SUM over a banded axis WITHOUT materializing the
+    * candidate join (r19, guide §2.3 "aggregate before you shuffle" + the
+    * §8 decide-on-small-rows lesson). The banded equi-join form emits one
+    * row per (point, covering interval) candidate — on this data that is
+    * ~148M rows of which 97% are TRUE matches (census: the per-user
+    * [min, max) intervals cover most of the value axis), so no pre-filter
+    * (Bloom, semi-join) can reduce it: the JOIN OUTPUT is the cost. But
+    * the query only needs per-interval count/sum, and those decompose by
+    * band: every band strictly inside [lo, hi) contributes its
+    * PRE-AGGREGATED (count, sum) — one row per (interval, inner band),
+    * |intervals| × bands_per_interval rows — and only the two BOUNDARY
+    * bands (the ones containing lo and hi, where the exact predicate can
+    * cut a band in half) join row-level points, Σ_band points(band) ×
+    * boundary_intervals(band) rows. At width 5 on sf0.1 that is ~0.9M
+    * inner rows + ~2.7M edge rows vs 148M candidates (~40×
+    * fewer); the reduction grows with match density, which is what kills
+    * the candidate form at 100 TB. Output is identical: the same addend
+    * multiset per interval, regrouped (counts exact integers; the double
+    * sum is r2-rounded and already survives a cross-engine reordering —
+    * the DuckDB oracle sums in its own order). Width trades edge volume
+    * (∝ w) against inner volume (∝ 1/w); 5.0 sits near the knee
+    * w* = range/√(2·n_points) for this axis and is output-invariant. */
+  private[graft] def bandedRangeAggByUid(ev: org.apache.spark.sql.DataFrame,
+      width: Double): org.apache.spark.sql.DataFrame = {
+    val w = width
     val iv = ev.groupBy(col("user_id").as("uid"))
       .agg(min("value").as("lo"), max("value").as("hi"))
-    bandedRangeJoin(ev.select("event_id", "value"), "value", iv, "lo", "hi", 25.0)
+      .withColumn("lo_b", floor(col("lo") / w).cast("long"))
+      .withColumn("hi_b", floor(col("hi") / w).cast("long"))
+    val pts = ev.select(col("value"),
+      floor(col("value") / w).cast("long").as("band"))
+    // tiny: one row per populated band
+    val bandAgg = pts.groupBy("band")
+      .agg(count(lit(1)).as("bn"), sum("value").as("bs"))
+    // full inner bands: pre-aggregated contribution, no point rows touched
+    val inner = iv
+      .withColumn("band", explode(when(col("hi_b") >= col("lo_b") + 2,
+        sequence(col("lo_b") + 1, col("hi_b") - 1))
+        .otherwise(array().cast("array<long>"))))
+      .join(bandAgg, Seq("band"))
       .groupBy("uid")
-      .agg(count(lit(1)).as("n"), r2(sum("value")).as("sum_v"))
+      .agg(sum("bn").as("in_n"), sum("bs").as("in_s"))
+    // boundary bands: exact predicate over just those bands' points
+    val edge = iv
+      .select(col("uid"), col("lo"), col("hi"),
+        explode(array_distinct(array(col("lo_b"), col("hi_b")))).as("band"))
+      .join(pts, Seq("band"))
+      .filter(col("value") >= col("lo") && col("value") < col("hi"))
+      .groupBy("uid")
+      .agg(count(lit(1)).as("e_n"), sum("value").as("e_s"))
+    inner.join(edge, Seq("uid"), "full_outer")
+      .select(col("uid"),
+        (coalesce(col("in_n"), lit(0L)) + coalesce(col("e_n"), lit(0L))).as("n"),
+        (coalesce(col("in_s"), lit(0.0)) + coalesce(col("e_s"), lit(0.0))).as("sum_v_raw"))
+      .filter(col("n") > 0)
+  }
+
+  val joinRangeBanded: Q = (s, d) => {
+    bandedRangeAggByUid(t(s, d, "events"), 5.0)
+      .select(col("uid"), col("n"), r2(col("sum_v_raw")).as("sum_v"))
       .orderBy("uid")
   }
 
@@ -307,8 +360,12 @@ object Relational {
     val ev = t(s, d, "events").select(col("event_id"), col("value"))
     val iv = t(s, d, "events").groupBy(col("user_id").as("uid"))
       .agg(min("value").as("lo"), max("value").as("hi"))
-    val matched = bandedRangeJoin(ev, "value", iv, "lo", "hi", 25.0)
-      .agg(count(lit(1)).as("n_matched"))
+    // exact match count WITHOUT the 148M-row candidate join: the
+    // width-invariant total is the sum of [[bandedRangeAggByUid]]'s exact
+    // per-interval counts (same inner-band + boundary-band decomposition
+    // as the production key — counts are exact integers either way)
+    val matched = bandedRangeAggByUid(t(s, d, "events"), 5.0)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n_matched"))
     val nIv = iv.agg(count(lit(1)).as("n_intervals"))
     val rows = Seq(5L, 25L, 100L, 400L).map { w =>
       val np = ev

@@ -30,6 +30,25 @@ class TuningSpec extends graft.SparkSpec {
     assert(counts.head > 0)
   }
 
+  test("banded per-interval aggregation equals the materialized candidate " +
+    "join at every width (r19: join_range_banded computes count/sum from " +
+    "inner-band partials + boundary rows, never the 148M-row candidate set)") {
+    val ev = graft.Tables.t(spark, sf, "events")
+    val iv = ev.groupBy(col("user_id").as("uid"))
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val direct = Relational
+      .bandedRangeJoin(ev.select("event_id", "value"), "value", iv, "lo", "hi", 25.0)
+      .groupBy("uid")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_v"))
+      .orderBy("uid").collect().toSeq
+    for (w <- Seq(1.0, 5.0, 25.0, 400.0)) {
+      val fast = Relational.bandedRangeAggByUid(ev, w)
+        .select(col("uid"), col("n"), round(col("sum_v_raw"), 2).as("sum_v"))
+        .orderBy("uid").collect().toSeq
+      assert(fast === direct, s"width $w")
+    }
+  }
+
   test("ST26b as-of read equals the direct prefix apply and excludes " +
     "later batches") {
     val base = graft.Tables.t(spark, sf, "orders")
